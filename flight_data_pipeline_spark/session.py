@@ -1,0 +1,82 @@
+"""SparkSession construction with engine-wide defaults.
+
+Pins the configuration decisions called out in SURVEY.md §7.4:
+
+- ``spark.sql.session.timeZone=UTC`` — the reference stores
+  TIMESTAMPTZ and parses ``Z``-suffixed ISO8601 (etl_job.py:85-94);
+  every timestamp in this engine is UTC, matching the DuckDB oracle.
+- AQE on — runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic broadcast decisions; essential at 100 TB where static
+  partition counts are always wrong for *some* stage.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the test fixtures
+  carry TIMESTAMP(NANOS) parquet columns which Spark 4 refuses by
+  default; we read them as long and convert (see tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Settings that must be present at session build time.
+_BUILD_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # fixtures use TIMESTAMP(NANOS); read as long, convert in loaders
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for pandas_udf / applyInPandas fast paths
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Settings we also (re)apply at runtime on externally-built sessions —
+# the verification driver builds its own SparkSession, so anything the
+# engine depends on must be runtime-settable and set lazily.
+_RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(app_name: str = "flight_data_pipeline_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``). ``shuffle_partitions`` defaults to the core count —
+    on a real cluster you would size this to ~2-3× total cores and let
+    AQE coalesce; at 100 TB target ~128 MB per shuffle partition.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _BUILD_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    apply_runtime_conf(spark)
+    return spark
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime-settable conf to an existing session.
+
+    Called by every loader so the engine behaves identically whether it
+    built the session itself or received one from the driver harness.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-runtime-settable in some builds; loaders have fallbacks
+            pass
+    return spark

@@ -1,0 +1,57 @@
+"""Simulate the verification driver: vanilla session, sf0.01, DuckDB compare."""
+import sys
+sys.path.insert(0, '/root/repo')
+from pyspark.sql import SparkSession
+import duckdb, pandas as pd, math
+
+# vanilla session — deliberately NOT using the engine's get_spark()
+spark = (SparkSession.builder.master('local[8]')
+         .appName('driver-sim').getOrCreate())
+
+import __spark_entry__ as e
+
+# t1 smoke
+df = e.entry(spark)
+rows = df.collect()
+print(f"t1 entry(): {len(rows)} rows, schema={df.columns}")
+assert len(rows) > 0
+
+# t2 at sf0.01
+SF = '/root/testdata/sf0.01'
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    rows = []
+    for r in df.itertuples(index=False):
+        rows.append(tuple(
+            '∅' if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT
+            else (f"{v:.9g}" if isinstance(v, float) else str(v))
+            for v in r))
+    return sorted(rows)
+
+qs, osql = e.queries(), e.oracle_sql()
+print(f"t2: {len(qs)} queries, {len(osql)} with oracles")
+fails = 0
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF).toPandas()
+    if name in osql:
+        ddf = con.execute(osql[name]).fetchdf()
+        ok_schema = sorted(sdf.columns) == sorted(ddf.columns)
+        ok_rows = len(sdf) == len(ddf)
+        ok_vals = canon(sdf) == canon(ddf)
+        status = 'MATCH' if (ok_schema and ok_rows and ok_vals) else 'MISMATCH'
+        if status == 'MISMATCH':
+            fails += 1
+            print(f"  {name}: {status} schema={ok_schema} rows={ok_rows} ({len(sdf)} vs {len(ddf)}) vals={ok_vals}")
+            if ok_schema and ok_rows:
+                s, d = canon(sdf), canon(ddf)
+                diff = [(a,b) for a,b in zip(s,d) if a != b][:2]
+                print(f"    first diffs: {diff}")
+        else:
+            print(f"  {name}: {status} ({len(sdf)} rows)")
+    else:
+        print(f"  {name}: rows-only ({len(sdf)} rows)")
+print("DRIVER-SIM", "FAIL" if fails else "PASS")
