@@ -1,0 +1,53 @@
+"""Scalar column functions (reference §2.9 + ingestion P2-P4).
+
+All built-in expression compositions — they stay inside whole-stage
+codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def parse_iso8601(col: Column) -> Column:
+    """ISO8601 parse with invalid→NULL semantics (_parse_iso8601,
+    etl_job.py:85-94). The reference normalizes the API's ``Z`` suffix
+    to ``+00:00`` then datetime.fromisoformat; any failure → None.
+
+    ``try_to_timestamp`` reproduces null-on-failure; the regexp
+    handles the ``Z`` form. Accepts 'yyyy-MM-ddTHH:mm' with optional
+    seconds/fraction/offset (fromisoformat's envelope for this API).
+    """
+    cleaned = F.regexp_replace(col, "Z$", "+00:00")
+    return F.coalesce(
+        # offset-carrying forms, with and without seconds
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        # naive forms (fromisoformat accepts these too)
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd'T'HH:mm")),
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(cleaned),
+    )
+
+
+def coalesce_falsy(primary: Column, fallback: Column) -> Column:
+    """Python ``a or b`` coalesce (etl_job.py:106: ``actual or
+    forecast``) — unlike SQL COALESCE, a *zero* primary also falls
+    through to the fallback. SURVEY.md §7.4 item 1: this is a
+    deliberate, pinned behavioral choice matching the reference.
+    """
+    return F.when(
+        primary.isNotNull() & (primary != 0), primary
+    ).otherwise(fallback)
+
+
+def default_to(col: Column, default: Column) -> Column:
+    """NULL-defaulting (etl_job.py:107: missing event time ⇒ now)."""
+    return F.coalesce(col, default)
+
+
+def age_hours(ts: Column, now: Column) -> Column:
+    """Event-time age in fractional hours (etl_job.py:80)."""
+    return (F.unix_timestamp(now) - F.unix_timestamp(ts)) / 3600.0

@@ -1,0 +1,141 @@
+"""EP1 orchestration: extract → validate → dedup → load → audit.
+
+The distributed re-expression of run_pipeline (etl_job.py:184-288),
+preserving its control flow and status machine exactly:
+
+- fetch failure (after retries)        → status='failure', audit still written
+  (the reference reconnects just to audit, etl_job.py:276-286)
+- any validation failing               → status='partial', row STILL written
+  (flag-don't-drop, etl_job.py:213-218)
+- hour bucket already in sink          → status='skipped', rows_inserted=0
+  (etl_job.py:234-237)
+- clean write                          → status='success', rows_inserted=n
+- write failure                        → status carries last pre-write value,
+  error_message set, audit written (etl_job.py:269-274)
+
+Validation checks are the reference's six (etl_job.py:204-211):
+intensity range, timestamp non-null, four fuel-percentage ranges.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from flight_data_pipeline_spark.operators.quality import (
+    quality_gate,
+    valid_fuel_pct,
+    valid_intensity,
+    valid_timestamp,
+)
+from flight_data_pipeline_spark.sinks import AuditSink, TelemetrySink
+from flight_data_pipeline_spark.sources.rest_json import (
+    FUELS,
+    parse_generation_mix,
+    parse_intensity,
+    payload_df,
+    retry_with_backoff,
+)
+
+
+@dataclass
+class RunResult:
+    status: str
+    rows_inserted: int
+    execution_time_ms: int
+    error_message: str | None = None
+
+
+def telemetry_checks() -> dict[str, Column]:
+    """The reference's six conjunctive validations (etl_job.py:204-211)."""
+    checks: dict[str, Column] = {
+        "intensity": valid_intensity(F.col("overall_intensity")),
+        "timestamp": valid_timestamp(F.col("timestamp")),
+    }
+    for fuel in FUELS:
+        checks[fuel] = valid_fuel_pct(F.col(f"fuel_{fuel}_perc"))
+    return checks
+
+
+def build_telemetry_batch(spark: SparkSession, intensity_payload: str,
+                          mix_payload: str, now: Column | None = None) -> DataFrame:
+    """Parse both payloads and zip them into telemetry rows — the
+    implicit J2 join (etl_job.py:199-200,249-259): the reference pairs
+    the two single-record fetches of the same half-hour by position.
+    For single-payload runs this is a 1×1 cross join (trivially
+    broadcast); multi-window batches would join on window_start."""
+    intensity = parse_intensity(payload_df(spark, [intensity_payload]), now=now)
+    mix = parse_generation_mix(payload_df(spark, [mix_payload]))
+    # empty/malformed payloads are errors, not rows (etl_job.py:102-103,
+    # 118-119 raise ValueError before any insert)
+    if not intensity.where(~F.col("record_found")).isEmpty():
+        raise ValueError("No intensity data returned")
+    if not mix.where(~F.col("record_found")).isEmpty():
+        raise ValueError("No generation data returned")
+    return (
+        intensity.crossJoin(mix)
+        .select(
+            F.col("window_start").alias("timestamp"),
+            F.col("overall_intensity"),
+            *[F.col(f"fuel_{f}_perc") for f in FUELS],
+        )
+    )
+
+
+def run_pipeline(spark: SparkSession,
+                 fetch_intensity: Callable[[], str],
+                 fetch_mix: Callable[[], str],
+                 telemetry_path: str,
+                 audit_path: str,
+                 now: Column | None = None,
+                 sleep: Callable[[float], None] = time.sleep) -> RunResult:
+    """One pipeline run (etl_job.py:184-288). ``fetch_*`` return raw
+    JSON payload strings (injectable; production wraps fetch_json);
+    ``now`` pins wall-clock-dependent defaults for deterministic tests."""
+    start = time.time()
+    rows_inserted = 0
+    status = "failure"
+    error_message = None
+    audit = AuditSink(spark, audit_path)
+
+    def elapsed_ms() -> int:
+        return int((time.time() - start) * 1000)
+
+    try:
+        intensity_payload = retry_with_backoff(fetch_intensity, sleep=sleep)()
+        mix_payload = retry_with_backoff(fetch_mix, sleep=sleep)()
+        batch = build_telemetry_batch(spark, intensity_payload, mix_payload, now=now)
+
+        # validate: flag, don't drop (etl_job.py:213-218)
+        gated = quality_gate(batch, telemetry_checks())
+        all_valid = gated.where(F.col("run_status") == "partial").isEmpty()
+        if not all_valid:
+            error_message = "Data quality validation failed"
+            status = "partial"
+
+        try:
+            sink = TelemetrySink(spark, telemetry_path)
+            rows_inserted = sink.append_dedup(batch)
+            # NB: matches the reference exactly — a successful insert
+            # sets 'success' even after a failed validation
+            # (etl_job.py:262 is unconditional), so 'partial' only
+            # survives to the audit log via the write-failure path;
+            # and the normal-path audit carries no error_message
+            # (etl_job.py:267). Per-row validity lives in the gated
+            # frame's check_*/run_status columns.
+            status = "skipped" if rows_inserted == 0 else "success"
+            audit.log_run(status, rows_inserted, elapsed_ms())
+        except Exception as e:
+            error_message = f"Database write failed: {e}"
+            audit.log_run(status, rows_inserted, elapsed_ms(), error_message)
+
+    except Exception as e:
+        # fetch/parse failure: audit anyway (etl_job.py:276-286)
+        error_message = f"Pipeline failed: {e}"
+        audit.log_run(status, rows_inserted, elapsed_ms(), error_message)
+
+    return RunResult(status, rows_inserted, elapsed_ms(), error_message)

@@ -1,0 +1,186 @@
+"""E2E pipeline tests (SURVEY.md §5 item 3): synthetic API payloads →
+full pipeline → sink rows, dedup-skip behavior, status machine, audit
+rows — mirroring run_pipeline's control flow (etl_job.py:184-288).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from flight_data_pipeline_spark.pipeline import build_telemetry_batch, run_pipeline
+from flight_data_pipeline_spark.sinks import AuditSink, TelemetrySink
+from flight_data_pipeline_spark.sources.rest_json import (
+    parse_generation_mix,
+    parse_intensity,
+    payload_df,
+    retry_with_backoff,
+)
+
+INTENSITY = json.dumps({"data": [{
+    "from": "2025-12-09T14:00Z", "to": "2025-12-09T14:30Z",
+    "intensity": {"actual": 90, "forecast": 95},
+}]})
+MIX = json.dumps({"data": [{"generationmix": [
+    {"fuel": "gas", "perc": 45.5}, {"fuel": "WIND", "perc": 25.3},
+    {"fuel": "nuclear", "perc": 20.0}, {"fuel": "solar", "perc": 5.2},
+]}]})
+
+
+@pytest.fixture
+def paths(tmp_path):
+    return str(tmp_path / "telemetry"), str(tmp_path / "audit")
+
+
+def run(spark, paths, intensity=INTENSITY, mix=MIX, **kw):
+    tele, audit = paths
+    return run_pipeline(
+        spark,
+        fetch_intensity=lambda: intensity,
+        fetch_mix=lambda: mix,
+        telemetry_path=tele,
+        audit_path=audit,
+        sleep=lambda s: None,
+        **kw,
+    )
+
+
+class TestParsing:
+    def test_intensity_parse(self, spark):
+        row = parse_intensity(payload_df(spark, [INTENSITY])).first()
+        assert row.overall_intensity == 90.0
+        assert (row.window_start.year, row.window_start.hour,
+                row.window_start.minute) == (2025, 14, 0)
+        assert row.window_end.minute == 30
+
+    def test_intensity_actual_zero_uses_forecast(self, spark):
+        p = json.dumps({"data": [{"from": "2025-12-09T14:00Z",
+                                  "intensity": {"actual": 0, "forecast": 95}}]})
+        assert parse_intensity(payload_df(spark, [p])).first().overall_intensity == 95.0
+
+    def test_intensity_bad_from_defaults_to_now(self, spark):
+        p = json.dumps({"data": [{"from": "garbage",
+                                  "intensity": {"actual": 90}}]})
+        now = F.lit("2025-12-09 16:00:00").cast("timestamp")
+        row = parse_intensity(payload_df(spark, [p]), now=now).first()
+        assert row.window_start.hour == 16
+
+    def test_mix_list_and_dict_drift(self, spark):
+        # etl_job.py:121 — data may be a dict rather than a list
+        as_dict = json.dumps({"data": {"generationmix": [
+            {"fuel": "Gas", "perc": 40.0}]}})
+        for payload in (MIX, as_dict):
+            row = parse_generation_mix(payload_df(spark, [payload])).first()
+            assert row.fuel_gas_perc in (45.5, 40.0)
+
+    def test_mix_case_insensitive_and_missing_default(self, spark):
+        row = parse_generation_mix(payload_df(spark, [MIX])).first()
+        assert row.fuel_wind_perc == 25.3  # "WIND" matched case-insensitively
+        only_gas = json.dumps({"data": [{"generationmix": [
+            {"fuel": "gas", "perc": 45.5}]}]})
+        row = parse_generation_mix(payload_df(spark, [only_gas])).first()
+        assert (row.fuel_nuclear_perc, row.fuel_wind_perc, row.fuel_solar_perc) \
+            == (0.0, 0.0, 0.0)
+
+
+class TestPipelineRuns:
+    def test_first_run_success(self, spark, paths):
+        res = run(spark, paths)
+        assert (res.status, res.rows_inserted) == ("success", 1)
+        tele = TelemetrySink(spark, paths[0]).read()
+        assert tele.count() == 1
+        audit = AuditSink(spark, paths[1]).read().first()
+        assert audit.status == "success" and audit.rows_inserted == 1
+
+    def test_second_run_same_hour_skipped(self, spark, paths):
+        run(spark, paths)
+        res = run(spark, paths)  # same hour → dedup skip (etl_job.py:234-237)
+        assert (res.status, res.rows_inserted) == ("skipped", 0)
+        assert TelemetrySink(spark, paths[0]).read().count() == 1
+        statuses = {r.status for r in AuditSink(spark, paths[1]).read().collect()}
+        assert statuses == {"success", "skipped"}
+
+    def test_different_hour_inserted(self, spark, paths):
+        run(spark, paths)
+        later = INTENSITY.replace("T14:00Z", "T15:00Z").replace("T14:30Z", "T15:30Z")
+        res = run(spark, paths, intensity=later)
+        assert (res.status, res.rows_inserted) == ("success", 1)
+        assert TelemetrySink(spark, paths[0]).read().count() == 2
+
+    def test_invalid_data_still_written(self, spark, paths):
+        # flag-don't-drop + the reference's success-overwrites-partial
+        # quirk (etl_job.py:213-218, 262): row written, status 'success'
+        bad_mix = json.dumps({"data": [{"generationmix": [
+            {"fuel": "gas", "perc": 150.0}]}]})
+        res = run(spark, paths, mix=bad_mix)
+        assert res.status == "success"
+        row = TelemetrySink(spark, paths[0]).read().first()
+        assert row.fuel_gas_perc == 150.0  # written, not dropped/clamped
+
+    def test_fetch_failure_audited(self, spark, paths):
+        def boom():
+            raise ValueError("api down")
+        tele, audit = paths
+        res = run_pipeline(spark, boom, lambda: MIX, tele, audit,
+                           sleep=lambda s: None)
+        assert res.status == "failure"
+        assert "api down" in res.error_message
+        audit_row = AuditSink(spark, audit).read().first()
+        assert audit_row.status == "failure"
+        assert "api down" in audit_row.error_message
+
+
+class TestRetry:
+    def test_backoff_schedule_and_reraise(self):
+        calls, waits = [], []
+
+        def flaky():
+            calls.append(1)
+            raise ConnectionError("nope")
+
+        with pytest.raises(ConnectionError):
+            retry_with_backoff(flaky, sleep=waits.append)()
+        assert len(calls) == 3            # etl_job.py:32 MAX_RETRIES
+        assert waits == [2.0, 4.0]        # 2·2^n, no sleep after last
+
+    def test_recovers_after_transient(self):
+        attempts = []
+
+        def flaky():
+            attempts.append(1)
+            if len(attempts) < 3:
+                raise ConnectionError("transient")
+            return "ok"
+
+        assert retry_with_backoff(flaky, sleep=lambda s: None)() == "ok"
+
+
+class TestBatchJoin:
+    def test_single_row_zip(self, spark):
+        row = build_telemetry_batch(spark, INTENSITY, MIX).first()
+        assert row.overall_intensity == 90.0
+        assert row.fuel_gas_perc == 45.5
+        assert row.timestamp.hour == 14
+
+
+class TestEmptyPayloads:
+    # etl_job.py:102-103,118-119 — empty/malformed payloads raise, the
+    # run is audited as 'failure', and NO row reaches the sink
+    def test_garbage_json_is_failure(self, spark, paths):
+        res = run(spark, paths, intensity="not json {")
+        assert res.status == "failure"
+        assert "No intensity data returned" in res.error_message
+        assert TelemetrySink(spark, paths[0]).read().count() == 0
+
+    def test_empty_data_is_failure(self, spark, paths):
+        res = run(spark, paths, intensity=json.dumps({"data": []}))
+        assert res.status == "failure"
+        assert TelemetrySink(spark, paths[0]).read().count() == 0
+        assert AuditSink(spark, paths[1]).read().first().status == "failure"
+
+    def test_empty_mix_is_failure(self, spark, paths):
+        res = run(spark, paths, mix=json.dumps({"data": []}))
+        assert res.status == "failure"
+        assert "No generation data returned" in res.error_message
