@@ -1,0 +1,111 @@
+"""Relational operator library (SURVEY.md §2.6-2.8 superset).
+
+Equi/semi/anti/outer joins, set ops, and rollups are vanilla
+DataFrame calls left to Catalyst (sort-merge vs broadcast-hash chosen
+by stats + AQE). This module adds the two compositions Spark SQL
+lacks natively:
+
+- **as-of join** (J2 generalized, SURVEY.md §7.3): nearest
+  right-row with ``right.ts <= left.ts`` per key. Implemented as
+  union + last(ignorenulls) over one event-time sort — a single
+  shuffle on the key, no range-explosion cross join, no per-key
+  driver loop. This is the standard distributed as-of pattern and
+  scales linearly with input (each partition sorts once).
+
+- **join helpers** that pin broadcast for dimension tables the
+  planner can't always size (e.g. freshly-derived tiny frames).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
+              right_cols: Sequence[str], suffix: str = "_asof",
+              strict: bool = False) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right[on] <= left[on]`` (or ``<`` when ``strict``) within the
+    same ``by`` group.
+
+    Plan shape: union the two sides tagged by origin, shuffle once on
+    ``by``, sort by event time within partitions, and carry the last
+    seen right-side values forward with last(ignorenulls) — then keep
+    only left rows. At 100 TB this is one exchange + one sort,
+    versus the quadratic blowup of a naive range join.
+
+    Ties on ``on``: non-strict joins see a right row occurring at the
+    left row's exact timestamp (right sorts first via the origin tag);
+    among right rows sharing a timestamp the last in ``right_cols[0]``
+    order wins deterministically.
+    """
+    lcols = left.columns
+    tag = "__is_left"
+    seq = "__seq"
+
+    r = right.select(
+        F.col(by).alias(by),
+        F.col(on).alias(on),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn(tag, F.lit(1 if strict else 0))
+    l = left.withColumn(tag, F.lit(0 if strict else 1))
+
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows order before left rows at equal ts (inclusive join);
+    # strict flips the tag so equal-ts right rows sort after
+    order = Window.partitionBy(by).orderBy(
+        F.col(on).asc(), F.col(tag).asc(),
+        F.col(f"{right_cols[0]}{suffix}").asc_nulls_first(),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(order).alias(f"{c}__c")
+            for c in right_cols
+        ],
+    )
+    is_left_row = F.col(tag) == (0 if strict else 1)
+    return (
+        carried.where(is_left_row & F.col(lcols[0]).isNotNull())
+        .select(*lcols, *[F.col(f"{c}__c").alias(f"{c}{suffix}") for c in right_cols])
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS (etl_job.py:226-232's probe shape as a relational op)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS — the dedup primitive D1 (etl_job.py:226-237)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def broadcast_join(big: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Equi-join with the dimension side pinned broadcast — use when
+    the dim is known-small but statistics can't prove it (derived
+    frames, post-filter dims). Avoids shuffling the big side."""
+    return big.join(F.broadcast(dim), on=on, how=how)
+
+
+def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
+    """ORDER BY ... LIMIT k — Catalyst compiles to
+    TakeOrderedAndProject (per-partition heaps; no global sort).
+    ``order`` must end in a unique column for deterministic output."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
+                    order: Sequence[Column], k: int = 1,
+                    rank_col: str = "rn") -> DataFrame:
+    """Grouped top-k via row_number window — one shuffle on the group
+    key; rank is computed streaming, only k rows survive per group."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

@@ -1,0 +1,59 @@
+"""Temporal operators: time buckets, interval filters, sessionization.
+
+Reference surface: DATE_TRUNC hour/day buckets (etl_job.py:228-229,
+README.md:396, docs:98-99), NOW() - INTERVAL filters (README.md:178).
+Extension: gap-based sessionization and tumbling windows — the batch
+expression of §2.10's streaming semantics (streaming twin in
+streaming/pipeline_stream.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def within_interval(ts: Column, now: Column, days: int) -> Column:
+    """``ts >= now - INTERVAL n DAYS`` (README.md:178). ``now`` is a
+    parameter so checked queries stay deterministic."""
+    return ts >= now - F.expr(f"INTERVAL {int(days)} DAYS")
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap_minutes: int = 30, session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap
+    since the user's previous event exceeds ``gap_minutes``.
+
+    lag + conditional-sum over one (user, ts) window — a single
+    shuffle on the user key, both window passes reuse the same
+    partitioning (no second exchange). The streaming analogue is
+    ``session_window``/``applyInPandasWithState``.
+    """
+    by_user = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(by_user)
+    is_new = F.when(gap_s.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
+    return (
+        df.withColumn("__new_session", is_new)
+        .withColumn(
+            session_col,
+            F.sum("__new_session").over(
+                by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("__new_session")
+    )
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, duration: str,
+                        *aggs: Column) -> DataFrame:
+    """Tumbling event-time window aggregate (§2.10: hour buckets for
+    dedup, day buckets for rollups, generalized). Batch form of
+    ``groupBy(window(ts, duration))`` — partial aggregation map-side,
+    one shuffle on the window start."""
+    out = df.groupBy(F.window(F.col(ts_col), duration).alias("win")).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "win"]
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *agg_cols,
+    )

@@ -1,1 +1,473 @@
-"""Placeholder — populated in later milestones."""
+"""Join / aggregation / set-op / window superset queries (SURVEY.md §2.6-2.8,
+M3) over the TPC-H-ish star schema.
+
+The reference ships no explicit SQL joins (its two implicit joins are
+the dedup anti-join and the single-row intensity⋈mix zip — SURVEY.md
+§2.6); this module is the engine superset the harness star schema
+exercises: inner/semi/anti/outer equi-joins, broadcast dims, rollup,
+scalar subqueries, ranking/lag/sliding windows, set operations.
+
+Scale notes per query inline. Common posture: region/nation/part are
+broadcast (never shuffle lineitem/orders on a dim join); aggregations
+rely on partial map-side combine; window queries shuffle once on
+their partition key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flight_data_pipeline_spark.operators.relational import (
+    anti_join,
+    broadcast_join,
+    semi_join,
+    top_k_per_group,
+)
+from flight_data_pipeline_spark.plans.registry import query
+from flight_data_pipeline_spark.tables import load_table
+
+CUTOFF = "1998-09-01"  # lineitem shipdate cutoff (Q1-style), pinned literal
+
+
+# --- TPC-H Q1-style pricing summary -----------------------------------------
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → partial/final hash aggregate on a 6-value grouping key.
+    The shipdate predicate pushes into the parquet scan; only the 7
+    referenced columns are read (column pruning). At 100 TB: the
+    canonical map-side-combine query — shuffle carries ≤ |groups| rows
+    per task."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(f"{CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- TPC-H Q5-style multi-way join ------------------------------------------
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name                                             AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN nation n    ON n.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way join: fact-fact (orders⋈lineitem) shuffles on the
+    order key; customer joins on custkey; nation/region are explicitly
+    broadcast — at any scale those dims are KBs, so the only real
+    exchanges are the two fact shuffles. Join order (lineitem last-in
+    via orders) keeps the widest table joined exactly once."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# --- TPC-H Q3-style top-k revenue --------------------------------------------
+@query(
+    "top_orders_by_revenue",
+    oracle="""
+    SELECT o.o_orderkey                                          AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d')                   AS orderdate
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → join → agg → top-k. The segment filter runs before the
+    join (Catalyst pushes it below), shrinking the build side; final
+    LIMIT compiles to TakeOrderedAndProject — no global sort of the
+    aggregate output."""
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderkey").alias("orderkey"),
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+# --- semi / anti joins --------------------------------------------------------
+@query(
+    "customers_with_orders_by_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def customers_with_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): the probe side deduplicates during the
+    join — no row multiplication, orders' payload columns never read
+    (column pruning keeps the scan to o_custkey only)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        semi_join(c, o, on=c["c_custkey"] == o["o_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY n_customers DESC, nation
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — the same primitive as the
+    reference's dedup probe (D1, etl_job.py:226-237), applied
+    relationally; nation broadcast."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        anti_join(c, o, on=c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "nation")
+    )
+
+
+# --- outer join ----------------------------------------------------------------
+@query(
+    "order_count_histogram",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+)
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less
+    customers (COUNT of a null key = 0), then a re-aggregation. Two
+    shuffles total; the second input is already tiny."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+# --- broadcast dim join ---------------------------------------------------------
+@query(
+    "brand_price_stats",
+    oracle="""
+    SELECT p.p_brand                        AS brand,
+           ROUND(AVG(l.l_extendedprice), 4) AS avg_price,
+           COUNT(*)                         AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with the dim pinned broadcast: lineitem never moves —
+    the whole query is scan → broadcast-hash join → partial agg →
+    one small shuffle. The plan to insist on at 100 TB (a sort-merge
+    join here would shuffle the entire fact table)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    return (
+        broadcast_join(li, p, on=li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- set operations -------------------------------------------------------------
+@query(
+    "segment_setops",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 100000)) AS n_intersect,
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 100000))  AS n_except,
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_totalprice > 100000))  AS n_union
+    """,
+)
+def segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (distinct) — §2.8. Catalyst plans
+    intersect/except as semi/anti joins over distinct inputs; union
+    distinct is a hash aggregate."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k"))
+    big_spenders = o.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("k"))
+    # fully declarative: three one-row aggregates zipped by cross join
+    # (no driver-side counts; one job, Catalyst reuses the scans)
+    ni = building.intersect(big_spenders).agg(F.count("*").alias("n_intersect"))
+    ne = building.subtract(big_spenders).agg(F.count("*").alias("n_except"))
+    nu = building.union(big_spenders).distinct().agg(F.count("*").alias("n_union"))
+    return ni.crossJoin(ne).crossJoin(nu)
+
+
+# --- rollup ---------------------------------------------------------------------
+@query(
+    "pricing_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)')  AS returnflag,
+           COALESCE(l_linestatus, '(all)')  AS linestatus,
+           ROUND(SUM(l_extendedprice), 4)   AS sum_price,
+           COUNT(*)                         AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — subtotal + grand-total rows in one pass
+    (§2.4 note: free Spark superset win). NULL grouping keys
+    canonicalized to '(all)' on both sides."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_price", "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --- scalar subquery --------------------------------------------------------------
+@query(
+    "parts_above_avg_price",
+    oracle="""
+    SELECT COUNT(*)                    AS n_parts,
+           ROUND(AVG(p_retailprice), 4) AS avg_premium_price
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    """,
+)
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (A3's pattern generalized,
+    docs:83-89). Expressed via spark.sql so Catalyst plans the
+    ScalarSubquery node directly."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql("""
+        SELECT COUNT(*)                     AS n_parts,
+               ROUND(AVG(p_retailprice), 4) AS avg_premium_price
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    """)
+
+
+# --- window: ranking ---------------------------------------------------------------
+@query(
+    "first_order_per_customer",
+    oracle="""
+    SELECT c.c_custkey                         AS custkey,
+           o.o_orderkey                        AS orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS first_orderdate,
+           o.o_totalprice                      AS totalprice
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey) = 1
+    ORDER BY custkey
+    """,
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-1 via row_number (§2.7 ranking): one shuffle on
+    custkey; orderkey tiebreak for determinism."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    firsts = top_k_per_group(
+        o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], k=1
+    )
+    return (
+        firsts.join(c, c["c_custkey"] == firsts["o_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# --- window: lag --------------------------------------------------------------------
+@query(
+    "avg_order_gap_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           ROUND(AVG(gap_days), 4) AS avg_gap_days,
+           COUNT(*) AS n_gaps
+    FROM (
+        SELECT o_custkey,
+               DATE_DIFF('day',
+                         LAG(o_orderdate) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    ) g
+    JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE gap_days IS NOT NULL
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def avg_order_gap_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over (custkey, orderdate) — inter-arrival analysis (§2.7,
+    'analyze trends' README.md:247-249). Window shuffle on custkey,
+    then an agg keyed by segment after a broadcastable dim join."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(c, c["c_custkey"] == gaps["o_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+             F.count("*").alias("n_gaps"))
+        .orderBy("segment")
+    )
+
+
+# --- window: sliding frame ------------------------------------------------------------
+@query(
+    "revenue_7d_moving_avg",
+    oracle="""
+    SELECT day,
+           ROUND(daily_revenue, 4) AS daily_revenue,
+           ROUND(AVG(daily_revenue) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg_7d
+    FROM (
+        SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day,
+               SUM(o_totalprice) AS daily_revenue
+        FROM orders
+        GROUP BY STRFTIME(o_orderdate, '%Y-%m-%d')
+    )
+    ORDER BY day
+    """,
+)
+def revenue_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals + 7-row sliding mean (§2.7 rowsBetween). The
+    global window runs over the *aggregated* day series (≤ thousands
+    of rows at any SF), so the single-partition window is fine — the
+    heavy lifting happened in the distributed pre-aggregation."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("o_totalprice").alias("raw_revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            "day",
+            F.round("raw_revenue", 4).alias("daily_revenue"),
+            F.round(F.avg("raw_revenue").over(w), 4).alias("moving_avg_7d"),
+        )
+        .orderBy("day")
+    )

@@ -1,1 +1,156 @@
-"""Placeholder — populated in later milestones."""
+"""Temporal superset queries: as-of join, sessionization, tumbling
+windows (SURVEY.md §2.6 J2 generalized, §2.10 batch-first).
+
+DuckDB oracles: ASOF JOIN is native in DuckDB; sessionization uses
+the identical lag+cumsum window SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flight_data_pipeline_spark.operators.relational import asof_join
+from flight_data_pipeline_spark.operators.temporal import sessionize, tumbling_window_agg
+from flight_data_pipeline_spark.plans.registry import query
+from flight_data_pipeline_spark.tables import load_table
+
+
+# --- as-of join (J2 generalized; SURVEY.md §7.3 "the one fiddly op") ---------
+@query(
+    "purchase_attribution_asof",
+    oracle="""
+    SELECT p.event_id                                      AS purchase_id,
+           p.user_id                                       AS user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f')          AS purchase_ts,
+           STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S.%f')          AS view_ts,
+           v.event_id                                      AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_id
+    """,
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    prior (inclusive) view — the general form of the reference's
+    intensity⋈mix same-window pairing (etl_job.py:199-200,249-259).
+
+    Spark has no native ASOF JOIN; operators.relational.asof_join
+    composes it as union + last(ignorenulls) over one (user, ts) sort:
+    one shuffle, linear in input. The DuckDB oracle uses its native
+    ASOF LEFT JOIN.
+
+    Tie note: views sharing a user+ts keep the max view_id (same rule
+    both sides via the operator's deterministic ordering).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_event"),
+                F.col("ts").alias("view_time"))
+    )
+    joined = asof_join(
+        purchases, views, on="ts", by="user_id",
+        right_cols=["view_time", "view_event"], suffix="",
+    )
+    return (
+        joined.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.date_format("view_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+            F.col("view_event").alias("view_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --- sessionization -----------------------------------------------------------
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id)  AS n_sessions,
+           SUM(n)                      AS n_events,
+           ROUND(AVG(sess_len), 4)     AS avg_session_secs
+    FROM (
+        SELECT user_id, session_id,
+               DATE_DIFF('second', MIN(ts), MAX(ts)) AS sess_len,
+               COUNT(*) AS n
+        FROM sessions
+        GROUP BY user_id, session_id
+    ) s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) → per-user session
+    stats. operators.temporal.sessionize: lag + running sum over one
+    (user, ts) window — a single shuffle; the two follow-up aggregates
+    reuse the user_id partitioning."""
+    ev = load_table(spark, "events", sf_dir)
+    sessions = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    per_session = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            .alias("sess_len"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.round(F.avg("sess_len"), 4).alias("avg_session_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- tumbling window agg --------------------------------------------------------
+@query(
+    "hourly_event_windows",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per type (§2.10 event-time
+    windows, batch form; streaming twin uses the same window() call
+    under readStream). Partial agg map-side; one shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,99 @@
+"""Edge-semantics tests for custom operators (as-of join,
+sessionization, dedup helpers) — cases the fixture-driven oracle
+parity tests don't guarantee to exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from flight_data_pipeline_spark.operators.dedup import exact_dedup, first_per_bucket
+from flight_data_pipeline_spark.operators.relational import asof_join
+from flight_data_pipeline_spark.operators.temporal import sessionize
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+class TestAsofJoin:
+    def frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, ts(10)), (2, 100, ts(30)), (3, 200, ts(5))],
+            "lid long, user long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(11, 100, ts(0)), (12, 100, ts(10)), (13, 100, ts(20)),
+             (14, 300, ts(1))],
+            "rid long, user long, ts timestamp",
+        )
+        return left, right
+
+    def test_inclusive_match_and_no_match(self, spark):
+        left, right = self.frames(spark)
+        out = {
+            r.lid: r.rid_asof
+            for r in asof_join(left, right, on="ts", by="user",
+                               right_cols=["rid"]).collect()
+        }
+        assert out[1] == 12   # equal-ts right row matches (inclusive)
+        assert out[2] == 13   # latest right ≤ ts(30)
+        assert out[3] is None  # user 200 has no right rows → null
+
+    def test_strict_excludes_equal_ts(self, spark):
+        left, right = self.frames(spark)
+        out = {
+            r.lid: r.rid_asof
+            for r in asof_join(left, right, on="ts", by="user",
+                               right_cols=["rid"], strict=True).collect()
+        }
+        assert out[1] == 11   # equal-ts row excluded under strict <
+
+    def test_tie_on_right_ts_takes_last_by_first_col(self, spark):
+        left = spark.createDataFrame([(1, 100, ts(10))], "lid long, user long, ts timestamp")
+        right = spark.createDataFrame(
+            [(21, 100, ts(5)), (22, 100, ts(5))], "rid long, user long, ts timestamp"
+        )
+        row = asof_join(left, right, on="ts", by="user", right_cols=["rid"]).first()
+        assert row.rid_asof == 22  # deterministic: max rid among tied ts
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        df = spark.createDataFrame(
+            [(100, ts(0)), (100, ts(10)), (100, ts(50)), (100, ts(55)),
+             (200, ts(0))],
+            "user long, ts timestamp",
+        )
+        out = sessionize(df, "user", "ts", gap_minutes=30)
+        sess = {(r.user, r.ts.minute): r.session_id for r in out.collect()}
+        assert sess[(100, 0)] == sess[(100, 10)] == 1   # within 30 min
+        assert sess[(100, 50)] == sess[(100, 55)] == 2  # 40-min gap → new
+        assert sess[(200, 0)] == 1                      # per-user numbering
+
+    def test_exact_gap_boundary_stays_in_session(self, spark):
+        df = spark.createDataFrame(
+            [(1, ts(0)), (1, ts(30))], "user long, ts timestamp"
+        )
+        out = sessionize(df, "user", "ts", gap_minutes=30).collect()
+        assert {r.session_id for r in out} == {1}  # gap == 30min not > 30min
+
+
+class TestDedupHelpers:
+    def test_first_per_bucket_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", ts(0)), (2, "a", ts(1)), (3, "b", ts(2))],
+            "id long, k string, ts timestamp",
+        )
+        kept = first_per_bucket(df, F.col("k"), ["ts", "id"])
+        assert sorted(r.id for r in kept.collect()) == [1, 3]
+
+    def test_exact_dedup_with_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [(2, "x"), (1, "x"), (5, "y")], "id long, txt string"
+        )
+        kept = exact_dedup(df, ["txt"], tiebreak=["id"])
+        assert sorted(r.id for r in kept.collect()) == [1, 5]
