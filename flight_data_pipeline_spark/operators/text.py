@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines (extension
+scope per BASELINE.json: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything here is built-in column expressions (split / filter /
+transform / md5 / regexp) — JVM-side, whole-stage codegen, no Python
+in the hot path. At 100 TB these are embarrassingly parallel
+map-side ops: no shuffle at all until a downstream aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Small English stopword core — used for both quality scoring and the
+# stopword-based language heuristic. Deliberately tiny and pinned: the
+# oracle SQL must embed the identical set.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# Per-language marker tokens for the stopword-overlap language-ID
+# heuristic (n-gram profiles degenerate to token profiles on the
+# whitespace-soup fixture corpus; real corpora would use char 3-grams).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is space-separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Token count — whitespace split size."""
+    return F.size(tokens(text))
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def stopword_count(text: Column, stopwords=STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword fraction of all tokens — a standard quality signal."""
+    return stopword_count(text) / token_count(text)
+
+
+def quality_band(text: Column, min_tokens: int = 10, max_tokens: int = 500,
+                 min_stop: float = 0.0, max_stop: float = 0.8) -> Column:
+    """Length + stopword-ratio quality gate → 'good' / 'low'. The
+    flag-don't-drop discipline (etl_job.py:213-218) applies: callers
+    filter on the band only when they choose to."""
+    n = token_count(text)
+    ratio = stopword_ratio(text)
+    ok = n.between(min_tokens, max_tokens) & ratio.between(min_stop, max_stop)
+    return F.when(ok, F.lit("good")).otherwise(F.lit("low"))
+
+
+def bow_fingerprint(text: Column) -> Column:
+    """Bag-of-words document fingerprint: md5 of the sorted distinct
+    token set. Collides for token-permutation duplicates — the exact-
+    dedup key one step coarser than raw-text md5. (Rolling/content-
+    defined fingerprints are in dedup.simhash for the hash-family
+    variant.)"""
+    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(text))))
+
+
+def ngrams(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingles via slice+transform over one split —
+    no explode, no shuffle; stays a per-row array op."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def lang_scores(text: Column) -> Column:
+    """Marker-token hit counts per candidate language → map column."""
+    toks = distinct_tokens(text)
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in LANG_MARKERS]),
+        F.array(*[
+            F.size(F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]), t),
+            ))
+            for lang in LANG_MARKERS
+        ]),
+    )
+
+
+def predict_lang(text: Column, default: str = "en") -> Column:
+    """Language-ID heuristic: argmax of marker-token hits, ties and
+    zero-hit rows → ``default``. One pass over the token array."""
+    scores = lang_scores(text)
+    entries = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit(default).alias("key"), F.lit(0).alias("value")),
+        lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+    )
+    return best["key"]

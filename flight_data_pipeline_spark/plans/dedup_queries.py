@@ -1,1 +1,134 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication checked queries over documents (extension scope):
+exact/hash dedup, verified n-gram Jaccard near-dup, MinHash+LSH and
+SimHash scale paths.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flight_data_pipeline_spark.operators.dedup import (
+    jaccard,
+    minhash_lsh_candidates,
+    simhash64,
+)
+from flight_data_pipeline_spark.operators.text import distinct_tokens, tokens
+from flight_data_pipeline_spark.plans.registry import query
+from flight_data_pipeline_spark.tables import load_table
+
+JACCARD_THRESHOLD = 0.8
+
+
+@query(
+    "exact_dedup_documents",
+    oracle="""
+    SELECT COUNT(*)                    AS n_docs,
+           COUNT(DISTINCT md5(text))   AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+    FROM documents
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting via content hash (hash-groupBy — the
+    cheapest dedup tier). At 100 TB: hash computed map-side, the
+    shuffle carries only (hash, count) partials."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )
+
+
+@query(
+    "near_dup_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.t, b.t))
+                 * 1.0 / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard_sim
+    FROM toks a
+    JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.t, b.t))
+          * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-duplicate pairs: token-set Jaccard ≥ 0.8 within
+    each source partition. The source-key equi-join bounds the pair
+    blowup (the role LSH bands play in the unkeyed variant below);
+    Jaccard itself is per-row array math, no extra shuffle. Exactly
+    SQL-expressible, so this is the *checked* near-dup query; the
+    hash-family variants (minhash/simhash) are rows-only."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", "source", distinct_tokens(F.col("text")).alias("t"))
+    a, b = t.alias("a"), t.alias("b")
+    sim = F.round(jaccard(F.col("a.t"), F.col("b.t")), 4)
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sim.alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("minhash_lsh_near_dups")  # xxhash64 has no DuckDB twin ⇒ rows-only
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, Jaccard-verified — the scale
+    path: band-bucket join instead of any-pairs, so cost tracks the
+    number of colliding candidates, not n². Rows-only check (minhash
+    needs xxhash64; DuckDB can't mirror it) — recall vs the exact
+    Jaccard query is pinned by tests/test_extensions.py instead."""
+    docs = load_table(spark, "documents", sf_dir)
+    # shingle_size=1 (token sets): minhash then estimates the same
+    # token-set Jaccard the exact query computes, so recall is
+    # measurable against it (tests/test_extensions.py). Sequence-level
+    # dedup on real corpora uses the operator default (3-shingles).
+    cands = minhash_lsh_candidates(docs, "doc_id", "text",
+                                   num_hashes=32, bands=8, shingle_size=1)
+    t = docs.select(F.col("doc_id"), distinct_tokens(F.col("text")).alias("t"))
+    return (
+        cands.join(t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("t", "ta"), "id_a")
+        .join(t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("t", "tb"), "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(jaccard(F.col("ta"), F.col("tb")), 4).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("simhash_buckets")  # xxhash64 ⇒ rows-only
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints bucketed by 16-bit prefix — the constant-
+    size-signature dedup tier (one long per doc vs minhash's array).
+    Output: buckets with >1 doc, i.e. hamming-near candidates sharing
+    a prefix. Rows-only (xxhash64)."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id",
+        simhash64(tokens(F.col("text"))).alias("simhash"),
+    )
+    bucket = F.shiftrightunsigned("simhash", 48).alias("bucket")
+    return (
+        sh.select(bucket, "doc_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("bucket")
+    )

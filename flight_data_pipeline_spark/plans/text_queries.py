@@ -1,1 +1,134 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis checked queries over the documents table (extension
+scope: token counting, quality scoring, fingerprinting, language-ID).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flight_data_pipeline_spark.operators.text import (
+    STOPWORDS,
+    bow_fingerprint,
+    predict_lang,
+    quality_band,
+    stopword_count,
+    token_count,
+)
+from flight_data_pipeline_spark.plans.registry import query
+from flight_data_pipeline_spark.tables import load_table
+
+_SW = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "token_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*)                                              AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 4)           AS avg_tokens,
+           ROUND(AVG(n_chars), 4)                                AS avg_chars,
+           ROUND(AVG(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ({_SW})))
+                     * 1.0 / len(string_split(text, ' '))), 4)   AS avg_stopword_ratio
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword ratio rolled up per language — pure
+    map-side expressions then one small aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(token_count(text)), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(stopword_count(text) / token_count(text)), 4)
+            .alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_quality_bands",
+    oracle=f"""
+    SELECT source,
+           SUM(CASE WHEN n_tok BETWEEN 10 AND 500
+                     AND ratio BETWEEN 0.0 AND 0.8 THEN 1 ELSE 0 END) AS n_good,
+           SUM(CASE WHEN n_tok BETWEEN 10 AND 500
+                     AND ratio BETWEEN 0.0 AND 0.8 THEN 0 ELSE 1 END) AS n_low,
+           COUNT(*) AS n_docs
+    FROM (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '), t -> t IN ({_SW})))
+                   * 1.0 / len(string_split(text, ' ')) AS ratio
+        FROM documents
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length + stopword-ratio band) per source —
+    flag-don't-drop: counts both bands, filters nothing."""
+    docs = load_table(spark, "documents", sf_dir)
+    band = quality_band(F.col("text"))
+    return (
+        docs.withColumn("band", band)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("band") == "good", 1).otherwise(0)).alias("n_good"),
+            F.sum(F.when(F.col("band") == "good", 0).otherwise(1)).alias("n_low"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_fingerprint_dups",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint,
+           COUNT(*)    AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+)
+def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of the sorted distinct token set)
+    → duplicate groups with the kept representative (min doc_id) —
+    exact dedup one normalization step above raw-text hashing. One
+    map-side hash + one groupBy shuffle on the 16-byte key."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(bow_fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@query("lang_id_predictions")  # heuristic ⇒ rows-only check (no SQL twin)
+def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token argmax) vs the labeled lang
+    column — confusion counts. No oracle: the heuristic's argmax over
+    a map column has no faithful ANSI-SQL twin; correctness is pinned
+    by unit tests on known-language texts instead."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.col("lang").alias("actual"),
+                    predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("actual", "predicted")
+    )

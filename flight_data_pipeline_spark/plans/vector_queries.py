@@ -1,1 +1,110 @@
-"""Placeholder — populated in later milestones."""
+"""Embedding similarity checked queries (extension scope): exact
+cosine top-k (DuckDB list_cosine_similarity oracle), per-label
+centroid stats, and the LSH-bucketed ANN scale path (rows-only).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flight_data_pipeline_spark.operators.multimodal import (
+    binarize_documents,
+    extract_features,
+)
+from flight_data_pipeline_spark.operators.vectors import (
+    ann_lsh_topk,
+    as_double,
+    cosine_topk,
+    l2_norm,
+)
+from flight_data_pipeline_spark.plans.registry import query
+from flight_data_pipeline_spark.tables import load_table
+
+QUERY_VEC_ID = 0  # pinned query vector for deterministic checks
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID})), 4)
+               AS cosine_sim
+    FROM embeddings
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a pinned query vector. Spark: zip_with
+    dot product + TakeOrderedAndProject; DuckDB: native
+    list_cosine_similarity with a scalar subquery. Similarity rounded
+    to 4 digits *before* ranking on both sides so float summation
+    order can't flip the top-k cut."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return cosine_topk(emb, qv, vec_col="embedding", id_col="vec_id", k=10)
+
+
+@query(
+    "label_centroid_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+                                                  x -> CAST(x AS DOUBLE) * x)))), 4)
+               AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (count + mean L2 norm) — vector math
+    as map-side higher-order functions, one tiny aggregate shuffle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(l2_norm(as_double(F.col("embedding")))), 4)
+            .alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@query("ann_lsh_topk")  # approximate by design ⇒ rows-only check
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k for the pinned query vector —
+    the scale path (probe one hyperplane bucket instead of the full
+    table). Approximate ⇒ no SQL oracle; recall vs the exact query is
+    measured in tests/test_extensions.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return ann_lsh_topk(emb, qv, vec_col="embedding", id_col="vec_id",
+                        k=10, bits=4)
+
+
+@query("multimodal_byte_features")  # mapInPandas plumbing ⇒ rows-only
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline: documents' bytes wrapped as
+    media rows (payload + typed metadata struct) → Arrow-batched
+    mapInPandas decode/featurize (decode stubbed: deterministic byte
+    histogram — container has no codec libs; plumbing is real).
+    Aggregated per kind so output is small and stable."""
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_features(binarize_documents(docs))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+            F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+            F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_feat0"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,121 @@
+"""Extension-operator tests: near-dup recall, ANN recall vs brute
+force, language-ID on known-language text, multimodal plumbing.
+
+These pin the properties the rows-only checked queries can't: the
+driver only verifies those queries *run*; these tests verify they're
+*right* (recall/accuracy bounds, schema shape, batch behavior)."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from flight_data_pipeline_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    binarize_documents,
+    extract_features,
+    real_decode,
+)
+from flight_data_pipeline_spark.operators.text import predict_lang
+from flight_data_pipeline_spark.plans import registry
+from flight_data_pipeline_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+class TestNearDupRecall:
+    def test_minhash_lsh_recall_vs_exact(self, spark):
+        """Every same-source pair the exact Jaccard query reports at
+        ≥0.8 should be recovered by MinHash+LSH (32 hashes / 8 bands
+        → ~50% band-collision probability at j=0.8 per band; 8 bands
+        ⇒ miss probability ≈ 0.4%). Allow one miss for hash luck."""
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in registry.QUERIES["near_dup_jaccard_pairs"](spark, SF_DIR).collect()
+        }
+        lsh = {
+            (r.doc_a, r.doc_b)
+            for r in registry.QUERIES["minhash_lsh_near_dups"](spark, SF_DIR).collect()
+        }
+        # LSH searches the whole corpus; the exact query only compares
+        # same-source pairs — so recall is judged on exact's domain,
+        # and lsh∩exact-domain must not contain false positives
+        # (pairs are Jaccard-verified post-LSH).
+        src = {
+            r.doc_id: r.source
+            for r in load_table(spark, "documents", SF_DIR).collect()
+        }
+        lsh_same_source = {
+            (a, b) for (a, b) in lsh if src[a] == src[b]
+        }
+        assert lsh_same_source <= exact
+        missed = exact - lsh
+        assert len(missed) <= max(1, len(exact) // 20), (
+            f"LSH missed {len(missed)}/{len(exact)} near-dup pairs"
+        )
+
+    def test_simhash_buckets_group_near_dups(self, spark):
+        out = registry.QUERIES["simhash_buckets"](spark, SF_DIR)
+        rows = out.collect()
+        assert all(r.n_docs > 1 for r in rows)
+        assert all(r.doc_ids == sorted(r.doc_ids) for r in rows)
+
+
+class TestAnnRecall:
+    def test_lsh_topk_overlaps_bruteforce(self, spark):
+        """ANN (4-bit LSH → ~1/16 of the table probed) should recover
+        a meaningful share of the exact top-10. With 500 vectors a
+        4-bit bucket holds ~31; random overlap would be ~0.6 of 10 —
+        require better than random and the query vector itself found."""
+        exact = [r.vec_id for r in
+                 registry.QUERIES["cosine_topk_bruteforce"](spark, SF_DIR).collect()]
+        approx = [r.vec_id for r in
+                  registry.QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()]
+        assert 0 in approx  # the query vector matches itself (sim 1.0)
+        overlap = len(set(exact) & set(approx))
+        assert overlap >= 2, f"ANN recall too low: {overlap}/10"
+
+
+class TestLangId:
+    def test_known_language_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of to is"),
+                (2, "el la de que y casa perro"),
+                (3, "der die und das ist haus"),
+                (4, "le la et les des maison"),
+                (5, "xyzzy qwerty plugh"),  # no markers → default en
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r.lang for r in
+               df.select("id", predict_lang(F.col("text")).alias("lang")).collect()}
+        assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "en"}
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).limit(50)
+        feats = extract_features(binarize_documents(docs))
+        assert feats.schema == FEATURE_SCHEMA
+        rows = feats.collect()
+        assert len(rows) == 50
+        for r in rows[:5]:
+            assert len(r.feature) == 16            # 16-bin histogram
+            assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized
+            assert r.n_bytes > 0 and r.byte_entropy > 0
+
+    def test_real_decode_is_explicit_stub(self):
+        with pytest.raises(NotImplementedError):
+            real_decode(b"\x89PNG", "png")
+
+    def test_custom_decoder_injectable(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).limit(5)
+
+        def tiny_decoder(payload, fmt):
+            import numpy as np
+            return np.zeros(16, dtype="float32")
+
+        rows = extract_features(binarize_documents(docs), decoder=tiny_decoder).collect()
+        assert all(sum(r.feature) == 0.0 for r in rows)
