@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink (full computation, no
+driver materialization) — ``count()`` alone would let Catalyst prune
+most of the work. One small warmup query amortizes JVM/codegen
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flight_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Representative spread: scan-agg, multi-way join, top-k, outer join,
+# window, as-of, sessionization, dedup, text, vectors. (minhash is
+# correctness-gated at sf0.01 but excluded here: the synthetic corpus
+# is ~all-pairs self-similar at sf0.1, which benchmarks the fixture,
+# not the operator.)
+HEADLINE = [
+    "daily_rollup",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_by_revenue",
+    "order_count_histogram",
+    "hour_dedup",
+    "purchase_attribution_asof",
+    "user_sessions",
+    "revenue_7d_moving_avg",
+    "near_dup_jaccard_pairs",
+    "simhash_buckets",
+    "token_stats_by_lang",
+    "cosine_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="fdps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: one tiny query to pay JVM/codegen startup once
+    run(queries["scalar_counts"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Physical-plan regression tests (SURVEY.md §4, M5): the properties
+that matter at 100 TB — broadcast joins where a dim is involved,
+predicate pushdown into parquet scans, column pruning, top-k instead
+of global sort — asserted on the .explain output so a future edit
+can't silently regress the plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from flight_data_pipeline_spark.plans import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_brand_join_broadcasts_dim(spark):
+    plan = plan_of(spark, "brand_price_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact table must not shuffle
+
+
+def test_revenue_by_nation_broadcasts_small_dims(spark):
+    plan = plan_of(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan  # nation/region pinned broadcast
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "recent_runs_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exec_time_trend_pushes_status_filter(spark):
+    plan = plan_of(spark, "exec_time_trend")
+    assert "PushedFilters" in plan and "purchase" in plan
+
+
+def test_aggregates_are_partial_then_final(spark):
+    # map-side combine: HashAggregate appears in partial+final pairs
+    plan = plan_of(spark, "daily_rollup")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_join_is_single_window_not_range_join(spark):
+    plan = plan_of(spark, "purchase_attribution_asof")
+    # the as-of must compile to union+window, never a nested-loop/
+    # cartesian range join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_no_driver_side_materialization_in_operators():
+    """Scale posture (SURVEY.md §7.4 item 7): no collect()/toPandas()/
+    count() driver round-trips inside operator or plan code. (Parquet
+    schema reads fire one tiny job per scan — that's planning, not
+    materialization, and is allowed.) Static check over the package;
+    sinks.py legitimately counts appended rows (the reference's
+    rows_inserted contract) and is exempted."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "flight_data_pipeline_spark"
+    banned = (".collect()", ".toPandas()", ".count()", ".toLocalIterator(")
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name == "sinks.py":
+            continue
+        src = py.read_text()
+        for pat in banned:
+            if pat in src:
+                offenders.append(f"{py.name}: {pat}")
+    assert not offenders, offenders
