@@ -278,3 +278,37 @@ def quality_gate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- §2.9 JSON scalar functions (etl_job.py:101-122 parse surface) -----------
+@query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+           COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+                 THEN 1 END)                                      AS n_high_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access (the §2.9 JSON surface:
+    .get() chains → get_json_object/from_json). The events.props JSON
+    string is parsed inline — one map-side extraction, no UDF; at
+    scale, repeated access would from_json once into a struct column
+    instead of re-parsing per expression."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load_table(spark, "events", sf_dir)
+    k = F.from_json("props", StructType([StructField("k", IntegerType())]))["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
+        )
+        .orderBy("event_type")
+    )

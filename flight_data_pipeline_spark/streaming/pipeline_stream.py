@@ -1,0 +1,148 @@
+"""Structured Streaming twin of the batch pipeline (SURVEY.md §2.10).
+
+The reference is micro-batch-by-cron (every 30 min via GitHub Actions,
+etl.yml:4-6) with explicitly streaming concerns: exactly-once via
+hour-bucket dedup, 2-hour freshness handling, event-time buckets, and
+a run-audit trail. This module expresses the same semantics on a real
+streaming runtime:
+
+- source: a landing directory of JSON payload files (the scale form
+  of S1/S2 — fetchers land payloads; executors never call HTTP);
+- dedup: ``withWatermark + dropDuplicatesWithinWatermark`` on the
+  hour bucket — the streaming form of D1 (etl_job.py:226-237);
+- lateness: the reference *warns* on stale data but still writes it
+  (etl_job.py:79-83), so the watermark is generous and staleness is a
+  flag column, not a drop;
+- audit: per-micro-batch rows via foreachBatch — the etl_runs
+  contract (etl_job.py:168-182) at micro-batch granularity;
+- cadence: trigger is configuration (availableNow for tests/backfill,
+  processingTime for the 30-min production cadence).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from flight_data_pipeline_spark.operators.quality import quality_gate
+from flight_data_pipeline_spark.pipeline import telemetry_checks
+from flight_data_pipeline_spark.sinks import AuditSink
+from flight_data_pipeline_spark.sources.rest_json import FUELS
+
+WATERMARK = "2 hours"  # the reference's freshness horizon (etl_job.py:80)
+
+
+def read_payload_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Stream of raw payload lines from a landing directory. Each line
+    is one JSON document carrying both API payloads:
+    ``{"intensity": {...}, "generation": {...}}`` — the shape a
+    driver-side fetcher lands per run."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 16)
+        .load(landing_dir)
+        .withColumnRenamed("value", "payload")
+    )
+
+
+def telemetry_stream(raw: DataFrame) -> DataFrame:
+    """Raw payload lines → validated, hour-deduped telemetry stream."""
+    import pyspark.sql.types as T
+
+    from flight_data_pipeline_spark.sources.rest_json import (
+        GENERATION_SCHEMA_DICT,
+        GENERATION_SCHEMA_LIST,
+        INTENSITY_SCHEMA,
+    )
+    from flight_data_pipeline_spark.functions.scalars import (
+        coalesce_falsy,
+        parse_iso8601,
+    )
+
+    int_rec = F.get(
+        F.from_json(F.get_json_object("payload", "$.intensity"),
+                    INTENSITY_SCHEMA)["data"], 0)
+    mix_list = F.get(
+        F.from_json(F.get_json_object("payload", "$.generation"),
+                    GENERATION_SCHEMA_LIST)["data"], 0)["generationmix"]
+    mix_dict = F.from_json(
+        F.get_json_object("payload", "$.generation"),
+        GENERATION_SCHEMA_DICT)["data"]["generationmix"]
+    mix = F.coalesce(mix_list, mix_dict)
+
+    def fuel_perc(fuel: str):
+        matches = F.filter(
+            mix, lambda e: F.lower(F.coalesce(e["fuel"], F.lit(""))) == fuel)
+        return F.coalesce(F.get(matches, 0)["perc"], F.lit(0.0)) \
+                .alias(f"fuel_{fuel}_perc")
+
+    rows = raw.select(
+        int_rec.isNotNull().alias("record_found"),
+        parse_iso8601(int_rec["from"]).alias("timestamp"),
+        coalesce_falsy(int_rec["intensity"]["actual"],
+                       int_rec["intensity"]["forecast"])
+        .alias("overall_intensity"),
+        *[fuel_perc(f) for f in FUELS],
+    )
+    # malformed/empty payloads: the batch path raises (etl_job.py:
+    # 102-103 → run 'failure'); a stream can't abort the query for one
+    # bad record, so the streaming semantics is dead-letter: drop the
+    # record here (it never had data). Validation failures on REAL
+    # records still flag-don't-drop below.
+    rows = rows.where(F.col("record_found")).drop("record_found")
+    gated = quality_gate(rows, telemetry_checks())
+    return (
+        gated.withColumn("hour_bucket", F.date_trunc("hour", "timestamp"))
+        .withWatermark("hour_bucket", WATERMARK)
+        .dropDuplicatesWithinWatermark(["hour_bucket"])
+    )
+
+
+def stream_telemetry(spark: SparkSession, landing_dir: str,
+                     telemetry_path: str, audit_path: str,
+                     checkpoint_dir: str,
+                     trigger_available_now: bool = True) -> StreamingQuery:
+    """End-to-end streaming pipeline: landing files → parse → validate
+    (flag-don't-drop) → watermarked hour dedup → parquet sink + audit.
+
+    foreachBatch writes telemetry-then-audit in micro-batch order —
+    the streaming form of EP1's write discipline (telemetry first,
+    audit second; etl_job.py:239-267). At scale: checkpointed offsets
+    + idempotent hour-dedup give effective exactly-once into the sink.
+    """
+    deduped = telemetry_stream(read_payload_stream(spark, landing_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        out = batch_df.drop("hour_bucket")
+        keep_cols = ["timestamp", "overall_intensity",
+                     *[f"fuel_{f}_perc" for f in FUELS]]
+        n = out.count()
+        status = "success" if n else "skipped"
+        if n:
+            out.select(*keep_cols).write.mode("append").parquet(telemetry_path)
+        AuditSink(batch_df.sparkSession, audit_path).log_run(
+            status, n, int((time.time() - t0) * 1000))
+
+    writer = deduped.writeStream.foreachBatch(write_batch) \
+        .option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 minutes")  # etl.yml:5 cadence
+    return writer.start()
+
+
+def streaming_hourly_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of the
+    daily/hourly batch rollups (A1/A4): late events beyond the
+    watermark age out of state; within it, windows update in place."""
+    return (
+        events.withWatermark(ts_col, WATERMARK)
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+        .select(F.col("win.start").alias("window_start"), "n", "avg_value")
+    )

@@ -1,0 +1,116 @@
+"""Structured Streaming pipeline tests (§2.10): landing files →
+parse → validate → watermarked hour-dedup → sink + audit, driven with
+availableNow triggers over real file sources."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pyspark.sql.functions as F
+
+from flight_data_pipeline_spark.sinks import AuditSink, TelemetrySink
+from flight_data_pipeline_spark.streaming.pipeline_stream import (
+    stream_telemetry,
+    streaming_hourly_rollup,
+)
+
+
+def payload(hour: int, minute: int = 0, actual: int = 90) -> str:
+    t0 = f"2025-12-09T{hour:02d}:{minute:02d}Z"
+    return json.dumps({
+        "intensity": {"data": [{"from": t0, "to": t0,
+                                "intensity": {"actual": actual, "forecast": 95}}]},
+        "generation": {"data": [{"generationmix": [
+            {"fuel": "gas", "perc": 45.5}, {"fuel": "wind", "perc": 25.3}]}]},
+    })
+
+
+def run_stream(spark, landing, tele, audit, ckpt):
+    q = stream_telemetry(spark, str(landing), str(tele), str(audit), str(ckpt))
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_dedups_within_hour_and_audits(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    tele, audit, ckpt = tmp_path / "t", tmp_path / "a", tmp_path / "c"
+
+    # batch 1: two same-hour payloads (the 30-min cadence against the
+    # hour dedup, SURVEY.md §7.4 item 3) + one distinct hour
+    (landing / "p1.json").write_text(payload(14, 0))
+    (landing / "p2.json").write_text(payload(14, 30, actual=91))
+    (landing / "p3.json").write_text(payload(15, 0))
+    run_stream(spark, landing, tele, audit, ckpt)
+
+    rows = TelemetrySink(spark, str(tele)).read().collect()
+    hours = sorted(r.timestamp.hour for r in rows)
+    assert hours == [14, 15]  # second 14:xx sample deduped
+
+    # batch 2 (restart from checkpoint): replay of hour 14 within the
+    # watermark is dropped by dedup state; hour 16 passes
+    (landing / "p4.json").write_text(payload(14, 0))
+    (landing / "p5.json").write_text(payload(16, 0))
+    run_stream(spark, landing, tele, audit, ckpt)
+
+    rows = TelemetrySink(spark, str(tele)).read().collect()
+    assert sorted(r.timestamp.hour for r in rows) == [14, 15, 16]
+
+    audits = AuditSink(spark, str(audit)).read().collect()
+    assert len(audits) >= 2  # one per micro-batch
+    # a micro-batch whose rows were all dedup-dropped audits as
+    # 'skipped' with 0 rows — the reference's status machine
+    # (etl_job.py:236-237) at micro-batch granularity
+    assert {a.status for a in audits} <= {"success", "skipped"}
+    assert sum(a.rows_inserted for a in audits) == 3
+    assert all(a.rows_inserted == 0 for a in audits if a.status == "skipped")
+
+
+def test_stream_flags_but_keeps_invalid_rows(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "bad.json").write_text(payload(14, 0, actual=5000))  # out of range
+    run_stream(spark, landing, tmp_path / "t", tmp_path / "a", tmp_path / "c")
+    rows = TelemetrySink(spark, str(tmp_path / "t")).read().collect()
+    assert len(rows) == 1 and rows[0].overall_intensity == 5000.0
+
+
+def test_streaming_hourly_rollup_availablenow(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [json.dumps({"ts": f"2024-01-01T{h:02d}:{m:02d}:00",
+                        "value": float(10 * h)})
+            for h in (0, 1) for m in (5, 35)]
+    (src / "ev.json").write_text("\n".join(rows))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .json(str(src))
+    )
+    out = streaming_hourly_rollup(stream)
+    # complete mode: append would emit only watermark-closed windows,
+    # and a single availableNow run never advances past its own data
+    q = (out.writeStream.format("memory").queryName("rollup_test")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "c2")).start())
+    q.awaitTermination(120)
+    got = {r.window_start.hour: (r.n, r.avg_value)
+           for r in spark.sql("SELECT * FROM rollup_test").collect()}
+    assert got == {0: (2, 0.0), 1: (2, 10.0)}
+
+
+def test_stream_dead_letters_malformed_payloads(spark, tmp_path):
+    """Batch raises on malformed payloads (run failure); a stream
+    dead-letters them instead — the bad record must never reach the
+    sink, and good records in the same batch must survive."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "good.json").write_text(payload(14, 0))
+    (landing / "garbage.json").write_text("not json at all {")
+    (landing / "empty.json").write_text(json.dumps({"intensity": {"data": []},
+                                                    "generation": {"data": []}}))
+    run_stream(spark, landing, tmp_path / "t", tmp_path / "a", tmp_path / "c")
+    rows = TelemetrySink(spark, str(tmp_path / "t")).read().collect()
+    assert len(rows) == 1
+    assert rows[0].timestamp is not None and rows[0].overall_intensity == 90.0
