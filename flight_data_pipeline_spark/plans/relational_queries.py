@@ -471,3 +471,33 @@ def revenue_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- grouping sets ---------------------------------------------------------------
+@query(
+    "order_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)')   AS orderstatus,
+           COALESCE(o_orderpriority, '(all)') AS orderpriority,
+           ROUND(SUM(o_totalprice), 4)        AS total_price,
+           COUNT(*)                           AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY orderstatus, orderpriority
+    """,
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS — per-status, per-priority, and grand
+    totals in one pass (§2.4 superset; Spark expands to a single
+    Expand + aggregate, one shuffle). Via spark.sql so Catalyst plans
+    the native grouping-sets node."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, '(all)')   AS orderstatus,
+               COALESCE(o_orderpriority, '(all)') AS orderpriority,
+               ROUND(SUM(o_totalprice), 4)        AS total_price,
+               COUNT(*)                           AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY orderstatus, orderpriority
+    """)
