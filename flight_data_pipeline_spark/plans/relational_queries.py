@@ -501,3 +501,106 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY orderstatus, orderpriority
     """)
+
+
+# --- full outer join --------------------------------------------------------------
+@query(
+    "nation_presence_full_outer",
+    oracle="""
+    SELECT COALESCE(cn.nation, sn.nation)       AS nation,
+           COALESCE(cn.n_customers, 0)          AS n_customers,
+           COALESCE(sn.n_suppliers, 0)          AS n_suppliers
+    FROM (SELECT n.n_name AS nation, COUNT(*) AS n_customers
+          FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY n.n_name) cn
+    FULL OUTER JOIN
+         (SELECT n.n_name AS nation, COUNT(*) AS n_suppliers
+          FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+          GROUP BY n.n_name) sn
+      ON cn.nation = sn.nation
+    ORDER BY nation
+    """,
+)
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (§2.6 superset): nations having customers,
+    suppliers, or either — both pre-aggregated sides are tiny, so the
+    outer join runs over two small inputs regardless of fact size."""
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    cn = (c.join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+          .groupBy(F.col("n_name").alias("nation"))
+          .agg(F.count("*").alias("n_customers")))
+    sn = (s.join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+          .groupBy(F.col("n_name").alias("nation"))
+          .agg(F.count("*").alias("n_suppliers")))
+    return (
+        cn.join(sn, "nation", "full_outer")
+        .select(
+            "nation",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- cube -------------------------------------------------------------------------
+@query(
+    "lineitem_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           COUNT(*)                        AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 2^k grouping combinations in one Expand +
+    aggregate pass (§2.4 superset; completes rollup/grouping-sets/cube
+    coverage)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --- §2.9 string functions ---------------------------------------------------------
+@query(
+    "string_functions_probe",
+    oracle="""
+    SELECT lower(p_brand)                                  AS brand_lower,
+           COUNT(*)                                        AS n,
+           MIN(upper(substr(p_name, 1, 8)))                AS min_name_prefix,
+           MAX(length(p_type))                             AS max_type_len,
+           MIN(concat(p_brand, ':', CAST(p_size AS VARCHAR))) AS min_brand_size
+    FROM part
+    GROUP BY lower(p_brand)
+    ORDER BY brand_lower
+    """,
+)
+def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (§2.9: lower + formatting): lower/
+    upper/substring/length/concat as grouping and aggregate inputs —
+    all codegen'd JVM expressions."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.groupBy(F.lower("p_brand").alias("brand_lower"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.upper(F.substring("p_name", 1, 8))).alias("min_name_prefix"),
+            F.max(F.length("p_type")).alias("max_type_len"),
+            F.min(F.concat_ws(":", "p_brand", F.col("p_size").cast("string")))
+            .alias("min_brand_size"),
+        )
+        .orderBy("brand_lower")
+    )

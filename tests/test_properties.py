@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): custom operators checked against
+naive Python reference implementations on randomized inputs. Few
+examples per property (Spark round-trips are slow) but each example
+exercises shapes the fixture data never hits — empty groups, all-ties,
+single users, adversarial gaps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from flight_data_pipeline_spark.operators.dedup import first_per_bucket
+from flight_data_pipeline_spark.operators.relational import asof_join
+from flight_data_pipeline_spark.operators.temporal import sessionize
+
+T0 = dt.datetime(2024, 1, 1)
+
+SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(st.integers(0, 3),          # key/user
+              st.integers(0, 500)),       # minutes offset
+    min_size=1, max_size=25,
+)
+
+
+def with_ids(data):
+    return [(i, k, T0 + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(data)]
+
+
+@SETTINGS
+@given(left=rows, right=rows)
+def test_asof_join_matches_naive(spark, left, right):
+    lrows = with_ids(left)
+    rrows = [(i + 1000, k, ts) for (i, k, ts) in with_ids(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, ts timestamp")
+
+    got = {
+        r.lid: r.rid_asof
+        for r in asof_join(ldf, rdf, on="ts", by="k", right_cols=["rid"]).collect()
+    }
+
+    for lid, k, lts in lrows:
+        cands = [(ts, rid) for rid, rk, ts in rrows if rk == k and ts <= lts]
+        want = max(cands)[1] if cands else None  # latest ts, then max rid
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+@SETTINGS
+@given(data=rows, gap=st.integers(1, 120))
+def test_sessionize_matches_naive(spark, data, gap):
+    rws = with_ids(data)
+    df = spark.createDataFrame(rws, "id long, user long, ts timestamp")
+    got = {
+        r.id: r.session_id
+        for r in sessionize(df, "user", "ts", gap_minutes=gap).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for i, u, ts in sorted(rws, key=lambda r: (r[1], r[2], r[0])):
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        sess, prev = 0, None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > gap * 60:
+                sess += 1
+            prev = ts
+            assert got[i] == sess, (i, got[i], sess)
+
+
+@SETTINGS
+@given(data=rows)
+def test_first_per_bucket_is_min_per_key(spark, data):
+    rws = with_ids(data)
+    df = spark.createDataFrame(rws, "id long, k long, ts timestamp")
+    kept = first_per_bucket(df, F.col("k"), ["ts", "id"]).collect()
+
+    keys = {r.k for r in kept}
+    assert keys == {k for _, k, _ in rws}          # one row per bucket
+    assert len(kept) == len(keys)                  # exactly one
+    for r in kept:
+        want = min(((ts, i) for i, k, ts in rws if k == r.k))
+        assert (r.ts, r.id) == want                # deterministic min
