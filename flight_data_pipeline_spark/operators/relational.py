@@ -109,3 +109,65 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
+
+
+def salted_groupby_agg(df: DataFrame, key_cols: Sequence[str],
+                       aggs: dict[str, tuple[str, str]],
+                       salt_buckets: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys.
+
+    Phase 1 groups on (key, salt) where salt = hash(whole row) % N —
+    a hot key's rows spread over N reducers instead of one; phase 2
+    re-aggregates the N partials per key. ``aggs`` maps output column
+    → (input column, func) for the decomposable aggregates sum/count/
+    min/max (avg = sum+count composed by the caller).
+
+    Use when one key dominates (power-law producers: one hot user_id/
+    token/tenant) and AQE's skew handling can't help because the skew
+    is in an aggregate, not a join. Costs one extra (tiny) shuffle of
+    N·|keys| partial rows.
+    """
+    import pyspark.sql.functions as F
+
+    first_phase = {
+        "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+    }
+    second_phase = {  # how partials combine
+        "sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+    }
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt_buckets)
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(*[first_phase[fn](col).alias(out)
+               for out, (col, fn) in aggs.items()])
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(*[second_phase[fn](out).alias(out)
+               for out, (col, fn) in aggs.items()])
+    )
+
+
+def salted_join(skewed: DataFrame, small: DataFrame, on: str,
+                salt_buckets: int = 8) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed side's key, explode the
+    small side across all salt values, join on (key, salt).
+
+    The hot key's rows land on ``salt_buckets`` reducers instead of
+    one; the small side is replicated ×N (fine — it's small). Prefer
+    AQE's automatic skew-join split when it applies (sort-merge joins
+    over statistics it can see); this is the manual fallback for
+    deliberate repartitioning or non-SMJ plans.
+    """
+    import pyspark.sql.functions as F
+
+    salted_big = skewed.withColumn(
+        "__salt",
+        (F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns])) % salt_buckets),
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return salted_big.join(replicated, on=[on, "__salt"]).drop("__salt")

@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flight_data_pipeline_spark.operators.relational import asof_join
-from flight_data_pipeline_spark.operators.temporal import sessionize, tumbling_window_agg
+from flight_data_pipeline_spark.operators.temporal import sessionize
 from flight_data_pipeline_spark.plans.registry import query
 from flight_data_pipeline_spark.tables import load_table
 

@@ -50,8 +50,6 @@ def read_payload_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 def telemetry_stream(raw: DataFrame) -> DataFrame:
     """Raw payload lines → validated, hour-deduped telemetry stream."""
-    import pyspark.sql.types as T
-
     from flight_data_pipeline_spark.sources.rest_json import (
         GENERATION_SCHEMA_DICT,
         GENERATION_SCHEMA_LIST,

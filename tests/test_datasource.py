@@ -3,7 +3,6 @@ per-window partitioning, typed rows, offline payload injection."""
 
 from __future__ import annotations
 
-import datetime as dt
 import json
 
 from flight_data_pipeline_spark.sources.carbon_datasource import (

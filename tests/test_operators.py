@@ -97,3 +97,39 @@ class TestDedupHelpers:
         )
         kept = exact_dedup(df, ["txt"], tiebreak=["id"])
         assert sorted(r.id for r in kept.collect()) == [1, 5]
+
+
+class TestSkewOperators:
+    def test_salted_agg_equals_plain_agg(self, spark):
+        from flight_data_pipeline_spark.operators.relational import salted_groupby_agg
+        # skewed: key 0 has 900 rows, keys 1-9 ten each
+        data = [(0, float(i)) for i in range(900)] + \
+               [(k, float(i)) for k in range(1, 10) for i in range(10)]
+        df = spark.createDataFrame(data, "k long, v double")
+        got = {
+            r.k: (r.total, r.n, r.lo, r.hi)
+            for r in salted_groupby_agg(
+                df, ["k"],
+                {"total": ("v", "sum"), "n": ("v", "count"),
+                 "lo": ("v", "min"), "hi": ("v", "max")},
+            ).collect()
+        }
+        want = {
+            r.k: (r.total, r.n, r.lo, r.hi)
+            for r in df.groupBy("k").agg(
+                F.sum("v").alias("total"), F.count("v").alias("n"),
+                F.min("v").alias("lo"), F.max("v").alias("hi")).collect()
+        }
+        assert got == want
+
+    def test_salted_join_equals_plain_join(self, spark):
+        from flight_data_pipeline_spark.operators.relational import salted_join
+        big = spark.createDataFrame(
+            [(i % 3, i) for i in range(300)], "k long, payload long")
+        small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (9, "z")],
+                                      "k long, name string")
+        got = sorted((r.k, r.payload, r.name)
+                     for r in salted_join(big, small, on="k").collect())
+        want = sorted((r.k, r.payload, r.name)
+                      for r in big.join(small, "k").collect())
+        assert got == want

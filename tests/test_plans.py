@@ -6,8 +6,6 @@ can't silently regress the plan."""
 
 from __future__ import annotations
 
-import pytest
-
 from flight_data_pipeline_spark.plans import registry
 from tests.conftest import SF_DIR
 

@@ -5,9 +5,6 @@ availableNow triggers over real file sources."""
 from __future__ import annotations
 
 import json
-import time
-
-import pyspark.sql.functions as F
 
 from flight_data_pipeline_spark.sinks import AuditSink, TelemetrySink
 from flight_data_pipeline_spark.streaming.pipeline_stream import (

@@ -11,7 +11,6 @@ from __future__ import annotations
 import datetime as dt
 
 import pyspark.sql.functions as F
-import pytest
 
 from flight_data_pipeline_spark.functions.scalars import coalesce_falsy, parse_iso8601
 from flight_data_pipeline_spark.operators.quality import (
