@@ -69,15 +69,20 @@ def hyperplane_signature(vec: Column, bits: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature: sign pattern of ``bits`` dot
     products with deterministic pseudo-random hyperplanes.
 
-    Hyperplane component (b, i) = xxhash64(b, i) scaled to [-1, 1] —
-    reproducible everywhere with zero RNG state, good enough for
-    bucketing. Returns an int bucket id in [0, 2^bits)."""
+    Hyperplane component (b, i) = sha256(b:i) scaled to [-1, 1] —
+    computed driver-side in Python so the planes reach the plan as
+    pure float literals (an xxhash64(lit, lit) expression inside an
+    array does NOT constant-fold through zip_with and re-evaluates
+    per row — measured ~10× slower). Deterministic, zero RNG state.
+    Returns an int bucket id in [0, 2^bits)."""
+    import hashlib
+
+    def component(b: int, i: int) -> float:
+        h = int.from_bytes(hashlib.sha256(f"{b}:{i}".encode()).digest()[:8], "big")
+        return (h % 10_000_001) / 5_000_000.0 - 1.0  # [-1, 1]
+
     planes = [
-        F.array(*[
-            # xxhash64 of (plane, dim index) → [-1, 1]
-            (F.xxhash64(F.lit(b), F.lit(i)) % 10_000_000 / 10_000_000.0)
-            for i in range(dim)
-        ])
+        F.array(*[F.lit(component(b, i)) for i in range(dim)])
         for b in range(bits)
     ]
     bit_vals = [

@@ -139,3 +139,41 @@ def run_pipeline(spark: SparkSession,
         audit.log_run(status, rows_inserted, elapsed_ms(), error_message)
 
     return RunResult(status, rows_inserted, elapsed_ms(), error_message)
+
+
+def build_telemetry_batch_multi(
+        spark: SparkSession,
+        pairs: list[tuple[str, str, str]]) -> DataFrame:
+    """Backfill form of the batch builder: N window-aligned payload
+    pairs — the J2 zip (etl_job.py:199-200) as a real equi-join once
+    more than one window is in flight.
+
+    ``pairs`` is [(window_key, intensity_payload, mix_payload)]; the
+    injected window key is the join key, so a missing/mismatched side
+    drops that window instead of mis-pairing a cross product. Records
+    whose payload carried no data are dead-lettered (dropped), the
+    multi-window analogue of the single-run raise — callers that need
+    the count difference compare input vs output windows.
+
+    Scale shape: both parses are map-side; the equi-join keys on the
+    window id (tiny keyspace ⇒ broadcast-able side if one source lags).
+    """
+    base = spark.createDataFrame(
+        pairs, "window_key string, int_payload string, mix_payload string")
+    intensity = parse_intensity(
+        base.select("window_key", F.col("int_payload").alias("payload")),
+        now=F.lit(None).cast("timestamp"), keep=("window_key",),
+    ).withColumnRenamed("record_found", "int_found")
+    mix = parse_generation_mix(
+        base.select("window_key", F.col("mix_payload").alias("payload")),
+        keep=("window_key",),
+    ).withColumnRenamed("record_found", "mix_found")
+    return (
+        intensity.join(mix, "window_key")
+        .where(F.col("int_found") & F.col("mix_found"))
+        .select(
+            F.col("window_start").alias("timestamp"),
+            F.col("overall_intensity"),
+            *[F.col(f"fuel_{f}_perc") for f in FUELS],
+        )
+    )

@@ -82,12 +82,14 @@ def success_rate_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day success rate with conditional SUM(CASE WHEN) and a 7-day
     interval filter (README.md:172-181; dup at 553-563 adds
     AVG(execution_time_ms) — included here as avg_value)."""
+    from flight_data_pipeline_spark.operators.temporal import within_interval
+
     ev = load_table(spark, "events", sf_dir)
     successful = F.sum(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     )
     return (
-        ev.where(F.col("ts") >= F.lit(NOW).cast("timestamp") - F.expr("INTERVAL 7 DAYS"))
+        ev.where(within_interval(F.col("ts"), F.lit(NOW).cast("timestamp"), days=7))
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count("*").alias("total_runs"),

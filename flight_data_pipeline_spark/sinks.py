@@ -70,10 +70,57 @@ class ParquetSink:
 class TelemetrySink(ParquetSink):
     """grid_telemetry sink with hour-bucket idempotent append
     (etl_job.py:226-260): rows whose DATE_TRUNC('hour', timestamp)
-    already exists in the sink are skipped, not overwritten."""
+    already exists in the sink are skipped, not overwritten.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``partition_by_day=True`` lays the sink out as
+    ``bucket_date=YYYY-MM-DD/`` directories (SURVEY.md §7.3 / SCALE.md):
+    interval filters become partition pruning, and the dedup
+    anti-join's sink scan touches only the days the incoming batch
+    spans. The 100 TB layout; off by default so tiny test sinks stay
+    single-directory."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_by_day: bool = False):
         super().__init__(spark, path, TELEMETRY_SCHEMA)
+        self.partition_by_day = partition_by_day
+
+    def read(self) -> DataFrame:
+        if not self.partition_by_day:
+            return super().read()
+        try:
+            # timestamp is stored in the data files; bucket_date is the
+            # partition directory column — project back to the schema
+            return self.spark.read.parquet(self.path).select(
+                *[f.name for f in self.schema.fields])
+        except Exception:
+            return self.spark.createDataFrame([], self.schema)
+
+    def read_range(self, start_date: str, end_date: str) -> DataFrame:
+        """Date-bounded read that filters on the PARTITION column
+        (``bucket_date``), not the timestamp — Spark cannot infer a
+        directory-pruning predicate from a timestamp filter, so a
+        plain ``read().where(timestamp >= X)`` scans every partition.
+        This is the scan interval queries must use at scale; the plan
+        shows PartitionFilters + only the matching directories listed.
+        Bounds are inclusive ISO dates ('2025-12-09')."""
+        if not self.partition_by_day:
+            return self.read().where(
+                F.to_date("timestamp").between(start_date, end_date))
+        try:
+            return (
+                self.spark.read.parquet(self.path)
+                .where(F.col("bucket_date").between(start_date, end_date))
+                .select(*[f.name for f in self.schema.fields])
+            )
+        except Exception:
+            return self.spark.createDataFrame([], self.schema)
+
+    def append(self, df: DataFrame) -> None:
+        if not self.partition_by_day:
+            return super().append(df)
+        (df.select(*[F.col(f.name).cast(f.dataType) for f in self.schema.fields])
+           .withColumn("bucket_date", F.to_date("timestamp"))
+           .write.mode("append").partitionBy("bucket_date").parquet(self.path))
 
     def append_dedup(self, df: DataFrame) -> int:
         """Append rows for not-yet-seen hours; returns rows written

@@ -93,7 +93,8 @@ FUELS = ("gas", "nuclear", "wind", "solar")
 # --- parsers (raw json string column → typed columns) ------------------------
 
 def parse_intensity(df: DataFrame, json_col: str = "payload",
-                    now: Column | None = None) -> DataFrame:
+                    now: Column | None = None,
+                    keep: tuple[str, ...] = ()) -> DataFrame:
     """Intensity payload → (overall_intensity, window_start, window_end).
 
     Reference semantics preserved exactly (etl_job.py:101-110):
@@ -109,6 +110,7 @@ def parse_intensity(df: DataFrame, json_col: str = "payload",
     # F.get (not [0]): ANSI-safe on empty `data`, yielding NULL columns
     rec = F.get(F.from_json(F.col(json_col), INTENSITY_SCHEMA)["data"], 0)
     return df.select(
+        *keep,
         coalesce_falsy(rec["intensity"]["actual"], rec["intensity"]["forecast"])
         .alias("overall_intensity"),
         default_to(parse_iso8601(rec["from"]), now).alias("window_start"),
@@ -120,7 +122,8 @@ def parse_intensity(df: DataFrame, json_col: str = "payload",
     )
 
 
-def parse_generation_mix(df: DataFrame, json_col: str = "payload") -> DataFrame:
+def parse_generation_mix(df: DataFrame, json_col: str = "payload",
+                         keep: tuple[str, ...] = ()) -> DataFrame:
     """Generation-mix payload → one double column per fuel
     (fuel_gas_perc, fuel_nuclear_perc, fuel_wind_perc, fuel_solar_perc).
 
@@ -143,6 +146,7 @@ def parse_generation_mix(df: DataFrame, json_col: str = "payload") -> DataFrame:
         return F.coalesce(F.get(matches, 0)["perc"], F.lit(0.0)).alias(f"fuel_{fuel}_perc")
 
     return df.select(
+        *keep,
         *[fuel_perc(f) for f in FUELS],
         # missing `data` raises upstream (etl_job.py:118-119)
         mix.isNotNull().alias("record_found"),

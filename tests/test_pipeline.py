@@ -184,3 +184,66 @@ class TestEmptyPayloads:
         res = run(spark, paths, mix=json.dumps({"data": []}))
         assert res.status == "failure"
         assert "No generation data returned" in res.error_message
+
+
+class TestMultiWindowBatch:
+    def test_backfill_equi_join_pairs_by_window(self, spark):
+        from flight_data_pipeline_spark.pipeline import build_telemetry_batch_multi
+
+        def mk_int(h, actual):
+            return json.dumps({"data": [{"from": f"2025-12-09T{h:02d}:00Z",
+                                         "intensity": {"actual": actual}}]})
+
+        def mk_mix(gas):
+            return json.dumps({"data": [{"generationmix": [
+                {"fuel": "gas", "perc": gas}]}]})
+
+        pairs = [
+            ("w14", mk_int(14, 90), mk_mix(40.0)),
+            ("w15", mk_int(15, 80), mk_mix(50.0)),
+            ("w16", "garbage {", mk_mix(60.0)),          # dead-lettered
+            ("w17", mk_int(17, 70), json.dumps({"data": []})),  # dead-lettered
+        ]
+        rows = {r.timestamp.hour: r
+                for r in build_telemetry_batch_multi(spark, pairs).collect()}
+        assert sorted(rows) == [14, 15]  # bad windows dropped, not mis-paired
+        assert rows[14].overall_intensity == 90.0 and rows[14].fuel_gas_perc == 40.0
+        assert rows[15].overall_intensity == 80.0 and rows[15].fuel_gas_perc == 50.0
+
+
+class TestPartitionedSink:
+    def test_day_partitioned_sink_round_trip_and_dedup(self, spark, tmp_path):
+        import datetime as dt
+        from flight_data_pipeline_spark.sinks import TelemetrySink
+
+        sink = TelemetrySink(spark, str(tmp_path / "tele"), partition_by_day=True)
+        batch = spark.createDataFrame(
+            [(dt.datetime(2025, 12, 9, 14), 90.0, 1.0, 2.0, 3.0, 4.0),
+             (dt.datetime(2025, 12, 10, 9), 80.0, 1.0, 2.0, 3.0, 4.0)],
+            sink.schema)
+        assert sink.append_dedup(batch) == 2
+        # directory layout: one bucket_date= dir per day (partition pruning)
+        dirs = {p.name for p in (tmp_path / "tele").iterdir() if p.is_dir()}
+        assert {"bucket_date=2025-12-09", "bucket_date=2025-12-10"} <= dirs
+        # re-run: same hours -> 0 inserted; new hour same day -> 1
+        assert sink.append_dedup(batch) == 0
+        more = spark.createDataFrame(
+            [(dt.datetime(2025, 12, 9, 15), 85.0, 1.0, 2.0, 3.0, 4.0)],
+            sink.schema)
+        assert sink.append_dedup(more) == 1
+        assert sink.read().count() == 3
+
+    def test_read_range_prunes_partitions(self, spark, tmp_path):
+        import datetime as dt
+        from flight_data_pipeline_spark.sinks import TelemetrySink
+
+        sink = TelemetrySink(spark, str(tmp_path / "tele"), partition_by_day=True)
+        batch = spark.createDataFrame(
+            [(dt.datetime(2025, 12, d, 14), 90.0, 1.0, 2.0, 3.0, 4.0)
+             for d in (9, 10, 11)],
+            sink.schema)
+        sink.append_dedup(batch)
+        df = sink.read_range("2025-12-10", "2025-12-10")
+        assert df.count() == 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket_date" in plan
