@@ -24,6 +24,7 @@ from __future__ import annotations
 import time
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -143,4 +144,53 @@ def streaming_hourly_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .groupBy(F.window(F.col(ts_col), "1 hour").alias("win"))
         .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
         .select(F.col("win.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+def stateful_user_stats(events: DataFrame,
+                        user_col: str = "user_id",
+                        value_col: str = "value",
+                        alpha: float = 0.3) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running count + exponentially-weighted moving average of
+    ``value``, carried across micro-batches in explicit group state.
+
+    This is the §2.10 'custom stateful operator' slot — semantics that
+    neither windowed aggregation nor dropDuplicates express (EWMA is
+    order-dependent and unbounded-horizon). State per key is two
+    numbers, so a billion users is ~GBs of state spread across the
+    cluster's state store; batches stream through Arrow in bounded
+    chunks. Batch twin for oracle checking: an aggregate over the full
+    history (tests compare the two).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField(user_col, T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, ewma = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            # event-time order within the batch for a deterministic EWMA
+            for v in pdf.sort_values("ts")[value_col]:
+                n += 1
+                ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+        state.update((n, ewma))
+        yield pd.DataFrame({user_col: [key[0]], "n_events": [n],
+                            "ewma_value": [ewma]})
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )

@@ -111,3 +111,55 @@ def test_stream_dead_letters_malformed_payloads(spark, tmp_path):
     rows = TelemetrySink(spark, str(tmp_path / "t")).read().collect()
     assert len(rows) == 1
     assert rows[0].timestamp is not None and rows[0].overall_intensity == 90.0
+
+
+def test_stateful_user_stats_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user count+EWMA must accumulate
+    across micro-batches AND across checkpointed restarts, and the
+    final values must equal the batch-computed EWMA over the full
+    history (the oracle twin)."""
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        stateful_user_stats,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(
+            json.dumps({"user_id": u, "ts": f"2024-01-01T{h:02d}:00:00",
+                        "value": v}) for u, h, v in rows))
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double").json(str(src))
+        # foreachBatch (not memory sink): memory can't recover from a
+        # checkpoint, and recovery is exactly what's under test
+        q = (stateful_user_stats(stream).writeStream
+             .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        q.awaitTermination(120)
+
+    write_batch("b1.json", [(1, 0, 10.0), (1, 1, 20.0), (2, 0, 5.0)])
+    run_once()
+    write_batch("b2.json", [(1, 2, 30.0)])
+    run_once()  # restart from checkpoint — state must survive
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in sorted(rows, key=lambda r: r.n_events):
+        latest[r.user_id] = (r.n_events, r.ewma_value)
+
+    # batch oracle: EWMA over full per-user history, alpha=0.3
+    def ewma(vals, a=0.3):
+        e = vals[0]
+        for v in vals[1:]:
+            e = a * v + (1 - a) * e
+        return e
+
+    assert latest[1][0] == 3
+    assert abs(latest[1][1] - ewma([10.0, 20.0, 30.0])) < 1e-9
+    assert latest[2] == (1, 5.0)
