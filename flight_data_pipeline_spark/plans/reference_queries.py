@@ -314,3 +314,39 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- P9: freshness flag (warn-only, etl_job.py:74-83) ------------------------
+@query(
+    "freshness_flags_daily",
+    oracle=f"""
+    SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+           COUNT(*)                 AS n_rows,
+           SUM(CASE WHEN DATE_DIFF('second', ts, TIMESTAMP '{NOW}') / 3600.0 > 2
+                    THEN 1 ELSE 0 END) AS n_stale,
+           SUM(CASE WHEN DATE_DIFF('second', ts, TIMESTAMP '{NOW}') / 3600.0 > 2
+                    THEN 0 ELSE 1 END) AS n_fresh
+    FROM events
+    GROUP BY STRFTIME(ts, '%Y-%m-%d')
+    ORDER BY day
+    """,
+)
+def freshness_flags_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness check as a FLAG, never a filter (etl_job.py:79-83
+    warns on >2h-old data but still writes it): per-day stale/fresh
+    counts against the pinned 'now'. Total rows per day must equal
+    the unfiltered count — the warn-only semantics made visible."""
+    from flight_data_pipeline_spark.operators.quality import stale_flag
+
+    ev = load_table(spark, "events", sf_dir)
+    now = F.lit(NOW).cast("timestamp")
+    flagged = ev.withColumn("stale", stale_flag(F.col("ts"), now))
+    return (
+        flagged.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("stale"), 1).otherwise(0)).alias("n_stale"),
+            F.sum(F.when(F.col("stale"), 0).otherwise(1)).alias("n_fresh"),
+        )
+        .orderBy("day")
+    )

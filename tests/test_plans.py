@@ -85,3 +85,11 @@ def test_no_driver_side_materialization_in_operators():
             if pat in src:
                 offenders.append(f"{py.name}: {pat}")
     assert not offenders, offenders
+
+
+def test_events_scan_prunes_props_column(spark):
+    # daily_rollup touches ts/value/event_type only; the JSON props
+    # column (widest in events) must not reach the scan
+    plan = plan_of(spark, "daily_rollup")
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in read_schema

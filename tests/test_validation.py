@@ -151,3 +151,18 @@ class TestFalsyCoalesce:
             coalesce_falsy(F.col("actual"), F.col("forecast")).alias("v")
         ).collect()]
         assert vals == [95.0, 95.0, 90.0]
+
+
+class TestIsoParseEdges:
+    # beyond the reference's literals: seconds + fractional forms the
+    # API could emit (fromisoformat accepts them; so must we)
+    def test_seconds_and_fraction_forms(self, spark):
+        df = spark.createDataFrame(
+            [("2025-12-09T14:00:30Z",), ("2025-12-09T14:00:30.250000+00:00",),
+             ("2025-12-09T14:00:30",)],
+            "v string")
+        out = [r.ts for r in df.select(
+            parse_iso8601(F.col("v")).alias("ts")).collect()]
+        assert all(t is not None for t in out)
+        assert out[0].second == 30
+        assert out[1].microsecond == 250000
