@@ -123,3 +123,60 @@ def ann_lsh_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_index(df: DataFrame, vec_col: str, id_col: str,
+              n_lists: int = 16, seed: int = 42):
+    """IVF (inverted-file) coarse quantizer: KMeans centroids over the
+    embedding space; each vector assigned to its nearest list.
+
+    Returns (assigned_df, kmeans_model) where assigned_df carries an
+    ``ivf_list`` column. Training samples the input (KMeans is
+    iterative — train on a bounded sample at 100 TB, assign the full
+    set with the fitted model's transform, which is one map-side
+    pass). Deterministic via seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    ml_df = df.withColumn("__features", array_to_vector(as_double(F.col(vec_col))))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__features",
+                   predictionCol="ivf_list").fit(ml_df)
+    return model.transform(ml_df).drop("__features"), model
+
+
+def ann_ivf_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
+                 id_col: str, k: int = 10, n_lists: int = 16,
+                 n_probe: int = 2, seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k via IVF: probe only the ``n_probe``
+    lists whose centroids are nearest the query, exact cosine within.
+
+    The scan fraction is ~n_probe/n_lists; recall is tuned by probing
+    more lists (vs the LSH variant's bits knob). Centroid selection
+    happens on the tiny centroid set (n_lists rows — driver-side by
+    nature, like any index metadata lookup).
+    """
+    import numpy as np
+
+    assigned, model = ivf_index(df, vec_col, id_col, n_lists, seed)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    qrow = query_vec.select(as_double(F.col(vec_col)).alias("q")).first()
+    q = np.array(qrow.q)
+    # nearest n_probe centroids by cosine (index metadata, not data)
+    sims = (centroids @ q) / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(q))
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+
+    qdf = query_vec.select(as_double(F.col(vec_col)).alias("__qvec"))
+    return (
+        df.join(assigned.select(id_col, "ivf_list"), id_col)
+        .where(F.col("ivf_list").isin(probe))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double(F.col(vec_col)), F.col("__qvec")), 4)
+            .alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -108,3 +108,17 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@query("ann_ivf_topk")  # approximate + iterative training ⇒ rows-only
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (MLlib KMeans coarse quantizer,
+    2-of-16 lists probed) — the second ANN scale path beside the
+    hyperplane-LSH variant. Rows-only: KMeans is iterative and
+    approximate by design; recall vs exact is pinned in tests."""
+    from flight_data_pipeline_spark.operators.vectors import ann_ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return ann_ivf_topk(emb, qv, vec_col="embedding", id_col="vec_id",
+                        k=10, n_lists=16, n_probe=2)

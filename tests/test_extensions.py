@@ -119,3 +119,17 @@ class TestMultimodal:
 
         rows = extract_features(binarize_documents(docs), decoder=tiny_decoder).collect()
         assert all(sum(r.feature) == 0.0 for r in rows)
+
+
+class TestIvfRecall:
+    def test_ivf_topk_overlaps_bruteforce(self, spark):
+        """IVF with 2/16 lists probed scans ~12% of vectors; the
+        query's own list always contains it (sim 1.0), and recall
+        should beat the random baseline comfortably."""
+        exact = [r.vec_id for r in
+                 registry.QUERIES["cosine_topk_bruteforce"](spark, SF_DIR).collect()]
+        approx = [r.vec_id for r in
+                  registry.QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()]
+        assert 0 in approx
+        overlap = len(set(exact) & set(approx))
+        assert overlap >= 2, f"IVF recall too low: {overlap}/10"
