@@ -171,7 +171,13 @@ def simhash64(text_tokens: Column) -> Column:
     group using aggregate+transform (bit i extracted by shift/mask,
     vote summed, sign folded back). Near-dup docs differ in few bits;
     bucketing by rotated prefixes finds hamming-near pairs without
-    all-pairs compare."""
+    all-pairs compare.
+
+    Implementation note (measured): unlike minhash, the HOF form WINS
+    here — an explode + 64-conditional-sum hash-aggregate variant ran
+    1.5× slower (3.0 s vs 1.95 s, sf0.1). Minhash's HOF problem was
+    per-band *recompute*; this fold is a single linear pass, so the
+    aggregate rewrite only added a shuffle."""
     # bit masks as a literal array (bit 63 is the sign bit of a long)
     masks = F.array(*[
         F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)

@@ -133,3 +133,20 @@ class TestSkewOperators:
         want = sorted((r.k, r.payload, r.name)
                       for r in big.join(small, "k").collect())
         assert got == want
+
+
+class TestTumblingWindow:
+    def test_tumbling_window_agg(self, spark):
+        from flight_data_pipeline_spark.operators.temporal import tumbling_window_agg
+        import datetime as dt
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, m), float(v))
+             for m, v in [(5, 1), (25, 2), (35, 3), (59, 4)]],
+            "ts timestamp, value double")
+        out = tumbling_window_agg(
+            df, "ts", "30 minutes",
+            F.count("*").alias("n"), F.sum("value").alias("total"))
+        rows = {r.window_start.minute: (r.n, r.total) for r in out.collect()}
+        assert rows == {0: (2, 3.0), 30: (2, 7.0)}
+        assert all(c in out.columns for c in
+                   ("window_start", "window_end", "n", "total"))
