@@ -604,3 +604,107 @@ def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_lower")
     )
+
+
+# --- HAVING + IN-subquery (TPC-H Q18 shape) ---------------------------------------
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           ROUND(o.o_totalprice, 4) AS totalprice,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 30
+    )
+    GROUP BY o.o_orderkey, o.o_totalprice
+    ORDER BY total_qty DESC, orderkey
+    LIMIT 20
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING-filtered aggregate.
+    Catalyst rewrites the IN as a left-semi join against the
+    aggregated subquery — one extra aggregation pass over lineitem,
+    no row multiplication. Via spark.sql for the native subquery plan."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT o.o_orderkey AS orderkey,
+               ROUND(o.o_totalprice, 4) AS totalprice,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 30
+        )
+        GROUP BY o.o_orderkey, o.o_totalprice
+        ORDER BY total_qty DESC, orderkey
+        LIMIT 20
+    """)
+
+
+# --- distinct aggregate --------------------------------------------------------------
+@query(
+    "brand_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def brand_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates alongside a plain count (§2.4
+    superset) — Catalyst plans Expand + two-phase aggregation; the
+    broadcast dim join keeps lineitem unshuffled until the agg."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- correlated scalar subquery --------------------------------------------------------
+@query(
+    "parts_above_brand_avg",
+    oracle="""
+    SELECT p_brand AS brand, COUNT(*) AS n_above
+    FROM part p
+    WHERE p_retailprice > (
+        SELECT AVG(p2.p_retailprice) FROM part p2
+        WHERE p2.p_brand = p.p_brand
+    )
+    GROUP BY p_brand
+    ORDER BY brand
+    """,
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subquery (per-brand average in the predicate)
+    — Catalyst decorrelates it into an aggregate + join; no per-row
+    re-execution. Via spark.sql for the native decorrelation path."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql("""
+        SELECT p_brand AS brand, COUNT(*) AS n_above
+        FROM part p
+        WHERE p_retailprice > (
+            SELECT AVG(p2.p_retailprice) FROM part p2
+            WHERE p2.p_brand = p.p_brand
+        )
+        GROUP BY p_brand
+        ORDER BY brand
+    """)
