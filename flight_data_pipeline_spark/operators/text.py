@@ -114,3 +114,27 @@ def predict_lang(text: Column, default: str = "en") -> Column:
         lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
     )
     return best["key"]
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, and single
+# punctuation marks as separate tokens (the shape GPT-2-style
+# pre-tokenizers produce before merges). Same regex on both engines.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization — letter/digit runs + punctuation
+    singletons via regexp_extract_all (codegen'd, no UDF)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def regex_token_count(text: Column) -> Column:
+    return F.size(regex_tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation characters per non-space character — a standard
+    quality signal (noise/boilerplate detection)."""
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    return n_punct / F.greatest(n_chars, F.lit(1))

@@ -132,3 +132,42 @@ def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+@query(
+    "tokenization_stats",
+    oracle=r"""
+    SELECT lang,
+           ROUND(AVG(len(string_split(text, ' '))), 4)  AS avg_ws_tokens,
+           ROUND(AVG(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4) AS avg_bpe_tokens,
+           ROUND(AVG(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 * 1.0 / greatest(length(regexp_replace(text, '\s', '', 'g')), 1)),
+                 4)                                      AS avg_punct_ratio
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts + punctuation ratio
+    per language — the brief's token-counting pair (whitespace + a
+    BPE-ish regex) and the punct-ratio quality signal, all codegen'd
+    regex expressions; identical regexes on the DuckDB side."""
+    from flight_data_pipeline_spark.operators.text import (
+        punct_ratio,
+        regex_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.avg(token_count(text)), 4).alias("avg_ws_tokens"),
+            F.round(F.avg(regex_token_count(text)), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg(punct_ratio(text)), 4).alias("avg_punct_ratio"),
+        )
+        .orderBy("lang")
+    )
