@@ -194,3 +194,26 @@ def stateful_user_stats(events: DataFrame,
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def join_telemetry_streams(intensity: DataFrame, mix: DataFrame,
+                           ts_col: str = "window_start",
+                           watermark: str = WATERMARK) -> DataFrame:
+    """Stream-stream inner join of the two API feeds on their
+    measurement window — the J2 pairing (etl_job.py:199-200) when
+    intensity and generation-mix land as SEPARATE streams rather than
+    pre-zipped payloads.
+
+    Both sides carry watermarks so the join state is bounded: a side's
+    buffered rows age out once the other side's watermark passes their
+    window. An unmatched window emits nothing until its partner
+    arrives (within the watermark) — the streaming analogue of the
+    reference failing the run when either fetch fails.
+    """
+    i = intensity.withWatermark(ts_col, watermark)
+    m = (mix.withColumnRenamed(ts_col, "__mix_ts")
+            .withWatermark("__mix_ts", watermark))
+    return (
+        i.join(m, F.col(ts_col) == F.col("__mix_ts"), "inner")
+        .drop("__mix_ts")
+    )

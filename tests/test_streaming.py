@@ -163,3 +163,37 @@ def test_stateful_user_stats_carries_state_across_batches(spark, tmp_path):
     assert latest[1][0] == 3
     assert abs(latest[1][1] - ewma([10.0, 20.0, 30.0])) < 1e-9
     assert latest[2] == (1, 5.0)
+
+
+def test_stream_stream_join_pairs_windows(spark, tmp_path):
+    """Watermarked stream-stream join: intensity and mix rows landing
+    in separate streams pair on their window; a window present on only
+    one side emits nothing."""
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        join_telemetry_streams,
+    )
+
+    idir, mdir = tmp_path / "int", tmp_path / "mix"
+    idir.mkdir(); mdir.mkdir()
+    (idir / "a.json").write_text("\n".join([
+        json.dumps({"window_start": "2025-12-09T14:00:00", "intensity": 90.0}),
+        json.dumps({"window_start": "2025-12-09T15:00:00", "intensity": 80.0}),
+        json.dumps({"window_start": "2025-12-09T16:00:00", "intensity": 70.0}),
+    ]))
+    (mdir / "b.json").write_text("\n".join([
+        json.dumps({"window_start": "2025-12-09T14:00:00", "gas": 40.0}),
+        json.dumps({"window_start": "2025-12-09T15:00:00", "gas": 50.0}),
+        # 16:00 missing — intensity-only window must not emit
+    ]))
+
+    i = spark.readStream.schema("window_start timestamp, intensity double").json(str(idir))
+    m = spark.readStream.schema("window_start timestamp, gas double").json(str(mdir))
+    out = join_telemetry_streams(i, m)
+    q = (out.writeStream.format("memory").queryName("ssjoin")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+
+    rows = {r.window_start.hour: (r.intensity, r.gas)
+            for r in spark.sql("SELECT * FROM ssjoin").collect()}
+    assert rows == {14: (90.0, 40.0), 15: (80.0, 50.0)}
