@@ -122,3 +122,57 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
     return ann_ivf_topk(emb, qv, vec_col="embedding", id_col="vec_id",
                         k=10, n_lists=16, n_probe=2)
+
+
+@query(
+    "closest_pair_per_label",
+    oracle=f"""
+    SELECT label,
+           vec_a,
+           vec_b,
+           sim AS cosine_sim
+    FROM (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.label
+                   ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                         CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                            a.vec_id, b.vec_id) AS rn
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    WHERE rn = 1
+    ORDER BY label
+    """,
+)
+def closest_pair_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, blocked by label: the most
+    similar vector pair within each label (the dedup family's
+    embedding member — with a real-dup corpus the same query takes a
+    threshold filter instead of top-1). Label blocking bounds the
+    pair join exactly like `source` does for text jaccard; the grouped
+    top-1 is one window pass over the pair stream."""
+    from flight_data_pipeline_spark.operators.relational import top_k_per_group
+    from flight_data_pipeline_spark.operators.vectors import as_double, cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("label"), F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, ["label"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "label", "vec_a", "vec_b",
+            F.round(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 4)
+            .alias("cosine_sim"),
+        )
+    )
+    best = top_k_per_group(
+        pairs, ["label"],
+        [F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")], k=1,
+    )
+    return best.select("label", "vec_a", "vec_b", "cosine_sim").orderBy("label")
