@@ -67,40 +67,18 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard itself is per-row array math, no extra shuffle. Exactly
     SQL-expressible, so this is the *checked* near-dup query; the
     hash-family variants (minhash/simhash) are rows-only."""
-    docs = load_table(spark, "documents", sf_dir)
-    # Inverted-index (posting-list) jaccard — NOT a per-pair
-    # array_intersect join: explode distinct tokens, self-join postings
-    # on (source, token), and count co-occurrences per pair inside a
-    # codegen'd hash aggregate; |a∪b| = na + nb − |a∩b|. Everything
-    # stays in whole-stage codegen (per-pair array set-ops are
-    # interpreted and measured ~6× slower here), and at 100 TB this is
-    # the standard shape: cost tracks co-occurrence volume, shuffles
-    # key on (source, token), and prefix-filtering slots in by
-    # pruning high-frequency tokens from the index.
-    t = docs.select(
-        "doc_id", "source", distinct_tokens(F.col("text")).alias("t")
-    ).withColumn("n", F.size("t"))
-    posting = t.select("doc_id", "source", "n", F.explode("t").alias("tok"))
-    a, b = posting.alias("a"), posting.alias("b")
-    co = (
-        a.join(b, (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    sim = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
-    return (
-        co.select("doc_a", "doc_b", sim.alias("jaccard_sim"))
-        .where(F.col("jaccard_sim") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
 
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = jaccard_pairs_blocked(
+        docs, id_col="doc_id", block_col="source", text_col="text",
+        threshold=JACCARD_THRESHOLD,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard_sim",
+    ).orderBy("doc_a", "doc_b")
 
 @query("minhash_lsh_near_dups")  # xxhash64 has no DuckDB twin ⇒ rows-only
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,3 +87,32 @@ def test_first_per_bucket_is_min_per_key(spark, data):
     for r in kept:
         want = min(((ts, i) for i, k, ts in rws if k == r.k))
         assert (r.ts, r.id) == want                # deterministic min
+
+
+words = st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+                 min_size=1, max_size=8)
+corpora = st.lists(st.tuples(st.integers(0, 1), words),  # (block, tokens)
+                   min_size=2, max_size=12)
+
+
+@SETTINGS
+@given(corpus=corpora, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_jaccard_pairs_blocked_matches_naive(spark, corpus, threshold):
+    from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
+
+    rows = [(i, blk, " ".join(toks)) for i, (blk, toks) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "id long, blk long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in jaccard_pairs_blocked(df, "id", "blk", "text", threshold).collect()
+    }
+
+    want = {}
+    for i, bi, ti in rows:
+        for j, bj, tj in rows:
+            if i < j and bi == bj:
+                sa, sb = set(ti.split(" ")), set(tj.split(" "))
+                jac = round(len(sa & sb) / len(sa | sb), 4)
+                if jac >= threshold:
+                    want[(i, j)] = jac
+    assert got == want
