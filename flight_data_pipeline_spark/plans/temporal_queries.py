@@ -154,3 +154,50 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --- native session_window vs manual lag+cumsum ------------------------------
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation, cross-checked
+    against the manual lag+cumsum sessionization in the DuckDB oracle
+    — two independent implementations of 30-min-gap sessions that
+    must produce identical (user, session_start, n_events) triples.
+    Native form: one gap-merging aggregate, no window function pass;
+    also the streaming-capable spelling (works under readStream)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
