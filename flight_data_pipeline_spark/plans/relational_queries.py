@@ -708,3 +708,68 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         ORDER BY brand
     """)
+
+
+# --- percentile aggregates -----------------------------------------------------------
+@query(
+    "order_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (median + p90) — Spark
+    percentile() and DuckDB quantile_cont share linear-interpolation
+    semantics. At 100 TB swap for approx_percentile (t-digest sketch,
+    mergeable map-side) — exact percentile buffers each group's
+    values, approx keeps constant state; the checked query stays exact
+    so the oracle can verify it."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- arg-max (max_by) ------------------------------------------------------------------
+@query(
+    "top_customer_per_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           (max(struct_pack(bal := c_acctbal, key := c_custkey))).key AS top_custkey,
+           ROUND((max(struct_pack(bal := c_acctbal, key := c_custkey))).bal, 4)
+               AS top_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def top_customer_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max per group via max-of-struct — lexicographic (balance,
+    custkey) max is tie-robust and deterministic on both engines
+    (plain max_by/arg_max leaves ties engine-defined). One aggregate,
+    no window pass."""
+    c = load_table(spark, "customer", sf_dir)
+    best = F.max(F.struct(F.col("c_acctbal").alias("bal"),
+                          F.col("c_custkey").alias("key")))
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(best.alias("b"))
+        .select(
+            "segment",
+            F.col("b.key").alias("top_custkey"),
+            F.round(F.col("b.bal"), 4).alias("top_acctbal"),
+        )
+        .orderBy("segment")
+    )
