@@ -773,3 +773,34 @@ def top_customer_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- array aggregation -------------------------------------------------------------
+@query(
+    "nations_per_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+)
+def nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list → sorted, joined to a string so
+    the value hash is representation-independent across engines).
+    collect_list is fine for bounded groups like dims; unbounded
+    groups at 100 TB want explicit caps (slice) or re-aggregation."""
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        n.join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("region")
+    )
