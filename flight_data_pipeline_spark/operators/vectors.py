@@ -125,52 +125,106 @@ def ann_lsh_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
     )
 
 
-def ivf_index(df: DataFrame, vec_col: str, id_col: str,
-              n_lists: int = 16, seed: int = 42):
-    """IVF (inverted-file) coarse quantizer: KMeans centroids over the
-    embedding space; each vector assigned to its nearest list.
+class IvfIndex:
+    """A built-once IVF (inverted-file) index over an embedding table.
 
-    Returns (assigned_df, kmeans_model) where assigned_df carries an
-    ``ivf_list`` column. Training samples the input (KMeans is
-    iterative — train on a bounded sample at 100 TB, assign the full
-    set with the fitted model's transform, which is one map-side
-    pass). Deterministic via seed.
+    ``assignments`` is the input frame plus an ``ivf_list`` column,
+    persisted — the index IS the data, laid out by coarse cluster, so
+    a query never touches the raw table again. ``centroids`` is a
+    tiny (n_lists-row) DataFrame of centroid vectors used for
+    plan-side probe selection. At 100 TB the assignments would be
+    written once as parquet ``partitionBy("ivf_list")`` (see
+    ``write``) so probing n_probe of n_lists lists prunes
+    (n_lists - n_probe)/n_lists of the files before any IO.
+    """
+
+    def __init__(self, assignments: DataFrame, centroids: DataFrame):
+        self.assignments = assignments
+        self.centroids = centroids
+
+    def probe_lists(self, query_vec: DataFrame, vec_col: str,
+                    n_probe: int) -> DataFrame:
+        """The n_probe lists whose centroids are cosine-nearest the
+        query — computed plan-side on the broadcast centroid set (an
+        index-metadata lookup, no driver collect)."""
+        q = query_vec.select(as_double(F.col(vec_col)).alias("__qvec"))
+        return (
+            self.centroids.crossJoin(F.broadcast(q))
+            .select(
+                "ivf_list",
+                cosine(F.col("centroid"), F.col("__qvec")).alias("__csim"),
+            )
+            .orderBy(F.desc("__csim"), "ivf_list")
+            .limit(n_probe)
+            .select("ivf_list")
+        )
+
+    def write(self, path: str) -> None:
+        """Persist the index as list-partitioned parquet: the durable
+        100 TB form — probe filters become partition pruning."""
+        self.assignments.write.partitionBy("ivf_list").mode(
+            "overwrite").parquet(path)
+
+
+def build_ivf_index(df: DataFrame, vec_col: str, id_col: str,
+                    n_lists: int = 16, seed: int = 42,
+                    train_fraction: float = 0.5,
+                    train_rows: int = 100_000) -> IvfIndex:
+    """Build the IVF coarse quantizer ONCE: KMeans trained on a
+    bounded sample, full set assigned with the fitted model (one
+    map-side transform pass).
+
+    KMeans is iterative — fitting it on the full input would make
+    index *construction* O(dataset × iterations); instead training
+    sees ``sample(train_fraction)`` capped at ``train_rows`` rows
+    (at 100 TB set train_fraction ≪ 1; the cap bounds the driver-side
+    KMeans cost regardless). Assignment of the full set is a single
+    non-iterative pass. Deterministic via seed. The returned index is
+    persisted so repeated queries reuse the assignment, never re-fit.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
-    ml_df = df.withColumn("__features", array_to_vector(as_double(F.col(vec_col))))
+    featurized = df.withColumn(
+        "__features", array_to_vector(as_double(F.col(vec_col)))
+    )
+    train = featurized.sample(
+        withReplacement=False, fraction=train_fraction, seed=seed
+    ).limit(train_rows)
     model = KMeans(k=n_lists, seed=seed, featuresCol="__features",
-                   predictionCol="ivf_list").fit(ml_df)
-    return model.transform(ml_df).drop("__features"), model
+                   predictionCol="ivf_list").fit(train)
+
+    assignments = model.transform(featurized).drop("__features").persist()
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "ivf_list int, centroid array<double>",
+    )
+    return IvfIndex(assignments, centroids)
 
 
 def ann_ivf_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
                  id_col: str, k: int = 10, n_lists: int = 16,
-                 n_probe: int = 2, seed: int = 42) -> DataFrame:
+                 n_probe: int = 2, seed: int = 42,
+                 index: IvfIndex | None = None) -> DataFrame:
     """Approximate cosine top-k via IVF: probe only the ``n_probe``
     lists whose centroids are nearest the query, exact cosine within.
 
     The scan fraction is ~n_probe/n_lists; recall is tuned by probing
-    more lists (vs the LSH variant's bits knob). Centroid selection
-    happens on the tiny centroid set (n_lists rows — driver-side by
-    nature, like any index metadata lookup).
+    more lists (vs the LSH variant's bits knob). Pass a prebuilt
+    ``index`` (build_ivf_index) to amortize construction across
+    queries — the per-call build here is a convenience for one-shot
+    use only. The whole query path is plan-side: probe selection is a
+    broadcast join against the centroid table and the data scan reads
+    only the index's probed lists; nothing is collected to the driver.
     """
-    import numpy as np
-
-    assigned, model = ivf_index(df, vec_col, id_col, n_lists, seed)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-
-    qrow = query_vec.select(as_double(F.col(vec_col)).alias("q")).first()
-    q = np.array(qrow.q)
-    # nearest n_probe centroids by cosine (index metadata, not data)
-    sims = (centroids @ q) / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(q))
-    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
-
+    if index is None:
+        index = build_ivf_index(df, vec_col, id_col, n_lists, seed)
+    probe = index.probe_lists(query_vec, vec_col, n_probe)
     qdf = query_vec.select(as_double(F.col(vec_col)).alias("__qvec"))
     return (
-        df.join(assigned.select(id_col, "ivf_list"), id_col)
-        .where(F.col("ivf_list").isin(probe))
+        index.assignments
+        .join(F.broadcast(probe), "ivf_list", "left_semi")
         .crossJoin(F.broadcast(qdf))
         .select(
             F.col(id_col),

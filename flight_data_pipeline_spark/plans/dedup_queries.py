@@ -113,7 +113,9 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints bucketed by 16-bit prefix — the constant-
     size-signature dedup tier (one long per doc vs minhash's array).
     Output: buckets with >1 doc, i.e. hamming-near candidates sharing
-    a prefix. Rows-only (xxhash64)."""
+    a prefix. Rows-only (xxhash64). doc_ids is serialized to a sorted
+    comma-joined string (the nations_per_region pattern) — array columns
+    crash the driver's pandas canonicalizer."""
     docs = load_table(spark, "documents", sf_dir)
     sh = docs.select(
         "doc_id",
@@ -123,8 +125,10 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sh.select(bucket, "doc_id")
         .groupBy("bucket")
-        .agg(F.count("*").alias("n_docs"),
-             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
+        )
         .where(F.col("n_docs") > 1)
         .orderBy("bucket")
     )

@@ -68,7 +68,7 @@ def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT STRFTIME(ts, '%Y-%m-%d')                               AS day,
            COUNT(*)                                               AS total_runs,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS successful,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS successful,
            ROUND(100.0 * SUM(CASE WHEN event_type = 'purchase'
                              THEN 1 ELSE 0 END) / COUNT(*), 2)    AS success_rate,
            ROUND(AVG(value), 4)                                   AS avg_value
@@ -242,9 +242,9 @@ def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
            COUNT(*)         AS total_rows,
-           SUM(CASE WHEN value IS NOT NULL AND value BETWEEN 0 AND 500
+           CAST(SUM(CASE WHEN value IS NOT NULL AND value BETWEEN 0 AND 500
                      AND event_type <> 'error'
-                    THEN 1 ELSE 0 END) AS n_valid,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
            ROUND(100.0 * SUM(CASE WHEN value IS NOT NULL
                                    AND value BETWEEN 0 AND 500
                                    AND event_type <> 'error'
@@ -322,10 +322,10 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
            COUNT(*)                 AS n_rows,
-           SUM(CASE WHEN DATE_DIFF('second', ts, TIMESTAMP '{NOW}') / 3600.0 > 2
-                    THEN 1 ELSE 0 END) AS n_stale,
-           SUM(CASE WHEN DATE_DIFF('second', ts, TIMESTAMP '{NOW}') / 3600.0 > 2
-                    THEN 0 ELSE 1 END) AS n_fresh
+           CAST(SUM(CASE WHEN DATE_DIFF('second', ts, TIMESTAMP '{NOW}') / 3600.0 > 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+           CAST(SUM(CASE WHEN DATE_DIFF('second', ts, TIMESTAMP '{NOW}') / 3600.0 > 2
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_fresh
     FROM events
     GROUP BY STRFTIME(ts, '%Y-%m-%d')
     ORDER BY day

@@ -87,7 +87,7 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(DISTINCT session_id)  AS n_sessions,
-           SUM(n)                      AS n_events,
+           CAST(SUM(n) AS BIGINT)      AS n_events,
            ROUND(AVG(sess_len), 4)     AS avg_session_secs
     FROM (
         SELECT user_id, session_id,

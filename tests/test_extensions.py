@@ -59,7 +59,11 @@ class TestNearDupRecall:
         out = registry.QUERIES["simhash_buckets"](spark, SF_DIR)
         rows = out.collect()
         assert all(r.n_docs > 1 for r in rows)
-        assert all(r.doc_ids == sorted(r.doc_ids) for r in rows)
+        # doc_ids is a sorted comma-joined string (driver-canon-safe)
+        for r in rows:
+            ids = [int(x) for x in r.doc_ids.split(",")]
+            assert len(ids) == r.n_docs
+            assert ids == sorted(ids)
 
 
 class TestAnnRecall:

@@ -71,7 +71,8 @@ def test_no_driver_side_materialization_in_operators():
     import pathlib
 
     pkg = pathlib.Path(__file__).parent.parent / "flight_data_pipeline_spark"
-    banned = (".collect()", ".toPandas()", ".count()", ".toLocalIterator(")
+    banned = (".collect()", ".toPandas()", ".count()", ".toLocalIterator(",
+              ".first(", ".head(")
     offenders = []
     # exempt: sinks.py and pipeline_stream.py count *appended* rows —
     # the reference's rows_inserted audit contract (etl_job.py:261),
