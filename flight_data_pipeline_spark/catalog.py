@@ -36,7 +36,15 @@ def create_daily_cleanliness_view(spark: SparkSession,
                                   table: str = "grid_telemetry") -> None:
     """view_daily_cleanliness (README.md:394-404): daily rollup of
     intensity, clean-energy share (wind+solar), gas share, sample
-    count — verbatim semantics, registered as a temp view."""
+    count, registered as a temp view.
+
+    Deliberate deviations from the reference view (which emits
+    unrounded AVGs named avg_renewables_perc/avg_fossil_perc): the
+    averages here are ROUND(...,0)/(,1)-ed so results are hash-stable
+    against a DuckDB oracle (float summation order differs between
+    engines), and the columns are named avg_clean_energy_perc /
+    avg_gas_perc to say what they aggregate. Grouping, measures, and
+    ordering are otherwise identical."""
     spark.sql(f"""
         CREATE OR REPLACE TEMPORARY VIEW view_daily_cleanliness AS
         SELECT DATE(timestamp)                                   AS day,
@@ -51,8 +59,10 @@ def create_daily_cleanliness_view(spark: SparkSession,
 
 
 def daily_cleanliness(df: DataFrame) -> DataFrame:
-    """DataFrame-builder twin of the view (same semantics as
-    README.md:394-404) for callers composing plans directly."""
+    """DataFrame-builder twin of the view (README.md:394-404, with
+    the same deliberate rounding/renaming as
+    create_daily_cleanliness_view) for callers composing plans
+    directly."""
     return (
         df.groupBy(F.to_date("timestamp").alias("day"))
         .agg(

@@ -204,7 +204,8 @@ def simhash64(text_tokens: Column) -> Column:
 
 def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
                           text_col: str, threshold: float,
-                          sim_digits: int = 4) -> DataFrame:
+                          sim_digits: int = 4,
+                          max_token_df: int | None = None) -> DataFrame:
     """All pairs within a block whose token-set Jaccard ≥ threshold →
     (id_a, id_b, jaccard_sim), via the inverted-index shape: explode
     distinct tokens, self-join postings on (block, token), count
@@ -213,9 +214,20 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
 
     NOT per-pair array_intersect (interpreted; measured ~6× slower at
     sf0.1). Cost tracks co-occurrence volume; the block key bounds the
-    pair space exactly like LSH bands do in the unkeyed variant. At
-    100 TB add prefix filtering (index each doc's rarest tokens only)
-    — the shape is unchanged.
+    pair space exactly like LSH bands do in the unkeyed variant.
+
+    ``max_token_df`` is the hot-token guard for scale: a token held by
+    m docs of one block contributes m² rows to the posting join, so a
+    single stopword-like token inside a big block goes quadratic. With
+    the guard on, candidate pairs are generated only from postings
+    whose per-block document frequency is ≤ max_token_df (hot tokens
+    carry no discriminating signal anyway), then every candidate is
+    verified with an exact full-token-set Jaccard — so reported sims
+    are always exact and there are never false positives. A true pair
+    is missed only if EVERY token it shares is hotter than the cap;
+    recall at threshold 0.8 on the fixture corpus is pinned unchanged
+    in tests (tests/test_extensions.py). Default None keeps the
+    single-pass exact counting path (the oracle-checked form).
     """
     from flight_data_pipeline_spark.operators.text import distinct_tokens
 
@@ -225,6 +237,43 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
         distinct_tokens(F.col(text_col)).alias("__t"),
     ).withColumn("__n", F.size("__t"))
     posting = t.select("__id", "__blk", "__n", F.explode("__t").alias("__tok"))
+
+    if max_token_df is not None:
+        # Phase 1 — candidates from DF-capped postings only: the hash
+        # aggregate below computes per-block token DF; the filter drops
+        # the quadratic hot postings before the self-join.
+        tok_df = posting.groupBy("__blk", "__tok").agg(
+            F.count("*").alias("__df"))
+        capped = (
+            posting.join(tok_df, ["__blk", "__tok"])
+            .where(F.col("__df") <= max_token_df)
+            .select("__id", "__blk", "__tok")
+        )
+        ca, cb = capped.alias("a"), capped.alias("b")
+        cand = (
+            ca.join(cb, (F.col("a.__blk") == F.col("b.__blk"))
+                    & (F.col("a.__tok") == F.col("b.__tok"))
+                    & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"))
+            .distinct()
+        )
+        # Phase 2 — exact verification on the (bounded) candidate set.
+        # Token arrays arrive through a shuffle so they're materialized
+        # columns: array_intersect runs once per candidate pair, never
+        # recomputed through CollapseProject.
+        ta = t.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta"))
+        tb = t.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb"))
+        return (
+            cand.join(ta, "id_a").join(tb, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.round(jaccard(F.col("__ta"), F.col("__tb")), sim_digits)
+                .alias("jaccard_sim"),
+            )
+            .where(F.col("jaccard_sim") >= threshold)
+        )
+
     a, b = posting.alias("a"), posting.alias("b")
     co = (
         a.join(b, (F.col("a.__blk") == F.col("b.__blk"))

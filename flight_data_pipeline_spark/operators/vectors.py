@@ -69,7 +69,8 @@ def cosine_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
     )
 
 
-def hyperplane_signature(vec: Column, bits: int = 8, dim: int = 64) -> Column:
+def hyperplane_signature(vec: Column, bits: int = 8, dim: int = 64,
+                         salt: int = 0) -> Column:
     """Random-hyperplane LSH signature: sign pattern of ``bits`` dot
     products with deterministic pseudo-random hyperplanes.
 
@@ -78,7 +79,8 @@ def hyperplane_signature(vec: Column, bits: int = 8, dim: int = 64) -> Column:
     pure float literals (an xxhash64(lit, lit) expression inside an
     array does NOT constant-fold through zip_with and re-evaluates
     per row — measured ~10× slower). Deterministic, zero RNG state.
-    Returns an int bucket id in [0, 2^bits)."""
+    ``salt`` offsets the plane family, giving independent signatures
+    for multi-band LSH. Returns an int bucket id in [0, 2^bits)."""
     import hashlib
 
     def component(b: int, i: int) -> float:
@@ -86,7 +88,7 @@ def hyperplane_signature(vec: Column, bits: int = 8, dim: int = 64) -> Column:
         return (h % 10_000_001) / 5_000_000.0 - 1.0  # [-1, 1]
 
     planes = [
-        F.array(*[F.lit(component(b, i)) for i in range(dim)])
+        F.array(*[F.lit(component(salt + b, i)) for i in range(dim)])
         for b in range(bits)
     ]
     bit_vals = [
@@ -122,6 +124,41 @@ def ann_lsh_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
         )
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, vec_col: str, id_col: str,
+                        block_col: str | None = None, bits: int = 4,
+                        bands: int = 3) -> DataFrame:
+    """Embedding near-dup candidate pairs via multi-band hyperplane
+    LSH: two vectors are candidates if they share ANY of ``bands``
+    independent ``bits``-bit sign signatures (within ``block_col`` if
+    given). Returns distinct (id_a, id_b), id_a < id_b.
+
+    This is the scale guard for pairwise embedding work: an all-pairs
+    join inside one big block is quadratic; banding bounds the pair
+    space to colliding candidates (per-band collision prob for a pair
+    at angle θ is (1−θ/π)^bits, so near-identical vectors collide in
+    some band with prob ≈ 1−(1−(1−θ/π)^bits)^bands — e.g. ~0.95 for
+    cos≈0.95, bits=4, bands=3). Bucketing and join are pure column
+    expressions + one shuffle on (block, band, bucket)."""
+    band_keys = F.array(*[
+        F.concat_ws(":", F.lit(b),
+                    hyperplane_signature(F.col(vec_col), bits, salt=64 * b))
+        for b in range(bands)
+    ])
+    blk = [F.col(block_col)] if block_col else []
+    keyed = df.select(
+        *blk, F.col(id_col).alias("__id"), F.explode(band_keys).alias("__bkey")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cond = (F.col("a.__bkey") == F.col("b.__bkey")) & (F.col("a.__id") < F.col("b.__id"))
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
     )
 
 

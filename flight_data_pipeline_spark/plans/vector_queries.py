@@ -199,3 +199,41 @@ def closest_pair_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")], k=1,
     )
     return best.select("label", "vec_a", "vec_b", "cosine_sim").orderBy("label")
+
+
+@query("closest_pair_per_label_lsh")  # approximate by design ⇒ rows-only
+def closest_pair_per_label_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-blocked twin of closest_pair_per_label: candidate pairs
+    come from multi-band hyperplane buckets (within each label) instead
+    of the label-wide all-pairs join — the shape that survives one
+    huge label at 100 TB, where a per-block quadratic join does not.
+    Same output schema as the exact query; recall vs the exact pair
+    set is pinned in tests/test_extensions.py."""
+    from flight_data_pipeline_spark.operators.relational import top_k_per_group
+    from flight_data_pipeline_spark.operators.vectors import (
+        as_double,
+        cosine,
+        lsh_candidate_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cands = lsh_candidate_pairs(emb, vec_col="embedding", id_col="vec_id",
+                                block_col="label", bits=4, bands=3)
+    ea = emb.select(F.col("label"), F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        cands.join(ea, "id_a").join(eb, "id_b")
+        .select(
+            "label",
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 4)
+            .alias("cosine_sim"),
+        )
+    )
+    best = top_k_per_group(
+        pairs, ["label"],
+        [F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")], k=1,
+    )
+    return best.select("label", "vec_a", "vec_b", "cosine_sim").orderBy("label")

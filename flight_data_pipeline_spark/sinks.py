@@ -67,6 +67,34 @@ class ParquetSink:
            .write.mode("append").parquet(self.path))
 
 
+class JdbcSink:
+    """Literal-parity S4 sink: the reference's actual destination is
+    Postgres (psycopg INSERT + commit, etl_job.py:222,239-260). The
+    Spark-native form is one appending JDBC write — Spark batches the
+    inserts per partition and the database provides the transactional
+    commit the reference gets from psycopg.
+
+    Untested in-container (no JDBC driver or server ships here);
+    the parquet sinks above are the engine's native path and the
+    pipeline accepts either through the same append/read interface.
+    ``properties`` passes driver options (user, password, driver)."""
+
+    def __init__(self, spark: SparkSession, url: str, table: str,
+                 properties: dict | None = None):
+        self.spark = spark
+        self.url = url
+        self.table = table
+        self.properties = properties or {}
+
+    def read(self) -> DataFrame:
+        return self.spark.read.jdbc(self.url, self.table,
+                                    properties=self.properties)
+
+    def append(self, df: DataFrame) -> None:
+        (df.write.mode("append")
+           .jdbc(self.url, self.table, properties=self.properties))
+
+
 class TelemetrySink(ParquetSink):
     """grid_telemetry sink with hour-bucket idempotent append
     (etl_job.py:226-260): rows whose DATE_TRUNC('hour', timestamp)

@@ -35,13 +35,30 @@ MAX_RETRIES = 3
 RETRY_DELAY = 2.0  # seconds; waits are 2, 4, 8
 
 
+def _network_errors() -> tuple:
+    """The reference retries only requests.RequestException
+    (etl_job.py:41) — a ValueError from a malformed payload propagates
+    immediately. Mirror that: requests' exception when available, else
+    the stdlib network-error types."""
+    try:
+        import requests  # noqa: PLC0415 — optional, container may lack it
+
+        return (requests.RequestException, ConnectionError, TimeoutError)
+    except ImportError:
+        return (ConnectionError, TimeoutError, OSError)
+
+
 def retry_with_backoff(func: Callable, *, max_retries: int = MAX_RETRIES,
                        base_delay: float = RETRY_DELAY,
                        sleep: Callable[[float], None] = time.sleep,
-                       retryable: type[BaseException] | tuple = Exception):
+                       retryable: type[BaseException] | tuple | None = None):
     """Exponential-backoff retry (etl_job.py:35-49): ``max_retries``
     attempts with 2·2^n-second waits, re-raising on exhaustion.
-    ``sleep`` is injectable so tests don't wall-clock wait."""
+    ``sleep`` is injectable so tests don't wall-clock wait.
+    ``retryable`` defaults to network errors only (etl_job.py:41
+    retries requests.RequestException; parse errors fail fast)."""
+    if retryable is None:
+        retryable = _network_errors()
 
     def wrapper(*args, **kwargs):
         for attempt in range(max_retries):

@@ -66,6 +66,30 @@ class TestNearDupRecall:
             assert ids == sorted(ids)
 
 
+class TestHotTokenGuard:
+    def test_df_cap_keeps_recall_at_08_on_fixture(self, spark):
+        """The hot-token guard (max_token_df) must not change the
+        threshold-0.8 result on the fixture corpus: every block has 25
+        docs and median token DF ~20, so a cap of 20 (0.8× block size)
+        drops ~40% of postings — the quadratic hot ones — while every
+        near-dup pair still shares at least one sub-cap token."""
+        from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
+
+        docs = load_table(spark, "documents", SF_DIR)
+        exact = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in jaccard_pairs_blocked(
+                docs, "doc_id", "source", "text", threshold=0.8).collect()
+        }
+        guarded = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in jaccard_pairs_blocked(
+                docs, "doc_id", "source", "text", threshold=0.8,
+                max_token_df=20).collect()
+        }
+        assert guarded == exact  # same pairs AND same (exact) sims
+
+
 class TestAnnRecall:
     def test_lsh_topk_overlaps_bruteforce(self, spark):
         """ANN (4-bit LSH → ~1/16 of the table probed) should recover
@@ -79,6 +103,50 @@ class TestAnnRecall:
         assert 0 in approx  # the query vector matches itself (sim 1.0)
         overlap = len(set(exact) & set(approx))
         assert overlap >= 2, f"ANN recall too low: {overlap}/10"
+
+
+class TestLshBlockedEmbeddingNearDup:
+    def test_planted_near_dups_recovered(self, spark):
+        """lsh_candidate_pairs must recover planted near-duplicates:
+        20 vectors get a tiny-perturbation copy (cos ≥ ~0.99). A pair
+        that close collides in some band with prob ≈ 1−(1−(1−θ/π)^4)^3
+        ≈ 0.97, so ≥ 17/20 planted pairs is a conservative pin."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.vectors import lsh_candidate_pairs
+
+        rng = np.random.RandomState(0)
+        base = rng.randn(200, 64).astype("float64")
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        planted = []
+        for j in range(20):
+            dup = base[j] + 0.02 * rng.randn(64)
+            rows.append((1000 + j, [float(x) for x in dup]))
+            planted.append((j, 1000 + j))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        cands = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(
+                df, vec_col="embedding", id_col="vec_id",
+                bits=4, bands=3).collect()
+        }
+        found = sum(1 for p in planted if p in cands)
+        assert found >= 17, f"LSH recovered only {found}/20 planted near-dups"
+        # and banding actually pruned: far fewer candidates than all pairs
+        assert len(cands) < (220 * 219) // 2 * 0.6
+
+    def test_fixture_query_is_valid_subset(self, spark):
+        """On the fixture (whose 'closest' pairs are far — cos ~0.4 —
+        i.e. adversarial for LSH), the blocked query must still emit
+        only true pairs with exact sims, bounded by the exact best."""
+        exact = {r.label: r.cosine_sim
+                 for r in registry.QUERIES["closest_pair_per_label"](spark, SF_DIR).collect()}
+        approx = registry.QUERIES["closest_pair_per_label_lsh"](spark, SF_DIR).collect()
+        assert len(approx) >= 8  # bucket collisions exist in ≥8/10 labels
+        for r in approx:
+            assert r.cosine_sim <= exact[r.label] + 1e-9
+            assert r.vec_a < r.vec_b
 
 
 class TestLangId:

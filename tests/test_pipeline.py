@@ -132,6 +132,32 @@ class TestPipelineRuns:
         assert "api down" in audit_row.error_message
 
 
+class TestBatchCli:
+    def test_main_runs_one_pipeline_and_exits_zero(self, spark, paths, capsys):
+        """EP2 parity: `python -m flight_data_pipeline_spark` runs one
+        batch pipeline (etl_job.py:290-293) and exits 0 on success,
+        1 on failure — what the cron workflow keys its status on."""
+        from flight_data_pipeline_spark.__main__ import main
+
+        tele, audit = paths
+        rc = main(["--telemetry", tele, "--audit", audit],
+                  fetch_intensity=lambda: INTENSITY, fetch_mix=lambda: MIX)
+        assert rc == 0
+        assert "status=success rows_inserted=1" in capsys.readouterr().out
+        assert TelemetrySink(spark, tele).read().first().overall_intensity == 90.0
+
+    def test_main_exit_code_on_failure(self, paths):
+        from flight_data_pipeline_spark.__main__ import main
+
+        def boom():
+            raise ValueError("api down")
+
+        tele, audit = paths
+        rc = main(["--telemetry", tele, "--audit", audit],
+                  fetch_intensity=boom, fetch_mix=lambda: MIX)
+        assert rc == 1
+
+
 class TestRetry:
     def test_backoff_schedule_and_reraise(self):
         calls, waits = [], []
@@ -144,6 +170,21 @@ class TestRetry:
             retry_with_backoff(flaky, sleep=waits.append)()
         assert len(calls) == 3            # etl_job.py:32 MAX_RETRIES
         assert waits == [2.0, 4.0]        # 2·2^n, no sleep after last
+
+    def test_parse_errors_fail_fast(self):
+        """The reference retries only requests.RequestException
+        (etl_job.py:41): a ValueError from a malformed payload must
+        propagate on the first attempt, with zero backoff waits."""
+        calls, waits = [], []
+
+        def malformed():
+            calls.append(1)
+            raise ValueError("bad payload")
+
+        with pytest.raises(ValueError):
+            retry_with_backoff(malformed, sleep=waits.append)()
+        assert len(calls) == 1
+        assert waits == []
 
     def test_recovers_after_transient(self):
         attempts = []

@@ -96,6 +96,36 @@ corpora = st.lists(st.tuples(st.integers(0, 1), words),  # (block, tokens)
 
 
 @SETTINGS
+@given(corpus=corpora, threshold=st.sampled_from([0.3, 0.5, 0.8]),
+       cap=st.integers(1, 12))
+def test_jaccard_guard_has_no_false_positives(spark, corpus, threshold, cap):
+    """The hot-token guard may only LOSE pairs (those sharing solely
+    hot tokens), never invent them, and every reported sim must be the
+    exact full-token-set Jaccard — verification is exact by design."""
+    from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
+
+    rows = [(i, blk, " ".join(toks)) for i, (blk, toks) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "id long, blk long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in jaccard_pairs_blocked(
+            df, "id", "blk", "text", threshold, max_token_df=cap).collect()
+    }
+
+    want = {}
+    for i, bi, ti in rows:
+        for j, bj, tj in rows:
+            if i < j and bi == bj:
+                sa, sb = set(ti.split(" ")), set(tj.split(" "))
+                jac = round(len(sa & sb) / len(sa | sb), 4)
+                if jac >= threshold:
+                    want[(i, j)] = jac
+    assert set(got) <= set(want)                     # no false positives
+    for pair, sim in got.items():
+        assert sim == want[pair]                     # sims are exact
+
+
+@SETTINGS
 @given(corpus=corpora, threshold=st.sampled_from([0.3, 0.5, 0.8]))
 def test_jaccard_pairs_blocked_matches_naive(spark, corpus, threshold):
     from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
