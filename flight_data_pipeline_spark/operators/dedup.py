@@ -275,10 +275,17 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
         )
 
     a, b = posting.alias("a"), posting.alias("b")
+    cond = ((F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__id") < F.col("b.__id")))
+    if threshold > 0:
+        # AllPairs length filter, exactness-preserving: jaccard ≤
+        # min(na,nb)/max(na,nb), so a size-skewed pair can never reach
+        # the threshold — prune it before it inflates the aggregate
+        cond = cond & (F.col("b.__n") >= threshold * F.col("a.__n")) \
+                    & (F.col("a.__n") >= threshold * F.col("b.__n"))
     co = (
-        a.join(b, (F.col("a.__blk") == F.col("b.__blk"))
-               & (F.col("a.__tok") == F.col("b.__tok"))
-               & (F.col("a.__id") < F.col("b.__id")))
+        a.join(b, cond)
         .groupBy(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
