@@ -118,6 +118,44 @@ def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "top_tokens",
+    oracle="""
+    SELECT tok                                AS token,
+           CAST(COUNT(*) AS BIGINT)           AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 tokens by occurrence count with
+    document frequency — the token-counting aggregate every corpus
+    audit starts from. Explode is map-side; the groupBy combines
+    partials before the shuffle (one row per distinct token per
+    partition), and the final ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — at 100 TB the shuffle carries the
+    vocabulary, not the corpus."""
+    from flight_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(20)
+    )
+
+
 @query("lang_id_predictions")  # heuristic ⇒ rows-only check (no SQL twin)
 def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax) vs the labeled lang

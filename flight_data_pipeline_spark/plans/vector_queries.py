@@ -201,6 +201,51 @@ def closest_pair_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select("label", "vec_a", "vec_b", "cosine_sim").orderBy("label")
 
 
+NEAR_DUP_COS = 0.32  # pinned: yields a meaningful pair set on the fixture
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.label  AS label,
+           a.vec_id AS vec_a,
+           b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= {NEAR_DUP_COS}
+    ORDER BY label, vec_a, vec_b
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold form of embedding-cosine near-dup detection: ALL
+    pairs within a label whose cosine ≥ threshold — what a dedup
+    pipeline actually consumes (closest_pair_per_label is the top-1
+    diagnostic view of the same pair stream). Exactly SQL-expressible,
+    so this is the checked twin; closest_pair_per_label_lsh is the
+    banded scale path for the same semantics."""
+    from flight_data_pipeline_spark.operators.vectors import as_double, cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("label"), F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"))
+    return (
+        a.join(b, ["label"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "label", "vec_a", "vec_b",
+            F.round(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 4)
+            .alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= NEAR_DUP_COS)
+        .orderBy("label", "vec_a", "vec_b")
+    )
+
+
 @query("closest_pair_per_label_lsh")  # approximate by design ⇒ rows-only
 def closest_pair_per_label_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-blocked twin of closest_pair_per_label: candidate pairs

@@ -41,6 +41,13 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_top_tokens_is_topk_not_global_sort(spark):
+    # vocabulary head must heap-select per partition, never globally
+    # sort the (large) distinct-token set
+    plan = plan_of(spark, "top_tokens")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_exec_time_trend_pushes_status_filter(spark):
     plan = plan_of(spark, "exec_time_trend")
     assert "PushedFilters" in plan and "purchase" in plan
