@@ -74,6 +74,33 @@ def bow_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(text))))
 
 
+# Polynomial rolling-hash parameters (Rabin–Karp form). The per-token
+# base hash is the first 8 hex digits of md5 — chosen because md5 is
+# bit-identical across engines, so the DuckDB oracle can mirror the
+# fingerprint exactly (xxhash64 cannot be mirrored).
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def token_hash32(t: Column) -> Column:
+    """Deterministic 32-bit token hash both engines can compute:
+    first 8 hex digits of md5, parsed as an integer."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
+def rolling_hash(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    h = (h·B + hash(token)) mod M over the token SEQUENCE — unlike
+    bow_fingerprint, permuted documents get different fingerprints.
+    One linear fold per row, no shuffle; intermediate values stay
+    < 2^37 so 64-bit arithmetic never overflows."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + token_hash32(t)) % ROLL_MOD,
+    )
+
+
 def ngrams(text: Column, n: int = 3) -> Column:
     """Token n-gram shingles via slice+transform over one split —
     no explode, no shuffle; stays a per-row array op."""

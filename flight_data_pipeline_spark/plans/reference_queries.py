@@ -316,6 +316,41 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A1 superset: pivoted daily rollup ---------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "daily_event_type_pivot",
+    oracle="""
+    SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+    """ + ",\n".join(
+        f"       CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    ) + """
+    FROM events
+    GROUP BY STRFTIME(ts, '%Y-%m-%d')
+    ORDER BY day
+    """,
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT rollup: one column of counts per event_type per day — the
+    wide form of the A1 daily rollup (the reference's fuel-mix pivot
+    P5, etl_job.py:124-135, applied to statuses). The pivot values are
+    pinned literals so Spark skips the extra distinct-values job and
+    the plan stays a single partial+final aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    pivoted = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    ).orderBy("day")
+
+
 # --- P9: freshness flag (warn-only, etl_job.py:74-83) ------------------------
 @query(
     "freshness_flags_daily",

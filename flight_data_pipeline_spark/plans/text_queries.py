@@ -156,6 +156,134 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_hash_fingerprints",
+    oracle="""
+    SELECT source,
+           COUNT(*)                 AS n_docs,
+           COUNT(DISTINCT list_reduce(
+               list_transform(string_split(text, ' '),
+                              t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+               (acc, x) -> (acc * 31 + x) % 1000000007)) AS n_unique_sequences,
+           MIN(list_reduce(
+               list_transform(string_split(text, ' '),
+                              t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+               (acc, x) -> (acc * 31 + x) % 1000000007)) AS min_fingerprint
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprinting (Rabin–Karp polynomial
+    rolling hash over the token sequence) rolled up per source —
+    sequence-level exact dedup, one step stricter than the
+    token-set BoW fingerprint (permuted docs differ here). The md5-
+    based token hash makes the fingerprint bit-identical in DuckDB
+    (list_reduce with no seed folds the first element in raw — equal
+    mod M to Spark's zero-seeded fold since intermediates stay far
+    below 2^63)."""
+    from flight_data_pipeline_spark.operators.text import rolling_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    rh = rolling_hash(F.col("text"))
+    return (
+        docs.withColumn("rh", rh)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rh").alias("n_unique_sequences"),
+            F.min("rh").alias("min_fingerprint"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "tfidf_top_term_per_doc",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / dfreq.df),
+                     4) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents)
+                                             * 1.0 / dfreq.df), 4) DESC,
+                            tf.term) AS rn
+        FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tfidf
+    FROM scored
+    WHERE rn = 1 AND doc_id < 25
+    ORDER BY doc_id
+    """,
+)
+def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring — the most-distinguishing term per document
+    (shown for a pinned doc_id slice so output stays small). Shape:
+    explode → (doc, term) count → term document-frequency join (the
+    DF side is vocabulary-sized ⇒ broadcast-able) → window top-1 per
+    doc. The corpus total arrives via a broadcast scalar aggregate,
+    never a driver collect. Rounded before ranking with a term
+    tie-break so the cut is engine-stable."""
+    from flight_data_pipeline_spark.operators.relational import top_k_per_group
+    from flight_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.log(F.col("n_total") / F.col("df")), 4)
+            .alias("tfidf"),
+        )
+    )
+    best = top_k_per_group(
+        scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], k=1)
+    return (
+        best.where(F.col("doc_id") < 25)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id")
+    )
+
+
+@query("approx_distinct_stats")  # sketch-based ⇒ rows-only (HLL ≠ DuckDB's sketch)
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier of distinct counting: HyperLogLog++
+    approx_count_distinct of users per event_type next to the exact
+    count. At 100 TB the exact distinct is a full shuffle of the key
+    set; the sketch is a constant-size (~1.5 KB) mergeable state per
+    group — the only distinct-count that scales to ad-hoc dashboards.
+    Rows-only: Spark's HLL++ and DuckDB's sketch give different
+    estimates by construction; relative error vs exact is pinned in
+    tests/test_extensions.py instead."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("lang_id_predictions")  # heuristic ⇒ rows-only check (no SQL twin)
 def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax) vs the labeled lang

@@ -77,6 +77,45 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm
+    FROM (
+      SELECT label, pos, AVG(val) AS m
+      FROM (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+      GROUP BY label, pos)
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vector-mean (centroid) per label, reported as the
+    centroid's L2 norm: posexplode → per-(label, dim) partial+final
+    average → per-label fold. This is the building block of embedding
+    clustering/IVF training expressed in pure DataFrame ops — the
+    shuffle carries (labels × dims) rows regardless of input size, so
+    it holds at any row count. (label_centroid_stats reports the avg
+    per-vector norm; this is the norm of the mean vector.)"""
+    emb = load_table(spark, "embeddings", sf_dir)
+    per_dim = (
+        emb.select("label", F.posexplode(as_double(F.col("embedding")))
+                   .alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4)
+             .alias("centroid_norm"))
+        .orderBy("label")
+    )
+
+
 @query("ann_lsh_topk")  # approximate by design ⇒ rows-only check
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k for the pinned query vector —

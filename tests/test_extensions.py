@@ -166,6 +166,39 @@ class TestLangId:
         assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "en"}
 
 
+class TestSketches:
+    def test_approx_distinct_within_error_bound(self, spark):
+        """HLL++ at rsd=0.02 should land within 5% of exact on every
+        group (the query carries both columns so the check is direct)."""
+        rows = registry.QUERIES["approx_distinct_stats"](spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+            assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+class TestIvfIndexDurability:
+    def test_written_index_prunes_probed_lists(self, spark, tmp_path):
+        """IvfIndex.write lays the index out as ivf_list-partitioned
+        parquet; reading it back with a probe filter must show
+        PartitionFilters (directory pruning), not a data filter — the
+        100 TB claim in SCALE.md made checkable."""
+        from flight_data_pipeline_spark.operators.vectors import build_ivf_index
+        from flight_data_pipeline_spark.tables import load_table
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        idx = build_ivf_index(emb, vec_col="embedding", id_col="vec_id",
+                              n_lists=8, seed=42)
+        path = str(tmp_path / "ivf")
+        idx.write(path)
+
+        probed = spark.read.parquet(path).where(F.col("ivf_list").isin([0, 3]))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_list" in plan.split(
+            "PartitionFilters")[1].split("]")[0]
+        assert probed.select("vec_id").distinct().count() < emb.count()
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         docs = load_table(spark, "documents", SF_DIR).limit(50)
