@@ -75,6 +75,49 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     )
 
 
+def range_join_binned(left: DataFrame, right: DataFrame,
+                      key_cols: Sequence[str], left_ts: str, right_ts: str,
+                      lower_sec: int, upper_sec: int, bin_sec: int,
+                      how: str = "inner") -> DataFrame:
+    """Time-range join — ``right[right_ts] ∈ [left[left_ts]+lower,
+    left[left_ts]+upper)`` per key — as an EQUI-join on (key, time
+    bin), never a non-equi join.
+
+    A naive range join is a BroadcastNestedLoopJoin/Cartesian in
+    Spark (quadratic, the forbidden plan in tests/test_plans.py). The
+    binned form: the right side maps each row to its ``bin_sec``
+    bucket; the left side explodes to the (few) buckets its window
+    spans; both shuffle once on (key, bin); the exact range predicate
+    filters inside the hash join. Each right row carries a single
+    bin, so a (left,right) match appears exactly once — no post-join
+    dedup. Fan-out per left row = window/bin_sec + 1 (pick bin_sec ≈
+    the window width). With ``how="left"`` unmatched left rows survive
+    with null right columns (aggregate with count(right_id) → 0).
+
+    This is the standard interval-join decomposition (Flink's interval
+    join and Spark's own stream-stream time-bound joins bucket state
+    the same way) expressed for batch.
+    """
+    lsec = F.col(left_ts).cast("long")
+    rsec = F.col(right_ts).cast("long")
+    l = left.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.floor((lsec + lower_sec) / bin_sec),
+                             F.floor((lsec + upper_sec - 1) / bin_sec))),
+    ).withColumn("__lsec", lsec).alias("__L")
+    r = (right.withColumn("__bin", F.floor(rsec / bin_sec))
+              .withColumn("__rsec", rsec).alias("__R"))
+    cond = F.col("__L.__bin") == F.col("__R.__bin")
+    for k in key_cols:
+        cond = cond & (F.col(f"__L.{k}") == F.col(f"__R.{k}"))
+    cond = cond & (F.col("__R.__rsec") >= F.col("__L.__lsec") + lower_sec) \
+                & (F.col("__R.__rsec") < F.col("__L.__lsec") + upper_sec)
+    # NB with how="left": an unmatched left row yields one null-match
+    # row per spanned bin — correct under aggregation (count of right
+    # ids is 0); select/dedup by a left unique key for row-level use.
+    return l.join(r, cond, how).drop("__bin", "__lsec", "__rsec")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS (etl_job.py:226-232's probe shape as a relational op)."""
     return left.join(right, on=on, how="left_semi")

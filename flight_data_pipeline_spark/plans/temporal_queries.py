@@ -67,6 +67,49 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- binned range join (interval join, equi-join decomposition) --------------
+@query(
+    "views_before_purchase_1h",
+    oracle="""
+    SELECT p.event_id                       AS purchase_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_views_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <  p.ts
+    GROUP BY p.event_id
+    ORDER BY purchase_id
+    """,
+)
+def views_before_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: views by the same user in the hour before each
+    purchase, counted per purchase. A literal non-equi join is a
+    nested-loop plan in Spark; operators.relational.range_join_binned
+    turns it into an equi-join on (user, hour-bin) — the left side
+    explodes to the ≤2 bins its window spans, the exact range
+    predicate filters inside the hash join, and the plan test pins
+    that no CartesianProduct/BroadcastNestedLoopJoin appears."""
+    from flight_data_pipeline_spark.operators.relational import range_join_binned
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    joined = range_join_binned(
+        purchases, views, key_cols=["user_id"],
+        left_ts="ts", right_ts="view_ts",
+        lower_sec=-3600, upper_sec=0, bin_sec=3600, how="left",
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count("view_id").alias("n_views_1h"))
+        .orderBy("purchase_id")
+    )
+
+
 # --- sessionization -----------------------------------------------------------
 @query(
     "user_sessions",

@@ -284,6 +284,31 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stratified_sample_stats")  # seeded Bernoulli ⇒ rows-only (no SQL twin)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: re-weight the corpus by source with per-stratum
+    Bernoulli sampling (even-numbered sources kept at 80%, odd at
+    20% — a stand-in for real mixture weights). Output compares
+    available vs sampled rows per source. Rows-only: the sample
+    depends on Spark's seeded per-row hash, which no SQL oracle
+    reproduces; statistical bounds are pinned in tests instead."""
+    from flight_data_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    fractions = {f"src{i}": (0.8 if i % 2 == 0 else 0.2) for i in range(20)}
+    sampled = (
+        stratified_sample(docs, "source", fractions, seed=42)
+        .groupBy("source").agg(F.count("*").alias("n_sampled"))
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        totals.join(sampled, "source", "left")
+        .select("source", "n_docs",
+                F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
 @query("lang_id_predictions")  # heuristic ⇒ rows-only check (no SQL twin)
 def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax) vs the labeled lang

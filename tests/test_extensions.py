@@ -177,6 +177,35 @@ class TestSketches:
             assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
 
 
+class TestStratifiedSampling:
+    def test_sample_stats_within_binomial_bounds(self, spark):
+        """Each stratum's sampled count must sit within 4σ of its
+        Bernoulli expectation (n·p ± 4·√(np(1−p)) + 2 slack for tiny
+        strata) and never exceed the available rows."""
+        rows = registry.QUERIES["stratified_sample_stats"](spark, SF_DIR).collect()
+        assert len(rows) == 20
+        for r in rows:
+            i = int(r.source.removeprefix("src"))
+            p = 0.8 if i % 2 == 0 else 0.2
+            mu = r.n_docs * p
+            tol = 4 * (r.n_docs * p * (1 - p)) ** 0.5 + 2
+            assert 0 <= r.n_sampled <= r.n_docs
+            assert abs(r.n_sampled - mu) <= tol, (r.source, r.n_sampled, mu)
+
+    def test_mixture_fractions_cap_and_weighting(self):
+        from flight_data_pipeline_spark.operators.sampling import mixture_fractions
+
+        fr = mixture_fractions(
+            counts={"web": 1000, "books": 100, "code": 50},
+            target_weights={"web": 1, "books": 1, "code": 2},
+            total_out=200,
+        )
+        assert fr["web"] == 0.05       # 50 of 1000
+        assert fr["books"] == 0.5      # 50 of 100
+        assert fr["code"] == 1.0       # wants 100 of 50 → capped
+        assert "absent" not in fr
+
+
 class TestIvfIndexDurability:
     def test_written_index_prunes_probed_lists(self, spark, tmp_path):
         """IvfIndex.write lays the index out as ivf_list-partitioned

@@ -59,6 +59,14 @@ def test_aggregates_are_partial_then_final(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_range_join_is_binned_equi_join(spark):
+    plan = plan_of(spark, "views_before_purchase_1h")
+    # the interval join must decompose to a hash/sort-merge equi-join
+    # on (key, bin) — never a nested-loop range join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_is_single_window_not_range_join(spark):
     plan = plan_of(spark, "purchase_attribution_asof")
     # the as-of must compile to union+window, never a nested-loop/

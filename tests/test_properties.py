@@ -89,6 +89,37 @@ def test_first_per_bucket_is_min_per_key(spark, data):
         assert (r.ts, r.id) == want                # deterministic min
 
 
+@SETTINGS
+@given(left=rows, right=rows,
+       bounds=st.tuples(st.integers(-7200, 7200), st.integers(-7200, 7200))
+       .filter(lambda b: b[0] < b[1]),
+       bin_sec=st.sampled_from([60, 600, 3600, 7200]))
+def test_range_join_binned_matches_naive(spark, left, right, bounds, bin_sec):
+    """The binned interval join must produce exactly the naive
+    non-equi join's pair set for arbitrary windows and bin widths —
+    bin-boundary off-by-ones are the failure mode this hunts."""
+    from flight_data_pipeline_spark.operators.relational import range_join_binned
+
+    lower, upper = bounds
+    lrows = with_ids(left)
+    rrows = [(i + 1000, k, ts) for (i, k, ts) in with_ids(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, rts timestamp")
+
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_binned(ldf, rdf, ["k"], "ts", "rts",
+                                   lower, upper, bin_sec).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, lk, lts in lrows
+        for rid, rk, rts in rrows
+        if lk == rk and lower <= (rts - lts).total_seconds() < upper
+    }
+    assert got == want
+
+
 words = st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
                  min_size=1, max_size=8)
 corpora = st.lists(st.tuples(st.integers(0, 1), words),  # (block, tokens)
