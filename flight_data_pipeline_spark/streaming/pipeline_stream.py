@@ -196,6 +196,28 @@ def stateful_user_stats(events: DataFrame,
     )
 
 
+def streaming_doc_dedup(docs: DataFrame, ts_col: str = "ingest_ts",
+                        text_col: str = "text",
+                        watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact-dedup of a document feed — the LLM-pipeline
+    dedup family's streaming member: each document gets a content
+    fingerprint (sorted-token-set BoW hash, permutation-insensitive)
+    and `dropDuplicatesWithinWatermark` keeps the first arrival per
+    fingerprint. State is bounded: a fingerprint ages out of the
+    dedup store once the watermark passes its ingest time, so state
+    size tracks the dedup horizon, not the corpus — the property that
+    makes continuous corpus ingestion feasible at 100 TB (for exact
+    forever-dedup, land then batch-dedup against the sink instead,
+    as TelemetrySink.append_dedup does for telemetry)."""
+    from flight_data_pipeline_spark.operators.text import bow_fingerprint
+
+    return (
+        docs.withColumn("fingerprint", bow_fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def join_telemetry_streams(intensity: DataFrame, mix: DataFrame,
                            ts_col: str = "window_start",
                            watermark: str = WATERMARK) -> DataFrame:

@@ -197,3 +197,49 @@ def test_stream_stream_join_pairs_windows(spark, tmp_path):
     rows = {r.window_start.hour: (r.intensity, r.gas)
             for r in spark.sql("SELECT * FROM ssjoin").collect()}
     assert rows == {14: (90.0, 40.0), 15: (80.0, 50.0)}
+
+
+def test_streaming_doc_dedup_on_fingerprint(spark, tmp_path):
+    """Streaming document dedup: same token set (even permuted) within
+    the watermark horizon keeps only the first arrival; distinct
+    content passes; replay after restart stays deduped (state in the
+    checkpoint)."""
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        streaming_doc_dedup,
+    )
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    (ddir / "a.json").write_text("\n".join([
+        json.dumps({"doc_id": 1, "ingest_ts": "2025-12-09T14:00:00",
+                    "text": "alpha beta gamma"}),
+        json.dumps({"doc_id": 2, "ingest_ts": "2025-12-09T14:05:00",
+                    "text": "gamma beta alpha"}),   # permuted dup of 1
+        json.dumps({"doc_id": 3, "ingest_ts": "2025-12-09T14:10:00",
+                    "text": "delta epsilon zeta"}),
+    ]))
+
+    out = tmp_path / "out"
+
+    def run_once():
+        docs = spark.readStream.schema(
+            "doc_id long, ingest_ts timestamp, text string").json(str(ddir))
+        q = (streaming_doc_dedup(docs).writeStream.format("parquet")
+             .option("path", str(out)).outputMode("append")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        q.awaitTermination(120)
+
+    run_once()
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert kept == [1, 3]  # permuted duplicate dropped
+
+    # restart: replay doc 1's content + one new doc within the watermark
+    (ddir / "b.json").write_text(json.dumps(
+        {"doc_id": 4, "ingest_ts": "2025-12-09T14:20:00",
+         "text": "beta gamma alpha"}) + "\n" + json.dumps(
+        {"doc_id": 5, "ingest_ts": "2025-12-09T14:25:00",
+         "text": "eta theta iota"}))
+    run_once()
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert kept2 == [1, 3, 5]  # replayed content deduped by checkpointed state
