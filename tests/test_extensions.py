@@ -104,6 +104,22 @@ class TestAnnRecall:
         overlap = len(set(exact) & set(approx))
         assert overlap >= 2, f"ANN recall too low: {overlap}/10"
 
+    def test_multiprobe_dominates_single_probe(self, spark):
+        """Probing the Hamming-1 neighbor buckets must never lose
+        recall vs the single bucket (it's a strict superset of the
+        probed space) and on the fixture it measurably gains (2→4 of
+        the exact top-10 at bits=4)."""
+        exact = [r.vec_id for r in
+                 registry.QUERIES["cosine_topk_bruteforce"](spark, SF_DIR).collect()]
+        single = [r.vec_id for r in
+                  registry.QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()]
+        multi = [r.vec_id for r in
+                 registry.QUERIES["ann_lsh_topk_multiprobe"](spark, SF_DIR).collect()]
+        assert 0 in multi
+        o_single = len(set(exact) & set(single))
+        o_multi = len(set(exact) & set(multi))
+        assert o_multi >= max(o_single, 3), (o_single, o_multi)
+
 
 class TestLshBlockedEmbeddingNearDup:
     def test_planted_near_dups_recovered(self, spark):
