@@ -114,6 +114,22 @@ def ngrams(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def chunk_tokens(text: Column, chunk_size: int = 64,
+                 stride: int = 48) -> Column:
+    """Split a document into token chunks of ``chunk_size`` starting
+    every ``stride`` tokens (stride < chunk_size ⇒ overlapping
+    chunks — the context-window preparation step of training-data
+    pipelines). Pure per-row array ops (sequence → filter → slice):
+    no explode until the caller chooses to, no shuffle, no UDF."""
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return F.transform(
+        F.filter(starts, lambda s: s < n),
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_size)),
+    )
+
+
 def lang_scores(text: Column) -> Column:
     """Marker-token hit counts per candidate language → map column."""
     toks = distinct_tokens(text)

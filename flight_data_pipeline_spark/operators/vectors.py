@@ -144,6 +144,20 @@ def ann_lsh_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
     )
 
 
+def dequantized_int8(vec: Column) -> Column:
+    """Symmetric int8 scalar quantization round-trip: per-vector
+    scale = 127/max|x|, q_i = floor(x_i·scale + 0.5) ∈ [−127, 127],
+    returned dequantized (q_i/scale). At 100 TB int8 embeddings are
+    4× smaller on disk and in shuffle than float32; this expression
+    quantizes and reconstructs in one map-side pass so the cosine
+    error of the compression is directly measurable (the checked
+    query pins it). floor(x+0.5) not round() — Spark HALF_UP and
+    DuckDB HALF_EVEN disagree on exact halves; floor is identical."""
+    scale = 127.0 / F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(1e-12))
+    return F.transform(vec, lambda x: F.floor(x * scale + 0.5) / scale)
+
+
 def lsh_candidate_pairs(df: DataFrame, vec_col: str, id_col: str,
                         block_col: str | None = None, bits: int = 4,
                         bands: int = 3) -> DataFrame:

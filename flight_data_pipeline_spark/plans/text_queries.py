@@ -284,6 +284,107 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48  # overlapping context-window chunks
+
+
+@query(
+    "doc_chunking_stats",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                       AS n_chunks,
+           ROUND(AVG(len(string_split(chunk, ' '))), 4)   AS avg_chunk_tokens,
+           CAST(SUM(CASE WHEN len(string_split(chunk, ' ')) = {CHUNK_SIZE}
+                    THEN 1 ELSE 0 END) AS BIGINT)         AS n_full_chunks
+    FROM (
+        SELECT source,
+               UNNEST(list_transform(
+                   list_filter(generate_series(0, len(t) - 1, {CHUNK_STRIDE}),
+                               s -> s < len(t)),
+                   s -> array_to_string(t[s + 1 : s + {CHUNK_SIZE}], ' '))) AS chunk
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context windows: overlapping token
+    chunks (size 64, stride 48) per document, rolled up per source —
+    the chunk-count/length audit run before tokenizer sharding. The
+    chunk arrays are built per-row (operators.text.chunk_tokens, no
+    UDF); explode happens only for the aggregate, and at 100 TB the
+    exploded stream combines map-side before the one shuffle."""
+    from flight_data_pipeline_spark.operators.text import chunk_tokens, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = docs.select(
+        "source",
+        F.explode(chunk_tokens(F.col("text"), CHUNK_SIZE, CHUNK_STRIDE))
+        .alias("chunk"),
+    )
+    n_tok = token_count(F.col("chunk"))
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.round(F.avg(n_tok), 4).alias("avg_chunk_tokens"),
+            F.sum(F.when(n_tok == CHUNK_SIZE, 1).otherwise(0))
+            .alias("n_full_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+CTX_LEN = 2048  # packing target context length
+
+
+@query(
+    "sequence_packing_stats",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n
+        FROM documents
+    ), packed AS (
+        SELECT source, n,
+               CAST(FLOOR((SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n)
+                          / {CTX_LEN}.0) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT)   AS n_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each source's documents in doc_id
+    order and cut every {CTX_LEN} tokens — each doc lands in the bin
+    where it starts (boundary-agnostic concat packing, exactly how
+    pretraining shards are packed). One running-sum window per source
+    partition (never a global window), then a small aggregate; bin
+    fill/utilization falls out of n_tokens."""
+    from flight_data_pipeline_spark.operators.text import token_count
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select("source", "doc_id",
+                        token_count(F.col("text")).alias("n"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n").over(w) - F.col("n")) / float(CTX_LEN)),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .orderBy("source", "bin_id")
+    )
+
+
 @query("stratified_sample_stats")  # seeded Bernoulli ⇒ rows-only (no SQL twin)
 def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing: re-weight the corpus by source with per-stratum

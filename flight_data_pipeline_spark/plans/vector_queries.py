@@ -128,6 +128,53 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=10, bits=4)
 
 
+@query(
+    "int8_quantization_error",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               e,
+               127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-12)
+                   AS scale
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    )
+    SELECT label,
+           ROUND(AVG(list_cosine_similarity(
+               e, list_transform(e, x -> floor(x * scale + 0.5) / scale))), 4)
+               AS avg_cos,
+           ROUND(MIN(list_cosine_similarity(
+               e, list_transform(e, x -> floor(x * scale + 0.5) / scale))), 4)
+               AS min_cos
+    FROM q
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression audit: cosine similarity between each
+    vector and its symmetric-int8 quantized reconstruction, per label
+    (avg + worst case). The quantize→dequantize round-trip is one
+    map-side HOF expression (operators.vectors.dequantized_int8); the
+    floor(x+0.5) rounding is pinned identical across engines so the
+    query is exactly checkable."""
+    from flight_data_pipeline_spark.operators.vectors import (
+        as_double,
+        cosine,
+        dequantized_int8,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = as_double(F.col("embedding"))
+    cos = cosine(e, dequantized_int8(e))
+    return (
+        emb.select("label", cos.alias("c"))
+        .groupBy("label")
+        .agg(F.round(F.avg("c"), 4).alias("avg_cos"),
+             F.round(F.min("c"), 4).alias("min_cos"))
+        .orderBy("label")
+    )
+
+
 @query("ann_lsh_topk_multiprobe")  # approximate by design ⇒ rows-only
 def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: the query's bucket plus every Hamming-1

@@ -193,6 +193,30 @@ class TestSketches:
             assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
 
 
+class TestChunking:
+    def test_overlapping_chunks_and_short_docs(self, spark):
+        from flight_data_pipeline_spark.operators.text import chunk_tokens
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "x")], "id long, text string")
+        out = {r.id: r.chunks for r in df.select(
+            "id", chunk_tokens(F.col("text"), chunk_size=4, stride=3)
+            .alias("chunks")).collect()}
+        assert out[1] == ["a b c d", "d e f g", "g h"]  # overlap of 1
+        assert out[2] == ["x"]                          # short doc = 1 chunk
+
+
+class TestInt8Quantization:
+    def test_reconstruction_is_cosine_faithful(self, spark):
+        """int8 keeps 64-dim embedding direction nearly intact: every
+        label's worst-case reconstruction cosine stays above 0.999."""
+        rows = registry.QUERIES["int8_quantization_error"](spark, SF_DIR).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r.min_cos > 0.999
+            assert r.avg_cos >= r.min_cos
+
+
 class TestStratifiedSampling:
     def test_sample_stats_within_binomial_bounds(self, spark):
         """Each stratum's sampled count must sit within 4σ of its
