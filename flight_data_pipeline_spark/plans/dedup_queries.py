@@ -80,6 +80,53 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard_sim",
     ).orderBy("doc_a", "doc_b")
 
+@query(
+    "cross_source_contamination",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, lang,
+               list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    )
+    SELECT a.source AS source_a,
+           b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+    FROM t a
+    JOIN t b ON a.lang = b.lang AND a.source < b.source
+    WHERE len(list_intersect(a.t, b.t))
+          * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detection: near-duplicate pairs that
+    span DIFFERENT sources (the leak a per-source dedup never sees),
+    counted per source pair. Blocked by lang to bound the pair space;
+    at 100 TB the block key becomes an LSH band (minhash_lsh_near_dups
+    already searches source-blind — this is its checked, lang-blocked
+    exact twin aggregated to the contamination matrix)."""
+    from flight_data_pipeline_spark.operators.text import distinct_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", "source", "lang",
+                    distinct_tokens(F.col("text")).alias("t"))
+    a = t.select(F.col("lang"), F.col("source").alias("source_a"),
+                 F.col("t").alias("ta"))
+    b = t.select(F.col("lang"), F.col("source").alias("source_b"),
+                 F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, ["lang"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .where(jaccard(F.col("ta"), F.col("tb")) >= JACCARD_THRESHOLD)
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_leaked_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 @query("minhash_lsh_near_dups")  # xxhash64 has no DuckDB twin ⇒ rows-only
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, Jaccard-verified — the scale

@@ -284,6 +284,112 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_stats",
+    oracle="""
+    SELECT source,
+           ROUND(AVG(len(list_distinct(g)) * 1.0 / len(g)), 4)
+               AS avg_distinct_3gram_ratio,
+           ROUND(MIN(len(list_distinct(g)) * 1.0 / len(g)), 4)
+               AS min_distinct_3gram_ratio
+    FROM (
+        SELECT source,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(generate_series(0, len(t) - 3),
+                                        i -> array_to_string(t[i + 1 : i + 3], ' '))
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher/C4 quality rule family):
+    distinct-to-total 3-gram ratio per document — heavily repeated
+    boilerplate drives the ratio toward 0 — aggregated per source
+    (avg + the most repetitive doc). The n-gram array is per-row
+    (operators.text.ngrams, no explode); one small aggregate."""
+    from flight_data_pipeline_spark.operators.text import ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = ngrams(F.col("text"), 3)
+    ratio = F.size(F.array_distinct(g)) / F.size(g)
+    return (
+        docs.select("source", ratio.alias("r"))
+        .groupBy("source")
+        .agg(F.round(F.avg("r"), 4).alias("avg_distinct_3gram_ratio"),
+             F.round(F.min("r"), 4).alias("min_distinct_3gram_ratio"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=rf"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok BETWEEN 10 AND 1000
+                          AND mean_tok_len BETWEEN 3 AND 10
+                          AND sw_hits >= 2
+                          AND punct_ratio <= 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           ROUND(100.0 * SUM(CASE WHEN n_tok BETWEEN 10 AND 1000
+                                   AND mean_tok_len BETWEEN 3 AND 10
+                                   AND sw_hits >= 2
+                                   AND punct_ratio <= 0.1
+                                  THEN 1 ELSE 0 END) / COUNT(*), 2) AS pass_pct
+    FROM (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tok,
+               length(replace(text, ' ', '')) * 1.0
+                   / len(string_split(text, ' ')) AS mean_tok_len,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_SW}))) AS sw_hits,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                   / greatest(length(regexp_replace(text, '\s', '', 'g')), 1)
+                   AS punct_ratio
+        FROM documents
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate per source: token count in
+    [10, 1000], mean token length in [3, 10], ≥2 stopword hits, punct
+    ratio ≤ 0.1 — the standard pretraining quality rules composed as
+    one flag-don't-drop audit (counts, never filters). All map-side
+    expressions shared with the individual quality queries."""
+    from flight_data_pipeline_spark.operators.text import (
+        punct_ratio,
+        stopword_count,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    n_tok = token_count(text)
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / n_tok
+    passes = (
+        n_tok.between(10, 1000)
+        & mean_len.between(3, 10)
+        & (stopword_count(text) >= 2)
+        & (punct_ratio(text) <= 0.1)
+    )
+    return (
+        docs.select("source", passes.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("p"), 1).otherwise(0)).alias("n_pass"),
+            F.round(100.0 * F.sum(F.when(F.col("p"), 1).otherwise(0))
+                    / F.count("*"), 2).alias("pass_pct"),
+        )
+        .orderBy("source")
+    )
+
+
 CHUNK_SIZE, CHUNK_STRIDE = 64, 48  # overlapping context-window chunks
 
 
