@@ -55,6 +55,40 @@ class TestNearDupRecall:
             f"LSH missed {len(missed)}/{len(exact)} near-dup pairs"
         )
 
+    def test_lsh_recovers_cross_source_contamination(self, spark):
+        """The source-blind MinHash sweep must recover the cross-source
+        near-dup pairs that the checked contamination matrix counts —
+        the scale path for leak detection. Same banding math as the
+        same-source recall test (miss prob ≈ 0.4% per pair)."""
+        from flight_data_pipeline_spark.operators.dedup import jaccard
+        from flight_data_pipeline_spark.operators.text import distinct_tokens
+
+        docs = load_table(spark, "documents", SF_DIR)
+        meta = {r.doc_id: (r.source, r.lang) for r in
+                docs.select("doc_id", "source", "lang").collect()}
+        # exact cross-source pairs (same lang, jaccard >= 0.8)
+        t = docs.select("doc_id", "lang",
+                        distinct_tokens(F.col("text")).alias("t"))
+        a = t.select(F.col("lang"), F.col("doc_id").alias("ia"),
+                     F.col("t").alias("ta"))
+        b = t.select(F.col("lang"), F.col("doc_id").alias("ib"),
+                     F.col("t").alias("tb"))
+        exact = {
+            (r.ia, r.ib)
+            for r in a.join(b, ["lang"]).where(F.col("ia") < F.col("ib"))
+            .where(jaccard(F.col("ta"), F.col("tb")) >= 0.8).collect()
+            if meta[r.ia][0] != meta[r.ib][0]
+        }
+        assert exact  # the fixture is cross-contaminated by construction
+        lsh = {
+            (r.doc_a, r.doc_b)
+            for r in registry.QUERIES["minhash_lsh_near_dups"](spark, SF_DIR).collect()
+            if meta[r.doc_a][0] != meta[r.doc_b][0]
+        }
+        missed = exact - lsh
+        assert len(missed) <= max(1, len(exact) // 20), (
+            f"LSH missed {len(missed)}/{len(exact)} cross-source near-dups")
+
     def test_simhash_buckets_group_near_dups(self, spark):
         out = registry.QUERIES["simhash_buckets"](spark, SF_DIR)
         rows = out.collect()
