@@ -156,6 +156,47 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 10) -> DataFrame:
+    """Connected components over an undirected edge list → (v, label)
+    with label = the component's minimum node id — the step that turns
+    near-dup PAIRS into dedup CLUSTERS (keep min-id doc per cluster,
+    drop the rest).
+
+    Iterative min-label propagation as pure DataFrame rounds: each
+    round every node takes the min label in its closed neighborhood
+    (one join + one min-aggregate, two shuffles). After k rounds a
+    node's label is the minimum over its k-hop neighborhood, so
+    ``max_iter`` must be ≥ the largest component's diameter — near-dup
+    clusters are dense (template families), so small diameters are the
+    norm; raise it (or switch to the log-round large-star/small-star
+    variant) for chain-like graphs.
+
+    Lineage discipline: each round references the previous labels
+    twice (message join + union), so an unbroken logical plan doubles
+    per iteration — 2^max_iter copies of the upstream edge
+    computation. Exactly like GraphFrames/MLlib, every round
+    truncates lineage with an eager localCheckpoint (edges too: the
+    posting-join subtree would otherwise replay every round). The
+    per-round job this triggers is the inherent cost of an iterative
+    algorithm, not a data collect."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).localCheckpoint()
+    labels = (sym.select(F.col("s").alias("v")).distinct()
+              .withColumn("label", F.col("v")))
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels.withColumnRenamed("v", "__d"),
+                     F.col("d") == F.col("__d"))
+            .select(F.col("s").alias("v"), F.col("label"))
+        )
+        labels = (labels.unionByName(msgs)
+                  .groupBy("v").agg(F.min("label").alias("label"))
+                  .localCheckpoint())
+    return labels
+
+
 def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
     """Token-set Jaccard similarity — array_intersect/array_union
     sizes, computed per-row JVM-side."""

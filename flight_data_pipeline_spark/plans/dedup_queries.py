@@ -155,6 +155,58 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    ), edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))
+              * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+    ), sym AS (
+        SELECT s, d FROM edges UNION SELECT d, s FROM edges
+    ), reach(v, u) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT r.v, e.d FROM reach r JOIN sym e ON r.u = e.s
+    )
+    SELECT CAST(cluster_id AS BIGINT)        AS cluster_id,
+           CAST(COUNT(*) AS BIGINT)          AS n_docs
+    FROM (SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v)
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the verified near-dup
+    pair graph — the step that turns pairs into the keep/drop decision
+    (keep each cluster's min doc_id, drop the rest; n_docs − 1 drops
+    per cluster). Spark side is fixed-round min-label propagation
+    (operators.dedup.connected_components); the oracle computes the
+    same components with a recursive transitive-closure CTE. The one
+    genuinely iterative algorithm in the registry, still exactly
+    checked."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_blocked,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = jaccard_pairs_blocked(
+        docs, id_col="doc_id", block_col="source", text_col="text",
+        threshold=JACCARD_THRESHOLD,
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b", max_iter=10)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("cluster_id")
+    )
+
+
 @query("simhash_buckets")  # xxhash64 ⇒ rows-only
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints bucketed by 16-bit prefix — the constant-

@@ -124,6 +124,25 @@ class TestHotTokenGuard:
         assert guarded == exact  # same pairs AND same (exact) sims
 
 
+class TestConnectedComponents:
+    def test_chain_and_disjoint_clusters(self, spark):
+        """A diameter-6 chain plus a disjoint triangle: labels must
+        collapse to each component's min node id within max_iter."""
+        from flight_data_pipeline_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+             (10, 11), (11, 12), (10, 12)],
+            "src long, dst long",
+        )
+        got = {r.v: r.label
+               for r in connected_components(edges, max_iter=8).collect()}
+        assert {v: l for v, l in got.items() if v < 10} == {
+            i: 1 for i in range(1, 8)}
+        assert {v: l for v, l in got.items() if v >= 10} == {
+            10: 10, 11: 10, 12: 10}
+
+
 class TestAnnRecall:
     def test_lsh_topk_overlaps_bruteforce(self, spark):
         """ANN (4-bit LSH → ~1/16 of the table probed) should recover
