@@ -516,6 +516,30 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_value_quantiles")  # sketch-based ⇒ rows-only (KLL ≠ DuckDB's)
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch tier beside the exact percentiles
+    (order_price_quantiles): percentile_approx of event values per
+    type next to the exact percentile. At 100 TB exact percentiles
+    need a full sort (or all values in memory per group); the KLL-ish
+    sketch is constant-size mergeable state — the dashboard path.
+    Rows-only: sketch cut points differ across engines; relative
+    error vs exact is pinned in tests."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile_approx("value", 0.5, 10000), 4)
+            .alias("approx_p50"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+            F.round(F.percentile_approx("value", 0.95, 10000), 4)
+            .alias("approx_p95"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("exact_p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("lang_id_predictions")  # heuristic ⇒ rows-only check (no SQL twin)
 def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax) vs the labeled lang

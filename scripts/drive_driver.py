@@ -1,4 +1,9 @@
-"""Simulate the verification driver: vanilla session, sf0.01, DuckDB compare."""
+"""Simulate the verification driver: vanilla session, sf0.01, DuckDB compare.
+
+Set DRIVE_SF_DIR to spot-check another scale (e.g.
+DRIVE_SF_DIR=/root/testdata/sf0.1 — all checked queries verified MATCH
+there too, 2026-08-13)."""
+import os
 import sys
 sys.path.insert(0, '/root/repo')
 from pyspark.sql import SparkSession
@@ -16,8 +21,8 @@ rows = df.collect()
 print(f"t1 entry(): {len(rows)} rows, schema={df.columns}")
 assert len(rows) > 0
 
-# t2 at sf0.01
-SF = '/root/testdata/sf0.01'
+# t2 at sf0.01 (or DRIVE_SF_DIR)
+SF = os.environ.get('DRIVE_SF_DIR', '/root/testdata/sf0.01')
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")

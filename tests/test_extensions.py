@@ -236,6 +236,19 @@ class TestLangId:
 
 
 class TestSketches:
+    def test_approx_quantiles_within_error_bound(self, spark):
+        """percentile_approx at accuracy 10000 must track the exact
+        percentile in every group. Tolerance is 5%, not sketch-rank
+        error: approx returns an actual data point while exact
+        interpolates between ranks, and at sf0.001 group sizes the
+        inter-point gap dominates (sketch rank error itself is ~0 at
+        this accuracy)."""
+        rows = registry.QUERIES["approx_value_quantiles"](spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            for a, e in ((r.approx_p50, r.exact_p50), (r.approx_p95, r.exact_p95)):
+                assert abs(a - e) / max(abs(e), 1e-9) < 0.05, (r.event_type, a, e)
+
     def test_approx_distinct_within_error_bound(self, spark):
         """HLL++ at rsd=0.02 should land within 5% of exact on every
         group (the query carries both columns so the check is direct)."""
