@@ -166,11 +166,20 @@ def connected_components(edges: DataFrame, src: str = "src",
     Iterative min-label propagation as pure DataFrame rounds: each
     round every node takes the min label in its closed neighborhood
     (one join + one min-aggregate, two shuffles). After k rounds a
-    node's label is the minimum over its k-hop neighborhood, so
-    ``max_iter`` must be ≥ the largest component's diameter — near-dup
-    clusters are dense (template families), so small diameters are the
-    norm; raise it (or switch to the log-round large-star/small-star
-    variant) for chain-like graphs.
+    node's label is the minimum over its k-hop neighborhood.
+
+    Convergence: the loop stops as soon as a round changes no label —
+    a fixed point of min-propagation, i.e. the true components — so
+    converged inputs never pay the full ``max_iter`` rounds (dense
+    near-dup clusters typically settle in 2-3). The probe is a
+    bounded ``isEmpty()`` on the anti-set of changed labels between
+    two already-checkpointed (materialized) label tables: O(1) rows
+    to the driver, loop control rather than data materialization. If
+    ``max_iter`` rounds pass with labels still moving (component
+    diameter > max_iter — chain-like graphs), a warning is logged and
+    the partial labels are returned: clusters may be split; raise
+    ``max_iter`` or switch to a log-round large-star/small-star
+    variant for such graphs.
 
     Lineage discipline: each round references the previous labels
     twice (message join + union), so an unbroken logical plan doubles
@@ -180,20 +189,36 @@ def connected_components(edges: DataFrame, src: str = "src",
     posting-join subtree would otherwise replay every round). The
     per-round job this triggers is the inherent cost of an iterative
     algorithm, not a data collect."""
+    import logging
+
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     ).localCheckpoint()
     labels = (sym.select(F.col("s").alias("v")).distinct()
-              .withColumn("label", F.col("v")))
+              .withColumn("label", F.col("v"))
+              .localCheckpoint())
+    converged = False
     for _ in range(max_iter):
         msgs = (
             sym.join(labels.withColumnRenamed("v", "__d"),
                      F.col("d") == F.col("__d"))
             .select(F.col("s").alias("v"), F.col("label"))
         )
-        labels = (labels.unionByName(msgs)
-                  .groupBy("v").agg(F.min("label").alias("label"))
-                  .localCheckpoint())
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("v").agg(F.min("label").alias("label"))
+                      .localCheckpoint())
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "__prev"), "v")
+            .where(F.col("label") != F.col("__prev"))
+        )
+        labels, converged = new_labels, changed.isEmpty()
+        if converged:
+            break
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components: labels still changing after %d rounds "
+            "— components wider than max_iter hops are split; raise "
+            "max_iter", max_iter)
     return labels
 
 
@@ -246,12 +271,20 @@ def simhash64(text_tokens: Column) -> Column:
 def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
                           text_col: str, threshold: float,
                           sim_digits: int = 4,
-                          max_token_df: int | None = None) -> DataFrame:
+                          max_token_df: int | None = None,
+                          carry_cols: Sequence[str] = ()) -> DataFrame:
     """All pairs within a block whose token-set Jaccard ≥ threshold →
     (id_a, id_b, jaccard_sim), via the inverted-index shape: explode
     distinct tokens, self-join postings on (block, token), count
     co-occurrences in a codegen'd hash aggregate, and derive
     |a∪b| = na + nb − |a∩b|.
+
+    ``carry_cols`` rides per-document payload columns (functionally
+    dependent on the id, e.g. ``source``) through the pair generation:
+    each ``c`` comes back as ``{c}_a`` / ``{c}_b``. They travel as
+    extra grouping keys on the co-occurrence aggregate — free at the
+    shuffle (same key cardinality), and they spare the caller two
+    document-table joins to re-attach metadata to the pair stream.
 
     NOT per-pair array_intersect (interpreted; measured ~6× slower at
     sf0.1). Cost tracks co-occurrence volume; the block key bounds the
@@ -275,9 +308,12 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
     t = df.select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
+        *[F.col(c).alias(f"__p_{c}") for c in carry_cols],
         distinct_tokens(F.col(text_col)).alias("__t"),
     ).withColumn("__n", F.size("__t"))
-    posting = t.select("__id", "__blk", "__n", F.explode("__t").alias("__tok"))
+    carry = [f"__p_{c}" for c in carry_cols]
+    posting = t.select("__id", "__blk", "__n", *carry,
+                       F.explode("__t").alias("__tok"))
 
     if max_token_df is not None:
         # Phase 1 — candidates from DF-capped postings only: the hash
@@ -303,12 +339,16 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
         # Token arrays arrive through a shuffle so they're materialized
         # columns: array_intersect runs once per candidate pair, never
         # recomputed through CollapseProject.
-        ta = t.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta"))
-        tb = t.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb"))
+        ta = t.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta"),
+                      *[F.col(f"__p_{c}").alias(f"{c}_a") for c in carry_cols])
+        tb = t.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb"),
+                      *[F.col(f"__p_{c}").alias(f"{c}_b") for c in carry_cols])
         return (
             cand.join(ta, "id_a").join(tb, "id_b")
             .select(
                 "id_a", "id_b",
+                *[f"{c}_a" for c in carry_cols],
+                *[f"{c}_b" for c in carry_cols],
                 F.round(jaccard(F.col("__ta"), F.col("__tb")), sim_digits)
                 .alias("jaccard_sim"),
             )
@@ -332,12 +372,17 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
             F.col("b.__id").alias("id_b"),
             F.col("a.__n").alias("__na"),
             F.col("b.__n").alias("__nb"),
+            *[F.col(f"a.__p_{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.__p_{c}").alias(f"{c}_b") for c in carry_cols],
         )
         .agg(F.count("*").alias("__c"))
     )
     sim = F.round(F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")),
                   sim_digits)
     return (
-        co.select("id_a", "id_b", sim.alias("jaccard_sim"))
+        co.select("id_a", "id_b",
+                  *[f"{c}_a" for c in carry_cols],
+                  *[f"{c}_b" for c in carry_cols],
+                  sim.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )

@@ -123,6 +123,23 @@ class TestHotTokenGuard:
         }
         assert guarded == exact  # same pairs AND same (exact) sims
 
+    def test_carry_cols_attach_payload_on_both_paths(self, spark):
+        """carry_cols must ride per-doc payload through pair generation
+        identically on the exact and DF-capped paths — and agree with
+        re-joining the payload manually."""
+        from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
+
+        docs = load_table(spark, "documents", SF_DIR)
+        want = {(r.doc_id, r.source) for r in docs.select("doc_id", "source").collect()}
+        for cap in (None, 20):
+            pairs = jaccard_pairs_blocked(
+                docs, "doc_id", "source", "text", threshold=0.8,
+                max_token_df=cap, carry_cols=("source",)).collect()
+            assert pairs  # fixture has near-dups
+            for r in pairs:
+                assert (r.id_a, r.source_a) in want
+                assert (r.id_b, r.source_b) in want
+
 
 class TestConnectedComponents:
     def test_chain_and_disjoint_clusters(self, spark):
@@ -141,6 +158,31 @@ class TestConnectedComponents:
             i: 1 for i in range(1, 8)}
         assert {v: l for v, l in got.items() if v >= 10} == {
             10: 10, 11: 10, 12: 10}
+
+    def test_early_stop_still_exact_with_generous_cap(self, spark):
+        """max_iter far above the diameter must not change the result
+        (the loop exits at the fixed point, not after max_iter)."""
+        from flight_data_pipeline_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+        got = {r.v: r.label
+               for r in connected_components(edges, max_iter=100).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_cap_hit_logs_warning(self, spark, caplog):
+        """A component whose diameter exceeds max_iter must WARN about
+        split clusters instead of failing silently (ADVICE r2)."""
+        import logging
+
+        from flight_data_pipeline_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], "src long, dst long")
+        with caplog.at_level(logging.WARNING,
+                             logger="flight_data_pipeline_spark.operators.dedup"):
+            connected_components(chain, max_iter=2).collect()
+        assert any("still changing" in r.message for r in caplog.records)
 
 
 class TestAnnRecall:
@@ -373,3 +415,33 @@ class TestIvfRecall:
         assert 0 in approx
         overlap = len(set(exact) & set(approx))
         assert overlap >= 2, f"IVF recall too low: {overlap}/10"
+
+    def test_index_cache_evicts_and_unpersists_oldest(self, spark):
+        """The per-process IVF cache must not pin unbounded executor
+        storage: past _IVF_CACHE_MAX datasets the oldest entry is
+        evicted and unpersisted (ADVICE r2)."""
+        from flight_data_pipeline_spark.plans import vector_queries as vq
+
+        class FakeIndex:
+            released = False
+
+            def unpersist(self):
+                self.released = True
+
+        saved = dict(vq._IVF_INDEXES)
+        try:
+            vq._IVF_INDEXES.clear()
+            fakes = [FakeIndex() for _ in range(vq._IVF_CACHE_MAX)]
+            for i, f in enumerate(fakes):
+                vq._IVF_INDEXES[("fake-app", f"sf{i}")] = f
+            vq._ivf_index_for(spark, SF_DIR)  # real build → one eviction
+            assert fakes[0].released           # FIFO: oldest went first
+            assert not fakes[1].released
+            assert len(vq._IVF_INDEXES) == vq._IVF_CACHE_MAX
+        finally:
+            for idx in vq._IVF_INDEXES.values():
+                if isinstance(idx, FakeIndex):
+                    continue
+                idx.unpersist()
+            vq._IVF_INDEXES.clear()
+            vq._IVF_INDEXES.update(saved)

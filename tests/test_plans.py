@@ -67,6 +67,36 @@ def test_range_join_is_binned_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cross_source_contamination_uses_posting_join_not_all_pairs(spark):
+    plan = plan_of(spark, "cross_source_contamination")
+    # candidates must come from the inverted-index posting join, never
+    # a lang-blocked all-pairs self-join with per-pair array math:
+    # no interpreted per-pair intersections, no nested-loop/cartesian
+    assert "array_intersect" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_packing_window_is_sharded_within_source(spark):
+    plan = plan_of(spark, "sequence_packing_stats")
+    # the heavy running-sum window must partition by (source, shard),
+    # never by source alone — one task per source is the 100× straggler
+    windows = [ln for ln in plan.splitlines()
+               if "windowspecdefinition" in ln and "doc_id" in ln]
+    assert windows, plan
+    assert all("shard" in ln for ln in windows), windows
+
+
+def test_tfidf_does_not_force_broadcast_of_vocabulary(spark):
+    """The document-frequency side of the tf⋈dfreq join is
+    vocabulary-sized: a forced broadcast hint would fail the job
+    outright past the broadcast limit at corpus scale. Only the 1-row
+    corpus-total scalar may carry a hint; AQE decides the rest."""
+    df = registry.QUERIES["tfidf_top_term_per_doc"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
 def test_asof_join_is_single_window_not_range_join(spark):
     plan = plan_of(spark, "purchase_attribution_asof")
     # the as-of must compile to union+window, never a nested-loop/
