@@ -97,25 +97,36 @@ def range_join_binned(left: DataFrame, right: DataFrame,
     This is the standard interval-join decomposition (Flink's interval
     join and Spark's own stream-stream time-bound joins bucket state
     the same way) expressed for batch.
+
+    Sub-second semantics: the exact range predicate compares the
+    ORIGINAL timestamp columns with interval arithmetic (µs-exact) —
+    whole-second truncation is used only for bin ASSIGNMENT, where it
+    is safe because bins only need to cover. Coverage with fractional
+    left timestamps needs the bin range widened to
+    floor((⌊l⌋+upper)/bin): a right row at l+upper−ε can truncate to
+    ⌊l⌋+upper when l has a fractional part (ADVICE r2 — the old
+    upper−1 end silently dropped such matches). Costs at most one
+    extra bin per left row. Both ts columns must be TIMESTAMP typed.
     """
-    lsec = F.col(left_ts).cast("long")
+    lsec = F.col(left_ts).cast("long")  # truncation (toward −∞ for epochs ≥ 0)
     rsec = F.col(right_ts).cast("long")
     l = left.withColumn(
         "__bin",
         F.explode(F.sequence(F.floor((lsec + lower_sec) / bin_sec),
-                             F.floor((lsec + upper_sec - 1) / bin_sec))),
-    ).withColumn("__lsec", lsec).alias("__L")
-    r = (right.withColumn("__bin", F.floor(rsec / bin_sec))
-              .withColumn("__rsec", rsec).alias("__R"))
+                             F.floor((lsec + upper_sec) / bin_sec))),
+    ).alias("__L")
+    r = right.withColumn("__bin", F.floor(rsec / bin_sec)).alias("__R")
     cond = F.col("__L.__bin") == F.col("__R.__bin")
     for k in key_cols:
         cond = cond & (F.col(f"__L.{k}") == F.col(f"__R.{k}"))
-    cond = cond & (F.col("__R.__rsec") >= F.col("__L.__lsec") + lower_sec) \
-                & (F.col("__R.__rsec") < F.col("__L.__lsec") + upper_sec)
+    lo = F.make_interval(secs=F.lit(lower_sec))
+    hi = F.make_interval(secs=F.lit(upper_sec))
+    cond = cond & (F.col(f"__R.{right_ts}") >= F.col(f"__L.{left_ts}") + lo) \
+                & (F.col(f"__R.{right_ts}") < F.col(f"__L.{left_ts}") + hi)
     # NB with how="left": an unmatched left row yields one null-match
     # row per spanned bin — correct under aggregation (count of right
     # ids is 0); select/dedup by a left unique key for row-level use.
-    return l.join(r, cond, how).drop("__bin", "__lsec", "__rsec")
+    return l.join(r, cond, how).drop("__bin")
 
 
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:

@@ -120,6 +120,49 @@ def test_range_join_binned_matches_naive(spark, left, right, bounds, bin_sec):
     assert got == want
 
 
+subsec_rows = st.lists(
+    st.tuples(st.integers(0, 3),            # key
+              st.integers(0, 7_200_000)),   # milliseconds offset
+    min_size=1, max_size=25,
+)
+
+
+@SETTINGS
+@given(left=subsec_rows, right=subsec_rows,
+       bounds=st.tuples(st.integers(-3600, 3600), st.integers(-3600, 3600))
+       .filter(lambda b: b[0] < b[1]),
+       bin_sec=st.sampled_from([60, 600, 3600]))
+def test_range_join_binned_subsecond_timestamps(spark, left, right, bounds,
+                                                bin_sec):
+    """Sub-second timestamps: the exact range predicate must compare
+    original (µs) timestamps, with whole-second truncation confined to
+    bin assignment (ADVICE r2 — a view 0.2 s before a purchase in the
+    same integer second was silently dropped)."""
+    from flight_data_pipeline_spark.operators.relational import range_join_binned
+
+    lower, upper = bounds
+    lrows = [(i, k, T0 + dt.timedelta(milliseconds=ms))
+             for i, (k, ms) in enumerate(left)]
+    rrows = [(i + 1000, k, T0 + dt.timedelta(milliseconds=ms))
+             for i, (k, ms) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, rts timestamp")
+
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_binned(ldf, rdf, ["k"], "ts", "rts",
+                                   lower, upper, bin_sec).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, lk, lts in lrows
+        for rid, rk, rts in rrows
+        if lk == rk
+        and dt.timedelta(seconds=lower) <= (rts - lts) < dt.timedelta(seconds=upper)
+    }
+    assert got == want
+
+
 words = st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
                  min_size=1, max_size=8)
 corpora = st.lists(st.tuples(st.integers(0, 1), words),  # (block, tokens)
