@@ -233,6 +233,12 @@ class IvfIndex:
         self.assignments.write.partitionBy("ivf_list").mode(
             "overwrite").parquet(path)
 
+    def unpersist(self) -> None:
+        """Release the cached assignment blocks (drop the in-memory
+        index). Call when evicting the index from a long-lived
+        session; the durable parquet form (``write``) is unaffected."""
+        self.assignments.unpersist()
+
 
 def build_ivf_index(df: DataFrame, vec_col: str, id_col: str,
                     n_lists: int = 16, seed: int = 42,

@@ -210,17 +210,25 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_INDEXES: dict = {}  # (applicationId, sf_dir) → built-once IvfIndex
+_IVF_CACHE_MAX = 4       # datasets cached per process before eviction
 
 
 def _ivf_index_for(spark: SparkSession, sf_dir: str):
     """Build the IVF index once per (session, dataset) and reuse it —
     index construction (sampled KMeans + full-set assignment) is an
-    offline build job, never part of the query path."""
+    offline build job, never part of the query path. The cache is
+    capped: beyond _IVF_CACHE_MAX datasets the oldest entry is evicted
+    and its persisted assignments unpersisted, so a long-lived session
+    iterating over many datasets can't pin unbounded executor storage
+    (ADVICE r2)."""
     from flight_data_pipeline_spark.operators.vectors import build_ivf_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
     idx = _IVF_INDEXES.get(key)
     if idx is None:
+        while len(_IVF_INDEXES) >= _IVF_CACHE_MAX:
+            oldest = next(iter(_IVF_INDEXES))  # dicts preserve insertion order
+            _IVF_INDEXES.pop(oldest).unpersist()
         emb = load_table(spark, "embeddings", sf_dir)
         idx = build_ivf_index(emb, vec_col="embedding", id_col="vec_id",
                               n_lists=16, seed=42)
