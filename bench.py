@@ -43,6 +43,14 @@ HEADLINE = [
     "simhash_buckets",
     "token_stats_by_lang",
     "cosine_topk_bruteforce",
+    # round-3 additions: the r2 operator families, so regressions in
+    # them are visible round-over-round (VERDICT r2 item 5/6)
+    "near_dup_jaccard_pairs_guarded",
+    "near_dup_clusters",
+    "cross_source_contamination",
+    "tfidf_top_term_per_doc",
+    "doc_chunking_stats",
+    "sequence_packing_stats",
 ]
 
 
