@@ -268,6 +268,73 @@ def simhash64(text_tokens: Column) -> Column:
     )
 
 
+def dictionary_bitset_masks(df: DataFrame, id_col: str, block_col: str,
+                            text_col: str, extra_cols: Sequence[str] = (),
+                            max_vocab: int = 64) -> DataFrame:
+    """Dictionary-encode each row's distinct-token SET as a single
+    64-bit bitmask, with a per-block token dictionary → (id, block,
+    *extra_cols, mask, n_tokens).
+
+    The exact-similarity fast path for BOUNDED-VOCABULARY set columns
+    (tags, categories, enum-ish token spaces): once sets are masks,
+    Jaccard is ``bit_count(a & b) / bit_count(a | b)`` — pure
+    codegen'd integer arithmetic, no arrays, no interpreted HOFs in
+    the pair loop — and identical sets collapse to identical masks,
+    so callers can dedup to distinct sets before any pair join.
+
+    Plan: distinct (block, token) → dense position per block (a
+    window over the tiny dictionary relation) → postings join the
+    dictionary → one ``bit_or(1L << pos)`` hash aggregate per row id.
+    Everything is distributed; the dictionary never touches the
+    driver. A block whose vocabulary exceeds ``max_vocab`` (≤ 64)
+    fails LOUDLY via assert_true — never a silently truncated mask.
+    For open vocabularies use jaccard_pairs_blocked instead (posting
+    join; linear dictionary assumptions don't hold there).
+    """
+    from flight_data_pipeline_spark.operators.text import distinct_tokens
+
+    if max_vocab > 64:
+        raise ValueError("bitset masks are single longs: max_vocab ≤ 64")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        *[F.col(c).alias(f"__x_{c}") for c in extra_cols],
+        distinct_tokens(F.col(text_col)).alias("__t"),
+    )
+    posting = base.select("__id", "__blk",
+                          *[f"__x_{c}" for c in extra_cols],
+                          F.size("__t").alias("__n"),
+                          F.explode("__t").alias("__tok"))
+    vocab = posting.select("__blk", "__tok").distinct()
+    dict_w = Window.partitionBy("__blk").orderBy("__tok")
+    # contract enforcement rides the position expression itself (an
+    # unreferenced check column would be pruned away): a 65th token in
+    # any block fails the job, never silently wraps the shift
+    checked = F.when(
+        F.assert_true(F.col("__rawpos") < max_vocab,
+                      F.lit(f"block vocabulary exceeds {max_vocab}; "
+                            "use jaccard_pairs_blocked")).isNull(),
+        F.col("__rawpos"),
+    )
+    dictionary = (
+        vocab.select("__blk", "__tok",
+                     (F.row_number().over(dict_w) - 1).alias("__rawpos"))
+        .select("__blk", "__tok", checked.alias("__pos"))
+    )
+    return (
+        posting.join(dictionary, ["__blk", "__tok"])
+        .groupBy("__id", "__blk", "__n", *[f"__x_{c}" for c in extra_cols])
+        .agg(F.bit_or(F.expr("shiftleft(1L, __pos)")).alias("mask"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__blk").alias(block_col),
+            *[F.col(f"__x_{c}").alias(c) for c in extra_cols],
+            "mask",
+            F.col("__n").alias("n_tokens"),
+        )
+    )
+
+
 def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
                           text_col: str, threshold: float,
                           sim_digits: int = 4,

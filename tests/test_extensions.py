@@ -141,6 +141,33 @@ class TestHotTokenGuard:
                 assert (r.id_b, r.source_b) in want
 
 
+class TestBitsetMasks:
+    def test_vocab_past_64_fails_loudly(self, spark):
+        """A 65-token block vocabulary must fail the job (assert_true
+        in the dictionary), never wrap the shift into a silently wrong
+        mask."""
+        import pytest
+
+        from flight_data_pipeline_spark.operators.dedup import (
+            dictionary_bitset_masks,
+        )
+
+        text = " ".join(f"tok{i}" for i in range(65))
+        df = spark.createDataFrame([(1, "b", text)], "id long, blk string, text string")
+        with pytest.raises(Exception, match="vocabulary exceeds"):
+            dictionary_bitset_masks(df, "id", "blk", "text").collect()
+
+    def test_max_vocab_wider_than_64_rejected(self):
+        import pytest
+
+        from flight_data_pipeline_spark.operators.dedup import (
+            dictionary_bitset_masks,
+        )
+
+        with pytest.raises(ValueError):
+            dictionary_bitset_masks(None, "id", "blk", "text", max_vocab=128)
+
+
 class TestConnectedComponents:
     def test_chain_and_disjoint_clusters(self, spark):
         """A diameter-6 chain plus a disjoint triangle: labels must

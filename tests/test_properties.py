@@ -220,3 +220,31 @@ def test_jaccard_pairs_blocked_matches_naive(spark, corpus, threshold):
                 if jac >= threshold:
                     want[(i, j)] = jac
     assert got == want
+
+
+@SETTINGS
+@given(corpus=corpora)
+def test_bitset_masks_encode_exact_set_algebra(spark, corpus):
+    """Dictionary bitset masks (the bounded-vocabulary exact-similarity
+    fast path): popcounts of mask AND/OR must equal true set
+    intersection/union sizes for every within-block pair, and identical
+    token sets must collapse to identical masks."""
+    import itertools
+
+    from flight_data_pipeline_spark.operators.dedup import dictionary_bitset_masks
+
+    rows = [(i, blk, " ".join(toks)) for i, (blk, toks) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "id long, blk long, text string")
+    got = {r.id: (r.mask, r.n_tokens)
+           for r in dictionary_bitset_masks(df, "id", "blk", "text").collect()}
+
+    sets = {i: (blk, set(toks)) for i, (blk, toks) in enumerate(corpus)}
+    for i, (blk, s) in sets.items():
+        assert got[i][1] == len(s)
+    for (i, (bi, si)), (j, (bj, sj)) in itertools.combinations(sets.items(), 2):
+        if bi != bj:
+            continue
+        mi, mj = got[i][0], got[j][0]
+        assert (mi == mj) == (si == sj)
+        assert bin(mi & mj).count("1") == len(si & sj)
+        assert bin(mi | mj).count("1") == len(si | sj)
