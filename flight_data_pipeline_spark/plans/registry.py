@@ -60,6 +60,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_top_term_per_doc",       # vocabulary broadcast hint dropped
     "near_dup_jaccard_pairs",       # jaccard_pairs_blocked carry_cols
     "near_dup_jaccard_pairs_guarded",  # new in round 3
+    # -- new oracle-backed queries in round 3, never sampled --
+    "benchmark_ngram_overlap",
+    "boilerplate_ngrams",
+    "quality_funnel",
+    "embedding_norm_outliers",
 )
 
 

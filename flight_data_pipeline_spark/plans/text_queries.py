@@ -635,3 +635,274 @@ def tokenization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+DECON_N = 8           # n-gram width for test-set decontamination
+DECON_BENCH_SRC = "src0"  # the held-out "benchmark" corpus
+
+
+@query(
+    "benchmark_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(t) >= {DECON_N}
+                           THEN list_transform(
+                                    generate_series(0, len(t) - {DECON_N}),
+                                    i -> array_to_string(
+                                        t[i + 1 : i + {DECON_N}], ' '))
+                           ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE source = '{DECON_BENCH_SRC}'),
+    cont AS (
+        SELECT DISTINCT doc_id FROM g JOIN bench USING (g)
+        WHERE source <> '{DECON_BENCH_SRC}'
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           ROUND(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS contamination_rate
+    FROM documents d LEFT JOIN cont c USING (doc_id)
+    WHERE d.source <> '{DECON_BENCH_SRC}'
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def benchmark_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination at n-gram granularity (the GPT-3/PaLM
+    recipe, distinct from Jaccard near-dup): treat one source as the
+    held-out benchmark corpus and flag every other doc that shares at
+    least one exact 8-gram with any benchmark doc, rolled up to a
+    per-source contamination rate.
+
+    Plan: one shared n-gram explode (operators.text.ngrams — per-row
+    array op), a distinct over the benchmark side (bounded by the
+    benchmark corpus, small by construction), then a LEFT SEMI join
+    of corpus postings against it — the posting-list shape: cost
+    tracks n-gram-match volume, never doc pairs. At 100× the join key
+    would be xxhash64(gram) to narrow the shuffle; here it stays the
+    exact string so the oracle is exact. Flag-don't-drop: counts per
+    source, never filters."""
+    from flight_data_pipeline_spark.operators.text import ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(ngrams(F.col("text"), DECON_N)).alias("g"))
+    bench = (grams.where(F.col("source") == DECON_BENCH_SRC)
+             .select("g").distinct())
+    contaminated = (
+        grams.where(F.col("source") != DECON_BENCH_SRC)
+        .join(bench, "g", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        docs.where(F.col("source") != DECON_BENCH_SRC)
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .alias("n_contaminated"),
+            F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    / F.count("*"), 4).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_N = 5  # n-gram width for boilerplate detection
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(t) >= {BOILERPLATE_N}
+                           THEN list_transform(
+                                    generate_series(0, len(t) - {BOILERPLATE_N}),
+                                    i -> array_to_string(
+                                        t[i + 1 : i + {BOILERPLATE_N}], ' '))
+                           ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks
+    ),
+    stats AS (
+        SELECT source, g, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS d
+        FROM g GROUP BY source, g
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT)  AS n_gram_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN d >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS boilerplate_occurrences,
+           ROUND(SUM(CASE WHEN d >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c), 4)
+               AS boilerplate_ratio
+    FROM stats
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (the C4 "line appears in multiple
+    documents" rule at 5-gram granularity): per source, the fraction
+    of 5-gram occurrences whose gram appears in ≥2 distinct docs of
+    that source. Plan: explode → one (source, gram) hash aggregate
+    (count + distinct-doc count, partials map-side) → per-source
+    rollup. The gram relation is the same inverted-index key space
+    the dedup family shuffles on; no doc pairs anywhere."""
+    from flight_data_pipeline_spark.operators.text import ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(ngrams(F.col("text"), BOILERPLATE_N)).alias("g"))
+    stats = grams.groupBy("source", "g").agg(
+        F.count("*").alias("c"),
+        F.countDistinct("doc_id").alias("d"))
+    boiler = F.sum(F.when(F.col("d") >= 2, F.col("c")).otherwise(0))
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_gram_occurrences"),
+            F.count("*").alias("n_distinct_grams"),
+            boiler.alias("boilerplate_occurrences"),
+            F.round(boiler / F.sum("c"), 4).alias("boilerplate_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "quality_funnel",
+    oracle=rf"""
+    WITH f AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) BETWEEN 10 AND 1000 AS f1,
+               (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
+               AND (length(replace(text, ' ', '')) * 1.0
+                    / len(string_split(text, ' ')) BETWEEN 3 AND 10) AS f2,
+               (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
+               AND (length(replace(text, ' ', '')) * 1.0
+                    / len(string_split(text, ' ')) BETWEEN 3 AND 10)
+               AND (len(list_filter(string_split(text, ' '),
+                                    x -> x IN ({_SW}))) >= 2) AS f3,
+               (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
+               AND (length(replace(text, ' ', '')) * 1.0
+                    / len(string_split(text, ' ')) BETWEEN 3 AND 10)
+               AND (len(list_filter(string_split(text, ' '),
+                                    x -> x IN ({_SW}))) >= 2)
+               AND (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                    * 1.0 / greatest(
+                        length(regexp_replace(text, '\s', '', 'g')), 1)
+                    <= 0.1) AS f4
+        FROM documents
+    ),
+    k AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT source,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM f WHERE f4
+        ) WHERE rn = 1 GROUP BY source
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+               CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        FROM f GROUP BY source
+    )
+    SELECT source, stage, stage_name, n_docs FROM (
+        SELECT source, 0 AS stage, 'ingest' AS stage_name, s0 AS n_docs FROM s
+        UNION ALL
+        SELECT source, 1, 'token_count', s1 FROM s
+        UNION ALL
+        SELECT source, 2, 'mean_token_len', s2 FROM s
+        UNION ALL
+        SELECT source, 3, 'stopwords', s3 FROM s
+        UNION ALL
+        SELECT source, 4, 'punctuation', s4 FROM s
+        UNION ALL
+        SELECT s.source, 5, 'exact_dedup', COALESCE(k.n, 0) FROM s
+        LEFT JOIN k ON s.source = k.source
+    )
+    ORDER BY source, stage
+    """,
+)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-shaped audit every training-data run reports:
+    per-source retention through the cumulative filter funnel —
+    ingest → token-count bounds → mean-token-length bounds →
+    stopword floor → punctuation cap → exact dedup (first doc_id per
+    identical text among survivors). Same rule expressions as
+    gopher_quality_flags (shared operators); flag-don't-drop — one
+    row per (source, stage) with survivor counts, the input never
+    filtered except to define later stages.
+
+    Plan: one map-side pass computes all cumulative flags; one
+    per-source aggregate produces stages 0-4 as conditional sums
+    (wide → long via stack, no extra scans); the dedup stage is a
+    first-per-text window over stage-4 survivors only — keyed on the
+    text hash space, the same shuffle exact_dup_groups runs."""
+    from pyspark.sql import Window
+
+    from flight_data_pipeline_spark.operators.text import (
+        punct_ratio,
+        stopword_count,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    n_tok = token_count(text)
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / n_tok
+    f1 = n_tok.between(10, 1000)
+    f2 = f1 & mean_len.between(3, 10)
+    f3 = f2 & (stopword_count(text) >= 2)
+    f4 = f3 & (punct_ratio(text) <= 0.1)
+    flags = docs.select(
+        "doc_id", "source", "text",
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"), f4.alias("f4"))
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    keepers = (
+        flags.where("f4")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("source").agg(F.count("*").alias("s5"))
+    )
+
+    def cnt(c: str):
+        return F.sum(F.when(F.col(c), 1).otherwise(0))
+
+    wide = (
+        flags.groupBy("source")
+        .agg(F.count("*").alias("s0"), cnt("f1").alias("s1"),
+             cnt("f2").alias("s2"), cnt("f3").alias("s3"),
+             cnt("f4").alias("s4"))
+        .join(keepers, "source", "left")
+        .withColumn("s5", F.coalesce(F.col("s5"), F.lit(0)))
+    )
+    return (
+        wide.select(
+            "source",
+            F.expr(
+                "stack(6, 0, 'ingest', s0, 1, 'token_count', s1,"
+                " 2, 'mean_token_len', s2, 3, 'stopwords', s3,"
+                " 4, 'punctuation', s4, 5, 'exact_dedup', s5)"
+                " AS (stage, stage_name, n_docs)"),
+        )
+        .orderBy("source", "stage")
+    )

@@ -389,3 +389,62 @@ def closest_pair_per_label_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")], k=1,
     )
     return best.select("label", "vec_a", "vec_b", "cosine_sim").orderBy("label")
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE) * x)))
+                   AS norm
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label, norm,
+               AVG(norm) OVER (PARTITION BY label) AS mu,
+               STDDEV_SAMP(norm) OVER (PARTITION BY label) AS sigma
+        FROM norms
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(norm), 4) AS avg_norm,
+           ROUND(MAX(sigma), 4) AS std_norm,
+           CAST(SUM(CASE WHEN ABS(norm - mu) > 2 * sigma THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM stats
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC audit: per-label L2-norm distribution plus a
+    2-sigma outlier count (degenerate / corrupted vectors surface as
+    norm outliers before they poison ANN recall). Two-pass z-score as
+    ONE label-partitioned window over map-side norms — the stats and
+    the flags share a single shuffle; no self-join, nothing on the
+    driver. Labels with one vector have NULL sigma ⇒ zero outliers on
+    both sides."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    w = Window.partitionBy("label")
+    norms = emb.select(
+        "label", l2_norm(as_double(F.col("embedding"))).alias("norm"))
+    stats = norms.select(
+        "label", "norm",
+        F.avg("norm").over(w).alias("mu"),
+        F.stddev_samp("norm").over(w).alias("sigma"))
+    return (
+        stats.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.max("sigma"), 4).alias("std_norm"),
+            F.sum(F.when(F.abs(F.col("norm") - F.col("mu"))
+                         > 2 * F.col("sigma"), 1).otherwise(0))
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

@@ -139,3 +139,41 @@ def test_events_scan_prunes_props_column(spark):
     plan = plan_of(spark, "daily_rollup")
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "props" not in read_schema
+
+
+def test_decontamination_is_semi_join_not_all_pairs(spark):
+    # benchmark n-gram overlap must flow through a semi join of corpus
+    # postings against the distinct benchmark-gram set — posting-list
+    # cost, never a doc-pair product
+    plan = plan_of(spark, "benchmark_ngram_overlap")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_aggregate_is_partial_then_final(spark):
+    # the (source, gram) stats must combine map-side before the
+    # gram-keyed shuffle — grams are the biggest relation in the plan
+    plan = plan_of(spark, "boilerplate_ngrams")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_funnel_single_scan_for_flag_stages(spark):
+    # stages 0-4 are conditional sums over ONE pass of flags — the
+    # documents scan appears at most twice (flag agg + dedup window),
+    # never once per stage
+    plan = plan_of(spark, "quality_funnel")
+    assert plan.count("documents.parquet") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_norm_outliers_shares_label_shuffle(spark):
+    # the z-score window and the final per-label aggregate must reuse
+    # one hashpartitioning(label) exchange — no self-join, and only
+    # the label key is ever shuffled
+    plan = plan_of(spark, "embedding_norm_outliers")
+    assert "Join" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all("label" in ln for ln in exchanges), exchanges
+    assert len(exchanges) <= 1, exchanges
