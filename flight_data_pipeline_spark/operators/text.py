@@ -181,3 +181,24 @@ def punct_ratio(text: Column) -> Column:
     n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     n_chars = F.length(F.regexp_replace(text, r"\s", ""))
     return n_punct / F.greatest(n_chars, F.lit(1))
+
+
+# PII surface patterns (email, dotted-quad IP) and a C4-style token
+# blocklist. The patterns are deliberately RE2-compatible so the same
+# regex runs on Spark (java.util.regex) and the DuckDB oracle (RE2).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+BLOCKLIST = ("slow", "dup")
+
+
+def pii_match_count(text: Column, pattern: str) -> Column:
+    """Occurrences of a PII pattern — regexp_extract_all(…, 0) so the
+    whole match (not a group) is counted; codegen'd, no UDF."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def blocklist_hits(text: Column, blocklist=BLOCKLIST) -> Column:
+    """Token-exact blocklist hit count (the C4 badwords rule shape:
+    flag documents containing any listed token)."""
+    return F.size(F.filter(
+        tokens(text), lambda t: t.isin(*blocklist)))

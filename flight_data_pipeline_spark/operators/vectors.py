@@ -308,3 +308,37 @@ def ann_ivf_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def semdedup_labels(assignments: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", list_col: str = "ivf_list",
+                    tau: float = 0.32, max_iter: int = 10) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public
+    arXiv:2303.09540 recipe): near-duplicate discovery scoped to the
+    coarse k-means clusters of an IVF index — pairwise cosine is
+    evaluated only WITHIN a list, so the pair space is bounded by the
+    largest cluster, never the corpus (the same blocking role `label`
+    / LSH bands play elsewhere in the dedup family; cross-cluster
+    dups are forfeited by design, exactly as the paper accepts).
+
+    Returns ``(v, label)`` rows for every vector participating in at
+    least one τ-edge inside its list, where ``label`` is the min id of
+    its within-list connected component — keep the vector equal to its
+    label, prune the rest. Vectors absent from the result have no
+    within-list near-dup and are all kept.
+    """
+    from flight_data_pipeline_spark.operators.dedup import connected_components
+
+    a = assignments.select(
+        F.col(list_col).alias("__l"), F.col(id_col).alias("__va"),
+        as_double(F.col(vec_col)).alias("__ea"))
+    b = assignments.select(
+        F.col(list_col).alias("__l"), F.col(id_col).alias("__vb"),
+        as_double(F.col(vec_col)).alias("__eb"))
+    edges = (
+        a.join(b, "__l")
+        .where(F.col("__va") < F.col("__vb"))
+        .where(cosine(F.col("__ea"), F.col("__eb")) >= tau)
+        .select(F.col("__va").alias("src"), F.col("__vb").alias("dst"))
+    )
+    return connected_components(edges, "src", "dst", max_iter=max_iter)

@@ -65,6 +65,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "boilerplate_ngrams",
     "quality_funnel",
     "embedding_norm_outliers",
+    "pii_blocklist_stats",
+    "source_mixing_weights",
+    "semdedup_prune_stats",
 )
 
 

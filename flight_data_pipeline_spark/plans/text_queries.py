@@ -8,6 +8,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flight_data_pipeline_spark.operators.text import (
+    BLOCKLIST,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
     STOPWORDS,
     bow_fingerprint,
     predict_lang,
@@ -905,4 +908,123 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS (stage, stage_name, n_docs)"),
         )
         .orderBy("source", "stage")
+    )
+
+
+_BL = ", ".join(f"'{w}'" for w in BLOCKLIST)
+
+
+@query(
+    "pii_blocklist_stats",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+                                              t -> t IN ({_BL}))) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocklisted,
+           ROUND(AVG(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ({_BL})))), 4)
+               AS avg_blocklist_hits,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_EMAIL_RE}')))
+                AS BIGINT) AS email_hits,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_IPV4_RE}')))
+                AS BIGINT) AS ipv4_hits
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / blocklist audit (the C4 badwords rule + regex PII
+    scrubber surface): per source, documents flagged by a token-exact
+    blocklist, mean hits, and regex match totals for email and
+    dotted-quad IP patterns. All map-side expressions (HOF filter +
+    regexp_extract_all, no UDF) feeding one small per-source
+    aggregate; flag-don't-drop. The same RE2-compatible patterns run
+    on both engines; on this synthetic corpus the regex columns are
+    exact zeros — the lexicon columns carry the signal."""
+    from flight_data_pipeline_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        blocklist_hits,
+        pii_match_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    hits = blocklist_hits(text)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(hits > 0, 1).otherwise(0)).alias("n_blocklisted"),
+            F.round(F.avg(hits), 4).alias("avg_blocklist_hits"),
+            F.sum(pii_match_count(text, PII_EMAIL_RE)).alias("email_hits"),
+            F.sum(pii_match_count(text, PII_IPV4_RE)).alias("ipv4_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_ALPHA = 0.7  # temperature exponent for source up/down-sampling
+
+
+@query(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT *, n_tokens * 1.0 / SUM(n_tokens) OVER () AS share FROM s
+    ),
+    u AS (
+        SELECT *, POWER(share, {MIX_ALPHA}) AS pw FROM t
+    ),
+    v AS (
+        SELECT *, pw / SUM(pw) OVER () AS w FROM u
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(share, 4) AS token_share,
+           ROUND(w, 4) AS mix_weight,
+           ROUND(w / share, 4) AS oversample_factor
+    FROM v
+    ORDER BY source
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: temperature-scaled source sampling
+    weights (w_s ∝ share_s^α, α=0.7 — the multilingual/domain
+    up-sampling recipe) from per-source token totals, plus the
+    oversample factor each source needs at train time.
+
+    Plan: the heavy part is ONE map-side token-count aggregate; the
+    weight math runs over the per-source result whose cardinality is
+    the number of sources — corpus metadata, not data — so the
+    single-partition windows that normalize shares cost nothing at
+    any scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"))
+    w_all = Window.partitionBy(F.lit(1))
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    shared = per_src.withColumn("share", share)
+    pw = F.pow(F.col("share"), MIX_ALPHA)
+    weighted = shared.withColumn("pw", pw).withColumn(
+        "w", F.col("pw") / F.sum("pw").over(w_all))
+    return (
+        weighted.select(
+            "source", "n_docs", "n_tokens",
+            F.round("share", 4).alias("token_share"),
+            F.round("w", 4).alias("mix_weight"),
+            F.round(F.col("w") / F.col("share"), 4)
+            .alias("oversample_factor"),
+        )
+        .orderBy("source")
     )

@@ -448,3 +448,42 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+SEMDEDUP_TAU = NEAR_DUP_COS  # reuse the fixture-meaningful threshold
+
+
+@query("semdedup_prune_stats")  # KMeans cluster scoping ⇒ rows-only
+def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup audit: prune counts from cluster-scoped embedding
+    dedup — τ-cosine components computed only within the IVF lists of
+    the session's built-once index, keep the min-id vector per
+    component. One summary row: corpus size, cluster count, vectors
+    touching a τ-edge, component count, pruned count, keep rate.
+
+    Rows-only: list assignment comes from sampled KMeans (iterative,
+    engine-specific); the keep/prune contract is pinned by property
+    tests instead (kept set is τ-independent within every list,
+    components match a union-find oracle)."""
+    from flight_data_pipeline_spark.operators.vectors import semdedup_labels
+
+    idx = _ivf_index_for(spark, sf_dir)
+    asn = idx.assignments
+    labels = semdedup_labels(asn, tau=SEMDEDUP_TAU)
+    totals = asn.agg(
+        F.count("*").alias("n_vecs"),
+        F.countDistinct("ivf_list").alias("n_lists"))
+    comp = labels.agg(
+        F.count("*").alias("n_near_dup_vecs"),
+        F.countDistinct("label").alias("n_components"),
+        F.sum((F.col("v") != F.col("label")).cast("bigint"))
+        .alias("n_pruned"))
+    return (
+        totals.crossJoin(comp)
+        .select(
+            "n_vecs", "n_lists", "n_near_dup_vecs", "n_components",
+            F.coalesce(F.col("n_pruned"), F.lit(0)).alias("n_pruned"),
+            F.round((F.col("n_vecs") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+                    / F.col("n_vecs"), 4).alias("keep_rate"),
+        )
+    )

@@ -472,3 +472,82 @@ class TestIvfRecall:
                 idx.unpersist()
             vq._IVF_INDEXES.clear()
             vq._IVF_INDEXES.update(saved)
+
+
+class TestSemDeDup:
+    """Cluster-scoped embedding dedup (semdedup_labels): the
+    keep/prune contract that the rows-only semdedup_prune_stats query
+    relies on, checked against a union-find oracle on the fixture."""
+
+    TAU = 0.32
+
+    def _fixture(self, spark):
+        import math
+
+        from flight_data_pipeline_spark.operators.vectors import (
+            build_ivf_index,
+            semdedup_labels,
+        )
+        from tests.conftest import SF_DIR
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        idx = build_ivf_index(emb, vec_col="embedding", id_col="vec_id",
+                              n_lists=4, seed=7)
+        rows = idx.assignments.select("vec_id", "ivf_list", "embedding").collect()
+        labels = {r.v: r.label
+                  for r in semdedup_labels(
+                      idx.assignments, tau=self.TAU, max_iter=20).collect()}
+        idx.unpersist()
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        by_list: dict = {}
+        for r in rows:
+            by_list.setdefault(r.ivf_list, []).append(
+                (r.vec_id, [float(x) for x in r.embedding]))
+        edges = []
+        for members in by_list.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    (va, ea), (vb, eb) = members[i], members[j]
+                    if cos(ea, eb) >= self.TAU:
+                        edges.append((va, vb))
+        return rows, labels, edges
+
+    def test_components_match_union_find_oracle(self, spark):
+        rows, labels, edges = self._fixture(spark)
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want: dict = {}
+        comp: dict = {}
+        for a, b in edges:
+            for v in (a, b):
+                comp.setdefault(find(v), []).append(v)
+        for members in comp.values():
+            m = min(members)
+            for v in set(members):
+                want[v] = m
+        assert labels == want
+        assert edges, "fixture must exercise at least one τ-edge"
+
+    def test_kept_set_is_tau_independent_within_lists(self, spark):
+        rows, labels, edges = self._fixture(spark)
+        all_ids = {r.vec_id for r in rows}
+        pruned = {v for v, lab in labels.items() if v != lab}
+        kept = all_ids - pruned
+        # exactly one keeper per component, and no τ-edge joins two kept
+        assert all(lab in kept for lab in labels.values())
+        assert not [e for e in edges if e[0] in kept and e[1] in kept]

@@ -177,3 +177,20 @@ def test_embedding_norm_outliers_shares_label_shuffle(spark):
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert all("label" in ln for ln in exchanges), exchanges
     assert len(exchanges) <= 1, exchanges
+
+
+def test_pii_blocklist_scan_is_single_pass_map_side(spark):
+    # lexicon + regex counters are map-side expressions into one
+    # partial/final aggregate — one scan, no joins
+    plan = plan_of(spark, "pii_blocklist_stats")
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_mixing_weights_single_scan_before_tiny_windows(spark):
+    # the corpus-sized work is ONE token-count aggregate; windows only
+    # ever see the per-source result (cardinality = #sources)
+    plan = plan_of(spark, "source_mixing_weights")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("HashAggregate") >= 2
