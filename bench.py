@@ -51,6 +51,12 @@ HEADLINE = [
     "tfidf_top_term_per_doc",
     "doc_chunking_stats",
     "sequence_packing_stats",
+    # round-3 additions: the n-gram-explode audits and the funnel —
+    # the heavy new shapes; the map-side PII/mixing queries are too
+    # cheap to track and semdedup's cost is the (cached) index build
+    "benchmark_ngram_overlap",
+    "boilerplate_ngrams",
+    "quality_funnel",
 ]
 
 

@@ -551,3 +551,23 @@ class TestSemDeDup:
         # exactly one keeper per component, and no τ-edge joins two kept
         assert all(lab in kept for lab in labels.values())
         assert not [e for e in edges if e[0] in kept and e[1] in kept]
+
+
+class TestQualityFunnel:
+    def test_stage_counts_are_monotone_non_increasing(self, spark):
+        """Cumulative funnel invariant: each stage's survivor count is
+        ≤ the previous stage's, per source, ingest → exact_dedup."""
+        from flight_data_pipeline_spark.plans import registry
+        from tests.conftest import SF_DIR
+
+        registry.load_all()
+        rows = registry.QUERIES["quality_funnel"](spark, SF_DIR).collect()
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append((r.stage, r.n_docs))
+        assert by_src
+        for src, stages in by_src.items():
+            counts = [n for _, n in sorted(stages)]
+            assert len(counts) == 6, (src, stages)
+            assert all(a >= b for a, b in zip(counts, counts[1:])), (
+                src, counts)
