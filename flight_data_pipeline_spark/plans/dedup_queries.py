@@ -307,6 +307,29 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     never appear in the doc-level edge graph and are excluded, like
     the oracle. The one genuinely iterative algorithm in the
     registry, still exactly checked."""
+    gs, labels = _set_group_clusters(spark, sf_dir)
+    edge_clusters = (
+        labels.join(gs, labels["v"] == gs["node"])
+        .select("label", "n")
+    )
+    isolated = (
+        gs.where(F.col("n") >= 2)
+        .join(labels, gs["node"] == labels["v"], "left_anti")
+        .select(F.col("node").alias("label"), "n")
+    )
+    return (
+        edge_clusters.unionByName(isolated)
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.sum("n").alias("n_docs"))
+        .orderBy("cluster_id")
+    )
+
+
+def _set_group_clusters(spark: SparkSession, sf_dir: str):
+    """Shared plumbing for the clusters/survivors twins: documents →
+    distinct (source, mask) set-groups (node = min doc_id, n =
+    multiplicity) and the CC labels of the group graph under
+    bitset-Jaccard ≥ JACCARD_THRESHOLD edges. Returns (gs, labels)."""
     from fractions import Fraction
 
     from flight_data_pipeline_spark.operators.dedup import (
@@ -339,20 +362,85 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_components(edges, src="node_a", dst="node_b",
                                   max_iter=10)
-    edge_clusters = (
-        labels.join(gs, labels["v"] == gs["node"])
-        .select("label", "n")
+    return gs, labels
+
+
+@query(
+    "dedup_survivors_by_source",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    ), edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))
+              * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+    ), sym AS (
+        SELECT s, d FROM edges UNION SELECT d, s FROM edges
+    ), reach(v, u) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT r.v, e.d FROM reach r JOIN sym e ON r.u = e.s
+    ), cl AS (
+        SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v
     )
-    isolated = (
-        gs.where(F.col("n") >= 2)
-        .join(labels, gs["node"] == labels["v"], "left_anti")
-        .select(F.col("node").alias("label"), "n")
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cl.v IS NOT NULL AND d.doc_id <> cl.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN cl.v IS NOT NULL
+                                         AND d.doc_id <> cl.cluster_id
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           ROUND((COUNT(*) - SUM(CASE WHEN cl.v IS NOT NULL
+                                           AND d.doc_id <> cl.cluster_id
+                                      THEN 1 ELSE 0 END)) * 1.0 / COUNT(*), 4)
+               AS survival_rate
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.v
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def dedup_survivors_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision MATERIALIZED: per source, how many documents
+    survive near-dup clustering (keep each cluster's min doc_id, drop
+    the rest) — the end-to-end pairs → clusters → pruned-corpus loop
+    every training-data pipeline runs before tokenization, as one
+    checked aggregate (flag-don't-drop: counts, the corpus itself is
+    never filtered here).
+
+    Same set-group plumbing as `near_dup_clusters`
+    (_set_group_clusters): docs map to their group node via the
+    (source, mask) join, a group's cluster is its CC label (or itself
+    when an identical-set group of ≥2 has no edge), and a doc is
+    dropped iff it sits in a cluster and is not the min-id keeper.
+    The doc↔group join is on (source, mask) — the same keys the
+    group collapse already shuffled."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        dictionary_bitset_masks,
     )
+
+    gs, labels = _set_group_clusters(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    masks = dictionary_bitset_masks(
+        docs, id_col="doc_id", block_col="source", text_col="text")
+    doc_groups = masks.join(gs, ["source", "mask"])
+    lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
+    cluster = F.coalesce(
+        F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
+    dropped = (cluster.isNotNull()
+               & (F.col("doc_id") != cluster)).cast("bigint")
     return (
-        edge_clusters.unionByName(isolated)
-        .groupBy(F.col("label").alias("cluster_id"))
-        .agg(F.sum("n").alias("n_docs"))
-        .orderBy("cluster_id")
+        lab.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dropped).alias("n_dropped"),
+            (F.count("*") - F.sum(dropped)).alias("n_survivors"),
+            F.round((F.count("*") - F.sum(dropped)) / F.count("*"), 4)
+            .alias("survival_rate"),
+        )
+        .orderBy("source")
     )
 
 

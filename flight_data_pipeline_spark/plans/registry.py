@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pii_blocklist_stats",
     "source_mixing_weights",
     "semdedup_prune_stats",
+    "dedup_survivors_by_source",
 )
 
 
