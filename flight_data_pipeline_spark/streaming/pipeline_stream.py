@@ -239,3 +239,70 @@ def join_telemetry_streams(intensity: DataFrame, mix: DataFrame,
         i.join(m, F.col(ts_col) == F.col("__mix_ts"), "inner")
         .drop("__mix_ts")
     )
+
+
+def stateful_user_stats_tws(events: DataFrame,
+                            user_col: str = "user_id",
+                            value_col: str = "value",
+                            alpha: float = 0.3) -> DataFrame:
+    """The §2.10 custom stateful operator on Spark 4's successor API:
+    ``transformWithStateInPandas`` with an explicit StatefulProcessor
+    and typed ValueState — same per-user count + EWMA semantics as
+    ``stateful_user_stats`` (the applyInPandasWithState form), so the
+    two are batch-oracle-checked against each other in tests.
+
+    transformWithState is the forward path for custom state: named
+    state variables (value/list/map), optional TTL, timers, and the
+    RocksDB state store (required — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    RocksDBStateStoreProvider before starting the query). State per
+    key is still two numbers; everything crosses in Arrow batches.
+
+    Runtime requirement: the TWS state-server protocol is protobuf
+    (pyspark/sql/streaming/proto), so executing this operator needs
+    the python ``protobuf`` package on driver and executors — absent
+    in this container (test skips with the reason), present on any
+    standard cluster image.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType([
+        T.StructField(user_col, T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_value", T.DoubleType()),
+    ])
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, ewma double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, ewma = got if got is not None else (0, None)
+            for pdf in rows:
+                # event-time order within the batch → deterministic EWMA
+                for v in pdf.sort_values("ts")[value_col]:
+                    n += 1
+                    ewma = (float(v) if ewma is None
+                            else alpha * float(v) + (1 - alpha) * ewma)
+            self._state.update((n, ewma))
+            yield pd.DataFrame({user_col: [key[0]], "n_events": [n],
+                                "ewma_value": [ewma]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy(user_col)
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

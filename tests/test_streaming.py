@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from flight_data_pipeline_spark.sinks import AuditSink, TelemetrySink
 from flight_data_pipeline_spark.streaming.pipeline_stream import (
     stream_telemetry,
@@ -243,3 +245,74 @@ def test_streaming_doc_dedup_on_fingerprint(spark, tmp_path):
     run_once()
     kept2 = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
     assert kept2 == [1, 3, 5]  # replayed content deduped by checkpointed state
+
+
+def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 successor API, RocksDB
+    state store): same per-user count+EWMA as stateful_user_stats,
+    accumulated across micro-batches and checkpoint restarts; final
+    values must equal the batch EWMA oracle over the full history.
+
+    Skipped where python protobuf is unavailable: the TWS state
+    server speaks protobuf to the Python worker
+    (pyspark/sql/streaming/proto/StateMessage_pb2), so the operator
+    cannot execute in a container without it — same untestable-in-
+    container status as the JDBC sink. The applyInPandasWithState
+    twin above covers the semantics either way."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs python protobuf (state "
+               "server protocol); not installed in this container")
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        stateful_user_stats_tws,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(
+            json.dumps({"user_id": u, "ts": f"2024-01-01T{h:02d}:00:00",
+                        "value": v}) for u, h, v in rows))
+
+    out = str(tmp_path / "out")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        def run_once():
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp, value double").json(str(src))
+            q = (stateful_user_stats_tws(stream).writeStream
+                 .foreachBatch(
+                     lambda df, _id: df.write.mode("append").parquet(out))
+                 .outputMode("update").trigger(availableNow=True)
+                 .option("checkpointLocation", str(tmp_path / "ck")).start())
+            q.awaitTermination(120)
+
+        write_batch("b1.json", [(1, 0, 10.0), (1, 1, 20.0), (2, 0, 5.0)])
+        run_once()
+        write_batch("b2.json", [(1, 2, 30.0)])
+        run_once()  # restart from checkpoint — state must survive
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in sorted(rows, key=lambda r: r.n_events):
+        latest[r.user_id] = (r.n_events, r.ewma_value)
+
+    def ewma(vals, a=0.3):
+        e = vals[0]
+        for v in vals[1:]:
+            e = a * v + (1 - a) * e
+        return e
+
+    assert latest[1] == (3, pytest.approx(ewma([10.0, 20.0, 30.0])))
+    assert latest[2] == (1, pytest.approx(ewma([5.0])))
