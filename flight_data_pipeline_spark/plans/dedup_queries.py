@@ -468,3 +468,62 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("bucket")
     )
+
+
+INCREMENTAL_NEW_SOURCE = "src0"  # the "freshly crawled" batch
+
+
+@query(
+    "incremental_corpus_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, lang, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fingerprint
+        FROM documents
+    ),
+    corpus AS (
+        SELECT DISTINCT fingerprint FROM fp
+        WHERE source <> '{INCREMENTAL_NEW_SOURCE}'
+    )
+    SELECT n.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN c.fingerprint IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+           ROUND(SUM(CASE WHEN c.fingerprint IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS dup_rate
+    FROM fp n LEFT JOIN corpus c USING (fingerprint)
+    WHERE n.source = '{INCREMENTAL_NEW_SOURCE}'
+    GROUP BY n.lang
+    ORDER BY n.lang
+    """,
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a freshly crawled
+    batch checked against the EXISTING corpus (not against itself),
+    per-lang duplicate rates. The corpus side reduces to DISTINCT
+    fingerprints before the join (16-byte keys, one per distinct
+    set — the same sink-side reduction TelemetrySink.append_dedup
+    uses for hour buckets), so join state tracks corpus diversity,
+    not corpus size; the new batch never self-joins. Flag-don't-drop:
+    rates, the batch itself is not filtered here."""
+    from flight_data_pipeline_spark.operators.text import bow_fingerprint
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "fingerprint", bow_fingerprint(F.col("text")))
+    new = docs.where(F.col("source") == INCREMENTAL_NEW_SOURCE)
+    corpus_fp = (docs.where(F.col("source") != INCREMENTAL_NEW_SOURCE)
+                 .select("fingerprint").distinct()
+                 .withColumn("__hit", F.lit(1)))
+    return (
+        new.join(corpus_fp, "fingerprint", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .alias("n_dup_vs_corpus"),
+            F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    / F.count("*"), 4).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )

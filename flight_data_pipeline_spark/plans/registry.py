@@ -69,6 +69,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_mixing_weights",
     "semdedup_prune_stats",
     "dedup_survivors_by_source",
+    "incremental_corpus_dedup",
+    "doc_embedding_quality_join",
 )
 
 

@@ -18,8 +18,11 @@ from flight_data_pipeline_spark.operators.vectors import (
     cosine_topk,
     l2_norm,
 )
+from flight_data_pipeline_spark.operators.text import STOPWORDS
 from flight_data_pipeline_spark.plans.registry import query
 from flight_data_pipeline_spark.tables import load_table
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 QUERY_VEC_ID = 0  # pinned query vector for deterministic checks
 
@@ -486,4 +489,59 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n_vecs") - F.coalesce(F.col("n_pruned"), F.lit(0)))
                     / F.col("n_vecs"), 4).alias("keep_rate"),
         )
+    )
+
+
+@query(
+    "doc_embedding_quality_join",
+    oracle=f"""
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x)))), 4) AS avg_norm,
+           ROUND(AVG(len(string_split(d.text, ' '))), 4) AS avg_tokens
+    FROM (
+        SELECT doc_id, text,
+               CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 500
+                     AND len(list_filter(string_split(text, ' '),
+                                         t -> t IN ({_SW_SQL})))
+                         * 1.0 / len(string_split(text, ' '))
+                         BETWEEN 0.0 AND 0.8
+                    THEN 'good' ELSE 'low' END AS band
+        FROM documents
+    ) d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def doc_embedding_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal audit: the text-quality band of each document
+    joined to its embedding row (doc_id = vec_id — the layout a
+    multimodal training table uses), rolled up to per-band counts,
+    mean embedding norm, and mean token length. One equi-join on the
+    id key (both sides shuffle-hash on it; at 100 TB the two tables
+    would be co-bucketed on the id so this join is zero-shuffle —
+    see tests/test_bucketed_join.py) and one small aggregate."""
+    from flight_data_pipeline_spark.operators.text import (
+        quality_band,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        quality_band(F.col("text")).alias("band"),
+        token_count(F.col("text")).alias("n_tok"))
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        l2_norm(as_double(F.col("embedding"))).alias("norm"))
+    return (
+        docs.join(emb, "doc_id")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("band")
     )
