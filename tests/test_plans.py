@@ -194,3 +194,17 @@ def test_mixing_weights_single_scan_before_tiny_windows(spark):
     plan = plan_of(spark, "source_mixing_weights")
     assert plan.count("documents.parquet") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_dedup_joins_distinct_corpus_fingerprints(spark):
+    # the corpus side must aggregate to distinct fingerprints BEFORE
+    # the join — join state tracks corpus diversity, not corpus size
+    plan = plan_of(spark, "incremental_corpus_dedup")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # distinct + final rollup
+
+
+def test_cross_modal_join_is_equi_join(spark):
+    plan = plan_of(spark, "doc_embedding_quality_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
