@@ -335,10 +335,37 @@ def dictionary_bitset_masks(df: DataFrame, id_col: str, block_col: str,
     )
 
 
+def _verify_pair_candidates(t: DataFrame, cand: DataFrame,
+                            threshold: float, sim_digits: int,
+                            carry_cols: Sequence[str]) -> DataFrame:
+    """Exact-verification stage shared by the candidate-generating
+    Jaccard paths (hot-token guard, prefix filter): join the token
+    arrays onto each (id_a, id_b) candidate and compute the full
+    token-set Jaccard once per pair. Token arrays arrive through a
+    shuffle so they're materialized columns: array_intersect runs once
+    per candidate, never recomputed through CollapseProject."""
+    ta = t.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta"),
+                  *[F.col(f"__p_{c}").alias(f"{c}_a") for c in carry_cols])
+    tb = t.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb"),
+                  *[F.col(f"__p_{c}").alias(f"{c}_b") for c in carry_cols])
+    return (
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .select(
+            "id_a", "id_b",
+            *[f"{c}_a" for c in carry_cols],
+            *[f"{c}_b" for c in carry_cols],
+            F.round(jaccard(F.col("__ta"), F.col("__tb")), sim_digits)
+            .alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
 def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
                           text_col: str, threshold: float,
                           sim_digits: int = 4,
                           max_token_df: int | None = None,
+                          prefix_filter: bool = False,
                           carry_cols: Sequence[str] = ()) -> DataFrame:
     """All pairs within a block whose token-set Jaccard ≥ threshold →
     (id_a, id_b, jaccard_sim), via the inverted-index shape: explode

@@ -71,6 +71,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_survivors_by_source",
     "incremental_corpus_dedup",
     "doc_embedding_quality_join",
+    "duplicated_ngram_coverage",
+    "unigram_logprob_quality",
 )
 
 

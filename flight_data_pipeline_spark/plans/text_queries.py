@@ -1028,3 +1028,170 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# RefinedWeb-style per-document duplicated-content coverage: width of
+# the shingle, and the drop threshold on the duplicated fraction.
+DUPCOV_N = 5
+DUPCOV_DROP = 0.6
+
+
+@query(
+    "duplicated_ngram_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(t) >= {DUPCOV_N}
+                           THEN list_transform(
+                                    generate_series(0, len(t) - {DUPCOV_N}),
+                                    i -> array_to_string(
+                                        t[i + 1 : i + {DUPCOV_N}], ' '))
+                           ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks
+    ),
+    gd AS (SELECT g, COUNT(DISTINCT doc_id) AS d FROM g GROUP BY g),
+    pd AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_grams
+        FROM g JOIN gd USING (g)
+        GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, n_grams, dup_grams,
+           ROUND(dup_grams * 1.0 / n_grams, 4) AS dup_fraction,
+           CAST(ROUND(dup_grams * 1.0 / n_grams, 4) > {DUPCOV_DROP} AS INT)
+               AS would_drop
+    FROM pd
+    ORDER BY doc_id
+    """,
+)
+def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-content coverage (the RefinedWeb /
+    MassiveText document-level rule, complementing the per-source
+    ``boilerplate_ngrams`` rollup): for every doc, the fraction of its
+    5-gram occurrences whose gram appears in >= 2 distinct documents
+    corpus-wide, plus the would-drop flag at the 0.6 threshold.
+    Flag-don't-drop, like every quality gate here.
+
+    Plan: one shared explode -> a (gram -> distinct-doc count) hash
+    aggregate -> posting join back on the gram key -> per-doc
+    aggregate. Cost tracks gram-occurrence volume (the inverted-index
+    key space), never doc pairs; all aggregates combine map-side. At
+    100x the join key becomes xxhash64(gram) to narrow the shuffle
+    width; kept as the exact string here so the oracle is exact."""
+    from flight_data_pipeline_spark.operators.text import ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(ngrams(F.col("text"), DUPCOV_N)).alias("g"))
+    gram_docs = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("d"))
+    per_doc = (
+        grams.join(gram_docs, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0))
+            .alias("dup_grams"),
+        )
+    )
+    frac = F.round(F.col("dup_grams") / F.col("n_grams"), 4)
+    return (
+        per_doc.select(
+            "doc_id", "source", "n_grams", "dup_grams",
+            frac.alias("dup_fraction"),
+            (frac > DUPCOV_DROP).cast("int").alias("would_drop"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# CCNet-style LM quality bucketing. The bucket cutoffs are PINNED
+# literals (CCNet precomputes its perplexity cutoffs from a held-out
+# sample offline for exactly this reason): banding stays a pure
+# map-side comparison — no full-corpus sort/window at scale. Pins
+# chosen so all three buckets are non-empty at sf0.001/0.01/0.1.
+UNIGRAM_HEAD_MAX = 3.4005
+UNIGRAM_MIDDLE_MAX = 3.4035
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    tc AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t),
+    tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+               CAST(COUNT(*) AS DOUBLE) AS v_size
+        FROM tc
+    ),
+    scored AS (
+        SELECT o.doc_id, o.source,
+               -ln((tc.c + 1) / (tot.n_total + tot.v_size)) AS nll
+        FROM occ o JOIN tc USING (t) CROSS JOIN tot
+    ),
+    pd AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(nll), 4) AS avg_nll
+        FROM scored GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, n_tokens, avg_nll,
+           CASE WHEN avg_nll < {UNIGRAM_HEAD_MAX} THEN 'head'
+                WHEN avg_nll < {UNIGRAM_MIDDLE_MAX} THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM pd
+    ORDER BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (the CCNet recipe with a corpus-trained
+    unigram model standing in for KenLM — the engine-side plumbing is
+    identical, only the scorer differs): per document, the mean
+    negative log-probability of its tokens under an add-one-smoothed
+    unigram LM fit on the corpus itself, bucketed head/middle/tail by
+    pinned cutoffs.
+
+    Plan: token-occurrence explode -> one (token -> count) hash
+    aggregate (the LM "training" — map-side combine) -> a 1-row totals
+    aggregate crossJoined back (broadcast nested loop over one row)
+    -> posting join occurrences to token counts (vocabulary-keyed; no
+    forced broadcast, stats/AQE decide — the TF-IDF lesson) -> per-doc
+    aggregate. No driver collect anywhere; bucketing is a literal
+    comparison on the rounded score, so there is no full-corpus
+    window/sort at any scale."""
+    from flight_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    occ = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t"))
+    tc = occ.groupBy("t").agg(F.count("*").alias("c"))
+    tot = tc.agg(
+        F.sum("c").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("v_size"))
+    nll = -F.log((F.col("c") + 1)
+                 / (F.col("n_total") + F.col("v_size")))
+    per_doc = (
+        occ.join(tc, "t").crossJoin(tot)
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.avg(nll), 4).alias("avg_nll"))
+    )
+    bucket = (
+        F.when(F.col("avg_nll") < UNIGRAM_HEAD_MAX, "head")
+        .when(F.col("avg_nll") < UNIGRAM_MIDDLE_MAX, "middle")
+        .otherwise("tail")
+    )
+    return (
+        per_doc.select("doc_id", "source", "n_tokens", "avg_nll",
+                       bucket.alias("ppl_bucket"))
+        .orderBy("doc_id")
+    )

@@ -571,3 +571,41 @@ class TestQualityFunnel:
             assert len(counts) == 6, (src, stages)
             assert all(a >= b for a, b in zip(counts, counts[1:])), (
                 src, counts)
+
+
+class TestDocQualityMetrics:
+    """Semantic pins for the per-doc dup-coverage and unigram-LM
+    queries (oracle parity is covered by test_oracle_parity)."""
+
+    def test_dup_coverage_flag_consistent_and_bounded(self, spark):
+        from flight_data_pipeline_spark.plans.text_queries import DUPCOV_DROP
+
+        df = registry.QUERIES["duplicated_ngram_coverage"](
+            spark, SF_DIR).toPandas()
+        assert ((df.dup_fraction >= 0) & (df.dup_fraction <= 1)).all()
+        assert (df.dup_grams <= df.n_grams).all()
+        # flag derived from the rounded fraction, exactly
+        assert (df.would_drop
+                == (df.dup_fraction > DUPCOV_DROP).astype("int32")).all()
+        # the fixture corpus is pathologically self-similar: both
+        # heavily-duplicated and clean docs must exist
+        assert df.would_drop.sum() > 0
+        assert (df.would_drop == 0).sum() > 0
+
+    def test_unigram_buckets_present_and_respect_cutoffs(self, spark):
+        from flight_data_pipeline_spark.plans.text_queries import (
+            UNIGRAM_HEAD_MAX,
+            UNIGRAM_MIDDLE_MAX,
+        )
+
+        df = registry.QUERIES["unigram_logprob_quality"](
+            spark, SF_DIR).toPandas()
+        assert set(df.ppl_bucket) == {"head", "middle", "tail"}
+        head = df[df.ppl_bucket == "head"].avg_nll
+        mid = df[df.ppl_bucket == "middle"].avg_nll
+        tail = df[df.ppl_bucket == "tail"].avg_nll
+        assert head.max() < UNIGRAM_HEAD_MAX
+        assert mid.min() >= UNIGRAM_HEAD_MAX and mid.max() < UNIGRAM_MIDDLE_MAX
+        assert tail.min() >= UNIGRAM_MIDDLE_MAX
+        # smoothed add-one NLL is positive and finite
+        assert (df.avg_nll > 0).all()
