@@ -63,16 +63,24 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-duplicate pairs: token-set Jaccard ≥ 0.8 within
     each source partition. The source-key equi-join bounds the pair
-    blowup (the role LSH bands play in the unkeyed variant below);
-    Jaccard itself is per-row array math, no extra shuffle. Exactly
-    SQL-expressible, so this is the *checked* near-dup query; the
-    hash-family variants (minhash/simhash) are rows-only."""
+    blowup (the role LSH bands play in the unkeyed variant below).
+    Exactly SQL-expressible, so this is the *checked* near-dup query;
+    the hash-family variants (minhash/simhash) are rows-only.
+
+    Runs the exact PREFIX-FILTERED candidate path (rarest-first token
+    prefixes per the AllPairs/PPJoin principle + full verification —
+    operators/dedup.jaccard_pairs_blocked(prefix_filter=True)): same
+    output as the single-pass counting form at every threshold (pinned
+    in tests/test_extensions.py::TestPrefixFilter), ~5× less posting
+    self-join volume (11.2M → 2.1M pair rows at sf0.1, 322k verified
+    candidates) and measured 5.9 → 4.7 s. Unlike the max_token_df
+    guard this trades no recall, so it can BE the oracle-checked form."""
     from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
 
     docs = load_table(spark, "documents", sf_dir)
     pairs = jaccard_pairs_blocked(
         docs, id_col="doc_id", block_col="source", text_col="text",
-        threshold=JACCARD_THRESHOLD,
+        threshold=JACCARD_THRESHOLD, prefix_filter=True,
     )
     return pairs.select(
         F.col("id_a").alias("doc_a"),

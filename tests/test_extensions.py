@@ -609,3 +609,33 @@ class TestDocQualityMetrics:
         assert tail.min() >= UNIGRAM_MIDDLE_MAX
         # smoothed add-one NLL is positive and finite
         assert (df.avg_nll > 0).all()
+
+
+class TestPrefixFilter:
+    def test_prefix_path_equals_exact_path_on_fixture(self, spark):
+        """prefix_filter=True is the checked query's form: it must
+        reproduce the single-pass counting path exactly — same pairs,
+        same sims — on the (pathologically self-similar) fixture."""
+        from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
+
+        docs = load_table(spark, "documents", SF_DIR)
+        exact = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in jaccard_pairs_blocked(
+                docs, "doc_id", "source", "text", threshold=0.8).collect()
+        }
+        prefixed = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in jaccard_pairs_blocked(
+                docs, "doc_id", "source", "text", threshold=0.8,
+                prefix_filter=True).collect()
+        }
+        assert prefixed == exact
+
+    def test_guard_and_prefix_are_mutually_exclusive(self, spark):
+        from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
+
+        docs = load_table(spark, "documents", SF_DIR)
+        with pytest.raises(ValueError, match="candidate strategies"):
+            jaccard_pairs_blocked(docs, "doc_id", "source", "text", 0.8,
+                                  max_token_df=5, prefix_filter=True)

@@ -223,6 +223,35 @@ def test_jaccard_pairs_blocked_matches_naive(spark, corpus, threshold):
 
 
 @SETTINGS
+@given(corpus=corpora, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_jaccard_prefix_filter_matches_naive(spark, corpus, threshold):
+    """The prefix-filtered path is EXACT (full equality, not subset):
+    the rarest-first (n - ceil(t*n) + 1)-prefix must surface every
+    qualifying pair — this exercises the prefix lemma AND the
+    float-ceil backoff (0.8 * n overshoot would silently shorten the
+    prefix and lose pairs)."""
+    from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
+
+    rows = [(i, blk, " ".join(toks)) for i, (blk, toks) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "id long, blk long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in jaccard_pairs_blocked(df, "id", "blk", "text", threshold,
+                                       prefix_filter=True).collect()
+    }
+
+    want = {}
+    for i, bi, ti in rows:
+        for j, bj, tj in rows:
+            if i < j and bi == bj:
+                sa, sb = set(ti.split(" ")), set(tj.split(" "))
+                jac = round(len(sa & sb) / len(sa | sb), 4)
+                if jac >= threshold:
+                    want[(i, j)] = jac
+    assert got == want
+
+
+@SETTINGS
 @given(corpus=corpora)
 def test_bitset_masks_encode_exact_set_algebra(spark, corpus):
     """Dictionary bitset masks (the bounded-vocabulary exact-similarity
