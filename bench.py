@@ -76,26 +76,41 @@ def main() -> None:
     # warmup: pay JVM/codegen startup and first-touch parquet footer/
     # page-cache reads once, for each benchmarked table family —
     # timings below then measure plans, not cold IO
-    run(queries["scalar_counts"](spark, sf_dir))
-    run(queries["tokenization_stats"](spark, sf_dir))
-    run(queries["label_centroid_stats"](spark, sf_dir))
+    for warm in ("scalar_counts", "tokenization_stats", "label_centroid_stats"):
+        try:
+            run(queries[warm](spark, sf_dir))
+        except Exception as exc:  # warmup failure must not kill the bench
+            print(f"warmup {warm} failed: {exc!r}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # Each query is timed independently and failure-isolated: one
+    # broken query reports {"err": ...} for itself and the JSON line
+    # still carries timings for every other query (round-3 lesson —
+    # a single crash zeroed the whole round's bench evidence).
+    timings: dict[str, object] = {}
+    errors = 0
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run(queries[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                run(queries[name](spark, sf_dir))
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:
+            errors += 1
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
 
-    print(json.dumps({
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
+    out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -51,3 +51,18 @@ def default_to(col: Column, default: Column) -> Column:
 def age_hours(ts: Column, now: Column) -> Column:
     """Event-time age in fractional hours (etl_job.py:80)."""
     return (F.unix_timestamp(now) - F.unix_timestamp(ts)) / 3600.0
+
+
+def to_epoch_seconds(ts: Column) -> Column:
+    """Whole-second epoch value of a time column, tolerant of the
+    column's exact type: TIMESTAMP, TIMESTAMP_NTZ, and DATE all work.
+
+    Spark 4 forbids ``CAST(timestamp_ntz AS BIGINT)`` directly (the
+    round-3 fixture drift crashed every operator that assumed LTZ); a
+    first cast to ``timestamp`` is a no-op for LTZ inputs and a
+    value-preserving reinterpretation for NTZ/DATE under the engine's
+    pinned UTC session timezone. Truncation is toward −∞ for epochs
+    ≥ 0 (same as the previous direct cast), so bin assignment in
+    range_join_binned is unchanged.
+    """
+    return ts.cast("timestamp").cast("long")

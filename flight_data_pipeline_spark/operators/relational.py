@@ -23,6 +23,8 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from flight_data_pipeline_spark.functions.scalars import to_epoch_seconds
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               right_cols: Sequence[str], suffix: str = "_asof",
@@ -108,8 +110,10 @@ def range_join_binned(left: DataFrame, right: DataFrame,
     upper−1 end silently dropped such matches). Costs at most one
     extra bin per left row. Both ts columns must be TIMESTAMP typed.
     """
-    lsec = F.col(left_ts).cast("long")  # truncation (toward −∞ for epochs ≥ 0)
-    rsec = F.col(right_ts).cast("long")
+    # to_epoch_seconds handles LTZ and NTZ inputs alike (truncation
+    # toward −∞ for epochs ≥ 0)
+    lsec = to_epoch_seconds(F.col(left_ts))
+    rsec = to_epoch_seconds(F.col(right_ts))
     l = left.withColumn(
         "__bin",
         F.explode(F.sequence(F.floor((lsec + lower_sec) / bin_sec),

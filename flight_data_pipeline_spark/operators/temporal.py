@@ -12,6 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from flight_data_pipeline_spark.functions.scalars import to_epoch_seconds
+
 
 def within_interval(ts: Column, now: Column, days: int) -> Column:
     """``ts >= now - INTERVAL n DAYS`` (README.md:178). ``now`` is a
@@ -30,7 +32,8 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
     ``session_window``/``applyInPandasWithState``.
     """
     by_user = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_s = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(by_user)
+    secs = to_epoch_seconds(F.col(ts_col))
+    gap_s = secs - F.lag(secs).over(by_user)
     is_new = F.when(gap_s.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
     return (
         df.withColumn("__new_session", is_new)

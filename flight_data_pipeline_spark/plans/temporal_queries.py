@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from flight_data_pipeline_spark.functions.scalars import to_epoch_seconds
 from flight_data_pipeline_spark.operators.relational import asof_join
 from flight_data_pipeline_spark.operators.temporal import sessionize
 from flight_data_pipeline_spark.plans.registry import query
@@ -150,11 +151,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse the user_id partitioning."""
     ev = load_table(spark, "events", sf_dir)
     sessions = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    ts_secs = to_epoch_seconds(F.col("ts"))
     per_session = (
         sessions.groupBy("user_id", "session_id")
         .agg(
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
-            .alias("sess_len"),
+            (F.max(ts_secs) - F.min(ts_secs)).alias("sess_len"),
             F.count("*").alias("n"),
         )
     )

@@ -40,19 +40,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one fixture table as a typed DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which
-    Spark 4 rejects natively; with ``nanosAsLong`` it arrives as an
-    epoch-nanos long that we convert to a microsecond TimestampType
-    (UTC). The DuckDB oracle casts its ns timestamp to µs TIMESTAMP,
-    so both sides agree exactly.
+    ``events.ts`` is normalized to TimestampType (UTC) whatever the
+    fixture's physical parquet type is — the fixtures have shipped
+    two encodings across rounds and the loader is the single place
+    that absorbs the drift (tests/test_tables.py pins this):
+
+    - ``TIMESTAMP(NANOS)``: Spark 4 rejects it natively; with
+      ``nanosAsLong`` it arrives as an epoch-nanos ``bigint`` that we
+      convert to microsecond TimestampType.
+    - ``timestamp[us]`` with no timezone (isAdjustedToUTC=false):
+      Spark 4 infers ``TIMESTAMP_NTZ``; under the pinned UTC session
+      timezone a plain cast to ``timestamp`` is value-preserving and
+      matches the DuckDB oracle, which reads the same column as a
+      naive timestamp and compares in UTC.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     apply_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — float division of epoch-nanos loses µs
-        # precision (1.7e18 exceeds double's 53-bit mantissa)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — float division of epoch-nanos loses µs
+            # precision (1.7e18 exceeds double's 53-bit mantissa)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
