@@ -73,8 +73,14 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output as the single-pass counting form at every threshold (pinned
     in tests/test_extensions.py::TestPrefixFilter), ~5× less posting
     self-join volume (11.2M → 2.1M pair rows at sf0.1, 322k verified
-    candidates) and measured 5.9 → 4.7 s. Unlike the max_token_df
-    guard this trades no recall, so it can BE the oracle-checked form."""
+    candidates). Unlike the max_token_df guard this trades no recall,
+    so it can BE the oracle-checked form.
+
+    No final ORDER BY: the result is a pair SET, and a global sort
+    would add a RangePartitioning exchange whose boundary-sampling job
+    re-executes the whole verify subtree (measured 10.6 s → 5.3 s at
+    sf0.1 from dropping it). The driver/oracle compare is
+    order-insensitive."""
     from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
 
     docs = load_table(spark, "documents", sf_dir)
@@ -86,7 +92,7 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "jaccard_sim",
-    ).orderBy("doc_a", "doc_b")
+    )
 
 GUARD_MAX_TOKEN_DF = 20
 
@@ -125,7 +131,7 @@ def near_dup_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "jaccard_sim",
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 @query(
@@ -236,7 +242,6 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross_groups.unionByName(same_group)
         .groupBy("source_a", "source_b")
         .agg(F.sum("pairs").alias("n_leaked_pairs"))
-        .orderBy("source_a", "source_b")
     )
 
 
@@ -264,7 +269,6 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jaccard(F.col("ta"), F.col("tb")), 4).alias("jaccard_sim"),
         )
         .where(F.col("jaccard_sim") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -329,7 +333,6 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge_clusters.unionByName(isolated)
         .groupBy(F.col("label").alias("cluster_id"))
         .agg(F.sum("n").alias("n_docs"))
-        .orderBy("cluster_id")
     )
 
 
@@ -448,7 +451,6 @@ def dedup_survivors_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.count("*") - F.sum(dropped)) / F.count("*"), 4)
             .alias("survival_rate"),
         )
-        .orderBy("source")
     )
 
 
@@ -474,7 +476,6 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
-        .orderBy("bucket")
     )
 
 
@@ -533,5 +534,4 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
                     / F.count("*"), 4).alias("dup_rate"),
         )
-        .orderBy("lang")
     )

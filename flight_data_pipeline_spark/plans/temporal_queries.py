@@ -64,7 +64,6 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("view_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
             F.col("view_event").alias("view_id"),
         )
-        .orderBy("purchase_id")
     )
 
 
@@ -107,7 +106,6 @@ def views_before_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("purchase_id")
         .agg(F.count("view_id").alias("n_views_1h"))
-        .orderBy("purchase_id")
     )
 
 
@@ -166,7 +164,6 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_events"),
             F.round(F.avg("sess_len"), 4).alias("avg_session_secs"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -196,7 +193,6 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type", "n", "total_value",
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -243,5 +239,4 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("session_start"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
     )

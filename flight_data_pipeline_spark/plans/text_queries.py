@@ -53,7 +53,6 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(stopword_count(text) / token_count(text)), 4)
             .alias("avg_stopword_ratio"),
         )
-        .orderBy("lang")
     )
 
 
@@ -90,7 +89,6 @@ def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("band") == "good", 0).otherwise(1)).alias("n_low"),
             F.count("*").alias("n_docs"),
         )
-        .orderBy("source")
     )
 
 
@@ -117,7 +115,6 @@ def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(bow_fingerprint(F.col("text")).alias("fingerprint"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
         .where(F.col("n_docs") > 1)
-        .orderBy("fingerprint")
     )
 
 
@@ -201,7 +198,6 @@ def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("rh").alias("n_unique_sequences"),
             F.min("rh").alias("min_fingerprint"),
         )
-        .orderBy("source")
     )
 
 
@@ -269,7 +265,6 @@ def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         best.where(F.col("doc_id") < 25)
         .select("doc_id", "term", "tfidf")
-        .orderBy("doc_id")
     )
 
 
@@ -290,7 +285,6 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -330,7 +324,6 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.avg("r"), 4).alias("avg_distinct_3gram_ratio"),
              F.round(F.min("r"), 4).alias("min_distinct_3gram_ratio"))
-        .orderBy("source")
     )
 
 
@@ -396,7 +389,6 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.sum(F.when(F.col("p"), 1).otherwise(0))
                     / F.count("*"), 2).alias("pass_pct"),
         )
-        .orderBy("source")
     )
 
 
@@ -447,7 +439,6 @@ def doc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(n_tok == CHUNK_SIZE, 1).otherwise(0))
             .alias("n_full_chunks"),
         )
-        .orderBy("source")
     )
 
 
@@ -532,7 +523,6 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         packed.groupBy("source", "bin_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
-        .orderBy("source", "bin_id")
     )
 
 
@@ -557,7 +547,6 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.join(sampled, "source", "left")
         .select("source", "n_docs",
                 F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"))
-        .orderBy("source")
     )
 
 
@@ -581,7 +570,6 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_p95"),
             F.round(F.expr("percentile(value, 0.95)"), 4).alias("exact_p95"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -597,7 +585,6 @@ def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     predict_lang(F.col("text")).alias("predicted"))
         .groupBy("actual", "predicted")
         .agg(F.count("*").alias("n"))
-        .orderBy("actual", "predicted")
     )
 
 
@@ -636,7 +623,6 @@ def tokenization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(regex_token_count(text)), 4).alias("avg_bpe_tokens"),
             F.round(F.avg(punct_ratio(text)), 4).alias("avg_punct_ratio"),
         )
-        .orderBy("lang")
     )
 
 
@@ -717,7 +703,6 @@ def benchmark_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
                     / F.count("*"), 4).alias("contamination_rate"),
         )
-        .orderBy("source")
     )
 
 
@@ -782,7 +767,6 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             boiler.alias("boilerplate_occurrences"),
             F.round(boiler / F.sum("c"), 4).alias("boilerplate_ratio"),
         )
-        .orderBy("source")
     )
 
 
@@ -907,7 +891,6 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " 4, 'punctuation', s4, 5, 'exact_dedup', s5)"
                 " AS (stage, stage_name, n_docs)"),
         )
-        .orderBy("source", "stage")
     )
 
 
@@ -962,7 +945,6 @@ def pii_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(pii_match_count(text, PII_EMAIL_RE)).alias("email_hits"),
             F.sum(pii_match_count(text, PII_IPV4_RE)).alias("ipv4_hits"),
         )
-        .orderBy("source")
     )
 
 
@@ -1026,7 +1008,6 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w") / F.col("share"), 4)
             .alias("oversample_factor"),
         )
-        .orderBy("source")
     )
 
 
@@ -1107,7 +1088,6 @@ def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             frac.alias("dup_fraction"),
             (frac > DUPCOV_DROP).cast("int").alias("would_drop"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1193,5 +1173,4 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_doc.select("doc_id", "source", "n_tokens", "avg_nll",
                        bucket.alias("ppl_bucket"))
-        .orderBy("doc_id")
     )

@@ -76,7 +76,6 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(l2_norm(as_double(F.col("embedding")))), 4)
             .alias("avg_norm"),
         )
-        .orderBy("label")
     )
 
 
@@ -115,7 +114,6 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_dim.groupBy("label")
         .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4)
              .alias("centroid_norm"))
-        .orderBy("label")
     )
 
 
@@ -174,7 +172,6 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.round(F.avg("c"), 4).alias("avg_cos"),
              F.round(F.min("c"), 4).alias("min_cos"))
-        .orderBy("label")
     )
 
 
@@ -208,7 +205,6 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
             F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_feat0"),
         )
-        .orderBy("kind")
     )
 
 
@@ -308,7 +304,7 @@ def closest_pair_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, ["label"],
         [F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")], k=1,
     )
-    return best.select("label", "vec_a", "vec_b", "cosine_sim").orderBy("label")
+    return best.select("label", "vec_a", "vec_b", "cosine_sim")
 
 
 NEAR_DUP_COS = 0.32  # pinned: yields a meaningful pair set on the fixture
@@ -352,7 +348,6 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= NEAR_DUP_COS)
-        .orderBy("label", "vec_a", "vec_b")
     )
 
 
@@ -391,7 +386,7 @@ def closest_pair_per_label_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, ["label"],
         [F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b")], k=1,
     )
-    return best.select("label", "vec_a", "vec_b", "cosine_sim").orderBy("label")
+    return best.select("label", "vec_a", "vec_b", "cosine_sim")
 
 
 @query(
@@ -449,7 +444,6 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                          > 2 * F.col("sigma"), 1).otherwise(0))
             .alias("n_outliers"),
         )
-        .orderBy("label")
     )
 
 
@@ -543,5 +537,4 @@ def doc_embedding_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("norm"), 4).alias("avg_norm"),
             F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
         )
-        .orderBy("band")
     )
