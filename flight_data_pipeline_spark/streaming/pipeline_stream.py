@@ -147,6 +147,19 @@ def streaming_hourly_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def ewma_fold(n: int, ewma: float | None, values, alpha: float):
+    """The shared per-key state transition of both custom stateful
+    operators: fold ``values`` (event-time-ordered) into a running
+    (count, EWMA) pair. Kept as a module-level pure function so the
+    applyInPandasWithState and transformWithStateInPandas forms
+    provably share one semantics and the fold is unit-testable
+    without a streaming runtime (tests/test_streaming.py)."""
+    for v in values:
+        n += 1
+        ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+    return n, ewma
+
+
 def stateful_user_stats(events: DataFrame,
                         user_col: str = "user_id",
                         value_col: str = "value",
@@ -180,9 +193,7 @@ def stateful_user_stats(events: DataFrame,
         n, ewma = state.get if state.exists else (0, None)
         for pdf in pdfs:
             # event-time order within the batch for a deterministic EWMA
-            for v in pdf.sort_values("ts")[value_col]:
-                n += 1
-                ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+            n, ewma = ewma_fold(n, ewma, pdf.sort_values("ts")[value_col], alpha)
         state.update((n, ewma))
         yield pd.DataFrame({user_col: [key[0]], "n_events": [n],
                             "ewma_value": [ewma]})
@@ -241,6 +252,43 @@ def join_telemetry_streams(intensity: DataFrame, mix: DataFrame,
     )
 
 
+def make_user_stats_processor(user_col: str = "user_id",
+                              value_col: str = "value",
+                              alpha: float = 0.3):
+    """Build the transformWithStateInPandas StatefulProcessor for
+    per-user (count, EWMA). Module-level factory (rather than a class
+    captured inside the operator) so the processor's state-transition
+    logic is directly unit-testable against a fake
+    StatefulProcessorHandle — the container lacks the python protobuf
+    runtime the TWS state-server protocol needs at EXECUTION time, but
+    the processor class itself has no such dependency, and
+    tests/test_streaming.py drives init/handleInputRows/close through
+    a dict-backed fake handle and pins the semantics to the
+    applyInPandasWithState twin."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("stats", "n long, ewma double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, ewma = got if got is not None else (0, None)
+            for pdf in rows:
+                # event-time order within the batch → deterministic EWMA
+                n, ewma = ewma_fold(n, ewma,
+                                    pdf.sort_values("ts")[value_col], alpha)
+            self._state.update((n, ewma))
+            yield pd.DataFrame({user_col: [key[0]], "n_events": [n],
+                                "ewma_value": [ewma]})
+
+        def close(self) -> None:
+            pass
+
+    return UserStats()
+
+
 def stateful_user_stats_tws(events: DataFrame,
                             user_col: str = "user_id",
                             value_col: str = "value",
@@ -264,43 +312,17 @@ def stateful_user_stats_tws(events: DataFrame,
     in this container (test skips with the reason), present on any
     standard cluster image.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
     out_schema = T.StructType([
         T.StructField(user_col, T.LongType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("ewma_value", T.DoubleType()),
     ])
 
-    class UserStats(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "stats", "n long, ewma double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            got = self._state.get()
-            n, ewma = got if got is not None else (0, None)
-            for pdf in rows:
-                # event-time order within the batch → deterministic EWMA
-                for v in pdf.sort_values("ts")[value_col]:
-                    n += 1
-                    ewma = (float(v) if ewma is None
-                            else alpha * float(v) + (1 - alpha) * ewma)
-            self._state.update((n, ewma))
-            yield pd.DataFrame({user_col: [key[0]], "n_events": [n],
-                                "ewma_value": [ewma]})
-
-        def close(self) -> None:
-            pass
-
     return (
         events.groupBy(user_col)
         .transformWithStateInPandas(
-            statefulProcessor=UserStats(),
+            statefulProcessor=make_user_stats_processor(
+                user_col, value_col, alpha),
             outputStructType=out_schema,
             outputMode="Update",
             timeMode="None",

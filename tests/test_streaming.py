@@ -316,3 +316,58 @@ def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path):
 
     assert latest[1] == (3, pytest.approx(ewma([10.0, 20.0, 30.0])))
     assert latest[2] == (1, pytest.approx(ewma([5.0])))
+
+
+def test_tws_processor_logic_via_fake_handle():
+    """Drive the transformWithStateInPandas StatefulProcessor directly
+    (init → handleInputRows across two 'micro-batches' → close) with a
+    dict-backed fake handle, so its state-transition logic is proven
+    in-container even though TWS *execution* needs the protobuf state
+    server the container lacks. Semantics pinned to the
+    applyInPandasWithState twin through the shared ewma_fold."""
+    import pandas as pd
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        ewma_fold,
+        make_user_stats_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = make_user_stats_processor(alpha=0.3)
+    handle = FakeHandle()
+    proc.init(handle)
+
+    # micro-batch 1: rows arrive ts-unordered; the processor must fold
+    # them in event-time order (20 then 10 by arrival, 10 then 20 by ts)
+    b1 = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01T01:00:00"),
+                              pd.Timestamp("2024-01-01T00:00:00")],
+                       "value": [20.0, 10.0]})
+    (out1,) = proc.handleInputRows((1,), iter([b1]), None)
+    assert out1.loc[0, "n_events"] == 2
+    assert out1.loc[0, "ewma_value"] == pytest.approx(0.3 * 20 + 0.7 * 10)
+
+    # micro-batch 2: state carried across calls (checkpoint analogue)
+    b2 = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01T02:00:00")],
+                       "value": [30.0]})
+    (out2,) = proc.handleInputRows((1,), iter([b2]), None)
+    expected_n, expected_ewma = ewma_fold(0, None, [10.0, 20.0, 30.0], 0.3)
+    assert out2.loc[0, "n_events"] == expected_n == 3
+    assert out2.loc[0, "ewma_value"] == pytest.approx(expected_ewma)
+    assert handle.states["stats"].get() == (3, pytest.approx(expected_ewma))
+    proc.close()
