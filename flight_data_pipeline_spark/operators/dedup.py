@@ -165,16 +165,21 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     Iterative min-label propagation as pure DataFrame rounds: each
     round every node takes the min label in its closed neighborhood
-    (one join + one min-aggregate, two shuffles). After k rounds a
-    node's label is the minimum over its k-hop neighborhood.
+    (one join + one min-aggregate, two shuffles). Labels are SEEDED
+    with the closed 1-hop neighborhood min — the same aggregate a
+    first propagation round would produce from identity labels,
+    folded into the vertex-derivation shuffle, so every call saves
+    one full round. After k loop rounds a node's label is therefore
+    the minimum over its (k+1)-hop neighborhood.
 
     Convergence: the loop stops as soon as a round changes no label —
     a fixed point of min-propagation, i.e. the true components — so
     converged inputs never pay the full ``max_iter`` rounds (dense
-    near-dup clusters typically settle in 2-3). The probe is a
-    bounded ``isEmpty()`` on the anti-set of changed labels between
-    two already-checkpointed (materialized) label tables: O(1) rows
-    to the driver, loop control rather than data materialization. If
+    near-dup clusters typically settle in 2-3). The change flag is
+    computed inside the round's checkpoint job (a join against the
+    previous labels folded into the materialization), so the
+    convergence probe is an ``isEmpty()`` filter over already-
+    materialized rows — loop control, not an extra join job. If
     ``max_iter`` rounds pass with labels still moving (component
     diameter > max_iter — chain-like graphs), a warning is logged and
     the partial labels are returned: clusters may be split; raise
@@ -194,8 +199,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     ).localCheckpoint()
-    labels = (sym.select(F.col("s").alias("v")).distinct()
-              .withColumn("label", F.col("v"))
+    # seed with the closed 1-hop neighborhood min — the same aggregate
+    # a propagation round would compute from identity labels, folded
+    # into the (unavoidable) vertex-derivation shuffle: saves one full
+    # round every call
+    labels = (sym.groupBy("s")
+              .agg(F.least(F.min("d"), F.col("s")).alias("label"))
+              .select(F.col("s").alias("v"), "label")
               .localCheckpoint())
     converged = False
     for _ in range(max_iter):
@@ -204,14 +214,20 @@ def connected_components(edges: DataFrame, src: str = "src",
                      F.col("d") == F.col("__d"))
             .select(F.col("s").alias("v"), F.col("label"))
         )
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("v").agg(F.min("label").alias("label"))
-                      .localCheckpoint())
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "__prev"), "v")
-            .where(F.col("label") != F.col("__prev"))
+        # the change flag rides the materialized frame (one join folded
+        # into the checkpoint job) so the convergence probe is a filter
+        # over checkpointed rows, not a join job of its own
+        new_labels = (
+            labels.select("v", "label")
+            .unionByName(msgs)
+            .groupBy("v").agg(F.min("label").alias("label"))
+            .join(labels.select("v", F.col("label").alias("__prev")), "v")
+            .withColumn("__changed", F.col("label") != F.col("__prev"))
+            .select("v", "label", "__changed")
+            .localCheckpoint()
         )
-        labels, converged = new_labels, changed.isEmpty()
+        labels = new_labels.select("v", "label")
+        converged = new_labels.where(F.col("__changed")).isEmpty()
         if converged:
             break
     if not converged:
