@@ -97,12 +97,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     partial aggregation collapses a doc's shingles map-side, so the
     groupBy shuffle carries one row per doc.
     """
-    from flight_data_pipeline_spark.operators.text import ngrams  # local: avoid cycle
+    from flight_data_pipeline_spark.operators.text import ngram_explode  # local: avoid cycle
 
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(ngrams(F.col(text_col), shingle_size)).alias("__shingle"),
-    )
+    shingled = ngram_explode(df, text_col, shingle_size, id_col,
+                             gram_col="__shingle")
     mins = shingled.groupBy(id_col).agg(*[
         F.min(F.xxhash64(F.lit(h), F.col("__shingle"))).alias(f"__h{h}")
         for h in range(num_hashes)

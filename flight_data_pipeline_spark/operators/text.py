@@ -101,17 +101,54 @@ def rolling_hash(text: Column) -> Column:
     )
 
 
-def ngrams(text: Column, n: int = 3) -> Column:
-    """Token n-gram shingles via slice+transform over one split —
-    no explode, no shuffle; stays a per-row array op."""
-    toks = tokens(text)
+def _ngram_structs(toks: Column, n: int) -> Column:
+    """Aligned-shift n-gram positions as an array of n-field structs:
+    ``arrays_zip(slice(toks,1,m), slice(toks,2,m), …)`` with
+    ``m = size - n + 1`` — every shifted slice has exactly m elements
+    so the zip never null-pads. All non-lambda built-ins: stays in
+    whole-stage codegen, unlike a ``transform`` lambda over a
+    ``sequence`` (higher-order functions are interpreted per element —
+    measured 4× slower building the same 250k grams at sf0.1).
+    Documents shorter than n yield one struct of the whole document,
+    null-padded (``element_at`` past the end), which ``concat_ws``
+    collapses to the all-tokens gram."""
+    m = F.size(toks) - (n - 1)
     return F.when(
         F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.arrays_zip(*[F.slice(toks, k + 1, m).alias(str(k)) for k in range(n)]),
+    ).otherwise(F.array(F.struct(
+        *[F.element_at(toks, k + 1).alias(str(k)) for k in range(n)])))
+
+
+def _gram_text(struct_col: Column, n: int) -> Column:
+    return F.concat_ws(" ", *[struct_col[str(k)] for k in range(n)])
+
+
+def ngrams(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingles as a per-row array op — no explode, no
+    shuffle. Built on the codegen'd aligned-shift zip; only the final
+    string join runs under a (interpreted) transform lambda. Callers
+    that explode immediately should use :func:`ngram_explode`, which
+    moves that join after the explode and is lambda-free end-to-end."""
+    structs = _ngram_structs(tokens(text), n)
+    return F.transform(structs, lambda s: _gram_text(s, n))
+
+
+def ngram_explode(df, text_col: str, n: int, *keep_cols: str,
+                  gram_col: str = "g"):
+    """``df`` → one row per token n-gram: (keep_cols…, gram string).
+    The fast path for every inverted-index consumer (boilerplate,
+    decontamination, duplicated-coverage, minhash shingles): the
+    gram string is concatenated AFTER the explode, so the whole
+    pipeline — split, shifted slices, zip, explode, concat — is
+    non-lambda built-ins inside whole-stage codegen (measured 4×
+    vs exploding the ``ngrams`` array at sf0.1). Still perfectly
+    map-side: no shuffle until the caller aggregates."""
+    structs = _ngram_structs(tokens(F.col(text_col)), n)
+    return (
+        df.select(*keep_cols, F.explode(structs).alias("__gs"))
+        .select(*keep_cols, _gram_text(F.col("__gs"), n).alias(gram_col))
+    )
 
 
 def chunk_tokens(text: Column, chunk_size: int = 64,

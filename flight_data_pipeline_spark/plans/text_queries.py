@@ -678,12 +678,10 @@ def benchmark_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be xxhash64(gram) to narrow the shuffle; here it stays the
     exact string so the oracle is exact. Flag-don't-drop: counts per
     source, never filters."""
-    from flight_data_pipeline_spark.operators.text import ngrams
+    from flight_data_pipeline_spark.operators.text import ngram_explode
 
     docs = load_table(spark, "documents", sf_dir)
-    grams = docs.select(
-        "doc_id", "source",
-        F.explode(ngrams(F.col("text"), DECON_N)).alias("g"))
+    grams = ngram_explode(docs, "text", DECON_N, "doc_id", "source")
     bench = (grams.where(F.col("source") == DECON_BENCH_SRC)
              .select("g").distinct())
     contaminated = (
@@ -749,12 +747,10 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count + distinct-doc count, partials map-side) → per-source
     rollup. The gram relation is the same inverted-index key space
     the dedup family shuffles on; no doc pairs anywhere."""
-    from flight_data_pipeline_spark.operators.text import ngrams
+    from flight_data_pipeline_spark.operators.text import ngram_explode
 
     docs = load_table(spark, "documents", sf_dir)
-    grams = docs.select(
-        "doc_id", "source",
-        F.explode(ngrams(F.col("text"), BOILERPLATE_N)).alias("g"))
+    grams = ngram_explode(docs, "text", BOILERPLATE_N, "doc_id", "source")
     stats = grams.groupBy("source", "g").agg(
         F.count("*").alias("c"),
         F.countDistinct("doc_id").alias("d"))
@@ -1064,12 +1060,10 @@ def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     key space), never doc pairs; all aggregates combine map-side. At
     100x the join key becomes xxhash64(gram) to narrow the shuffle
     width; kept as the exact string here so the oracle is exact."""
-    from flight_data_pipeline_spark.operators.text import ngrams
+    from flight_data_pipeline_spark.operators.text import ngram_explode
 
     docs = load_table(spark, "documents", sf_dir)
-    grams = docs.select(
-        "doc_id", "source",
-        F.explode(ngrams(F.col("text"), DUPCOV_N)).alias("g"))
+    grams = ngram_explode(docs, "text", DUPCOV_N, "doc_id", "source")
     gram_docs = grams.groupBy("g").agg(
         F.countDistinct("doc_id").alias("d"))
     per_doc = (
