@@ -342,3 +342,198 @@ def semdedup_labels(assignments: DataFrame, vec_col: str = "embedding",
         .select(F.col("__va").alias("src"), F.col("__vb").alias("dst"))
     )
     return connected_components(edges, "src", "dst", max_iter=max_iter)
+
+
+class PqCodebooks:
+    """Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public):
+    the embedding space is split into ``m`` contiguous subspaces of
+    ``dsub`` dims; each subspace gets its own ``ksub``-centroid KMeans
+    codebook; a vector compresses to ``m`` small codes (64 dims ×
+    float32 → 8 bytes at m=8). This is index METADATA — m × ksub ×
+    dsub floats, a few KB — so holding it driver-side and shipping it
+    into the encode kernel / the ADC lookup-table join is the same
+    discipline as the IVF centroid table.
+
+    ``normalize=True`` means vectors were L2-normalized before
+    encoding, so an ADC inner-product score approximates cosine."""
+
+    def __init__(self, centers: list, normalize: bool = True):
+        self.centers = centers  # (m, ksub, dsub) nested lists
+        self.normalize = normalize
+        self.m = len(centers)
+        self.ksub = len(centers[0])
+        self.dsub = len(centers[0][0])
+
+    def as_dataframe(self, spark) -> DataFrame:
+        """The codebooks as a tiny (m·ksub)-row DataFrame
+        (subspace, code, centroid) — the broadcast side of the ADC
+        lookup-table join."""
+        rows = [
+            (j, c, [float(x) for x in cent])
+            for j, sub in enumerate(self.centers)
+            for c, cent in enumerate(sub)
+        ]
+        return spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>")
+
+
+def _l2_normalized(vec: Column) -> Column:
+    return F.transform(
+        as_double(vec),
+        lambda x: x / F.greatest(l2_norm(as_double(vec)), F.lit(1e-12)),
+    )
+
+
+def train_pq_codebooks(df: DataFrame, vec_col: str, m: int = 8,
+                       ksub: int = 16, seed: int = 42,
+                       train_fraction: float = 0.5,
+                       train_rows: int = 100_000,
+                       normalize: bool = True) -> PqCodebooks:
+    """Train PQ codebooks: ``m`` independent KMeans fits, one per
+    subspace, each on the SAME bounded sample (sampled once, persisted,
+    reused — the multi-fit twin of build_ivf_index's training bound).
+    Deterministic via seed. At 100 TB the sample cap keeps codebook
+    training constant-cost regardless of corpus size; encoding the
+    full corpus (pq_encode) is the only full pass and it's one
+    map-side Arrow-batched kernel."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = _l2_normalized(F.col(vec_col)) if normalize \
+        else as_double(F.col(vec_col))
+    train = (df.select(vec.alias("__v"))
+             .sample(withReplacement=False, fraction=train_fraction,
+                     seed=seed)
+             .limit(train_rows)
+             .persist())
+    dsub_total = len(train.first()["__v"])
+    if dsub_total % m:
+        raise ValueError(f"dim {dsub_total} not divisible by m={m}")
+    dsub = dsub_total // m
+    centers = []
+    for j in range(m):
+        feats = train.withColumn(
+            "__f", array_to_vector(F.slice(F.col("__v"), j * dsub + 1, dsub)))
+        model = KMeans(k=ksub, seed=seed + j, featuresCol="__f",
+                       predictionCol="__p").fit(feats)
+        centers.append([[float(x) for x in c] for c in model.clusterCenters()])
+    train.unpersist()
+    return PqCodebooks(centers, normalize)
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks: PqCodebooks,
+              code_col: str = "pq_codes") -> DataFrame:
+    """Encode every vector to its ``m`` nearest-subcentroid codes.
+
+    This is the one place the vector family drops to Python: argmin
+    over (ksub, dsub) centroid blocks is a dense numpy kernel, exactly
+    the Arrow-batched-pandas_udf case (a per-code HOF expression tree
+    would be m × ksub interpreted dot products per row). One map-side
+    pass, no shuffle; the codebook rides the closure (KBs)."""
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks.centers, dtype=np.float64)  # (m, ksub, dsub)
+    m, _, dsub = cb.shape
+    normalize = codebooks.normalize
+
+    def enc(vs: pandas.Series) -> pandas.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        if normalize:
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pandas.Series([c.tolist() for c in codes])
+
+    # annotations are strings under `from __future__ import annotations`
+    # and must resolve against REAL objects for pandas_udf's eval-type
+    # inference — hence the locally-imported module object attached here
+    enc.__annotations__ = {"vs": pandas.Series, "return": pandas.Series}
+    return df.withColumn(code_col, pandas_udf(enc, "array<int>")(F.col(vec_col)))
+
+
+def pq_adc_topk(encoded: DataFrame, query_vec: DataFrame,
+                codebooks: PqCodebooks, vec_col: str, id_col: str,
+                k: int = 10, code_col: str = "pq_codes",
+                score_digits: int = 6) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes, fully relational.
+
+    The classic ADC lookup table — partial score of (subspace, code)
+    against the query's subvector — is built IN THE PLAN: the
+    (m·ksub)-row codebook frame cross-joins the broadcast query,
+    paying the HOF dot product m·ksub times total (not per data row).
+    Candidates then posexplode their codes (map-side), broadcast-join
+    the LUT on (subspace, code), and sum partials per id — partial
+    aggregation collapses each id's m rows map-side, so the shuffle
+    carries one row per candidate. No Python anywhere in the query
+    path; scores approximate cosine when codebooks were trained
+    normalized."""
+    q = query_vec.select(_l2_normalized(F.col(vec_col)).alias("__q")
+                         if codebooks.normalize
+                         else as_double(F.col(vec_col)).alias("__q"))
+    lut = (
+        codebooks.as_dataframe(encoded.sparkSession)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "subspace", "code",
+            dot(F.col("centroid"),
+                F.slice(F.col("__q"),
+                        F.col("subspace") * codebooks.dsub + 1,
+                        codebooks.dsub)).alias("__partial"),
+        )
+    )
+    return (
+        encoded.select(F.col(id_col),
+                       F.posexplode(code_col).alias("subspace", "code"))
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__partial"), score_digits).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_ivf_pq_topk(index: IvfIndex, encoded: DataFrame,
+                    query_vec: DataFrame, codebooks: PqCodebooks,
+                    vec_col: str, id_col: str, k: int = 10,
+                    n_probe: int = 2,
+                    code_col: str = "pq_codes") -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN layout — coarse IVF probe
+    prunes to ~n_probe/n_lists of the corpus (partition pruning in the
+    durable form), then PQ-ADC scores only the surviving candidates
+    from 8-byte codes instead of raw vectors. The memory-resident
+    index is codes + coarse ids: ~30× smaller than float32 vectors at
+    m=8, which is what makes billion-scale ANN fit a cluster at all.
+    Both stages are plan-side (broadcast probe selection, broadcast
+    LUT); nothing is collected."""
+    probe = index.probe_lists(query_vec, vec_col, n_probe)
+    candidates = encoded.join(F.broadcast(probe), "ivf_list", "left_semi")
+    return pq_adc_topk(candidates, query_vec, codebooks, vec_col, id_col,
+                       k=k, code_col=code_col)
+
+
+def pq_refined_topk(encoded: DataFrame, raw: DataFrame,
+                    query_vec: DataFrame, codebooks: PqCodebooks,
+                    vec_col: str, id_col: str, k: int = 10,
+                    shortlist: int = 100,
+                    code_col: str = "pq_codes") -> DataFrame:
+    """ADC shortlist → exact re-rank: the production PQ pattern. The
+    full scan reads only 8-byte codes (pq_adc_topk), the top
+    ``shortlist`` survivors semi-join back to raw vectors, and exact
+    cosine re-ranks just those — so quantization error costs recall
+    only past the shortlist boundary, and the expensive float math
+    touches ``shortlist`` rows regardless of corpus size. On the
+    synthetic fixture (near-random embeddings — adversarial for PQ,
+    which thrives on natural cluster structure) measured recall@10 at
+    sf0.1, m=8/ksub=16: ADC alone 0.5; shortlist 40 → 0.6,
+    100 → 0.8, 200 → 1.0 (tests pin the floor)."""
+    ids = (pq_adc_topk(encoded, query_vec, codebooks, vec_col, id_col,
+                       k=shortlist, code_col=code_col)
+           .select(id_col))
+    survivors = raw.join(ids, id_col, "left_semi")
+    return cosine_topk(survivors, query_vec, vec_col, id_col, k=k)

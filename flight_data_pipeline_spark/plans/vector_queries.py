@@ -538,3 +538,57 @@ def doc_embedding_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
         )
     )
+
+
+_PQ_CACHE: dict = {}  # (applicationId, sf_dir) → (codebooks, encoded)
+_PQ_CACHE_MAX = 4
+
+
+def _pq_for(spark: SparkSession, sf_dir: str):
+    """Train PQ codebooks + encode the IVF assignments once per
+    (session, dataset) — codebook training and corpus encoding are
+    offline index-build steps (the one Arrow/numpy kernel in the
+    vector family), never part of the query path. Cache capped like
+    the IVF cache."""
+    from flight_data_pipeline_spark.operators.vectors import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_CACHE.get(key)
+    if hit is None:
+        while len(_PQ_CACHE) >= _PQ_CACHE_MAX:
+            _PQ_CACHE.pop(next(iter(_PQ_CACHE)))[1].unpersist()
+        idx = _ivf_index_for(spark, sf_dir)
+        cb = train_pq_codebooks(idx.assignments, "embedding",
+                                m=8, ksub=16, seed=42)
+        encoded = pq_encode(idx.assignments, "embedding", cb).persist()
+        hit = (cb, encoded)
+        _PQ_CACHE[key] = hit
+    return hit
+
+
+@query("ann_ivf_pq_topk")  # approximate + iterative training ⇒ rows-only
+def ann_ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refinement — the billion-scale ANN layout
+    (Jégou et al. TPAMI 2011; the FAISS IVFPQ recipe, public): coarse
+    IVF probe prunes to 4/16 lists (partition pruning in the durable
+    index form), 8-byte PQ codes ADC-score the survivors through a
+    broadcast lookup-table join (no Python, no raw vectors touched),
+    and exact cosine re-ranks only the 100-row shortlist. Rows-only:
+    KMeans-trained and approximate by design; shortlist recall floor
+    vs exact is pinned in tests/test_extensions.py::TestPq."""
+    from flight_data_pipeline_spark.operators.vectors import (
+        ann_ivf_pq_topk,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    idx = _ivf_index_for(spark, sf_dir)
+    cb, encoded = _pq_for(spark, sf_dir)
+    shortlist = ann_ivf_pq_topk(idx, encoded, qv, cb, "embedding",
+                                "vec_id", k=100, n_probe=4).select("vec_id")
+    survivors = emb.join(shortlist, "vec_id", "left_semi")
+    return cosine_topk(survivors, qv, "embedding", "vec_id", k=10)

@@ -639,3 +639,93 @@ class TestPrefixFilter:
         with pytest.raises(ValueError, match="candidate strategies"):
             jaccard_pairs_blocked(docs, "doc_id", "source", "text", 0.8,
                                   max_token_df=5, prefix_filter=True)
+
+
+class TestPq:
+    """Product quantization: codebook determinism, code-domain
+    contract, in-plan ADC agreement with a numpy oracle, and the
+    shortlist-refine recall floor."""
+
+    @pytest.fixture(scope="class")
+    def pq(self, spark):
+        from flight_data_pipeline_spark.operators.vectors import (
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        cb = train_pq_codebooks(emb, "embedding", m=8, ksub=16, seed=42)
+        return emb, cb, pq_encode(emb, "embedding", cb)
+
+    def test_codebooks_deterministic_and_shaped(self, spark, pq):
+        from flight_data_pipeline_spark.operators.vectors import (
+            train_pq_codebooks,
+        )
+
+        emb, cb, _ = pq
+        assert (cb.m, cb.ksub, cb.dsub) == (8, 16, 8)
+        again = train_pq_codebooks(emb, "embedding", m=8, ksub=16, seed=42)
+        assert again.centers == cb.centers  # seeded fit is reproducible
+
+    def test_codes_in_domain(self, pq):
+        _, cb, enc = pq
+        import pyspark.sql.functions as F
+
+        bad = enc.where(
+            (F.size("pq_codes") != cb.m)
+            | F.exists("pq_codes", lambda c: (c < 0) | (c >= cb.ksub))
+        )
+        assert bad.count() == 0
+
+    def test_adc_matches_numpy_oracle(self, spark, pq):
+        """The relational ADC path (posexplode → broadcast LUT join →
+        sum) must equal the straightforward numpy ADC on the same
+        codes — pins the lookup-table join against an independent
+        implementation."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.vectors import pq_adc_topk
+
+        emb, cb, enc = pq
+        qv = emb.where(F.col("vec_id") == 0)
+        got = {
+            r.vec_id: r.adc_score
+            for r in pq_adc_topk(enc, qv, cb, "embedding", "vec_id",
+                                 k=5).collect()
+        }
+        codes = {r.vec_id: r.pq_codes for r in enc.collect()}
+        q = np.array(qv.first()["embedding"], dtype=np.float64)
+        q /= np.linalg.norm(q)
+        cbn = np.array(cb.centers)
+        lut = np.array([
+            cbn[j] @ q[j * cb.dsub:(j + 1) * cb.dsub] for j in range(cb.m)
+        ])  # (m, ksub)
+        scores = {
+            v: round(float(sum(lut[j][c] for j, c in enumerate(cs))), 6)
+            for v, cs in codes.items()
+        }
+        top = sorted(scores, key=lambda v: (-scores[v], v))[:5]
+        assert list(got) == top
+        for v in got:
+            assert got[v] == pytest.approx(scores[v], abs=1e-6)
+
+    def test_refined_recall_floor_and_self_hit(self, spark, pq):
+        from flight_data_pipeline_spark.operators.vectors import (
+            cosine_topk,
+            pq_refined_topk,
+        )
+
+        emb, cb, enc = pq
+        qv = emb.where(F.col("vec_id") == 0)
+        exact = [r.vec_id
+                 for r in cosine_topk(emb, qv, "embedding", "vec_id",
+                                      k=10).collect()]
+        refined = [r.vec_id
+                   for r in pq_refined_topk(enc, emb, qv, cb, "embedding",
+                                            "vec_id", k=10,
+                                            shortlist=100).collect()]
+        assert refined[0] == 0  # the query vector itself survives
+        # measured 0.8-1.0 on the fixture at shortlist=100 (sf0.001
+        # holds ~200 vectors so the shortlist covers half the corpus);
+        # floor pinned with margin
+        assert len(set(exact) & set(refined)) / 10 >= 0.7
