@@ -386,7 +386,7 @@ def _l2_normalized(vec: Column) -> Column:
 
 
 def train_pq_codebooks(df: DataFrame, vec_col: str, m: int = 8,
-                       ksub: int = 16, seed: int = 42,
+                       ksub: int = 16, dim: int = 64, seed: int = 42,
                        train_fraction: float = 0.5,
                        train_rows: int = 100_000,
                        normalize: bool = True) -> PqCodebooks:
@@ -396,10 +396,17 @@ def train_pq_codebooks(df: DataFrame, vec_col: str, m: int = 8,
     Deterministic via seed. At 100 TB the sample cap keeps codebook
     training constant-cost regardless of corpus size; encoding the
     full corpus (pq_encode) is the only full pass and it's one
-    map-side Arrow-batched kernel."""
+    map-side Arrow-batched kernel.
+
+    ``dim`` is the embedding dimensionality (declared, like
+    hyperplane_signature's — never probed with a driver-side
+    ``first()``; the encode kernel validates it executor-side)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     vec = _l2_normalized(F.col(vec_col)) if normalize \
         else as_double(F.col(vec_col))
     train = (df.select(vec.alias("__v"))
@@ -407,10 +414,6 @@ def train_pq_codebooks(df: DataFrame, vec_col: str, m: int = 8,
                      seed=seed)
              .limit(train_rows)
              .persist())
-    dsub_total = len(train.first()["__v"])
-    if dsub_total % m:
-        raise ValueError(f"dim {dsub_total} not divisible by m={m}")
-    dsub = dsub_total // m
     centers = []
     for j in range(m):
         feats = train.withColumn(
@@ -441,6 +444,10 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks: PqCodebooks,
 
     def enc(vs: pandas.Series) -> pandas.Series:
         X = np.asarray(vs.tolist(), dtype=np.float64)
+        if X.shape[1] != m * dsub:
+            raise ValueError(
+                f"embedding dim {X.shape[1]} != codebook dim {m * dsub}; "
+                "train_pq_codebooks was given the wrong `dim`")
         if normalize:
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         codes = np.empty((X.shape[0], m), dtype=np.int32)

@@ -147,6 +147,32 @@ def streaming_hourly_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def streaming_user_sessions(events: DataFrame, ts_col: str = "ts",
+                            user_col: str = "user_id",
+                            gap: str = "30 minutes",
+                            watermark: str = WATERMARK) -> DataFrame:
+    """Streaming sessionization via NATIVE ``session_window`` — the
+    streaming twin of ``operators/temporal.sessionize`` (§2.7's
+    lag+cumsum batch form): per-user sessions close after ``gap`` of
+    inactivity, and a session is emitted (append mode) once the
+    watermark passes its end — i.e. when no event could still extend
+    or merge it. State per key is the open sessions inside the
+    watermark horizon, so it is bounded by activity recency, not
+    history. tests/test_streaming.py pins the emitted sessions equal
+    to the batch sessionize boundaries on the same events."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col),
+                 F.session_window(F.col(ts_col), gap).alias("win"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("session_value"))
+        .select(user_col,
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events", "session_value")
+    )
+
+
 def ewma_fold(n: int, ewma: float | None, values, alpha: float):
     """The shared per-key state transition of both custom stateful
     operators: fold ``values`` (event-time-ordered) into a running

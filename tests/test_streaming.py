@@ -371,3 +371,70 @@ def test_tws_processor_logic_via_fake_handle():
     assert out2.loc[0, "ewma_value"] == pytest.approx(expected_ewma)
     assert handle.states["stats"].get() == (3, pytest.approx(expected_ewma))
     proc.close()
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window on a watermarked stream: sessions emit
+    (append mode) once the watermark passes their end, and the emitted
+    boundaries/counts equal the batch lag+cumsum sessionize on the
+    same events. A far-future sentinel event advances the watermark in
+    the second micro-batch so user 1's sessions finalize."""
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        streaming_user_sessions,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows1 = [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T10:10:00", "value": 2.0},
+        {"user_id": 1, "ts": "2024-01-01T11:30:00", "value": 3.0},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double").json(str(src))
+        q = (streaming_user_sessions(stream).writeStream
+             .format("parquet").option("path", out)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # watermark only reached 2024-01-01T09:30 — nothing finalized yet;
+    # the sentinel pushes it far past user 1's sessions
+    (src / "b.json").write_text(json.dumps(
+        {"user_id": 99, "ts": "2024-01-02T12:00:00", "value": 0.0}))
+    run_once()
+
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(),
+         r.n_events, r.session_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "2024-01-01T10:00:00", "2024-01-01T10:40:00", 2, 3.0),
+        (1, "2024-01-01T11:30:00", "2024-01-01T12:00:00", 1, 3.0),
+    }
+
+    # batch twin: same events through operators/temporal.sessionize
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.operators.temporal import sessionize
+
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01T10:00:00", 1.0), (1, "2024-01-01T10:10:00", 2.0),
+         (1, "2024-01-01T11:30:00", 3.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sess = sessionize(batch, user_col="user_id", ts_col="ts",
+                      gap_minutes=30)
+    counts = {
+        (r.user_id, r.session_id, r.n)
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {(1, 1, 2), (1, 2, 1)}  # same 2+1 session split
