@@ -229,3 +229,48 @@ def salted_join(skewed: DataFrame, small: DataFrame, on: str,
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
     return salted_big.join(replicated, on=[on, "__salt"]).drop("__salt")
+
+
+def assign_contiguous_ids(df: DataFrame, id_col: str = "row_id",
+                          order_within_partition: Sequence[str] = ()
+                          ) -> DataFrame:
+    """Contiguous 0..n−1 64-bit row ids without a global sort — the
+    engine's stand-in for the reference's BIGSERIAL surrogate keys
+    (reference schema README.md:171-195: `id BIGSERIAL PRIMARY KEY`;
+    SURVEY §7.3 flags `monotonically_increasing_id` as non-contiguous).
+
+    Plan shape (all in-plan, nothing collected): a per-partition
+    row_number (window partitioned by ``spark_partition_id`` — no
+    cross-partition shuffle of the data), a tiny per-partition count
+    aggregate whose running sum yields each partition's id offset, and
+    a broadcast join of those offsets back. Cost: one narrow window
+    pass over the data + one aggregate whose cardinality is the
+    partition count, regardless of row count — this is how contiguous
+    ids stay feasible at 100 TB, where `row_number() OVER (ORDER BY
+    …)` would funnel everything through one task.
+
+    Like BIGSERIAL, assignment order is an implementation detail: ids
+    depend on the physical partitioning (stable for a deterministic
+    plan, not across repartitionings). Pass ``order_within_partition``
+    to fix intra-partition order by data columns."""
+    order = ([F.col(c) for c in order_within_partition]
+             or [F.monotonically_increasing_id()])
+    part = df.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*order)
+    local = part.withColumn("__rn", F.row_number().over(w) - 1)
+    offsets = (
+        part.groupBy("__pid").agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.sum("__n").over(
+                Window.orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("__pid", F.coalesce("__offset", F.lit(0)).alias("__offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__offset") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__offset")
+    )

@@ -150,6 +150,25 @@ class TelemetrySink(ParquetSink):
            .withColumn("bucket_date", F.to_date("timestamp"))
            .write.mode("append").partitionBy("bucket_date").parquet(self.path))
 
+    def overwrite_days(self, df: DataFrame) -> None:
+        """Rerun/backfill path (SURVEY §7.3 durability discipline):
+        replace exactly the date partitions the batch touches, leaving
+        every other day's files untouched — dynamic partition
+        overwrite (`spark.sql.sources.partitionOverwriteMode=dynamic`
+        scoped to this write). This is the correction story the
+        reference gets from Postgres UPSERT semantics: a recomputed
+        day lands atomically per partition instead of appending
+        duplicates or truncating the table. Requires
+        ``partition_by_day=True`` (there is no partition unit to
+        overwrite otherwise)."""
+        if not self.partition_by_day:
+            raise ValueError("overwrite_days needs partition_by_day=True")
+        (df.select(*[F.col(f.name).cast(f.dataType) for f in self.schema.fields])
+           .withColumn("bucket_date", F.to_date("timestamp"))
+           .write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("bucket_date").parquet(self.path))
+
     def append_dedup(self, df: DataFrame) -> int:
         """Append rows for not-yet-seen hours; returns rows written
         (0 ⇒ the reference's 'skipped' status, etl_job.py:236-237)."""

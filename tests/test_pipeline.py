@@ -288,3 +288,64 @@ class TestPartitionedSink:
         assert df.count() == 1
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "bucket_date" in plan
+
+    def test_overwrite_days_replaces_only_touched_partitions(self, spark, tmp_path):
+        """Rerun/backfill discipline: dynamic partition overwrite
+        replaces exactly the days in the corrected batch; untouched
+        days keep their rows (SURVEY §7.3 — the engine's answer to
+        the reference's Postgres upsert correction path)."""
+        import datetime as dt
+        from flight_data_pipeline_spark.sinks import TelemetrySink
+
+        sink = TelemetrySink(spark, str(tmp_path / "tele"), partition_by_day=True)
+        batch = spark.createDataFrame(
+            [(dt.datetime(2025, 12, 9, 14), 90.0, 1.0, 2.0, 3.0, 4.0),
+             (dt.datetime(2025, 12, 9, 15), 91.0, 1.0, 2.0, 3.0, 4.0),
+             (dt.datetime(2025, 12, 10, 9), 80.0, 1.0, 2.0, 3.0, 4.0)],
+            sink.schema)
+        sink.append_dedup(batch)
+        # recompute day 9 with corrected values, one row instead of two
+        fixed = spark.createDataFrame(
+            [(dt.datetime(2025, 12, 9, 14), 55.5, 9.0, 2.0, 3.0, 4.0)],
+            sink.schema)
+        sink.overwrite_days(fixed)
+        rows = {(r.timestamp, r.overall_intensity)
+                for r in sink.read().collect()}
+        assert rows == {
+            (dt.datetime(2025, 12, 9, 14), 55.5),   # replaced
+            (dt.datetime(2025, 12, 10, 9), 80.0),   # untouched day kept
+        }
+        with pytest.raises(ValueError, match="partition_by_day"):
+            TelemetrySink(spark, str(tmp_path / "flat")).overwrite_days(fixed)
+
+
+class TestContiguousIds:
+    def test_assign_contiguous_ids(self, spark):
+        """0..n−1, unique, contiguous — over a multi-partition frame,
+        without any global sort (the BIGSERIAL stand-in)."""
+        from flight_data_pipeline_spark.operators.relational import (
+            assign_contiguous_ids,
+        )
+
+        df = spark.range(0, 1000, 1, 7).withColumnRenamed("id", "k")
+        out = assign_contiguous_ids(df, order_within_partition=("k",))
+        rows = out.collect()
+        assert sorted(r.row_id for r in rows) == list(range(1000))
+        # ids ascend with k (spark.range partitions are contiguous
+        # ranges and offsets accumulate in partition order, so the
+        # declared order key implies globally k-sorted ids here)
+        by_k = sorted(rows, key=lambda r: r.k)
+        assert [r.row_id for r in by_k] == list(range(1000))
+
+    def test_assign_contiguous_ids_no_global_exchange_of_data(self, spark):
+        from flight_data_pipeline_spark.operators.relational import (
+            assign_contiguous_ids,
+        )
+
+        df = spark.range(0, 1000, 1, 7).withColumnRenamed("id", "k")
+        plan = assign_contiguous_ids(df, order_within_partition=("k",)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # the data-side window partitions by spark_partition_id — no
+        # single-partition Exchange of the full data (the scale trap
+        # of row_number() OVER (ORDER BY ...))
+        assert "Exchange SinglePartition" not in plan.split("BroadcastExchange")[0]
