@@ -239,27 +239,37 @@ def assign_contiguous_ids(df: DataFrame, id_col: str = "row_id",
     (reference schema README.md:171-195: `id BIGSERIAL PRIMARY KEY`;
     SURVEY §7.3 flags `monotonically_increasing_id` as non-contiguous).
 
-    Plan shape (all in-plan, nothing collected): a per-partition
-    row_number (window partitioned by ``spark_partition_id`` — no
-    cross-partition shuffle of the data), a tiny per-partition count
-    aggregate whose running sum yields each partition's id offset, and
-    a broadcast join of those offsets back. Cost: one narrow window
-    pass over the data + one aggregate whose cardinality is the
-    partition count, regardless of row count — this is how contiguous
-    ids stay feasible at 100 TB, where `row_number() OVER (ORDER BY
-    …)` would funnel everything through one task.
+    Plan shape (all in-plan, nothing collected): the default path
+    decomposes ``monotonically_increasing_id`` — documented as
+    ``partition_id << 33 | row-index-within-partition`` with the low
+    bits contiguous from 0 — into (pid, local index), aggregates
+    per-partition counts (shuffle cardinality = partition count, not
+    row count), turns their running sum into per-partition offsets,
+    and broadcast-joins the offsets back: the DATA never crosses an
+    exchange. With ``order_within_partition`` the local index instead
+    comes from a row_number window partitioned by
+    ``spark_partition_id`` — that costs one hash shuffle on the
+    partition id (load-shaped like the input, never a single task,
+    unlike `row_number() OVER (ORDER BY …)` which funnels 100 TB
+    through one partition).
 
     Like BIGSERIAL, assignment order is an implementation detail: ids
     depend on the physical partitioning (stable for a deterministic
     plan, not across repartitionings). Pass ``order_within_partition``
     to fix intra-partition order by data columns."""
-    order = ([F.col(c) for c in order_within_partition]
-             or [F.monotonically_increasing_id()])
-    part = df.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*order)
-    local = part.withColumn("__rn", F.row_number().over(w) - 1)
+    if order_within_partition:
+        part = df.withColumn("__pid", F.spark_partition_id())
+        w = Window.partitionBy("__pid").orderBy(
+            *[F.col(c) for c in order_within_partition])
+        local = part.withColumn("__rn", F.row_number().over(w) - 1)
+    else:
+        mid = F.monotonically_increasing_id()
+        local = (df.withColumn("__mid", mid)
+                 .withColumn("__pid", F.shiftrightunsigned("__mid", 33))
+                 .withColumn("__rn", F.col("__mid").bitwiseAND((1 << 33) - 1))
+                 .drop("__mid"))
     offsets = (
-        part.groupBy("__pid").agg(F.count("*").alias("__n"))
+        local.groupBy("__pid").agg(F.count("*").alias("__n"))
         .withColumn(
             "__offset",
             F.sum("__n").over(

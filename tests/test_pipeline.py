@@ -337,7 +337,31 @@ class TestContiguousIds:
         by_k = sorted(rows, key=lambda r: r.k)
         assert [r.row_id for r in by_k] == list(range(1000))
 
-    def test_assign_contiguous_ids_no_global_exchange_of_data(self, spark):
+    def test_assign_contiguous_ids_default_path_shuffle_free(self, spark):
+        """Default (arrival-order) path: ids still 0..n−1 and the
+        data row stream never crosses an exchange — the local index
+        is decomposed from monotonically_increasing_id, offsets
+        arrive via broadcast, and the only hashpartitioning exchange
+        in the plan belongs to the per-partition COUNT aggregate
+        (partial-aggregated: it ships one row per partition)."""
+        from flight_data_pipeline_spark.operators.relational import (
+            assign_contiguous_ids,
+        )
+
+        df = spark.range(0, 1000, 1, 7).withColumnRenamed("id", "k")
+        out = assign_contiguous_ids(df)
+        assert sorted(r.row_id for r in out.collect()) == list(range(1000))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the data (streamed) side prints before the broadcast child:
+        # it must cross no exchange at all. The offsets subtree keeps
+        # its two tiny ones (partial count agg + partition-count-row
+        # running-sum window).
+        data_side = plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in data_side
+        # no Window over the data in the default path
+        assert "row_number" not in data_side
+
+    def test_assign_contiguous_ids_ordered_path_no_single_partition(self, spark):
         from flight_data_pipeline_spark.operators.relational import (
             assign_contiguous_ids,
         )
