@@ -423,8 +423,12 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
     candidates are generated from rarest-first token PREFIXES only
     (length n - ceil(t*n) + 1 — the AllPairs/PPJoin prefix principle;
     a qualifying pair provably shares a prefix token once the length
-    filter holds), then verified exactly. Same outputs as the default
-    path at any threshold, ~5x less join volume on the fixture corpus.
+    filter holds), with the PPJoin POSITIONAL filter pruning
+    occurrences whose matched-token positions already cap the overlap
+    below the threshold's requirement (sf0.1: 1.39M → 612k candidate
+    occurrences, 322k → 300k distinct pairs), then verified exactly.
+    Same outputs as the default path at any threshold, ~5x less join
+    volume on the fixture corpus.
     """
     from flight_data_pipeline_spark.operators.text import distinct_tokens
 
@@ -488,14 +492,29 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
             posting.join(tok_df, ["__blk", "__tok"])
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= plen)
-            .select("__id", "__blk", "__n", "__tok")
+            .select("__id", "__blk", "__n", "__rn", "__tok")
         )
         pa, pb = prefix.alias("a"), prefix.alias("b")
+        # PPJoin positional filter (Xiao et al., WWW'08) on top of the
+        # prefix principle: J ≥ t ⟺ |a∩b| ≥ α = ⌈t/(1+t)·(na+nb)⌉, and
+        # at the FIRST token the ordered sets share (positions i, j in
+        # the same rarest-first order) every common token lies in both
+        # suffixes, so |a∩b| ≤ min(na−i+1, nb−j+1). Pruning occurrences
+        # that violate the bound is exact: a qualifying pair's
+        # first-common-token occurrence always survives, and the
+        # distinct() needs any one surviving occurrence. α uses the
+        # same 1e-9 downward backoff as the prefix length — float
+        # overshoot may only weaken the filter, never break it.
+        alpha = F.ceil(
+            (F.col("a.__n") + F.col("b.__n")) * threshold / (1 + threshold)
+            - F.lit(1e-9))
         cond = ((F.col("a.__blk") == F.col("b.__blk"))
                 & (F.col("a.__tok") == F.col("b.__tok"))
                 & (F.col("a.__id") < F.col("b.__id"))
                 & (F.col("b.__n") >= threshold * F.col("a.__n"))
-                & (F.col("a.__n") >= threshold * F.col("b.__n")))
+                & (F.col("a.__n") >= threshold * F.col("b.__n"))
+                & (F.least(F.col("a.__n") - F.col("a.__rn"),
+                           F.col("b.__n") - F.col("b.__rn")) + 1 >= alpha))
         cand = (
             pa.join(pb, cond)
             .select(F.col("a.__id").alias("id_a"),

@@ -72,9 +72,10 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.jaccard_pairs_blocked(prefix_filter=True)): same
     output as the single-pass counting form at every threshold (pinned
     in tests/test_extensions.py::TestPrefixFilter), ~5× less posting
-    self-join volume (11.2M → 2.1M pair rows at sf0.1, 322k verified
-    candidates). Unlike the max_token_df guard this trades no recall,
-    so it can BE the oracle-checked form.
+    self-join volume than unfiltered, plus the PPJoin positional
+    filter halving candidate occurrences again (sf0.1: 612k
+    occurrences, 300k verified pairs). Unlike the max_token_df guard
+    this trades no recall, so it can BE the oracle-checked form.
 
     No final ORDER BY: the result is a pair SET, and a global sort
     would add a RangePartitioning exchange whose boundary-sampling job
