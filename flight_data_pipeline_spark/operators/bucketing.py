@@ -14,10 +14,10 @@ join/aggregate on the key is shuffle-free.
 
 Usage pattern for a fact/dim star at scale::
 
-    write_bucketed(orders,   "orders_b",   "o_custkey", 64, db)
-    write_bucketed(customer, "customer_b", "c_custkey", 64, db)
-    joined = bucketed_tables_join(spark, "orders_b", "customer_b",
-                                  ...)   # plan shows no Exchange
+    write_bucketed(orders,   "orders_b",   "o_custkey", 64)
+    write_bucketed(customer, "customer_b", "c_custkey", 64)
+    o, c = read_bucketed(spark, "orders_b"), read_bucketed(spark, "customer_b")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])  # no Exchange
 
 Notes for real clusters:
 - bucket count is fixed at write time: size it to ~128-256 MB per

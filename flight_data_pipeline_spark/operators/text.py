@@ -110,14 +110,16 @@ def _ngram_structs(toks: Column, n: int) -> Column:
     ``sequence`` (higher-order functions are interpreted per element —
     measured 4× slower building the same 250k grams at sf0.1).
     Documents shorter than n yield one struct of the whole document,
-    null-padded (``element_at`` past the end), which ``concat_ws``
-    collapses to the all-tokens gram."""
+    null-padded — via ``F.get`` (0-indexed), which returns null past
+    the end under ANSI mode where ``element_at`` would throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — and ``concat_ws`` collapses
+    the nulls to the all-tokens gram."""
     m = F.size(toks) - (n - 1)
     return F.when(
         F.size(toks) >= n,
         F.arrays_zip(*[F.slice(toks, k + 1, m).alias(str(k)) for k in range(n)]),
     ).otherwise(F.array(F.struct(
-        *[F.element_at(toks, k + 1).alias(str(k)) for k in range(n)])))
+        *[F.get(toks, k).alias(str(k)) for k in range(n)])))
 
 
 def _gram_text(struct_col: Column, n: int) -> Column:

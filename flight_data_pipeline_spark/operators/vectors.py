@@ -379,10 +379,15 @@ class PqCodebooks:
 
 
 def _l2_normalized(vec: Column) -> Column:
-    return F.transform(
-        as_double(vec),
-        lambda x: x / F.greatest(l2_norm(as_double(vec)), F.lit(1e-12)),
-    )
+    """x / ||x|| with the norm evaluated ONCE per row: it rides in as
+    the argument of array_repeat (a plain expression argument), not
+    inside the lambda — HOF lambdas are interpreted per element with
+    no loop-invariant hoisting, so embedding l2_norm there would be
+    O(d²) per row (the hyperplane_signature docstring's measured
+    trap)."""
+    v = as_double(vec)
+    norms = F.array_repeat(F.greatest(l2_norm(v), F.lit(1e-12)), F.size(v))
+    return F.zip_with(v, norms, lambda x, m: x / m)
 
 
 def train_pq_codebooks(df: DataFrame, vec_col: str, m: int = 8,
@@ -528,7 +533,9 @@ def pq_refined_topk(encoded: DataFrame, raw: DataFrame,
                     query_vec: DataFrame, codebooks: PqCodebooks,
                     vec_col: str, id_col: str, k: int = 10,
                     shortlist: int = 100,
-                    code_col: str = "pq_codes") -> DataFrame:
+                    code_col: str = "pq_codes",
+                    index: IvfIndex | None = None,
+                    n_probe: int = 2) -> DataFrame:
     """ADC shortlist → exact re-rank: the production PQ pattern. The
     full scan reads only 8-byte codes (pq_adc_topk), the top
     ``shortlist`` survivors semi-join back to raw vectors, and exact
@@ -538,7 +545,15 @@ def pq_refined_topk(encoded: DataFrame, raw: DataFrame,
     synthetic fixture (near-random embeddings — adversarial for PQ,
     which thrives on natural cluster structure) measured recall@10 at
     sf0.1, m=8/ksub=16: ADC alone 0.5; shortlist 40 → 0.6,
-    100 → 0.8, 200 → 1.0 (tests pin the floor)."""
+    100 → 0.8, 200 → 1.0 (tests pin the floor).
+
+    Pass ``index`` to stack the IVF coarse probe underneath: the ADC
+    scan is then restricted to the ``n_probe`` nearest lists
+    (partition pruning in the durable index form) — the full IVF-PQ
+    composition with one code path for the refine stage."""
+    if index is not None:
+        probe = index.probe_lists(query_vec, vec_col, n_probe)
+        encoded = encoded.join(F.broadcast(probe), "ivf_list", "left_semi")
     ids = (pq_adc_topk(encoded, query_vec, codebooks, vec_col, id_col,
                        k=shortlist, code_col=code_col)
            .select(id_col))

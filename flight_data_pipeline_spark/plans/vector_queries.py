@@ -579,16 +579,11 @@ def ann_ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact cosine re-ranks only the 100-row shortlist. Rows-only:
     KMeans-trained and approximate by design; shortlist recall floor
     vs exact is pinned in tests/test_extensions.py::TestPq."""
-    from flight_data_pipeline_spark.operators.vectors import (
-        ann_ivf_pq_topk,
-        cosine_topk,
-    )
+    from flight_data_pipeline_spark.operators.vectors import pq_refined_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
     qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
     idx = _ivf_index_for(spark, sf_dir)
     cb, encoded = _pq_for(spark, sf_dir)
-    shortlist = ann_ivf_pq_topk(idx, encoded, qv, cb, "embedding",
-                                "vec_id", k=100, n_probe=4).select("vec_id")
-    survivors = emb.join(shortlist, "vec_id", "left_semi")
-    return cosine_topk(survivors, qv, "embedding", "vec_id", k=10)
+    return pq_refined_topk(encoded, emb, qv, cb, "embedding", "vec_id",
+                           k=10, shortlist=100, index=idx, n_probe=4)

@@ -729,3 +729,44 @@ class TestPq:
         # holds ~200 vectors so the shortlist covers half the corpus);
         # floor pinned with margin
         assert len(set(exact) & set(refined)) / 10 >= 0.7
+
+
+class TestNgramShortDocs:
+    def test_ngrams_and_explode_handle_short_and_empty_docs(self, spark):
+        """Documents shorter than n (including empty text) must yield
+        exactly one whole-document gram — under ANSI mode (Spark 4
+        default), where an element_at past the array end would throw
+        INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead of null-padding.
+        Regression for the arrays_zip rewrite."""
+        from flight_data_pipeline_spark.operators.text import (
+            ngram_explode,
+            ngrams,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "only two"), (2, ""), (3, "a b c d e")],
+            "doc_id long, text string")
+        arr = {r.doc_id: r.g
+               for r in df.select("doc_id",
+                                  ngrams(F.col("text"), 3).alias("g")).collect()}
+        assert arr[1] == ["only two"]
+        assert arr[2] == [""]
+        assert arr[3] == ["a b c", "b c d", "c d e"]
+        ex = ngram_explode(df, "text", 3, "doc_id").collect()
+        got = {}
+        for r in ex:
+            got.setdefault(r.doc_id, []).append(r.g)
+        assert got == {1: ["only two"], 2: [""],
+                       3: ["a b c", "b c d", "c d e"]}
+
+    def test_minhash_survives_short_docs(self, spark):
+        from flight_data_pipeline_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "only two"), (2, "a b c d e f")],
+            "doc_id long, text string")
+        rows = minhash_signatures(df, "doc_id", "text",
+                                  num_hashes=4).collect()
+        assert len(rows) == 2 and all(len(r.sig) == 4 for r in rows)
