@@ -337,11 +337,14 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _set_group_clusters(spark: SparkSession, sf_dir: str):
-    """Shared plumbing for the clusters/survivors twins: documents →
-    distinct (source, mask) set-groups (node = min doc_id, n =
-    multiplicity) and the CC labels of the group graph under
-    bitset-Jaccard ≥ JACCARD_THRESHOLD edges. Returns (gs, labels)."""
+def _set_group_clusters(spark: SparkSession, sf_dir: str,
+                        docs: DataFrame | None = None):
+    """Shared plumbing for the clusters/survivors/curation twins:
+    documents → distinct (source, mask) set-groups (node = min doc_id,
+    n = multiplicity) and the CC labels of the group graph under
+    bitset-Jaccard ≥ JACCARD_THRESHOLD edges. Returns (gs, labels).
+    Pass ``docs`` to run on a staged subset (corpus_curation_stats
+    dedups the quality-filtered, exact-deduped corpus)."""
     from fractions import Fraction
 
     from flight_data_pipeline_spark.operators.dedup import (
@@ -352,7 +355,8 @@ def _set_group_clusters(spark: SparkSession, sf_dir: str):
     th = Fraction(str(JACCARD_THRESHOLD))
     num, den = th.numerator, th.denominator
 
-    docs = load_table(spark, "documents", sf_dir)
+    if docs is None:
+        docs = load_table(spark, "documents", sf_dir)
     masks = dictionary_bitset_masks(
         docs, id_col="doc_id", block_col="source", text_col="text")
     gs = masks.groupBy("source", "mask").agg(
@@ -535,4 +539,147 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
                     / F.count("*"), 4).alias("dup_rate"),
         )
+    )
+
+
+CURATION_BENCH_SRC = "src0"  # held-out benchmark (= text_queries.DECON_BENCH_SRC)
+CURATION_N = 8               # decontamination n-gram width
+
+
+@query(
+    "corpus_curation_stats",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT * FROM documents WHERE source <> '{CURATION_BENCH_SRC}'
+    ), q AS (
+        SELECT * FROM corpus
+        WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+          AND length(replace(text, ' ', '')) * 1.0
+              / len(string_split(text, ' ')) BETWEEN 3 AND 10
+    ), ex AS (
+        SELECT * FROM q
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ), toks AS (
+        SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
+        FROM ex
+    ), edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))
+              * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+    ), sym AS (
+        SELECT s, d FROM edges UNION SELECT d, s FROM edges
+    ), reach(v, u) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT r.v, e.d FROM reach r JOIN sym e ON r.u = e.s
+    ), cl AS (
+        SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v
+    ), surv AS (
+        SELECT ex.* FROM ex LEFT JOIN cl ON ex.doc_id = cl.v
+        WHERE cl.v IS NULL OR ex.doc_id = cl.cluster_id
+    ), allt AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(t) >= {CURATION_N}
+                           THEN list_transform(
+                                    generate_series(0, len(t) - {CURATION_N}),
+                                    i -> array_to_string(
+                                        t[i + 1 : i + {CURATION_N}], ' '))
+                           ELSE [array_to_string(t, ' ')] END) AS g
+        FROM allt
+    ), bench AS (
+        SELECT DISTINCT g FROM g WHERE source = '{CURATION_BENCH_SRC}'
+    ), cont AS (
+        SELECT DISTINCT doc_id FROM g JOIN bench USING (g)
+        WHERE source <> '{CURATION_BENCH_SRC}'
+    ), final AS (
+        SELECT surv.* FROM surv LEFT JOIN cont USING (doc_id)
+        WHERE cont.doc_id IS NULL
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM q WHERE q.source = c.source) AS BIGINT)
+               AS n_quality,
+           CAST((SELECT COUNT(*) FROM ex WHERE ex.source = c.source) AS BIGINT)
+               AS n_exact,
+           CAST((SELECT COUNT(*) FROM surv WHERE surv.source = c.source)
+                AS BIGINT) AS n_neardup,
+           CAST((SELECT COUNT(*) FROM final WHERE final.source = c.source)
+                AS BIGINT) AS n_final
+    FROM corpus c
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel as ONE checked DAG — the
+    composition a training-data pipeline actually ships: held-out
+    benchmark source excluded → quality gate (token-count + mean-token
+    -length bounds, the quality_funnel f1/f2 rules) → exact dedup
+    (first doc per identical text) → near-dup dedup survivors
+    (set-group bitset CC, keep each cluster's min id — the
+    dedup_survivors_by_source machinery run on the STAGED subset, not
+    the raw corpus) → 8-gram decontamination against the benchmark
+    (benchmark_ngram_overlap's semi-join shape, inverted). Per-source
+    row: counts after every stage, monotone non-increasing.
+
+    Every stage reuses the already-checked building block and its
+    plan shape: map-side flags, one text-keyed window, the group-graph
+    CC (strictly smaller than the doc graph), posting-list semi join —
+    no stage introduces a new shuffle pattern, the composition is just
+    the DAG gluing them. The driver hash-checks the whole funnel
+    against the recursive-CTE + gram-CTE oracle."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        dictionary_bitset_masks,
+    )
+    from flight_data_pipeline_spark.operators.text import ngram_explode
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("source") != CURATION_BENCH_SRC)
+
+    text = F.col("text")
+    n_tok = F.size(F.split(text, " "))
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / n_tok
+    quality = corpus.where(n_tok.between(10, 1000)
+                           & mean_len.between(3, 10))
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    exact = (quality.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") == 1).drop("__rn"))
+
+    gs, labels = _set_group_clusters(spark, sf_dir, docs=exact)
+    masks = dictionary_bitset_masks(
+        exact, id_col="doc_id", block_col="source", text_col="text")
+    doc_groups = masks.join(gs, ["source", "mask"])
+    lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
+    cluster = F.coalesce(
+        F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
+    surv_ids = (lab.where(cluster.isNull() | (F.col("doc_id") == cluster))
+                .select("doc_id"))
+    surv = exact.join(surv_ids, "doc_id", "left_semi")
+
+    bench_grams = (ngram_explode(
+        docs.where(F.col("source") == CURATION_BENCH_SRC),
+        "text", CURATION_N).select("g").distinct())
+    contaminated = (ngram_explode(surv, "text", CURATION_N, "doc_id")
+                    .join(bench_grams, "g", "left_semi")
+                    .select("doc_id").distinct())
+    final = surv.join(contaminated, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, col: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count("*").alias(col))
+
+    return (
+        stage(corpus, "n_raw")
+        .join(stage(quality, "n_quality"), "source", "left")
+        .join(stage(exact, "n_exact"), "source", "left")
+        .join(stage(surv, "n_neardup"), "source", "left")
+        .join(stage(final, "n_final"), "source", "left")
+        .select("source",
+                *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                  for c in ("n_raw", "n_quality", "n_exact",
+                            "n_neardup", "n_final")])
     )

@@ -79,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "exact_dedup_documents",
     "minhash_lsh_near_dups",
     "ann_ivf_pq_topk",           # new in r4 — never sampled yet
+    "corpus_curation_stats",     # new in r4 — never sampled yet
     "cosine_topk_bruteforce",
     "label_centroid_stats",
     "ann_lsh_topk",
