@@ -57,6 +57,10 @@ HEADLINE = [
     "benchmark_ngram_overlap",
     "boilerplate_ngrams",
     "quality_funnel",
+    # round-4 addition: the composed end-to-end curation funnel —
+    # quality → exact dedup → set-group CC survivors → decontam in
+    # one DAG; the flagship composition must stay perf-accountable
+    "corpus_curation_stats",
 ]
 
 

@@ -338,13 +338,16 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _set_group_clusters(spark: SparkSession, sf_dir: str,
-                        docs: DataFrame | None = None):
+                        docs: DataFrame | None = None,
+                        masks: DataFrame | None = None):
     """Shared plumbing for the clusters/survivors/curation twins:
     documents → distinct (source, mask) set-groups (node = min doc_id,
     n = multiplicity) and the CC labels of the group graph under
     bitset-Jaccard ≥ JACCARD_THRESHOLD edges. Returns (gs, labels).
     Pass ``docs`` to run on a staged subset (corpus_curation_stats
-    dedups the quality-filtered, exact-deduped corpus)."""
+    dedups the quality-filtered, exact-deduped corpus), or ``masks``
+    directly when the caller already built the bitset frame (spares a
+    second tokenize+dictionary pass)."""
     from fractions import Fraction
 
     from flight_data_pipeline_spark.operators.dedup import (
@@ -355,10 +358,11 @@ def _set_group_clusters(spark: SparkSession, sf_dir: str,
     th = Fraction(str(JACCARD_THRESHOLD))
     num, den = th.numerator, th.denominator
 
-    if docs is None:
-        docs = load_table(spark, "documents", sf_dir)
-    masks = dictionary_bitset_masks(
-        docs, id_col="doc_id", block_col="source", text_col="text")
+    if masks is None:
+        if docs is None:
+            docs = load_table(spark, "documents", sf_dir)
+        masks = dictionary_bitset_masks(
+            docs, id_col="doc_id", block_col="source", text_col="text")
     gs = masks.groupBy("source", "mask").agg(
         F.min("doc_id").alias("node"), F.count("*").alias("n"))
 
@@ -437,10 +441,10 @@ def dedup_survivors_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         dictionary_bitset_masks,
     )
 
-    gs, labels = _set_group_clusters(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir)
     masks = dictionary_bitset_masks(
         docs, id_col="doc_id", block_col="source", text_col="text")
+    gs, labels = _set_group_clusters(spark, sf_dir, masks=masks)
     doc_groups = masks.join(gs, ["source", "mask"])
     lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
     cluster = F.coalesce(
@@ -546,6 +550,79 @@ CURATION_BENCH_SRC = "src0"  # held-out benchmark (= text_queries.DECON_BENCH_SR
 CURATION_N = 8               # decontamination n-gram width
 
 
+def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The shared staged DAG behind the curation funnel: returns lazy
+    frames for every stage (corpus → quality → exact → neardup →
+    final). `corpus_curation_stats` aggregates their per-source counts
+    for the checked audit; `write_curated_corpus` materializes
+    ``final`` — one definition of the funnel, two consumers."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        dictionary_bitset_masks,
+    )
+    from flight_data_pipeline_spark.operators.text import ngram_explode
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("source") != CURATION_BENCH_SRC)
+
+    text = F.col("text")
+    n_tok = F.size(F.split(text, " "))
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / n_tok
+    quality = corpus.where(n_tok.between(10, 1000)
+                           & mean_len.between(3, 10))
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    exact = (quality.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") == 1).drop("__rn"))
+
+    masks = dictionary_bitset_masks(
+        exact, id_col="doc_id", block_col="source", text_col="text")
+    gs, labels = _set_group_clusters(spark, sf_dir, masks=masks)
+    doc_groups = masks.join(gs, ["source", "mask"])
+    lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
+    cluster = F.coalesce(
+        F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
+    surv_ids = (lab.where(cluster.isNull() | (F.col("doc_id") == cluster))
+                .select("doc_id"))
+    surv = exact.join(surv_ids, "doc_id", "left_semi")
+
+    bench_grams = (ngram_explode(
+        docs.where(F.col("source") == CURATION_BENCH_SRC),
+        "text", CURATION_N).select("g").distinct())
+    contaminated = (ngram_explode(surv, "text", CURATION_N, "doc_id")
+                    .join(bench_grams, "g", "left_semi")
+                    .select("doc_id").distinct())
+    final = surv.join(contaminated, "doc_id", "left_anti")
+
+    # one flag-annotated frame for the audit aggregate: the window /
+    # CC / gram subtrees execute ONCE each (their id sets broadcast
+    # back), instead of re-executing per per-stage count
+    def mark(ids: DataFrame, col: str) -> DataFrame:
+        return ids.select("doc_id").withColumn(col, F.lit(True))
+
+    flags = (
+        corpus.withColumn("__q", n_tok.between(10, 1000)
+                          & mean_len.between(3, 10))
+        .join(F.broadcast(mark(exact, "__ex")), "doc_id", "left")
+        .join(F.broadcast(mark(surv, "__sv")), "doc_id", "left")
+        .join(F.broadcast(mark(contaminated, "__ct")), "doc_id", "left")
+    )
+    return {"corpus": corpus, "quality": quality, "exact": exact,
+            "neardup": surv, "final": final, "flags": flags}
+
+
+def write_curated_corpus(spark: SparkSession, sf_dir: str,
+                         path: str) -> None:
+    """Materialize the curated training corpus: the funnel's ``final``
+    stage written as source-partitioned parquet — the actual
+    deliverable of a curation run (the stats query is its audit).
+    Source partitioning makes downstream mixture sampling
+    (`source_mixing_weights`) partition-pruned reads; at 100 TB add a
+    day/shard key to bound file sizes."""
+    curation_stages(spark, sf_dir)["final"].write.mode(
+        "overwrite").partitionBy("source").parquet(path)
+
+
 @query(
     "corpus_curation_stats",
     oracle=f"""
@@ -631,55 +708,15 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no stage introduces a new shuffle pattern, the composition is just
     the DAG gluing them. The driver hash-checks the whole funnel
     against the recursive-CTE + gram-CTE oracle."""
-    from flight_data_pipeline_spark.operators.dedup import (
-        dictionary_bitset_masks,
-    )
-    from flight_data_pipeline_spark.operators.text import ngram_explode
-    from pyspark.sql import Window
+    flags = curation_stages(spark, sf_dir)["flags"]
 
-    docs = load_table(spark, "documents", sf_dir)
-    corpus = docs.where(F.col("source") != CURATION_BENCH_SRC)
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    text = F.col("text")
-    n_tok = F.size(F.split(text, " "))
-    mean_len = F.length(F.regexp_replace(text, " ", "")) / n_tok
-    quality = corpus.where(n_tok.between(10, 1000)
-                           & mean_len.between(3, 10))
-
-    w = Window.partitionBy("text").orderBy("doc_id")
-    exact = (quality.withColumn("__rn", F.row_number().over(w))
-             .where(F.col("__rn") == 1).drop("__rn"))
-
-    gs, labels = _set_group_clusters(spark, sf_dir, docs=exact)
-    masks = dictionary_bitset_masks(
-        exact, id_col="doc_id", block_col="source", text_col="text")
-    doc_groups = masks.join(gs, ["source", "mask"])
-    lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
-    cluster = F.coalesce(
-        F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
-    surv_ids = (lab.where(cluster.isNull() | (F.col("doc_id") == cluster))
-                .select("doc_id"))
-    surv = exact.join(surv_ids, "doc_id", "left_semi")
-
-    bench_grams = (ngram_explode(
-        docs.where(F.col("source") == CURATION_BENCH_SRC),
-        "text", CURATION_N).select("g").distinct())
-    contaminated = (ngram_explode(surv, "text", CURATION_N, "doc_id")
-                    .join(bench_grams, "g", "left_semi")
-                    .select("doc_id").distinct())
-    final = surv.join(contaminated, "doc_id", "left_anti")
-
-    def stage(df: DataFrame, col: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count("*").alias(col))
-
-    return (
-        stage(corpus, "n_raw")
-        .join(stage(quality, "n_quality"), "source", "left")
-        .join(stage(exact, "n_exact"), "source", "left")
-        .join(stage(surv, "n_neardup"), "source", "left")
-        .join(stage(final, "n_final"), "source", "left")
-        .select("source",
-                *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-                  for c in ("n_raw", "n_quality", "n_exact",
-                            "n_neardup", "n_final")])
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        cnt(F.col("__q")).alias("n_quality"),
+        cnt(F.col("__ex")).alias("n_exact"),
+        cnt(F.col("__sv")).alias("n_neardup"),
+        cnt(F.col("__sv") & F.col("__ct").isNull()).alias("n_final"),
     )

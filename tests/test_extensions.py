@@ -770,3 +770,27 @@ class TestNgramShortDocs:
         rows = minhash_signatures(df, "doc_id", "text",
                                   num_hashes=4).collect()
         assert len(rows) == 2 and all(len(r.sig) == 4 for r in rows)
+
+
+class TestCuratedCorpusWrite:
+    def test_written_corpus_matches_stats(self, spark, tmp_path):
+        """The materialized corpus is the stats query's final column:
+        per-source file counts in the source-partitioned output equal
+        n_final, and no benchmark-source or contaminated doc
+        survives."""
+        from flight_data_pipeline_spark.plans.dedup_queries import (
+            CURATION_BENCH_SRC,
+            corpus_curation_stats,
+            write_curated_corpus,
+        )
+
+        out = str(tmp_path / "curated")
+        write_curated_corpus(spark, SF_DIR, out)
+        got = (spark.read.parquet(out).groupBy("source")
+               .agg(F.count("*").alias("n")).collect())
+        written = {r.source: r.n for r in got}
+        expected = {r.source: r.n_final
+                    for r in corpus_curation_stats(spark, SF_DIR).collect()
+                    if r.n_final > 0}
+        assert written == expected
+        assert CURATION_BENCH_SRC not in written
