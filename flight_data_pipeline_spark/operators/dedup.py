@@ -194,9 +194,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     algorithm, not a data collect."""
     import logging
 
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).localCheckpoint()
+    # checkpoint the EDGE list (half the rows of its symmetrized
+    # form); sym is then a lazy union of two projections of already-
+    # materialized data — each round re-derives it for free instead
+    # of the checkpoint materializing both directions
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+        .localCheckpoint()
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     # seed with the closed 1-hop neighborhood min — the same aggregate
     # a propagation round would compute from identity labels, folded
     # into the (unavoidable) vertex-derivation shuffle: saves one full
