@@ -80,6 +80,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_lsh_near_dups",
     "ann_ivf_pq_topk",           # new in r4 — never sampled yet
     "corpus_curation_stats",     # new in r4 — never sampled yet
+    "late_shipment_priority_counts",  # new in r4
+    "promo_revenue_ratio_monthly",    # new in r4
     "cosine_topk_bruteforce",
     "label_centroid_stats",
     "ann_lsh_topk",

@@ -804,3 +804,92 @@ def nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@query(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate BETWEEN '1996-01-01' AND '1996-06-30'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS shape (TPC-H Q4 adapted to this schema's
+    columns): orders in a half-year window having at least one
+    lineitem shipped more than 60 days after the order date, counted
+    per priority. The correlation — the subquery predicate references
+    BOTH relations (l_shipdate vs o_orderdate) — compiles to a LEFT
+    SEMI join whose condition carries the equi key (orderkey) plus the
+    non-equi date comparison: the hash join keys on orderkey and
+    evaluates the date predicate as a residual, never a nested loop.
+    Scale: the orders side is date-filtered before the join (pushed to
+    the scan); semi-join output is bounded by the orders side."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    o = orders.where(
+        F.col("o_orderdate").between("1996-01-01", "1996-06-30"))
+    cond = (
+        (lineitem["l_orderkey"] == o["o_orderkey"])
+        & (lineitem["l_shipdate"]
+           > o["o_orderdate"] + F.expr("INTERVAL 60 DAY"))
+    )
+    return (
+        o.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "promo_revenue_ratio_monthly",
+    oracle="""
+    SELECT STRFTIME(l_shipdate, '%Y-%m') AS month,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 2) AS promo_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_ratio
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def promo_revenue_ratio_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-ratio fact⋈dim aggregate (TPC-H Q14 generalized
+    from one month to a monthly series): the share of promo-part
+    revenue per ship month. The part table rides as a BROADCAST
+    (dim-class, like every part/nation join here); the shipdate year
+    filter is pushed to the fact scan; one hash aggregate on the
+    month key computes both conditional sums — no second pass, no
+    self-join."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.where((F.col("l_shipdate") >= "1996-01-01")
+                       & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(part),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(promo) / F.sum(rev), 4).alias("promo_ratio"),
+        )
+        .orderBy("month")
+    )

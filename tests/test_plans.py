@@ -208,3 +208,14 @@ def test_cross_modal_join_is_equi_join(spark):
     plan = plan_of(spark, "doc_embedding_quality_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_exists_is_hash_semi_join(spark):
+    """The Q4-shape correlated EXISTS (equi key + non-equi date
+    residual) must compile to a hash LEFT SEMI join, never a nested
+    loop: the residual rides the join, it does not change the
+    strategy."""
+    plan = plan_of(spark, "late_shipment_priority_counts")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
