@@ -161,28 +161,30 @@ def connected_components(edges: DataFrame, src: str = "src",
     near-dup PAIRS into dedup CLUSTERS (keep min-id doc per cluster,
     drop the rest).
 
-    Iterative min-label propagation as pure DataFrame rounds: each
-    round every node takes the min label in its closed neighborhood
-    (one join + one min-aggregate, two shuffles). Labels are SEEDED
-    with the closed 1-hop neighborhood min — the same aggregate a
-    first propagation round would produce from identity labels,
-    folded into the vertex-derivation shuffle, so every call saves
-    one full round. After k loop rounds a node's label is therefore
-    the minimum over its (k+1)-hop neighborhood.
+    Iterative min-label propagation with POINTER JUMPING, as pure
+    DataFrame rounds: each round every node takes the min label over
+    its closed neighborhood (join + min-aggregate), then jumps to its
+    label's own label (one more join on the label table). The jump is
+    sound — a label is always a node id inside the component with
+    hop[u] ≤ u — and compounds the hop, so reach grows roughly
+    exponentially: ~log₂(diameter) rounds instead of diameter (the
+    GraphFrames / large-star–small-star discipline). Labels are
+    SEEDED with the closed 1-hop neighborhood min — the aggregate a
+    first round would produce from identity labels, folded into the
+    vertex-derivation shuffle.
 
     Convergence: the loop stops as soon as a round changes no label —
     a fixed point of min-propagation, i.e. the true components — so
     converged inputs never pay the full ``max_iter`` rounds (dense
-    near-dup clusters typically settle in 2-3). The change flag is
-    computed inside the round's checkpoint job (a join against the
-    previous labels folded into the materialization), so the
-    convergence probe is an ``isEmpty()`` filter over already-
-    materialized rows — loop control, not an extra join job. If
-    ``max_iter`` rounds pass with labels still moving (component
-    diameter > max_iter — chain-like graphs), a warning is logged and
-    the partial labels are returned: clusters may be split; raise
-    ``max_iter`` or switch to a log-round large-star/small-star
-    variant for such graphs.
+    near-dup clusters settle in 1-2, chains of diameter D in
+    ~log₂ D). The change flag is computed inside the round's
+    checkpoint job (a join against the previous labels folded into
+    the materialization), so the convergence probe is an
+    ``isEmpty()`` filter over already-materialized rows — loop
+    control, not an extra join job. If ``max_iter`` rounds pass with
+    labels still moving (component diameter ≳ 2^max_iter), a warning
+    is logged and the partial labels are returned: clusters may be
+    split; raise ``max_iter``.
 
     Lineage discipline: each round references the previous labels
     twice (message join + union), so an unbroken logical plan doubles
@@ -216,13 +218,26 @@ def connected_components(edges: DataFrame, src: str = "src",
                      F.col("d") == F.col("__d"))
             .select(F.col("s").alias("v"), F.col("label"))
         )
+        hop = (labels.select("v", "label")
+               .unionByName(msgs)
+               .groupBy("v").agg(F.min("label").alias("label")))
+        # pointer jump: label ← label's own label. A label is always a
+        # node id inside the component with hop[u] ≤ u, so the jump is
+        # sound (still in-component, still monotone) and compounds the
+        # hop — reach roughly doubles per round, log₂(diameter) rounds
+        # instead of diameter (the GraphFrames/large-star discipline).
+        # Folded into the same checkpoint job as the hop aggregate.
+        jumped = (
+            hop.join(hop.select(F.col("v").alias("__u"),
+                                F.col("label").alias("__ul")),
+                     F.col("label") == F.col("__u"))
+            .select("v", F.col("__ul").alias("label"))
+        )
         # the change flag rides the materialized frame (one join folded
         # into the checkpoint job) so the convergence probe is a filter
         # over checkpointed rows, not a join job of its own
         new_labels = (
-            labels.select("v", "label")
-            .unionByName(msgs)
-            .groupBy("v").agg(F.min("label").alias("label"))
+            jumped
             .join(labels.select("v", F.col("label").alias("__prev")), "v")
             .withColumn("__changed", F.col("label") != F.col("__prev"))
             .select("v", "label", "__changed")
