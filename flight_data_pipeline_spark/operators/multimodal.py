@@ -113,3 +113,103 @@ def extract_features(media: DataFrame,
             })
 
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(MEDIA_SCHEMA.fields + [
+    T.StructField("target_w", T.IntegerType()),
+    T.StructField("target_h", T.IntegerType()),
+])
+
+
+def fake_resize(payload: bytes, fmt: str, w: int, h: int) -> bytes:
+    """Deterministic stand-in for pixel resampling: byte-stride
+    downsample of the payload to exactly w·h bytes (pad cyclically if
+    short). Exercises the real contract — binary in, binary of the
+    target geometry out — without codec deps."""
+    import numpy as np
+
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    n = w * h
+    idx = (np.arange(n) * max(len(arr) // n, 1)) % len(arr)
+    return arr[idx].tobytes()
+
+
+def resize_media(media: DataFrame, width: int, height: int,
+                 resizer: Callable = fake_resize) -> DataFrame:
+    """Resize every media payload to (width, height) via mapInPandas —
+    the standard image-normalization step before feature extraction or
+    training. Map-side only: batches stream through Arrow, the output
+    schema extends the input row with the target geometry, and
+    ``meta.n_bytes`` is updated to the resized payload. Production
+    swaps ``resizer`` for a PIL/opencv kernel; the batch shape is
+    identical (tests pin output sizes and metadata consistency)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = [
+                resizer(p, m["format"], width, height)
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": out_payload,
+                "meta": [
+                    {"kind": m["kind"], "format": m["format"],
+                     "n_bytes": len(p)}
+                    for m, p in zip(pdf["meta"], out_payload)
+                ],
+                "target_w": width,
+                "target_h": height,
+            })
+
+    return media.mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+    T.StructField("n_frames_total", T.IntegerType()),
+])
+
+
+def fake_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
+    """Deterministic stand-in for video demuxing: split the payload
+    into fixed 256-byte 'frames'. Real ffmpeg/torchcodec substitution
+    changes only this function; the row-expansion plumbing is what is
+    under test."""
+    chunk = 256
+    data = payload or b"\x00"
+    return [data[i:i + chunk] for i in range(0, len(data), chunk)]
+
+
+def sample_frames(media: DataFrame, every_n: int = 2,
+                  extractor: Callable = fake_frame_extract) -> DataFrame:
+    """Frame sampling: one OUTPUT ROW per kept frame (every
+    ``every_n``-th), via mapInPandas — the row-EXPANDING media op
+    (video → frame table), which is why it is mapInPandas and not a
+    scalar UDF: a batch may yield more rows than it received. Frames
+    keep (media_id, frame_index) so downstream image ops (resize,
+    featurize, embedding) treat the frame table as ordinary media.
+    Map-side; at 100 TB the frame table is written partitioned by
+    media shard so per-video frame locality survives."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, totals = [], [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                allf = extractor(payload, meta["format"])
+                for i in range(0, len(allf), every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(allf[i])
+                    totals.append(len(allf))
+            yield pd.DataFrame({
+                "media_id": ids, "frame_index": idxs,
+                "frame": frames, "n_frames_total": totals,
+            })
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)

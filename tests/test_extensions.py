@@ -794,3 +794,53 @@ class TestCuratedCorpusWrite:
                     if r.n_final > 0}
         assert written == expected
         assert CURATION_BENCH_SRC not in written
+
+
+class TestMultimodalResizeAndFrames:
+    def test_resize_media_geometry_and_metadata(self, spark):
+        from flight_data_pipeline_spark.operators.multimodal import (
+            binarize_documents,
+            resize_media,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).limit(20)
+        out = resize_media(binarize_documents(docs), 8, 4).collect()
+        assert len(out) == 20
+        for r in out:
+            assert len(r.payload) == 8 * 4        # exact target geometry
+            assert r.meta.n_bytes == 32           # metadata tracks payload
+            assert (r.target_w, r.target_h) == (8, 4)
+
+    def test_sample_frames_expands_rows_and_strides(self, spark):
+        from flight_data_pipeline_spark.operators.multimodal import (
+            binarize_documents,
+            sample_frames,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).limit(5)
+        media = binarize_documents(docs)
+        frames = sample_frames(media, every_n=2).collect()
+        n_bytes = {r.media_id: r.meta.n_bytes for r in media.collect()}
+        by_id = {}
+        for r in frames:
+            by_id.setdefault(r.media_id, []).append(r)
+        assert set(by_id) == set(n_bytes)
+        for mid, rows in by_id.items():
+            total = -(-n_bytes[mid] // 256)       # ceil: 256-byte frames
+            assert rows[0].n_frames_total == total
+            assert sorted(r.frame_index for r in rows) == \
+                list(range(0, total, 2))          # every 2nd frame kept
+        # frame table feeds the image ops unchanged: one more hop
+        import pyspark.sql.functions as F
+        assert sample_frames(media, every_n=1).where(
+            F.col("frame_index") == 0).count() == 5
+
+    def test_sample_frames_rejects_bad_stride(self, spark):
+        from flight_data_pipeline_spark.operators.multimodal import (
+            binarize_documents,
+            sample_frames,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).limit(1)
+        with pytest.raises(ValueError, match="every_n"):
+            sample_frames(binarize_documents(docs), every_n=0)
