@@ -1168,3 +1168,186 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.select("doc_id", "source", "n_tokens", "avg_nll",
                        bucket.alias("ppl_bucket"))
     )
+
+
+# Per-source quality-rank retention: keep the top fraction of each
+# source by classifier score (the FineWeb-Edu / DCLM shape — a model
+# scores every document and the pipeline keeps the best p per source,
+# not a global cutoff, so low-resource sources aren't wiped out).
+TOPP_KEEP = 0.3
+
+# score = stopword_ratio − punct_ratio: a linear stand-in for the
+# quality classifier margin, computable identically in both engines.
+_PUNCT_SQL = (
+    r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0"
+    r" / greatest(length(regexp_replace(text, '\s', '', 'g')), 1)"
+)
+
+
+@query(
+    "source_quality_topp",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_SW}))) * 1.0
+                   / len(string_split(text, ' '))
+               - {_PUNCT_SQL} AS score,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= CEIL(n_src * {TOPP_KEEP})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= CEIL(n_src * {TOPP_KEEP})
+                    THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+           ROUND(AVG(CASE WHEN rn <= CEIL(n_src * {TOPP_KEEP})
+                     THEN score END), 4) AS avg_kept_score,
+           ROUND(MIN(CASE WHEN rn <= CEIL(n_src * {TOPP_KEEP})
+                     THEN score END), 4) AS cutoff_score
+    FROM r GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-p quality retention: rank every document within
+    its source by a quality score and keep the best ``TOPP_KEEP``
+    fraction — reporting kept counts, kept tokens, and the per-source
+    score cutoff the rank induces.
+
+    Plan: one map-side score pass, then ONE shuffle on source serving
+    both window frames (row_number over the ordered frame and the
+    per-source count over the unordered one share the partitioning),
+    then a per-source aggregate that reuses the same keys. The
+    within-source sort is bounded by the largest source, never the
+    corpus: there is no global sort at any scale. Ties break on
+    doc_id so the kept set is deterministic for the oracle hash."""
+    from pyspark.sql import Window
+
+    from flight_data_pipeline_spark.operators.text import (
+        punct_ratio,
+        stopword_count,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    score = (stopword_count(text) / token_count(text)) - punct_ratio(text)
+    scored = docs.select(
+        "doc_id", "source",
+        score.alias("score"), token_count(text).alias("n_tok"))
+
+    by_src = Window.partitionBy("source")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(by_src.orderBy(F.desc("score"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(by_src).alias("n_src"),
+    )
+    kept = F.col("rn") <= F.ceil(F.col("n_src") * TOPP_KEEP)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            .alias("kept_tokens"),
+            F.round(F.avg(F.when(kept, F.col("score"))), 4)
+            .alias("avg_kept_score"),
+            F.round(F.min(F.when(kept, F.col("score"))), 4)
+            .alias("cutoff_score"),
+        )
+    )
+
+
+# Epoch materialization under a per-source token budget. Documents are
+# visited in a deterministic pseudo-random order (an LCG permutation of
+# doc_id — NOT ingestion order, which correlates with crawl time) and
+# taken until the source's budget is exhausted; the document that
+# crosses the budget line is still taken (standard "fill then
+# overshoot by <1 doc" semantics, so utilization can exceed 1).
+TOKENS_PER_SOURCE = 2_000
+_LCG_A, _LCG_C, _LCG_M = 1_103_515_245, 12_345, 2_147_483_648
+
+
+@query(
+    "token_budget_mixture",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok,
+               (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS ord
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum_before < {TOKENS_PER_SOURCE}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN cum_before < {TOKENS_PER_SOURCE}
+                    THEN n_tok ELSE 0 END) AS BIGINT) AS selected_tokens,
+           ROUND(SUM(CASE WHEN cum_before < {TOKENS_PER_SOURCE}
+                     THEN n_tok ELSE 0 END)
+                 * 1.0 / {TOKENS_PER_SOURCE}, 4) AS budget_utilization
+    FROM c GROUP BY source
+    ORDER BY source
+    """,
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix materialization: fill a fixed token budget per
+    source by walking documents in a deterministic pseudo-random order
+    (LCG permutation of doc_id) and taking each document whose
+    predecessor sum is still under budget.
+
+    Plan: one map-side pass computes token counts and the LCG
+    ordinal; one shuffle on source serves the running-sum window; the
+    per-source aggregate reuses the same partitioning. The running sum
+    is a ROWS frame (incremental, no per-row rescan), the within-
+    source sort is bounded by the largest source, and the LCG is pure
+    integer arithmetic — identical in Spark and the oracle, with no
+    engine RNG anywhere (seeded ``rand()`` orders differ across
+    engines; an explicit permutation does not)."""
+    from pyspark.sql import Window
+
+    from flight_data_pipeline_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.select(
+        "doc_id", "source",
+        token_count(F.col("text")).alias("n_tok"),
+        ((F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M).alias("ord"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    sel = F.col("cum_before") < TOKENS_PER_SOURCE
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_tok")).otherwise(0))
+            .alias("selected_tokens"),
+            F.round(
+                F.sum(F.when(sel, F.col("n_tok")).otherwise(0))
+                / F.lit(TOKENS_PER_SOURCE), 4)
+            .alias("budget_utilization"),
+        )
+    )
