@@ -133,6 +133,59 @@ def range_join_binned(left: DataFrame, right: DataFrame,
     return l.join(r, cond, how).drop("__bin")
 
 
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str],
+                 action_col: str | None = None) -> DataFrame:
+    """MERGE (upsert): rows in ``updates`` overwrite matching ``keys``
+    rows in ``base``, unmatched update rows insert, untouched base
+    rows carry through — the batch generalization of the reference's
+    idempotent hour-dedup append (etl_job.py:226-237 skips the write
+    when the key exists; MERGE replaces instead), and the engine-side
+    twin of Delta/Iceberg ``MERGE INTO`` merge-on-read.
+
+    Semantics: both frames must share the schema. On matched keys the
+    update row's value wins EVEN WHEN NULL (presence-flag selection,
+    not coalesce — ``coalesce(u.c, b.c)`` would silently resurrect the
+    old value when an update nulls a field). ``action_col`` optionally
+    appends 'insert' / 'update' / 'carry' per row for audit counts.
+
+    Plan shape: one full-outer equi-join on ``keys`` — each side
+    shuffles once on the key. A full outer join has no broadcast form
+    in Spark (both sides must see all keys), so at 100 TB this is a
+    sort-merge join; co-locate it with the bucketed layout
+    (operators/bucketing.py) to delete both exchanges on reruns, and
+    partition-prune the base side to the touched partitions (the
+    dynamic-partition-overwrite rerun path) so the join reads only the
+    slice the updates can hit.
+    """
+    keys = list(keys)
+    val_cols = [c for c in base.columns if c not in keys]
+    u = updates.select(
+        *keys,
+        *[F.col(c).alias(f"__u_{c}") for c in val_cols],
+    ).withColumn("__u_present", F.lit(1))
+    b = base.withColumn("__b_present", F.lit(1))
+    upd = F.col("__u_present").isNotNull()
+    joined = b.join(u, keys, "full_outer")
+    out = joined.select(
+        *keys,
+        *[
+            F.when(upd, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+            for c in val_cols
+        ],
+        *(
+            [
+                F.when(~upd, F.lit("carry"))
+                .when(F.col("__b_present").isNull(), F.lit("insert"))
+                .otherwise(F.lit("update"))
+                .alias(action_col)
+            ]
+            if action_col
+            else []
+        ),
+    )
+    return out
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS (etl_job.py:226-232's probe shape as a relational op)."""
     return left.join(right, on=on, how="left_semi")

@@ -893,3 +893,64 @@ def promo_revenue_ratio_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "late_events_merge",
+    oracle="""
+    WITH upd AS (
+        SELECT event_id, ts, user_id, event_type, value + 100 AS value,
+               props
+        FROM events WHERE event_id % 7 = 0
+        UNION ALL
+        SELECT event_id + 100000000, ts, user_id, event_type, value, props
+        FROM events WHERE event_id % 13 = 0
+    ),
+    m AS (
+        SELECT COALESCE(b.event_id, u.event_id) AS event_id,
+               CASE WHEN u.event_id IS NULL
+                    THEN b.event_type ELSE u.event_type END AS event_type,
+               CASE WHEN u.event_id IS NULL
+                    THEN b.value ELSE u.value END AS value,
+               CASE WHEN u.event_id IS NULL THEN 'carry'
+                    WHEN b.event_id IS NULL THEN 'insert'
+                    ELSE 'update' END AS action
+        FROM events b FULL JOIN upd u ON b.event_id = u.event_id
+    )
+    SELECT event_type, action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM m GROUP BY event_type, action
+    ORDER BY event_type, action
+    """,
+)
+def late_events_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert audit (§2.3 generalized): apply a late-arriving
+    correction batch to the events fact — value corrections for
+    matched ids plus brand-new rows — and report row counts and value
+    sums per (event_type, action). The batch is derived
+    deterministically from events itself (id mod 7 → corrections,
+    id mod 13 → re-keyed inserts) so the oracle reproduces it exactly.
+
+    Plan: the merge is merge_upsert's single full-outer equi-join on
+    event_id (no broadcast form exists for full outer; sort-merge,
+    one shuffle per side), then one hash aggregate on the merged
+    output. At scale the batch side is small and partition pruning on
+    the base bounds the join input — see the operator docstring."""
+    from flight_data_pipeline_spark.operators.relational import merge_upsert
+
+    ev = load_table(spark, "events", sf_dir)
+    corrections = ev.where(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") + 100)
+    arrivals = ev.where(F.col("event_id") % 13 == 0).withColumn(
+        "event_id", F.col("event_id") + 100_000_000)
+    updates = corrections.unionByName(arrivals)
+    merged = merge_upsert(ev, updates, ["event_id"], action_col="action")
+    return (
+        merged.groupBy("event_type", "action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "action")
+    )

@@ -150,3 +150,31 @@ class TestTumblingWindow:
         assert rows == {0: (2, 3.0), 30: (2, 7.0)}
         assert all(c in out.columns for c in
                    ("window_start", "window_end", "n", "total"))
+
+
+class TestMergeUpsert:
+    def test_actions_and_null_update_wins(self, spark):
+        from flight_data_pipeline_spark.operators.relational import merge_upsert
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, v double")
+        updates = spark.createDataFrame(
+            [(2, "B", None), (4, "d", 40.0)],
+            "id long, name string, v double")
+        out = {r.id: r for r in
+               merge_upsert(base, updates, ["id"], action_col="action")
+               .collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1].action == "carry" and out[1].v == 10.0
+        # a matched update wins even when it carries NULL (presence
+        # semantics, not coalesce)
+        assert out[2].action == "update" and out[2].name == "B" \
+            and out[2].v is None
+        assert out[3].action == "carry"
+        assert out[4].action == "insert" and out[4].v == 40.0
+
+    def test_schema_matches_base(self, spark):
+        from flight_data_pipeline_spark.operators.relational import merge_upsert
+        base = spark.createDataFrame([(1, "x")], "id long, name string")
+        upd = spark.createDataFrame([(1, "y")], "id long, name string")
+        assert merge_upsert(base, upd, ["id"]).columns == base.columns
