@@ -47,6 +47,50 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
     )
 
 
+def scd2_history(df: DataFrame, key_col: str, ts_col: str, state_col: str,
+                 tiebreak_col: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse each run of
+    consecutive equal ``state_col`` values per key into one validity
+    interval — (key, state, valid_from, valid_to, n_events), with
+    ``valid_to`` NULL on the current (open) interval.
+
+    The islands-and-gaps build: lag-compare flags state changes, a
+    running sum numbers the runs, one aggregate per run takes the
+    interval bounds, and lead() closes each interval with the next
+    run's start. Every window and the aggregate partition on
+    ``key_col`` — ONE shuffle serves all four steps at any scale, and
+    no interval self-join ever happens (the naive SCD2 build joins
+    each row to its successor). ``tiebreak_col`` makes same-timestamp
+    ordering deterministic; state equality is null-safe.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(state_col).over(w)
+    chg = F.when(
+        (F.row_number().over(w) == 1)
+        | ~prev.eqNullSafe(F.col(state_col)), 1).otherwise(0)
+    runs = (
+        df.withColumn("__chg", chg)
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    per_run = (
+        runs.groupBy(key_col, "__run", state_col)
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w_runs = Window.partitionBy(key_col).orderBy("__run")
+    return (
+        per_run.withColumn("valid_to", F.lead("valid_from").over(w_runs))
+        .select(key_col, F.col(state_col).alias("state"),
+                "valid_from", "valid_to", "n_events")
+    )
+
+
 def tumbling_window_agg(df: DataFrame, ts_col: str, duration: str,
                         *aggs: Column) -> DataFrame:
     """Tumbling event-time window aggregate (§2.10: hour buckets for

@@ -240,3 +240,61 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- SCD2 state history -------------------------------------------------------
+@query(
+    "user_state_history_scd2",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT *, SUM(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM flagged
+    ), per_run AS (
+        SELECT user_id, run, event_type AS state,
+               MIN(ts) AS vf,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, run, event_type
+    )
+    SELECT user_id, state,
+           STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           STRFTIME(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           n_events
+    FROM per_run
+    ORDER BY user_id, valid_from
+    """,
+)
+def user_state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type state: consecutive
+    same-type events collapse into validity intervals, closed by the
+    next interval's start (NULL while current) — the warehouse
+    dimension-history pattern (§2.7 islands-and-gaps; the MERGE twin
+    handles the key-level upsert in late_events_merge).
+
+    Plan: operators.temporal.scd2_history — lag-flag, running-sum run
+    numbering, per-run aggregate, and lead() close-out, all
+    partitioned on user_id: ONE shuffle end-to-end, no self-join.
+    Timestamps surface as formatted strings (engine/oracle canonical
+    form); the first-row change flag uses row_number, so a NULL
+    initial state still opens an interval."""
+    from flight_data_pipeline_spark.operators.temporal import scd2_history
+
+    ev = load_table(spark, "events", sf_dir)
+    hist = scd2_history(ev, "user_id", "ts", "event_type",
+                        tiebreak_col="event_id")
+    return hist.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+        .alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+    )

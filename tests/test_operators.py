@@ -178,3 +178,29 @@ class TestMergeUpsert:
         base = spark.createDataFrame([(1, "x")], "id long, name string")
         upd = spark.createDataFrame([(1, "y")], "id long, name string")
         assert merge_upsert(base, upd, ["id"]).columns == base.columns
+
+
+class TestScd2History:
+    def test_runs_collapse_and_close(self, spark):
+        from flight_data_pipeline_spark.operators.temporal import scd2_history
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "a"), (1, t0 + dt.timedelta(hours=1), 2, "a"),
+            (1, t0 + dt.timedelta(hours=2), 3, "b"),
+            (1, t0 + dt.timedelta(hours=3), 4, "a"),
+            (2, t0, 5, None), (2, t0 + dt.timedelta(hours=1), 6, "x"),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts timestamp, id long, st string")
+        out = sorted(
+            scd2_history(df, "k", "ts", "st", "id").collect(),
+            key=lambda r: (r.k, r.valid_from))
+        u1 = [r for r in out if r.k == 1]
+        assert [(r.state, r.n_events) for r in u1] == \
+            [("a", 2), ("b", 1), ("a", 1)]
+        # each interval closes at the next run's start; last stays open
+        assert u1[0].valid_to == u1[1].valid_from
+        assert u1[2].valid_to is None
+        # a NULL initial state still opens an interval (row_number flag)
+        u2 = [r for r in out if r.k == 2]
+        assert [(r.state, r.n_events) for r in u2] == [(None, 1), ("x", 1)]
