@@ -61,6 +61,9 @@ HEADLINE = [
     # quality → exact dedup → set-group CC survivors → decontam in
     # one DAG; the flagship composition must stay perf-accountable
     "corpus_curation_stats",
+    # round-4 addition: duplicated-span removal — the heaviest new
+    # transformation shape (position-exploded inverted index)
+    "dup_span_removal",
 ]
 
 

@@ -574,3 +574,81 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
                   sim.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 5, min_docs: int = 2,
+                           keep_cols: Sequence[str] = (),
+                           cleaned_col: str = "cleaned_text") -> DataFrame:
+    """Exact duplicated-SPAN removal (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr recipe on token n-grams,
+    RefinedWeb's span variant): a token is removed when ANY n-gram
+    occurrence containing it also appears in ≥ ``min_docs`` distinct
+    documents. Unlike document-level dedup this edits documents in
+    place — boilerplate shared across docs vanishes, unique prose
+    survives. Returns (id, keep_cols…, n_tokens, removed_tokens,
+    ``cleaned_col``).
+
+    Plan: posexplode the aligned-shift n-gram structs (codegen; the
+    position rides along for free) → one (gram → distinct-doc count)
+    hash aggregate → posting join back on the gram key → explode each
+    duplicated occurrence to its ≤ n covered positions → distinct →
+    per-doc sorted position set (bounded by DOC length, never corpus)
+    → one higher-order filter drops covered tokens in order. Cost
+    tracks gram-occurrence volume like every inverted-index consumer
+    here; there is no doc-pair term anywhere and per-doc state is the
+    only collected structure. Documents shorter than n behave as one
+    whole-document gram (fully removed iff duplicated).
+    """
+    from flight_data_pipeline_spark.operators.text import (
+        _gram_text,
+        _ngram_structs,
+        tokens,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__k_{c}") for c in keep_cols],
+        tokens(F.col(text_col)).alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+
+    g = (
+        toks.select(
+            "__id", "__n",
+            F.posexplode(_ngram_structs(F.col("__t"), n))
+            .alias("__p", "__gs"))
+        .select("__id", "__n", "__p",
+                _gram_text(F.col("__gs"), n).alias("__g"))
+    )
+    gd = g.groupBy("__g").agg(F.countDistinct("__id").alias("__d"))
+    cov = (
+        g.join(gd, "__g")
+        .where(F.col("__d") >= min_docs)
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(
+                    F.col("__p"),
+                    F.least(F.col("__p") + (n - 1), F.col("__n") - 1)))
+            .alias("__pos"),
+        )
+        .distinct()
+    )
+    covset = cov.groupBy("__id").agg(
+        F.sort_array(F.collect_set("__pos")).alias("__cov"))
+    kept = F.filter(
+        "__t",
+        lambda x, i: ~F.array_contains(F.col("__cov"), i))
+    return (
+        toks.join(covset, "__id", "left")
+        .withColumn("__cov",
+                    F.coalesce("__cov", F.array().cast("array<int>")))
+        .withColumn("__kept", kept)
+        .select(
+            F.col("__id").alias(id_col),
+            *[F.col(f"__k_{c}").alias(c) for c in keep_cols],
+            F.col("__n").alias("n_tokens"),
+            (F.col("__n") - F.size("__kept")).alias("removed_tokens"),
+            F.concat_ws(" ", "__kept").alias(cleaned_col),
+        )
+    )

@@ -720,3 +720,82 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("__sv")).alias("n_neardup"),
         cnt(F.col("__sv") & F.col("__ct").isNull()).alias("n_final"),
     )
+
+
+# Exact duplicated-span removal parameters: shingle width and the
+# distinct-doc threshold that makes a gram "duplicated".
+SPAN_N = 5
+SPAN_MIN_DOCS = 2
+
+
+@query(
+    "dup_span_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    ge AS (
+        SELECT doc_id, len(t) AS n,
+               unnest(CASE WHEN len(t) >= {SPAN_N}
+                      THEN list_transform(
+                               generate_series(0, len(t) - {SPAN_N}),
+                               i -> struct_pack(
+                                   p := i,
+                                   g := array_to_string(
+                                       t[i + 1 : i + {SPAN_N}], ' ')))
+                      ELSE [struct_pack(
+                               p := 0,
+                               g := array_to_string(t, ' '))] END) AS s
+        FROM toks
+    ),
+    g AS (SELECT doc_id, n, s.p AS p, s.g AS g FROM ge),
+    gd AS (SELECT g, COUNT(DISTINCT doc_id) AS d FROM g GROUP BY g),
+    cov AS (
+        SELECT DISTINCT doc_id,
+               unnest(generate_series(p, least(p + {SPAN_N} - 1, n - 1)))
+                   AS pos
+        FROM g JOIN gd USING (g) WHERE d >= {SPAN_MIN_DOCS}
+    ),
+    covset AS (SELECT doc_id, list(pos) AS cov FROM cov GROUP BY doc_id),
+    cleaned AS (
+        SELECT t.doc_id, t.source, len(t.t) AS n_tokens,
+               list_transform(
+                   list_filter(generate_series(0, len(t.t) - 1),
+                               i -> NOT list_contains(
+                                        COALESCE(c.cov, []), i)),
+                   i -> t.t[i + 1]) AS kept
+        FROM toks t LEFT JOIN covset c ON t.doc_id = c.doc_id
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_fp
+    FROM cleaned
+    ORDER BY doc_id
+    """,
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal applied to the corpus (Lee et al.
+    ExactSubstr on {SPAN_N}-gram token spans): every token covered by
+    a cross-document duplicated gram is cut, and the query reports the
+    per-document edit — token counts before/after plus an md5
+    fingerprint of the cleaned text, so the oracle verifies the
+    TRANSFORMED CONTENT itself, not just counts.
+
+    Plan: operators.dedup.remove_duplicate_spans — posexploded
+    codegen n-grams, one gram-DF aggregate, posting join, covered-
+    position explode bounded by n× gram occurrences, per-doc position
+    sets bounded by document length, one higher-order filter per doc.
+    Inverted-index cost end-to-end; no doc-pair term at any scale."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cleaned = remove_duplicate_spans(
+        docs, id_col="doc_id", text_col="text",
+        n=SPAN_N, min_docs=SPAN_MIN_DOCS, keep_cols=("source",))
+    return cleaned.select(
+        "doc_id", "source", "n_tokens", "removed_tokens",
+        F.md5("cleaned_text").alias("cleaned_fp"),
+    )

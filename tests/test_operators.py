@@ -204,3 +204,39 @@ class TestScd2History:
         # a NULL initial state still opens an interval (row_number flag)
         u2 = [r for r in out if r.k == 2]
         assert [(r.state, r.n_events) for r in u2] == [(None, 1), ("x", 1)]
+
+
+class TestRemoveDuplicateSpans:
+    def test_planted_boilerplate_is_cut(self, spark):
+        from flight_data_pipeline_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+        boiler = "all rights reserved contact us today"
+        rows = [
+            (1, f"alpha beta gamma {boiler} delta"),
+            (2, f"one two three four five six {boiler}"),
+            (3, "entirely unique prose with no shared spans at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in remove_duplicate_spans(
+            df, "doc_id", "text", n=3).collect()}
+        # the shared 6-token span disappears from both docs; unique
+        # prose survives untouched
+        assert out[1].cleaned_text == "alpha beta gamma delta"
+        assert out[1].removed_tokens == 6
+        assert out[2].cleaned_text == "one two three four five six"
+        assert out[3].removed_tokens == 0
+        assert out[3].cleaned_text == rows[2][1]
+
+    def test_short_doc_whole_gram(self, spark):
+        from flight_data_pipeline_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc"), (3, "other")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in remove_duplicate_spans(
+            df, "doc_id", "text", n=5).collect()}
+        # docs shorter than n act as one whole-document gram
+        assert out[1].cleaned_text == "" and out[1].removed_tokens == 2
+        assert out[3].cleaned_text == "other"
