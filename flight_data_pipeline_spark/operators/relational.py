@@ -186,6 +186,39 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str],
     return out
 
 
+def combine_partial_aggs(base: DataFrame, delta: DataFrame,
+                         keys: Sequence[str],
+                         agg_cols: Sequence[str]) -> DataFrame:
+    """Incremental materialized-view maintenance for decomposable
+    aggregates: merge a precomputed per-key aggregate (``base``, the
+    materialized view) with the same aggregate over a delta batch by
+    SUMMING partials per key — never rescanning the base fact table.
+    ``agg_cols`` are additive partials (count, sum; avg = sum/count
+    composed by the caller; min/max work for inserts-only deltas).
+
+    Plan: one full-outer equi-join on ``keys`` between two frames
+    sized by KEY CARDINALITY, not fact rows — at 100 TB the view and
+    the delta aggregate are both tiny next to the facts, which this
+    path never reads. Missing-side partials coalesce to 0, so
+    new-key and untouched-key rows both fall out of the same
+    expression.
+    """
+    keys = list(keys)
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in agg_cols])
+    return (
+        base.join(d, keys, "full_outer")
+        .select(
+            *keys,
+            *[
+                (F.coalesce(F.col(c), F.lit(0))
+                 + F.coalesce(F.col(f"__d_{c}"), F.lit(0))).alias(c)
+                for c in agg_cols
+            ],
+        )
+    )
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS (etl_job.py:226-232's probe shape as a relational op)."""
     return left.join(right, on=on, how="left_semi")

@@ -82,6 +82,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_curation_stats",     # new in r4 — never sampled yet
     "late_shipment_priority_counts",  # new in r4
     "promo_revenue_ratio_monthly",    # new in r4
+    "source_quality_topp",       # new in r4
+    "token_budget_mixture",      # new in r4
+    "late_events_merge",         # new in r4
+    "user_state_history_scd2",   # new in r4
+    "dup_span_removal",          # new in r4
+    "incremental_rollup_merge",  # new in r4
     "cosine_topk_bruteforce",
     "label_centroid_stats",
     "ann_lsh_topk",

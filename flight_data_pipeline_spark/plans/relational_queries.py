@@ -954,3 +954,62 @@ def late_events_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "action")
     )
+
+
+# Incremental-maintenance pivot: rows before it form the "materialized"
+# base view; rows at/after it arrive as the delta batch.
+INCR_PIVOT = "2024-01-25"
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta maintenance: the daily (day,
+    event_type) rollup is precomputed over the base slice, the late
+    slice aggregates separately, and combine_partial_aggs merges the
+    two partial states per key — the facts are never rescanned
+    together. The ORACLE IS THE FULL RECOMPUTE over all events, so a
+    hash match proves incremental maintenance ≡ recompute.
+
+    Plan: two independent partial aggregates (each map-side combined)
+    + one full-outer join on the key space (day × event_type — view
+    cardinality, not fact rows). At 100 TB the base aggregate is a
+    stored table and only the delta scan runs per refresh; rounding
+    happens ONLY after the merge so partial sums stay exact."""
+    from flight_data_pipeline_spark.operators.relational import (
+        combine_partial_aggs,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(day.alias("day"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+        )
+
+    base = rollup(ev.where(F.col("ts") < INCR_PIVOT))
+    delta = rollup(ev.where(F.col("ts") >= INCR_PIVOT))
+    merged = combine_partial_aggs(
+        base, delta, keys=("day", "event_type"),
+        agg_cols=("n_events", "sum_value"))
+    return (
+        merged.select(
+            "day", "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
