@@ -438,3 +438,69 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
         .agg(F.count("*").alias("n")).collect()
     }
     assert counts == {(1, 1, 2), (1, 2, 1)}  # same 2+1 session split
+
+
+def test_stream_rollup_upsert_maintains_view(spark, tmp_path):
+    """Two availableNow runs over a growing events dir keep the
+    persistent rollup view equal to a full recompute, and a replayed
+    micro-batch is skipped by the marker (no double counting)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_rollup_delta,
+        stream_rollup_upsert,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    view = str(tmp_path / "view")
+
+    def write_file(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def read_stream():
+        return spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).json(str(src))
+
+    def view_rows():
+        return {
+            (r.day, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.read.parquet(view + "/data").collect()
+        }
+
+    write_file("a.json", [
+        {"ts": "2024-01-01T05:00:00", "event_type": "view", "value": 1.0},
+        {"ts": "2024-01-01T06:00:00", "event_type": "view", "value": 2.0},
+        {"ts": "2024-01-02T05:00:00", "event_type": "buy", "value": 5.0},
+    ])
+    stream_rollup_upsert(
+        read_stream(), view, str(tmp_path / "ck")).awaitTermination(60)
+    assert view_rows() == {
+        ("2024-01-01", "view"): (2, 3.0),
+        ("2024-01-02", "buy"): (1, 5.0),
+    }
+
+    # second run picks up only the new file (checkpointed offsets) and
+    # merges it into existing keys + a new key
+    write_file("b.json", [
+        {"ts": "2024-01-01T07:00:00", "event_type": "view", "value": 4.0},
+        {"ts": "2024-01-03T05:00:00", "event_type": "view", "value": 7.0},
+    ])
+    stream_rollup_upsert(
+        read_stream(), view, str(tmp_path / "ck")).awaitTermination(60)
+    assert view_rows() == {
+        ("2024-01-01", "view"): (3, 7.0),
+        ("2024-01-02", "buy"): (1, 5.0),
+        ("2024-01-03", "view"): (1, 7.0),
+    }
+
+    # a replay of an already-applied batch id must be a no-op
+    replay = spark.createDataFrame(
+        [("2024-01-01T05:00:00", "view", 100.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert apply_rollup_delta(view, replay, 0) is False
+    assert view_rows()[("2024-01-01", "view")] == (3, 7.0)
