@@ -572,8 +572,16 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                            & mean_len.between(3, 10))
 
     w = Window.partitionBy("text").orderBy("doc_id")
+    # The funnel DAG is a diamond: exact feeds the CC stage, the
+    # decontamination stage, AND the flag marks — without
+    # materialization each broadcast-side job would re-run the
+    # text-keyed window (and everything under it) once per consumer.
+    # A lazy localCheckpoint computes it in the first job and serves
+    # the rest from executor storage (same discipline as the CC
+    # rounds in _set_group_clusters).
     exact = (quality.withColumn("__rn", F.row_number().over(w))
-             .where(F.col("__rn") == 1).drop("__rn"))
+             .where(F.col("__rn") == 1).drop("__rn")
+             .localCheckpoint(eager=False))
 
     masks = dictionary_bitset_masks(
         exact, id_col="doc_id", block_col="source", text_col="text")
@@ -584,7 +592,10 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
     surv_ids = (lab.where(cluster.isNull() | (F.col("doc_id") == cluster))
                 .select("doc_id"))
-    surv = exact.join(surv_ids, "doc_id", "left_semi")
+    # same diamond: surv feeds decontamination, the final stage, and
+    # its own flag mark
+    surv = (exact.join(surv_ids, "doc_id", "left_semi")
+            .localCheckpoint(eager=False))
 
     bench_grams = (ngram_explode(
         docs.where(F.col("source") == CURATION_BENCH_SRC),
