@@ -88,6 +88,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_state_history_scd2",   # new in r4
     "dup_span_removal",          # new in r4
     "incremental_rollup_merge",  # new in r4
+    "conversion_funnel",         # new in r4
+    "key_skew_stats",            # new in r4
     "cosine_topk_bruteforce",
     "label_centroid_stats",
     "ann_lsh_topk",

@@ -1013,3 +1013,53 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "key_skew_stats",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn FROM k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_per_key,
+           ROUND(AVG(c), 4) AS avg_per_key,
+           ROUND(MAX(c) / AVG(c), 4) AS skew_ratio,
+           ROUND(SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END)
+                 * 1.0 / SUM(c), 4) AS top10_share
+    FROM r
+    """,
+)
+def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic — the measurement that decides
+    between a plain groupBy/join, AQE skew splitting, and explicit
+    salting (operators/relational.salted_groupby_agg / salted_join):
+    per-key row counts reduced to max/avg skew ratio and the share of
+    rows held by the 10 hottest keys.
+
+    Plan: one per-key aggregate (map-side combined — the scan's
+    output is |keys| rows), then a top-k rank and a single-row
+    rollup over the KEY-cardinality frame; the fact table is read
+    once and nothing driver-side ever sees a per-row structure."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    k = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    r = k.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(F.desc("c"), "user_id")))
+    return r.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_per_key"),
+        F.round(F.avg("c"), 4).alias("avg_per_key"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        F.round(F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(0))
+                / F.sum("c"), 4).alias("top10_share"),
+    )

@@ -298,3 +298,73 @@ def user_state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "n_events",
     )
+
+
+# --- sequential conversion funnel ---------------------------------------------
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), s2 AS (
+        SELECT user_id, ts, event_type, t1,
+               MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_viewed,
+           CAST(COUNT(t2) AS BIGINT) AS n_clicked_after_view,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchased_after_click,
+           ROUND(AVG(DATE_DIFF('second', t1, t3)) / 3600.0, 4)
+               AS avg_hours_to_convert
+    FROM per_user
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence conversion funnel (the MATCH_RECOGNIZE /
+    funnel-analysis shape): users who did view → click → purchase in
+    strict timestamp order, each step's anchor being the EARLIEST
+    event after the previous step's anchor, plus mean conversion time.
+
+    Plan: three per-user window passes compute the chained step
+    anchors (t1 = first view; t2 = first click after t1; t3 = first
+    purchase after t2) — all three windows AND the per-user collapse
+    share one user_id shuffle; the final single-row aggregate is a
+    count of non-nulls. No self-joins, no per-step scans: funnel
+    depth adds window expressions, not passes over the fact table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    ty = F.col("event_type")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(ty == "view", t)).over(w))
+    s2 = s1.withColumn(
+        "t2", F.min(F.when((ty == "click") & (t > F.col("t1")), t)).over(w))
+    s3 = s2.withColumn(
+        "t3", F.min(F.when((ty == "purchase") & (t > F.col("t2")), t))
+        .over(w))
+    per_user = s3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"))
+    hours = (F.col("t3").cast("long") - F.col("t1").cast("long")) / 3600.0
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+        F.round(F.avg(hours), 4).alias("avg_hours_to_convert"),
+    )
