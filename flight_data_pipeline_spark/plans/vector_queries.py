@@ -587,3 +587,100 @@ def ann_ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb, encoded = _pq_for(spark, sf_dir)
     return pq_refined_topk(encoded, emb, qv, cb, "embedding", "vec_id",
                            k=10, shortlist=100, index=idx, n_probe=4)
+
+
+# Matryoshka (MRL) truncation audit: prefix dimensions to evaluate.
+MRL_DIMS = (8, 16, 32, 64)
+
+
+@query(
+    "matryoshka_dim_audit",
+    oracle=f"""
+    WITH dims AS (SELECT unnest([{", ".join(map(str, MRL_DIMS))}]) AS dim),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    p AS (
+        SELECT e.vec_id, d.dim,
+               list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[])[1:d.dim],
+                   (SELECT qv FROM q)[1:d.dim]) AS cd,
+               list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   (SELECT qv FROM q)) AS cf
+        FROM embeddings e CROSS JOIN dims d
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY dim
+                   ORDER BY ROUND(cd, 6) DESC, vec_id) AS rd,
+               ROW_NUMBER() OVER (PARTITION BY dim
+                   ORDER BY ROUND(cf, 6) DESC, vec_id) AS rf
+        FROM p
+    )
+    SELECT dim,
+           ROUND(AVG(ABS(cd - cf)), 4) AS avg_abs_cos_err,
+           ROUND(SUM(CASE WHEN rd <= 10 AND rf <= 10
+                     THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+    FROM r GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def matryoshka_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: how much similarity signal
+    each PREFIX of the embedding keeps — per truncation dim, the mean
+    |cosine_prefix − cosine_full| against a pinned query vector and
+    the top-10 recall of the truncated ranking. The measurement
+    behind the MRL serving trade (search shortlists on cheap prefix
+    dims, re-rank on full vectors — the same shortlist+refine shape
+    as the IVF-PQ path).
+
+    Plan: one broadcast of the single query row, a 4× explode over
+    the audited dims, map-side sliced-cosine arithmetic, and two
+    rankings per dim over the (dims × corpus) frame — windows and
+    the final rollup all partition on dim. Sims are rounded BEFORE
+    ranking on both engines so float summation order can't flip a
+    rank at the cut."""
+    from flight_data_pipeline_spark.operators.vectors import (
+        as_double,
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        as_double(F.col("embedding")).alias("qv"))
+    p = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.explode(F.array(*[F.lit(d) for d in MRL_DIMS])).alias("dim"),
+            as_double(F.col("embedding")).alias("ev"),
+            "qv")
+        .select(
+            "vec_id", "dim",
+            cosine(F.slice("ev", 1, F.col("dim")),
+                   F.slice("qv", 1, F.col("dim"))).alias("cd"),
+            cosine(F.col("ev"), F.col("qv")).alias("cf"))
+    )
+    wd = Window.partitionBy("dim")
+    r = p.select(
+        "*",
+        F.row_number().over(
+            wd.orderBy(F.round("cd", 6).desc(), "vec_id")).alias("rd"),
+        F.row_number().over(
+            wd.orderBy(F.round("cf", 6).desc(), "vec_id")).alias("rf"),
+    )
+    return (
+        r.groupBy("dim")
+        .agg(
+            F.round(F.avg(F.abs(F.col("cd") - F.col("cf"))), 4)
+            .alias("avg_abs_cos_err"),
+            F.round(
+                F.sum(F.when((F.col("rd") <= 10) & (F.col("rf") <= 10), 1)
+                      .otherwise(0)) / 10.0, 2)
+            .alias("recall_at_10"),
+        )
+        .orderBy("dim")
+    )
