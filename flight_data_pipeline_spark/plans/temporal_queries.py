@@ -368,3 +368,88 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t3").alias("n_purchased_after_click"),
         F.round(F.avg(hours), 4).alias("avg_hours_to_convert"),
     )
+
+
+# --- time-series gap fill -----------------------------------------------------
+# Sparse-series parameters: hours with no qualifying purchase must
+# appear zero-filled, with the price forward-filled from the last
+# observed hour.
+GAPFILL_MIN_VALUE = 250
+
+
+@query(
+    "hourly_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS sum_value,
+               AVG(value) AS avg_value
+        FROM events
+        WHERE event_type = 'purchase' AND value > {GAPFILL_MIN_VALUE}
+        GROUP BY hour
+    )
+    SELECT STRFTIME(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(a.n, 0) AS n_big_purchases,
+           COALESCE(a.sum_value, 0.0) AS sum_value,
+           ROUND(last_value(a.avg_value IGNORE NULLS) OVER (
+               ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS filled_avg_value
+    FROM spine s LEFT JOIN agg a ON s.hour = a.hour
+    ORDER BY hour
+    """,
+)
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine generated from
+    the data's own bounds, the sparse high-value-purchase series
+    left-joined onto it, counts zero-filled, and the average price
+    FORWARD-FILLED from the last observed hour (last ignorenulls) —
+    the reporting shape every dashboard needs over sparse facts.
+
+    Plan: the spine comes from a one-row bounds aggregate exploded
+    through sequence() — its cardinality is the TIME RANGE, not the
+    fact count, so the global forward-fill window and final sort see
+    hours-per-horizon rows (~720/month) at any data scale; the only
+    data-sized work is the sparse aggregate, which map-side combines.
+    The spine side of the left join broadcasts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("hour"))
+    agg = (
+        ev.where((F.col("event_type") == "purchase")
+                 & (F.col("value") > GAPFILL_MIN_VALUE))
+        .groupBy(hour.alias("hour"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.avg("value").alias("avg_value"))
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(agg, "hour", "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_big_purchases"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.round(F.last("avg_value", ignorenulls=True).over(w), 2)
+            .alias("filled_avg_value"),
+        )
+        .orderBy("hour")
+    )

@@ -38,3 +38,49 @@ def test_datasource_reads_typed_rows_per_window(spark):
     assert rows[14].fuel_gas_perc == 45.5      # case-insensitive match
     assert rows[14].fuel_solar_perc == 0.0     # missing fuel default
     assert rows[14].window_start.tzinfo is None or True  # session-tz timestamps
+
+
+class TestJsonlCorpus:
+    def test_good_and_dead_letter_split(self, spark, tmp_path):
+        from flight_data_pipeline_spark.sources.jsonl_corpus import (
+            read_jsonl_corpus,
+            write_dead_letters,
+        )
+        shard = tmp_path / "shard-000.jsonl"
+        shard.write_text("\n".join([
+            '{"doc_id": 1, "text": "hello world", "lang": "en",'
+            ' "source": "web", "n_chars": 11}',
+            '{"doc_id": 2, "text": "bonjour", "lang": "fr",'
+            ' "source": "web", "n_chars": 7}',
+            'this is not json at all {',
+            '{"doc_id": 3, "text": "ok", "lang": "en", "source": "book",'
+            ' "n_chars": 2}',
+        ]))
+        good, dead = read_jsonl_corpus(spark, str(tmp_path / "*.jsonl"))
+        rows = {r.doc_id: r for r in good.collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1].text == "hello world" and rows[1].n_chars == 11
+        assert good.columns == ["doc_id", "text", "lang", "source",
+                                "n_chars"]
+        bad = [r.raw for r in dead.collect()]
+        assert bad == ["this is not json at all {"]
+        # quarantine file round-trips the raw line for replay
+        write_dead_letters(dead, str(tmp_path / "dlq"))
+        assert [r.value for r in
+                spark.read.text(str(tmp_path / "dlq")).collect()] == bad
+
+    def test_schema_is_enforced_not_inferred(self, spark, tmp_path):
+        from flight_data_pipeline_spark.sources.jsonl_corpus import (
+            read_jsonl_corpus,
+        )
+        # a numeric-looking text field stays a string; a non-numeric
+        # doc_id is a parse failure, not a silently-null row
+        shard = tmp_path / "s.jsonl"
+        shard.write_text(
+            '{"doc_id": "notanumber", "text": "x", "lang": "en",'
+            ' "source": "w", "n_chars": 1}\n'
+            '{"doc_id": 9, "text": "123", "lang": "en", "source": "w",'
+            ' "n_chars": 3}\n')
+        good, dead = read_jsonl_corpus(spark, str(shard))
+        assert [r.text for r in good.where("doc_id = 9").collect()] == ["123"]
+        assert dead.count() == 1
