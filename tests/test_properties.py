@@ -277,3 +277,59 @@ def test_bitset_masks_encode_exact_set_algebra(spark, corpus):
         assert (mi == mj) == (si == sj)
         assert bin(mi & mj).count("1") == len(si & sj)
         assert bin(mi | mj).count("1") == len(si | sj)
+
+
+@SETTINGS
+@given(data=rows, n_states=st.integers(1, 3))
+def test_scd2_history_matches_naive(spark, data, n_states):
+    from flight_data_pipeline_spark.operators.temporal import scd2_history
+
+    evs = [(i, k, T0 + dt.timedelta(minutes=m), f"s{(i * 7 + k) % n_states}")
+           for i, (k, m) in enumerate(data)]
+    df = spark.createDataFrame(evs, "id long, k long, ts timestamp, st string")
+    got = sorted(
+        ((r.k, r.state, r.valid_from, r.valid_to, r.n_events)
+         for r in scd2_history(df, "k", "ts", "st", "id").collect()),
+        key=lambda t: (t[0], t[2]))
+
+    # naive reference: sort per key by (ts, id), collapse runs
+    want = []
+    for k in sorted({k for _, k, _, _ in evs}):
+        seq = sorted([(ts, i, s) for i, kk, ts, s in evs if kk == k])
+        runs = []
+        for ts, i, s in seq:
+            if runs and runs[-1][0] == s:
+                runs[-1][2] += 1
+            else:
+                runs.append([s, ts, 1])
+        for j, (s, vf, n) in enumerate(runs):
+            vt = runs[j + 1][1] if j + 1 < len(runs) else None
+            want.append((k, s, vf, vt, n))
+    assert got == sorted(want, key=lambda t: (t[0], t[2]))
+    # intervals per key tile the timeline: n_events sums to input size
+    assert sum(t[4] for t in got) == len(evs)
+
+
+@SETTINGS
+@given(base=rows, upd=rows)
+def test_merge_upsert_matches_naive(spark, base, upd):
+    from flight_data_pipeline_spark.operators.relational import merge_upsert
+
+    # build keyed rows; duplicate keys collapse to the last value so
+    # both the frame and the dict reference agree
+    bmap = {k: m for k, m in base}
+    umap = {k: m + 1000 for k, m in upd}
+    bdf = spark.createDataFrame(list(bmap.items()), "k long, v long")
+    udf = spark.createDataFrame(list(umap.items()), "k long, v long")
+
+    out = {r.k: (r.v, r.action)
+           for r in merge_upsert(bdf, udf, ["k"], action_col="action")
+           .collect()}
+    assert set(out) == set(bmap) | set(umap)
+    for k in out:
+        if k in umap and k in bmap:
+            assert out[k] == (umap[k], "update")
+        elif k in umap:
+            assert out[k] == (umap[k], "insert")
+        else:
+            assert out[k] == (bmap[k], "carry")
