@@ -118,3 +118,67 @@ def file_minmax_stats(path: str, column: str) -> list[tuple[str, object, object]
                 hi = s.max if hi is None else max(hi, s.max)
         out.append((name, lo, hi))
     return out
+
+
+def compact_small_files(spark, path: str, target_mb: int = 128,
+                        cluster_cols: Sequence[Column] = ()) -> int:
+    """Compact a parquet directory's small files into ~``target_mb``
+    outputs (returns the new file count). The small-files problem is
+    the steady-state failure mode of incremental writes: a 30-minute
+    append cadence yields 17k files/year whose open/footer overhead
+    eventually dominates scans.
+
+    Plan: size the output count from the directory's actual bytes
+    (driver-side listing — metadata, not data), then one
+    ``repartition(n)`` round-robin shuffle (or a range exchange when
+    ``cluster_cols`` are given, preserving/establishing the clustered
+    layout of :func:`cluster_by_range` through the compaction) and an
+    atomic directory swap. At 100 TB compaction runs per PARTITION
+    (compact yesterday's directory, not the table), so the shuffle is
+    bounded by one partition's bytes; table formats (Delta OPTIMIZE,
+    Iceberg rewrite_data_files) schedule exactly this job.
+    """
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet"))
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if cluster_cols:
+        df = df.repartitionByRange(n, *cluster_cols) \
+               .sortWithinPartitions(*cluster_cols)
+    else:
+        df = df.repartition(n)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def expire_partitions(path: str, partition_col: str, keep_from: str) -> list[str]:
+    """Retention: drop `<partition_col>=<value>` directories whose
+    value sorts below ``keep_from`` (ISO date strings compare
+    lexicographically). Returns the dropped partition values.
+
+    Partition-directory deletion IS the scalable retention path — a
+    DELETE WHERE over 100 TB rewrites data; dropping directories
+    touches only the listing (Hive `DROP PARTITION`, Delta `VACUUM`
+    after a partition-predicate delete). Readers never see a partial
+    partition: removal is per-directory, and a concurrent scan either
+    listed the directory before (reads it whole) or after (skips it).
+    """
+    import os
+    import shutil
+
+    dropped = []
+    prefix = f"{partition_col}="
+    for name in sorted(os.listdir(path)):
+        if name.startswith(prefix) and name[len(prefix):] < keep_from:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(name[len(prefix):])
+    return dropped

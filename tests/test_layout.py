@@ -70,3 +70,56 @@ class TestZorderKey:
         # x clamps to 0, y clamps to 255: z = interleave(0, 255)
         want = sum(1 << (i * 2 + 1) for i in range(8))
         assert z == want
+
+
+class TestCompaction:
+    def test_small_files_become_few(self, spark, tmp_path):
+        from flight_data_pipeline_spark.operators.layout import (
+            compact_small_files,
+        )
+        out = str(tmp_path / "t")
+        df = spark.range(0, 20_000).select(
+            F.col("id"), (F.col("id") % 97).alias("k"))
+        df.repartition(64).write.parquet(out)
+        import os
+        before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+        assert before >= 32
+        total_before = spark.read.parquet(out).count()
+        n = compact_small_files(spark, out, target_mb=128)
+        assert n < before
+        assert spark.read.parquet(out).count() == total_before
+
+    def test_compaction_can_establish_clustering(self, spark, tmp_path):
+        from flight_data_pipeline_spark.operators.layout import (
+            compact_small_files,
+            file_minmax_stats,
+        )
+        out = str(tmp_path / "t")
+        spark.range(0, 20_000).select(
+            (F.col("id") * 31 % 5_000).alias("k")) \
+            .repartition(16).write.parquet(out)
+        compact_small_files(spark, out, target_mb=1,
+                            cluster_cols=(F.col("k"),))
+        stats = [s for s in file_minmax_stats(out, "k") if s[1] is not None]
+        if len(stats) > 1:
+            by_min = sorted(stats, key=lambda s: s[1])
+            for (_, _, hi), (_, lo2, _) in zip(by_min, by_min[1:]):
+                assert hi <= lo2
+
+
+class TestRetention:
+    def test_expire_partitions_drops_old_only(self, spark, tmp_path):
+        from flight_data_pipeline_spark.operators.layout import (
+            expire_partitions,
+        )
+        out = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [("2024-01-0%d" % d, d) for d in range(1, 6)],
+            "day string, v long")
+        df.write.partitionBy("day").parquet(out)
+        dropped = expire_partitions(out, "day", keep_from="2024-01-03")
+        assert dropped == ["2024-01-01", "2024-01-02"]
+        # Spark infers date-shaped partition values as dates; compare
+        # as strings
+        left = {str(r.day) for r in spark.read.parquet(out).collect()}
+        assert left == {"2024-01-03", "2024-01-04", "2024-01-05"}
