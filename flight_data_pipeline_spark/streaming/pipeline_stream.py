@@ -433,3 +433,32 @@ def stream_rollup_upsert(events: DataFrame, view_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enrich(events: DataFrame, dim_path: str, on: str,
+                  out_path: str, checkpoint_dir: str) -> StreamingQuery:
+    """Stream-static enrichment with per-batch dimension refresh: each
+    micro-batch broadcast-joins the CURRENT contents of the dimension
+    table — a slowly-changing dim updated between triggers is picked
+    up by the next batch, which Spark's built-in stream-static join
+    does not guarantee (its static plan caches file listings per
+    query, so rows REPLACED in an overwritten dim can go stale).
+
+    foreachBatch re-resolves the dim read each batch (a metadata-cost
+    listing; the dim is dim-sized and rides as a broadcast, so the
+    fact stream never shuffles). Left join keeps facts whose key has
+    no dim row yet — late dimension arrival must not drop facts."""
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        (
+            batch_df.join(F.broadcast(dim), on, "left")
+            .write.mode("append").parquet(out_path)
+        )
+
+    return (
+        events.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

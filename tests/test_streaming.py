@@ -504,3 +504,46 @@ def test_stream_rollup_upsert_maintains_view(spark, tmp_path):
     ).withColumn("ts", F.to_timestamp("ts"))
     assert apply_rollup_delta(view, replay, 0) is False
     assert view_rows()[("2024-01-01", "view")] == (3, 7.0)
+
+
+def test_stream_enrich_picks_up_dim_updates(spark, tmp_path):
+    """Each micro-batch joins the dimension as it exists AT THAT
+    TRIGGER: rows arriving after a dim overwrite carry the new
+    attributes, and facts without a dim row survive the left join."""
+    import json
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        stream_enrich,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+
+    def read_stream():
+        return spark.readStream.schema(
+            "user_id long, value double").json(str(src))
+
+    spark.createDataFrame(
+        [(1, "bronze"), (2, "silver")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    (src / "a.json").write_text(json.dumps(
+        {"user_id": 1, "value": 1.0}) + "\n" + json.dumps(
+        {"user_id": 9, "value": 9.0}))
+    stream_enrich(read_stream(), dim_path, "user_id", out,
+                  str(tmp_path / "ck")).awaitTermination(60)
+
+    # dim changes between triggers: user 1 upgraded
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    (src / "b.json").write_text(json.dumps({"user_id": 1, "value": 2.0}))
+    stream_enrich(read_stream(), dim_path, "user_id", out,
+                  str(tmp_path / "ck")).awaitTermination(60)
+
+    rows = {(r.user_id, r.value): r.tier
+            for r in spark.read.parquet(out).collect()}
+    assert rows[(1, 1.0)] == "bronze"   # batch 1 saw the old dim
+    assert rows[(1, 2.0)] == "gold"     # batch 2 saw the refreshed dim
+    assert rows[(9, 9.0)] is None       # keyless fact kept by left join
