@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "key_skew_stats",            # new in r4
     "matryoshka_dim_audit",      # new in r4
     "hourly_gap_fill",           # new in r4
+    "top2_orders_per_customer_lateral",  # new in r4
     "cosine_topk_bruteforce",
     "label_centroid_stats",
     "ann_lsh_topk",

@@ -1063,3 +1063,42 @@ def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(0))
                 / F.sum("c"), 4).alias("top10_share"),
     )
+
+
+@query(
+    "top2_orders_per_customer_lateral",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def top2_orders_per_customer_lateral(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    surface for per-group top-k, run through ``spark.sql`` to pin that
+    the engine's SQL front door supports it (the DataFrame twin is
+    `top_customer_per_segment`'s row_number form).
+
+    Plan (verified via explain): Catalyst DECORRELATES the lateral —
+    no per-customer re-execution of the subquery. The physical plan
+    is WindowGroupLimit(partial) map-side → one hash exchange on
+    o_custkey → WindowGroupLimit(final) + row_number filter, then a
+    broadcast join against customer: per-partition top-k heaps
+    exactly like TakeOrderedAndProject, generalized per group. A
+    naive nested-loop lateral would be quadratic; this is one
+    shuffle of the (pre-pruned) top-2-per-key rows."""
+    from flight_data_pipeline_spark.tables import load_table
+
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """)
