@@ -186,6 +186,43 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str],
     return out
 
 
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def table_fingerprint(df: DataFrame, cols: Sequence[Column],
+                      group_by: Sequence[str] = ()) -> DataFrame:
+    """Order-insensitive content fingerprint of a table (optionally
+    per group): md5 each row's canonical string, keep 48 bits, reduce
+    per-row mod a prime, SUM — two frames with equal fingerprints and
+    counts are (overwhelmingly likely) row-for-row equal regardless of
+    order or partitioning. The migration-validation primitive: run it
+    on the source system and the Spark copy and compare one number
+    per group, instead of shipping either table anywhere.
+
+    Portability contract: ``cols`` must already be ENGINE-STABLE
+    strings (ints/ISO dates stringify identically everywhere; floats
+    do NOT — encode them first, e.g. a cents bigint). md5 is
+    bit-identical across engines, unlike xxhash64/Spark ``hash``. The
+    mod keeps the 48-bit terms summable in a BIGINT to ~10^9 rows per
+    group; beyond that, re-reduce partial sums mod p (the sum of
+    residues is itself a residue stream).
+
+    Plan: one map-side expression pass + one (grouped or global)
+    SUM — partial aggregation combines map-side, the shuffle carries
+    one row per group.
+    """
+    key = F.concat_ws("|", *cols)
+    term = (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+        % FINGERPRINT_MOD
+    )
+    aggs = [F.count("*").alias("n_rows"),
+            F.sum(term).alias("fingerprint")]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
 def combine_partial_aggs(base: DataFrame, delta: DataFrame,
                          keys: Sequence[str],
                          agg_cols: Sequence[str]) -> DataFrame:

@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "matryoshka_dim_audit",      # new in r4
     "hourly_gap_fill",           # new in r4
     "top2_orders_per_customer_lateral",  # new in r4
+    "orders_fingerprint",        # new in r4
     "cosine_topk_bruteforce",
     "label_centroid_stats",
     "ann_lsh_topk",

@@ -1102,3 +1102,46 @@ def top2_orders_per_customer_lateral(spark: SparkSession,
                  WHERE o_custkey = c.c_custkey
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
     """)
+
+
+@query(
+    "orders_fingerprint",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CONCAT('0x', substr(md5(
+                   CONCAT_WS('|', o_orderkey, o_custkey, o_orderstatus,
+                             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                             CAST(o_orderdate AS VARCHAR),
+                             o_orderpriority)), 1, 12)) AS BIGINT)
+               % 1000000007) AS BIGINT) AS fingerprint
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def orders_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine table fingerprint of orders per status — the
+    migration-validation audit: the same md5-mod-sum computed by any
+    other engine over the same rows yields the same number, so a
+    source system and its Spark copy compare with one row per group
+    (operators/relational.table_fingerprint; this oracle IS the
+    other-engine run). Floats enter as a cents BIGINT — the one
+    engine-unstable stringification, encoded away.
+
+    Plan: map-side md5 + mod, one grouped SUM with map-side combine;
+    the shuffle carries one row per status."""
+    from flight_data_pipeline_spark.operators.relational import (
+        table_fingerprint,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return table_fingerprint(
+        o,
+        cols=[F.col("o_orderkey"), F.col("o_custkey"),
+              F.col("o_orderstatus"), cents,
+              F.col("o_orderdate").cast("string"),
+              F.col("o_orderpriority")],
+        group_by=("o_orderstatus",),
+    ).orderBy("o_orderstatus")

@@ -240,3 +240,22 @@ class TestRemoveDuplicateSpans:
         # docs shorter than n act as one whole-document gram
         assert out[1].cleaned_text == "" and out[1].removed_tokens == 2
         assert out[3].cleaned_text == "other"
+
+
+class TestTableFingerprint:
+    def test_order_insensitive_and_mutation_sensitive(self, spark):
+        from flight_data_pipeline_spark.operators.relational import (
+            table_fingerprint,
+        )
+        rows = [(1, "a"), (2, "b"), (3, "c")]
+        a = spark.createDataFrame(rows, "id long, s string")
+        b = spark.createDataFrame(list(reversed(rows)), "id long, s string")
+        cols = [F.col("id"), F.col("s")]
+        fa = table_fingerprint(a, cols).first()
+        fb = table_fingerprint(b.repartition(3), cols).first()
+        assert (fa.n_rows, fa.fingerprint) == (fb.n_rows, fb.fingerprint)
+        # one changed cell changes the sum
+        c = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")],
+                                  "id long, s string")
+        fc = table_fingerprint(c, cols).first()
+        assert fc.fingerprint != fa.fingerprint
