@@ -186,6 +186,54 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str],
     return out
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  compare_cols: Sequence[str],
+                  action_col: str = "action") -> DataFrame:
+    """Change-data derivation between two table snapshots: one
+    full-outer equi-join on ``keys`` classifying every key as
+    'insert' (new only), 'delete' (old only), or 'update' (present in
+    both with any ``compare_cols`` value differing, null-safely) —
+    unchanged rows drop out. Emits the NEW values (old values for
+    deletes) plus the action tag: the feed a downstream consumer
+    replays to converge on the new snapshot (Delta CDF computed from
+    plain tables).
+
+    Plan: the same single-shuffle-per-side full-outer shape as
+    merge_upsert — snapshot_diff is its inverse (merge applies a
+    change set; diff recovers one). At scale, partition-prune both
+    snapshots to the window that can differ before diffing.
+    """
+    keys = list(keys)
+    o = old.select(
+        *keys, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]
+    ).withColumn("__o_present", F.lit(1))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"__n_{c}") for c in compare_cols]
+    ).withColumn("__n_present", F.lit(1))
+    joined = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    action = (
+        F.when(F.col("__o_present").isNull(), "insert")
+        .when(F.col("__n_present").isNull(), "delete")
+        .when(changed, "update")
+    )
+    return (
+        joined.withColumn(action_col, action)
+        .where(F.col(action_col).isNotNull())
+        .select(
+            *keys,
+            *[
+                F.when(F.col(action_col) == "delete", F.col(f"__o_{c}"))
+                .otherwise(F.col(f"__n_{c}")).alias(c)
+                for c in compare_cols
+            ],
+            action_col,
+        )
+    )
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

@@ -37,10 +37,12 @@ ORACLE_SQL: dict[str, str] = {}
 # (a) the seven timestamp-touching queries regressed or invalidated by
 # the round-3 TIMESTAMP_NTZ fixture drift — the loader fix
 # (tables.py) must be proven end-to-end in the driver's own session;
-# (b) every query with no CORRECTNESS_r03 row (34 of them — each
-# round's 50-sample leaves a stale tail; r1∪r2∪r3 covers all 84, so
-# the stalest rows are the ones to refresh). The remaining ~13 of the
-# 50-sample fall through to registration order, all green in r3.
+# (b) every query REGISTERED THIS ROUND (never driver-sampled — a
+# first official correctness row beats refreshing an old green);
+# (c) the stalest r1/r2-vintage greens fill the remaining sample
+# slots in staleness order. With >50 in this tuple the tail past the
+# sample size keeps its last green row (visible in BASELINE.md's
+# rotation table as debt, not an implied pass).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (a) timestamp family: prove the NTZ loader fix end-to-end --
     "user_sessions",                # crashed r3 (NTZ cast)
@@ -50,7 +52,35 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hour_dedup",
     "freshness_flags_daily",
     "daily_rollup",
-    # -- (b) no r3 row: refresh the stalest greens (r1/r2 vintage) --
+    # -- (b) registered in r4 — never sampled; first rows needed --
+    "ann_ivf_pq_topk",
+    "corpus_curation_stats",
+    "late_shipment_priority_counts",
+    "promo_revenue_ratio_monthly",
+    "source_quality_topp",
+    "token_budget_mixture",
+    "late_events_merge",
+    "user_state_history_scd2",
+    "dup_span_removal",
+    "incremental_rollup_merge",
+    "conversion_funnel",
+    "key_skew_stats",
+    "matryoshka_dim_audit",
+    "hourly_gap_fill",
+    "top2_orders_per_customer_lateral",
+    "orders_fingerprint",
+    "events_snapshot_diff",
+    "cumulative_unique_users_daily",
+    "cohort_retention",
+    # -- (c) stalest greens (r1/r2 vintage), staleness order --
+    "lang_id_predictions",          # r1
+    "tokenization_stats",           # r1
+    "exact_dedup_documents",        # r1
+    "minhash_lsh_near_dups",        # r1
+    "cosine_topk_bruteforce",       # r1
+    "label_centroid_stats",         # r1
+    "ann_lsh_topk",                 # r1
+    "multimodal_byte_features",     # r1
     "hourly_event_windows",
     "revenue_7d_moving_avg",
     "parts_above_avg_price",
@@ -74,30 +104,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "repetition_stats",
     "gopher_quality_flags",
     "doc_chunking_stats",
-    "lang_id_predictions",
-    "tokenization_stats",
-    "exact_dedup_documents",
-    "minhash_lsh_near_dups",
-    "ann_ivf_pq_topk",           # new in r4 — never sampled yet
-    "corpus_curation_stats",     # new in r4 — never sampled yet
-    "late_shipment_priority_counts",  # new in r4
-    "promo_revenue_ratio_monthly",    # new in r4
-    "source_quality_topp",       # new in r4
-    "token_budget_mixture",      # new in r4
-    "late_events_merge",         # new in r4
-    "user_state_history_scd2",   # new in r4
-    "dup_span_removal",          # new in r4
-    "incremental_rollup_merge",  # new in r4
-    "conversion_funnel",         # new in r4
-    "key_skew_stats",            # new in r4
-    "matryoshka_dim_audit",      # new in r4
-    "hourly_gap_fill",           # new in r4
-    "top2_orders_per_customer_lateral",  # new in r4
-    "orders_fingerprint",        # new in r4
-    "cosine_topk_bruteforce",
-    "label_centroid_stats",
-    "ann_lsh_topk",
-    "multimodal_byte_features",
 )
 
 

@@ -1145,3 +1145,71 @@ def orders_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("o_orderpriority")],
         group_by=("o_orderstatus",),
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "events_snapshot_diff",
+    oracle="""
+    WITH upd AS (
+        SELECT event_id, value + 100 AS value FROM events
+        WHERE event_id % 7 = 0
+        UNION ALL
+        SELECT event_id + 100000000, value FROM events
+        WHERE event_id % 13 = 0
+    ),
+    new_snap AS (
+        SELECT COALESCE(b.event_id, u.event_id) AS event_id,
+               CASE WHEN u.event_id IS NULL THEN b.value
+                    ELSE u.value END AS value
+        FROM events b FULL JOIN upd u ON b.event_id = u.event_id
+    ),
+    diff AS (
+        SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+               CASE WHEN o.event_id IS NULL THEN 'insert'
+                    WHEN n.event_id IS NULL THEN 'delete'
+                    WHEN o.value IS DISTINCT FROM n.value THEN 'update'
+               END AS action,
+               CASE WHEN n.event_id IS NULL THEN o.value
+                    ELSE n.value END AS value
+        FROM events o FULL JOIN new_snap n ON o.event_id = n.event_id
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM diff WHERE action IS NOT NULL
+    GROUP BY action
+    ORDER BY action
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC derivation closing the merge loop: apply the
+    late_events_merge correction batch to get the new snapshot, then
+    DIFF old vs new with operators/relational.snapshot_diff — the
+    recovered change feed must contain exactly the corrections
+    (updates) and re-keyed arrivals (inserts), no deletes, proving
+    diff∘merge = the original change set. Aggregated per action for
+    the checked row.
+
+    Plan: two full-outer equi-joins on event_id (merge, then diff) —
+    each side shuffles once per join; unchanged keys drop before the
+    per-action aggregate."""
+    from flight_data_pipeline_spark.operators.relational import (
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    corrections = ev.where(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") + 100)
+    arrivals = ev.where(F.col("event_id") % 13 == 0).withColumn(
+        "event_id", F.col("event_id") + 100_000_000)
+    new_snap = merge_upsert(
+        ev, corrections.unionByName(arrivals), ["event_id"])
+    diff = snapshot_diff(ev, new_snap, keys=["event_id"],
+                         compare_cols=["value"])
+    return (
+        diff.groupBy("action")
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("action")
+    )

@@ -453,3 +453,123 @@ def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# --- cumulative distinct users ------------------------------------------------
+@query(
+    "cumulative_unique_users_daily",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS d0 FROM events
+        GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY d0
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM per_day
+    ORDER BY day
+    """,
+)
+def cumulative_unique_users_daily(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the metric a naive
+    COUNT(DISTINCT) OVER (ORDER BY day) cannot compute scalably
+    (running distinct state grows with users). The first-seen
+    decomposition makes it exact AND cheap: distinct-to-date equals
+    the running SUM of first-appearance counts.
+
+    Plan: one per-user min-day aggregate (shuffle keyed on users),
+    one per-day count (keyed on days), then a running sum over the
+    DAY-cardinality frame — the only global window sees rows equal to
+    the time horizon, never users or events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"))
+    per_day = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_day.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- cohort retention ---------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS cohort FROM events
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               DATE_DIFF('day', f.cohort, DATE_TRUNC('day', e.ts))
+                   AS day_offset
+        FROM events e JOIN first_day f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first_day GROUP BY cohort
+    )
+    SELECT STRFTIME(a.cohort, '%Y-%m-%d') AS cohort,
+           s.cohort_size,
+           a.day_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           ROUND(COUNT(*) * 1.0 / s.cohort_size, 4) AS retention
+    FROM activity a JOIN sizes s ON a.cohort = s.cohort
+    WHERE a.day_offset IN (1, 7, 14)
+    GROUP BY a.cohort, s.cohort_size, a.day_offset
+    ORDER BY cohort, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (D1/D7/D14): users grouped by first-seen day,
+    the share of each cohort active exactly N days later — the
+    product-analytics table every events warehouse serves.
+
+    Plan: the per-user first-day aggregate joins back to events on
+    user_id (both sides keyed on users — one co-partitioned shuffle
+    pair), the offset filter prunes BEFORE the distinct so state
+    tracks (cohort, offset, user) for three offsets only, and cohort
+    sizes ride a broadcast (cohort-cardinality). No events self-join
+    at any point."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort"))
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id", "cohort",
+            F.datediff(day, F.col("cohort")).alias("day_offset"))
+        .where(F.col("day_offset").isin(1, 7, 14))
+        .distinct()
+    )
+    sizes = first_day.groupBy("cohort").agg(
+        F.count("*").alias("cohort_size"))
+    return (
+        activity.groupBy("cohort", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "cohort_size", "day_offset", "active_users",
+            F.round(F.col("active_users") / F.col("cohort_size"), 4)
+            .alias("retention"),
+        )
+        .orderBy("cohort", "day_offset")
+    )

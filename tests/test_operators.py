@@ -259,3 +259,37 @@ class TestTableFingerprint:
                                   "id long, s string")
         fc = table_fingerprint(c, cols).first()
         assert fc.fingerprint != fa.fingerprint
+
+
+class TestSnapshotDiff:
+    def test_classifies_and_drops_unchanged(self, spark):
+        from flight_data_pipeline_spark.operators.relational import (
+            snapshot_diff,
+        )
+        old = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+            "id long, v double")
+        new = spark.createDataFrame(
+            [(1, 10.0), (2, 99.0), (3, None), (5, 50.0)],
+            "id long, v double")
+        out = {r.id: (r.action, r.v) for r in snapshot_diff(
+            old, new, ["id"], ["v"]).collect()}
+        # 1 unchanged, 3 null==null unchanged: both absent
+        assert set(out) == {2, 4, 5}
+        assert out[2] == ("update", 99.0)
+        assert out[4] == ("delete", 40.0)   # deletes carry OLD values
+        assert out[5] == ("insert", 50.0)
+
+    def test_diff_of_merge_recovers_changes(self, spark):
+        from flight_data_pipeline_spark.operators.relational import (
+            merge_upsert,
+            snapshot_diff,
+        )
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, s string")
+        changes = spark.createDataFrame(
+            [(2, "B"), (3, "c")], "id long, s string")
+        merged = merge_upsert(base, changes, ["id"])
+        got = {(r.id, r.s, r.action) for r in snapshot_diff(
+            base, merged, ["id"], ["s"]).collect()}
+        assert got == {(2, "B", "update"), (3, "c", "insert")}
