@@ -72,6 +72,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_snapshot_diff",
     "cumulative_unique_users_daily",
     "cohort_retention",
+    "event_value_histogram",
+    "daily_value_anomalies",
     # -- (c) stalest greens (r1/r2 vintage), staleness order --
     "lang_id_predictions",          # r1
     "tokenization_stats",           # r1

@@ -1213,3 +1213,116 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("action")
     )
+
+
+# Equi-width histogram: pinned bounds and bin count (pinning keeps the
+# binning a pure map-side expression — deriving bounds in-query would
+# add a min/max pass; at scale bounds come from table stats).
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
+
+
+@query(
+    "event_value_histogram",
+    oracle=f"""
+    WITH binned AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((value - {HIST_LO})
+                   * {HIST_BINS} / ({HIST_HI} - {HIST_LO})), 0),
+                   {HIST_BINS} - 1) AS BIGINT) AS bin,
+               value
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin,
+           ROUND({HIST_LO} + bin * ({HIST_HI} - {HIST_LO})
+                 / {HIST_BINS}, 2) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values over pinned bounds —
+    out-of-range values clamp into the edge bins so the histogram is
+    total. One map-side binning expression + one hash aggregate on
+    ≤ HIST_BINS keys; the shuffle carries the histogram, not the
+    data (the same pinned-cutoff discipline as the CCNet quality
+    bands — no in-query min/max pass, no sort)."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull())
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    raw = F.floor((F.col("value") - HIST_LO) * HIST_BINS
+                  / (HIST_HI - HIST_LO))
+    bin_ = F.least(F.greatest(raw, F.lit(0)),
+                   F.lit(HIST_BINS - 1)).cast("long")
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            "bin",
+            F.round(HIST_LO + F.col("bin") * width, 2).alias("bin_lo"),
+            "n", "avg_value")
+        .orderBy("bin")
+    )
+
+
+# Rolling z-score anomaly detection: window width and the flag cutoff.
+ZSCORE_WIN, ZSCORE_CUT = 7, 2.0
+
+
+@query(
+    "daily_value_anomalies",
+    oracle=f"""
+    WITH daily AS (
+        SELECT DATE_TRUNC('day', ts) AS day,
+               SUM(value) AS total
+        FROM events GROUP BY day
+    ),
+    scored AS (
+        SELECT day, total,
+               AVG(total) OVER w AS mu,
+               STDDEV_SAMP(total) OVER w AS sigma
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN {ZSCORE_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           ROUND(total, 2) AS total,
+           ROUND((total - mu) / sigma, 4) AS zscore,
+           CAST(ABS((total - mu) / sigma) > {ZSCORE_CUT} AS INT)
+               AS is_anomaly
+    FROM scored WHERE sigma IS NOT NULL AND sigma > 0
+    ORDER BY day
+    """,
+)
+def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily value series:
+    each day scored against the trailing {ZSCORE_WIN}-day mean/stddev
+    (PRECEDING frame only — the scored day never contaminates its own
+    baseline), flagged beyond {ZSCORE_CUT}σ.
+
+    Plan: one data-sized daily aggregate, then rolling windows over
+    the DAY-cardinality series (time-range rows at any scale; the
+    same spine-sized-window argument as hourly_gap_fill). Warm-up
+    days without a defined baseline drop out identically on both
+    engines (sigma null/zero guard)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum("value").alias("total"))
+    w = Window.orderBy("day").rowsBetween(-ZSCORE_WIN, -1)
+    scored = daily.select(
+        "day", "total",
+        F.avg("total").over(w).alias("mu"),
+        F.stddev_samp("total").over(w).alias("sigma"))
+    z = (F.col("total") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.where(F.col("sigma").isNotNull() & (F.col("sigma") > 0))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("total", 2).alias("total"),
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > ZSCORE_CUT).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
