@@ -1228,14 +1228,14 @@ HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
         SELECT CAST(LEAST(GREATEST(FLOOR((value - {HIST_LO})
                    * {HIST_BINS} / ({HIST_HI} - {HIST_LO})), 0),
                    {HIST_BINS} - 1) AS BIGINT) AS bin,
-               value
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
         FROM events WHERE value IS NOT NULL
     )
     SELECT bin,
            ROUND({HIST_LO} + bin * ({HIST_HI} - {HIST_LO})
                  / {HIST_BINS}, 2) AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM binned GROUP BY bin ORDER BY bin
     """,
 )
@@ -1245,7 +1245,10 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     total. One map-side binning expression + one hash aggregate on
     ≤ HIST_BINS keys; the shuffle carries the histogram, not the
     data (the same pinned-cutoff discipline as the CCNet quality
-    bands — no in-query min/max pass, no sort)."""
+    bands — no in-query min/max pass, no sort). Per-bin value mass
+    is an integer CENTS sum: order-free partials, so both engines
+    see identical numbers (the hourly_gap_fill lesson — a float AVG
+    of 2-decimal prices routinely lands on rounding boundaries)."""
     ev = load_table(spark, "events", sf_dir).where(
         F.col("value").isNotNull())
     width = (HIST_HI - HIST_LO) / HIST_BINS
@@ -1253,14 +1256,15 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (HIST_HI - HIST_LO))
     bin_ = F.least(F.greatest(raw, F.lit(0)),
                    F.lit(HIST_BINS - 1)).cast("long")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     return (
         ev.groupBy(bin_.alias("bin"))
         .agg(F.count("*").alias("n"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+             F.sum(cents).alias("sum_cents"))
         .select(
             "bin",
             F.round(HIST_LO + F.col("bin") * width, 2).alias("bin_lo"),
-            "n", "avg_value")
+            "n", "sum_cents")
         .orderBy("bin")
     )
 

@@ -392,20 +392,22 @@ GAPFILL_MIN_VALUE = 250
     agg AS (
         SELECT date_trunc('hour', ts) AS hour,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(value), 2) AS sum_value,
-               AVG(value) AS avg_value
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
         FROM events
         WHERE event_type = 'purchase' AND value > {GAPFILL_MIN_VALUE}
         GROUP BY hour
     )
     SELECT STRFTIME(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
            COALESCE(a.n, 0) AS n_big_purchases,
-           COALESCE(a.sum_value, 0.0) AS sum_value,
-           ROUND(last_value(a.avg_value IGNORE NULLS) OVER (
-               ORDER BY s.hour
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-               AS filled_avg_value
+           COALESCE(a.sum_cents, 0) AS sum_value_cents,
+           CAST(FLOOR(((2 * last_value(a.sum_cents IGNORE NULLS) OVER w)
+                       + last_value(a.n IGNORE NULLS) OVER w)
+                      / (2.0 * last_value(a.n IGNORE NULLS) OVER w))
+                AS BIGINT) AS filled_avg_cents
     FROM spine s LEFT JOIN agg a ON s.hour = a.hour
+    WINDOW w AS (ORDER BY s.hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY hour
     """,
 )
@@ -415,6 +417,15 @@ def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-joined onto it, counts zero-filled, and the average price
     FORWARD-FILLED from the last observed hour (last ignorenulls) —
     the reporting shape every dashboard needs over sparse facts.
+
+    Money rides as integer CENTS end-to-end (per-row floor at cents,
+    integer sums, the forward-filled mean as the exact integer
+    ⌊(2·sum+n)/(2n)⌋): float SUM/AVG here would hash-diverge across
+    engines when partial-sum order perturbs the last bits of a value
+    sitting on a rounding boundary — with 2-decimal prices a .xx5
+    mean is COMMON, and sf0.1 hit it (285.905 → 285.90 vs 285.91).
+    Integer partials are order-free, so both engines see identical
+    numbers at every step.
 
     Plan: the spine comes from a one-row bounds aggregate exploded
     through sequence() — its cardinality is the TIME RANGE, not the
@@ -426,30 +437,32 @@ def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     hour = F.date_trunc("hour", F.col("ts"))
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    agg = (
+        ev.where((F.col("event_type") == "purchase")
+                 & (F.col("value") > GAPFILL_MIN_VALUE))
+        .groupBy(hour.alias("hour"))
+        .agg(F.count("*").alias("n"),
+             F.sum(cents).alias("sum_cents"))
+    )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
         .alias("hour"))
-    agg = (
-        ev.where((F.col("event_type") == "purchase")
-                 & (F.col("value") > GAPFILL_MIN_VALUE))
-        .groupBy(hour.alias("hour"))
-        .agg(F.count("*").alias("n"),
-             F.round(F.sum("value"), 2).alias("sum_value"),
-             F.avg("value").alias("avg_value"))
-    )
     w = Window.orderBy("hour").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
+    f_sum = F.last("sum_cents", ignorenulls=True).over(w)
+    f_n = F.last("n", ignorenulls=True).over(w)
     return (
         spine.join(agg, "hour", "left")
         .select(
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             F.coalesce("n", F.lit(0)).alias("n_big_purchases"),
-            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
-            F.round(F.last("avg_value", ignorenulls=True).over(w), 2)
-            .alias("filled_avg_value"),
+            F.coalesce("sum_cents", F.lit(0)).alias("sum_value_cents"),
+            F.floor((2 * f_sum + f_n) / (2.0 * f_n)).cast("long")
+            .alias("filled_avg_cents"),
         )
         .orderBy("hour")
     )
