@@ -1330,3 +1330,102 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "salted_value_stats_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)   AS n_events,
+           ROUND(SUM(value), 2)       AS sum_value,
+           ROUND(MIN(value), 4)       AS min_value,
+           ROUND(MAX(value), 4)       AS max_value,
+           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation checked against the plain GROUP BY
+    it must equal — the skew-mitigation pattern
+    (operators/relational.salted_groupby_agg) promoted to a
+    driver-checked query so its algebra (sum/count/min/max partials
+    re-combined per key, avg composed as sum/count) is hash-verified,
+    not just unit-tested.
+
+    Phase 1 groups on (event_type, xxhash64(row) % 16) so a hot key's
+    rows spread over 16 reducers; phase 2 combines the ≤ 16·|keys|
+    partial rows. For decomposable aggregates the result is identical
+    to the direct plan at any salt width — which is exactly what the
+    oracle's unsalted GROUP BY checks. Use when one grouping key
+    dominates (power-law producers) and the skew sits in an aggregate
+    where AQE's join-skew splitting can't see it; costs one extra
+    shuffle of the tiny partial frame. Sum rounded at 2 (not 4): the
+    salted re-association of double partials is bitwise-different from
+    the oracle's single-pass sum, and 1e-2 absorbs the ~1e-7 drift."""
+    from flight_data_pipeline_spark.operators.relational import salted_groupby_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    agg = salted_groupby_agg(
+        ev, ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        salt_buckets=16,
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+    ).orderBy("event_type")
+
+
+FUZZY_MAX_DIST = 2
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle=f"""
+    WITH n AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a,
+           b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance,
+           a.n_parts AS n_a,
+           b.n_parts AS n_b
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE abs(len(a.p_name) - len(b.p_name)) <= {FUZZY_MAX_DIST}
+      AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: near-identical part-name pairs within
+    Levenshtein distance {FUZZY_MAX_DIST}, with multiplicities — the
+    approximate-string-join surface
+    (operators/fuzzy.fuzzy_string_pairs_blocked).
+
+    The oracle brute-forces the distinct-name pair space (fine at
+    64–200 distinct names); the Spark side runs the production shape —
+    distinct-first collapse, shared-token inverted-index blocking,
+    length filter, thresholded-Levenshtein verify — whose candidate
+    count scales with posting-list sizes, not |names|². Same answer
+    by construction on this vocabulary (completeness bound in the
+    operator docstring, equality pinned in tests)."""
+    from flight_data_pipeline_spark.operators.fuzzy import (
+        fuzzy_string_pairs_blocked,
+    )
+
+    part = load_table(spark, "part", sf_dir)
+    return fuzzy_string_pairs_blocked(
+        part, "p_name", max_distance=FUZZY_MAX_DIST
+    )

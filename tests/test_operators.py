@@ -293,3 +293,59 @@ class TestSnapshotDiff:
         got = {(r.id, r.s, r.action) for r in snapshot_diff(
             base, merged, ["id"], ["s"]).collect()}
         assert got == {(2, "B", "update"), (3, "c", "insert")}
+
+
+class TestFuzzyPairs:
+    def _brute(self, spark, df, d):
+        from pyspark.sql import functions as F
+        names = df.groupBy("name").agg(F.count("*").alias("n"))
+        a = names.selectExpr("name as name_a", "n as n_a")
+        b = names.selectExpr("name as name_b", "n as n_b")
+        return sorted(
+            (r.name_a, r.name_b, r.edit_distance, r.n_a, r.n_b)
+            for r in a.crossJoin(b)
+            .where(F.col("name_a") < F.col("name_b"))
+            .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+            .where(F.col("edit_distance") <= d)
+            .collect()
+        )
+
+    def test_blocked_equals_bruteforce_on_part_names(self, spark):
+        from flight_data_pipeline_spark.operators.fuzzy import (
+            fuzzy_string_pairs_blocked,
+        )
+        from flight_data_pipeline_spark.tables import load_table
+        from tests.conftest import SF_DIR
+
+        part = load_table(spark, "part", SF_DIR).selectExpr("p_name as name")
+        got = sorted(
+            (r.name_a, r.name_b, r.edit_distance, r.n_a, r.n_b)
+            for r in fuzzy_string_pairs_blocked(part, "name", 2).collect()
+        )
+        assert got == self._brute(spark, part, 2)
+        assert got, "fixture should contain at least one fuzzy pair"
+
+    def test_multiplicities_and_threshold(self, spark):
+        from flight_data_pipeline_spark.operators.fuzzy import (
+            fuzzy_string_pairs_blocked,
+        )
+        df = spark.createDataFrame(
+            [("cold bolt",), ("cold bolt",), ("old bolt",), ("red ring",),
+             ("red rod",), ("unrelated widget",)],
+            "name string",
+        )
+        rows = {(r.name_a, r.name_b): (r.edit_distance, r.n_a, r.n_b)
+                for r in fuzzy_string_pairs_blocked(df, "name", 1).collect()}
+        # d=1 keeps cold/old bolt (distance 1) with multiplicities 2/1
+        assert rows == {("cold bolt", "old bolt"): (1, 2, 1)}
+
+    def test_documented_escape_case(self, spark):
+        """A pair whose edits touch EVERY token escapes the block —
+        the operator documents this bound; pin it so the docstring
+        stays honest if the blocking scheme changes."""
+        from flight_data_pipeline_spark.operators.fuzzy import (
+            fuzzy_string_pairs_blocked,
+        )
+        df = spark.createDataFrame([("ab cd",), ("ax cx",)], "name string")
+        assert fuzzy_string_pairs_blocked(df, "name", 2).count() == 0
+        assert self._brute(spark, df, 2) == [("ab cd", "ax cx", 2, 1, 1)]
