@@ -241,3 +241,21 @@ def blocklist_hits(text: Column, blocklist=BLOCKLIST) -> Column:
     flag documents containing any listed token)."""
     return F.size(F.filter(
         tokens(text), lambda t: t.isin(*blocklist)))
+
+
+def redact_blocklist(text: Column, blocklist=BLOCKLIST,
+                     mask: str = "[REDACTED]") -> Column:
+    """Token-exact redaction: rewrite the document with every
+    blocklisted token replaced by ``mask`` — the *transform* side of
+    the C4 badwords rule (blocklist_hits is the audit side; the
+    pipeline policy is flag-don't-drop, so redaction keeps the doc).
+
+    Pure higher-order expression (transform + array_join), fully
+    codegen'd map-side work: no UDF, no shuffle, safe inside any scan
+    at any scale. Token-exact (not substring) so "duplicate" is never
+    mangled by the "dup" entry."""
+    masked = F.transform(
+        tokens(text),
+        lambda t: F.when(t.isin(*blocklist), F.lit(mask)).otherwise(t),
+    )
+    return F.array_join(masked, " ")

@@ -1351,3 +1351,63 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("budget_utilization"),
         )
     )
+
+
+@query(
+    "blocklist_redaction_stats",
+    oracle=f"""
+    WITH r AS (
+        SELECT source,
+               text,
+               array_to_string(
+                   list_transform(string_split(text, ' '),
+                                  t -> CASE WHEN t IN ({_BL})
+                                            THEN '[REDACTED]' ELSE t END),
+                   ' ') AS redacted,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_BL}))) AS hits
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                             AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS n_docs_redacted,
+           CAST(SUM(hits) AS BIGINT)                            AS total_redactions,
+           CAST(SUM(len(redacted) - len(text)) AS BIGINT)       AS chars_delta
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def blocklist_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction transform accounting: apply the token-exact blocklist
+    mask (operators/text.redact_blocklist — the transform twin of
+    pii_blocklist_stats' audit) and report, per source, how many
+    documents changed, total masked tokens, and the net character
+    delta. Both engines rewrite the text with the SAME higher-order
+    transform, so the checked values cover the rewrite itself, not
+    just the counts.
+
+    All map-side (tokenize → transform → lengths) feeding one
+    per-source aggregate — the shuffle carries |sources| rows. The
+    rewritten column itself never leaves the executors; at 100 TB the
+    same expression runs inside the curation write path."""
+    from flight_data_pipeline_spark.operators.text import (
+        blocklist_hits,
+        redact_blocklist,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    red = redact_blocklist(text)
+    hits = blocklist_hits(text)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(hits > 0, 1).otherwise(0)).alias("n_docs_redacted"),
+            F.sum(hits).alias("total_redactions"),
+            F.sum(F.length(red) - F.length(text)).alias("chars_delta"),
+        )
+        .orderBy("source")
+    )

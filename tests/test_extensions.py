@@ -844,3 +844,36 @@ class TestMultimodalResizeAndFrames:
         docs = load_table(spark, "documents", SF_DIR).limit(1)
         with pytest.raises(ValueError, match="every_n"):
             sample_frames(binarize_documents(docs), every_n=0)
+
+
+class TestRedaction:
+    def test_redact_blocklist_token_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.operators.text import redact_blocklist
+
+        df = spark.createDataFrame(
+            [("the slow dup duplicate slowly",), ("clean text",)],
+            "text string",
+        )
+        got = [r.red for r in df.select(
+            redact_blocklist(F.col("text")).alias("red")).collect()]
+        # token-exact: "duplicate"/"slowly" untouched, "slow"/"dup" masked
+        assert got == [
+            "the [REDACTED] [REDACTED] duplicate slowly",
+            "clean text",
+        ]
+
+    def test_redaction_preserves_token_count(self, spark):
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.operators.text import redact_blocklist
+        from flight_data_pipeline_spark.tables import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, "documents", SF_DIR)
+        bad = docs.where(
+            F.size(F.split(redact_blocklist(F.col("text")), " "))
+            != F.size(F.split(F.col("text"), " "))
+        ).count()
+        assert bad == 0
