@@ -385,6 +385,30 @@ def _set_group_clusters(spark: SparkSession, sf_dir: str,
     return gs, labels
 
 
+def _doc_cluster_map(spark: SparkSession, sf_dir: str):
+    """Doc-level cluster assignment shared by the survivor/split/
+    keep-best twins: returns (lab, cluster) where ``lab`` is the
+    per-document frame (doc_id, source, mask, node, n, …) and
+    ``cluster`` the Column giving each doc's near-dup cluster id —
+    the CC label of its set-group, or the group node itself for an
+    identical-set group of ≥2 with no outside edge, or NULL for a
+    true singleton. The doc↔group join is on (source, mask), the
+    keys the group collapse already shuffled on."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        dictionary_bitset_masks,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    masks = dictionary_bitset_masks(
+        docs, id_col="doc_id", block_col="source", text_col="text")
+    gs, labels = _set_group_clusters(spark, sf_dir, masks=masks)
+    doc_groups = masks.join(gs, ["source", "mask"])
+    lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
+    cluster = F.coalesce(
+        F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
+    return lab, cluster
+
+
 @query(
     "dedup_survivors_by_source",
     oracle=f"""
@@ -437,18 +461,7 @@ def dedup_survivors_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped iff it sits in a cluster and is not the min-id keeper.
     The doc↔group join is on (source, mask) — the same keys the
     group collapse already shuffled."""
-    from flight_data_pipeline_spark.operators.dedup import (
-        dictionary_bitset_masks,
-    )
-
-    docs = load_table(spark, "documents", sf_dir)
-    masks = dictionary_bitset_masks(
-        docs, id_col="doc_id", block_col="source", text_col="text")
-    gs, labels = _set_group_clusters(spark, sf_dir, masks=masks)
-    doc_groups = masks.join(gs, ["source", "mask"])
-    lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
-    cluster = F.coalesce(
-        F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
+    lab, cluster = _doc_cluster_map(spark, sf_dir)
     dropped = (cluster.isNotNull()
                & (F.col("doc_id") != cluster)).cast("bigint")
     return (
@@ -809,4 +822,156 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.select(
         "doc_id", "source", "n_tokens", "removed_tokens",
         F.md5("cleaned_text").alias("cleaned_fp"),
+    )
+
+
+# Shared oracle prelude: doc-level near-dup clusters via recursive
+# transitive closure (same CTE as near_dup_clusters / survivors).
+_CLUSTER_CTE = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    ), edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))
+              * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+    ), sym AS (
+        SELECT s, d FROM edges UNION SELECT d, s FROM edges
+    ), reach(v, u) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT r.v, e.d FROM reach r JOIN sym e ON r.u = e.s
+    ), cl AS (
+        SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v
+    )
+"""
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_CLUSTER_CTE + """
+    , assign AS (
+        SELECT d.doc_id,
+               COALESCE(cl.cluster_id, d.doc_id) AS rep,
+               ('0x' || substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+                                        AS VARCHAR)), 1, 4))::INT % 10 AS b
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.v
+    )
+    SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT)            AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+           ROUND(COUNT(*) * 1.0 /
+                 (SELECT COUNT(*) FROM documents), 4) AS doc_share
+    FROM assign
+    GROUP BY 1 ORDER BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits: the split is assigned to each document's near-dup CLUSTER
+    representative (min doc_id; singletons are their own rep), so
+    every member of a cluster lands in the same split by construction
+    — the eval-contamination guard a real pretraining pipeline needs
+    (a random per-document split puts one copy of a template in train
+    and its near-copy in test).
+
+    Assignment is a deterministic cross-engine hash: first 4 hex
+    chars of md5(rep) mod 10 → 0-7 train / 8 val / 9 test (~80/10/10
+    in expectation). No RNG, no collect: reassigning a grown corpus
+    moves only clusters whose rep changed. Plan: the doc→cluster map
+    (one (source, mask) join over the already-shuffled collapse) plus
+    one aggregate; at 100 TB the same map feeds the curation writer
+    as a partition column."""
+    lab, cluster = _doc_cluster_map(spark, sf_dir)
+    rep = F.coalesce(cluster, F.col("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(rep.cast("string")), 1, 4), 16, 10)
+        .cast("int") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    total = lab.count()
+    return (
+        lab.select(split.alias("split"), rep.alias("rep"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+            F.round(F.count("*") / F.lit(total), 4).alias("doc_share"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=_CLUSTER_CTE + """
+    , members AS (
+        SELECT cl.cluster_id, d.doc_id, d.source, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id)
+                   AS rk
+        FROM documents d JOIN cl ON d.doc_id = cl.v
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT)                   AS n_docs_clustered,
+           CAST(SUM(CASE WHEN rk = 1 AND doc_id <> cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_keeper_not_minid,
+           ROUND(AVG(CASE WHEN rk = 1 THEN n_chars END), 4)
+                                                      AS avg_keeper_chars,
+           ROUND(AVG(CASE WHEN rk > 1 THEN n_chars END), 4)
+                                                      AS avg_dropped_chars
+    FROM members
+    GROUP BY source ORDER BY source
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    keep the LONGEST document (n_chars, doc_id tiebreak) instead of
+    the naive min-id — the "keep best member" policy curation
+    pipelines actually run (longest-copy-wins is the C4/RefinedWeb
+    heuristic; any scoring column slots into the same window). Per
+    source: cluster count, clustered docs, how often the quality
+    keeper differs from the min-id keeper, and keeper-vs-dropped
+    length averages — the evidence for whether the policy matters.
+
+    Plan: the doc→cluster map, one doc_id join to fetch the score
+    column, one row_number window partitioned by cluster (clusters
+    are within-source, so the window key is as distributed as the
+    corpus), one per-source aggregate. At scale, carry the score
+    through the bitset collapse to skip the fetch join."""
+    lab, cluster = _doc_cluster_map(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    members = (
+        lab.where(cluster.isNotNull())
+        .select(F.col("doc_id").alias("m_doc_id"),
+                cluster.alias("cluster_id"))
+        .join(docs.select(F.col("doc_id").alias("m_doc_id"),
+                          "source", "n_chars"), "m_doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.col("m_doc_id"))
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    keeper_differs = F.when(
+        (F.col("rk") == 1) & (F.col("m_doc_id") != F.col("cluster_id")), 1
+    ).otherwise(0)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count("*").alias("n_docs_clustered"),
+            F.sum(keeper_differs).alias("n_keeper_not_minid"),
+            F.round(F.avg(F.when(F.col("rk") == 1, F.col("n_chars"))), 4)
+            .alias("avg_keeper_chars"),
+            F.round(F.avg(F.when(F.col("rk") > 1, F.col("n_chars"))), 4)
+            .alias("avg_dropped_chars"),
+        )
+        .orderBy("source")
     )

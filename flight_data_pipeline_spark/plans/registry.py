@@ -53,6 +53,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "freshness_flags_daily",
     "daily_rollup",
     # -- (b) registered in r4 — never sampled; first rows needed --
+    "salted_value_stats_by_type",
+    "fuzzy_part_name_pairs",
+    "blocklist_redaction_stats",
+    "leakage_safe_split",
+    "dedup_keep_best",
     "ann_ivf_pq_topk",
     "corpus_curation_stats",
     "late_shipment_priority_counts",
