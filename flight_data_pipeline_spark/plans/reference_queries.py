@@ -385,3 +385,56 @@ def freshness_flags_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "props_variant_stats",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INT) AS k,
+               CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS ok
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)     AS n_events,
+           CAST(SUM(ok) AS BIGINT)      AS n_parsed,
+           CAST(MIN(k) AS INT)          AS min_k,
+           CAST(MAX(k) AS INT)          AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM v
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``try_parse_json`` decodes events.props into the binary variant
+    encoding once, ``variant_get`` does typed path extraction — the
+    engine's modern alternative to per-expression string re-parsing
+    (json_props_stats is the from_json twin; same §2.9 surface,
+    etl_job.py:101-122).
+
+    Why variant at scale: the open-schema case (keys vary per row)
+    where a rigid from_json struct can't be declared up front —
+    parse once, extract many paths, each extraction navigating the
+    binary encoding instead of re-tokenizing JSON text; with variant
+    shredding in Parquet the path read prunes like a real column.
+    try_parse_json → NULL (not error) on malformed rows, counted
+    here as n_parsed vs n_events — the dead-letter accounting knob."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", v.alias("v"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+            .alias("n_parsed"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )

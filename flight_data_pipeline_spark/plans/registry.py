@@ -58,6 +58,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "blocklist_redaction_stats",
     "leakage_safe_split",
     "dedup_keep_best",
+    "referential_integrity_audit",
+    "events_column_profile",
+    "winsorized_value_stats",
+    "props_variant_stats",
     "ann_ivf_pq_topk",
     "corpus_curation_stats",
     "late_shipment_priority_counts",

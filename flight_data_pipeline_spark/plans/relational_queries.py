@@ -1429,3 +1429,176 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_string_pairs_blocked(
         part, "p_name", max_distance=FUZZY_MAX_DIST
     )
+
+
+# FK edges of the star schema: child table, FK column, parent table, PK.
+_RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{child}.{fk}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{fk} = p.{pk}
+    """
+        for child, fk, parent, pk in _RI_EDGES
+    ),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema in one result: per edge, child row count and orphan count
+    (child keys with no parent). The data-quality gate a warehouse
+    load runs before publishing — the engine's generalization of the
+    reference's single dedup-existence probe (etl_job.py:226-237,
+    the same anti-join shape fanned out across the schema).
+
+    Each edge is one left join against the DISTINCT parent keys —
+    dims (region/nation/customer/part/supplier) broadcast under AQE,
+    so no fact-table shuffle on any edge; the per-edge output is a
+    single row and the union is free (no shuffle merges result
+    rows). A clean audit (0 orphans everywhere, as here) is the
+    checked signal; at 100 TB the same plan quarantines orphans by
+    swapping the count for the anti-join rows themselves."""
+    out = None
+    for child, fk, parent, pk in _RI_EDGES:
+        c = load_table(spark, child, sf_dir)
+        p = load_table(spark, parent, sf_dir).select(
+            F.col(pk).alias("__pk")).distinct()
+        audited = (
+            c.join(p, c[fk] == F.col("__pk"), "left")
+            .agg(
+                F.lit(f"{child}.{fk}").alias("fk_edge"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .alias("n_orphans"),
+            )
+        )
+        out = audited if out is None else out.unionByName(audited)
+    return out
+
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "events_column_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT)            AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM events
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the events table — per column:
+    row count, nulls, exact distinct cardinality. The observability
+    pass that feeds schema drift alerts, join-key selection, and
+    dictionary-encoding decisions; the engine twin of a warehouse's
+    ANALYZE/statistics collection, as a checked query.
+
+    ONE scan: all six (count, count(col), count(distinct col))
+    triples ride a single multi-distinct aggregate — Catalyst plans
+    it with one Expand (×|columns| row multiplication map-side)
+    instead of six scans; the unpivot to long form is a zero-shuffle
+    stack() over the single aggregated row. At 100 TB prefer
+    approx_count_distinct per column (one pass, no Expand, mergeable
+    HLL state) — exact here so the oracle can verify values."""
+    ev = load_table(spark, "events", sf_dir)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (column_name, n_rows, n_null, n_distinct)"
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "winsorized_value_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, {WINSOR_LO}) AS lo,
+               quantile_cont(value, {WINSOR_HI}) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(e.value), 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(e.value, q.lo), q.hi)), 4)
+               AS winsorized_mean,
+           ROUND(q.lo, 4) AS p05,
+           ROUND(q.hi, 4) AS p95,
+           CAST(SUM(CASE WHEN e.value < q.lo OR e.value > q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.lo, q.hi
+    ORDER BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) robust statistics per event type:
+    exact p05/p95 bounds, raw vs clipped mean, and how many values
+    the clip touched — the robust-stats pass that keeps a corrupted
+    sensor or a whale user from dragging a training-signal mean.
+
+    Two aggregates over one fact scan lineage: per-type percentiles
+    (5 rows) broadcast-join back onto events, then the clipped
+    re-aggregate — the fact table shuffles once per aggregate on the
+    same 5-value key, never on anything wider. At 100 TB swap the
+    exact percentile for approx_percentile to keep constant state
+    per group (same plan otherwise); exact here so the oracle
+    verifies values."""
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("lo"),
+        F.percentile("value", WINSOR_HI).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.sum(F.when((F.col("value") < F.col("lo"))
+                         | (F.col("value") > F.col("hi")), 1)
+                  .otherwise(0)).alias("n_clipped"),
+        )
+        .select(
+            "event_type", "n_events", "raw_mean", "winsorized_mean",
+            F.round("lo", 4).alias("p05"),
+            F.round("hi", 4).alias("p95"),
+            "n_clipped",
+        )
+        .orderBy("event_type")
+    )
