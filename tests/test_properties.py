@@ -333,3 +333,55 @@ def test_merge_upsert_matches_naive(spark, base, upd):
             assert out[k] == (umap[k], "insert")
         else:
             assert out[k] == (bmap[k], "carry")
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+names_strategy = st.lists(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4),
+        min_size=1, max_size=3,
+    ).map(" ".join),
+    min_size=1, max_size=10,
+)
+
+
+@SETTINGS
+@given(names=names_strategy, d=st.integers(1, 2))
+def test_fuzzy_blocked_sound_and_complete_when_token_shared(spark, names, d):
+    """Soundness: every reported pair is a true ≤d pair with the right
+    distance and multiplicities. Completeness: every true ≤d pair
+    that shares a token is reported (the operator's documented
+    guarantee — pairs whose edits touch every token may escape)."""
+    from collections import Counter
+
+    from flight_data_pipeline_spark.operators.fuzzy import (
+        fuzzy_string_pairs_blocked,
+    )
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b): (r.edit_distance, r.n_a, r.n_b)
+        for r in fuzzy_string_pairs_blocked(df, "name", d).collect()
+    }
+
+    counts = Counter(names)
+    uniq = sorted(counts)
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            dist = _lev(a, b)
+            shares = set(a.split(" ")) & set(b.split(" "))
+            if (a, b) in got:
+                assert dist <= d, (a, b, dist)
+                assert got[(a, b)] == (dist, counts[a], counts[b])
+            elif dist <= d and shares:
+                raise AssertionError(f"missed sharing pair {(a, b, dist)}")
