@@ -10,6 +10,7 @@ map-side ops: no shuffle at all until a downstream aggregate.
 
 from __future__ import annotations
 
+import pandas as pd  # compression_ratio pandas_udf type hints
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -259,3 +260,42 @@ def redact_blocklist(text: Column, blocklist=BLOCKLIST,
         lambda t: F.when(t.isin(*blocklist), F.lit(mask)).otherwise(t),
     )
     return F.array_join(masked, " ")
+
+
+def compression_ratio() -> Column:
+    """Deflate compression ratio of the document text — compressed
+    bytes / raw bytes. The repetition-and-boilerplate quality signal
+    several published curation recipes threshold on (highly
+    compressible ⇒ template/repetitive content; near-1 ⇒ high-entropy
+    text or noise): it catches long-range repetition that n-gram
+    ratios miss.
+
+    This is the one text op that genuinely needs Python (no zlib in
+    Spark SQL expressions), so it takes the sanctioned slow path: an
+    Arrow-batched pandas_udf — per-BATCH Python invocation over
+    columnar buffers, never per-row plan interpretation (SURVEY.md
+    §2.11). zlib level pinned at 6; deflate output is deterministic
+    for a fixed level, so the column is stable across runs and
+    executors. NULL text → NULL."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return _ratio
+
+
+def compression_ratio_col(text: Column) -> Column:
+    """Apply compression_ratio() to a text column."""
+    return compression_ratio()(text)

@@ -62,6 +62,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_column_profile",
     "winsorized_value_stats",
     "props_variant_stats",
+    "value_psi_drift",
+    "compression_ratio_stats",
     "ann_ivf_pq_topk",
     "corpus_curation_stats",
     "late_shipment_priority_counts",

@@ -1602,3 +1602,85 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PSI_PIVOT = "2024-01-16 00:00:00"  # expected window < pivot <= actual window
+
+
+@query(
+    "value_psi_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '{PSI_PIVOT}' THEN 1 ELSE 0 END AS e,
+               CAST(LEAST(GREATEST(FLOOR((value - {HIST_LO})
+                    * {HIST_BINS} / ({HIST_HI} - {HIST_LO})), 0),
+                    {HIST_BINS} - 1) AS BIGINT) AS bin
+        FROM events WHERE value IS NOT NULL
+    ), c AS (
+        SELECT event_type, bin,
+               SUM(e)     AS ne,
+               SUM(1 - e) AS na
+        FROM b GROUP BY event_type, bin
+    ), t AS (
+        SELECT event_type, SUM(ne) AS te, SUM(na) AS ta,
+               COUNT(*) AS nb
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(t.te AS BIGINT) AS n_expected,
+           CAST(t.ta AS BIGINT) AS n_actual,
+           ROUND(SUM(((na + 0.5) / (ta + 0.5 * nb)
+                      - (ne + 0.5) / (te + 0.5 * nb))
+                     * LN(((na + 0.5) / (ta + 0.5 * nb))
+                          / ((ne + 0.5) / (te + 0.5 * nb)))), 4) AS psi
+    FROM c JOIN t USING (event_type)
+    GROUP BY c.event_type, t.te, t.ta
+    ORDER BY event_type
+    """,
+)
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the standard
+    data-drift monitor between a baseline window (ts < {PSI_PIVOT})
+    and the current window: bin the value distribution on the SAME
+    pinned equi-width bins as event_value_histogram, then
+    PSI = Σ (p_cur − p_base)·ln(p_cur/p_base) with +0.5 Laplace
+    smoothing per observed bin so empty-on-one-side bins contribute
+    finitely and identically on both engines. Rule of thumb:
+    <0.1 stable, 0.1-0.25 drifting, >0.25 shifted.
+
+    Plan: one scan, map-side (window, bin) tagging, one aggregate on
+    (type, bin) — ≤ |types|·{HIST_BINS} rows — then PSI arithmetic
+    over that histogram-sized frame; the pinned bins mean no
+    in-query min/max pass and the shuffle carries the histogram,
+    not the data. At 100 TB the baseline side is a persisted
+    histogram and only the current window is scanned."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    width_expr = (F.col("value") - HIST_LO) * HIST_BINS / (HIST_HI - HIST_LO)
+    bin_col = F.least(
+        F.greatest(F.floor(width_expr), F.lit(0)),
+        F.lit(HIST_BINS - 1),
+    ).cast("long")
+    e = F.when(F.col("ts") < F.lit(PSI_PIVOT).cast("timestamp"), 1).otherwise(0)
+    c = (
+        ev.select("event_type", e.alias("e"), bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("e").alias("ne"), F.sum(1 - F.col("e")).alias("na"))
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("ne").alias("te"), F.sum("na").alias("ta"),
+        F.count("*").alias("nb"))
+    pa = (F.col("na") + 0.5) / (F.col("ta") + 0.5 * F.col("nb"))
+    pe = (F.col("ne") + 0.5) / (F.col("te") + 0.5 * F.col("nb"))
+    return (
+        c.join(t, "event_type")
+        .groupBy("event_type", "te", "ta")
+        .agg(F.round(F.sum((pa - pe) * F.log(pa / pe)), 4).alias("psi"))
+        .select(
+            "event_type",
+            F.col("te").cast("long").alias("n_expected"),
+            F.col("ta").cast("long").alias("n_actual"),
+            "psi",
+        )
+        .orderBy("event_type")
+    )

@@ -1411,3 +1411,41 @@ def blocklist_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+COMPRESS_REPETITIVE_CUT = 0.35  # deflate ratio below ⇒ template-like
+
+
+@query("compression_ratio_stats")  # zlib has no DuckDB twin ⇒ rows-only
+def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deflate-compressibility profile: mean/min/max
+    compression ratio and how many documents fall under the
+    repetitive-content cutoff ({COMPRESS_REPETITIVE_CUT}) — the
+    long-range-repetition quality signal (operators/text.
+    compression_ratio; threshold discipline as in the Gopher
+    repetition rules, but catching periods n-grams can't span).
+
+    Rows-only: no SQL engine exposes deflate, so there is no DuckDB
+    twin; determinism (pinned zlib level) and the
+    repetitive-vs-diverse ordering are pinned in
+    tests/test_extensions.py::TestCompressionRatio instead. Plan:
+    one Arrow-batched projection (the only Python in the plan) into
+    a per-source aggregate — the UDF cost is one pass over text
+    bytes, embarrassingly parallel, no shuffle of the text itself."""
+    from flight_data_pipeline_spark.operators.text import compression_ratio_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    r = compression_ratio_col(F.col("text"))
+    return (
+        docs.select("source", r.alias("ratio"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+            F.sum(F.when(F.col("ratio") < COMPRESS_REPETITIVE_CUT, 1)
+                  .otherwise(0)).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )

@@ -877,3 +877,39 @@ class TestRedaction:
             != F.size(F.split(F.col("text"), " "))
         ).count()
         assert bad == 0
+
+
+class TestCompressionRatio:
+    def test_repetitive_compresses_below_diverse(self, spark):
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.operators.text import (
+            compression_ratio_col,
+        )
+
+        rep = "spam " * 200
+        div = " ".join(f"w{i}x{i * 7919 % 104729}" for i in range(200))
+        df = spark.createDataFrame([("rep", rep), ("div", div), ("n", None)],
+                                   "k string, text string")
+        got = {r.k: r.ratio for r in df.select(
+            "k", compression_ratio_col(F.col("text")).alias("ratio")
+        ).collect()}
+        assert got["n"] is None
+        assert got["rep"] < 0.1          # template text deflates hard
+        assert got["div"] > 2 * got["rep"]
+
+    def test_deterministic_across_runs(self, spark):
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.operators.text import (
+            compression_ratio_col,
+        )
+        from flight_data_pipeline_spark.tables import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, "documents", SF_DIR).limit(50)
+        a = sorted(r.ratio for r in docs.select(
+            compression_ratio_col(F.col("text")).alias("ratio")).collect())
+        b = sorted(r.ratio for r in docs.select(
+            compression_ratio_col(F.col("text")).alias("ratio")).collect())
+        assert a == b and all(0 < x <= 1.5 for x in a)
