@@ -884,6 +884,8 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one (source, mask) join over the already-shuffled collapse) plus
     one aggregate; at 100 TB the same map feeds the curation writer
     as a partition column."""
+    from pyspark.sql import Window
+
     lab, cluster = _doc_cluster_map(spark, sf_dir)
     rep = F.coalesce(cluster, F.col("doc_id"))
     bucket = (
@@ -893,14 +895,21 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )
-    total = lab.count()
-    return (
+    per_split = (
         lab.select(split.alias("split"), rep.alias("rep"))
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("rep").alias("n_clusters"),
-            F.round(F.count("*") / F.lit(total), 4).alias("doc_share"),
+        )
+    )
+    # total from a window over the 3-row aggregate — no second pass
+    # over the doc→cluster map, no driver-side count
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        per_split.select(
+            "split", "n_docs", "n_clusters",
+            F.round(F.col("n_docs") / total, 4).alias("doc_share"),
         )
         .orderBy("split")
     )
