@@ -64,6 +64,15 @@ HEADLINE = [
     # round-4 addition: duplicated-span removal — the heaviest new
     # transformation shape (position-exploded inverted index)
     "dup_span_removal",
+    # round-4 additions: the entity-resolution posting-join shape,
+    # the heaviest cluster-map consumer (leakage-safe split), and
+    # the multi-distinct Expand profile — one tracked query per new
+    # plan family (the map-side redaction/PSI/variant/winsorize
+    # queries are sub-0.6 s scans; salted agg tracks via the events
+    # family already benchmarked)
+    "fuzzy_part_name_pairs",
+    "leakage_safe_split",
+    "events_column_profile",
 ]
 
 
