@@ -64,6 +64,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "props_variant_stats",
     "value_psi_drift",
     "compression_ratio_stats",
+    "hourly_value_ohlc",
+    "ranking_functions_probe",
     "ann_ivf_pq_topk",
     "corpus_curation_stats",
     "late_shipment_priority_counts",

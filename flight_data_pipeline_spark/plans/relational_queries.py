@@ -1684,3 +1684,77 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ranking_functions_probe",
+    oracle="""
+    WITH oc AS (
+        SELECT c.c_nationkey, c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    )
+    SELECT c_nationkey, c_custkey, n_orders,
+           CAST(ROW_NUMBER()   OVER wdet  AS BIGINT) AS rn,
+           CAST(RANK()         OVER wties AS BIGINT) AS rnk,
+           CAST(DENSE_RANK()   OVER wties AS BIGINT) AS drnk,
+           CAST(NTILE(4)       OVER wdet  AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER wties, 4)       AS pct_rank,
+           ROUND(CUME_DIST()    OVER wties, 4)       AS cume
+    FROM oc
+    WINDOW
+        wdet  AS (PARTITION BY c_nationkey ORDER BY n_orders DESC, c_custkey),
+        wties AS (PARTITION BY c_nationkey ORDER BY n_orders DESC)
+    QUALIFY rn <= 5
+    ORDER BY c_nationkey, rn
+    """,
+)
+def ranking_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking-function surface in one checked result
+    (§2.7 superset completion — row_number/rank/dense_rank/ntile/
+    percent_rank/cume_dist; the lag/sum/avg frames are covered by
+    the sessionize/moving-average family): customers ranked per
+    nation by order count, top-5 per nation.
+
+    Tie discipline is the point: the tie-PRESERVING window (order by
+    n_orders only) feeds rank/dense_rank/percent_rank/cume_dist —
+    their outputs are functions of the key value, so ties are
+    engine-stable — while row_number and ntile, whose outputs depend
+    on arbitrary within-tie order, run over the tie-BROKEN window
+    (custkey appended). Both windows share one partition key, so
+    Catalyst runs them in a single exchange + two Window nodes over
+    the same sort. The left join keeps zero-order customers in the
+    ranking (the order_count_histogram lesson)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    oc = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    wdet = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("n_orders"), "c_custkey")
+    wties = Window.partitionBy("c_nationkey").orderBy(F.desc("n_orders"))
+    return (
+        oc.select(
+            "c_nationkey", "c_custkey", "n_orders",
+            F.row_number().over(wdet).alias("rn"),
+            F.rank().over(wties).alias("rnk"),
+            F.dense_rank().over(wties).alias("drnk"),
+            F.ntile(4).over(wdet).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(wties), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(wties), 4).alias("cume"),
+        )
+        .where(F.col("rn") <= 5)
+        .select(
+            "c_nationkey", "c_custkey", "n_orders",
+            F.col("rn").cast("long").alias("rn"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("drnk").cast("long").alias("drnk"),
+            "quartile", "pct_rank", "cume",
+        )
+        .orderBy("c_nationkey", "rn")
+    )

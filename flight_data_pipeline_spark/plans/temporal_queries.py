@@ -586,3 +586,49 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "day_offset")
     )
+
+
+@query(
+    "hourly_value_ohlc",
+    oracle="""
+    SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           CAST(COUNT(*) AS BIGINT)          AS n_events,
+           ROUND(arg_min(value, ts), 4)      AS open_value,
+           ROUND(MAX(value), 4)              AS high_value,
+           ROUND(MIN(value), 4)              AS low_value,
+           ROUND(arg_max(value, ts), 4)      AS close_value
+    FROM events
+    GROUP BY 1 ORDER BY hour
+    """,
+)
+def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over event values — the classic time-series
+    downsample (the hypertable/continuous-aggregate rollup shape):
+    per hour bucket, first (open) and last (close) value by event
+    time via min_by/max_by, plus high/low/count. Generalizes the
+    reference's hour-bucket discipline (etl_job.py:226-237,
+    SURVEY.md §2.10 event-time windows) from dedup keys to bar
+    aggregation.
+
+    ONE hash aggregate — min_by/max_by are decomposable (carry the
+    (key, value) champion through partials), so the bars build
+    map-side and the shuffle moves ≤ |hours| rows: strictly better
+    at any scale than the window-function formulation
+    (first_value/last_value over hour partitions), which shuffles
+    every event row. Event timestamps are unique in the fixtures
+    (driver-generated), so the by-key champions are deterministic;
+    with tied keys, add a unique id to the ordering key."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"
+        ).alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min_by("value", "ts"), 4).alias("open_value"),
+            F.round(F.max("value"), 4).alias("high_value"),
+            F.round(F.min("value"), 4).alias("low_value"),
+            F.round(F.max_by("value", "ts"), 4).alias("close_value"),
+        )
+        .orderBy("hour")
+    )
