@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "compression_ratio_stats",
     "hourly_value_ohlc",
     "ranking_functions_probe",
+    "deterministic_group_sample",
     "ann_ivf_pq_topk",
     "corpus_curation_stats",
     "late_shipment_priority_counts",

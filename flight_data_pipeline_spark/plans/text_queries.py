@@ -1449,3 +1449,52 @@ def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SAMPLE_K = 10  # docs per source in the deterministic sample
+
+
+@query(
+    "deterministic_group_sample",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= {SAMPLE_K}
+    ORDER BY source, rn
+    """,
+)
+def deterministic_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-stratum sample with NO randomness: every source
+    contributes its {SAMPLE_K} documents that sort first by
+    md5(doc_id) — a uniform-ish, engine-independent, rerun-stable
+    pick. This is how eval/holdout subsets should be drawn in a
+    pipeline: Bernoulli sampling (operators/sampling.
+    stratified_sample) gives binomially-varying counts and seeds
+    don't transfer across engines; the hash-rank sample gives exactly
+    k, the same k on any engine, and adding documents never swaps
+    more than the necessary sample members.
+
+    Scale: rank ≤ k over a window plans as WindowGroupLimit —
+    per-partition top-k HEAPS map-side (like TakeOrderedAndProject,
+    per group), so the exchange carries ≤ k rows per (source,
+    partition), never the corpus; no full sort materializes
+    anywhere."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars",
+                    F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAMPLE_K)
+        .select("source", "doc_id", "n_chars",
+                F.col("rn").cast("long").alias("rn"))
+        .orderBy("source", "rn")
+    )
