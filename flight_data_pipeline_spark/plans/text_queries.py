@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flight_data_pipeline_spark.operators.text import (
     BLOCKLIST,
+    LANG_MARKERS,
     PII_EMAIL_RE,
     PII_IPV4_RE,
     STOPWORDS,
@@ -573,12 +574,48 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lang_id_predictions")  # heuristic ⇒ rows-only check (no SQL twin)
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return ("len(list_filter(list_distinct(string_split(text, ' ')), "
+            f"t -> t IN ({markers})))")
+
+
+_LANGS = list(LANG_MARKERS)  # insertion order = the fold's visit order
+
+
+@query(
+    "lang_id_predictions",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang AS actual,
+               {", ".join(f"{_lang_hits_sql(lg)} AS {lg}" for lg in _LANGS)}
+        FROM documents
+    ), p AS (
+        SELECT actual,
+               CASE
+                   {" ".join(
+                       f"WHEN {lg} >= GREATEST({', '.join(_LANGS[i + 1:])}) "
+                       f"THEN '{lg}'"
+                       for i, lg in enumerate(_LANGS[:-1]))}
+                   ELSE '{_LANGS[-1]}' END AS predicted
+        FROM c
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
 def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax) vs the labeled lang
-    column — confusion counts. No oracle: the heuristic's argmax over
-    a map column has no faithful ANSI-SQL twin; correctness is pinned
-    by unit tests on known-language texts instead."""
+    column — confusion counts. The Spark side folds over the score
+    map with strict-> replacement from an ('en', 0) seed, i.e. the
+    prediction is the FIRST language in LANG_MARKERS order achieving
+    the maximum hit count ('en' when all counts are zero); the oracle
+    encodes exactly that tie rule as a first-max CASE cascade
+    (lang_i wins iff its count >= every later language's), generated
+    from the same LANG_MARKERS constant so the lexicons can never
+    drift apart. Promoted from rows-only in round 4 — the argmax IS
+    ANSI-expressible once the tie semantics are spelled out."""
     docs = load_table(spark, "documents", sf_dir)
     return (
         docs.select(F.col("lang").alias("actual"),
