@@ -67,6 +67,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hourly_value_ohlc",
     "ranking_functions_probe",
     "deterministic_group_sample",
+    "date_functions_probe",
+    "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",
     "late_shipment_priority_counts",
@@ -89,7 +91,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_value_histogram",
     "daily_value_anomalies",
     # -- (c) stalest greens (r1/r2 vintage), staleness order --
-    "lang_id_predictions",          # r1
     "tokenization_stats",           # r1
     "exact_dedup_documents",        # r1
     "minhash_lsh_near_dups",        # r1

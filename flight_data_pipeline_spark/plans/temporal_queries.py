@@ -632,3 +632,62 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+DATE_PROBE_ANCHOR = "1995-06-15"  # pinned literal for difference functions
+
+
+@query(
+    "date_functions_probe",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders)
+    SELECT CAST(year(od) AS INT)                       AS y,
+           CAST(quarter(od) AS INT)                    AS q,
+           CAST(month(od) AS INT)                      AS m,
+           CAST(dayofweek(od) + 1 AS INT)              AS dow,
+           CAST(weekofyear(od) AS INT)                 AS woy,
+           STRFTIME(last_day(od), '%Y-%m-%d')          AS month_end,
+           STRFTIME(od + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_month,
+           CAST(datediff('day', DATE '{DATE_PROBE_ANCHOR}', od) AS INT)
+                                                       AS days_from_anchor,
+           CAST(COUNT(*) AS BIGINT)                    AS n
+    FROM d
+    GROUP BY y, q, m, dow, woy, month_end, plus_month, days_from_anchor
+    ORDER BY days_from_anchor, dow
+    """,
+)
+def date_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 date/time scalar surface exercised per-value and
+    cross-checked (SURVEY.md §2.9: the reference uses DATE_TRUNC/
+    DATE()/NOW()/interval arithmetic; this probes the wider calendar
+    family an analytics surface needs): year/quarter/month,
+    day-of-week, ISO week-of-year, month-end, calendar-aware
+    add_months (month-end clamping included — Jan 31 + 1 month =
+    Feb 29 in a leap year), and day difference from a pinned anchor.
+
+    Engine-semantics notes the oracle encodes: DuckDB's dayofweek is
+    0=Sunday vs Spark's 1=Sunday (+1 aligns them); weekofyear is ISO
+    in both; date outputs travel as strings (the driver-canonicalize
+    rule). Grouping by every derived value turns each distinct
+    order date into one probe row — any single-function divergence
+    on any date in the data breaks the hash."""
+    o = load_table(spark, "orders", sf_dir)
+    od = F.to_date("o_orderdate")
+    return (
+        o.select(
+            F.year(od).alias("y"),
+            F.quarter(od).alias("q"),
+            F.month(od).alias("m"),
+            F.dayofweek(od).alias("dow"),
+            F.weekofyear(od).alias("woy"),
+            F.date_format(F.last_day(od), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months(od, 1), "yyyy-MM-dd")
+            .alias("plus_month"),
+            F.datediff(od, F.lit(DATE_PROBE_ANCHOR).cast("date"))
+            .alias("days_from_anchor"),
+        )
+        .groupBy("y", "q", "m", "dow", "woy", "month_end", "plus_month",
+                 "days_from_anchor")
+        .agg(F.count("*").alias("n"))
+        .orderBy("days_from_anchor", "dow")
+    )

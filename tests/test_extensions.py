@@ -913,3 +913,38 @@ class TestCompressionRatio:
         b = sorted(r.ratio for r in docs.select(
             compression_ratio_col(F.col("text")).alias("ratio")).collect())
         assert a == b and all(0 < x <= 1.5 for x in a)
+
+
+class TestLeakageSafeSplit:
+    def test_no_cluster_straddles_splits(self, spark):
+        """THE invariant the query exists for: every member of a
+        near-dup cluster lands in the same split. Recomputed at
+        doc level (the checked query only ships the aggregate)."""
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.plans.dedup_queries import (
+            _doc_cluster_map,
+        )
+        from tests.conftest import SF_DIR
+
+        lab, cluster = _doc_cluster_map(spark, SF_DIR)
+        rep = F.coalesce(cluster, F.col("doc_id"))
+        bucket = (
+            F.conv(F.substring(F.md5(rep.cast("string")), 1, 4), 16, 10)
+            .cast("int") % 10
+        )
+        split = (F.when(bucket < 8, "train")
+                 .when(bucket == 8, "val").otherwise("test"))
+        assigned = lab.select(rep.alias("rep"), split.alias("split"),
+                              cluster.alias("cluster"))
+        straddlers = (
+            assigned.where(F.col("cluster").isNotNull())
+            .groupBy("cluster")
+            .agg(F.countDistinct("split").alias("k"))
+            .where(F.col("k") > 1)
+            .count()
+        )
+        assert straddlers == 0
+        # and all three splits are actually populated at this SF
+        n_splits = assigned.select("split").distinct().count()
+        assert n_splits == 3
