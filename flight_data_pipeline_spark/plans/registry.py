@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ranking_functions_probe",
     "deterministic_group_sample",
     "date_functions_probe",
+    "rolling_median_daily_value",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

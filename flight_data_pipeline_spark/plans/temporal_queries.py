@@ -691,3 +691,53 @@ def date_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("days_from_anchor", "dow")
     )
+
+
+@query(
+    "rolling_median_daily_value",
+    oracle="""
+    WITH daily AS (
+        SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT day,
+           ROUND(cents / 100.0, 2) AS total,
+           ROUND(quantile_cont(cents, 0.5) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 100.0, 2) AS rolling_median_7d
+    FROM daily ORDER BY day
+    """,
+)
+def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing MEDIAN of daily value totals — the robust twin
+    of revenue_7d_moving_avg (a mean-based trend follows one spiked
+    day; the median ignores it — the anomaly-resistant dashboard
+    line). Daily mass carried as integer cents (the gap-fill/
+    histogram lesson: order-free partials, identical on both
+    engines); the exact percentile runs as a WINDOW aggregate over
+    the day-cardinality series, so the 7-row sort buffer per frame
+    is trivial at any scale — the fact table is reduced to |days|
+    rows before any window work. Spark percentile and DuckDB
+    quantile_cont share linear interpolation (the
+    order_price_quantiles precedent), and interpolating integer
+    cents keeps half-values exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = (
+        ev.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                 "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            "day",
+            F.round(F.col("cents") / 100.0, 2).alias("total"),
+            F.round(F.expr("percentile(cents, 0.5)").over(w) / 100.0, 2)
+            .alias("rolling_median_7d"),
+        )
+        .orderBy("day")
+    )

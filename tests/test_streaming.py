@@ -547,3 +547,53 @@ def test_stream_enrich_picks_up_dim_updates(spark, tmp_path):
     assert rows[(1, 1.0)] == "bronze"   # batch 1 saw the old dim
     assert rows[(1, 2.0)] == "gold"     # batch 2 saw the refreshed dim
     assert rows[(9, 9.0)] is None       # keyless fact kept by left join
+
+
+def test_streaming_hourly_ohlc_bars(spark, tmp_path):
+    """The OHLC downsample (hourly_value_ohlc) running as a streaming
+    windowed aggregate: min_by/max_by champions are decomposable, so
+    the same bars build incrementally under a streaming trigger —
+    the continuous-aggregate form of the batch query."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "ohlc_events"
+    src.mkdir()
+    rows = [
+        _json.dumps({"ts": f"2024-01-01T00:{m:02d}:00", "value": v})
+        for m, v in ((5, 30.0), (20, 10.0), (40, 50.0), (55, 20.0))
+    ] + [
+        _json.dumps({"ts": f"2024-01-01T01:{m:02d}:00", "value": v})
+        for m, v in ((10, 7.0), (30, 9.0))
+    ]
+    (src / "ev.json").write_text("\n".join(rows))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double").json(str(src))
+    )
+    bars = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.min_by("value", "ts").alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", "ts").alias("close_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("win.start").alias("start"), "open_value",
+                "high_value", "low_value", "close_value", "n")
+    )
+    q = (bars.writeStream.format("memory").queryName("ohlc_test")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ohlc_ckpt")).start())
+    q.awaitTermination(120)
+    got = {
+        r.start.hour: (r.open_value, r.high_value, r.low_value,
+                       r.close_value, r.n)
+        for r in spark.sql("SELECT * FROM ohlc_test").collect()
+    }
+    assert got == {
+        0: (30.0, 50.0, 10.0, 20.0, 4),
+        1: (7.0, 9.0, 7.0, 9.0, 2),
+    }
