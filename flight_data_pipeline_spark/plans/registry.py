@@ -69,6 +69,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "deterministic_group_sample",
     "date_functions_probe",
     "rolling_median_daily_value",
+    "value_equidepth_histogram",
+    "urgent_order_customers_exists",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

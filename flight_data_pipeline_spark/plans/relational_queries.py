@@ -1758,3 +1758,106 @@ def ranking_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "rn")
     )
+
+
+@query(
+    "value_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT value,
+               CAST(NTILE(10) OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS decile
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4)     AS lo,
+           ROUND(MAX(value), 4)     AS hi
+    FROM b GROUP BY decile ORDER BY decile
+    """,
+)
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of event values: ten equal-population
+    deciles with their value ranges — the complement of
+    event_value_histogram's pinned equi-width bins (equi-depth is
+    what query optimizers and drift monitors actually keep, since it
+    resolves the dense region instead of wasting bins on empty
+    tails). Ties broken by event_id so both engines cut identical
+    deciles.
+
+    The NTILE over a global ORDER BY is a deliberate single-sort
+    formulation kept exact for the oracle; it plans as one
+    RangePartitioning sort (parallel sort, single-partition window
+    only for tile assignment). The 100 TB form computes decile CUTS
+    from approx_percentile (constant state, no global sort) and bins
+    map-side against the broadcast cuts — same output columns, cuts
+    approximate; the exact query stays the checked one."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "urgent_order_customers_exists",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent,
+           CAST(SUM(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def urgent_order_customers_exists(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL front door —
+    the subquery-predicate surface beside the lateral probe
+    (top2_orders_per_customer_lateral): per segment, customers with
+    ≥1 urgent order and customers with no orders at all, in one
+    query.
+
+    Catalyst's RewritePredicateSubquery turns both predicates into
+    JOINS, not per-row subquery executions: EXISTS → existence/semi
+    join, NOT EXISTS → anti join — here (EXISTS inside an aggregate
+    expression) an ExistenceJoin producing a boolean column. The
+    urgent filter pushes below its join's build side. The DataFrame
+    twins of these shapes are customers_with_orders_by_segment
+    (semi) and customers_without_orders (anti); this pins that the
+    SQL parser + decorrelator deliver the same plans."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_mktsegment AS segment,
+               CAST(SUM(CASE WHEN EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent,
+               CAST(SUM(CASE WHEN NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless,
+               COUNT(*) AS n_customers
+        FROM customer c
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+    """)
