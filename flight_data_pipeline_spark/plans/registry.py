@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rolling_median_daily_value",
     "value_equidepth_histogram",
     "urgent_order_customers_exists",
+    "setops_bag_semantics",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

@@ -1861,3 +1861,49 @@ def urgent_order_customers_exists(spark: SparkSession,
         GROUP BY c.c_mktsegment
         ORDER BY segment
     """)
+
+
+@query(
+    "setops_bag_semantics",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT ALL
+         SELECT user_id FROM events WHERE event_type = 'view'))
+          AS n_intersect_all,
+      (SELECT COUNT(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT ALL
+         SELECT user_id FROM events WHERE event_type = 'view'))
+          AS n_except_all,
+      (SELECT COUNT(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT user_id FROM events WHERE event_type = 'view'))
+          AS n_union_all
+    """,
+)
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (§2.8 completion — segment_setops
+    pins the DISTINCT forms): INTERSECT ALL / EXCEPT ALL / UNION ALL
+    over per-event user multisets, where multiplicity is the point —
+    a user with 3 clicks and 2 views contributes 2 rows to the
+    intersection and 1 to the difference (min/saturating-subtract of
+    multiplicities, per the SQL standard).
+
+    Catalyst plans intersectAll/exceptAll by attaching per-key
+    counts (a partial aggregate on each side) and re-generating
+    min(n_a, n_b) / max(n_a − n_b, 0) rows — one shuffle per side on
+    the value key, no row-by-row matching; unionAll is a free
+    concatenation (no shuffle at all). Each leg reduces to a count
+    here, and the three scalar counts attach via broadcast one-row
+    cross joins (the scalar_counts pattern)."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    ia = clicks.intersectAll(views).agg(
+        F.count("*").alias("n_intersect_all"))
+    ea = clicks.exceptAll(views).agg(F.count("*").alias("n_except_all"))
+    ua = clicks.unionAll(views).agg(F.count("*").alias("n_union_all"))
+    return ia.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(ua))
