@@ -652,3 +652,69 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             F.concat_ws(" ", "__kept").alias(cleaned_col),
         )
     )
+
+
+def set_group_cluster_labels(masks: DataFrame, id_col: str = "doc_id",
+                             block_col: str = "source",
+                             threshold: float = 0.8):
+    """Set-group connected components over a dictionary-bitset frame
+    (``dictionary_bitset_masks`` output): collapse rows to distinct
+    (block, mask) groups (node = min id, n = multiplicity), draw
+    group edges where integer bitset Jaccard ≥ ``threshold`` (exact
+    rational arithmetic — no floats), and label the group graph with
+    ``connected_components``. Returns (gs, labels).
+
+    This is the shared engine under near_dup_clusters / survivor
+    accounting / leakage-safe splits / keep-best selection
+    (plans/dedup_queries.py) — hoisted to an operator so a pipeline
+    can run it ONCE and hand the result to every consumer (see
+    ``cluster_assignments``)."""
+    from fractions import Fraction
+
+    th = Fraction(str(threshold))
+    num, den = th.numerator, th.denominator
+
+    gs = masks.groupBy(block_col, "mask").agg(
+        F.min(id_col).alias("node"), F.count("*").alias("n"))
+    a = gs.select(block_col, F.col("mask").alias("mask_a"),
+                  F.col("node").alias("node_a"))
+    b = gs.select(block_col, F.col("mask").alias("mask_b"),
+                  F.col("node").alias("node_b"))
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    na, nb = F.bit_count(F.col("mask_a")), F.bit_count(F.col("mask_b"))
+    edges = (
+        a.join(b, block_col)
+        .where(F.col("mask_a") < F.col("mask_b"))
+        .where((na * den >= nb * num) & (nb * den >= na * num))
+        .where(inter * den >= union * num)
+        .select("node_a", "node_b")
+    )
+    labels = connected_components(edges, src="node_a", dst="node_b",
+                                  max_iter=10)
+    return gs, labels
+
+
+def cluster_assignments(masks: DataFrame, id_col: str = "doc_id",
+                        block_col: str = "source",
+                        threshold: float = 0.8) -> DataFrame:
+    """Per-row near-dup cluster assignment: (id, block, cluster)
+    where ``cluster`` is the CC label of the row's set-group, the
+    group node itself for an identical-set group of ≥2 with no
+    outside edge, or NULL for a true singleton. The id↔group join is
+    on (block, mask) — the keys the group collapse already shuffled.
+
+    THE MATERIALIZATION POINT of the dedup pipeline: at 100 TB,
+    write this frame once (partitioned by ``block_col``) and every
+    consumer — survivor pruning, split assignment, keep-best
+    selection, contamination reports — becomes a cheap id-key join
+    against it instead of re-running tokenize + collapse + CC.
+    tests/test_extensions.py::TestClusterMapMaterialization pins the
+    write→read round trip and consumer equivalence."""
+    gs, labels = set_group_cluster_labels(
+        masks, id_col=id_col, block_col=block_col, threshold=threshold)
+    doc_groups = masks.join(gs, [block_col, "mask"])
+    lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
+    cluster = F.coalesce(
+        F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
+    return lab.select(id_col, block_col, cluster.alias("cluster"))

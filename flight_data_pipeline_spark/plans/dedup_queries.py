@@ -348,41 +348,19 @@ def _set_group_clusters(spark: SparkSession, sf_dir: str,
     dedups the quality-filtered, exact-deduped corpus), or ``masks``
     directly when the caller already built the bitset frame (spares a
     second tokenize+dictionary pass)."""
-    from fractions import Fraction
-
     from flight_data_pipeline_spark.operators.dedup import (
-        connected_components,
         dictionary_bitset_masks,
+        set_group_cluster_labels,
     )
-
-    th = Fraction(str(JACCARD_THRESHOLD))
-    num, den = th.numerator, th.denominator
 
     if masks is None:
         if docs is None:
             docs = load_table(spark, "documents", sf_dir)
         masks = dictionary_bitset_masks(
             docs, id_col="doc_id", block_col="source", text_col="text")
-    gs = masks.groupBy("source", "mask").agg(
-        F.min("doc_id").alias("node"), F.count("*").alias("n"))
-
-    a = gs.select("source", F.col("mask").alias("mask_a"),
-                  F.col("node").alias("node_a"))
-    b = gs.select("source", F.col("mask").alias("mask_b"),
-                  F.col("node").alias("node_b"))
-    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
-    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
-    na, nb = F.bit_count(F.col("mask_a")), F.bit_count(F.col("mask_b"))
-    edges = (
-        a.join(b, "source")
-        .where(F.col("mask_a") < F.col("mask_b"))
-        .where((na * den >= nb * num) & (nb * den >= na * num))
-        .where(inter * den >= union * num)
-        .select("node_a", "node_b")
-    )
-    labels = connected_components(edges, src="node_a", dst="node_b",
-                                  max_iter=10)
-    return gs, labels
+    return set_group_cluster_labels(
+        masks, id_col="doc_id", block_col="source",
+        threshold=JACCARD_THRESHOLD)
 
 
 def _doc_cluster_map(spark: SparkSession, sf_dir: str):

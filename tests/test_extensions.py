@@ -948,3 +948,44 @@ class TestLeakageSafeSplit:
         # and all three splits are actually populated at this SF
         n_splits = assigned.select("split").distinct().count()
         assert n_splits == 3
+
+
+class TestClusterMapMaterialization:
+    def test_write_read_round_trip_feeds_consumers(self, spark, tmp_path):
+        """The materialize-once story: cluster_assignments written
+        partitioned by source, read back, and the survivor decision
+        recomputed from the STORED map equals the direct pipeline."""
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.operators.dedup import (
+            cluster_assignments,
+            dictionary_bitset_masks,
+        )
+        from flight_data_pipeline_spark.tables import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, "documents", SF_DIR)
+        masks = dictionary_bitset_masks(
+            docs, id_col="doc_id", block_col="source", text_col="text")
+        direct = cluster_assignments(masks)
+
+        path = str(tmp_path / "cluster_map")
+        direct.write.partitionBy("source").parquet(path)
+        stored = spark.read.parquet(path)
+
+        want = sorted((r.doc_id, r.cluster) for r in direct.collect())
+        got = sorted((r.doc_id, r.cluster) for r in stored.collect())
+        assert got == want and len(got) == docs.count()
+
+        def survivors(assign):
+            dropped = (F.col("cluster").isNotNull()
+                       & (F.col("doc_id") != F.col("cluster")))
+            return sorted(
+                (r.source, r.n_dropped) for r in assign.groupBy("source")
+                .agg(F.sum(dropped.cast("long")).alias("n_dropped"))
+                .collect()
+            )
+
+        assert survivors(stored) == survivors(direct)
+        assert any(n > 0 for _, n in survivors(stored)), \
+            "fixture should contain at least one dropped duplicate"
