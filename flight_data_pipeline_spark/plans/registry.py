@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "value_equidepth_histogram",
     "urgent_order_customers_exists",
     "setops_bag_semantics",
+    "dedup_signal_agreement",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

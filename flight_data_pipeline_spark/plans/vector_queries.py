@@ -684,3 +684,84 @@ def matryoshka_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "dedup_signal_agreement",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    ), text_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))
+              * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= 0.8
+    ), emb_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              >= {NEAR_DUP_COS}
+    )
+    SELECT CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+                WHEN t.id_a IS NOT NULL THEN 'text_only'
+                ELSE 'embedding_only' END AS signal,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM text_pairs t FULL OUTER JOIN emb_pairs e
+      ON t.id_a = e.id_a AND t.id_b = e.id_b
+    GROUP BY signal ORDER BY signal
+    """,
+)
+def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup agreement audit: the verified text-Jaccard
+    pair set (near_dup_jaccard_pairs' semantics, source-blocked)
+    FULL-OUTER-joined against the embedding-cosine pair set
+    (embedding_near_dup_pairs', label-blocked) on the pair key —
+    how often the lexical and semantic detectors agree, and what
+    each uniquely contributes. The calibration readout a pipeline
+    needs before trusting either tier alone: 'both' pairs are safe
+    drops, single-signal pairs are the review queue (SemDeDup-style
+    semantic dedup is exactly the embedding_only band).
+
+    Plan: two already-bounded pair generators (prefix-filtered
+    posting join; label-blocked cosine join) meet in ONE full outer
+    join on the (id_a, id_b) key — pair-set cardinality, never
+    corpus-sized — and reduce to a 3-row category count."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_blocked,
+    )
+    from flight_data_pipeline_spark.operators.vectors import as_double, cosine
+
+    docs = load_table(spark, "documents", sf_dir)
+    tp = jaccard_pairs_blocked(
+        docs, id_col="doc_id", block_col="source", text_col="text",
+        threshold=0.8, prefix_filter=True,
+    ).select("id_a", "id_b", F.lit(1).alias("t"))
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select("label", F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("eb"))
+    ep = (
+        a.join(b, ["label"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(as_double(F.col("ea")),
+                              as_double(F.col("eb"))), 4) >= NEAR_DUP_COS)
+        .select("id_a", "id_b", F.lit(1).alias("e"))
+    )
+    signal = (
+        F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), "both")
+        .when(F.col("t").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+    )
+    return (
+        tp.join(ep, ["id_a", "id_b"], "full_outer")
+        .select(signal.alias("signal"))
+        .groupBy("signal")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("signal")
+    )
