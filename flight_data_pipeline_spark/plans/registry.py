@@ -73,6 +73,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "urgent_order_customers_exists",
     "setops_bag_semantics",
     "dedup_signal_agreement",
+    "rolling_distinct_users_hll",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

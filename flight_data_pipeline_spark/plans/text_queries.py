@@ -1535,3 +1535,50 @@ def deterministic_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rn").cast("long").alias("rn"))
         .orderBy("source", "rn")
     )
+
+
+@query("rolling_distinct_users_hll")  # Datasketches binary ⇒ rows-only
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users via MERGEABLE HLL sketches — the
+    pattern that makes rolling/cumulative distincts tractable at
+    100 TB: one per-day ``hll_sketch_agg`` pass over the facts (30
+    sketch rows), then every trailing window is a ``hll_union_agg``
+    over ≤7 binary sketches joined on the day spine — the raw events
+    are scanned ONCE for all 30 windows, vs an exact rolling distinct
+    that rescans each 7-day span (cumulative_unique_users_daily's
+    first-seen trick only works for cumulative-from-zero windows;
+    sliding windows need mergeable state). The estimate column rides
+    next to the exact rolling distinct (computed here from the same
+    day-keyed frame for audit); tests pin relative error ≤ 5 %.
+    Rows-only: Datasketches HLL has no DuckDB twin."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    daily = (
+        ev.groupBy(day.alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"))
+    )
+    a = daily.select(F.col("day").alias("anchor"))
+    in_window = F.col("day").between(
+        F.date_format(F.date_add(F.to_date("anchor"), -6), "yyyy-MM-dd"),
+        F.col("anchor"))
+    approx = (
+        a.join(daily, in_window)
+        .groupBy("anchor")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
+             .cast("long").alias("approx_users_7d"))
+    )
+    # audit column: exact rolling distinct from the (day, user) frame —
+    # |days|·|users| rows max, no arrays; at 100 TB you'd drop this and
+    # trust the sketch (that being the point)
+    day_users = ev.select(day.alias("day"), "user_id").distinct()
+    exact = (
+        a.join(day_users, in_window)
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return (
+        approx.join(exact, "anchor")
+        .select(F.col("anchor").alias("day"),
+                "approx_users_7d", "exact_users_7d")
+        .orderBy("day")
+    )

@@ -989,3 +989,18 @@ class TestClusterMapMaterialization:
         assert survivors(stored) == survivors(direct)
         assert any(n > 0 for _, n in survivors(stored)), \
             "fixture should contain at least one dropped duplicate"
+
+
+class TestRollingHll:
+    def test_hll_rolling_estimate_within_bounds(self, spark):
+        from flight_data_pipeline_spark.plans.registry import (
+            QUERIES, load_all)
+        from tests.conftest import SF_DIR
+
+        load_all()
+        rows = QUERIES["rolling_distinct_users_hll"](spark, SF_DIR).collect()
+        assert len(rows) >= 7
+        for r in rows:
+            assert r.exact_users_7d > 0
+            rel = abs(r.approx_users_7d - r.exact_users_7d) / r.exact_users_7d
+            assert rel <= 0.05, (r.day, r.approx_users_7d, r.exact_users_7d)
