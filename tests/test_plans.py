@@ -219,3 +219,64 @@ def test_correlated_exists_is_hash_semi_join(spark):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_is_equi_join_not_cartesian(spark):
+    # candidate generation must be the token equi-join (inverted
+    # index), never a name-pair cross product
+    plan = plan_of(spark, "fuzzy_part_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # distinct-first name collapse
+
+
+def test_deterministic_sample_uses_group_limit_heaps(spark):
+    # rank<=k must plan as per-partition WindowGroupLimit heaps
+    # (partial+final), never a full per-group sort materialization
+    plan = plan_of(spark, "deterministic_group_sample")
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_ranking_probe_windows_share_one_exchange(spark):
+    # both window specs partition on c_nationkey — one hash exchange
+    # must feed both Window nodes
+    import re
+
+    plan = plan_of(spark, "ranking_functions_probe")
+    assert plan.count("Window [") >= 2 or plan.count("Window") >= 2
+    # exactly one exchange keyed on nationkey ALONE (the groupBy
+    # exchange is keyed on (nationkey, custkey) and doesn't count)
+    solo = re.findall(r"hashpartitioning\(c_nationkey#\d+, \d+\)", plan)
+    assert len(solo) == 1, plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    # min_by/max_by champions build in ONE partial+final aggregate;
+    # the window formulation (shuffling every event row into hour
+    # partitions) must not appear
+    plan = plan_of(spark, "hourly_value_ohlc")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_column_profile_is_single_scan_expand(spark):
+    # all per-column distincts ride one scan through one Expand —
+    # not six scans of events
+    plan = plan_of(spark, "events_column_profile")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_winsorize_broadcasts_percentile_cuts(spark):
+    # the 5-row per-type percentile frame must broadcast back onto
+    # events — the fact table never shuffles for the join
+    plan = plan_of(spark, "winsorized_value_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_has_two_aggregation_phases(spark):
+    # (key, salt) partials then per-key recombine — two exchanges max,
+    # and the second one moves only the tiny partial frame
+    plan = plan_of(spark, "salted_value_stats_by_type")
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 phases
