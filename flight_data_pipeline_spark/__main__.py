@@ -10,6 +10,14 @@ One invocation = one pipeline run (fetch → validate → dedup → load →
 audit), exiting non-zero on the failure status exactly as the workflow
 expects. Cadence stays external (cron / Airflow / the Structured
 Streaming trigger in streaming/pipeline_stream.py — SURVEY.md EP2).
+
+Also the ad-hoc query runner (EP3 parity — the reference's analytics
+surface is "any SQL client against the sink"; this is the engine's
+client):
+
+    python -m flight_data_pipeline_spark query --list
+    python -m flight_data_pipeline_spark query daily_rollup \
+        [--sf-dir DIR] [--limit N] [--explain]
 """
 
 from __future__ import annotations
@@ -19,11 +27,51 @@ import os
 import sys
 
 
+def query_main(argv: list[str]) -> int:
+    """Run a registered query against the fixture tables and print
+    the head — the engine-side SQL client (SURVEY.md EP3)."""
+    parser = argparse.ArgumentParser(
+        prog="flight_data_pipeline_spark query")
+    parser.add_argument("name", nargs="?", help="registered query name")
+    parser.add_argument("--list", action="store_true", dest="list_queries")
+    parser.add_argument("--sf-dir",
+                        default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                               "/root/testdata/sf0.01"))
+    parser.add_argument("--limit", type=int, default=20)
+    parser.add_argument("--explain", action="store_true")
+    args = parser.parse_args(argv)
+
+    from flight_data_pipeline_spark.plans import registry
+
+    registry.load_all()
+    if args.list_queries or not args.name:
+        for name in registry.ordered():
+            kind = "checked" if name in registry.ORACLE_SQL else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+    if args.name not in registry.QUERIES:
+        print(f"unknown query: {args.name!r} (try --list)", file=sys.stderr)
+        return 2
+
+    from flight_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name=f"fdps-query-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = registry.QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None,
          fetch_intensity=None, fetch_mix=None) -> int:
     """Run one batch pipeline. ``fetch_*`` are injectable for tests;
     the defaults fetch the reference's public API endpoints through
     the retry envelope (etl_job.py:96-137)."""
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv[:1] == ["query"]:
+        return query_main(argv[1:])
     parser = argparse.ArgumentParser(prog="flight_data_pipeline_spark")
     parser.add_argument("--telemetry",
                         default=os.environ.get("TELEMETRY_PATH",

@@ -462,3 +462,24 @@ def stream_enrich(events: DataFrame, dim_path: str, on: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_value_histogram(events: DataFrame, lo: float = 0.0,
+                              hi: float = 500.0, bins: int = 20,
+                              value_col: str = "value") -> DataFrame:
+    """Incrementally-maintained equi-width value histogram — the
+    streaming side of the drift story (`value_psi_drift` documents
+    that at 100 TB the PSI baseline is a PERSISTED histogram; this is
+    the query that persists it): pinned bins, edge-bin clamping
+    identical to the batch `event_value_histogram`, counts updating
+    per trigger. State is ≤ ``bins`` rows — constant forever, no
+    watermark needed (the histogram is cumulative by design; window
+    it by composing with a time bucket in the groupBy when a
+    bounded-horizon baseline is wanted)."""
+    raw = F.floor((F.col(value_col) - lo) * bins / (hi - lo))
+    bin_col = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -373,3 +373,27 @@ class TestContiguousIds:
         # single-partition Exchange of the full data (the scale trap
         # of row_number() OVER (ORDER BY ...))
         assert "Exchange SinglePartition" not in plan.split("BroadcastExchange")[0]
+
+
+class TestQueryCli:
+    def test_list_names_all_queries(self, capsys):
+        from flight_data_pipeline_spark.__main__ import main
+        from flight_data_pipeline_spark.plans import registry
+
+        registry.load_all()
+        assert main(["query", "--list"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == len(registry.QUERIES)
+        assert any(line.startswith("daily_rollup\tchecked") for line in out)
+
+    def test_unknown_query_exits_2(self, capsys):
+        from flight_data_pipeline_spark.__main__ import main
+
+        assert main(["query", "no_such_query"]) == 2
+
+    def test_runs_query_and_prints_head(self, spark, capsys):
+        from flight_data_pipeline_spark.__main__ import main
+        from tests.conftest import SF_DIR
+
+        assert main(["query", "scalar_counts", "--sf-dir", SF_DIR]) == 0
+        assert "n_events" in capsys.readouterr().out

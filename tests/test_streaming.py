@@ -597,3 +597,38 @@ def test_streaming_hourly_ohlc_bars(spark, tmp_path):
         0: (30.0, 50.0, 10.0, 20.0, 4),
         1: (7.0, 9.0, 7.0, 9.0, 2),
     }
+
+
+def test_streaming_histogram_matches_batch_binning(spark, tmp_path):
+    """The persisted-baseline histogram (value_psi_drift's 100 TB
+    story): streaming bin counts after availableNow equal the batch
+    binning of the same rows, including edge clamping."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        streaming_value_histogram,
+    )
+
+    src = tmp_path / "hist_events"
+    src.mkdir()
+    values = [-5.0, 0.0, 12.5, 24.9, 25.0, 250.0, 499.9, 500.0, 730.0]
+    (src / "ev.json").write_text("\n".join(
+        _json.dumps({"value": v}) for v in values))
+
+    stream = spark.readStream.schema("value double").json(str(src))
+    q = (streaming_value_histogram(stream)
+         .writeStream.format("memory").queryName("hist_test")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "hist_ckpt")).start())
+    q.awaitTermination(120)
+    got = {r.bin: r.n for r in spark.sql("SELECT * FROM hist_test").collect()}
+
+    batch = spark.createDataFrame([(v,) for v in values], "value double")
+    raw = F.floor((F.col("value") - 0.0) * 20 / 500.0)
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(19)).cast("long")
+    want = {r.bin: r.n for r in batch.groupBy(b.alias("bin"))
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want
+    assert got[0] == 4 and got[19] == 3  # clamped lows / highs+edge
