@@ -74,6 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "setops_bag_semantics",
     "dedup_signal_agreement",
     "rolling_distinct_users_hll",
+    "recursive_calendar_spine",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

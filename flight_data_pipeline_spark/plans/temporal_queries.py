@@ -741,3 +741,62 @@ def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+SPINE_START, SPINE_END = "2024-01-01", "2024-01-30"
+
+
+@query(
+    "recursive_calendar_spine",
+    oracle=f"""
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '{SPINE_START}'
+        UNION ALL
+        SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine
+        WHERE d < DATE '{SPINE_END}'
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT STRFTIME(s.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    ORDER BY day
+    """,
+)
+def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front door (Spark 4's
+    WITH RECURSIVE, new engine surface): generate the calendar spine
+    by bounded recursion and left-join daily event counts — the
+    gap-fill spine built the way a SQL-first user writes it
+    (`hourly_gap_fill` is the sequence()/explode DataFrame twin; same
+    zero-filled semantics).
+
+    Notes the probe pins: Spark recursion currently supports
+    UNION ALL only (UNION-distinct — and with it cyclic transitive
+    closure — raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE; the
+    engine's cyclic-graph answer stays the iterative
+    operators/dedup.connected_components, which also beats row-level
+    closure asymptotically). Recursion here is acyclic and bounded
+    (30 steps); each step is one tiny self-union, and the spine is
+    |days| rows joined against a day-cardinality aggregate — scale
+    cost is the daily rollup, not the recursion."""
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(f"""
+        WITH RECURSIVE spine(d) AS (
+            SELECT DATE '{SPINE_START}'
+            UNION ALL
+            SELECT date_add(d, 1) FROM spine WHERE d < DATE '{SPINE_END}'
+        ),
+        daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+               CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN daily ON s.d = daily.d
+        ORDER BY day
+    """)
