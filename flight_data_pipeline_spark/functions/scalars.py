@@ -66,3 +66,11 @@ def to_epoch_seconds(ts: Column) -> Column:
     range_join_binned is unchanged.
     """
     return ts.cast("timestamp").cast("long")
+
+
+# Pinned equi-width histogram bounds for event values — shared by the
+# batch histogram (event_value_histogram), the PSI drift monitor
+# (value_psi_drift), and the streaming baseline maintenance
+# (streaming/pipeline_stream.streaming_value_histogram): all three
+# MUST bin identically or the persisted-baseline drift story breaks.
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20

@@ -102,7 +102,7 @@ GUARD_MAX_TOKEN_DF = 20
 def near_dup_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-token-guarded form of near_dup_jaccard_pairs: candidate
     pairs are generated only from postings whose per-block document
-    frequency is ≤ {GUARD_MAX_TOKEN_DF}, then every candidate is
+    frequency is ≤ GUARD_MAX_TOKEN_DF (20), then every candidate is
     verified with an exact full-token-set Jaccard — reported sims are
     always exact, false positives impossible.
 
@@ -363,28 +363,26 @@ def _set_group_clusters(spark: SparkSession, sf_dir: str,
         threshold=JACCARD_THRESHOLD)
 
 
-def _doc_cluster_map(spark: SparkSession, sf_dir: str):
+def _doc_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level cluster assignment shared by the survivor/split/
-    keep-best twins: returns (lab, cluster) where ``lab`` is the
-    per-document frame (doc_id, source, mask, node, n, …) and
-    ``cluster`` the Column giving each doc's near-dup cluster id —
-    the CC label of its set-group, or the group node itself for an
-    identical-set group of ≥2 with no outside edge, or NULL for a
-    true singleton. The doc↔group join is on (source, mask), the
-    keys the group collapse already shuffled on."""
+    keep-best twins: (doc_id, source, cluster) via
+    ``operators/dedup.cluster_assignments`` — the single home of the
+    cluster-id semantics (CC label of the doc's set-group, the group
+    node itself for an identical-set group of ≥2 with no outside
+    edge, NULL for a true singleton), so the plan consumers and the
+    materialized-map path (TestClusterMapMaterialization) can never
+    diverge."""
     from flight_data_pipeline_spark.operators.dedup import (
+        cluster_assignments,
         dictionary_bitset_masks,
     )
 
     docs = load_table(spark, "documents", sf_dir)
     masks = dictionary_bitset_masks(
         docs, id_col="doc_id", block_col="source", text_col="text")
-    gs, labels = _set_group_clusters(spark, sf_dir, masks=masks)
-    doc_groups = masks.join(gs, ["source", "mask"])
-    lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
-    cluster = F.coalesce(
-        F.col("label"), F.when(F.col("n") >= 2, F.col("node")))
-    return lab, cluster
+    return cluster_assignments(
+        masks, id_col="doc_id", block_col="source",
+        threshold=JACCARD_THRESHOLD)
 
 
 @query(
@@ -439,11 +437,12 @@ def dedup_survivors_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped iff it sits in a cluster and is not the min-id keeper.
     The doc↔group join is on (source, mask) — the same keys the
     group collapse already shuffled."""
-    lab, cluster = _doc_cluster_map(spark, sf_dir)
+    assign = _doc_cluster_map(spark, sf_dir)
+    cluster = F.col("cluster")
     dropped = (cluster.isNotNull()
                & (F.col("doc_id") != cluster)).cast("bigint")
     return (
-        lab.groupBy("source")
+        assign.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(dropped).alias("n_dropped"),
@@ -864,8 +863,8 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a partition column."""
     from pyspark.sql import Window
 
-    lab, cluster = _doc_cluster_map(spark, sf_dir)
-    rep = F.coalesce(cluster, F.col("doc_id"))
+    assign = _doc_cluster_map(spark, sf_dir)
+    rep = F.coalesce(F.col("cluster"), F.col("doc_id"))
     bucket = (
         F.conv(F.substring(F.md5(rep.cast("string")), 1, 4), 16, 10)
         .cast("int") % 10
@@ -874,7 +873,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )
     per_split = (
-        lab.select(split.alias("split"), rep.alias("rep"))
+        assign.select(split.alias("split"), rep.alias("rep"))
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -932,14 +931,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     are within-source, so the window key is as distributed as the
     corpus), one per-source aggregate. At scale, carry the score
     through the bitset collapse to skip the fetch join."""
-    lab, cluster = _doc_cluster_map(spark, sf_dir)
+    assign = _doc_cluster_map(spark, sf_dir)
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
     members = (
-        lab.where(cluster.isNotNull())
+        assign.where(F.col("cluster").isNotNull())
         .select(F.col("doc_id").alias("m_doc_id"),
-                cluster.alias("cluster_id"))
+                F.col("cluster").alias("cluster_id"))
         .join(docs.select(F.col("doc_id").alias("m_doc_id"),
                           "source", "n_chars"), "m_doc_id")
     )

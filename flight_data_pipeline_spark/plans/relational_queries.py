@@ -1218,7 +1218,11 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Equi-width histogram: pinned bounds and bin count (pinning keeps the
 # binning a pure map-side expression — deriving bounds in-query would
 # add a min/max pass; at scale bounds come from table stats).
-HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
+from flight_data_pipeline_spark.functions.scalars import (  # noqa: E402
+    HIST_BINS,
+    HIST_HI,
+    HIST_LO,
+)
 
 
 @query(
@@ -1410,7 +1414,7 @@ FUZZY_MAX_DIST = 2
 )
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: near-identical part-name pairs within
-    Levenshtein distance {FUZZY_MAX_DIST}, with multiplicities — the
+    Levenshtein distance FUZZY_MAX_DIST (= 2), with multiplicities — the
     approximate-string-join surface
     (operators/fuzzy.fuzzy_string_pairs_blocked).
 
@@ -1641,7 +1645,7 @@ PSI_PIVOT = "2024-01-16 00:00:00"  # expected window < pivot <= actual window
 )
 def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event type — the standard
-    data-drift monitor between a baseline window (ts < {PSI_PIVOT})
+    data-drift monitor between a baseline window (ts < PSI_PIVOT, 2024-01-16)
     and the current window: bin the value distribution on the SAME
     pinned equi-width bins as event_value_histogram, then
     PSI = Σ (p_cur − p_base)·ln(p_cur/p_base) with +0.5 Laplace
@@ -1650,7 +1654,7 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     <0.1 stable, 0.1-0.25 drifting, >0.25 shifted.
 
     Plan: one scan, map-side (window, bin) tagging, one aggregate on
-    (type, bin) — ≤ |types|·{HIST_BINS} rows — then PSI arithmetic
+    (type, bin) — ≤ |types|·HIST_BINS (20) rows — then PSI arithmetic
     over that histogram-sized frame; the pinned bins mean no
     in-query min/max pass and the shuffle carries the histogram,
     not the data. At 100 TB the baseline side is a persisted

@@ -1457,7 +1457,7 @@ COMPRESS_REPETITIVE_CUT = 0.35  # deflate ratio below ⇒ template-like
 def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deflate-compressibility profile: mean/min/max
     compression ratio and how many documents fall under the
-    repetitive-content cutoff ({COMPRESS_REPETITIVE_CUT}) — the
+    repetitive-content cutoff (COMPRESS_REPETITIVE_CUT, 0.35) — the
     long-range-repetition quality signal (operators/text.
     compression_ratio; threshold discipline as in the Gopher
     repetition rules, but catching periods n-grams can't span).
@@ -1508,7 +1508,7 @@ SAMPLE_K = 10  # docs per source in the deterministic sample
 )
 def deterministic_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k per-stratum sample with NO randomness: every source
-    contributes its {SAMPLE_K} documents that sort first by
+    contributes its SAMPLE_K (= 10) documents that sort first by
     md5(doc_id) — a uniform-ish, engine-independent, rerun-stable
     pick. This is how eval/holdout subsets should be drawn in a
     pipeline: Bernoulli sampling (operators/sampling.

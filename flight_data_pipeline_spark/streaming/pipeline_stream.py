@@ -464,8 +464,8 @@ def stream_enrich(events: DataFrame, dim_path: str, on: str,
     )
 
 
-def streaming_value_histogram(events: DataFrame, lo: float = 0.0,
-                              hi: float = 500.0, bins: int = 20,
+def streaming_value_histogram(events: DataFrame, lo: float | None = None,
+                              hi: float | None = None, bins: int | None = None,
                               value_col: str = "value") -> DataFrame:
     """Incrementally-maintained equi-width value histogram — the
     streaming side of the drift story (`value_psi_drift` documents
@@ -476,6 +476,15 @@ def streaming_value_histogram(events: DataFrame, lo: float = 0.0,
     watermark needed (the histogram is cumulative by design; window
     it by composing with a time bucket in the groupBy when a
     bounded-horizon baseline is wanted)."""
+    from flight_data_pipeline_spark.functions.scalars import (
+        HIST_BINS,
+        HIST_HI,
+        HIST_LO,
+    )
+
+    lo = HIST_LO if lo is None else lo
+    hi = HIST_HI if hi is None else hi
+    bins = HIST_BINS if bins is None else bins
     raw = F.floor((F.col(value_col) - lo) * bins / (hi - lo))
     bin_col = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
     return (

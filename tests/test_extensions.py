@@ -927,16 +927,16 @@ class TestLeakageSafeSplit:
         )
         from tests.conftest import SF_DIR
 
-        lab, cluster = _doc_cluster_map(spark, SF_DIR)
-        rep = F.coalesce(cluster, F.col("doc_id"))
+        assign = _doc_cluster_map(spark, SF_DIR)
+        rep = F.coalesce(F.col("cluster"), F.col("doc_id"))
         bucket = (
             F.conv(F.substring(F.md5(rep.cast("string")), 1, 4), 16, 10)
             .cast("int") % 10
         )
         split = (F.when(bucket < 8, "train")
                  .when(bucket == 8, "val").otherwise("test"))
-        assigned = lab.select(rep.alias("rep"), split.alias("split"),
-                              cluster.alias("cluster"))
+        assigned = assign.select(rep.alias("rep"), split.alias("split"),
+                                 "cluster")
         straddlers = (
             assigned.where(F.col("cluster").isNotNull())
             .groupBy("cluster")
