@@ -75,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_signal_agreement",
     "rolling_distinct_users_hll",
     "recursive_calendar_spine",
+    "weekly_value_growth",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

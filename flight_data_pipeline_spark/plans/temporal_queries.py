@@ -800,3 +800,52 @@ def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN daily ON s.d = daily.d
         ORDER BY day
     """)
+
+
+@query(
+    "weekly_value_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT STRFTIME(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT week_start,
+           n_events,
+           ROUND(cents / 100.0, 2) AS total,
+           ROUND((cents - LAG(cents) OVER (ORDER BY week_start))
+                 * 100.0 / LAG(cents) OVER (ORDER BY week_start), 2)
+               AS pct_change
+    FROM weekly ORDER BY week_start
+    """,
+)
+def weekly_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth — the period-over-period comparison every
+    dashboard carries (the reference's trend queries, README.md:
+    413-417, at week grain with a derivative): weekly totals (integer
+    cents, order-free partials), previous week via lag, percent
+    change; the first week's pct_change is NULL on both engines.
+    Monday-start weeks: Spark date_trunc('week') and DuckDB
+    date_trunc('week') agree on ISO Monday. One data-sized weekly
+    aggregate, then lag over the |weeks|-row series — the window
+    never sees event rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    weekly = (
+        ev.groupBy(F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+                   .alias("week_start"))
+        .agg(F.sum(cents).alias("cents"), F.count("*").alias("n_events"))
+    )
+    prev = F.lag("cents").over(Window.orderBy("week_start"))
+    return (
+        weekly.select(
+            "week_start", "n_events",
+            F.round(F.col("cents") / 100.0, 2).alias("total"),
+            F.round((F.col("cents") - prev) * 100.0 / prev, 2)
+            .alias("pct_change"),
+        )
+        .orderBy("week_start")
+    )
