@@ -76,6 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rolling_distinct_users_hll",
     "recursive_calendar_spine",
     "weekly_value_growth",
+    "string_functions_probe_2",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

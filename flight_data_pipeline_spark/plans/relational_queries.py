@@ -1911,3 +1911,47 @@ def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = clicks.exceptAll(views).agg(F.count("*").alias("n_except_all"))
     ua = clicks.unionAll(views).agg(F.count("*").alias("n_union_all"))
     return ia.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(ua))
+
+
+@query(
+    "string_functions_probe_2",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT p_name,
+           split_part(p_name, ' ', 1)                    AS first_word,
+           split_part(p_name, ' ', 2)                    AS second_word,
+           CAST(instr(p_name, 'o') AS INT)               AS first_o_pos,
+           lpad(p_name, 12, '.')                         AS padded,
+           replace(p_name, ' ', '_')                     AS snaked,
+           reverse(p_name)                               AS reversed,
+           left(p_name, 3)                               AS l3,
+           right(p_name, 3)                              AS r3,
+           translate(p_name, 'aeiou', 'AEIOU')           AS vowels_up,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun
+    FROM n ORDER BY p_name
+    """,
+)
+def string_functions_probe_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the §2.9 string surface, per-value cross-checked
+    (string_functions_probe covers lower/upper/substring/concat):
+    split_part, instr (1-based, 0 when absent), lpad, replace,
+    reverse, left/right, translate, and regexp group extraction —
+    one row per DISTINCT part name, so any semantic divergence on
+    any value breaks the hash. All map-side codegen'd expressions;
+    the distinct-first collapse keeps the probe |names|-sized at any
+    fact-table scale."""
+    p = load_table(spark, "part", sf_dir).select("p_name").distinct()
+    name = F.col("p_name")
+    return p.select(
+        "p_name",
+        F.split_part(name, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(name, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.instr(name, "o").alias("first_o_pos"),
+        F.lpad(name, 12, ".").alias("padded"),
+        F.replace(name, F.lit(" "), F.lit("_")).alias("snaked"),
+        F.reverse(name).alias("reversed"),
+        F.left(name, F.lit(3)).alias("l3"),
+        F.right(name, F.lit(3)).alias("r3"),
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
+        F.regexp_extract(name, r"([a-z]+) ([a-z]+)", 2).alias("noun"),
+    ).orderBy("p_name")
