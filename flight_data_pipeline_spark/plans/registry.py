@@ -77,6 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "recursive_calendar_spine",
     "weekly_value_growth",
     "string_functions_probe_2",
+    "null_and_bool_probe",
     "lang_id_predictions",          # promoted rows-only → checked in r4
     "ann_ivf_pq_topk",
     "corpus_curation_stats",

@@ -1955,3 +1955,47 @@ def string_functions_probe_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
         F.regexp_extract(name, r"([a-z]+) ([a-z]+)", 2).alias("noun"),
     ).orderBy("p_name")
+
+
+@query(
+    "null_and_bool_probe",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                       AS n,
+           CAST(count_if(value > 400) AS BIGINT)          AS n_high,
+           bool_and(value > 0)                            AS all_positive,
+           bool_or(value > 480)                           AS any_very_high,
+           ROUND(SUM(value) / NULLIF(count_if(value > 400), 0), 4)
+                                                          AS high_guarded_ratio,
+           MIN(ifnull(nullif(event_type, 'click'), 'WAS_CLICK'))
+                                                          AS nullif_roundtrip
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def null_and_bool_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-discipline and boolean-aggregate surface in one checked
+    result (§2.9 conditional family beside the CASE/coalesce
+    queries): count_if, bool_and/bool_or, NULLIF as the
+    division-by-zero guard (the idiom that keeps a rate NULL instead
+    of erroring when its denominator group is empty — here the
+    'click' group's guarded ratio is exactly that NULL on both
+    engines when no high values exist), and a NULLIF→IFNULL round
+    trip. Map-side expressions, one 5-group aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.col("value")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(v > 400).alias("n_high"),
+            F.bool_and(v > 0).alias("all_positive"),
+            F.bool_or(v > 480).alias("any_very_high"),
+            F.round(F.sum(v) / F.nullif(F.count_if(v > 400), F.lit(0)), 4)
+            .alias("high_guarded_ratio"),
+            F.min(F.ifnull(F.nullif(F.col("event_type"), F.lit("click")),
+                           F.lit("WAS_CLICK"))).alias("nullif_roundtrip"),
+        )
+        .orderBy("event_type")
+    )
