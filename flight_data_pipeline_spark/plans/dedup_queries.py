@@ -825,9 +825,7 @@ _CLUSTER_CTE = f"""
 """
 
 
-@query(
-    "leakage_safe_split",
-    oracle=_CLUSTER_CTE + """
+_LEAKAGE_SPLIT_ORACLE = _CLUSTER_CTE + """
     , assign AS (
         SELECT d.doc_id,
                COALESCE(cl.cluster_id, d.doc_id) AS rep,
@@ -843,27 +841,16 @@ _CLUSTER_CTE = f"""
                  (SELECT COUNT(*) FROM documents), 4) AS doc_share
     FROM assign
     GROUP BY 1 ORDER BY split
-    """,
-)
-def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test split that CANNOT leak near-duplicates across
-    splits: the split is assigned to each document's near-dup CLUSTER
-    representative (min doc_id; singletons are their own rep), so
-    every member of a cluster lands in the same split by construction
-    — the eval-contamination guard a real pretraining pipeline needs
-    (a random per-document split puts one copy of a template in train
-    and its near-copy in test).
+    """
 
-    Assignment is a deterministic cross-engine hash: first 4 hex
-    chars of md5(rep) mod 10 → 0-7 train / 8 val / 9 test (~80/10/10
-    in expectation). No RNG, no collect: reassigning a grown corpus
-    moves only clusters whose rep changed. Plan: the doc→cluster map
-    (one (source, mask) join over the already-shuffled collapse) plus
-    one aggregate; at 100 TB the same map feeds the curation writer
-    as a partition column."""
+
+def _split_summary(assign: DataFrame) -> DataFrame:
+    """Shared tail of the leakage-safe-split twins: doc→cluster map in,
+    (split, n_docs, n_clusters, doc_share) out. The split is a
+    deterministic cross-engine hash of the cluster representative:
+    first 4 hex chars of md5(rep) mod 10 → 0-7 train / 8 val / 9 test."""
     from pyspark.sql import Window
 
-    assign = _doc_cluster_map(spark, sf_dir)
     rep = F.coalesce(F.col("cluster"), F.col("doc_id"))
     bucket = (
         F.conv(F.substring(F.md5(rep.cast("string")), 1, 4), 16, 10)
@@ -890,6 +877,54 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query("leakage_safe_split", oracle=_LEAKAGE_SPLIT_ORACLE)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits: the split is assigned to each document's near-dup CLUSTER
+    representative (min doc_id; singletons are their own rep), so
+    every member of a cluster lands in the same split by construction
+    — the eval-contamination guard a real pretraining pipeline needs
+    (a random per-document split puts one copy of a template in train
+    and its near-copy in test).
+
+    Assignment is a deterministic cross-engine hash (no RNG, no
+    collect; see ``_split_summary``): reassigning a grown corpus
+    moves only clusters whose rep changed. Plan: the doc→cluster map
+    (one (source, mask) join over the already-shuffled collapse) plus
+    one aggregate; at 100 TB the same map feeds the curation writer
+    as a partition column — the write→read twin
+    ``leakage_safe_split_materialized`` proves that path."""
+    return _split_summary(_doc_cluster_map(spark, sf_dir))
+
+
+@query("leakage_safe_split_materialized", oracle=_LEAKAGE_SPLIT_ORACLE)
+def leakage_safe_split_materialized(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The PRODUCTION path of the leakage-safe split: materialize the
+    doc→cluster map once (parquet, partitioned by source — the
+    write-once table every dedup consumer joins at 100 TB), then
+    compute the split summary from the STORED map. Same oracle as
+    ``leakage_safe_split``, so the driver hash-proves
+    write → read → aggregate == recompute end-to-end.
+
+    The returned plan reads the materialized parquet — no tokenize /
+    bitset-collapse / connected-components stages (pinned by
+    tests/test_plans.py::test_materialized_split_reads_stored_map).
+    The map write is idempotent: a deterministic per-sf_dir temp path,
+    mode=overwrite, so reruns replace rather than append — the same
+    rerun contract as the partitioned telemetry sink (sinks.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"fdp_cluster_map_{key}")
+    _doc_cluster_map(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "source").parquet(path)
+    stored = spark.read.parquet(path)
+    return _split_summary(stored)
 
 
 @query(

@@ -97,6 +97,20 @@ def test_tfidf_does_not_force_broadcast_of_vocabulary(spark):
     assert analyzed.count("ResolvedHint") == 1, analyzed
 
 
+def test_materialized_split_reads_stored_map(spark):
+    """leakage_safe_split_materialized's returned plan must read the
+    STORED cluster map (a plain parquet scan of fdp_cluster_map_*),
+    with none of the upstream dedup stages — no bitset collapse, no
+    connected-components joins. That's the 100 TB contract: consumers
+    of the materialized map are id-joins, not pipeline re-runs."""
+    plan = plan_of(spark, "leakage_safe_split_materialized")
+    assert "fdp_cluster_map_" in plan          # scans the stored table
+    assert "mask" not in plan                   # no bitset collapse
+    assert "node_a" not in plan                 # no CC edge joins
+    # exactly one scan feeding one aggregate pair + window
+    assert plan.count("Scan parquet") == 1
+
+
 def test_asof_join_is_single_window_not_range_join(spark):
     plan = plan_of(spark, "purchase_attribution_asof")
     # the as-of must compile to union+window, never a nested-loop/
