@@ -73,7 +73,64 @@ HEADLINE = [
     "fuzzy_part_name_pairs",
     "leakage_safe_split",
     "events_column_profile",
+    # round-5 addition: the materialized-map production path — its
+    # cost (map write + read + aggregate) must stay comparable to the
+    # recompute twin it replaces at scale
+    "leakage_safe_split_materialized",
 ]
+
+
+def load_baseline(repo: str) -> dict[str, float]:
+    """Per-query baseline: for each query, the most recent float timing
+    recorded in any BENCH_r*.json (newest round wins). Missing/error
+    entries are skipped, so a query's baseline survives a crashed
+    round."""
+    import glob
+    import re
+
+    baseline: dict[str, float] = {}
+    paths = sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in paths:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the round driver wraps bench's JSON line under "parsed"
+        rec = rec.get("parsed") or rec
+        for name, sec in (rec.get("queries") or {}).items():
+            if isinstance(sec, (int, float)):
+                baseline[name] = float(sec)
+    return baseline
+
+
+def find_regressions(
+    timings: dict[str, object],
+    baseline: dict[str, float],
+    threshold: float = 1.25,
+    min_sec: float = 0.25,
+) -> list[dict[str, object]]:
+    """Per-query perf tripwire (VERDICT r4 item 5): flag every timed
+    query slower than ``threshold``× its last recorded baseline.
+    Sub-``min_sec`` queries are exempt — at that scale the ratio
+    measures scheduler noise, not plans. Pure function so the
+    tripwire itself is unit-testable (tests/test_bench.py)."""
+    flags = []
+    for name, sec in timings.items():
+        base = baseline.get(name)
+        if not isinstance(sec, (int, float)) or not base:
+            continue
+        if sec >= min_sec and sec > threshold * base:
+            flags.append({
+                "query": name,
+                "sec": round(float(sec), 3),
+                "baseline_sec": round(base, 3),
+                "ratio": round(float(sec) / base, 3),
+            })
+    return sorted(flags, key=lambda r: -r["ratio"])
 
 
 def main() -> None:
@@ -126,6 +183,8 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    out["regressions"] = find_regressions(
+        timings, load_baseline(os.path.dirname(os.path.abspath(__file__))))
     print(json.dumps(out))
 
 

@@ -1,0 +1,58 @@
+"""The bench.py per-query regression tripwire (VERDICT r4 item 5):
+pure-function tests that a deliberately slowed query produces the
+flag, that noise-scale queries are exempt, and that the baseline
+loader takes the newest recorded round and skips error entries."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+class TestFindRegressions:
+    BASE = {"q_fast": 0.10, "q_mid": 1.00, "q_heavy": 4.00}
+
+    def test_slowed_query_is_flagged(self):
+        flags = bench.find_regressions(
+            {"q_mid": 1.50, "q_heavy": 4.10}, self.BASE)
+        assert [f["query"] for f in flags] == ["q_mid"]
+        f = flags[0]
+        assert f["baseline_sec"] == 1.0 and f["ratio"] == 1.5
+
+    def test_flags_sorted_worst_first(self):
+        flags = bench.find_regressions(
+            {"q_mid": 1.30, "q_heavy": 8.00}, self.BASE)
+        assert [f["query"] for f in flags] == ["q_heavy", "q_mid"]
+
+    def test_within_threshold_not_flagged(self):
+        assert bench.find_regressions({"q_mid": 1.24}, self.BASE) == []
+
+    def test_noise_scale_query_exempt(self):
+        # 0.10 s -> 0.20 s is 2x but below min_sec: scheduler noise
+        assert bench.find_regressions({"q_fast": 0.20}, self.BASE) == []
+
+    def test_error_and_unknown_entries_skipped(self):
+        timings = {"q_mid": {"err": "boom"}, "q_new": 9.9}
+        assert bench.find_regressions(timings, self.BASE) == []
+
+
+class TestLoadBaseline:
+    def test_newest_round_wins_and_errors_skipped(self, tmp_path):
+        (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+            {"queries": {"a": 1.0, "b": 2.0}}))
+        (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+            {"queries": {"a": 0.5, "b": {"err": "crash"}, "c": 3.0}}))
+        base = bench.load_baseline(str(tmp_path))
+        # a refreshed by r2; b keeps its r1 float through the r2 error
+        assert base == {"a": 0.5, "b": 2.0, "c": 3.0}
+
+    def test_repo_baseline_covers_headline(self):
+        # the real BENCH_r*.json history must yield baselines for the
+        # carried headline queries (new round-5 rows have none yet)
+        import os
+
+        base = bench.load_baseline(
+            os.path.dirname(os.path.abspath(bench.__file__)))
+        covered = [q for q in bench.HEADLINE if q in base]
+        assert len(covered) >= 25
