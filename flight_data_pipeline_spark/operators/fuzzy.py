@@ -13,78 +13,140 @@ threshold so the JVM-side dynamic program can early-exit.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def fuzzy_string_pairs_blocked(
     df: DataFrame,
     name_col: str,
     max_distance: int = 2,
-    split_pattern: str = " ",
+    q: int = 4,
 ) -> DataFrame:
     """Distinct-value pairs of ``name_col`` within Levenshtein
-    ``max_distance``, via shared-token blocking + exact verification.
+    ``max_distance``, via PROVABLY COMPLETE candidate blocking + exact
+    verification (the earlier shared-token blocking could miss a pair
+    whose edits touched every token — ADVICE r4).
 
     Returns (name_a, name_b, edit_distance, n_a, n_b) with
     name_a < name_b; n_* are the input multiplicities, so downstream
     can expand back to row-level matches without re-verifying.
 
-    Stages (each one shuffle, no cartesian product anywhere):
+    Stages (no cartesian product anywhere):
 
     1. DISTINCT-FIRST: collapse rows to (name, count). At scale this
        is the load-bearing step — a 10^10-row table with 10^6 distinct
        names turns into a 10^6-row matching problem before any pair
        work happens.
-    2. BLOCK: explode names into (token, name) postings; candidate
-       pairs are posting self-joins on the token (name_a < name_b
-       halves the space), made distinct. Only names sharing ≥1 exact
-       token ever meet — the inverted-index bound, identical in shape
-       to the AllPairs prefix path in dedup.py.
-    3. LENGTH FILTER: |len(a) − len(b)| ≤ d is necessary for
+    2. BLOCK, long strings — Ed-Join prefix filtering (Xiao et al.,
+       VLDB'08): each name with ≥ q·d+1 positional q-grams keeps only
+       its q·d+1 RAREST grams (global ascending document frequency —
+       one edit destroys at most q grams, so d edits cannot destroy
+       an entire (q·d+1)-prefix under any fixed global order);
+       candidates are the posting self-join on the prefix grams with
+       the positional constraint |pos_a − pos_b| ≤ d (a surviving
+       gram cannot shift further than the edit count).
+    3. BLOCK, short strings — symmetric-delete neighborhoods
+       (SymSpell): every name shorter than q·d+q+d explodes into all
+       variants reachable by ≤ d single-character deletions
+       (C(len, ≤d) variants — bounded because the strings are short);
+       two strings within edit distance d always share a ≤d-deletion
+       variant. Any pair the gram prefix can't guarantee has BOTH
+       sides under this cap (the guarantee only fails when
+       min-length < q·d+q, and the partner is within d of that), so
+       the union of the two candidate sets is complete at ANY d —
+       pinned against brute force in tests/test_operators.py,
+       including the all-tokens-edited case that escaped the old
+       token blocking.
+    4. LENGTH FILTER: |len(a) − len(b)| ≤ d is necessary for
        edit distance ≤ d; applied before the verifier.
-    4. VERIFY: ``levenshtein(a, b, threshold=d)`` — Spark's
+    5. VERIFY: ``levenshtein(a, b, threshold=d)`` — Spark's
        thresholded form returns −1 past d, so the DP row can abandon
        early; exact distances for everything kept.
 
-    Completeness: a pair at distance ≤ d shares an unedited token
-    whenever its edits touch ≤ (token_count − 1) of its tokens; only
-    pairs whose edits spread across *every* token can escape the
-    block. tests/test_operators.py pins blocked == brute-force on the
-    part-name fixture (where no such pair exists — the only 1-edit
-    adjective pair is cold/old and no noun pair is within 1).
-    For guaranteed-exact candidates at any d, swap the token key for
-    positional q-grams (count bound |s| − q + 1 − q·d); the fixture
-    vocabulary doesn't need it and the verify stage is shared either
-    way.
+    Cost note (measured, part names sf0.1): ~0.5 s vs 0.37 s for the
+    old incomplete token blocking — the rarest-first rank window is
+    the added shuffle. A positional first-(q·d+1+d) prefix (no df, no
+    window) measured ~0.42 s and is equally complete, but buckets on
+    LEADING grams, which skew badly on real name corpora
+    ("INTERNATIONAL …"); rarity ordering adapts per name, so it is
+    the default. q trades gram rarity against the short-string cap
+    (q·d+q+d): larger q rarefies long-string buckets but routes more
+    of the vocabulary through the delete-neighborhood path.
     """
-    names = df.groupBy(name_col).agg(F.count("*").alias("__n"))
-    toks = names.select(
-        F.col(name_col).alias("__name"),
-        F.col("__n"),
-        F.explode(F.split(F.col(name_col), split_pattern)).alias("__tok"),
+    d = max_distance
+    min_long = q * d + q          # length giving ≥ q·d+1 grams
+    short_cap = q * d + q + d     # partners of non-guaranteed pairs
+
+    names = df.groupBy(name_col).agg(F.count("*").alias("__n")).select(
+        F.col(name_col).alias("__name"), "__n")
+
+    # -- long path: Ed-Join rarest-first positional gram prefixes --
+    grams = (
+        names.where(F.length("__name") >= min_long)
+        .select(
+            "__name", "__n",
+            F.explode(F.sequence(
+                F.lit(1), F.length("__name") - (q - 1))).alias("__p"))
+        .withColumn("__g", F.expr(f"substr(__name, __p, {q})"))
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__tok") == F.col("b.__tok"))
+    gram_df = grams.groupBy("__g").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("__name").orderBy("__df", "__g", "__p")
+    prefix = (
+        grams.join(gram_df, "__g")
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= q * d + 1)
+        .select("__name", "__n", "__g", "__p")
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand_long = (
+        pa.join(
+            pb,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.abs(F.col("a.__p") - F.col("b.__p")) <= d)
             & (F.col("a.__name") < F.col("b.__name")),
         )
         .select(
-            F.col("a.__name").alias("name_a"),
-            F.col("a.__n").alias("n_a"),
-            F.col("b.__name").alias("name_b"),
-            F.col("b.__n").alias("n_b"),
+            F.col("a.__name").alias("name_a"), F.col("a.__n").alias("n_a"),
+            F.col("b.__name").alias("name_b"), F.col("b.__n").alias("n_b"),
         )
-        .distinct()
     )
+
+    # -- short path: symmetric-delete neighborhoods --
+    variants = names.where(F.length("__name") < short_cap).select(
+        "__name", "__n", F.col("__name").alias("__v"))
+    one_deletion = F.expr(
+        "transform(sequence(1, greatest(length(__v), 1)),"
+        " i -> concat(substr(__v, 1, i - 1),"
+        "             substr(__v, i + 1, length(__v))))")
+    for _ in range(d):
+        variants = (
+            variants.select(
+                "__name", "__n",
+                F.explode(F.array_union(F.array("__v"), one_deletion))
+                .alias("__v"))
+            .distinct()
+        )
+    va, vb = variants.alias("a"), variants.alias("b")
+    cand_short = (
+        va.join(
+            vb,
+            (F.col("a.__v") == F.col("b.__v"))
+            & (F.col("a.__name") < F.col("b.__name")),
+        )
+        .select(
+            F.col("a.__name").alias("name_a"), F.col("a.__n").alias("n_a"),
+            F.col("b.__name").alias("name_b"), F.col("b.__n").alias("n_b"),
+        )
+    )
+
+    cand = cand_long.unionByName(cand_short).distinct()
     verified = (
         cand.where(
-            F.abs(F.length("name_a") - F.length("name_b")) <= max_distance
+            F.abs(F.length("name_a") - F.length("name_b")) <= d
         )
         .withColumn(
             "edit_distance",
-            F.levenshtein("name_a", "name_b", max_distance),
+            F.levenshtein("name_a", "name_b", d),
         )
         .where(F.col("edit_distance") >= 0)
     )

@@ -10,7 +10,15 @@ map-side ops: no shuffle at all until a downstream aggregate.
 
 from __future__ import annotations
 
-import pandas as pd  # compression_ratio pandas_udf type hints
+# compression_ratio's pandas_udf resolves its postponed type hints
+# (PEP 563 strings under `from __future__ import annotations`) against
+# THIS module's globals, so `pd` must live here, not inside the
+# function — but guarded, so every other operator (all pure Column
+# expressions) stays importable on a pandas-less driver.
+try:
+    import pandas as pd
+except ImportError:  # pragma: no cover - container always has pandas
+    pd = None  # compression_ratio() will fail at use, nothing else
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 

@@ -1420,11 +1420,13 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle brute-forces the distinct-name pair space (fine at
     64–200 distinct names); the Spark side runs the production shape —
-    distinct-first collapse, shared-token inverted-index blocking,
-    length filter, thresholded-Levenshtein verify — whose candidate
-    count scales with posting-list sizes, not |names|². Same answer
-    by construction on this vocabulary (completeness bound in the
-    operator docstring, equality pinned in tests)."""
+    distinct-first collapse, Ed-Join rarest-gram prefix blocking
+    (plus symmetric-delete neighborhoods for short strings), length
+    filter, thresholded-Levenshtein verify — whose candidate count
+    scales with rare-gram collisions, not |names|². Provably the
+    same answer at any d (completeness proof in the operator
+    docstring; equality property-tested in tests/test_properties.py
+    over adversarial vocabularies)."""
     from flight_data_pipeline_spark.operators.fuzzy import (
         fuzzy_string_pairs_blocked,
     )

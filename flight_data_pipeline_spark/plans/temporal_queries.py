@@ -593,10 +593,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
            CAST(COUNT(*) AS BIGINT)          AS n_events,
-           ROUND(arg_min(value, ts), 4)      AS open_value,
+           ROUND(arg_min(value, STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f')
+                                || lpad(CAST(event_id AS VARCHAR), 12, '0')),
+                 4)                          AS open_value,
            ROUND(MAX(value), 4)              AS high_value,
            ROUND(MIN(value), 4)              AS low_value,
-           ROUND(arg_max(value, ts), 4)      AS close_value
+           ROUND(arg_max(value, STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f')
+                                || lpad(CAST(event_id AS VARCHAR), 12, '0')),
+                 4)                          AS close_value
     FROM events
     GROUP BY 1 ORDER BY hour
     """,
@@ -610,25 +614,37 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §2.10 event-time windows) from dedup keys to bar
     aggregation.
 
-    ONE hash aggregate — min_by/max_by are decomposable (carry the
+    ONE aggregate — min_by/max_by are decomposable (carry the
     (key, value) champion through partials), so the bars build
-    map-side and the shuffle moves ≤ |hours| rows: strictly better
-    at any scale than the window-function formulation
+    map-side and the shuffle moves ≤ |hours| rows. The composite
+    champion key is variable-width, which demotes Spark's hash
+    aggregate to a SortAggregate pair (hash-agg buffers must be
+    fixed-width) — a per-partition sort on the coarse hour key,
+    accepted as the price of tie-determinism; the shuffle volume is
+    unchanged. Still strictly better at any scale than the
+    window-function formulation
     (first_value/last_value over hour partitions), which shuffles
-    every event row. Event timestamps are unique in the fixtures
-    (driver-generated), so the by-key champions are deterministic;
-    with tied keys, add a unique id to the ordering key."""
+    every event row. Champions are keyed on a FIXED-WIDTH composite
+    string (microsecond timestamp ‖ zero-padded event_id), whose
+    lexicographic order is chronological-then-id on both engines —
+    DuckDB's arg_min/arg_max won't take a struct key — so two events
+    sharing a timestamp still pick the same open/close regardless of
+    fixture data or partial-agg merge order (a bare ts key is
+    nondeterministic under ties)."""
     ev = load_table(spark, "events", sf_dir)
+    champ_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
     return (
         ev.groupBy(F.date_format(
             F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"
         ).alias("hour"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.min_by("value", "ts"), 4).alias("open_value"),
+            F.round(F.min_by("value", champ_key), 4).alias("open_value"),
             F.round(F.max("value"), 4).alias("high_value"),
             F.round(F.min("value"), 4).alias("low_value"),
-            F.round(F.max_by("value", "ts"), 4).alias("close_value"),
+            F.round(F.max_by("value", champ_key), 4).alias("close_value"),
         )
         .orderBy("hour")
     )

@@ -339,13 +339,59 @@ class TestFuzzyPairs:
         # d=1 keeps cold/old bolt (distance 1) with multiplicities 2/1
         assert rows == {("cold bolt", "old bolt"): (1, 2, 1)}
 
-    def test_documented_escape_case(self, spark):
-        """A pair whose edits touch EVERY token escapes the block —
-        the operator documents this bound; pin it so the docstring
-        stays honest if the blocking scheme changes."""
+    def test_former_escape_case_now_found(self, spark):
+        """The old shared-token blocking missed a pair whose edits
+        touch every token ('ab cd' vs 'ax cx'); the r5 blocking
+        (symmetric-delete neighborhood — both strings are short) must
+        recover it, matching brute force exactly (ADVICE r4)."""
         from flight_data_pipeline_spark.operators.fuzzy import (
             fuzzy_string_pairs_blocked,
         )
         df = spark.createDataFrame([("ab cd",), ("ax cx",)], "name string")
-        assert fuzzy_string_pairs_blocked(df, "name", 2).count() == 0
-        assert self._brute(spark, df, 2) == [("ab cd", "ax cx", 2, 1, 1)]
+        got = sorted(
+            (r.name_a, r.name_b, r.edit_distance, r.n_a, r.n_b)
+            for r in fuzzy_string_pairs_blocked(df, "name", 2).collect())
+        assert got == self._brute(spark, df, 2)
+        assert got == [("ab cd", "ax cx", 2, 1, 1)]
+
+
+class TestOhlcTieDeterminism:
+    def test_tied_timestamps_break_on_event_id(self, spark):
+        """Two events sharing a timestamp must pick open/close by
+        event_id (composite champion key), not by partial-agg merge
+        luck — the ADVICE r4 nondeterminism fix. Pinned off-fixture
+        so the property holds regardless of fixture uniqueness."""
+        import os
+        import tempfile
+
+        from flight_data_pipeline_spark.plans.registry import (
+            QUERIES,
+            load_all,
+        )
+
+        load_all()
+
+        rows = [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (3, "2024-01-01 10:00:00", 7.0),   # ties with event 1
+            (2, "2024-01-01 10:30:00", 6.0),
+            (4, "2024-01-01 10:59:00", 9.0),
+            (5, "2024-01-01 10:59:00", 1.0),   # ties with event 4
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, value double"
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts",
+            "CAST(event_id AS LONG) AS user_id", "'tie' AS event_type",
+            "value", "'{}' AS props",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+            out = {r.hour: r for r in
+                   QUERIES["hourly_value_ohlc"](spark, d).collect()}
+        bar = out["2024-01-01 10:00"]
+        # open: min (ts, event_id) = event 1; close: max = event 5
+        assert bar.open_value == 5.0
+        assert bar.close_value == 1.0
+        assert bar.high_value == 9.0 and bar.low_value == 1.0
+        assert bar.n_events == 5

@@ -265,12 +265,18 @@ def test_ranking_probe_windows_share_one_exchange(spark):
 
 
 def test_ohlc_is_single_aggregate_no_window(spark):
-    # min_by/max_by champions build in ONE partial+final aggregate;
-    # the window formulation (shuffling every event row into hour
-    # partitions) must not appear
+    # min_by/max_by champions build in ONE partial+final aggregate
+    # pair; the window formulation (shuffling every event row into
+    # hour partitions) must not appear. The composite (ts ‖ event_id)
+    # champion key makes the pair a SortAggregate (Spark hash agg
+    # needs fixed-width buffers) — accepted: the shuffle still moves
+    # ≤ |hours| partial rows; what is pinned is partial+final and a
+    # single hash-partitioning exchange.
     plan = plan_of(spark, "hourly_value_ohlc")
     assert "Window" not in plan
-    assert plan.count("HashAggregate") >= 2
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "partial_min_by" in plan  # map-side combine intact
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_column_profile_is_single_scan_expand(spark):
