@@ -397,3 +397,36 @@ class TestQueryCli:
 
         assert main(["query", "scalar_counts", "--sf-dir", SF_DIR]) == 0
         assert "n_events" in capsys.readouterr().out
+
+
+class TestSingleProbeAction:
+    def test_run_pipeline_uses_one_driver_probe(self, spark, paths,
+                                                monkeypatch):
+        """VERDICT r4 item 8: missing-payload detection and the
+        partial-validation probe fold into ONE driver round-trip per
+        run (a single .first() aggregate; zero isEmpty jobs) — the
+        write is the only other action."""
+        # patch the CONCRETE class (Spark 4's classic DataFrame
+        # subclass defines these itself, shadowing the abstract base)
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # older layout
+            from pyspark.sql import DataFrame
+
+        calls = {"first": 0, "isEmpty": 0, "collect": 0, "count": 0}
+        for name in calls:
+            orig = getattr(DataFrame, name)
+
+            def wrapped(self, *a, _n=name, _o=orig, **kw):
+                calls[_n] += 1
+                return _o(self, *a, **kw)
+
+            monkeypatch.setattr(DataFrame, name, wrapped)
+
+        res = run(spark, paths)
+        assert res.status == "success"
+        assert calls["isEmpty"] == 0
+        assert calls["first"] == 1
+        # (collect/count are not asserted: first() routes through
+        # collect() internally, and sinks.py legitimately counts
+        # appended rows — the reference's rows_inserted contract)
