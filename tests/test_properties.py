@@ -385,3 +385,127 @@ def test_fuzzy_blocked_sound_and_complete(spark, names, d):
                     a, b, dist)
             else:
                 assert (a, b) not in got, (a, b, dist)
+
+
+# --- LTZ/NTZ + sub-second edge properties (VERDICT r4 item 7) -----------------
+#
+# The round-3 NTZ fixture drift showed timestamp dtype is the riskiest
+# surface. These strategies generate microsecond-adversarial data (0,
+# 1, 500000, 999999 µs — values that straddle whole-second truncation)
+# at exact gap/bin boundaries, and run each operator under BOTH
+# timestamp dtypes plus a mixed-side combination.
+
+TS_DTYPES = ("timestamp", "timestamp_ntz")
+
+us_rows = st.lists(
+    st.tuples(st.integers(0, 2),                       # key/user
+              st.integers(0, 7200),                    # seconds offset
+              st.sampled_from([0, 1, 500000, 999999])),  # microseconds
+    min_size=1, max_size=20,
+)
+
+
+def _with_ids_us(data, base=0):
+    return [(i + base, k, T0 + dt.timedelta(seconds=s, microseconds=us))
+            for i, (k, s, us) in enumerate(data)]
+
+
+def _floor_sec(ts):
+    # exact whole-second truncation of the offset from the epoch-
+    # aligned T0 — mirrors to_epoch_seconds (cast to long truncates)
+    return (ts - T0) // dt.timedelta(seconds=1)
+
+
+@SETTINGS
+@given(data=us_rows, gap=st.sampled_from([1, 2]),
+       dtype=st.sampled_from(TS_DTYPES))
+def test_sessionize_subsecond_both_dtypes(spark, data, gap, dtype):
+    """Sessionize under LTZ and NTZ with sub-second timestamps: the
+    gap compares WHOLE-SECOND epochs (to_epoch_seconds truncates), and
+    a gap of exactly gap*60 s continues the session (strict >). The
+    oracle mirrors that contract exactly."""
+    rws = _with_ids_us(data)
+    df = spark.createDataFrame(rws, f"id long, user long, ts {dtype}")
+    got = {
+        r.id: r.session_id
+        for r in sessionize(df, "user", "ts", gap_minutes=gap).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for i, u, ts in sorted(rws, key=lambda r: (r[1], r[2], r[0])):
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        sess, prev = 0, None
+        for ts, i in evs:
+            if prev is None or _floor_sec(ts) - _floor_sec(prev) > gap * 60:
+                sess += 1
+            prev = ts
+            assert got[i] == sess, (dtype, i, got[i], sess)
+
+
+@SETTINGS
+@given(left=us_rows, right=us_rows,
+       ldtype=st.sampled_from(TS_DTYPES), rdtype=st.sampled_from(TS_DTYPES))
+def test_asof_join_subsecond_mixed_dtypes(spark, left, right,
+                                          ldtype, rdtype):
+    """As-of join with µs-precision timestamps under every LTZ/NTZ
+    side combination (the pinned-UTC session makes NTZ a value-
+    preserving reinterpretation): the match is the latest right row
+    with rts ≤ lts at FULL precision — sub-second truncation must not
+    leak into the comparison."""
+    lrows = _with_ids_us(left)
+    rrows = [(i, k, ts) for i, k, ts in _with_ids_us(right, base=1000)]
+    ldf = spark.createDataFrame(lrows, f"lid long, k long, ts {ldtype}")
+    rdf = spark.createDataFrame(rrows, f"rid long, k long, ts {rdtype}")
+
+    got = {
+        r.lid: r.rid_asof
+        for r in asof_join(ldf, rdf, on="ts", by="k",
+                           right_cols=["rid"]).collect()
+    }
+    for lid, k, lts in lrows:
+        cands = [(ts, rid) for rid, rk, ts in rrows if rk == k and ts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (ldtype, rdtype, lid, got[lid], want)
+
+
+@SETTINGS
+@given(left=us_rows, right=us_rows,
+       bounds=st.tuples(st.integers(-120, 120), st.integers(-120, 120))
+       .filter(lambda b: b[0] < b[1]),
+       bin_sec=st.sampled_from([1, 60, 3600]),
+       ldtype=st.sampled_from(TS_DTYPES), rdtype=st.sampled_from(TS_DTYPES))
+def test_range_join_binned_subsecond_mixed_dtypes(spark, left, right,
+                                                  bounds, bin_sec,
+                                                  ldtype, rdtype):
+    """Binned range join with µs timestamps under every dtype
+    combination: bins only ASSIGN (whole-second truncation there is
+    coverage-safe by the widened upper bin); the kept pair set is the
+    µs-exact half-open window — fractional right rows at the upper
+    boundary are the regression this hunts (ADVICE r2 class)."""
+    from flight_data_pipeline_spark.operators.relational import (
+        range_join_binned,
+    )
+
+    lower, upper = bounds
+    lrows = _with_ids_us(left)
+    rrows = [(i, k, ts) for i, k, ts in _with_ids_us(right, base=1000)]
+    ldf = spark.createDataFrame(lrows, f"lid long, k long, ts {ldtype}")
+    rdf = spark.createDataFrame(rrows, f"rid long, k long, rts {rdtype}")
+
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_binned(ldf, rdf, ["k"], "ts", "rts",
+                                   lower, upper, bin_sec).collect()
+    }
+    us = dt.timedelta(microseconds=1)
+    want = {
+        (lid, rid)
+        for lid, lk, lts in lrows
+        for rid, rk, rts in rrows
+        if lk == rk
+        and dt.timedelta(seconds=lower) // us
+        <= (rts - lts) // us
+        < dt.timedelta(seconds=upper) // us
+    }
+    assert got == want, (ldtype, rdtype, lower, upper, bin_sec)
