@@ -112,18 +112,23 @@ def find_regressions(
     baseline: dict[str, float],
     threshold: float = 1.25,
     min_sec: float = 0.25,
+    min_delta_sec: float = 0.2,
 ) -> list[dict[str, object]]:
     """Per-query perf tripwire (VERDICT r4 item 5): flag every timed
-    query slower than ``threshold``× its last recorded baseline.
-    Sub-``min_sec`` queries are exempt — at that scale the ratio
-    measures scheduler noise, not plans. Pure function so the
-    tripwire itself is unit-testable (tests/test_bench.py)."""
+    query slower than ``threshold``× its last recorded baseline AND
+    more than ``min_delta_sec`` absolute. Sub-``min_sec`` queries are
+    exempt entirely. Both floors exist because measured round-5
+    back-to-back runs showed untouched 0.3 s queries drifting ±0.12 s
+    with session position — ratio alone flags scheduler jitter, not
+    plans. Pure function so the tripwire itself is unit-testable
+    (tests/test_bench.py)."""
     flags = []
     for name, sec in timings.items():
         base = baseline.get(name)
         if not isinstance(sec, (int, float)) or not base:
             continue
-        if sec >= min_sec and sec > threshold * base:
+        if (sec >= min_sec and sec > threshold * base
+                and sec - base > min_delta_sec):
             flags.append({
                 "query": name,
                 "sec": round(float(sec), 3),

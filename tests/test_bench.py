@@ -32,6 +32,14 @@ class TestFindRegressions:
         # 0.10 s -> 0.20 s is 2x but below min_sec: scheduler noise
         assert bench.find_regressions({"q_fast": 0.20}, self.BASE) == []
 
+    def test_small_absolute_drift_exempt(self):
+        # 1.4x on a 0.3 s query is a 0.12 s delta — measured session-
+        # position jitter on untouched queries (r5); not flagged
+        assert bench.find_regressions({"q_mid": 0.42},
+                                      {"q_mid": 0.30}) == []
+        # ...but the same ratio with a real absolute cost is flagged
+        assert bench.find_regressions({"q_heavy": 5.60}, self.BASE) != []
+
     def test_error_and_unknown_entries_skipped(self):
         timings = {"q_mid": {"err": "boom"}, "q_new": 9.9}
         assert bench.find_regressions(timings, self.BASE) == []
