@@ -77,6 +77,11 @@ HEADLINE = [
     # cost (map write + read + aggregate) must stay comparable to the
     # recompute twin it replaces at scale
     "leakage_safe_split_materialized",
+    # round-5 additions: one tracked query per new plan family — the
+    # count-broadcast-join LM scorer and the full-permutation epoch
+    # ordering (classifier/cluster-histogram ride existing families)
+    "bigram_logprob_quality",
+    "deterministic_epoch_shuffle",
 ]
 
 

@@ -996,3 +996,49 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "cluster_size_histogram",
+    oracle=_CLUSTER_CTE + """
+    , sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+        FROM cl GROUP BY cluster_id
+        UNION ALL
+        SELECT d.doc_id, CAST(1 AS BIGINT)
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.v
+        WHERE cl.v IS NULL
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT)  AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY size ORDER BY size
+    """,
+)
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution — the dedup diagnostic every
+    curation run reads first: how much of the corpus sits in
+    singletons vs template blobs (a fat tail means one boilerplate
+    family dominates and survivor selection policy actually matters).
+
+    Plan: the doc→cluster map, one count per cluster (shuffle keyed
+    on cluster ids — as distributed as the corpus), singletons union
+    in as size-1 rows map-side, then a histogram-sized aggregate on
+    ``size``. Nothing beyond the map's own cost at any scale."""
+    assign = _doc_cluster_map(spark, sf_dir)
+    clustered = (
+        assign.where(F.col("cluster").isNotNull())
+        .groupBy("cluster").agg(F.count("*").alias("size"))
+        .select("size")
+    )
+    singles = (
+        assign.where(F.col("cluster").isNull())
+        .select(F.lit(1).cast("long").alias("size"))
+    )
+    return (
+        clustered.unionByName(singles)
+        .groupBy("size")
+        .agg(F.count("*").alias("n_clusters"),
+             F.sum("size").alias("n_docs"))
+        .orderBy("size")
+    )

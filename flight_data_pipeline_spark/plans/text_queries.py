@@ -1582,3 +1582,229 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "approx_users_7d", "exact_users_7d")
         .orderBy("day")
     )
+
+
+# fasttext-style hashed-linear quality classifier: every token's weight
+# is a deterministic pseudo-weight derived from its md5 (the hashing
+# trick with a shared, engine-neutral hash — no trained weights file to
+# ship, but the exact inference plan a real classifier uses). Integer
+# weight space [-1000, 1000] so per-doc sums are EXACT BIGINTs — the
+# positive/negative decision can never flip on float association.
+CLF_SCALE = 1000
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(SUM(('0x' || substr(md5(tok), 1, 4))::INT % 2001
+                        - {CLF_SCALE}) AS BIGINT) AS w_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_feat
+        FROM toks GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive,
+           ROUND(AVG(1.0 / (1.0 + exp(-(w_sum * 1.0
+                 / ({CLF_SCALE} * n_feat))))), 4) AS avg_score,
+           CAST(SUM(CASE WHEN w_sum * 2 > {CLF_SCALE} * n_feat
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_confident
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering — the inference side of the
+    fasttext/CCNet-style quality gate every pretraining corpus runs:
+    a linear model over hashed unigram features, scored per document,
+    aggregated per source (extension scope; the reference's only
+    scoring is range validation, etl_job.py:204-211).
+
+    The weight table is the HASHING TRICK made engine-neutral: weight
+    of a token is md5-derived in integer space [-1000, 1000], so no
+    trained artifact is shipped but the plan is exactly a real
+    classifier's: explode distinct features, join/derive weights
+    map-side, one hash aggregate per doc, sigmoid on the mean weight.
+    Decisions (n_positive, n_confident: mean weight > 0.5) compare
+    EXACT integer sums — float association can never flip them; only
+    the reported avg sigmoid is floating (rounded on both sides).
+
+    Plan: tokenize + weight derivation are map-side (md5 + conv are
+    codegen'd); one shuffle keyed on doc_id, one on source. At 100 TB
+    a real weight table joins in as a broadcast dim against feature
+    hashes — same shape, same two shuffles."""
+    from flight_data_pipeline_spark.operators.text import distinct_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(distinct_tokens(F.col("text"))).alias("tok"))
+    w = (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+         % 2001 - CLF_SCALE)
+    scored = toks.groupBy("doc_id", "source").agg(
+        F.sum(w).alias("w_sum"), F.count("*").alias("n_feat"))
+    sigmoid = 1.0 / (1.0 + F.exp(-(F.col("w_sum")
+                                   / (F.lit(CLF_SCALE) * F.col("n_feat")))))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("w_sum") > 0, 1).otherwise(0))
+            .alias("n_positive"),
+            F.round(F.avg(sigmoid), 4).alias("avg_score"),
+            F.sum(F.when(F.col("w_sum") * 2 > CLF_SCALE * F.col("n_feat"),
+                         1).otherwise(0)).alias("n_confident"),
+        )
+        .orderBy("source")
+    )
+
+
+N_EPOCHS = 3  # pinned epoch count for the deterministic-shuffle probe
+
+
+@query(
+    "deterministic_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (
+        SELECT epoch, doc_id,
+               md5(epoch || ':' || doc_id) AS h
+        FROM documents, UNNEST(generate_series(0, {N_EPOCHS - 1})) AS u(epoch)
+    ),
+    r AS (
+        SELECT epoch, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+                   AS rnk
+        FROM e
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(CASE WHEN rnk <= 10 THEN doc_id END, ','
+                      ORDER BY rnk) AS head10,
+           CAST(SUM(rnk * doc_id) % 1000000007 AS BIGINT) AS order_checksum
+    FROM r GROUP BY epoch ORDER BY epoch
+    """,
+)
+def deterministic_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training-order shuffle: each epoch
+    orders the corpus by md5(epoch:doc_id) — a different, fully
+    reproducible permutation per epoch with NO engine RNG (seeded
+    rand() differs across engines and across partitionings; a keyed
+    hash does not). This is how a pipeline materializes training
+    order at scale: rank is a write-time sort key, resumable from any
+    checkpoint because position is a pure function of (epoch, id).
+
+    Checked evidence per epoch: the first 10 doc_ids in order (the
+    head a trainer would actually read first) and a checksum over the
+    ENTIRE permutation (sum of rank·doc_id mod 1e9+7), so both engines
+    must agree on every position, not just the head.
+
+    Plan: the epoch fan-out is an explode of a {N_EPOCHS}-element
+    array (map-side); each epoch's ranking is one window sort
+    partitioned BY EPOCH — at 100 TB this is the range-partitioned
+    write sort you'd run anyway to lay out epoch files; the checksum
+    aggregate reuses the window's partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    e = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch"),
+    ).withColumn(
+        "h", F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))))
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    r = e.withColumn("rnk", F.row_number().over(w))
+    return (
+        r.groupBy("epoch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("rnk") <= 10,
+                               F.struct("rnk", "doc_id")))),
+                    lambda x: x.doc_id.cast("string")),
+                ",").alias("head10"),
+            (F.sum(F.col("rnk") * F.col("doc_id"))
+             % 1000000007).cast("long").alias("order_checksum"),
+        )
+        .select(F.col("epoch").cast("int").alias("epoch"),
+                "n_docs", "head10", "order_checksum")
+        .orderBy("epoch")
+    )
+
+
+@query(
+    "bigram_logprob_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               t[i] AS w1, t[i] || ' ' || t[i + 1] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    cg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM grams GROUP BY g),
+    cw AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM grams GROUP BY w1),
+    scored AS (
+        SELECT gr.doc_id, gr.source,
+               AVG(ln(cg.c2 * 1.0 / cw.c1)) AS lp,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams
+        FROM grams gr JOIN cg ON gr.g = cg.g JOIN cw ON gr.w1 = cw.w1
+        GROUP BY gr.doc_id, gr.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           ROUND(AVG(lp), 2)         AS avg_logprob,
+           ROUND(MIN(lp), 2)         AS worst_logprob,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity scoring — the LM-quality
+    filter tier above ``unigram_logprob_quality``: train corpus-level
+    bigram statistics (one aggregate), score every document by its
+    mean conditional log-probability ln P(w2|w1) = ln c(w1w2)/c(w1·),
+    and profile per source. Out-of-context documents (token soup that
+    unigram frequency can't see) score low because their TRANSITIONS
+    are rare even when their words are common — exactly what
+    KenLM-style wikipedia-perplexity filtering (CCNet) measures.
+
+    Plan: one ``ngram_explode`` pass (map-side codegen) feeds both
+    count aggregates AND the scoring join — the bigram/prefix count
+    relations are vocabulary-sized, so Catalyst broadcasts them back
+    onto the occurrence stream; one shuffle keys the per-doc average,
+    one the per-source profile. At 100 TB the counts stay
+    broadcast-able as long as the bigram vocabulary is (cap with a
+    DF floor — rare-bigram smoothing — before broadcast if not).
+    Float note: log sums re-associate across partials, so the checked
+    averages round to 2 decimals (established double-sum convention)."""
+    from flight_data_pipeline_spark.operators.text import ngram_explode
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = ngram_explode(docs, "text", 2, "doc_id", "source").withColumn(
+        "w1", F.split(F.col("g"), " ")[0])
+    cg = grams.groupBy("g").agg(F.count("*").alias("c2"))
+    cw = grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        grams.join(cg, "g").join(cw, "w1")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(F.col("c2") / F.col("c1"))).alias("lp"),
+             F.count("*").alias("n_bigrams"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("lp"), 2).alias("avg_logprob"),
+            F.round(F.min("lp"), 2).alias("worst_logprob"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+        )
+        .orderBy("source")
+    )

