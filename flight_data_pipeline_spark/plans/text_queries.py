@@ -1808,3 +1808,25 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("bpe_merge_table")  # iterative argmax loop has no SQL twin ⇒ rows-only
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction over the corpus
+    (operators/bpe.bpe_learn): the tokenizer-training step of an LLM
+    data platform, as pure DataFrame merge rounds — pair counts over
+    the word-frequency collapse, top-1 merge chosen by a broadcast
+    one-row join (never collected), greedy array-fold apply,
+    checkpointed lineage per round (the connected_components
+    discipline). Returns the learned merge sequence
+    (rank, left, right, merged, pair_count).
+
+    Rows-only: a num_merges-round argmax loop is beyond a recursive
+    CTE oracle, so the driver records rows/schema; exact equivalence
+    to the serial Sennrich algorithm is property-pinned against a
+    pure-Python oracle on randomized corpora
+    (tests/test_properties.py::test_bpe_learn_matches_serial)."""
+    from flight_data_pipeline_spark.operators.bpe import bpe_learn
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_learn(docs, "text", num_merges=12)

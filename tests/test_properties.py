@@ -554,3 +554,59 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {v: min(members) for members in comp.values() for v in members}
 
     assert got == want
+
+
+# --- distributed BPE vs the serial algorithm ----------------------------------
+
+bpe_corpora = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=5),
+    min_size=1, max_size=15,
+)
+
+
+def _serial_bpe(word_list, num_merges, min_count=2):
+    """Sennrich et al.'s algorithm, verbatim: count adjacent pairs
+    over word frequencies, merge the most frequent (count desc, pair
+    lexicographic tie-break) greedily left-to-right, stop when no
+    pair reaches min_count."""
+    from collections import Counter
+
+    freq = Counter(word_list)
+    state = {w: tuple(list(w) + ["</w>"]) for w in freq}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        counts: Counter = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq[w]
+        eligible = {p: c for p, c in counts.items() if c >= min_count}
+        if not eligible:
+            break
+        best = min(eligible, key=lambda p: (-eligible[p], p[0], p[1]))
+        merges.append((rank, best[0], best[1],
+                       best[0] + best[1], eligible[best]))
+        for w, syms in state.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == best[0] and x == best[1]:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            state[w] = tuple(out)
+    return merges
+
+
+@SETTINGS
+@given(words=bpe_corpora)
+def test_bpe_learn_matches_serial(spark, words):
+    """The distributed learner must reproduce the serial algorithm's
+    exact merge sequence — same pairs, same order, same counts — on
+    randomized corpora (repeated words, nested merges, exhaustion)."""
+    from flight_data_pipeline_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [(r.rank, r.left, r.right, r.merged, r.pair_count)
+           for r in bpe_learn(df, "text", num_merges=8)
+           .orderBy("rank").collect()]
+    want = _serial_bpe(words, num_merges=8)
+    assert got == want
