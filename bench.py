@@ -82,6 +82,9 @@ HEADLINE = [
     # ordering (classifier/cluster-histogram ride existing families)
     "bigram_logprob_quality",
     "deterministic_epoch_shuffle",
+    # round-5: the bounded-vocab near-dup tier, tracked side by side
+    # with the open-vocab posting join it dispatches against
+    "near_dup_jaccard_pairs_bitset",
 ]
 
 

