@@ -1830,3 +1830,77 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bpe_learn(docs, "text", num_merges=12)
+
+
+@query(
+    "array_functions_probe",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents
+    ),
+    d AS (
+        SELECT lang,
+               len(a) AS n_tok,
+               len(list_filter(a, x -> len(x) > 4)) AS n_long,
+               list_sum(list_transform(a, x -> len(x))) AS chars_sum,
+               CASE WHEN len(list_filter(a, x -> x = 'the')) > 0
+                    THEN 1 ELSE 0 END AS has_the,
+               array_to_string(list_slice(list_sort(list_distinct(a)), 1, 3),
+                               '|') AS first3,
+               list_contains(a, 'spark') AS has_spark
+        FROM t
+    )
+    SELECT lang,
+           CAST(SUM(n_tok) AS BIGINT)     AS total_tokens,
+           CAST(SUM(n_long) AS BIGINT)    AS total_long_tokens,
+           CAST(SUM(chars_sum) AS BIGINT) AS total_chars,
+           CAST(SUM(has_the) AS BIGINT)   AS docs_with_the,
+           CAST(SUM(CASE WHEN has_spark THEN 1 ELSE 0 END) AS BIGINT)
+                                          AS docs_with_spark,
+           MIN(first3)                    AS min_first3
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def array_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 ARRAY/HOF scalar surface exercised per-value and
+    hash-compared: transform, filter, exists-style predicates,
+    aggregate (fold), sort_array, distinct, slice, contains — the
+    lambda family Catalyst evaluates without leaving the JVM, mirrored
+    against DuckDB's list_* functions. Engine-semantics deltas the
+    oracle encodes: DuckDB list_slice is 1-based inclusive like
+    Spark's slice; exists maps to a filtered-length test.
+
+    All map-side (one shuffle for the per-lang rollup); HOFs are
+    interpreted per element, so the scale note is the same one the
+    n-gram family measured: prefer built-in array ops (split, slice,
+    arrays_zip) over lambdas in hot paths — this probe exists to pin
+    SEMANTICS, not to be a hot path."""
+    from flight_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = tokens(F.col("text"))
+    d = docs.select(
+        "lang",
+        F.size(a).alias("n_tok"),
+        F.size(F.filter(a, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(F.transform(a, F.length), F.lit(0),
+                    lambda acc, x: acc + x).alias("chars_sum"),
+        F.when(F.exists(a, lambda x: x == "the"), 1).otherwise(0)
+        .alias("has_the"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(a)), 1, 3), "|")
+        .alias("first3"),
+        F.array_contains(a, "spark").alias("has_spark"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_long").alias("total_long_tokens"),
+            F.sum("chars_sum").cast("long").alias("total_chars"),
+            F.sum("has_the").alias("docs_with_the"),
+            F.sum(F.col("has_spark").cast("int")).alias("docs_with_spark"),
+            F.min("first3").alias("min_first3"),
+        )
+        .orderBy("lang")
+    )
