@@ -2001,3 +2001,53 @@ def null_and_bool_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_aggregates_probe",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                          AS n,
+           ROUND(corr(l_extendedprice, l_quantity), 4)       AS price_qty_corr,
+           ROUND(covar_pop(l_extendedprice, l_quantity), 4)  AS covar_pop,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_samp,
+           ROUND(stddev_pop(l_quantity), 4)                  AS qty_stddev_pop,
+           ROUND(stddev_samp(l_quantity), 4)                 AS qty_stddev_samp,
+           ROUND(var_pop(l_quantity), 4)                     AS qty_var_pop,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS regr_slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+                                                             AS regr_intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4)    AS regr_r2
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_aggregates_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 STATISTICAL aggregate surface exercised per group and
+    hash-compared: correlation, population/sample covariance and
+    stddev/variance, and the linear-regression family
+    (slope/intercept/R²) — the one-pass moment aggregates an
+    analytics engine must get numerically right. All are decomposable
+    (partial moment sums merge map-side); skewness/kurtosis are
+    deliberately EXCLUDED: Spark computes population g1/g2 while
+    DuckDB computes bias-corrected sample G1/G2, a real engine delta
+    this probe documents rather than papers over. Rounded to 4 on
+    both sides (moment sums re-associate)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr(y, x), 4).alias("price_qty_corr"),
+            F.round(F.covar_pop(y, x), 4).alias("covar_pop"),
+            F.round(F.covar_samp(y, x), 4).alias("covar_samp"),
+            F.round(F.stddev_pop(x), 4).alias("qty_stddev_pop"),
+            F.round(F.stddev_samp(x), 4).alias("qty_stddev_samp"),
+            F.round(F.var_pop(x), 4).alias("qty_var_pop"),
+            F.round(F.regr_slope(y, x), 4).alias("regr_slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("regr_intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("regr_r2"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -765,3 +765,65 @@ def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("signal")
     )
+
+
+# 64-dim embeddings ⇒ the sign sketch packs into exactly ONE BIGINT.
+# DuckDB's checked arithmetic rejects 1::BIGINT << 63, so the sign
+# bit is the min-long literal; Spark's shiftleft(1L, 63) wraps to the
+# same value.
+_SIGN_MASK_DUCK = """list_sum(list_transform(range(0, 64),
+    i -> CASE WHEN embedding[i + 1] > 0
+              THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                         ELSE (1::BIGINT << i) END)
+              ELSE 0::BIGINT END))"""
+
+
+@query(
+    "hamming_sign_topk",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, CAST({_SIGN_MASK_DUCK} AS BIGINT) AS mask
+        FROM embeddings
+    )
+    SELECT m.vec_id,
+           CAST(bit_count(xor(m.mask,
+                (SELECT mask FROM m WHERE vec_id = {QUERY_VEC_ID}))) AS INT)
+               AS hamming
+    FROM m
+    ORDER BY hamming, vec_id
+    LIMIT 10
+    """,
+)
+def hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-sketch ANN — the cheapest similarity tier below
+    IVF/PQ: each 64-dim embedding collapses to a single BIGINT of
+    sign bits (sign of a dot product with coordinate axes — a 1-bit
+    LSH family for cosine), and neighbor search is XOR + popcount —
+    pure codegen'd integer ops, 8 bytes per vector, no floats at
+    query time. Top-10 by Hamming distance to the pinned query
+    vector, tie-broken on id; exact-checked against DuckDB building
+    the identical sketch.
+
+    At 100 TB this is the memory-resident prefilter tier: 10^10
+    vectors fit in 80 GB of masks; survivors re-rank with exact
+    cosine (the cosine_topk_bruteforce plan) — the classic
+    sketch-then-rerank cascade. Recall behavior is pinned in
+    tests/test_extensions.py (query vector at distance 0; sketch
+    distance correlates with cosine rank)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    mask_expr = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + "
+        "IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))")
+    m = emb.select("vec_id", mask_expr.alias("mask"))
+    q = m.where(F.col("vec_id") == 0).select(
+        F.col("mask").alias("qmask"))
+    return (
+        m.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.bit_count(F.col("mask").bitwiseXOR(F.col("qmask")))
+            .cast("int").alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )

@@ -1080,3 +1080,45 @@ class TestRound5Queries:
         assert rows and all(r.avg_logprob <= 0.0 for r in rows)
         assert all(r.worst_logprob <= r.avg_logprob for r in rows)
         assert all(r.n_bigrams > 0 for r in rows)
+
+
+class TestHammingSignSketch:
+    def test_query_vector_first_and_sketch_correlates(self, spark):
+        """The pinned query vector must sketch to Hamming distance 0
+        of itself (top-1), and the sketch must carry signal: the
+        exact-cosine top-10's average Hamming distance must beat the
+        corpus average by a wide margin (1-bit LSH collision
+        probability is 1 − θ/π, monotone in cosine)."""
+        import math
+
+        from flight_data_pipeline_spark.plans.registry import QUERIES, load_all
+        from tests.conftest import SF_DIR
+
+        load_all()
+        ham = QUERIES["hamming_sign_topk"](spark, SF_DIR).collect()
+        assert ham[0].vec_id == 0 and ham[0].hamming == 0
+        assert all(r.hamming <= 32 for r in ham)  # top-10 ≪ random (≈32)
+
+        cos_ids = {r.vec_id for r in
+                   QUERIES["cosine_topk_bruteforce"](spark, SF_DIR).collect()}
+        # rebuild the full hamming table (un-limited) for the audit
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.tables import load_table
+        emb = load_table(spark, "embeddings", SF_DIR)
+        mask = F.expr(
+            "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + "
+            "IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))")
+        m = emb.select("vec_id", mask.alias("mask"))
+        q = m.where(F.col("vec_id") == 0).select(F.col("mask").alias("qm"))
+        all_ham = {
+            r.vec_id: r.h
+            for r in m.crossJoin(F.broadcast(q)).select(
+                "vec_id",
+                F.bit_count(F.col("mask").bitwiseXOR(F.col("qm")))
+                .alias("h"))
+            .collect()
+        }
+        mean_all = sum(all_ham.values()) / len(all_ham)
+        mean_cos = sum(all_ham[i] for i in cos_ids) / len(cos_ids)
+        assert mean_cos < mean_all - 5, (mean_cos, mean_all)
