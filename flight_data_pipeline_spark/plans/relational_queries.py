@@ -2051,3 +2051,200 @@ def stats_aggregates_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- TPC-H-flavor analytics breadth (round 5) ---------------------------------
+
+MKT_PART_TYPE_PREFIX = "STANDARD"   # pinned Q8-style market definition
+MKT_NATION = "GERMANY"
+
+
+@query(
+    "market_share_by_year",
+    oracle=f"""
+    WITH sales AS (
+        SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_type LIKE '{MKT_PART_TYPE_PREFIX}%'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           ROUND(SUM(CASE WHEN supp_nation = '{MKT_NATION}'
+                          THEN volume ELSE 0 END) / SUM(volume), 4)
+               AS mkt_share,
+           ROUND(SUM(volume), 2) AS total_volume
+    FROM sales GROUP BY o_year ORDER BY o_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-flavor market share: within a pinned part-type market, the
+    fraction of yearly revenue supplied by a pinned nation's
+    suppliers. Five-way join — the two fact tables shuffle on the
+    order key; part (filtered by type BEFORE the join, so the filter
+    prunes the build side), supplier, and nation broadcast. The
+    share is a conditional-sum ratio inside one aggregate, not a
+    join of two aggregates."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_type").startswith(MKT_PART_TYPE_PREFIX))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            volume.alias("volume"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    germany = F.when(F.col("supp_nation") == MKT_NATION,
+                     F.col("volume")).otherwise(0.0)
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            F.round(F.sum(germany) / F.sum("volume"), 4).alias("mkt_share"),
+            F.round(F.sum("volume"), 2).alias("total_volume"),
+        )
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                "mkt_share", "total_volume")
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "returned_item_revenue_topk",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_returned_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-flavor returned-item report: the 20 customers with the
+    highest revenue on returned lineitems. The returnflag filter is
+    pushed into the lineitem scan (the fact table shrinks before any
+    join); top-20 plans as TakeOrderedAndProject, never a global
+    sort. Revenue rounded to 2 (re-associated money sums) and
+    tie-broken on custkey so the cut is deterministic."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "bracketed_discount_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-flavor bracketed revenue: a disjunction of three
+    brand/size/quantity brackets across the join — the classic
+    complex-OR predicate the optimizer must split into a pushable
+    part-side conjunct (brand ∈ {...}, size ≥ 1) and a residual join
+    filter, instead of evaluating the whole OR post-join. One scalar
+    result row (the driver's scalar-aggregate shape)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.where(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+IDLE_SINCE = "1999-01-01"  # pinned recency cutoff (orders span 1995-2001)
+
+
+@query(
+    "idle_rich_customers",
+    oracle=f"""
+    WITH cutoff AS (
+        SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= '{IDLE_SINCE}')
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-flavor: above-average-balance customers with NO order
+    since a pinned recency cutoff, profiled per market segment — the
+    lapsed-high-value-prospect query. Shape: a scalar subquery
+    (positive-balance average) broadcast as a one-row cross join,
+    then a LEFT ANTI join against the distinct custkeys of RECENT
+    orders (the date filter pushes into the orders scan and shrinks
+    the anti build side before the distinct), one small aggregate —
+    the existence probe as a set operation, never a per-row
+    subquery."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    cutoff = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    recent = (
+        o.where(F.col("o_orderdate") >= IDLE_SINCE)
+        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+        .orderBy("c_mktsegment")
+    )

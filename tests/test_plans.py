@@ -304,3 +304,24 @@ def test_salted_agg_has_two_aggregation_phases(spark):
     # and the second one moves only the tiny partial frame
     plan = plan_of(spark, "salted_value_stats_by_type")
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 phases
+
+
+def test_returned_items_pushes_filter_and_takeordered(spark):
+    plan = plan_of(spark, "returned_item_revenue_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan or "l_returnflag" in \
+        plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_bracketed_or_predicate_splits_pushable_part(spark):
+    # the brand/size disjunction must reach the part scan as a pushed
+    # filter (Or(...Brand...)), not evaluate only post-join
+    plan = plan_of(spark, "bracketed_discount_revenue")
+    part_scan = [s for s in plan.split("FileScan parquet")
+                 if "part.parquet" in s][0]
+    assert "p_brand" in part_scan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_market_share_broadcasts_dims(spark):
+    plan = plan_of(spark, "market_share_by_year")
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
