@@ -2248,3 +2248,67 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "zorder_key_probe",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               user_id % 256 AS qx,
+               CAST(floor(value) AS BIGINT) % 256 AS qy
+        FROM events
+    ),
+    z AS (
+        SELECT event_type,
+               list_sum(list_transform(range(0, 8),
+                   i -> (((qx >> i) & 1)::BIGINT << (i * 2))
+                        + (((qy >> i) & 1)::BIGINT << (i * 2 + 1))))
+                   AS zkey
+        FROM q
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)        AS n,
+           CAST(MIN(zkey) AS BIGINT)       AS min_z,
+           CAST(MAX(zkey) AS BIGINT)       AS max_z,
+           CAST(SUM(zkey) % 1000000007 AS BIGINT) AS z_checksum
+    FROM z GROUP BY event_type ORDER BY event_type
+    """,
+)
+def zorder_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine pin of the Z-order (Morton) bit math behind the
+    clustered-layout writer (operators/layout.zorder_key +
+    cluster_by_range — the Delta OPTIMIZE ZORDER shape): two event
+    dimensions quantized to 8-bit integer buckets, bits interleaved
+    (dimension d's bit i at position i·ndims+d), checksummed per
+    event type so every row's 16-bit key must agree with DuckDB's
+    replication of the same interleave.
+
+    Integer-valued quantized inputs (id mod / floor mod) keep the
+    normalize-round path exactly representable, so the probe pins BIT
+    PLACEMENT, not float rounding luck. The layout win itself —
+    files with disjoint z-ranges pruning 2-D box predicates — is
+    pinned by tests/test_layout.py over real written files."""
+    from flight_data_pipeline_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        (F.col("user_id") % 256).alias("qx"),
+        (F.floor("value").cast("long") % 256).alias("qy"),
+    )
+    z = q.select(
+        "event_type",
+        zorder_key([F.col("qx"), F.col("qy")], [0.0, 0.0],
+                   [255.0, 255.0], bits_per_dim=8).alias("zkey"),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zkey").alias("min_z"),
+            F.max("zkey").alias("max_z"),
+            (F.sum("zkey") % 1000000007).cast("long").alias("z_checksum"),
+        )
+        .orderBy("event_type")
+    )
