@@ -827,3 +827,77 @@ def hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "label_medoids",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    per AS (
+        SELECT label, ia, ROUND(AVG(sim), 4) AS avg_cos
+        FROM pairs GROUP BY label, ia
+    ),
+    ranked AS (
+        SELECT label, ia, avg_cos,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY avg_cos DESC, ia) AS rk
+        FROM per
+    )
+    SELECT label, CAST(ia AS BIGINT) AS medoid_id, avg_cos
+    FROM ranked WHERE rk = 1 ORDER BY label
+    """,
+)
+def label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact medoid per label: the member vector with the highest mean
+    cosine similarity to the rest of its group — the representative-
+    selection step semantic dedup and cluster summarization need (a
+    centroid is not a member; a medoid is).
+
+    THE legitimate grouped-``applyInPandas`` shape: per-group work is
+    O(k²·d) dense linear algebra on a SMALL group (one numpy matmul
+    per label), which no built-in aggregate expresses, while groups
+    themselves distribute across executors — one shuffle on the label
+    key, Arrow both ways, no driver involvement. Mean similarities
+    are ROUNDED to 4 before the argmax on BOTH engines (the
+    round-then-rank discipline of cosine_topk_bruteforce) with id
+    tie-break, so float association can't flip the winner. Singleton
+    groups have no medoid-vs-others semantics and emit nothing
+    (matching the oracle's pair join). At 100 TB: group size is
+    bounded (labels/clusters), group count is the parallelism; for
+    mega-groups switch to the centroid + cosine_topk shortlist."""
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def medoid(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["label", "medoid_id", "avg_cos"])
+        X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ X.T
+        np.fill_diagonal(S, 0.0)
+        m = np.round(S.sum(axis=1) / (len(X) - 1), 4)
+        ids = pdf["vec_id"].to_numpy()
+        cand = np.flatnonzero(m == m.max())
+        best = cand[np.argmin(ids[cand])]
+        return pd.DataFrame({
+            "label": [int(pdf["label"].iloc[0])],
+            "medoid_id": [int(ids[best])],
+            "avg_cos": [float(m[best])],
+        })
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(medoid,
+                       schema="label int, medoid_id bigint, avg_cos double")
+        .orderBy("label")
+    )

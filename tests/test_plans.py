@@ -325,3 +325,11 @@ def test_bracketed_or_predicate_splits_pushable_part(spark):
 def test_market_share_broadcasts_dims(spark):
     plan = plan_of(spark, "market_share_by_year")
     assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+
+
+def test_label_medoids_is_grouped_pandas_single_shuffle(spark):
+    # the medoid op must plan as FlatMapGroupsInPandas over ONE
+    # label-keyed exchange — Arrow-grouped python, no driver loop
+    plan = plan_of(spark, "label_medoids")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
