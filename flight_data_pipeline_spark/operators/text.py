@@ -307,3 +307,35 @@ def compression_ratio() -> Column:
 def compression_ratio_col(text: Column) -> Column:
     """Apply compression_ratio() to a text column."""
     return compression_ratio()(text)
+
+
+CLF_SCALE = 1000  # integer weight domain [-CLF_SCALE, CLF_SCALE]
+
+
+def classifier_weight_sum(text: Column) -> Column:
+    """Hashed-linear classifier features for one document as a struct
+    ``(w_sum BIGINT, n_feat BIGINT)``: each distinct token's weight is
+    md5-derived in integer space [-1000, 1000] (the hashing trick with
+    an engine-neutral hash), summed EXACTLY — so accept/confidence
+    decisions are integer comparisons that can never flip on float
+    association. Shared by the batch checked query
+    (plans/text_queries.quality_classifier_scores) and the streaming
+    gate (stateless expression — identical under readStream), so the
+    two can never diverge. Map-side only; md5/conv are codegen'd."""
+    toks = distinct_tokens(text)
+    w = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
+        .cast("long") % 2001 - CLF_SCALE,
+    )
+    return F.struct(
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("w_sum"),
+        F.size(toks).cast("long").alias("n_feat"),
+    )
+
+
+def classifier_sigmoid(w_sum: Column, n_feat: Column) -> Column:
+    """Mean-weight sigmoid score in (0, 1) from the exact integer
+    feature sums — the only floating step of the classifier."""
+    return 1.0 / (1.0 + F.exp(-(w_sum / (F.lit(CLF_SCALE) * n_feat))))

@@ -1590,7 +1590,7 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ship, but the exact inference plan a real classifier uses). Integer
 # weight space [-1000, 1000] so per-doc sums are EXACT BIGINTs — the
 # positive/negative decision can never flip on float association.
-CLF_SCALE = 1000
+from flight_data_pipeline_spark.operators.text import CLF_SCALE  # noqa: E402
 
 
 @query(
@@ -1634,22 +1634,23 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integer sums — float association can never flip them; only
     the reported avg sigmoid is floating (rounded on both sides).
 
-    Plan: tokenize + weight derivation are map-side (md5 + conv are
-    codegen'd); one shuffle keyed on doc_id, one on source. At 100 TB
-    a real weight table joins in as a broadcast dim against feature
-    hashes — same shape, same two shuffles."""
-    from flight_data_pipeline_spark.operators.text import distinct_tokens
+    Plan: the per-document feature sum is a map-side array fold
+    (operators/text.classifier_weight_sum — md5 + conv codegen'd, NO
+    doc-keyed shuffle at all); the only shuffle is the per-source
+    rollup. At 100 TB a real weight table joins in as a broadcast dim
+    against exploded feature hashes — one doc-keyed aggregate more,
+    still no wide shuffle."""
+    from flight_data_pipeline_spark.operators.text import (
+        classifier_sigmoid,
+        classifier_weight_sum,
+    )
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", "source",
-        F.explode(distinct_tokens(F.col("text"))).alias("tok"))
-    w = (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
-         % 2001 - CLF_SCALE)
-    scored = toks.groupBy("doc_id", "source").agg(
-        F.sum(w).alias("w_sum"), F.count("*").alias("n_feat"))
-    sigmoid = 1.0 / (1.0 + F.exp(-(F.col("w_sum")
-                                   / (F.lit(CLF_SCALE) * F.col("n_feat")))))
+    scored = docs.select(
+        "source", classifier_weight_sum(F.col("text")).alias("f")
+    ).select("source", F.col("f.w_sum").alias("w_sum"),
+             F.col("f.n_feat").alias("n_feat"))
+    sigmoid = classifier_sigmoid(F.col("w_sum"), F.col("n_feat"))
     return (
         scored.groupBy("source")
         .agg(

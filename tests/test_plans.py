@@ -333,3 +333,24 @@ def test_label_medoids_is_grouped_pandas_single_shuffle(spark):
     plan = plan_of(spark, "label_medoids")
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bigram_lm_counts_broadcast_back(spark):
+    # the bigram/prefix count relations are vocabulary-sized: they
+    # must broadcast onto the occurrence stream, not shuffle it twice
+    plan = plan_of(spark, "bigram_logprob_quality")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_is_one_exchange(spark):
+    # rank + checksum reuse the same epoch partitioning: one exchange
+    plan = plan_of(spark, "deterministic_epoch_shuffle")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bitset_near_dup_has_no_cartesian(spark):
+    plan = plan_of(spark, "near_dup_jaccard_pairs_bitset")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" not in plan  # popcount math, no arrays

@@ -632,3 +632,53 @@ def test_streaming_histogram_matches_batch_binning(spark, tmp_path):
             .agg(F.count("*").alias("n")).collect()}
     assert got == want
     assert got[0] == 4 and got[19] == 3  # clamped lows / highs+edge
+
+
+def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
+    """The hashed-classifier quality gate is a stateless expression
+    (operators/text.classifier_weight_sum), so the SAME column runs
+    unchanged under readStream — flag-don't-drop in flight. Scores
+    and decisions from the stream must equal the batch computation on
+    identical documents."""
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.operators.text import (
+        classifier_sigmoid,
+        classifier_weight_sum,
+    )
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "the quick brown fox jumps"},
+        {"doc_id": 3, "text": "spark scan merge value table"},
+    ]
+    (ddir / "a.json").write_text(
+        "\n".join(json.dumps(d) for d in docs))
+
+    def gated(df):
+        f = classifier_weight_sum(F.col("text")).alias("f")
+        return df.select("doc_id", f).select(
+            "doc_id",
+            F.col("f.w_sum").alias("w_sum"),
+            F.round(classifier_sigmoid(F.col("f.w_sum"),
+                                       F.col("f.n_feat")), 6)
+            .alias("score"),
+            (F.col("f.w_sum") > 0).alias("accepted"),
+        )
+
+    out = tmp_path / "out"
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(ddir))
+    q = (gated(stream).writeStream.format("parquet")
+         .option("path", str(out)).outputMode("append")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string")
+    want = sorted(tuple(r) for r in gated(batch).collect())
+    got = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+    assert got == want
