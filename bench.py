@@ -85,6 +85,9 @@ HEADLINE = [
     # round-5: the bounded-vocab near-dup tier, tracked side by side
     # with the open-vocab posting join it dispatches against
     "near_dup_jaccard_pairs_bitset",
+    # round-5 flagship: funnel -> classifier gate -> leakage split ->
+    # training-mix accounting as one DAG
+    "curated_training_mix",
 ]
 
 

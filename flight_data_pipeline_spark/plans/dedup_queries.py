@@ -1129,3 +1129,133 @@ def near_dup_jaccard_pairs_bitset(spark: SparkSession,
                 F.lit(1.0).alias("jaccard_sim"))
     )
     return cross.unionByName(same)
+
+
+@query(
+    "curated_training_mix",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT * FROM documents WHERE source <> '{CURATION_BENCH_SRC}'
+    ), q AS (
+        SELECT * FROM corpus
+        WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+          AND length(replace(text, ' ', '')) * 1.0
+              / len(string_split(text, ' ')) BETWEEN 3 AND 10
+    ), ex AS (
+        SELECT * FROM q
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ), toks AS (
+        SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
+        FROM ex
+    ), edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))
+              * 1.0 / len(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+    ), sym AS (
+        SELECT s, d FROM edges UNION SELECT d, s FROM edges
+    ), reach(v, u) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT r.v, e.d FROM reach r JOIN sym e ON r.u = e.s
+    ), cl AS (
+        SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v
+    ), surv AS (
+        SELECT ex.* FROM ex LEFT JOIN cl ON ex.doc_id = cl.v
+        WHERE cl.v IS NULL OR ex.doc_id = cl.cluster_id
+    ), allt AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(t) >= {CURATION_N}
+                           THEN list_transform(
+                                    generate_series(0, len(t) - {CURATION_N}),
+                                    i -> array_to_string(
+                                        t[i + 1 : i + {CURATION_N}], ' '))
+                           ELSE [array_to_string(t, ' ')] END) AS g
+        FROM allt
+    ), bench AS (
+        SELECT DISTINCT g FROM g WHERE source = '{CURATION_BENCH_SRC}'
+    ), cont AS (
+        SELECT DISTINCT doc_id FROM g JOIN bench USING (g)
+        WHERE source <> '{CURATION_BENCH_SRC}'
+    ), final AS (
+        SELECT surv.* FROM surv LEFT JOIN cont USING (doc_id)
+        WHERE cont.doc_id IS NULL
+    ), scored AS (
+        SELECT doc_id, source, text,
+               CAST(list_sum(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   tok -> ('0x' || substr(md5(tok), 1, 4))::INT % 2001
+                          - 1000)) AS BIGINT) AS w_sum,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                   % 10 AS b
+        FROM final
+    )
+    SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accepted,
+           CAST(SUM(CASE WHEN w_sum > 0 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS accepted_tokens,
+           ROUND(SUM(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS acceptance_rate
+    FROM scored GROUP BY 1 ORDER BY split
+    """,
+)
+def curated_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 FLAGSHIP composition: the checked curation funnel
+    (quality → exact dedup → near-dup survivors → decontamination)
+    extended through the round-5 operators — classifier quality gate
+    and leakage-safe split — to the final per-split training-mix
+    accounting a run would hand the trainer: docs, classifier-accepted
+    docs, accepted token supply, acceptance rate per train/val/test.
+
+    Split semantics compose with dedup BY CONSTRUCTION: every `final`
+    document is its own cluster representative (survivor selection
+    kept exactly the rep), so the md5-bucket split of doc_id IS the
+    leakage-safe cluster-representative split — near-dups cannot
+    straddle splits because their non-rep members are already gone.
+    Classifier decisions are exact integer sums
+    (operators/text.classifier_weight_sum), so the accepted counts
+    can never flip on float association; the one floating output is
+    the rounded acceptance rate.
+
+    Plan: the funnel's staged DAG (each stage's subtree executes once
+    — curation_stages' lazy-checkpoint diamond), then ONE map-side
+    pass for weights/buckets/token counts and a 3-row aggregate. The
+    whole pipeline is a single driver-checked DAG against the
+    recursive-CTE + gram-CTE + classifier + split oracle."""
+    from flight_data_pipeline_spark.operators.text import (
+        classifier_weight_sum,
+    )
+
+    final = curation_stages(spark, sf_dir)["final"]
+    f = classifier_weight_sum(F.col("text"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("int") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    scored = final.select(
+        split.alias("split"),
+        f.getField("w_sum").alias("w_sum"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    accepted = F.when(F.col("w_sum") > 0, 1).otherwise(0)
+    return (
+        scored.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(accepted).alias("n_accepted"),
+            F.sum(F.when(F.col("w_sum") > 0, F.col("n_tok")).otherwise(0))
+            .alias("accepted_tokens"),
+            F.round(F.sum(accepted) / F.count("*"), 4)
+            .alias("acceptance_rate"),
+        )
+        .orderBy("split")
+    )
