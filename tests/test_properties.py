@@ -610,3 +610,95 @@ def test_bpe_learn_matches_serial(spark, words):
            .orderBy("rank").collect()]
     want = _serial_bpe(words, num_merges=8)
     assert got == want
+
+
+# --- SCD2 history vs a run-length oracle --------------------------------------
+
+scd2_rows = st.lists(
+    st.tuples(st.integers(0, 2),                    # key
+              st.integers(0, 100),                  # minutes offset
+              st.sampled_from(["a", "b", None])),   # state (incl. NULL)
+    min_size=1, max_size=20,
+)
+
+
+@SETTINGS
+@given(data=scd2_rows)
+def test_scd2_history_matches_run_length_oracle(spark, data):
+    """SCD2 intervals on random event sequences (duplicate
+    timestamps, NULL states, single-event keys) must equal a plain
+    run-length encoding under the same (ts, id) order: one interval
+    per maximal run of null-safe-equal states, valid_to = next run's
+    start (NULL on the open run), n_events = run length."""
+    from flight_data_pipeline_spark.operators.temporal import scd2_history
+
+    rws = [(i, k, T0 + dt.timedelta(minutes=m), s)
+           for i, (k, m, s) in enumerate(data)]
+    df = spark.createDataFrame(
+        rws, "id long, k long, ts timestamp, state string")
+    from collections import Counter
+
+    got = Counter(
+        (r.k, r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in scd2_history(df, "k", "ts", "state", "id").collect()
+    )
+
+    want = []
+    by_key: dict[int, list] = {}
+    for i, k, ts, s in sorted(rws, key=lambda r: (r[1], r[2], r[0])):
+        by_key.setdefault(k, []).append((ts, s))
+    for k, evs in by_key.items():
+        runs: list[list] = []
+        for ts, s in evs:
+            if runs and runs[-1][0] == s:
+                runs[-1][2] += 1
+            else:
+                runs.append([s, ts, 1])
+        for idx, (s, start, n) in enumerate(runs):
+            nxt = runs[idx + 1][1] if idx + 1 < len(runs) else None
+            want.append((k, s, start, nxt, n))
+    assert got == Counter(want)
+
+
+# --- duplicated-span removal vs a position-set oracle -------------------------
+
+span_corpora = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=9),
+    min_size=2, max_size=8,
+)
+
+
+@SETTINGS
+@given(corpus=span_corpora, n=st.sampled_from([2, 3]))
+def test_remove_duplicate_spans_matches_oracle(spark, corpus, n):
+    """Span removal on random corpora must equal the definition
+    directly: a token is removed iff some n-gram occurrence covering
+    it appears in >= 2 distinct documents (short docs are one
+    whole-document gram). Random corpora hit overlapping spans,
+    self-repeats, and whole-doc wipes the fixture can't."""
+    from flight_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rws = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rws, "id long, text string")
+    got = {r.id: (r.n_tokens, r.removed_tokens, r.cleaned_text)
+           for r in remove_duplicate_spans(df, "id", "text", n=n).collect()}
+
+    def grams(toks):
+        if len(toks) < n:
+            return [(0, tuple(toks))]
+        return [(p, tuple(toks[p:p + n])) for p in range(len(toks) - n + 1)]
+
+    gram_docs: dict[tuple, set] = {}
+    for i, toks in enumerate(corpus):
+        for _, g in grams(toks):
+            gram_docs.setdefault(g, set()).add(i)
+    for i, toks in enumerate(corpus):
+        covered = set()
+        for p, g in grams(toks):
+            if len(gram_docs[g]) >= 2:
+                covered.update(range(p, min(p + n, len(toks))))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        assert got[i] == (len(toks), len(covered), " ".join(kept)), (
+            i, toks, got[i])
