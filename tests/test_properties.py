@@ -702,3 +702,39 @@ def test_remove_duplicate_spans_matches_oracle(spark, corpus, n):
         kept = [t for j, t in enumerate(toks) if j not in covered]
         assert got[i] == (len(toks), len(covered), " ".join(kept)), (
             i, toks, got[i])
+
+
+# --- MERGE/upsert vs a dict-merge oracle --------------------------------------
+
+kv_frame = st.dictionaries(
+    st.integers(0, 9),                               # key
+    st.one_of(st.none(), st.integers(-5, 5)),        # nullable value
+    min_size=0, max_size=8,
+)
+
+
+@SETTINGS
+@given(base=kv_frame, updates=kv_frame)
+def test_merge_upsert_matches_dict_merge(spark, base, updates):
+    """MERGE semantics on random key/value frames must equal a plain
+    dict merge: update rows win on matched keys EVEN WHEN the update
+    value is NULL (presence-flag selection, not coalesce — the
+    nulled-field case is exactly what a coalesce would corrupt);
+    unmatched updates insert, untouched base rows carry, and the
+    action audit labels each row correctly."""
+    from flight_data_pipeline_spark.operators.relational import merge_upsert
+
+    schema = "k long, v long"
+    bdf = spark.createDataFrame(list(base.items()) or [], schema)
+    udf = spark.createDataFrame(list(updates.items()) or [], schema)
+    got = {
+        r.k: (r.v, r.action)
+        for r in merge_upsert(bdf, udf, ["k"], action_col="action").collect()
+    }
+
+    want = {}
+    for k, v in base.items():
+        want[k] = (v, "carry")
+    for k, v in updates.items():
+        want[k] = (v, "update" if k in base else "insert")
+    assert got == want
