@@ -2312,3 +2312,62 @@ def zorder_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "math_functions_probe",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT q,
+           CAST(n AS BIGINT)                  AS n,
+           ROUND(ln(q), 6)                    AS ln_q,
+           ROUND(log10(q), 6)                 AS log10_q,
+           ROUND(exp(q / 25.0), 6)            AS exp_q,
+           ROUND(sqrt(q), 6)                  AS sqrt_q,
+           ROUND(cbrt(q), 6)                  AS cbrt_q,
+           ROUND(pow(q, 1.5), 6)              AS pow_q,
+           CAST(abs(q - 25) AS BIGINT)        AS abs_dev,
+           CAST(sign(q - 25) AS INT)          AS sign_dev,
+           CAST(q % 7 AS BIGINT)              AS mod7,
+           CAST(ceiling(q / 7.0) AS BIGINT)   AS ceil7,
+           CAST(floor(q / 7.0) AS BIGINT)     AS floor7,
+           CAST(greatest(q, 25) AS BIGINT)    AS hi25,
+           CAST(least(q, 25) AS BIGINT)       AS lo25
+    FROM q ORDER BY q
+    """,
+)
+def math_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 MATH scalar surface exercised per distinct value and
+    hash-compared: ln/log10/exp/sqrt/cbrt/pow plus
+    abs/sign/mod/ceil/floor/greatest/least. One row per distinct
+    quantity (no re-associated float sums — counts are the only
+    aggregates), transcendentals rounded to 6 (Java Math vs libm can
+    differ in the last ulp; at these magnitudes that is ~1e-15,
+    invisible at 6 decimals). Positive operands throughout so
+    mod/sign sign-convention deltas can't bite."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.count("*").alias("n"))
+    qc = F.col("q")
+    return (
+        q.select(
+            "q", "n",
+            F.round(F.log(qc), 6).alias("ln_q"),
+            F.round(F.log10(qc), 6).alias("log10_q"),
+            F.round(F.exp(qc / 25.0), 6).alias("exp_q"),
+            F.round(F.sqrt(qc), 6).alias("sqrt_q"),
+            F.round(F.cbrt(qc), 6).alias("cbrt_q"),
+            F.round(F.pow(qc, 1.5), 6).alias("pow_q"),
+            F.abs(qc - 25).alias("abs_dev"),
+            F.signum(qc - 25).cast("int").alias("sign_dev"),
+            (qc % 7).alias("mod7"),
+            F.ceil(qc / 7.0).alias("ceil7"),
+            F.floor(qc / 7.0).alias("floor7"),
+            F.greatest(qc, F.lit(25)).alias("hi25"),
+            F.least(qc, F.lit(25)).alias("lo25"),
+        )
+        .orderBy("q")
+    )

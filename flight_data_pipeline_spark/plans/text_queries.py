@@ -1905,3 +1905,70 @@ def array_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("theta_sketch_audience_overlap")  # Datasketches binary ⇒ rows-only
+def theta_sketch_audience_overlap(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Audience OVERLAP via Theta sketches — the set-operation sketch
+    family (Datasketches): per event type build one theta sketch of
+    user ids, then estimate |A ∩ B| and |A ∪ B| for every event-type
+    pair with sketch set operations. HLL can union but cannot
+    intersect; theta sketches exist precisely for the
+    audience-overlap / funnel-intersection questions a 100 TB events
+    store answers constantly — sketches are KBs, build is one pass,
+    pair math is driver-free sketch algebra on the tiny per-type
+    relation.
+
+    Rows-only (sketch binaries have no DuckDB twin); each estimate
+    ships beside the EXACT intersection/union computed from the
+    (type, user) distinct frame — |types|·|users| rows max — and the
+    ≤5% relative-error bound is pinned in
+    tests/test_extensions.py::TestThetaOverlap. At 100 TB the audit
+    columns drop and the sketches are the answer (that being the
+    point)."""
+    ev = load_table(spark, "events", sf_dir)
+    sk = (
+        ev.groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = pairs.select(
+        "type_a", "type_b",
+        F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+        .cast("long").alias("approx_overlap"),
+        F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))")
+        .cast("long").alias("approx_union"),
+    )
+    # exact audit from the distinct (type, user) frame
+    tu = ev.select("event_type", "user_id").distinct()
+    ta = tu.select(F.col("event_type").alias("type_a"),
+                   F.col("user_id").alias("ua"))
+    tb = tu.select(F.col("event_type").alias("type_b"),
+                   F.col("user_id").alias("ub"))
+    exact = (
+        ta.join(tb, (F.col("type_a") < F.col("type_b"))
+                & (F.col("ua") == F.col("ub")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        est.join(exact, ["type_a", "type_b"], "left")
+        .join(sa, "type_a").join(sb, "type_b")
+        .select(
+            "type_a", "type_b", "approx_overlap", "approx_union",
+            F.coalesce("exact_overlap", F.lit(0)).alias("exact_overlap"),
+            (F.col("n_a") + F.col("n_b")
+             - F.coalesce("exact_overlap", F.lit(0)))
+            .alias("exact_union"),
+        )
+    )

@@ -1122,3 +1122,46 @@ class TestHammingSignSketch:
         mean_all = sum(all_ham.values()) / len(all_ham)
         mean_cos = sum(all_ham[i] for i in cos_ids) / len(cos_ids)
         assert mean_cos < mean_all - 5, (mean_cos, mean_all)
+
+
+class TestThetaOverlap:
+    def test_fixture_estimates_match_exact(self, spark):
+        """At fixture cardinality (150 users, under the sketch's exact
+        threshold) theta estimates ARE exact — and every pair must
+        carry consistent audit columns."""
+        from flight_data_pipeline_spark.plans.registry import QUERIES, load_all
+        from tests.conftest import SF_DIR
+
+        load_all()
+        rows = QUERIES["theta_sketch_audience_overlap"](
+            spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r.approx_overlap == r.exact_overlap
+            assert r.approx_union == r.exact_union
+            assert r.exact_overlap <= r.exact_union
+
+    def test_error_bound_at_estimation_scale(self, spark):
+        """Past the exact threshold the sketch estimates: two 30k-user
+        audiences overlapping in 10k must come back within 5% relative
+        error for both intersection and union."""
+        import pyspark.sql.functions as F
+
+        a = spark.range(0, 30_000).select(
+            F.lit("a").alias("t"), F.col("id").alias("user_id"))
+        b = spark.range(20_000, 50_000).select(
+            F.lit("b").alias("t"), F.col("id").alias("user_id"))
+        sk = (a.unionByName(b).groupBy("t")
+              .agg(F.expr("theta_sketch_agg(user_id)").alias("sk")))
+        got = (
+            sk.groupBy()
+            .agg(
+                F.expr("theta_sketch_estimate("
+                       "theta_intersection_agg(sk))").alias("inter"),
+                F.expr("theta_sketch_estimate("
+                       "theta_union_agg(sk))").alias("uni"),
+            )
+            .first()
+        )
+        assert abs(got.inter - 10_000) / 10_000 <= 0.05, got.inter
+        assert abs(got.uni - 50_000) / 50_000 <= 0.05, got.uni
