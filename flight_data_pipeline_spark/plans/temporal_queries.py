@@ -865,3 +865,77 @@ def weekly_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "range_frame_probe",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, event_id, cents,
+               SUM(cents) OVER (PARTITION BY event_type ORDER BY cents
+                                RANGE BETWEEN 1000 PRECEDING
+                                          AND CURRENT ROW) AS near_sum,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY cents
+                              RANGE BETWEEN 1000 PRECEDING
+                                        AND 1000 FOLLOWING) AS near_n
+        FROM v
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                       AS n,
+           CAST(SUM(near_sum) % 1000000007 AS BIGINT)     AS sum_checksum,
+           CAST(SUM(near_n) AS BIGINT)                    AS neighbor_rows,
+           CAST(MAX(near_n) AS BIGINT)                    AS max_neighbors
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def range_frame_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window semantics pinned per value: unlike ROWS
+    frames (physical offsets — the sessionize/moving-average family),
+    RANGE frames bound the window by the ORDER-BY VALUE, so tied
+    values share one frame and the bounds are data magnitudes. Every
+    row computes a trailing value-window sum and a centered
+    value-window count over integer cents (exact — no float
+    re-association anywhere), checksummed per event type so both
+    engines must agree on every row's frame membership, including the
+    tie-expansion rule.
+
+    Plan: one shuffle on the partition key serves both frames; RANGE
+    evaluation is a running two-pointer over the sorted partition —
+    same cost class as ROWS at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    trailing = (
+        Window.partitionBy("event_type").orderBy("cents")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    centered = (
+        Window.partitionBy("event_type").orderBy("cents")
+        .rangeBetween(-1000, 1000)
+    )
+    w = v.select(
+        "event_type",
+        F.sum("cents").over(trailing).alias("near_sum"),
+        F.count("*").over(centered).alias("near_n"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("near_sum") % 1000000007).cast("long")
+            .alias("sum_checksum"),
+            F.sum("near_n").alias("neighbor_rows"),
+            F.max("near_n").alias("max_neighbors"),
+        )
+        .orderBy("event_type")
+    )
