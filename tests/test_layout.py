@@ -123,3 +123,74 @@ class TestRetention:
         # as strings
         left = {str(r.day) for r in spark.read.parquet(out).collect()}
         assert left == {"2024-01-03", "2024-01-04", "2024-01-05"}
+
+
+class TestZorderProperties:
+    def test_interleave_matches_python_oracle(self, spark):
+        """Full bit-level check vs a Python Morton oracle on a grid +
+        random-ish points: dimension d's bit i must land at position
+        i*ndims + d, for every point — not just quadrant prefixes."""
+        pts = [(x, y) for x in (0, 1, 2, 85, 170, 255)
+               for y in (0, 3, 128, 254, 255)]
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in pts], "x double, y double")
+        rows = df.select(
+            "x", "y",
+            zorder_key([F.col("x"), F.col("y")], [0.0, 0.0],
+                       [255.0, 255.0], bits_per_dim=8).alias("z"),
+        ).collect()
+
+        def morton(x, y):
+            z = 0
+            for i in range(8):
+                z |= ((x >> i) & 1) << (i * 2)
+                z |= ((y >> i) & 1) << (i * 2 + 1)
+            return z
+
+        for r in rows:
+            assert r.z == morton(int(r.x), int(r.y)), (r.x, r.y, r.z)
+
+    def test_zorder_trades_one_perfect_dim_for_skipping_on_all(
+            self, spark, tmp_path):
+        """The documented multi-dimension trade, measured on real
+        written files with INDEPENDENT dimensions (a hash-derived y —
+        correlated dims would let a single-column sort skip on both
+        for free): a y-only predicate touches EVERY file of the
+        x-sorted layout but a fraction of the z-ordered one; an x-only
+        predicate is where the dedicated x-sort stays ahead. Measured
+        at 16 files: y-only 16 vs 5, x-only 2 vs 7 — each dimension's
+        skipping is weaker than a dedicated sort, but every dimension
+        gets some."""
+        import pyspark.sql.functions as F2
+
+        n, files = 20_000, 16
+        df = spark.range(0, n).select(
+            (F2.col("id") * 37 % 1024).cast("double").alias("x"),
+            (F2.abs(F2.xxhash64("id")) % 1024).cast("double").alias("y"),
+        )
+        x_out = str(tmp_path / "by_x")
+        cluster_by_range(df, x_out, F2.col("x"), num_files=files)
+        z_out = str(tmp_path / "by_z")
+        zk = zorder_key([F2.col("x"), F2.col("y")], [0.0, 0.0],
+                        [1023.0, 1023.0], bits_per_dim=10)
+        cluster_by_range(df, z_out, zk, num_files=files)
+
+        def files_hit(path, box):
+            (x_lo, x_hi), (y_lo, y_hi) = box
+            xs = {f: (lo, hi) for f, lo, hi in file_minmax_stats(path, "x")
+                  if lo is not None}
+            ys = {f: (lo, hi) for f, lo, hi in file_minmax_stats(path, "y")
+                  if lo is not None}
+            return sum(
+                1 for f in xs
+                if xs[f][0] <= x_hi and xs[f][1] >= x_lo
+                and ys[f][0] <= y_hi and ys[f][1] >= y_lo)
+
+        y_only = ((0.0, 1023.0), (100.0, 160.0))
+        x_only = ((100.0, 160.0), (0.0, 1023.0))
+        x_layout_y = files_hit(x_out, y_only)
+        z_layout_y = files_hit(z_out, y_only)
+        assert x_layout_y == files          # x-sort can't skip on y
+        assert z_layout_y <= files // 2     # z-order can
+        assert files_hit(x_out, x_only) <= files_hit(z_out, x_only)
+        assert files_hit(z_out, x_only) < files  # z still skips on x
