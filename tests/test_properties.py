@@ -738,3 +738,47 @@ def test_merge_upsert_matches_dict_merge(spark, base, updates):
     for k, v in updates.items():
         want[k] = (v, "update" if k in base else "insert")
     assert got == want
+
+
+# --- incremental view maintenance vs recompute ---------------------------------
+
+events_kv = st.lists(
+    st.tuples(st.integers(0, 4),            # key
+              st.integers(-10, 10)),        # value
+    min_size=0, max_size=20,
+)
+
+
+@SETTINGS
+@given(base_rows=events_kv, delta_rows=events_kv)
+def test_combine_partial_aggs_equals_recompute(spark, base_rows, delta_rows):
+    """Incremental maintenance must equal recomputing the aggregate
+    over base ∪ delta on random inputs — new keys, vanished keys,
+    negative values (count+sum partials are additive regardless of
+    sign). The identity is THE correctness contract of a maintained
+    materialized view."""
+    from collections import defaultdict
+
+    from flight_data_pipeline_spark.operators.relational import (
+        combine_partial_aggs,
+    )
+
+    schema = "k long, v long"
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count("*").alias("cnt"), F.sum("v").alias("total"))
+
+    bdf = spark.createDataFrame(base_rows or [], schema)
+    ddf = spark.createDataFrame(delta_rows or [], schema)
+    maintained = {
+        r.k: (r.cnt, r.total)
+        for r in combine_partial_aggs(
+            agg(bdf), agg(ddf), ["k"], ["cnt", "total"]).collect()
+    }
+
+    want: dict = defaultdict(lambda: [0, 0])
+    for k, v in base_rows + delta_rows:
+        want[k][0] += 1
+        want[k][1] += v
+    assert maintained == {k: tuple(v) for k, v in want.items()}
