@@ -782,3 +782,22 @@ def test_combine_partial_aggs_equals_recompute(spark, base_rows, delta_rows):
         want[k][0] += 1
         want[k][1] += v
     assert maintained == {k: tuple(v) for k, v in want.items()}
+
+
+@SETTINGS
+@given(n=st.integers(0, 400), parts=st.integers(1, 12))
+def test_assign_contiguous_ids_bijective_at_any_partitioning(
+        spark, n, parts):
+    """Contiguous-id assignment must produce exactly {0..n-1} — no
+    gaps, no dups — for any row count and partition count, including
+    empty partitions (parts > n) and empty input, and must keep every
+    payload row exactly once."""
+    from flight_data_pipeline_spark.operators.relational import (
+        assign_contiguous_ids,
+    )
+
+    df = spark.range(0, n).repartition(parts).select(
+        (F.col("id") * 7).alias("payload"))
+    rows = assign_contiguous_ids(df, id_col="rid").collect()
+    assert sorted(r.rid for r in rows) == list(range(n))
+    assert sorted(r.payload for r in rows) == [i * 7 for i in range(n)]
