@@ -2371,3 +2371,72 @@ def math_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@query(
+    "null_ordering_probe",
+    oracle="""
+    WITH v AS (
+        SELECT event_id,
+               NULLIF(event_type, 'view') AS et,
+               user_id
+        FROM events
+    ),
+    r AS (
+        SELECT event_id, et, user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY et ASC NULLS FIRST, event_id)
+                   AS rk_nf,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY et DESC NULLS LAST, event_id)
+                   AS rk_nl
+        FROM v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN et IS NULL THEN rk_nf ELSE 0 END)
+                % 1000000007 AS BIGINT) AS null_first_checksum,
+           CAST(SUM(CASE WHEN et IS NULL THEN rk_nl ELSE 0 END)
+                % 1000000007 AS BIGINT) AS null_last_checksum,
+           CAST(SUM(rk_nf * event_id) % 1000000007 AS BIGINT)
+               AS order_checksum
+    FROM r
+    """,
+)
+def null_ordering_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-placement ordering semantics pinned cross-engine — the
+    classic silent-divergence trap: Spark's default ascending order
+    is NULLS FIRST, DuckDB's is NULLS LAST, so any unannotated ORDER
+    BY over a nullable key silently ranks differently. This probe
+    forces EXPLICIT placement on both sides (asc_nulls_first /
+    desc_nulls_last) over a derived nullable column and checksums the
+    null rows' ranks plus the full per-row rank assignment, so both
+    engines must agree on every position. The repo-wide discipline
+    this pins: checked queries must always annotate null placement on
+    nullable sort keys."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_id", "user_id",
+        F.when(F.col("event_type") != "view",
+               F.col("event_type")).alias("et"),
+    )
+    w_nf = Window.partitionBy("user_id").orderBy(
+        F.col("et").asc_nulls_first(), "event_id")
+    w_nl = Window.partitionBy("user_id").orderBy(
+        F.col("et").desc_nulls_last(), "event_id")
+    r = v.select(
+        "event_id", "et",
+        F.row_number().over(w_nf).alias("rk_nf"),
+        F.row_number().over(w_nl).alias("rk_nl"),
+    )
+    is_null = F.col("et").isNull()
+    return r.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.when(is_null, F.col("rk_nf")).otherwise(0))
+         % 1000000007).cast("long").alias("null_first_checksum"),
+        (F.sum(F.when(is_null, F.col("rk_nl")).otherwise(0))
+         % 1000000007).cast("long").alias("null_last_checksum"),
+        (F.sum(F.col("rk_nf") * F.col("event_id"))
+         % 1000000007).cast("long").alias("order_checksum"),
+    )
