@@ -112,6 +112,45 @@ def range_join_binned(left: DataFrame, right: DataFrame,
     """
     # to_epoch_seconds handles LTZ and NTZ inputs alike (truncation
     # toward −∞ for epochs ≥ 0)
+    if how == "left":
+        # True row-level LEFT semantics: the bin explode duplicates
+        # each left row across its spanned bins, so a naive left join
+        # yields one null-match row PER BIN for unmatched lefts
+        # (caught by tests/test_properties.py::
+        # test_range_join_binned_left_keeps_unmatched). Instead: tag
+        # left rows with an ephemeral id (lazily checkpointed so both
+        # plan branches read the SAME id assignment), inner-join the
+        # exploded form, and re-attach matches to the original
+        # unexploded left — unmatched rows survive exactly once with
+        # null right columns. Costs one extra id-keyed shuffle over
+        # the match stream; the inner path is unchanged.
+        lid = left.withColumn(
+            "__lid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        lsec = to_epoch_seconds(F.col(left_ts))
+        rsec = to_epoch_seconds(F.col(right_ts))
+        le = lid.withColumn(
+            "__bin",
+            F.explode(F.sequence(F.floor((lsec + lower_sec) / bin_sec),
+                                 F.floor((lsec + upper_sec) / bin_sec))),
+        ).alias("__L")
+        re = right.withColumn("__bin", F.floor(rsec / bin_sec)).alias("__R")
+        cond = F.col("__L.__bin") == F.col("__R.__bin")
+        for k in key_cols:
+            cond = cond & (F.col(f"__L.{k}") == F.col(f"__R.{k}"))
+        lo = F.make_interval(secs=F.lit(lower_sec))
+        hi = F.make_interval(secs=F.lit(upper_sec))
+        cond = (cond
+                & (F.col(f"__R.{right_ts}")
+                   >= F.col(f"__L.{left_ts}") + lo)
+                & (F.col(f"__R.{right_ts}")
+                   < F.col(f"__L.{left_ts}") + hi))
+        rhs = (
+            le.join(re, cond, "inner")
+            .select(F.col("__L.__lid").alias("__lid"),
+                    *[F.col(f"__R.{c}") for c in right.columns])
+        )
+        return lid.join(rhs, "__lid", "left").drop("__lid")
     lsec = to_epoch_seconds(F.col(left_ts))
     rsec = to_epoch_seconds(F.col(right_ts))
     l = left.withColumn(
@@ -127,9 +166,6 @@ def range_join_binned(left: DataFrame, right: DataFrame,
     hi = F.make_interval(secs=F.lit(upper_sec))
     cond = cond & (F.col(f"__R.{right_ts}") >= F.col(f"__L.{left_ts}") + lo) \
                 & (F.col(f"__R.{right_ts}") < F.col(f"__L.{left_ts}") + hi)
-    # NB with how="left": an unmatched left row yields one null-match
-    # row per spanned bin — correct under aggregation (count of right
-    # ids is 0); select/dedup by a left unique key for row-level use.
     return l.join(r, cond, how).drop("__bin")
 
 

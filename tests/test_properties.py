@@ -801,3 +801,45 @@ def test_assign_contiguous_ids_bijective_at_any_partitioning(
     rows = assign_contiguous_ids(df, id_col="rid").collect()
     assert sorted(r.rid for r in rows) == list(range(n))
     assert sorted(r.payload for r in rows) == [i * 7 for i in range(n)]
+
+
+@SETTINGS
+@given(left=rows, right=rows,
+       bounds=st.tuples(st.integers(-3600, 3600), st.integers(-3600, 3600))
+       .filter(lambda b: b[0] < b[1]),
+       bin_sec=st.sampled_from([60, 3600]))
+def test_range_join_binned_left_keeps_unmatched(spark, left, right, bounds,
+                                                bin_sec):
+    """how='left': every left row appears — matched rows once per
+    match with the right id, unmatched rows exactly once with NULL —
+    so count(right_id) aggregates to an honest zero (the
+    views_before_purchase_1h contract)."""
+    from collections import Counter
+
+    from flight_data_pipeline_spark.operators.relational import (
+        range_join_binned,
+    )
+
+    lower, upper = bounds
+    lrows = with_ids(left)
+    rrows = [(i + 1000, k, ts) for (i, k, ts) in with_ids(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, rts timestamp")
+
+    got = Counter(
+        (r.lid, r.rid)
+        for r in range_join_binned(ldf, rdf, ["k"], "ts", "rts",
+                                   lower, upper, bin_sec,
+                                   how="left").collect()
+    )
+    want = Counter()
+    for lid, lk, lts in lrows:
+        matches = [rid for rid, rk, rts in rrows
+                   if rk == lk
+                   and lower <= (rts - lts).total_seconds() < upper]
+        if matches:
+            for rid in matches:
+                want[(lid, rid)] += 1
+        else:
+            want[(lid, None)] += 1
+    assert got == want
