@@ -58,7 +58,9 @@ def fuzzy_string_pairs_blocked(
        including the all-tokens-edited case that escaped the old
        token blocking.
     4. LENGTH FILTER: |len(a) − len(b)| ≤ d is necessary for
-       edit distance ≤ d; applied before the verifier.
+       edit distance ≤ d; evaluated INSIDE both candidate joins (the
+       hash-join's residual filter), so over-length pairs are dropped
+       before they ever reach the candidate-dedup shuffle.
     5. VERIFY: ``levenshtein(a, b, threshold=d)`` — Spark's
        thresholded form returns −1 past d, so the DP row can abandon
        early; exact distances for everything kept.
@@ -103,6 +105,8 @@ def fuzzy_string_pairs_blocked(
             pb,
             (F.col("a.__g") == F.col("b.__g"))
             & (F.abs(F.col("a.__p") - F.col("b.__p")) <= d)
+            & (F.abs(F.length(F.col("a.__name"))
+                     - F.length(F.col("b.__name"))) <= d)
             & (F.col("a.__name") < F.col("b.__name")),
         )
         .select(
@@ -131,6 +135,8 @@ def fuzzy_string_pairs_blocked(
         va.join(
             vb,
             (F.col("a.__v") == F.col("b.__v"))
+            & (F.abs(F.length(F.col("a.__name"))
+                     - F.length(F.col("b.__name"))) <= d)
             & (F.col("a.__name") < F.col("b.__name")),
         )
         .select(
@@ -141,9 +147,7 @@ def fuzzy_string_pairs_blocked(
 
     cand = cand_long.unionByName(cand_short).distinct()
     verified = (
-        cand.where(
-            F.abs(F.length("name_a") - F.length("name_b")) <= d
-        )
+        cand
         .withColumn(
             "edit_distance",
             F.levenshtein("name_a", "name_b", d),

@@ -2440,3 +2440,482 @@ def null_ordering_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("rk_nf") * F.col("event_id"))
          % 1000000007).cast("long").alias("order_checksum"),
     )
+
+
+# --- TPC-H completion (round 5): the 9 remaining query shapes ----------------
+# The harness star schema lacks partsupp, l_commitdate/l_receiptdate,
+# l_shipmode, and p_container, so Q2/Q9/Q11/Q16/Q17/Q20 are documented
+# adaptations (the supply side derived from lineitem as the
+# part-supplier bridge) and Q12/Q21 are represented by their shape
+# twins elsewhere (late_shipment_priority_counts: CASE-conditional agg
+# by priority; urgent_order_customers_exists / idle_rich_customers:
+# EXISTS / NOT-EXISTS chains). Q1/3/4/5/8/10/13/14/18/19/22 live above
+# — with this section every one of the 22 TPC-H query shapes has a
+# checked twin.
+
+FORECAST_YEAR = "1996"          # Q6 window (shipdate spans 1995-2001)
+TRADE_NATION_A = "NATION_1"     # Q7 bilateral pair
+TRADE_NATION_B = "NATION_2"
+PROFIT_PART_WORD = "red"        # Q9 product family (p_name = "adj noun")
+TOPSUPP_QUARTER = ("1996-01-01", "1996-04-01")   # Q15 revenue window
+SMALLQTY_BRAND = "Brand#3"      # Q17 brand pin
+MINCOST_REGION = "EUROPE"       # Q2 region pin
+MINCOST_SIZE = 15               # Q2 size pin
+INV_NATION = "NATION_3"         # Q11 nation pin
+INV_FRACTION = 0.002            # Q11 importance threshold
+Q16_SIZES = (1, 9, 15, 23, 31, 45)
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_increase,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= '{FORECAST_YEAR}-01-01'
+      AND l_shipdate < '{int(FORECAST_YEAR) + 1}-01-01'
+      AND l_discount >= 0.045 AND l_discount <= 0.075
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (literal): revenue a blanket discount removal would
+    have added — one scan, every predicate pushed into the parquet
+    reader (shipdate range, discount band, quantity cap all appear in
+    PushedFilters), one partial+final scalar aggregate, zero joins and
+    zero shuffles beyond the 1-row final combine. The discount band
+    uses midpoint literals (0.045/0.075) rather than the generated
+    grid values (0.05/0.07) so the comparison never lands exactly on
+    a float boundary in either engine."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= f"{FORECAST_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{int(FORECAST_YEAR) + 1}-01-01")
+            & (F.col("l_discount") >= 0.045)
+            & (F.col("l_discount") <= 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue_increase"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "bilateral_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = '{TRADE_NATION_A}' AND n2.n_name = '{TRADE_NATION_B}')
+       OR (n1.n_name = '{TRADE_NATION_B}' AND n2.n_name = '{TRADE_NATION_A}')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (literal): shipped revenue between two pinned nations
+    in both directions, by year. The pair disjunction is decomposed
+    the way the optimizer wants it: each dimension side (supplier and
+    customer, each pre-joined to nation) is FILTERED to the two-nation
+    set before it broadcasts — the fact tables only carry rows that
+    can possibly satisfy the OR — and the exact direction predicate
+    (supp != cust nation) runs as a residual after the joins."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    pair = (TRADE_NATION_A, TRADE_NATION_B)
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(*pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(*pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("int")
+            .alias("l_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%{PROFIT_PART_WORD}%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted): profit on a product family (p_name word
+    match) by supplier nation and year. No partsupp table in the
+    harness schema, so supply cost is the documented proxy
+    0.5 * p_retailprice per unit — the query SHAPE is Q9's: a
+    name-LIKE filter that prunes part before the fact join, fact
+    shuffle on partkey avoided entirely (part broadcasts), profit as
+    a single arithmetic expression inside one aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").contains(PROFIT_PART_WORD))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("l_shipdate").cast("date")).cast("int")
+            .alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= '{TOPSUPP_QUARTER[0]}'
+          AND l_shipdate < '{TOPSUPP_QUARTER[1]}'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (literal): the supplier(s) with the maximum revenue
+    in a pinned quarter — ties all kept, like the spec's view form.
+    The scalar max attaches as a broadcast one-row cross join over
+    the per-supplier aggregate (computed once: the cheap aggregate
+    re-runs on both plan branches rather than paying a checkpoint for
+    a 100-row frame). Revenue is rounded BEFORE the max/equality so
+    the comparison happens on the same canonicalized value in both
+    engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    rev = (
+        li.where((F.col("l_shipdate") >= TOPSUPP_QUARTER[0])
+                 & (F.col("l_shipdate") < TOPSUPP_QUARTER[1]))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "small_quantity_yearly_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{SMALLQTY_BRAND}'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: brand pin only, no p_container in schema):
+    revenue lost to small-quantity orders of one brand, annualized
+    over the 7-year horizon. The correlated scalar subquery (half the
+    part's average order quantity) is decorrelated the canonical way:
+    one grouped aggregate per partkey over the brand-pruned fact
+    slice, broadcast back as a per-part threshold — the fact table is
+    scanned once per branch but only the ~4%-of-parts brand slice
+    survives the broadcast part join. Quantities are integer-valued
+    doubles, so the per-part average is EXACT (no re-association
+    error) and the < threshold comparison cannot flip between
+    engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bparts = load_table(spark, "part", sf_dir).where(
+        F.col("p_brand") == SMALLQTY_BRAND).select("p_partkey")
+    li_b = li.join(F.broadcast(bparts),
+                   li["l_partkey"] == F.col("p_partkey")).drop("p_partkey")
+    thr = (
+        li_b.groupBy(F.col("l_partkey").alias("__pk"))
+        .agg((0.5 * F.avg("l_quantity")).alias("__thr"))
+    )
+    return (
+        li_b.join(F.broadcast(thr), li_b["l_partkey"] == F.col("__pk"))
+        .where(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "min_cost_regional_supplier",
+    oracle=f"""
+    WITH esupp AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = '{MINCOST_REGION}'
+    ), offers AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l JOIN esupp e ON l.l_suppkey = e.s_suppkey
+        GROUP BY l.l_partkey, l.l_suppkey
+    ), best AS (
+        SELECT l_partkey, MIN(unit_cost) AS best_cost
+        FROM offers GROUP BY l_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey,
+           FLOOR(o.unit_cost * 10000) / 10000 AS unit_cost
+    FROM part p
+    JOIN best b   ON p.p_partkey = b.l_partkey
+    JOIN offers o ON o.l_partkey = b.l_partkey
+                 AND o.unit_cost = b.best_cost
+    JOIN esupp e  ON o.l_suppkey = e.s_suppkey
+    WHERE p.p_size = {MINCOST_SIZE}
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def min_cost_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): for every part of a pinned size, the
+    region's cheapest supplier — ties kept, ordered by supplier
+    wealth. No partsupp in the harness schema, so the offer book is
+    derived from lineitem: a (part, supplier) MIN over observed unit
+    price (l_extendedprice / l_quantity — the same IEEE division in
+    both engines, so the min-equality join key matches exactly; MIN
+    selects an actual element, never a synthesized value; the output
+    truncates via FLOOR rather than ROUND — a raw quotient can land
+    exactly on a half-tie where Spark's HALF_UP and DuckDB's rounding
+    of the nearest double disagree). Shape is
+    Q2's: region prunes the supplier dim BEFORE the fact join
+    (broadcast), a per-part argmin via min + equality join-back, and
+    a deterministic ORDER BY ... LIMIT on a total key
+    (acctbal, nation, supplier, part)."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).where(
+        F.col("r_name") == MINCOST_REGION)
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_size") == MINCOST_SIZE).select("p_partkey")
+    esupp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    offers = (
+        li.join(F.broadcast(esupp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("unit_cost"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("__best"))
+    return (
+        offers.join(F.broadcast(p), offers["l_partkey"] == p["p_partkey"])
+        .join(best, (offers["l_partkey"] == F.col("__pk"))
+              & (offers["unit_cost"] == F.col("__best")))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                (F.floor(F.col("unit_cost") * 10000) / 10000)
+                .alias("unit_cost"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "concentrated_part_value",
+    oracle=f"""
+    WITH nsupp AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{INV_NATION}'
+    ), val AS (
+        SELECT l.l_partkey, SUM(l.l_extendedprice) AS part_value
+        FROM lineitem l JOIN nsupp ON l.l_suppkey = nsupp.s_suppkey
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, ROUND(part_value, 2) AS part_value
+    FROM val
+    WHERE part_value > {INV_FRACTION} * (SELECT SUM(part_value) FROM val)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def concentrated_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): parts holding a disproportionate share of
+    one nation's supplied value — the HAVING-against-a-scalar-fraction
+    shape. No partsupp, so "stock value" is the shipped
+    l_extendedprice per part over the nation's suppliers. The grand
+    total attaches to the grouped aggregate as a broadcast one-row
+    cross join (never a driver collect); the fraction threshold is
+    compared on the raw double and only the OUTPUT is rounded — at
+    the pinned 0.2% threshold no part sits within re-association
+    noise of the cut."""
+    li = load_table(spark, "lineitem", sf_dir)
+    nsupp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(load_table(spark, "nation", sf_dir),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == INV_NATION)
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(nsupp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    total = val.agg(F.sum("part_value").alias("__total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > INV_FRACTION * F.col("__total"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN {Q16_SIZES}
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%0')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted): how many qualified suppliers can deliver
+    each (brand, type, size) bucket. No partsupp, so lineitem is the
+    part-supplier bridge; the NOT-IN complaint-supplier exclusion
+    (name suffix pin) plans as a broadcast LEFT ANTI join, the part
+    attribute filters prune the broadcast dim before the fact join,
+    and COUNT(DISTINCT supplier) runs as Spark's two-phase distinct
+    aggregate — partial per-partition distinct before the group
+    shuffle, never a row-level distinct over the fact table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(*Q16_SIZES))
+    excluded = load_table(spark, "supplier", sf_dir).where(
+        F.col("s_name").endswith("0")).select(
+        F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "excess_volume_suppliers",
+    oracle=f"""
+    WITH promo AS (
+        SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+    ), shipped AS (
+        SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
+        FROM lineitem l JOIN promo ON l.l_partkey = promo.p_partkey
+        WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ), norm AS (
+        SELECT l_partkey, AVG(qty) AS avg_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM shipped sh
+    JOIN norm n ON sh.l_partkey = n.l_partkey
+    JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+    WHERE sh.qty > 1.5 * n.avg_qty
+    ORDER BY s.s_suppkey
+    """,
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers who moved an outsized share of
+    a promo part's volume in the pinned year — the nested
+    aggregate-against-aggregate semi-join shape (spec: availqty >
+    half the shipped volume; here: supplier volume > 1.5x the part's
+    per-supplier average, partsupp being absent). Quantities are
+    integer-valued doubles, so both the per-(part,supplier) sums and
+    the per-part average are exact and the threshold comparison is
+    engine-stable. The final DISTINCT collapses a supplier qualifying
+    on many parts; it runs over the already part-collapsed frame, not
+    the fact table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    promo = load_table(spark, "part", sf_dir).where(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    s = load_table(spark, "supplier", sf_dir)
+    shipped = (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(promo), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    norm = shipped.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("qty").alias("avg_qty"))
+    return (
+        shipped.join(norm, shipped["l_partkey"] == F.col("__pk"))
+        .where(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
