@@ -88,6 +88,11 @@ HEADLINE = [
     # round-5 flagship: funnel -> classifier gate -> leakage split ->
     # training-mix accounting as one DAG
     "curated_training_mix",
+    # round-5 late addition: fractional-credit attribution — the
+    # binned-interval-join + per-purchase window shape at full events
+    # fan-out (the engine-surface probes are sub-second scans, not
+    # tracked)
+    "multi_touch_attribution",
 ]
 
 

@@ -2919,3 +2919,158 @@ def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+# --- engine-surface probes (round 5 late additions) --------------------------
+@query(
+    "bitwise_functions_probe",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id)  AS BIGINT) AS bor,
+           CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+           CAST(SUM(user_id & 255) % 1000000007 AS BIGINT)
+               AS and_checksum,
+           CAST(SUM(bit_count(user_id)) AS BIGINT) AS popcnt_sum,
+           CAST(SUM((user_id % 16) << 2) % 1000000007 AS BIGINT)
+               AS shift_checksum,
+           CAST(SUM(xor(user_id, event_id) % 9973) % 1000000007
+                AS BIGINT) AS xor_checksum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bitwise_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 BITWISE scalar/aggregate surface hash-compared
+    cross-engine: the bit_and/bit_or/bit_xor aggregate family plus
+    scalar AND/XOR, shiftleft, and bit_count (popcount — the primitive
+    under the SimHash/Hamming ANN tiers, here pinned directly on the
+    JVM int path rather than through the sketch operators). All inputs
+    are non-negative BIGINTs so two's-complement edge conventions
+    can't differ; checksums are exact integer arithmetic — no float
+    anywhere."""
+    ev = load_table(spark, "events", sf_dir)
+    uid, eid = F.col("user_id"), F.col("event_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and(uid).alias("band"),
+            F.bit_or(uid).alias("bor"),
+            F.bit_xor(uid).alias("bxor"),
+            (F.sum(uid.bitwiseAND(F.lit(255))) % 1000000007)
+            .cast("long").alias("and_checksum"),
+            F.sum(F.bit_count(uid)).cast("long").alias("popcnt_sum"),
+            (F.sum(F.shiftleft((uid % 16).cast("int"), 2)) % 1000000007)
+            .cast("long").alias("shift_checksum"),
+            (F.sum(uid.bitwiseXOR(eid) % 9973) % 1000000007)
+            .cast("long").alias("xor_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "map_functions_probe",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INT) AS n_keys,
+           string_agg(event_type, ',' ORDER BY event_type) AS keys_cat,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN cnt END), 0) AS BIGINT)
+               AS purchases,
+           CAST(SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS INT)
+               AS hot_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_events,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                  THEN cnt * 2 END), 0) AS BIGINT)
+               AS click_doubled,
+           CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS INT) AS has_view
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+)
+def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 MAP-type surface hash-compared cross-engine:
+    map_from_entries / map_keys / map_values / element_at /
+    map_filter / transform_values / map_contains_key, all JVM-side
+    higher-order expressions. The map is CONSTRUCTED distributively
+    (per-user event-type counts → entries array → map: one shuffle,
+    then a narrow per-row expression chain), and every observable is
+    read back OUT of the map so the oracle can recompute it
+    relationally — DuckDB has no Spark-style map columns, so parity
+    is proven on the extracted values, not the container."""
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = (
+        c.groupBy("user_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))).alias("m"))
+    )
+    mp = F.col("m")
+    return (
+        m.select(
+            "user_id",
+            F.size(mp).alias("n_keys"),
+            F.array_join(F.array_sort(F.map_keys(mp)), ",")
+            .alias("keys_cat"),
+            F.coalesce(F.element_at(mp, F.lit("purchase")), F.lit(0))
+            .cast("long").alias("purchases"),
+            F.size(F.map_filter(mp, lambda k, v: v >= 3))
+            .alias("hot_keys"),
+            F.aggregate(F.map_values(mp), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("total_events"),
+            F.coalesce(
+                F.element_at(
+                    F.transform_values(mp, lambda k, v: v * 2),
+                    F.lit("click")),
+                F.lit(0)).cast("long").alias("click_doubled"),
+            F.map_contains_key(mp, F.lit("view")).cast("int")
+            .alias("has_view"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-algebra round trip: long → PIVOT (wide, one column
+    per pinned event type — never inferred, no driver collect) →
+    UNPIVOT (melt back to long) must reproduce the original GROUP BY
+    exactly — the oracle IS that group-by, so the hash-compare proves
+    pivot and unpivot are mutual inverses on the populated cells
+    (absent day×type combos surface as NULL cells in the wide frame
+    and are dropped on the way back, matching the group-by, which
+    never manufactures empty groups). Pivot stays one shuffle
+    (groupBy day with 5 pinned pivot values); unpivot is a narrow
+    per-row expand — no extra exchange."""
+    from flight_data_pipeline_spark.plans.reference_queries import EVENT_TYPES
+
+    ev = load_table(spark, "events", sf_dir)
+    wide = (
+        ev.select(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+                  .alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    long = wide.unpivot("day", list(EVENT_TYPES), "event_type", "n")
+    return (
+        long.where(F.col("n").isNotNull())
+        .select("day", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("day", "event_type")
+    )

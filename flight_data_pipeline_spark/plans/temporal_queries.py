@@ -939,3 +939,100 @@ def range_frame_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "multi_touch_attribution",
+    oracle="""
+    WITH t AS (
+        SELECT p.event_id AS pid, p.ts AS pts,
+               v.event_type AS touch_type, v.ts AS vts,
+               v.event_id AS vid
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events
+              WHERE event_type IN ('view', 'click')) v
+          ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 24 HOUR
+         AND v.ts <  p.ts
+    ), r AS (
+        SELECT pid, pts, touch_type,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY vts, vid) AS rk,
+               COUNT(*)    OVER (PARTITION BY pid)   AS n
+        FROM t
+    )
+    SELECT STRFTIME(CAST(pts AS DATE), '%Y-%m-%d') AS day,
+           touch_type,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1.0
+                          WHEN n = 2 THEN 0.5
+                          WHEN rk = 1 OR rk = n THEN 0.4
+                          ELSE 0.2 / (n - 2) END), 2) AS credit,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM r
+    GROUP BY day, touch_type
+    ORDER BY day, touch_type
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase distributes 1.0 of credit over the same user's
+    view/click touchpoints in the preceding 24 h — 40% to the first
+    touch, 40% to the last, the middle 20% split evenly
+    (degenerating to 1.0 / 0.5+0.5 for 1- and 2-touch paths), summed
+    per purchase day and touch channel. The ad-tech workhorse the
+    funnel family lacked: conversion_funnel counts paths,
+    purchase_attribution_asof picks ONE touch (last-touch); this is
+    the fractional-credit generalization.
+
+    Plan: the 24 h lookback reuses range_join_binned (equi-join on
+    (user, day-bin), exact interval predicate inside the hash join —
+    never a nested loop); position and path length come from one
+    window pass over the matches partitioned by purchase (rank and
+    count share the (pid, ts, id) sort); credit is a pure CASE
+    expression, exact until the final re-associated sum, which is
+    rounded to 2 on both engines (house float rule). Touch ties on
+    identical timestamps break on event_id — deterministic at any
+    parallelism."""
+    from flight_data_pipeline_spark.operators.relational import (
+        range_join_binned,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"))
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("vid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("vts"))
+    j = range_join_binned(
+        purchases, touches, key_cols=["user_id"],
+        left_ts="pts", right_ts="vts",
+        lower_sec=-86400, upper_sec=0, bin_sec=86400, how="inner",
+    )
+    w = Window.partitionBy("pid")
+    rk = F.row_number().over(w.orderBy("vts", "vid"))
+    n = F.count("*").over(w)
+    r = j.select(
+        "pid", "pts", "touch_type",
+        rk.alias("rk"), n.alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        r.groupBy(
+            F.date_format(F.col("pts").cast("date"), "yyyy-MM-dd")
+            .alias("day"),
+            "touch_type",
+        )
+        .agg(
+            F.round(F.sum(credit), 2).alias("credit"),
+            F.count("*").alias("n_touches"),
+        )
+        .orderBy("day", "touch_type")
+    )
