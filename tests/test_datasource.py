@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from flight_data_pipeline_spark.sources.carbon_datasource import (
     CarbonIntensityDataSource,
 )
@@ -84,3 +86,115 @@ class TestJsonlCorpus:
         good, dead = read_jsonl_corpus(spark, str(shard))
         assert [r.text for r in good.where("doc_id = 9").collect()] == ["123"]
         assert dead.count() == 1
+
+
+class TestCarbonIntensityStream:
+    """The cron-poll loop as a streaming source: offsets advance per
+    poll, replay serves the CACHED bytes (not a re-fetch), commit
+    bounds the cache, and the end-to-end stream feeds the same
+    parse_intensity plan as batch."""
+
+    @staticmethod
+    def _payload(hour: int, actual: float) -> str:
+        t = f"2025-12-09T{hour:02d}:00Z"
+        return json.dumps({"data": [{"from": t, "to": t,
+                                     "intensity": {"actual": actual,
+                                                   "forecast": 95}}]})
+
+    def _reader(self, monkeypatch, feed):
+        from flight_data_pipeline_spark.sources import stream_datasource
+
+        it = iter(feed)
+        monkeypatch.setattr(stream_datasource, "_read_url",
+                            lambda url, timeout=10.0: next(it))
+        return stream_datasource.CarbonPollStreamReader(
+            {"url": "http://fake", "retry_base_delay": "0"})
+
+    def test_offsets_advance_and_rows_carry_payload(self, monkeypatch):
+        r = self._reader(monkeypatch, ["p0", "p1"])
+        assert r.initialOffset() == {"poll": 0}
+        rows, nxt = r.read({"poll": 0})
+        assert list(rows) == [(0, "p0")] and nxt == {"poll": 1}
+        rows, nxt = r.read({"poll": 1})
+        assert list(rows) == [(1, "p1")] and nxt == {"poll": 2}
+
+    def test_replay_serves_cached_bytes_not_a_refetch(self, monkeypatch):
+        r = self._reader(monkeypatch, ["p0", "p1", "NEWER"])
+        r.read({"poll": 0})
+        r.read({"poll": 1})
+        # recovery replay must see the original polls even though the
+        # upstream now serves NEWER — exactly-once over mutable APIs
+        assert list(r.readBetweenOffsets({"poll": 0}, {"poll": 2})) == [
+            (0, "p0"), (1, "p1")]
+
+    def test_commit_evicts_and_uncached_replay_is_loud(self, monkeypatch):
+        r = self._reader(monkeypatch, ["p0", "p1"])
+        r.read({"poll": 0})
+        r.read({"poll": 1})
+        r.commit({"poll": 1})
+        with pytest.raises(RuntimeError, match="staged durably"):
+            list(r.readBetweenOffsets({"poll": 0}, {"poll": 1}))
+        # committed-forward range still replayable
+        assert list(r.readBetweenOffsets({"poll": 1}, {"poll": 2})) == [
+            (1, "p1")]
+
+    def test_retry_envelope_applies_to_polls(self, monkeypatch):
+        from flight_data_pipeline_spark.sources import stream_datasource
+
+        calls = {"n": 0}
+
+        def flaky(url, timeout=10.0):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise ConnectionError("transient")
+            return "p0"
+
+        monkeypatch.setattr(stream_datasource, "_read_url", flaky)
+        r = stream_datasource.CarbonPollStreamReader(
+            {"url": "http://fake", "retry_base_delay": "0"})
+        rows, _ = r.read({"poll": 0})
+        assert list(rows) == [(0, "p0")] and calls["n"] == 3
+
+    def test_missing_url_raises(self):
+        from flight_data_pipeline_spark.sources.stream_datasource import (
+            CarbonPollStreamReader,
+        )
+        with pytest.raises(ValueError, match="url"):
+            CarbonPollStreamReader({})
+
+    def test_end_to_end_stream_feeds_batch_parser(self, spark, tmp_path):
+        from flight_data_pipeline_spark.sources.rest_json import (
+            parse_intensity,
+        )
+        from flight_data_pipeline_spark.sources.stream_datasource import (
+            CarbonIntensityStreamDataSource,
+        )
+        import pyspark.sql.functions as F
+        import time
+
+        payload_file = tmp_path / "payload.json"
+        payload_file.write_text(self._payload(14, 90.0))
+        spark.dataSource.register(CarbonIntensityStreamDataSource)
+        raw = (spark.readStream.format("carbon_intensity_stream")
+               .option("url", f"file://{payload_file}").load())
+        typed = parse_intensity(raw, now=F.lit("2025-12-09T16:00:00")
+                                .cast("timestamp"), keep=("poll",))
+        q = (typed.writeStream.format("memory").queryName("cis_stream")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(processingTime="0 seconds").start())
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(DISTINCT poll) AS n FROM cis_stream"
+                             ).first().n >= 2:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT * FROM cis_stream ORDER BY poll").collect()
+        assert len(rows) >= 2
+        assert [r.poll for r in rows] == sorted({r.poll for r in rows})
+        assert all(r.overall_intensity == 90.0 for r in rows)
+        assert all(r.window_start.hour == 14 for r in rows)
+        assert all(r.record_found for r in rows)
