@@ -135,3 +135,41 @@ def bpe_learn(df: DataFrame, text_col: str, num_merges: int = 20,
     # sentinel rounds (exhausted corpus) carry cnt = −1: drop them so
     # the returned table is exactly the executed merge sequence
     return out.where(F.col("pair_count") >= min_count)
+
+
+def bpe_encode(df: DataFrame, text_col: str, merges: DataFrame) -> DataFrame:
+    """Apply a learned merge table to the corpus → one row per distinct
+    word: (word, n: corpus frequency, tokens: array<string>) — the
+    TOKENIZE step that makes token counting real instead of a
+    whitespace proxy.
+
+    Replaying the merges in learn order, each greedily left-to-right,
+    reproduces the training-time segmentation exactly (the serial
+    algorithm's invariant; property-pinned in tests/test_properties.py
+    against the same oracle as bpe_learn). Shape:
+
+    - the corpus collapses to the vocabulary once (word_symbol_table —
+      the same 10^10-tokens → 10^6-words reduction the learner rides);
+    - the merge table (num_merges rows) aggregates to ONE array-of-
+      structs row — sorted by rank inside the aggregate, attached by
+      broadcast cross join, never collected to the driver;
+    - the apply is a NESTED fold, all JVM codegen: outer F.aggregate
+      over the merges array, inner greedy pair-merge fold over the
+      symbol array. Plan size is CONSTANT in num_merges (the merge
+      list is runtime data, not expression structure), so a 50k-merge
+      production vocabulary compiles to the same plan as 10 merges.
+    """
+    words = word_symbol_table(df, text_col)
+    mlist = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "left", "right")))
+        .alias("__merges"))
+    return (
+        words.crossJoin(F.broadcast(mlist))
+        .select(
+            "word", "n",
+            F.aggregate(
+                F.col("__merges"), F.col("syms"),
+                lambda acc, m: _merge_fold(acc, m["left"], m["right"]),
+            ).alias("tokens"))
+    )

@@ -1972,3 +1972,31 @@ def theta_sketch_audience_overlap(spark: SparkSession,
             .alias("exact_union"),
         )
     )
+
+
+@query("bpe_token_stats")  # BPE apply has no SQL twin ⇒ rows-only
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round trip: learn a BPE merge table on the corpus,
+    APPLY it back (operators/bpe.bpe_encode — broadcast merge list,
+    nested JVM fold, vocabulary-collapsed), and report the top 15
+    tokens by corpus frequency (count desc, token lexicographic).
+    This is the step that turns the whitespace token-count proxy used
+    by the budget/packing queries into real subword counts.
+
+    Rows-only like bpe_merge_table (an argmax-loop learn + fold apply
+    is beyond a SQL oracle); exact equivalence of BOTH stages to the
+    serial Sennrich algorithm is property-pinned
+    (tests/test_properties.py::test_bpe_encode_matches_serial).
+    Deterministic: the corpus is fixed, ties break on the token."""
+    from flight_data_pipeline_spark.operators.bpe import bpe_encode, bpe_learn
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_learn(docs, "text", num_merges=8)
+    encoded = bpe_encode(docs, "text", merges)
+    return (
+        encoded.select("n", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("total_n"))
+        .orderBy(F.desc("total_n"), "token")
+        .limit(15)
+    )

@@ -843,3 +843,38 @@ def test_range_join_binned_left_keeps_unmatched(spark, left, right, bounds,
         else:
             want[(lid, None)] += 1
     assert got == want
+
+
+def _serial_bpe_encode(word_list, num_merges, min_count=2):
+    """Serial learn + apply: the final per-word segmentation after
+    replaying _serial_bpe's merges — the oracle for bpe_encode."""
+    from collections import Counter
+
+    freq = Counter(word_list)
+    state = {w: list(w) + ["</w>"] for w in freq}
+    for _, a, b, _m, _c in _serial_bpe(word_list, num_merges, min_count):
+        for w, syms in state.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            state[w] = out
+    return {w: (freq[w], tuple(syms)) for w, syms in state.items()}
+
+
+@SETTINGS
+@given(words=bpe_corpora)
+def test_bpe_encode_matches_serial(spark, words):
+    """Distributed encode (nested merge fold over the broadcast merge
+    list) must reproduce the serial training-time segmentation for
+    every word — same tokens, same order, same multiplicities."""
+    from flight_data_pipeline_spark.operators.bpe import bpe_encode, bpe_learn
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    merges = bpe_learn(df, "text", num_merges=8)
+    got = {r.word: (r.n, tuple(r.tokens))
+           for r in bpe_encode(df, "text", merges).collect()}
+    want = _serial_bpe_encode(words, num_merges=8)
+    assert got == want
