@@ -2000,3 +2000,137 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_n"), "token")
         .limit(15)
     )
+
+
+@query(
+    "hash_functions_probe",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(('0x' || substr(md5(text), 1, 4))::INT)
+                % 1000000007 AS BIGINT) AS md5_checksum,
+           CAST(SUM(('0x' || substr(sha256(text), 1, 4))::INT)
+                % 1000000007 AS BIGINT) AS sha256_checksum,
+           CAST(SUM(len(base64(text::BLOB))) AS BIGINT) AS b64_len_sum,
+           CAST(SUM(('0x' || substr(hex(text::BLOB), 1, 4))::INT)
+                % 1000000007 AS BIGINT) AS hex_checksum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def hash_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 HASH/ENCODING scalar surface pinned cross-engine:
+    md5, sha2-256, base64, and hex over every document, checksummed
+    per language. These are the repo's canonical cross-engine
+    fingerprint primitives (orders_fingerprint,
+    rolling_hash_fingerprints ride md5's leading bytes); this probe
+    pins the full digest family directly — byte-identical digests,
+    identical base64 alphabet/padding (length-summed), identical
+    uppercase hex — so any engine/library drift surfaces here first,
+    not inside a composed query.
+
+    One REAL engine delta found and pinned around: Spark's base64 is
+    RFC-2045 MIME — a CRLF every 76 output chars — while DuckDB's is
+    unchunked RFC 4648, so the raw lengths differ by ~2.6% on long
+    payloads. The probe strips the line breaks before summing, which
+    keeps alphabet + padding pinned; any pipeline exchanging base64
+    between engines must normalize the same way."""
+    docs = load_table(spark, "documents", sf_dir)
+    M = 1000000007
+
+    def hex4(col):  # first 16 bits of a hex digest, as a number
+        return F.conv(F.substring(col, 1, 4), 16, 10).cast("long")
+
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum(hex4(F.md5("text"))) % M).cast("long")
+            .alias("md5_checksum"),
+            (F.sum(hex4(F.sha2("text", 256))) % M).cast("long")
+            .alias("sha256_checksum"),
+            F.sum(F.length(F.regexp_replace(
+                F.base64(F.col("text").cast("binary")), "[\\r\\n]", "")))
+            .cast("long").alias("b64_len_sum"),
+            (F.sum(hex4(F.hex(F.col("text")))) % M).cast("long")
+            .alias("hex_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "regex_functions_probe",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[aeiou]{2}')))
+                AS BIGINT) AS vowel_pairs,
+           CAST(SUM(len(regexp_replace(text, '[aeiou]+', '', 'g')))
+                AS BIGINT) AS devoweled_len,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'er( |$)')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS er_docs,
+           CAST(SUM(len(regexp_extract(text, '([a-z]{7,})', 1)))
+                AS BIGINT) AS first_long_word_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def regex_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 REGEX scalar surface pinned cross-engine:
+    regexp_count, global regexp_replace, rlike, and regexp_extract
+    over every document, aggregated per language. Spark compiles Java
+    regex, DuckDB RE2 — this probe pins that the subset the repo's
+    text operators actually use (character classes, bounded repeats,
+    alternation-free anchors, first-match extract with a capture
+    group, empty-string on no-match) behaves identically; anything
+    fancier (lookarounds, backrefs) is deliberately NOT used anywhere
+    so the engines can't diverge."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.regexp_count("text", F.lit("[aeiou]{2}")))
+            .cast("long").alias("vowel_pairs"),
+            F.sum(F.length(F.regexp_replace("text", "[aeiou]+", "")))
+            .cast("long").alias("devoweled_len"),
+            F.sum(F.col("text").rlike("er( |$)").cast("int"))
+            .cast("long").alias("er_docs"),
+            F.sum(F.length(F.regexp_extract("text", "([a-z]{7,})", 1)))
+            .cast("long").alias("first_long_word_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "frequent_tokens_sketch",
+    oracle="""
+    SELECT token AS item,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(0 AS BIGINT) AS err
+    FROM (SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, item LIMIT 20
+    """,
+)
+def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via the mergeable Space-Saving sketch
+    (operators/sketches.frequent_items) — the bounded-memory
+    heavy-hitters path whose shuffle volume is k·partitions,
+    independent of vocabulary size, vs `top_tokens`' exact
+    full-vocabulary shuffle. At fixture scale the 256 counters exceed
+    the corpus vocabulary, so no eviction fires, err is provably 0,
+    and the sketch IS the exact count — which is what makes this
+    hash-checkable against the exact SQL oracle (the eviction
+    regime's α-guarantee is property-tested in
+    tests/test_operators.py, where k is forced below the vocabulary
+    size)."""
+    from flight_data_pipeline_spark.operators.sketches import frequent_items
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") > 0)
+    )
+    return frequent_items(toks, "token", k_counters=256, top=20)

@@ -395,3 +395,50 @@ class TestOhlcTieDeterminism:
         assert bar.close_value == 1.0
         assert bar.high_value == 9.0 and bar.low_value == 1.0
         assert bar.n_events == 5
+
+
+class TestFrequentItemsSketch:
+    """Space-saving guarantees in BOTH regimes: exact when counters
+    cover the vocabulary, α-guarantee + error bounds under eviction."""
+
+    def test_exact_regime_equals_groupby(self, spark):
+        from flight_data_pipeline_spark.operators.sketches import (
+            frequent_items,
+        )
+        import pyspark.sql.functions as F
+
+        data = [(w,) for w, n in
+                [("a", 7), ("b", 5), ("c", 3), ("d", 1)] for _ in range(n)]
+        df = spark.createDataFrame(data, "item string").repartition(3)
+        got = [(r.item, r.cnt, r.err)
+               for r in frequent_items(df, "item", k_counters=64,
+                                       top=10).collect()]
+        assert got == [("a", 7, 0), ("b", 5, 0), ("c", 3, 0), ("d", 1, 0)]
+
+    def test_eviction_regime_guarantee_and_bounds(self, spark):
+        from flight_data_pipeline_spark.operators.sketches import (
+            frequent_items,
+        )
+
+        # skewed stream: heavy a/b/c plus a 60-item singleton tail,
+        # forced through k=4 counters on each of 3 partitions
+        heavy = {"a": 500, "b": 300, "c": 200}
+        data = [(w,) for w, n in heavy.items() for _ in range(n)]
+        data += [(f"tail{i:02d}",) for i in range(60)]
+        n_total = len(data)
+        df = spark.createDataFrame(data, "item string").repartition(3)
+        out = {r.item: (r.cnt, r.err)
+               for r in frequent_items(df, "item", k_counters=4,
+                                       top=50).collect()}
+
+        # α-guarantee: every item with true count > N/k must be present
+        threshold = n_total / 4
+        for item, true in heavy.items():
+            if true > threshold:
+                assert item in out, f"{item} (true {true}) missing"
+        # error bounds: cnt - err <= true <= cnt for every reported item
+        true_counts = {**heavy, **{f"tail{i:02d}": 1 for i in range(60)}}
+        for item, (cnt, err) in out.items():
+            true = true_counts[item]
+            assert cnt - err <= true <= cnt, (
+                f"{item}: bounds [{cnt - err}, {cnt}] miss true {true}")
