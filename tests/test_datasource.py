@@ -198,3 +198,92 @@ class TestCarbonIntensityStream:
         assert all(r.overall_intensity == 90.0 for r in rows)
         assert all(r.window_start.hour == 14 for r in rows)
         assert all(r.record_found for r in rows)
+
+    def test_restart_from_checkpoint_continues_offsets(self, spark, tmp_path):
+        """Kill the stream after >=2 polls, restart with the SAME
+        checkpoint and a FRESH reader instance: the poll sequence must
+        continue where the committed offset left off — no duplicate
+        polls, no gaps — because the engine owns the offset log, not
+        the reader."""
+        from flight_data_pipeline_spark.sources.stream_datasource import (
+            CarbonIntensityStreamDataSource,
+        )
+        import time
+
+        payload_file = tmp_path / "payload.json"
+        payload_file.write_text(self._payload(14, 90.0))
+        spark.dataSource.register(CarbonIntensityStreamDataSource)
+        out = str(tmp_path / "out")
+
+        def run_until(n_polls: int) -> list:
+            # parquet sink: the recoverable exactly-once sink (the
+            # memory sink refuses checkpoint recovery)
+            raw = (spark.readStream.format("carbon_intensity_stream")
+                   .option("url", f"file://{payload_file}").load())
+            q = (raw.writeStream.format("parquet")
+                 .option("path", out)
+                 .option("checkpointLocation", str(tmp_path / "ckpt"))
+                 .trigger(processingTime="0 seconds").start())
+            try:
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    try:
+                        n = (spark.read.parquet(out)
+                             .select("poll").distinct().toPandas())
+                        if len(n) >= n_polls:
+                            break
+                    except Exception:
+                        pass  # sink dir not yet created
+                    time.sleep(0.3)
+            finally:
+                q.stop()
+            return sorted(r.poll for r in
+                          spark.read.parquet(out).select("poll").collect())
+
+        first = run_until(2)
+        assert first == sorted(set(first)) and len(first) >= 2
+        second = run_until(len(first) + 2)
+        assert len(second) >= len(first) + 2
+        # exactly-once across the restart: every poll delivered once,
+        # the sequence contiguous from 0 — no replayed duplicates, no
+        # skipped offsets
+        assert second == list(range(len(second))), second
+
+    def test_stream_source_composes_with_telemetry_pipeline(
+            self, spark, tmp_path):
+        """The poll source drops into the existing streaming pipeline
+        unchanged: its (poll, payload) rows carry the same combined
+        document a landing-dir line does, so telemetry_stream's
+        validated hour-bucket output is source-agnostic."""
+        from flight_data_pipeline_spark.sources.stream_datasource import (
+            CarbonIntensityStreamDataSource,
+        )
+        from flight_data_pipeline_spark.streaming.pipeline_stream import (
+            telemetry_stream,
+        )
+        import time
+
+        payload_file = tmp_path / "payload.json"
+        payload_file.write_text(json.dumps(
+            json.loads(list(payloads().values())[0])))
+        spark.dataSource.register(CarbonIntensityStreamDataSource)
+        raw = (spark.readStream.format("carbon_intensity_stream")
+               .option("url", f"file://{payload_file}").load())
+        q = (telemetry_stream(raw).writeStream.format("memory")
+             .queryName("cis_telemetry")
+             .option("checkpointLocation", str(tmp_path / "ckpt2"))
+             .trigger(processingTime="0 seconds").start())
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) AS n FROM cis_telemetry"
+                             ).first().n >= 1:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM cis_telemetry").collect()
+        assert rows, "no telemetry rows surfaced from the poll stream"
+        r = rows[0]
+        assert r.overall_intensity == 90.0
+        assert r.fuel_gas_perc == 45.5
