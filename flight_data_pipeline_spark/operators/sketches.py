@@ -87,3 +87,40 @@ def frequent_items(df: DataFrame, item_col: str,
         .orderBy(F.desc("cnt"), "item")
         .limit(top)
     )
+
+
+def mg_merge(old: DataFrame, delta: DataFrame,
+             k_counters: int = 256) -> DataFrame:
+    """Misra-Gries REDUCE of two summaries → one bounded summary
+    (item, cnt): sum counts per item, subtract the (k+1)-th largest,
+    drop the non-positive. This is the mergeable-summaries result
+    (Agarwal et al., PODS'12): merges may chain in ANY order/shape —
+    micro-batch after micro-batch, tree-reduce across shards — and the
+    bound composes: cnt is an UNDERestimate with
+    true − N/(k+1) ≤ cnt ≤ true over the total N ever merged, so
+    every item with true count > N/(k+1) is guaranteed present.
+
+    (Counter-style vs frequent_items' (cnt, err) OVERestimate: the
+    streaming maintenance path uses this form because subtraction
+    makes truncation safe without tracking per-item error.)
+
+    All DataFrame ops on SUMMARY-sized data (≤ k + batch-vocabulary
+    rows): one sum-aggregate, one single-partition rank over the
+    bounded summary — never over the stream."""
+    summed = (
+        old.unionByName(delta)
+        .groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), "item")
+    ranked = summed.withColumn("__r", F.row_number().over(w))
+    cut = ranked.agg(
+        F.max(F.when(F.col("__r") == k_counters + 1, F.col("cnt")))
+        .alias("__cut"))
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .withColumn("cnt", F.col("cnt") - F.coalesce("__cut", F.lit(0)))
+        .where(F.col("cnt") > 0)
+        .select("item", "cnt")
+    )

@@ -492,3 +492,70 @@ def streaming_value_histogram(events: DataFrame, lo: float | None = None,
         .groupBy(bin_col.alias("bin"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def apply_frequent_items_delta(summary_dir: str, batch_df: DataFrame,
+                               batch_id: int, item_col: str,
+                               k_counters: int = 256) -> bool:
+    """Idempotently fold one micro-batch into a persistent bounded
+    heavy-hitters summary: exact per-item batch counts Misra-Gries-
+    merged (operators/sketches.mg_merge) into the stored ≤ k-counter
+    state — unbounded stream, O(k) state, the item set never
+    re-scanned. Same marker + atomic-swap replay discipline as
+    :func:`apply_rollup_delta` (the batch-id marker rides inside the
+    data dir; merged state renames over live in one move), so a
+    foreachBatch replay after a crash is a no-op."""
+    import os
+    import shutil
+
+    from flight_data_pipeline_spark.operators.sketches import mg_merge
+
+    os.makedirs(summary_dir, exist_ok=True)
+    data_dir = os.path.join(summary_dir, "data")
+    marker_name = "_applied_batch"
+    if os.path.exists(os.path.join(data_dir, marker_name)):
+        with open(os.path.join(data_dir, marker_name)) as fh:
+            if batch_id <= int(fh.read().strip() or -1):
+                return False
+
+    spark = batch_df.sparkSession
+    delta = (
+        batch_df.select(F.col(item_col).cast("string").alias("item"))
+        .groupBy("item").agg(F.count("*").alias("cnt"))
+    )
+    if os.path.exists(data_dir):
+        base = spark.read.parquet(data_dir).select("item", "cnt")
+        merged = mg_merge(base, delta, k_counters)
+    else:
+        merged = mg_merge(
+            delta.limit(0), delta, k_counters)  # bound the first batch too
+    tmp = os.path.join(summary_dir, f".tmp-{batch_id}")
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, marker_name), "w") as fh:
+        fh.write(str(batch_id))
+    old = os.path.join(summary_dir, f".old-{batch_id}")
+    if os.path.exists(data_dir):
+        os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
+def stream_frequent_items(events: DataFrame, summary_dir: str,
+                          checkpoint_dir: str, item_col: str,
+                          k_counters: int = 256) -> StreamingQuery:
+    """Streaming heavy-hitters maintenance: the mergeable-summaries
+    twin of the batch `frequent_tokens_sketch` — each micro-batch's
+    exact counts fold into a bounded persistent summary whose
+    guarantee (every item with true count > N/(k+1) present)
+    composes across arbitrarily many batches. foreachBatch +
+    checkpointed offsets + batch-id idempotence give effective
+    exactly-once on the summary across restarts."""
+    return (
+        events.writeStream
+        .foreachBatch(lambda df, bid: apply_frequent_items_delta(
+            summary_dir, df, bid, item_col, k_counters))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

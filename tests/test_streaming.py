@@ -682,3 +682,83 @@ def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in gated(batch).collect())
     got = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
     assert got == want
+
+
+def test_mg_merge_bound_composes_across_merges(spark):
+    """Chained Misra-Gries merges keep the composed guarantee:
+    true − N/(k+1) ≤ cnt ≤ true, heavy items always present."""
+    from flight_data_pipeline_spark.operators.sketches import mg_merge
+
+    k = 4
+    # three "batches" with a persistent heavy item and churn tails
+    batches = [
+        {"a": 50, "b": 20, "t1": 1, "t2": 1, "t3": 1},
+        {"a": 40, "c": 25, "t4": 1, "t5": 1},
+        {"a": 30, "b": 15, "t6": 1, "t7": 1, "t8": 1},
+    ]
+    summary = spark.createDataFrame([], "item string, cnt bigint")
+    for b in batches:
+        delta = spark.createDataFrame(list(b.items()),
+                                      "item string, cnt bigint")
+        summary = mg_merge(summary, delta, k_counters=k)
+    out = {r.item: r.cnt for r in summary.collect()}
+    true = {}
+    for b in batches:
+        for i, c in b.items():
+            true[i] = true.get(i, 0) + c
+    n_total = sum(true.values())
+    assert len(out) <= k
+    for item, t in true.items():
+        if t > n_total / (k + 1):
+            assert item in out, f"heavy {item} (true {t}) evicted"
+    for item, cnt in out.items():
+        assert cnt <= true[item]
+        assert cnt >= true[item] - n_total / (k + 1)
+
+
+def test_stream_frequent_items_maintains_bounded_summary(spark, tmp_path):
+    """Two availableNow runs over a growing item stream maintain the
+    bounded summary; a replayed micro-batch is skipped by the marker;
+    the persistent heavy item is never evicted."""
+    import json
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_frequent_items_delta,
+        stream_frequent_items,
+    )
+
+    src = tmp_path / "items"
+    src.mkdir()
+    summary = str(tmp_path / "summary")
+
+    def write_file(name, counts):
+        rows = [{"item": i} for i, n in counts.items() for _ in range(n)]
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def read_stream():
+        return spark.readStream.schema("item string").json(str(src))
+
+    def summary_rows():
+        return {r.item: r.cnt
+                for r in spark.read.parquet(summary + "/data").collect()}
+
+    write_file("b0.json", {"hot": 40, "warm": 10, "x1": 1, "x2": 1})
+    stream_frequent_items(
+        read_stream(), summary, str(tmp_path / "ck"),
+        "item", k_counters=3).awaitTermination(60)
+    s1 = summary_rows()
+    assert len(s1) <= 3 and "hot" in s1
+
+    write_file("b1.json", {"hot": 30, "cold": 5, "x3": 1})
+    stream_frequent_items(
+        read_stream(), summary, str(tmp_path / "ck"),
+        "item", k_counters=3).awaitTermination(60)
+    s2 = summary_rows()
+    assert len(s2) <= 3
+    assert "hot" in s2 and s2["hot"] <= 70
+    # composed MG bound over N=89 items, k=3: underestimate by < 22.25
+    assert s2["hot"] >= 70 - 89 / 4
+    # replay of an applied batch is a no-op
+    df0 = spark.read.schema("item string").json(str(src / "b0.json"))
+    assert apply_frequent_items_delta(summary, df0, 0, "item", 3) is False
+    assert summary_rows() == s2
