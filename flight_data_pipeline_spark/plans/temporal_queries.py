@@ -1036,3 +1036,68 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "touch_type")
     )
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(s) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'vc')) AS INT) AS n_view_click,
+           CAST(CASE WHEN regexp_matches(s, 'v[^p]*p')
+                     THEN 1 ELSE 0 END AS INT) AS converted,
+           CAST(COALESCE(list_max(list_transform(
+                regexp_extract_all(s, 'v+'), x -> len(x))), 0) AS INT)
+               AS longest_view_run
+    FROM seq ORDER BY user_id
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching, Spark-first:
+    each user's event history collapses to ONE symbol string (initial
+    per event, (ts, event_id)-ordered inside a sort_array — no window
+    needed), and row-pattern questions become regexes over it:
+    adjacency counts ('vc'), eventually-followed-by conversion
+    ('v[^p]*p' — a view later converts with no purchase in between),
+    longest unbroken run ('v+' max match length). The classic funnel
+    queries special-case what this generalizes: ANY regex over the
+    event alphabet without new shuffles — one groupBy, then pure
+    string expressions.
+
+    Scale: the symbol string is ~1 byte/event — a 10^5-event user is
+    a 100 KB value, fine for a row; beyond that, sessionize first and
+    pattern-match per session. Ordering inside the collected array is
+    total ((ts, event_id) in the struct prefix), so the string is
+    deterministic at any parallelism."""
+    ev = load_table(spark, "events", sf_dir)
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        "ts", "event_id",
+                        F.substring("event_type", 1, 1).alias("c")))),
+                    lambda x: x["c"],
+                )).alias("s"))
+    )
+    runs = F.transform(
+        F.regexp_extract_all("s", F.lit("(v+)"), 1), F.length)
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").alias("seq_len"),
+            F.regexp_count("s", F.lit("vc")).alias("n_view_click"),
+            F.col("s").rlike("v[^p]*p").cast("int").alias("converted"),
+            F.coalesce(F.array_max(runs), F.lit(0))
+            .alias("longest_view_run"),
+        )
+        .orderBy("user_id")
+    )
