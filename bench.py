@@ -93,6 +93,11 @@ HEADLINE = [
     # fan-out (the engine-surface probes are sub-second scans, not
     # tracked)
     "multi_touch_attribution",
+    # round-5 late additions: the mapInPandas sketch merge and the
+    # symbol-string pattern matcher — one tracked query per new
+    # execution shape
+    "frequent_tokens_sketch",
+    "event_pattern_match",
 ]
 
 
