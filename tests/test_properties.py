@@ -878,3 +878,54 @@ def test_bpe_encode_matches_serial(spark, words):
            for r in bpe_encode(df, "text", merges).collect()}
     want = _serial_bpe_encode(words, num_merges=8)
     assert got == want
+
+
+# --- frequent-items sketch vs exact / bound oracles ---------------------------
+
+sketch_streams = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1, max_size=120,
+)
+
+
+@SETTINGS
+@given(items=sketch_streams)
+def test_frequent_items_exact_regime_matches_counter(spark, items):
+    """With counters >= vocabulary the sketch must equal the exact
+    Counter on any stream, at any partitioning, err identically 0."""
+    from collections import Counter
+
+    from flight_data_pipeline_spark.operators.sketches import frequent_items
+
+    df = spark.createDataFrame([(i,) for i in items],
+                               "item string").repartition(3)
+    got = {r.item: (r.cnt, r.err)
+           for r in frequent_items(df, "item", k_counters=16,
+                                   top=20).collect()}
+    assert got == {i: (n, 0) for i, n in Counter(items).items()}
+
+
+@SETTINGS
+@given(batches=st.lists(sketch_streams, min_size=1, max_size=4))
+def test_mg_merge_chained_bounds_hold(spark, batches):
+    """Chained Misra-Gries folds over arbitrary batch splits keep the
+    composed bound: cnt <= true and true - cnt <= N/(k+1), with at
+    most k survivors."""
+    from collections import Counter
+
+    from flight_data_pipeline_spark.operators.sketches import mg_merge
+
+    k = 3
+    summary = spark.createDataFrame([], "item string, cnt bigint")
+    for b in batches:
+        delta = spark.createDataFrame(
+            list(Counter(b).items()), "item string, cnt bigint")
+        summary = mg_merge(summary, delta, k_counters=k)
+    out = {r.item: r.cnt for r in summary.collect()}
+    true = Counter(i for b in batches for i in b)
+    n_total = sum(true.values())
+    assert len(out) <= k
+    for item, cnt in out.items():
+        assert 0 < cnt <= true[item]
+    for item, t in true.items():
+        assert t - out.get(item, 0) <= n_total / (k + 1)
