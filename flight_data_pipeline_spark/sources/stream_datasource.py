@@ -42,6 +42,8 @@ Design notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -68,7 +70,17 @@ def _read_url(url: str, timeout: float = 10.0) -> str:
 
 
 class CarbonPollStreamReader(SimpleDataSourceStreamReader):
-    """Driver-side poller with poll-counter offsets ``{"poll": n}``."""
+    """Driver-side poller with poll-counter offsets ``{"poll": n}``.
+
+    ``stage_dir`` (optional but production-required): a directory each
+    poll's payload lands in (``{n}.json``) BEFORE the batch is
+    planned — the WAL that makes restart recovery work. A restarted
+    query replays its last planned-but-uncommitted batch through
+    ``readBetweenOffsets`` on a FRESH reader whose in-memory cache is
+    empty; with staging the bytes come back from disk, without it the
+    replay fails loud (a silent re-fetch could observe a newer
+    payload and break exactly-once). Staged files below the committed
+    offset are pruned on ``commit`` alongside the cache."""
 
     def __init__(self, options: dict):
         url = options.get("url")
@@ -82,32 +94,61 @@ class CarbonPollStreamReader(SimpleDataSourceStreamReader):
             lambda: _read_url(self._url, self._timeout),
             base_delay=float(options.get("retry_base_delay", 2.0)))
         self._cache: dict[int, str] = {}
+        self._stage_dir = options.get("stage_dir")
+        if self._stage_dir:
+            os.makedirs(self._stage_dir, exist_ok=True)
+
+    def _stage_path(self, n: int) -> str:
+        return os.path.join(self._stage_dir, f"{n}.json")
+
+    def _lookup(self, n: int) -> str | None:
+        if n in self._cache:
+            return self._cache[n]
+        if self._stage_dir and os.path.exists(self._stage_path(n)):
+            with open(self._stage_path(n)) as fh:
+                payload = fh.read()
+            self._cache[n] = payload
+            return payload
+        return None
 
     def initialOffset(self) -> dict:
         return {"poll": 0}
 
     def read(self, start: dict):
         n = int(start["poll"])
-        if n in self._cache:  # re-entry for an already-fetched poll
-            return iter([(n, self._cache[n])]), {"poll": n + 1}
-        payload = self._fetch()
-        self._cache[n] = payload
+        payload = self._lookup(n)  # re-entry / crash-after-stage replay
+        if payload is None:
+            payload = self._fetch()
+            if self._stage_dir:
+                # stage-then-plan: write via temp + rename so a crash
+                # mid-write never leaves a torn payload behind
+                tmp = self._stage_path(n) + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(payload)
+                os.replace(tmp, self._stage_path(n))
+            self._cache[n] = payload
         return iter([(n, payload)]), {"poll": n + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         lo, hi = int(start["poll"]), int(end["poll"])
-        missing = [n for n in range(lo, hi) if n not in self._cache]
+        out = [(n, self._lookup(n)) for n in range(lo, hi)]
+        missing = [n for n, p in out if p is None]
         if missing:
             raise RuntimeError(
-                f"polls {missing} not in the replay cache — replay across a "
-                "driver restart requires payloads staged durably (land each "
-                "poll to storage and stream the directory instead)")
-        return iter([(n, self._cache[n]) for n in range(lo, hi)])
+                f"polls {missing} neither cached nor staged — replay across "
+                "a driver restart requires .option('stage_dir', ...) so each "
+                "poll lands durably before its batch is planned")
+        return iter(out)
 
     def commit(self, end: dict) -> None:
         hi = int(end["poll"])
         for n in [k for k in self._cache if k < hi]:
             del self._cache[n]
+        if self._stage_dir:
+            for name in os.listdir(self._stage_dir):
+                stem = name.split(".", 1)[0]
+                if stem.isdigit() and int(stem) < hi:
+                    os.remove(os.path.join(self._stage_dir, name))
 
 
 class CarbonIntensityStreamDataSource(DataSource):

@@ -132,7 +132,7 @@ class TestCarbonIntensityStream:
         r.read({"poll": 0})
         r.read({"poll": 1})
         r.commit({"poll": 1})
-        with pytest.raises(RuntimeError, match="staged durably"):
+        with pytest.raises(RuntimeError, match="stage_dir"):
             list(r.readBetweenOffsets({"poll": 0}, {"poll": 1}))
         # committed-forward range still replayable
         assert list(r.readBetweenOffsets({"poll": 1}, {"poll": 2})) == [
@@ -219,7 +219,8 @@ class TestCarbonIntensityStream:
             # parquet sink: the recoverable exactly-once sink (the
             # memory sink refuses checkpoint recovery)
             raw = (spark.readStream.format("carbon_intensity_stream")
-                   .option("url", f"file://{payload_file}").load())
+                   .option("url", f"file://{payload_file}")
+                   .option("stage_dir", str(tmp_path / "stage")).load())
             q = (raw.writeStream.format("parquet")
                  .option("path", out)
                  .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -287,3 +288,36 @@ class TestCarbonIntensityStream:
         r = rows[0]
         assert r.overall_intensity == 90.0
         assert r.fuel_gas_perc == 45.5
+
+    def test_staged_payloads_survive_reader_restart(self, tmp_path,
+                                                    monkeypatch):
+        """Restart recovery, deterministically: a FRESH reader (empty
+        cache) must serve readBetweenOffsets for planned-but-
+        uncommitted polls from the stage dir — the exact path a
+        restarted query takes — and committing prunes the staged
+        files it no longer needs."""
+        import os
+
+        from flight_data_pipeline_spark.sources import stream_datasource
+
+        feed = iter(["p0", "p1"])
+        monkeypatch.setattr(stream_datasource, "_read_url",
+                            lambda url, timeout=10.0: next(feed))
+        opts = {"url": "http://fake", "retry_base_delay": "0",
+                "stage_dir": str(tmp_path / "stage")}
+        r1 = stream_datasource.CarbonPollStreamReader(opts)
+        r1.read({"poll": 0})
+        r1.read({"poll": 1})
+        # "restart": new instance, empty cache, upstream now different
+        monkeypatch.setattr(
+            stream_datasource, "_read_url",
+            lambda url, timeout=10.0: "NEWER")
+        r2 = stream_datasource.CarbonPollStreamReader(opts)
+        assert list(r2.readBetweenOffsets({"poll": 0}, {"poll": 2})) == [
+            (0, "p0"), (1, "p1")]
+        # crash-after-stage: read() of a staged poll reuses the bytes
+        assert list(r2.read({"poll": 1})[0]) == [(1, "p1")]
+        r2.commit({"poll": 2})
+        assert os.listdir(opts["stage_dir"]) == []
+        with pytest.raises(RuntimeError, match="stage_dir"):
+            list(r2.readBetweenOffsets({"poll": 0}, {"poll": 1}))
