@@ -438,6 +438,49 @@ def salted_join(skewed: DataFrame, small: DataFrame, on: str,
     return salted_big.join(replicated, on=[on, "__salt"]).drop("__salt")
 
 
+def skew_split_join(left: DataFrame, right: DataFrame, on: str,
+                    hot_threshold: int, how: str = "inner") -> DataFrame:
+    """Two-path skew join for LARGE ⋈ LARGE with a hot-key minority —
+    the case salted_join (small right side) and AQE's SMJ skew split
+    don't cover: keys whose LEFT-side frequency exceeds
+    ``hot_threshold`` take a broadcast path (the right side's slice
+    for those keys broadcasts — small precisely because hot keys are
+    few), every other key takes the ordinary shuffle join; the union
+    is EXACTLY the plain join because the key space partitions into
+    hot/cold and cross terms are empty by construction.
+
+    Hot-key detection is an aggregation broadcast back as semi/anti
+    filters — never a driver collect, so the operator stays a single
+    declarative plan Catalyst can see through. ``how`` supports
+    "inner" and "left" (each left row lives in exactly one path, so
+    LEFT semantics union cleanly; full/right outer would need
+    right-side path bookkeeping and is deliberately not offered).
+
+    At 100 TB: the shuffle path stops spilling on the hot reducers
+    (they no longer exist there), and the broadcast path turns the
+    hot keys' quadratic-ish reducer into a map-side hash probe. The
+    threshold is rows-per-key on the LEFT; pick it near the point
+    where one key's rows stop fitting a single reducer comfortably.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how!r}")
+    import pyspark.sql.functions as F
+
+    hot = (
+        left.groupBy(on).agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > hot_threshold)
+        .select(on)
+    )
+    left_hot = left.join(F.broadcast(hot), on, "left_semi")
+    left_cold = left.join(F.broadcast(hot), on, "left_anti")
+    right_hot = right.join(F.broadcast(hot), on, "left_semi")
+    right_cold = right.join(F.broadcast(hot), on, "left_anti")
+    return (
+        left_cold.join(right_cold, on, how)
+        .unionByName(left_hot.join(F.broadcast(right_hot), on, how))
+    )
+
+
 def assign_contiguous_ids(df: DataFrame, id_col: str = "row_id",
                           order_within_partition: Sequence[str] = ()
                           ) -> DataFrame:

@@ -3076,3 +3076,50 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", F.col("n").cast("long").alias("n"))
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "skew_safe_order_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def skew_safe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through the two-path skew join
+    (operators/relational.skew_split_join): join keys whose left-side
+    frequency exceeds the threshold go down a broadcast path, the
+    rest down the ordinary shuffle join, and the union is provably
+    the plain join — which is exactly what the oracle computes, so
+    the hash-compare certifies the rewrite end-to-end. At the fixture
+    threshold both paths are genuinely populated (orders with >6
+    line items take the hot path — ~10% of keys), so the driver run
+    exercises split, both joins, and the union, not a degenerate
+    single path. Complements `salted_join` (small right side) and
+    `salted_value_stats_by_type` (aggregation skew): this is the
+    LARGE ⋈ LARGE hot-minority case AQE's skew split handles only
+    for sort-merge plans."""
+    from flight_data_pipeline_spark.operators.relational import (
+        skew_split_join,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice", "l_discount")
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    joined = skew_split_join(li, o, on="orderkey", hot_threshold=6)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -442,3 +442,51 @@ class TestFrequentItemsSketch:
             true = true_counts[item]
             assert cnt - err <= true <= cnt, (
                 f"{item}: bounds [{cnt - err}, {cnt}] miss true {true}")
+
+
+class TestSkewSplitJoin:
+    """Two-path hot/cold join must equal the plain join exactly, for
+    inner and left, on genuinely skewed data."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [("hot", i) for i in range(200)]
+            + [(f"k{i}", i) for i in range(30)]
+            + [("orphan", -1)],                       # no right match
+            "k string, lv int")
+        right = spark.createDataFrame(
+            [("hot", "H")] + [(f"k{i}", f"R{i}") for i in range(30)]
+            + [("right_only", "X")],
+            "k string, rv string")
+        return left, right
+
+    def _canon(self, df):
+        return sorted((r.k, r.lv, r.rv) for r in df.collect())
+
+    def test_inner_equals_plain_join(self, spark):
+        from flight_data_pipeline_spark.operators.relational import (
+            skew_split_join,
+        )
+        left, right = self._frames(spark)
+        got = self._canon(skew_split_join(left, right, "k", 50))
+        want = self._canon(left.join(right, "k", "inner"))
+        assert got == want and len(got) == 230
+
+    def test_left_preserves_unmatched(self, spark):
+        from flight_data_pipeline_spark.operators.relational import (
+            skew_split_join,
+        )
+        left, right = self._frames(spark)
+        got = self._canon(skew_split_join(left, right, "k", 50, how="left"))
+        want = self._canon(left.join(right, "k", "left"))
+        assert got == want
+        assert ("orphan", -1, None) in got
+
+    def test_unsupported_how_raises(self, spark):
+        from flight_data_pipeline_spark.operators.relational import (
+            skew_split_join,
+        )
+        left, right = self._frames(spark)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="inner/left"):
+            skew_split_join(left, right, "k", 50, how="full")

@@ -392,3 +392,17 @@ def test_tpch_q6_is_pure_pushed_scan(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     assert ">= 0.045)" in plan and "< 24.0)" in plan  # full predicate set
     assert "Join" not in plan  # zero joins: scan -> partial -> final
+
+
+def test_skew_split_join_plans_the_two_path_union(spark):
+    # both paths must survive planning: a Union of two joins, fed by
+    # the broadcast semi/anti hot-key filters. (At fixture scale
+    # Catalyst is free to broadcast the cold path's small side too —
+    # the pin is the split structure, not the cold path's physical
+    # join choice, which AQE owns by size.)
+    plan = plan_of(spark, "skew_safe_order_revenue")
+    assert "Union" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # filters + hot join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
