@@ -98,6 +98,9 @@ HEADLINE = [
     # execution shape
     "frequent_tokens_sketch",
     "event_pattern_match",
+    # round-5 late addition: the two-path skew-split join — its split
+    # + union must stay cheaper than the skew it prevents
+    "skew_safe_order_revenue",
 ]
 
 
