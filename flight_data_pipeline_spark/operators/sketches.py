@@ -124,3 +124,58 @@ def mg_merge(old: DataFrame, delta: DataFrame,
         .where(F.col("cnt") > 0)
         .select("item", "cnt")
     )
+
+
+def _cm_col(item, seed: int, width: int):
+    """Cell column for one CM hash row: the md5 of ``seed|item``'s
+    leading 32 bits mod width. md5 (not xxhash64) so the SAME sketch
+    is constructible in any engine — the driver's DuckDB oracle
+    rebuilds it bit-for-bit; swap in xxhash64 for pure-Spark speed."""
+    return (
+        F.conv(F.substring(F.md5(
+            F.concat(F.lit(str(seed)), F.lit("|"), item)), 1, 8), 16, 10)
+        .cast("long") % width
+    )
+
+
+def count_min_build(df: DataFrame, item_col: str,
+                    depth: int = 3, width: int = 64) -> DataFrame:
+    """Count-Min sketch as a relation: (i, col, cnt) — depth·width
+    cells, built in ONE scan (each row explodes to its ``depth``
+    cells, then a partial+final aggregate). Point estimates
+    OVERcount: est(x) = min_i cell(i, h_i(x)) ≥ true(x), within
+    ε·N with ε = e/width at δ = e^-depth. The third sketch tier:
+    HLL/theta answer "how many distinct", Space-Saving answers
+    "which are frequent", Count-Min answers "how often is THIS one"
+    in O(depth·width) state regardless of vocabulary."""
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 _cm_col(F.col(item_col), i, width).alias("col"))
+        for i in range(depth)
+    ])
+    return (
+        df.select(F.explode(rows).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(cm: DataFrame, probes: DataFrame, item_col: str,
+                       depth: int = 3, width: int = 64) -> DataFrame:
+    """Point-frequency estimates for ``probes[item_col]``: each probe
+    expands to its ``depth`` cells, joins the (broadcastable,
+    depth·width-row) sketch, and takes the per-item MIN — returns the
+    probe columns + ``est_n``."""
+    exploded = probes.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"),
+                     _cm_col(F.col(item_col), i, width).alias("col"))
+            for i in range(depth)
+        ])).alias("c"),
+    ).select("*", F.col("c.i").alias("i"), F.col("c.col").alias("col"))
+    return (
+        exploded.join(F.broadcast(cm), ["i", "col"])
+        .groupBy(*probes.columns)
+        .agg(F.min("cnt").alias("est_n"))
+    )

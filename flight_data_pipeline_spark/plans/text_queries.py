@@ -2134,3 +2134,69 @@ def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("token") > 0)
     )
     return frequent_items(toks, "token", k_counters=256, top=20)
+
+
+@query(
+    "count_min_token_estimates",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), t AS (
+        SELECT token FROM toks WHERE token <> ''
+    ), cells AS (
+        SELECT d.i,
+               ('0x' || substr(md5(d.i::VARCHAR || '|' || token), 1, 8))
+                   ::BIGINT % 64 AS col,
+               COUNT(*) AS cnt
+        FROM t, (SELECT unnest([0, 1, 2]) AS i) d
+        GROUP BY 1, 2
+    ), top10 AS (
+        SELECT token, COUNT(*) AS true_n FROM t GROUP BY 1
+        ORDER BY true_n DESC, token LIMIT 10
+    ), probe AS (
+        SELECT tt.token, tt.true_n, c.cnt
+        FROM top10 tt, (SELECT unnest([0, 1, 2]) AS i) d
+        JOIN cells c
+          ON c.i = d.i
+         AND c.col = ('0x' || substr(md5(d.i::VARCHAR || '|' || tt.token),
+                                     1, 8))::BIGINT % 64
+    )
+    SELECT token, CAST(true_n AS BIGINT) AS true_n,
+           CAST(MIN(cnt) AS BIGINT) AS est_n,
+           CAST(MIN(cnt) - true_n AS BIGINT) AS overcount
+    FROM probe GROUP BY token, true_n ORDER BY true_n DESC, token
+    """,
+)
+def count_min_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency sketch, FULLY hash-checked: because
+    the hash rows are md5-derived (operators/sketches._cm_col), the
+    DuckDB oracle rebuilds the identical depth×width cell table and
+    must agree on every estimate — collisions included — not just on
+    bounds. The probe set is the exact top-10 tokens; `overcount`
+    (est − true ≥ 0 always, > 0 exactly where another token shares
+    all three cells) is part of the checked output, so the sketch's
+    error behavior itself is cross-engine-pinned. Completes the
+    sketch triad: HLL/theta (how many distinct), Space-Saving (which
+    are frequent), Count-Min (how often is THIS one) — each
+    O(sketch) state, never O(vocabulary)."""
+    from flight_data_pipeline_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") > 0)
+    )
+    cm = count_min_build(toks, "token", depth=3, width=64)
+    top10 = (
+        toks.groupBy("token").agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), "token").limit(10)
+    )
+    return (
+        count_min_estimate(cm, top10, "token", depth=3, width=64)
+        .select("token", "true_n", "est_n",
+                (F.col("est_n") - F.col("true_n")).alias("overcount"))
+        .orderBy(F.desc("true_n"), "token")
+    )

@@ -490,3 +490,36 @@ class TestSkewSplitJoin:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="inner/left"):
             skew_split_join(left, right, "k", 50, how="full")
+
+
+class TestCountMinSketch:
+    def test_estimates_overcount_never_undercount(self, spark):
+        """With width forced tiny, collisions are guaranteed — every
+        estimate must still be >= the true count (the CM invariant),
+        and exact for items that collide with nothing."""
+        from collections import Counter
+
+        from flight_data_pipeline_spark.operators.sketches import (
+            count_min_build,
+            count_min_estimate,
+        )
+        import pyspark.sql.functions as F
+
+        items = (["a"] * 40 + ["b"] * 25 + ["c"] * 9
+                 + [f"t{i}" for i in range(30)])
+        true = Counter(items)
+        df = spark.createDataFrame([(i,) for i in items],
+                                   "item string").repartition(3)
+        cm = count_min_build(df, "item", depth=3, width=8)
+        probes = df.select("item").distinct()
+        est = {r.item: r.est_n
+               for r in count_min_estimate(cm, probes, "item",
+                                           depth=3, width=8).collect()}
+        assert set(est) == set(true)
+        assert all(est[i] >= n for i, n in true.items())
+        # collisions are certain at width 8 with 33 distinct items
+        assert any(est[i] > n for i, n in true.items())
+        # total sketch mass per row is exactly N — nothing lost
+        row_mass = {r.i: r.s for r in
+                    cm.groupBy("i").agg(F.sum("cnt").alias("s")).collect()}
+        assert row_mass == {0: len(items), 1: len(items), 2: len(items)}
