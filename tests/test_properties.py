@@ -929,3 +929,37 @@ def test_mg_merge_chained_bounds_hold(spark, batches):
         assert 0 < cnt <= true[item]
     for item, t in true.items():
         assert t - out.get(item, 0) <= n_total / (k + 1)
+
+
+# --- skew-split join vs the plain join ---------------------------------------
+
+skew_rows = st.lists(
+    st.tuples(st.sampled_from(["hot", "a", "b", "c", "d"]),
+              st.integers(min_value=0, max_value=99)),
+    min_size=0, max_size=40,
+)
+
+
+@SETTINGS
+@given(left_rows=skew_rows, right_rows=skew_rows,
+       threshold=st.integers(min_value=0, max_value=10),
+       how=st.sampled_from(["inner", "left"]))
+def test_skew_split_join_equals_plain_join(spark, left_rows, right_rows,
+                                           threshold, how):
+    """For ANY frames, threshold, and supported join type, the
+    two-path split must produce exactly the plain join's bag of rows
+    — including empty paths, all-hot, all-cold, and unmatched keys."""
+    from flight_data_pipeline_spark.operators.relational import (
+        skew_split_join,
+    )
+
+    left = spark.createDataFrame(left_rows or [("__none__", -1)],
+                                 "k string, lv int")
+    right = spark.createDataFrame(
+        [(k, f"r{v}") for k, v in right_rows] or [("__none__", "r")],
+        "k string, rv string")
+    got = sorted((r.k, r.lv, r.rv) for r in
+                 skew_split_join(left, right, "k", threshold, how).collect())
+    want = sorted((r.k, r.lv, r.rv) for r in
+                  left.join(right, "k", how).collect())
+    assert got == want
