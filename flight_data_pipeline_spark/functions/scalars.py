@@ -74,3 +74,23 @@ def to_epoch_seconds(ts: Column) -> Column:
 # (streaming/pipeline_stream.streaming_value_histogram): all three
 # MUST bin identically or the persisted-baseline drift story breaks.
 HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
+
+
+def to_units(col: Column, decimals: int) -> Column:
+    """Exact fixed-point integer units: ``floor(col * 10^decimals + 0.5)``
+    as BIGINT.
+
+    Money discipline for cross-engine hash parity (the market_share_by_year
+    lesson): a double column on a d-decimal grid is converted to integer
+    units ONCE per row — a deterministic function of the stored double, so
+    every engine computes the identical integer — and summed as integers,
+    which is association-free. ``ROUND(SUM(double))`` by contrast depends on
+    partial-sum order and half-ulp-flips between Spark and an oracle engine
+    when the exact sum sits on a rounding boundary (guaranteed reachable
+    whenever the summand grid is finer than the rounding grid, e.g.
+    4-decimal price*(1-discount) rounded to 2).
+
+    Valid while the unit sum stays under 2^63; at warehouse scale pick the
+    coarsest sufficient grid (cents for 1e17-row sums still fits).
+    """
+    return F.floor(col * F.lit(10 ** decimals) + F.lit(0.5)).cast("long")

@@ -80,7 +80,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
 def range_join_binned(left: DataFrame, right: DataFrame,
                       key_cols: Sequence[str], left_ts: str, right_ts: str,
                       lower_sec: int, upper_sec: int, bin_sec: int,
-                      how: str = "inner") -> DataFrame:
+                      how: str = "inner",
+                      left_unique: Sequence[str] | None = None) -> DataFrame:
     """Time-range join — ``right[right_ts] ∈ [left[left_ts]+lower,
     left[left_ts]+upper)`` per key — as an EQUI-join on (key, time
     bin), never a non-equi join.
@@ -94,7 +95,10 @@ def range_join_binned(left: DataFrame, right: DataFrame,
     bin, so a (left,right) match appears exactly once — no post-join
     dedup. Fan-out per left row = window/bin_sec + 1 (pick bin_sec ≈
     the window width). With ``how="left"`` unmatched left rows survive
-    with null right columns (aggregate with count(right_id) → 0).
+    with null right columns (aggregate with count(right_id) → 0);
+    pass ``left_unique`` (a non-null unique key of ``left`` whose
+    names don't collide with ``right``'s) to skip the derived-row-id
+    pass the left path otherwise needs.
 
     This is the standard interval-join decomposition (Flink's interval
     join and Spark's own stream-stream time-bound joins bucket state
@@ -118,15 +122,35 @@ def range_join_binned(left: DataFrame, right: DataFrame,
         # yields one null-match row PER BIN for unmatched lefts
         # (caught by tests/test_properties.py::
         # test_range_join_binned_left_keeps_unmatched). Instead: tag
-        # left rows with an ephemeral id (lazily checkpointed so both
-        # plan branches read the SAME id assignment), inner-join the
-        # exploded form, and re-attach matches to the original
-        # unexploded left — unmatched rows survive exactly once with
-        # null right columns. Costs one extra id-keyed shuffle over
-        # the match stream; the inner path is unchanged.
-        lid = left.withColumn(
-            "__lid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+        # left rows with a DETERMINISTIC id, inner-join the exploded
+        # form, and re-attach matches to the original unexploded left
+        # — unmatched rows survive exactly once with null right
+        # columns. The id must be a pure function of row content, not
+        # monotonically_increasing_id: the tagged frame feeds TWO plan
+        # branches, and a nondeterministic id recomputed after lost
+        # partitions (localCheckpoint is non-reliable) would disagree
+        # between branches, silently duplicating or dropping left rows
+        # (ADVICE r5). Callers that can declare a unique left key
+        # (``left_unique``) get the id for free; otherwise a
+        # duplicate-rank window over the full row plus two independent
+        # 64-bit content hashes (128 bits — collision-safe at 1e10+
+        # rows) builds one, costing one extra all-columns shuffle.
+        if left_unique:
+            id_cols = list(left_unique)
+            lid = left
+        else:
+            id_cols = ["__lh1", "__lh2", "__lr"]
+            all_cols = [F.col(c) for c in left.columns]
+            rank = F.row_number().over(
+                Window.partitionBy(*left.columns).orderBy(F.lit(1)))
+            lid = (
+                left.withColumn("__lr", rank)
+                .withColumn("__lh1",
+                            F.xxhash64(F.struct(*all_cols), F.col("__lr")))
+                .withColumn("__lh2",
+                            F.xxhash64(F.col("__lr"), F.lit(-711),
+                                       F.struct(*all_cols)))
+            )
         lsec = to_epoch_seconds(F.col(left_ts))
         rsec = to_epoch_seconds(F.col(right_ts))
         le = lid.withColumn(
@@ -147,10 +171,11 @@ def range_join_binned(left: DataFrame, right: DataFrame,
                    < F.col(f"__L.{left_ts}") + hi))
         rhs = (
             le.join(re, cond, "inner")
-            .select(F.col("__L.__lid").alias("__lid"),
+            .select(*[F.col(f"__L.{c}").alias(c) for c in id_cols],
                     *[F.col(f"__R.{c}") for c in right.columns])
         )
-        return lid.join(rhs, "__lid", "left").drop("__lid")
+        out = lid.join(rhs, id_cols, "left")
+        return out.drop("__lh1", "__lh2", "__lr") if not left_unique else out
     lsec = to_epoch_seconds(F.col(left_ts))
     rsec = to_epoch_seconds(F.col(right_ts))
     l = left.withColumn(
@@ -439,7 +464,8 @@ def salted_join(skewed: DataFrame, small: DataFrame, on: str,
 
 
 def skew_split_join(left: DataFrame, right: DataFrame, on: str,
-                    hot_threshold: int, how: str = "inner") -> DataFrame:
+                    hot_threshold: int, how: str = "inner",
+                    right_hot_max: int | None = None) -> DataFrame:
     """Two-path skew join for LARGE ⋈ LARGE with a hot-key minority —
     the case salted_join (small right side) and AQE's SMJ skew split
     don't cover: keys whose LEFT-side frequency exceeds
@@ -461,6 +487,20 @@ def skew_split_join(left: DataFrame, right: DataFrame, on: str,
     hot keys' quadratic-ish reducer into a map-side hash probe. The
     threshold is rows-per-key on the LEFT; pick it near the point
     where one key's rows stop fitting a single reducer comfortably.
+
+    Two scale guards (ADVICE r5):
+    - ``hot`` is materialized once (eager localCheckpoint of a
+      keys-above-threshold frame — summary-sized by construction)
+      instead of re-deriving the full left scan+aggregate under each
+      of the four semi/anti branches; recompute after a lost
+      partition is harmless because the content is deterministic.
+    - ``broadcast(right_hot)`` is unbounded when a key is hot on BOTH
+      sides. Pass ``right_hot_max`` to exclude keys whose right-side
+      count exceeds it from the hot set — they fall back to the
+      shuffle path (correct by the same partition argument; their
+      skew is then AQE's to handle), at the cost of one extra
+      keys-only aggregate over ``right``. Default None keeps the
+      single-pass plan for the common dim-like-right case.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"skew_split_join supports inner/left, got {how!r}")
@@ -471,6 +511,14 @@ def skew_split_join(left: DataFrame, right: DataFrame, on: str,
         .where(F.col("__n") > hot_threshold)
         .select(on)
     )
+    if right_hot_max is not None:
+        rcnt = right.groupBy(on).agg(F.count("*").alias("__nr"))
+        hot = (
+            hot.join(rcnt, on, "left")
+            .where(F.coalesce(F.col("__nr"), F.lit(0)) <= right_hot_max)
+            .select(on)
+        )
+    hot = hot.localCheckpoint(eager=True)
     left_hot = left.join(F.broadcast(hot), on, "left_semi")
     left_cold = left.join(F.broadcast(hot), on, "left_anti")
     right_hot = right.join(F.broadcast(hot), on, "left_semi")

@@ -24,6 +24,7 @@ from flight_data_pipeline_spark.operators.relational import (
     semi_join,
     top_k_per_group,
 )
+from flight_data_pipeline_spark.functions.scalars import to_units
 from flight_data_pipeline_spark.plans.registry import query
 from flight_data_pipeline_spark.tables import load_table
 
@@ -34,19 +35,31 @@ CUTOFF = "1998-09-01"  # lineitem shipdate cutoff (Q1-style), pinned literal
 @query(
     "pricing_summary",
     oracle=f"""
+    WITH agg AS (
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))      AS q_e2,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS p_e2,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT))                       AS dp_e4,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS ch_e6,
+               SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))      AS d_e2,
+               COUNT(*)                                                AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag,
            l_linestatus,
-           ROUND(SUM(l_quantity), 4)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
-           COUNT(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           q_e2 / 100.0                                     AS sum_qty,
+           p_e2 / 100.0                                     AS sum_base_price,
+           dp_e4 / 10000.0                                  AS sum_disc_price,
+           ((2 * ch_e6 + 100) // 200) / 10000.0             AS sum_charge,
+           ((2 * q_e2 * 100 + n) // (2 * n)) / 10000.0      AS avg_qty,
+           ((2 * p_e2 * 100 + n) // (2 * n)) / 10000.0      AS avg_price,
+           ((2 * d_e2 * 100 + n) // (2 * n)) / 10000.0      AS avg_disc,
+           n                                                AS count_order
+    FROM agg
     ORDER BY l_returnflag, l_linestatus
     """,
 )
@@ -55,21 +68,32 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shipdate predicate pushes into the parquet scan; only the 7
     referenced columns are read (column pruning). At 100 TB: the
     canonical map-side-combine query — shuffle carries ≤ |groups| rows
-    per task."""
+    per task. Money rides as exact integer units (scalars.to_units)
+    so sums are association-free and the 4-dp renders never half-ulp
+    flip vs the oracle."""
     li = load_table(spark, "lineitem", sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where(F.col("l_shipdate") <= F.lit(f"{CUTOFF} 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(to_units(F.col("l_quantity"), 2)).alias("q_e2"),
+            F.sum(to_units(F.col("l_extendedprice"), 2)).alias("p_e2"),
+            F.sum(to_units(disc_price, 4)).alias("dp_e4"),
+            F.sum(to_units(disc_price * (1 + F.col("l_tax")), 6)).alias("ch_e6"),
+            F.sum(to_units(F.col("l_discount"), 2)).alias("d_e2"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            (F.col("q_e2") / 100.0).alias("sum_qty"),
+            (F.col("p_e2") / 100.0).alias("sum_base_price"),
+            (F.col("dp_e4") / 10000.0).alias("sum_disc_price"),
+            (F.expr("(2 * ch_e6 + 100) div 200") / 10000.0).alias("sum_charge"),
+            (F.expr("(2 * q_e2 * 100 + n) div (2 * n)") / 10000.0).alias("avg_qty"),
+            (F.expr("(2 * p_e2 * 100 + n) div (2 * n)") / 10000.0).alias("avg_price"),
+            (F.expr("(2 * d_e2 * 100 + n) div (2 * n)") / 10000.0).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -80,7 +104,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT n.n_name                                             AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                          + 0.5) AS BIGINT)) / 10000.0          AS revenue
     FROM customer c
     JOIN orders o    ON o.o_custkey = c.c_custkey
     JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -107,7 +132,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
         .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .agg((F.sum(to_units(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")), 4)) / 10000.0)
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "nation")
     )
@@ -118,7 +144,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_orders_by_revenue",
     oracle="""
     SELECT o.o_orderkey                                          AS orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                          + 0.5) AS BIGINT)) / 10000.0           AS revenue,
            STRFTIME(o.o_orderdate, '%Y-%m-%d')                   AS orderdate
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -142,7 +169,8 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(F.col("o_orderkey").alias("orderkey"),
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .agg((F.sum(to_units(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")), 4)) / 10000.0)
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "orderkey")
         .limit(10)
@@ -308,7 +336,8 @@ def segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, '(all)')  AS returnflag,
            COALESCE(l_linestatus, '(all)')  AS linestatus,
-           ROUND(SUM(l_extendedprice), 4)   AS sum_price,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                                            AS sum_price,
            COUNT(*)                         AS n
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -322,7 +351,8 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        .agg((F.sum(to_units(F.col("l_extendedprice"), 2)) / 100.0)
+             .alias("sum_price"),
              F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
@@ -439,16 +469,16 @@ def avg_order_gap_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_7d_moving_avg",
     oracle="""
     SELECT day,
-           ROUND(daily_revenue, 4) AS daily_revenue,
-           ROUND(AVG(daily_revenue) OVER (
-               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
-               AS moving_avg_7d
+           rev_c2 / 100.0 AS daily_revenue,
+           ((2 * 100 * SUM(rev_c2) OVER w + COUNT(*) OVER w)
+            // (2 * COUNT(*) OVER w)) / 10000.0 AS moving_avg_7d
     FROM (
         SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day,
-               SUM(o_totalprice) AS daily_revenue
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c2
         FROM orders
         GROUP BY STRFTIME(o_orderdate, '%Y-%m-%d')
     )
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     ORDER BY day
     """,
 )
@@ -460,14 +490,20 @@ def revenue_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     daily = (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
-        .agg(F.sum("o_totalprice").alias("raw_revenue"))
+        .agg(F.sum(to_units(F.col("o_totalprice"), 2)).alias("rev_c2"))
     )
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     return (
         daily.select(
             "day",
-            F.round("raw_revenue", 4).alias("daily_revenue"),
-            F.round(F.avg("raw_revenue").over(w), 4).alias("moving_avg_7d"),
+            (F.col("rev_c2") / 100.0).alias("daily_revenue"),
+            F.sum("rev_c2").over(w).alias("w_sum"),
+            F.count("*").over(w).alias("w_n"),
+        )
+        .select(
+            "day", "daily_revenue",
+            (F.expr("(2 * 100 * w_sum + w_n) div (2 * w_n)") / 10000.0)
+            .alias("moving_avg_7d"),
         )
         .orderBy("day")
     )
@@ -479,7 +515,8 @@ def revenue_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(o_orderstatus, '(all)')   AS orderstatus,
            COALESCE(o_orderpriority, '(all)') AS orderpriority,
-           ROUND(SUM(o_totalprice), 4)        AS total_price,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                                              AS total_price,
            COUNT(*)                           AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -495,7 +532,8 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT COALESCE(o_orderstatus, '(all)')   AS orderstatus,
                COALESCE(o_orderpriority, '(all)') AS orderpriority,
-               ROUND(SUM(o_totalprice), 4)        AS total_price,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   / CAST(100 AS DOUBLE)          AS total_price,
                COUNT(*)                           AS n
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -612,12 +650,14 @@ def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey AS orderkey,
            ROUND(o.o_totalprice, 4) AS totalprice,
-           ROUND(SUM(l.l_quantity), 4) AS total_qty
+           SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_qty
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IN (
         SELECT l_orderkey FROM lineitem
-        GROUP BY l_orderkey HAVING SUM(l_quantity) > 30
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 3000
     )
     GROUP BY o.o_orderkey, o.o_totalprice
     ORDER BY total_qty DESC, orderkey
@@ -634,12 +674,14 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT o.o_orderkey AS orderkey,
                ROUND(o.o_totalprice, 4) AS totalprice,
-               ROUND(SUM(l.l_quantity), 4) AS total_qty
+               SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS total_qty
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderkey IN (
             SELECT l_orderkey FROM lineitem
-            GROUP BY l_orderkey HAVING SUM(l_quantity) > 30
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 3000
         )
         GROUP BY o.o_orderkey, o.o_totalprice
         ORDER BY total_qty DESC, orderkey
@@ -851,21 +893,24 @@ def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "promo_revenue_ratio_monthly",
     oracle="""
-    SELECT STRFTIME(l_shipdate, '%Y-%m') AS month,
-           ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END), 2) AS promo_revenue,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-               AS total_revenue,
-           ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+    WITH agg AS (
+        SELECT STRFTIME(l_shipdate, '%Y-%m') AS month,
+               SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                        * 10000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS promo_e4,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT)) AS tot_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        GROUP BY month
+    )
+    SELECT month,
+           ((2 * promo_e4 + 100) // 200) / 100.0 AS promo_revenue,
+           ((2 * tot_e4 + 100) // 200) / 100.0   AS total_revenue,
+           ((2 * promo_e4 * 10000 + tot_e4) // (2 * tot_e4)) / 10000.0
                AS promo_ratio
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
-    GROUP BY month
-    ORDER BY month
+    FROM agg ORDER BY month
     """,
 )
 def promo_revenue_ratio_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,8 +923,8 @@ def promo_revenue_ratio_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join."""
     lineitem = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev_e4 = to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))
     return (
         lineitem.where((F.col("l_shipdate") >= "1996-01-01")
                        & (F.col("l_shipdate") < "1997-01-01"))
@@ -887,9 +932,17 @@ def promo_revenue_ratio_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
-            F.round(F.sum(promo), 2).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
-            F.round(F.sum(promo) / F.sum(rev), 4).alias("promo_ratio"),
+            F.sum(promo_e4).alias("promo_e4"),
+            F.sum(rev_e4).alias("tot_e4"),
+        )
+        .select(
+            "month",
+            (F.expr("(2 * promo_e4 + 100) div 200") / 100.0)
+            .alias("promo_revenue"),
+            (F.expr("(2 * tot_e4 + 100) div 200") / 100.0)
+            .alias("total_revenue"),
+            (F.expr("(2 * promo_e4 * 10000 + tot_e4) div (2 * tot_e4)")
+             / 10000.0).alias("promo_ratio"),
         )
         .orderBy("month")
     )
@@ -919,7 +972,8 @@ def promo_revenue_ratio_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, action,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 2) AS sum_value
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_value
     FROM m GROUP BY event_type, action
     ORDER BY event_type, action
     """,
@@ -950,7 +1004,7 @@ def late_events_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("event_type", "action")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(to_units(F.col("value"), 2)) / 100.0).alias("sum_value"),
         )
         .orderBy("event_type", "action")
     )
@@ -967,7 +1021,8 @@ INCR_PIVOT = "2024-01-25"
     SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_value
     FROM events
     GROUP BY day, event_type
     ORDER BY day, event_type
@@ -997,7 +1052,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             df.groupBy(day.alias("day"), "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.sum("value").alias("sum_value"))
+                 F.sum(to_units(F.col("value"), 2)).alias("sum_value"))
         )
 
     base = rollup(ev.where(F.col("ts") < INCR_PIVOT))
@@ -1009,7 +1064,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.select(
             "day", "event_type",
             F.col("n_events").cast("long").alias("n_events"),
-            F.round("sum_value", 2).alias("sum_value"),
+            (F.col("sum_value") / 100.0).alias("sum_value"),
         )
         .orderBy("day", "event_type")
     )
@@ -1175,7 +1230,8 @@ def orders_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT action,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 2) AS sum_value
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_value
     FROM diff WHERE action IS NOT NULL
     GROUP BY action
     ORDER BY action
@@ -1210,7 +1266,7 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         diff.groupBy("action")
         .agg(F.count("*").alias("n_rows"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             (F.sum(to_units(F.col("value"), 2)) / 100.0).alias("sum_value"))
         .orderBy("action")
     )
 
@@ -1341,10 +1397,12 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT)   AS n_events,
-           ROUND(SUM(value), 2)       AS sum_value,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+                                      AS sum_value,
            ROUND(MIN(value), 4)       AS min_value,
            ROUND(MAX(value), 4)       AS max_value,
-           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+           ((2 * 100 * SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+             + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -1365,17 +1423,19 @@ def salted_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's unsalted GROUP BY checks. Use when one grouping key
     dominates (power-law producers) and the skew sits in an aggregate
     where AQE's join-skew splitting can't see it; costs one extra
-    shuffle of the tiny partial frame. Sum rounded at 2 (not 4): the
-    salted re-association of double partials is bitwise-different from
-    the oracle's single-pass sum, and 1e-2 absorbs the ~1e-7 drift."""
+    shuffle of the tiny partial frame. The summed value rides as exact
+    integer cents (scalars.to_units): the salted re-association is
+    then bit-identical to the oracle's single-pass sum, and the avg
+    composes as exact integer division — no float-drift tolerance."""
     from flight_data_pipeline_spark.operators.relational import salted_groupby_agg
 
-    ev = load_table(spark, "events", sf_dir)
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "value_c2", to_units(F.col("value"), 2))
     agg = salted_groupby_agg(
         ev, ["event_type"],
         {
             "n_events": ("event_id", "count"),
-            "sum_value": ("value", "sum"),
+            "sum_c2": ("value_c2", "sum"),
             "min_value": ("value", "min"),
             "max_value": ("value", "max"),
         },
@@ -1384,10 +1444,11 @@ def salted_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round("sum_value", 2).alias("sum_value"),
+        (F.col("sum_c2") / 100.0).alias("sum_value"),
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+        (F.expr("(2 * 100 * sum_c2 + n_events) div (2 * n_events)")
+         / 10000.0).alias("avg_value"),
     ).orderBy("event_type")
 
 
@@ -1967,7 +2028,9 @@ def string_functions_probe_2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count_if(value > 400) AS BIGINT)          AS n_high,
            bool_and(value > 0)                            AS all_positive,
            bool_or(value > 480)                           AS any_very_high,
-           ROUND(SUM(value) / NULLIF(count_if(value > 400), 0), 4)
+           ((2 * 100 * SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+             + count_if(value > 400))
+            // (2 * NULLIF(count_if(value > 400), 0))) / 10000.0
                                                           AS high_guarded_ratio,
            MIN(ifnull(nullif(event_type, 'click'), 'WAS_CLICK'))
                                                           AS nullif_roundtrip
@@ -1994,10 +2057,115 @@ def null_and_bool_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(v > 400).alias("n_high"),
             F.bool_and(v > 0).alias("all_positive"),
             F.bool_or(v > 480).alias("any_very_high"),
-            F.round(F.sum(v) / F.nullif(F.count_if(v > 400), F.lit(0)), 4)
-            .alias("high_guarded_ratio"),
+            (F.floor(
+                (2 * 100 * F.sum(to_units(v, 2)) + F.count_if(v > 400))
+                / (2 * F.nullif(F.count_if(v > 400), F.lit(0)))
+            ) / 10000.0).alias("high_guarded_ratio"),
             F.min(F.ifnull(F.nullif(F.col("event_type"), F.lit("click")),
                            F.lit("WAS_CLICK"))).alias("nullif_roundtrip"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "url_functions_probe",
+    oracle="""
+    WITH u AS (
+        SELECT event_type,
+               event_id,
+               'shop.example.com'                                AS x_host,
+               concat('/cat/', CAST(user_id % 20 AS VARCHAR), '/item')
+                                                                 AS x_path,
+               concat('id=', CAST(event_id AS VARCHAR), '&ch=', event_type)
+                                                                 AS x_query,
+               concat('sec-', CAST(event_id % 7 AS VARCHAR))     AS x_ref,
+               concat(event_type, ' ', CAST(event_id % 100 AS VARCHAR))
+                                                                 AS x_plain
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)            AS n,
+           CAST(COUNT(DISTINCT x_path) AS BIGINT) AS n_paths,
+           bool_and(TRUE)                      AS proto_ok,
+           min(x_host)                         AS host,
+           bool_and(TRUE)                      AS path_ok,
+           bool_and(TRUE)                      AS query_ok,
+           bool_and(TRUE)                      AS ref_ok,
+           bool_and(TRUE)                      AS id_param_ok,
+           bool_and(TRUE)                      AS ch_param_ok,
+           bool_and(TRUE)                      AS encode_ok,
+           bool_and(TRUE)                      AS roundtrip_ok
+    FROM u
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def url_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-function surface (§2.9 superset): parse_url component and
+    query-parameter extraction plus the url_encode/url_decode round
+    trip, hash-checked WITHOUT parse_url existing in the oracle
+    engine — the URLs are synthesized in-query from event columns, so
+    the oracle verifies Spark's parser against the ALGEBRAIC ground
+    truth of the construction (every bool column is literally TRUE on
+    the oracle side; any Spark parsing deviation on any of the ~60k
+    rows flips a bool_and and breaks the hash). The encode check
+    pins application/x-www-form-urlencoded semantics (space → '+')
+    on a known alphanumeric+space payload; decode(encode(x)) == x
+    closes the loop. All map-side codegen'd expressions; one
+    aggregate on event_type."""
+    ev = load_table(spark, "events", sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://shop.example.com/cat/"), s(F.col("user_id") % 20),
+        F.lit("/item?id="), s(F.col("event_id")),
+        F.lit("&ch="), F.col("event_type"),
+        F.lit("#sec-"), s(F.col("event_id") % 7),
+    )
+    x_path = F.concat(F.lit("/cat/"), s(F.col("user_id") % 20),
+                      F.lit("/item"))
+    x_query = F.concat(F.lit("id="), s(F.col("event_id")),
+                       F.lit("&ch="), F.col("event_type"))
+    x_ref = F.concat(F.lit("sec-"), s(F.col("event_id") % 7))
+    plain = F.concat(F.col("event_type"), F.lit(" "),
+                     s(F.col("event_id") % 100))
+    enc = F.url_encode(plain)
+    return (
+        ev.select(
+            "event_type",
+            F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+            F.parse_url(url, F.lit("HOST")).alias("host"),
+            F.parse_url(url, F.lit("PATH")).alias("path"),
+            F.parse_url(url, F.lit("QUERY")).alias("query"),
+            F.parse_url(url, F.lit("REF")).alias("ref"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("ch")).alias("ch_param"),
+            enc.alias("enc"),
+            F.url_decode(enc).alias("dec"),
+            x_path.alias("x_path"),
+            x_query.alias("x_query"),
+            x_ref.alias("x_ref"),
+            plain.alias("x_plain"),
+            s(F.col("event_id")).alias("x_id"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("x_path").alias("n_paths"),
+            F.bool_and(F.col("proto") == "https").alias("proto_ok"),
+            F.min("host").alias("host"),
+            F.bool_and(F.col("path") == F.col("x_path")).alias("path_ok"),
+            F.bool_and(F.col("query") == F.col("x_query")).alias("query_ok"),
+            F.bool_and(F.col("ref") == F.col("x_ref")).alias("ref_ok"),
+            F.bool_and(F.col("id_param") == F.col("x_id"))
+            .alias("id_param_ok"),
+            F.bool_and(F.col("ch_param") == F.col("event_type"))
+            .alias("ch_param_ok"),
+            F.bool_and(F.col("enc")
+                       == F.replace(F.col("x_plain"), F.lit(" "),
+                                    F.lit("+"))).alias("encode_ok"),
+            F.bool_and(F.col("dec") == F.col("x_plain"))
+            .alias("roundtrip_ok"),
         )
         .orderBy("event_type")
     )
@@ -2056,7 +2224,9 @@ def stats_aggregates_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TPC-H-flavor analytics breadth (round 5) ---------------------------------
 
 MKT_PART_TYPE_PREFIX = "STANDARD"   # pinned Q8-style market definition
-MKT_NATION = "GERMANY"
+MKT_NATION = "NATION_9"  # fixture nations are NATION_0..NATION_24 (cf.
+                         # TRADE_NATION_A / INV_NATION below); NATION_9
+                         # has the largest supplier population at sf0.01
 
 
 @query(
@@ -2064,7 +2234,8 @@ MKT_NATION = "GERMANY"
     oracle=f"""
     WITH sales AS (
         SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                          + 0.5) AS BIGINT) AS vol_e4,
                n.n_name AS supp_nation
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -2072,13 +2243,19 @@ MKT_NATION = "GERMANY"
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n   ON s.s_nationkey = n.n_nationkey
         WHERE p.p_type LIKE '{MKT_PART_TYPE_PREFIX}%'
+    ),
+    agg AS (
+        SELECT o_year,
+               SUM(CASE WHEN supp_nation = '{MKT_NATION}'
+                        THEN vol_e4 ELSE 0 END) AS num_e4,
+               SUM(vol_e4) AS den_e4
+        FROM sales GROUP BY o_year
     )
     SELECT CAST(o_year AS INT) AS o_year,
-           ROUND(SUM(CASE WHEN supp_nation = '{MKT_NATION}'
-                          THEN volume ELSE 0 END) / SUM(volume), 4)
+           ((2 * num_e4 * 10000 + den_e4) // (2 * den_e4)) / 10000.0
                AS mkt_share,
-           ROUND(SUM(volume), 2) AS total_volume
-    FROM sales GROUP BY o_year ORDER BY o_year
+           ((2 * den_e4 + 100) // 200) / 100.0 AS total_volume
+    FROM agg ORDER BY o_year
     """,
 )
 def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,14 +2265,23 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key; part (filtered by type BEFORE the join, so the filter
     prunes the build side), supplier, and nation broadcast. The
     share is a conditional-sum ratio inside one aggregate, not a
-    join of two aggregates."""
+    join of two aggregates.
+
+    Money rides as exact integer 1e-4 units (price 2dp x discount
+    2dp => the true volume has <=4 decimals, so the per-row
+    floor(v*1e4+0.5) is engine-identical): integer partial sums are
+    association-free, and the final half-up rounds are pure integer
+    div — ROUND(SUM(double)) here half-ulp-flipped vs the oracle at
+    sf0.01 (77026940.66 vs .67 for 1998) before this discipline."""
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     p = load_table(spark, "part", sf_dir).where(
         F.col("p_type").startswith(MKT_PART_TYPE_PREFIX))
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     sales = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
@@ -2103,20 +2289,25 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(
             F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
-            volume.alias("volume"),
+            vol_e4.alias("vol_e4"),
             F.col("n_name").alias("supp_nation"),
         )
     )
-    germany = F.when(F.col("supp_nation") == MKT_NATION,
-                     F.col("volume")).otherwise(0.0)
+    pinned = F.when(F.col("supp_nation") == MKT_NATION,
+                    F.col("vol_e4")).otherwise(F.lit(0))
     return (
         sales.groupBy("o_year")
         .agg(
-            F.round(F.sum(germany) / F.sum("volume"), 4).alias("mkt_share"),
-            F.round(F.sum("volume"), 2).alias("total_volume"),
+            F.sum(pinned).alias("num_e4"),
+            F.sum("vol_e4").alias("den_e4"),
         )
-        .select(F.col("o_year").cast("int").alias("o_year"),
-                "mkt_share", "total_volume")
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            (F.expr("(2 * num_e4 * 10000 + den_e4) div (2 * den_e4)")
+             / F.lit(10000.0)).alias("mkt_share"),
+            (F.expr("(2 * den_e4 + 100) div 200")
+             / F.lit(100.0)).alias("total_volume"),
+        )
         .orderBy("o_year")
     )
 
@@ -2126,7 +2317,9 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ((2 * SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000 + 0.5) AS BIGINT)) + 100) // 200)
+               / 100.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_returned_items
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -2153,9 +2346,14 @@ def returned_item_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(to_units(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")), 4)).alias("rev_e4"),
             F.count("*").alias("n_returned_items"),
+        )
+        .select(
+            "c_custkey", "c_name",
+            (F.expr("(2 * rev_e4 + 100) div 200") / 100.0).alias("revenue"),
+            "n_returned_items",
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -2165,7 +2363,9 @@ def returned_item_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bracketed_discount_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT ((2 * SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000 + 0.5) AS BIGINT)) + 100) // 200)
+               / 100.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -2194,10 +2394,16 @@ def bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50)
            & F.col("l_quantity").between(20, 50))
     )
-    return j.where(bracket).agg(
-        F.round(F.sum(F.col("l_extendedprice")
-                      * (1 - F.col("l_discount"))), 2).alias("revenue"),
-        F.count("*").alias("n_items"),
+    return (
+        j.where(bracket)
+        .agg(
+            F.sum(to_units(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")), 4)).alias("rev_e4"),
+            F.count("*").alias("n_items"),
+        )
+        .select((F.expr("(2 * rev_e4 + 100) div 200") / 100.0)
+                .alias("revenue"),
+                "n_items")
     )
 
 
@@ -2212,7 +2418,8 @@ IDLE_SINCE = "1999-01-01"  # pinned recency cutoff (orders span 1995-2001)
     )
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+           SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_acctbal
     FROM customer c, cutoff
     WHERE c.c_acctbal > cutoff.avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2245,7 +2452,8 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(recent, "c_custkey", "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"),
-             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+             (F.sum(to_units(F.col("c_acctbal"), 2)) / 100.0)
+             .alias("total_acctbal"))
         .orderBy("c_mktsegment")
     )
 
@@ -2469,7 +2677,8 @@ Q16_SIZES = (1, 9, 15, 23, 31, 45)
 @query(
     "forecast_revenue_change",
     oracle=f"""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_increase,
+    SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                     AS BIGINT)) / 10000.0 AS revenue_increase,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= '{FORECAST_YEAR}-01-01'
@@ -2497,8 +2706,8 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-            .alias("revenue_increase"),
+            (F.sum(to_units(F.col("l_extendedprice") * F.col("l_discount"),
+                            4)) / 10000.0).alias("revenue_increase"),
             F.count("*").alias("n_items"),
         )
     )
@@ -2510,7 +2719,8 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                          + 0.5) AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2557,8 +2767,9 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year(F.col("l_shipdate").cast("date")).cast("int")
             .alias("l_year"),
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(to_units(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")), 4)) / 10000.0)
+             .alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -2568,8 +2779,9 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n.n_name AS nation,
            CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+           SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                           - 0.5 * p.p_retailprice * l.l_quantity) * 1000000
+                          + 0.5) AS BIGINT)) / 1000000.0 AS sum_profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2603,7 +2815,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year(F.col("l_shipdate").cast("date")).cast("int")
             .alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg((F.sum(to_units(profit, 6)) / 1000000.0).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -2613,16 +2825,16 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                   AS total_revenue
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT)) AS rev_e4
         FROM lineitem
         WHERE l_shipdate >= '{TOPSUPP_QUARTER[0]}'
           AND l_shipdate < '{TOPSUPP_QUARTER[1]}'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name, r.rev_e4 / 10000.0 AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    WHERE r.rev_e4 = (SELECT MAX(rev_e4) FROM revenue)
     ORDER BY s.s_suppkey
     """,
 )
@@ -2641,16 +2853,17 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where((F.col("l_shipdate") >= TOPSUPP_QUARTER[0])
                  & (F.col("l_shipdate") < TOPSUPP_QUARTER[1]))
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2)
-             .alias("total_revenue"))
+        .agg(F.sum(to_units(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")), 4))
+             .alias("rev_e4"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    mx = rev.agg(F.max("rev_e4").alias("__mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
-        .where(F.col("total_revenue") == F.col("__mx"))
+        .where(F.col("rev_e4") == F.col("__mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name",
+                (F.col("rev_e4") / 10000.0).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -2658,7 +2871,8 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "small_quantity_yearly_revenue",
     oracle=f"""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               / 700.0 AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -2693,7 +2907,8 @@ def small_quantity_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         li_b.join(F.broadcast(thr), li_b["l_partkey"] == F.col("__pk"))
         .where(F.col("l_quantity") < F.col("__thr"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            (F.sum(to_units(F.col("l_extendedprice"), 2)) / 700.0)
+            .alias("avg_yearly"),
             F.count("*").alias("n_items"),
         )
     )
@@ -3083,7 +3298,8 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                          + 0.5) AS BIGINT)) / 10000.0
                AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -3118,8 +3334,9 @@ def skew_safe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.sum(to_units(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")), 4)) / 10000.0)
+            .alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

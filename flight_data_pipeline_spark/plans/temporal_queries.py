@@ -10,7 +10,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flight_data_pipeline_spark.functions.scalars import to_epoch_seconds
+from flight_data_pipeline_spark.functions.scalars import (
+    to_epoch_seconds,
+    to_units,
+)
 from flight_data_pipeline_spark.operators.relational import asof_join
 from flight_data_pipeline_spark.operators.temporal import sessionize
 from flight_data_pipeline_spark.plans.registry import query
@@ -102,6 +105,7 @@ def views_before_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, key_cols=["user_id"],
         left_ts="ts", right_ts="view_ts",
         lower_sec=-3600, upper_sec=0, bin_sec=3600, how="left",
+        left_unique=["purchase_id"],  # declared key: no rank/hash id pass
     )
     return (
         joined.groupBy("purchase_id")
@@ -174,7 +178,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*)             AS n,
-           ROUND(SUM(value), 4) AS total_value
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+                                AS total_value
     FROM events
     GROUP BY DATE_TRUNC('hour', ts), event_type
     ORDER BY window_start, event_type
@@ -188,7 +193,8 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("n"),
-             F.round(F.sum("value"), 4).alias("total_value"))
+             (F.sum(to_units(F.col("value"), 2)) / 100.0)
+             .alias("total_value"))
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type", "n", "total_value",
@@ -963,10 +969,11 @@ def range_frame_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT STRFTIME(CAST(pts AS DATE), '%Y-%m-%d') AS day,
            touch_type,
-           ROUND(SUM(CASE WHEN n = 1 THEN 1.0
-                          WHEN n = 2 THEN 0.5
-                          WHEN rk = 1 OR rk = n THEN 0.4
-                          ELSE 0.2 / (n - 2) END), 2) AS credit,
+           SUM(CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN rk = 1 OR rk = n THEN 400000
+                    ELSE CAST(FLOOR(200000.0 / (n - 2) + 0.5) AS BIGINT)
+               END) / 1000000.0 AS credit,
            CAST(COUNT(*) AS BIGINT) AS n_touches
     FROM r
     GROUP BY day, touch_type
@@ -989,8 +996,8 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a nested loop); position and path length come from one
     window pass over the matches partitioned by purchase (rank and
     count share the (pid, ts, id) sort); credit is a pure CASE
-    expression, exact until the final re-associated sum, which is
-    rounded to 2 on both engines (house float rule). Touch ties on
+    expression in exact integer micro-credit units, so the final
+    re-associated sum is association-free on both engines. Touch ties on
     identical timestamps break on event_id — deterministic at any
     parallelism."""
     from flight_data_pipeline_spark.operators.relational import (
@@ -1018,11 +1025,17 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid", "pts", "touch_type",
         rk.alias("rk"), n.alias("n"),
     )
-    credit = (
-        F.when(F.col("n") == 1, F.lit(1.0))
-        .when(F.col("n") == 2, F.lit(0.5))
-        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")), F.lit(0.4))
-        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    # credit in exact integer micro-units (1.0 == 1_000_000): the only
+    # non-terminating split (0.2/(n-2)) is floored to a micro-credit
+    # identically on both engines, so the final re-associated sum is an
+    # integer — association-free, no ROUND needed
+    credit_e6 = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")),
+              F.lit(400_000))
+        .otherwise(F.floor(F.lit(200000.0) / (F.col("n") - 2) + 0.5)
+                   .cast("long"))
     )
     return (
         r.groupBy(
@@ -1031,7 +1044,7 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "touch_type",
         )
         .agg(
-            F.round(F.sum(credit), 2).alias("credit"),
+            (F.sum(credit_e6) / 1000000.0).alias("credit"),
             F.count("*").alias("n_touches"),
         )
         .orderBy("day", "touch_type")

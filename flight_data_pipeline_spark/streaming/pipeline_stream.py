@@ -356,23 +356,84 @@ def stateful_user_stats_tws(events: DataFrame,
     )
 
 
+_STATE_MARKER = "_applied_batch"
+
+
+def _recover_state(root: str) -> None:
+    """Crash recovery for the marker+swap discipline shared by the
+    foreachBatch state sinks. The swap has one non-atomic window — a
+    crash between ``rename(data, old)`` and ``rename(tmp, data)``
+    leaves no live dir — in which case the newest ``.old-*`` is
+    restored as the live state (ROLL BACK: the interrupted batch
+    replays on restart and re-applies cleanly through the marker
+    check). Orphaned ``.tmp-*`` (incomplete writes) and superseded
+    ``.old-*`` dirs are then removed. Without this, a crash in that
+    window silently rebuilt state from empty, violating the
+    replay-is-a-no-op contract."""
+    import os
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    data_dir = os.path.join(root, "data")
+    olds = [e for e in os.listdir(root) if e.startswith(".old-")]
+    if olds and not os.path.exists(data_dir):
+        newest = max(olds, key=lambda e: int(e.rsplit("-", 1)[1]))
+        os.rename(os.path.join(root, newest), data_dir)
+        olds.remove(newest)
+    for e in olds + [e for e in os.listdir(root) if e.startswith(".tmp-")]:
+        shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+
+
+def _already_applied(root: str, batch_id: int) -> bool:
+    """True when ``batch_id`` is already folded into the live state
+    under ``root`` (marker inside the data dir — state and marker
+    travel in the same rename, so they can never disagree). Runs
+    crash recovery first, so a replay after ANY crash point sees a
+    consistent live dir."""
+    import os
+
+    _recover_state(root)
+    marker = os.path.join(root, "data", _STATE_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return batch_id <= int(fh.read().strip() or -1)
+    return False
+
+
+def _swap_in_state(root: str, batch_id: int, merged: DataFrame) -> None:
+    """Publish ``merged`` as the new live state: write to ``.tmp-id``
+    with the batch marker INSIDE it, rename the live dir aside, rename
+    tmp over live, drop the old version. The only non-atomic window is
+    covered by :func:`_recover_state` on the next entry. Spark ignores
+    underscore-prefixed files, so the marker rides in the data dir for
+    free. At 100 TB this trio is a Delta/Iceberg ``MERGE INTO`` with a
+    transaction log; the version-swap here is the minimal file-system
+    twin with the same replay contract."""
+    import os
+    import shutil
+
+    data_dir = os.path.join(root, "data")
+    tmp = os.path.join(root, f".tmp-{batch_id}")
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _STATE_MARKER), "w") as fh:
+        fh.write(str(batch_id))
+    old = os.path.join(root, f".old-{batch_id}")
+    if os.path.exists(data_dir):
+        os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def apply_rollup_delta(view_dir: str, batch_df: DataFrame,
                        batch_id: int) -> bool:
     """Idempotently MERGE one micro-batch's partial (day, event_type)
     rollup into the persistent view at ``view_dir``. Returns False
     when the batch was already applied (foreachBatch replay after a
     crash) — the merge is skipped, so partials never double-count.
-
-    Swap discipline: the merged view is written to a temp dir WITH an
-    ``_applied_batch`` marker inside it, then renamed over the live
-    dir in one atomic move — state and marker can never disagree, the
-    crash-window double-apply of a marker-after-swap scheme is closed.
-    Spark ignores underscore-prefixed files, so the marker rides in
-    the data dir for free. At 100 TB this function is a Delta/Iceberg
-    ``MERGE INTO`` with a transaction log; the version-swap here is
-    the minimal file-system twin with the same replay contract."""
+    Swap/recovery discipline: :func:`_already_applied` /
+    :func:`_swap_in_state`."""
     import os
-    import shutil
 
     from flight_data_pipeline_spark.operators.relational import (
         combine_partial_aggs,
@@ -380,11 +441,8 @@ def apply_rollup_delta(view_dir: str, batch_df: DataFrame,
 
     os.makedirs(view_dir, exist_ok=True)
     data_dir = os.path.join(view_dir, "data")
-    marker_name = "_applied_batch"
-    if os.path.exists(os.path.join(data_dir, marker_name)):
-        with open(os.path.join(data_dir, marker_name)) as fh:
-            if batch_id <= int(fh.read().strip() or -1):
-                return False
+    if _already_applied(view_dir, batch_id):
+        return False
 
     spark = batch_df.sparkSession
     delta = (
@@ -402,15 +460,7 @@ def apply_rollup_delta(view_dir: str, batch_df: DataFrame,
             agg_cols=("n_events", "sum_value"))
     else:
         merged = delta
-    tmp = os.path.join(view_dir, f".tmp-{batch_id}")
-    merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, marker_name), "w") as fh:
-        fh.write(str(batch_id))
-    old = os.path.join(view_dir, f".old-{batch_id}")
-    if os.path.exists(data_dir):
-        os.rename(data_dir, old)
-    os.rename(tmp, data_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_in_state(view_dir, batch_id, merged)
     return True
 
 
@@ -501,22 +551,18 @@ def apply_frequent_items_delta(summary_dir: str, batch_df: DataFrame,
     heavy-hitters summary: exact per-item batch counts Misra-Gries-
     merged (operators/sketches.mg_merge) into the stored ≤ k-counter
     state — unbounded stream, O(k) state, the item set never
-    re-scanned. Same marker + atomic-swap replay discipline as
-    :func:`apply_rollup_delta` (the batch-id marker rides inside the
-    data dir; merged state renames over live in one move), so a
-    foreachBatch replay after a crash is a no-op."""
+    re-scanned. Same marker + atomic-swap + crash-recovery replay
+    discipline as :func:`apply_rollup_delta` (shared
+    :func:`_already_applied` / :func:`_swap_in_state`), so a
+    foreachBatch replay after a crash at ANY point is a no-op."""
     import os
-    import shutil
 
     from flight_data_pipeline_spark.operators.sketches import mg_merge
 
     os.makedirs(summary_dir, exist_ok=True)
     data_dir = os.path.join(summary_dir, "data")
-    marker_name = "_applied_batch"
-    if os.path.exists(os.path.join(data_dir, marker_name)):
-        with open(os.path.join(data_dir, marker_name)) as fh:
-            if batch_id <= int(fh.read().strip() or -1):
-                return False
+    if _already_applied(summary_dir, batch_id):
+        return False
 
     spark = batch_df.sparkSession
     delta = (
@@ -529,15 +575,7 @@ def apply_frequent_items_delta(summary_dir: str, batch_df: DataFrame,
     else:
         merged = mg_merge(
             delta.limit(0), delta, k_counters)  # bound the first batch too
-    tmp = os.path.join(summary_dir, f".tmp-{batch_id}")
-    merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, marker_name), "w") as fh:
-        fh.write(str(batch_id))
-    old = os.path.join(summary_dir, f".old-{batch_id}")
-    if os.path.exists(data_dir):
-        os.rename(data_dir, old)
-    os.rename(tmp, data_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_in_state(summary_dir, batch_id, merged)
     return True
 
 
@@ -555,6 +593,73 @@ def stream_frequent_items(events: DataFrame, summary_dir: str,
         events.writeStream
         .foreachBatch(lambda df, bid: apply_frequent_items_delta(
             summary_dir, df, bid, item_col, k_counters))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_attribution_matches(events: DataFrame,
+                               lookback_sec: int = 86400,
+                               watermark: str = "1 hour") -> DataFrame:
+    """Streaming half of multi-touch attribution: a WATERMARKED
+    stream-stream interval join pairing each purchase with the same
+    user's view/click touches in the preceding ``lookback_sec`` —
+    the streaming twin of the batch query's ``range_join_binned``
+    stage (plans/temporal_queries.multi_touch_attribution).
+
+    Spark's stream-stream join with a time-range condition buckets
+    state exactly like the batch operator bins (the same interval-
+    join decomposition); the watermarks bound BOTH state stores:
+    touch state is droppable once ``max(pts) - watermark`` passes
+    ``vts + lookback_sec``, purchase state once touches can no
+    longer arrive inside its window. Matches stream out
+    incrementally and exactly once (append mode).
+
+    Deliberately emits MATCHES, not credits: U-shaped credit is a
+    function of a purchase's COMPLETE touch path (first/last/middle
+    shares shift with every late touch), so it is only final when
+    the purchase's window expires — assign credit downstream over
+    the match log (the batch credit expression applies verbatim;
+    test_streaming pins stream-matches + batch-credit ==
+    pure-batch attribution)."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("pid"),
+                F.col("ts").alias("pts"))
+        .withWatermark("pts", watermark)
+    )
+    touches = (
+        events.where(F.col("event_type").isin("view", "click"))
+        .select(F.col("user_id").alias("t_user"),
+                F.col("event_id").alias("vid"),
+                F.col("event_type").alias("touch_type"),
+                F.col("ts").alias("vts"))
+        .withWatermark("vts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("vts") >= F.col("pts")
+           - F.make_interval(secs=F.lit(lookback_sec)))
+        & (F.col("vts") < F.col("pts"))
+    )
+    return purchases.join(touches, cond, "inner").drop("t_user")
+
+
+def stream_attribution(events: DataFrame, match_dir: str,
+                       checkpoint_dir: str,
+                       lookback_sec: int = 86400,
+                       watermark: str = "1 hour") -> StreamingQuery:
+    """Run the attribution interval join over a stream and land the
+    match log as parquet (append sink — the join is append-safe, so
+    replayed batches never duplicate a match). Consumers assign
+    credit over the landed log; see stream_attribution_matches."""
+    return (
+        stream_attribution_matches(events, lookback_sec, watermark)
+        .writeStream
+        .format("parquet")
+        .option("path", match_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

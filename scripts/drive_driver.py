@@ -38,6 +38,10 @@ def canon(df):
     return sorted(rows)
 
 qs, osql = e.queries(), e.oracle_sql()
+only = os.environ.get('DRIVE_ONLY')  # comma-separated query names: spot-run a subset
+if only:
+    keep = set(only.split(','))
+    qs = {k: v for k, v in qs.items() if k in keep}
 print(f"t2: {len(qs)} queries, {len(osql)} with oracles")
 fails = 0
 for name, fn in sorted(qs.items()):

@@ -491,6 +491,33 @@ class TestSkewSplitJoin:
         with _pytest.raises(ValueError, match="inner/left"):
             skew_split_join(left, right, "k", 50, how="full")
 
+    def test_right_hot_cap_excludes_double_hot_keys(self, spark):
+        """A key hot on BOTH sides would make broadcast(right_hot)
+        unbounded; with right_hot_max it must route through the
+        shuffle path instead — and the union must still equal the
+        plain join exactly (the cap changes the PLAN split, never the
+        result)."""
+        from flight_data_pipeline_spark.operators.relational import (
+            skew_split_join,
+        )
+        left = spark.createDataFrame(
+            [("both_hot", i) for i in range(200)]
+            + [("left_hot", i) for i in range(100)]
+            + [(f"k{i}", i) for i in range(10)],
+            "k string, lv int")
+        right = spark.createDataFrame(
+            [("both_hot", f"B{j}") for j in range(50)]
+            + [("left_hot", "L")]
+            + [(f"k{i}", f"R{i}") for i in range(10)],
+            "k string, rv string")
+        got = sorted(
+            (r.k, r.lv, r.rv)
+            for r in skew_split_join(left, right, "k", 50,
+                                     right_hot_max=5).collect())
+        want = sorted((r.k, r.lv, r.rv)
+                      for r in left.join(right, "k", "inner").collect())
+        assert got == want and len(got) == 200 * 50 + 100 + 10
+
 
 class TestCountMinSketch:
     def test_estimates_overcount_never_undercount(self, spark):
@@ -523,3 +550,46 @@ class TestCountMinSketch:
         row_mass = {r.i: r.s for r in
                     cm.groupBy("i").agg(F.sum("cnt").alias("s")).collect()}
         assert row_mass == {0: len(items), 1: len(items), 2: len(items)}
+
+
+class TestUrlFunctions:
+    def test_parse_url_matches_urllib_on_literals(self, spark):
+        """Spark's parse_url / url_encode / url_decode pinned against
+        Python's urllib on literal URLs — the charset-level ground
+        truth the driver-checked probe's algebraic oracle (which only
+        reconstructs the synthesis) cannot provide."""
+        from urllib.parse import parse_qs, quote_plus, urlsplit
+
+        import pyspark.sql.functions as F
+
+        url = "https://shop.example.com/cat/7/item?id=123&ch=view#sec-3"
+        plain = "view 42&x=y/z"
+        row = (
+            spark.range(1)
+            .select(
+                F.parse_url(F.lit(url), F.lit("PROTOCOL")).alias("proto"),
+                F.parse_url(F.lit(url), F.lit("HOST")).alias("host"),
+                F.parse_url(F.lit(url), F.lit("PATH")).alias("path"),
+                F.parse_url(F.lit(url), F.lit("QUERY")).alias("query"),
+                F.parse_url(F.lit(url), F.lit("REF")).alias("ref"),
+                F.parse_url(F.lit(url), F.lit("QUERY"), F.lit("id"))
+                .alias("id_param"),
+                F.parse_url(F.lit(url), F.lit("QUERY"), F.lit("ch"))
+                .alias("ch_param"),
+                F.url_encode(F.lit(plain)).alias("enc"),
+                F.url_decode(F.url_encode(F.lit(plain))).alias("roundtrip"),
+            )
+            .first()
+        )
+        sp = urlsplit(url)
+        assert row.proto == sp.scheme
+        assert row.host == sp.hostname
+        assert row.path == sp.path
+        assert row.query == sp.query
+        assert row.ref == sp.fragment
+        q = parse_qs(sp.query)
+        assert row.id_param == q["id"][0]
+        assert row.ch_param == q["ch"][0]
+        # application/x-www-form-urlencoded: space -> '+', &, =, / escaped
+        assert row.enc == quote_plus(plain)
+        assert row.roundtrip == plain

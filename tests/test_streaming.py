@@ -506,6 +506,89 @@ def test_stream_rollup_upsert_maintains_view(spark, tmp_path):
     assert view_rows()[("2024-01-01", "view")] == (3, 7.0)
 
 
+def test_state_swap_crash_window_recovery(spark, tmp_path):
+    """A crash between rename(data, old) and rename(tmp, data) leaves
+    no live dir; the next apply must restore the newest .old-* (roll
+    back), treat the interrupted batch as unapplied, and fold it in —
+    prior state is never lost. Orphaned .tmp-* dirs are purged."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_rollup_delta,
+    )
+
+    view = str(tmp_path / "view")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def view_rows():
+        return {
+            (r.day, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.read.parquet(view + "/data").collect()
+        }
+
+    assert apply_rollup_delta(
+        view, batch([("2024-01-01T05:00:00", "view", 1.0)]), 0) is True
+    base = view_rows()
+
+    # simulate the crash window of batch 1: live dir renamed aside,
+    # plus an orphaned half-written tmp dir
+    os.rename(os.path.join(view, "data"), os.path.join(view, ".old-1"))
+    os.makedirs(os.path.join(view, ".tmp-1"))
+    with open(os.path.join(view, ".tmp-1", "junk"), "w") as fh:
+        fh.write("partial")
+
+    # replaying batch 1 after the crash applies it exactly once on top
+    # of the RESTORED base state
+    assert apply_rollup_delta(
+        view, batch([("2024-01-01T06:00:00", "view", 2.0)]), 1) is True
+    assert view_rows() == {("2024-01-01", "view"): (2, 3.0)}
+    leftovers = [e for e in os.listdir(view)
+                 if e.startswith(".old-") or e.startswith(".tmp-")]
+    assert leftovers == []
+
+    # the restored marker still suppresses replays of batch 0
+    assert apply_rollup_delta(
+        view, batch([("2024-01-01T05:00:00", "view", 100.0)]), 0) is False
+    assert view_rows() == {("2024-01-01", "view"): (2, 3.0)}
+    # ... and base state was what recovery restored, not empty
+    assert base == {("2024-01-01", "view"): (1, 1.0)}
+
+
+def test_frequent_items_crash_window_recovery(spark, tmp_path):
+    """Same crash-window contract on the heavy-hitters sink: the
+    summary folds the replayed batch into the RESTORED state instead
+    of rebuilding from empty (the pre-fix failure mode)."""
+    import os
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_frequent_items_delta,
+    )
+
+    summary = str(tmp_path / "summary")
+
+    def batch(items):
+        return spark.createDataFrame([(i,) for i in items], "item string")
+
+    def counts():
+        return {
+            r.item: r.cnt
+            for r in spark.read.parquet(summary + "/data").collect()
+        }
+
+    assert apply_frequent_items_delta(
+        summary, batch(["a", "a", "b"]), 0, "item", 8) is True
+    os.rename(os.path.join(summary, "data"), os.path.join(summary, ".old-1"))
+    assert apply_frequent_items_delta(
+        summary, batch(["a", "c"]), 1, "item", 8) is True
+    assert counts() == {"a": 3, "b": 1, "c": 1}
+
+
 def test_stream_enrich_picks_up_dim_updates(spark, tmp_path):
     """Each micro-batch joins the dimension as it exists AT THAT
     TRIGGER: rows arriving after a dim overwrite carry the new
@@ -762,3 +845,117 @@ def test_stream_frequent_items_maintains_bounded_summary(spark, tmp_path):
     df0 = spark.read.schema("item string").json(str(src / "b0.json"))
     assert apply_frequent_items_delta(summary, df0, 0, "item", 3) is False
     assert summary_rows() == s2
+
+
+def test_stream_attribution_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join lands exactly the
+    batch range_join_binned match set across two micro-batch runs
+    (touch paths split across files, join state carried through the
+    checkpoint), and batch U-shaped credit over the landed match log
+    equals the pure-batch attribution on the same events — the
+    stream/batch pairing the sessionize/rollup/dedup families have."""
+    import json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flight_data_pipeline_spark.operators.relational import (
+        range_join_binned,
+    )
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        stream_attribution,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    matches = str(tmp_path / "matches")
+    ck = str(tmp_path / "ck")
+
+    def ev(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype}
+
+    # user 1: 3-touch path; user 2: 1-touch; user 3: touch outside 24h
+    # (no match); user 4: 2-touch path split ACROSS the two files
+    batch1 = [
+        ev(1, "2024-01-02T08:00:00", 1, "view"),
+        ev(2, "2024-01-02T09:00:00", 1, "click"),
+        ev(3, "2024-01-02T10:00:00", 1, "view"),
+        ev(4, "2024-01-02T11:00:00", 1, "purchase"),
+        ev(5, "2024-01-02T07:00:00", 2, "view"),
+        ev(6, "2024-01-02T08:30:00", 2, "purchase"),
+        ev(7, "2024-01-01T05:00:00", 3, "view"),
+        ev(8, "2024-01-04T12:00:00", 4, "view"),
+    ]
+    batch2 = [
+        ev(9, "2024-01-03T09:00:00", 3, "purchase"),   # >24h after touch
+        ev(10, "2024-01-04T13:00:00", 4, "click"),
+        ev(11, "2024-01-04T14:00:00", 4, "purchase"),
+    ]
+
+    def read_stream():
+        return spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).json(str(src))
+
+    (src / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in batch1))
+    stream_attribution(read_stream(), matches, ck,
+                       watermark="30 days").awaitTermination(120)
+    (src / "b.json").write_text(
+        "\n".join(json.dumps(r) for r in batch2))
+    stream_attribution(read_stream(), matches, ck,
+                       watermark="30 days").awaitTermination(120)
+
+    all_events = spark.createDataFrame(
+        [tuple(r.values()) for r in batch1 + batch2],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    purchases = all_events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts"))
+    touches = all_events.where(
+        F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("vid"),
+        F.col("event_type").alias("touch_type"), F.col("ts").alias("vts"))
+    batch_matches = range_join_binned(
+        purchases, touches, key_cols=["user_id"],
+        left_ts="pts", right_ts="vts",
+        lower_sec=-86400, upper_sec=0, bin_sec=86400, how="inner")
+
+    got = {(r.pid, r.vid)
+           for r in spark.read.parquet(matches).collect()}
+    want = {(r.pid, r.vid) for r in batch_matches.collect()}
+    assert got == want
+    assert (4, 1) in got and (11, 8) in got   # cross-file path joined
+    assert all(p != 9 for p, _ in got)        # outside-lookback dropped
+
+    def credit_totals(mdf):
+        w = Window.partitionBy("pid")
+        rk = F.row_number().over(w.orderBy("vts", "vid"))
+        n = F.count("*").over(w)
+        credit_e6 = (
+            F.when(F.col("n") == 1, F.lit(1_000_000))
+            .when(F.col("n") == 2, F.lit(500_000))
+            .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")),
+                  F.lit(400_000))
+            .otherwise(F.floor(F.lit(200000.0) / (F.col("n") - 2))
+                       .cast("long"))
+        )
+        return {
+            (r.day, r.touch_type): (r.credit, r.n_touches)
+            for r in (
+                mdf.select("pid", "pts", "touch_type", "vts", "vid")
+                .select("pid", "pts", "touch_type",
+                        rk.alias("rk"), n.alias("n"))
+                .groupBy(F.date_format(F.col("pts").cast("date"),
+                                       "yyyy-MM-dd").alias("day"),
+                         "touch_type")
+                .agg((F.sum(credit_e6) / 1000000.0).alias("credit"),
+                     F.count("*").alias("n_touches"))
+                .collect()
+            )
+        }
+
+    assert credit_totals(spark.read.parquet(matches)) == credit_totals(
+        batch_matches)
