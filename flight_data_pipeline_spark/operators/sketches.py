@@ -36,7 +36,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 SUMMARY_SCHEMA = "item string, cnt bigint, err bigint"
 
@@ -179,3 +179,110 @@ def count_min_estimate(cm: DataFrame, probes: DataFrame, item_col: str,
         .groupBy(*probes.columns)
         .agg(F.min("cnt").alias("est_n"))
     )
+
+
+# --- distinct-count tier: HyperLogLog + KMV bottom-k -------------------------
+
+HLL_M = 256          # 2^8 buckets: ~6.5% std error — fixture-appropriate
+HLL_W = 25           # max rho over the 24-bit suffix (+1 for all-zero)
+# alpha_m * m^2 * 2^W as ONE Python-computed double literal, embedded
+# identically in the Spark plan and the SQL oracle so the final
+# floor-divide is engine-identical (no repeated float arithmetic)
+HLL_NUMERATOR = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * (1 << HLL_W)
+KMV_K = 64           # bottom-k size: ~12.5% std error
+KMV_BITS = 52        # 13 md5 hex chars; (k-1)*2^52 stays inside BIGINT
+
+
+def _hll_bucket_rho(item):
+    """(bucket, rho) for one item from the leading 32 bits of its md5
+    — reproducible in ANY engine (the _cm_col md5 trick applied to
+    HLL): bucket = top 8 bits; rho = leading-zero count of the 24-bit
+    suffix + 1, clamped to HLL_W for the all-zero suffix. The
+    leading-zero count is pure STRING arithmetic on the hex form
+    (zero-prefix length x 4 + a 4-way CASE on the first nonzero hex
+    digit) — no float log2, whose half-ulp at exact powers of two
+    would flip registers between libm implementations."""
+    hex8 = F.substring(F.md5(item), 1, 8)
+    bucket = F.conv(F.substring(hex8, 1, 2), 16, 10).cast("int")
+    suffix = F.substring(hex8, 3, 6)
+    lzhex = F.length(F.regexp_extract(suffix, r"^(0*)", 1))
+    d = F.conv(F.substr(suffix, lzhex + 1, F.lit(1)), 16, 10).cast("int")
+    bitlen = (F.when(d >= 8, 4).when(d >= 4, 3)
+              .when(d >= 2, 2).otherwise(1))
+    rho = F.when(lzhex == 6, F.lit(HLL_W)).otherwise(
+        4 * lzhex + (4 - bitlen) + 1)
+    return bucket, rho
+
+
+def hll_estimate(df: DataFrame, item_col: str,
+                 group_cols: Sequence[str] = ()) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group, built so an SQL
+    oracle reproduces it BIT-IDENTICALLY: registers are (bucket,
+    max rho) — max is association-free — and the harmonic mean runs
+    in SCALED INTEGERS (sum of 2^(W - rho) as BIGINT, absent buckets
+    contributing 2^W each), so the only float op is one final
+    constant/integer divide. Raw Flajolet et al. estimate, no small/
+    large-range corrections (both engines apply the same formula, so
+    parity holds regardless; accuracy is pinned loosely vs the exact
+    count in the checked query). State is m registers per group —
+    the 'how many distinct' tier beside Space-Saving ('which are
+    frequent') and Count-Min ('how often is this one')."""
+    gcols = list(group_cols)
+    bucket, rho = _hll_bucket_rho(F.col(item_col))
+    regs = (
+        df.select(*gcols, bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(*gcols, "__b")
+        .agg(F.max("__rho").alias("__r"))
+    )
+    scaled = F.expr(f"shiftleft(1L, {HLL_W} - __r)")
+    agg = (
+        regs.groupBy(*gcols)
+        .agg(
+            (F.sum(scaled)
+             + (F.lit(HLL_M) - F.count("*"))
+             * F.lit(1 << HLL_W).cast("long")).alias("__s"),
+            (F.lit(HLL_M) - F.count("*")).alias("__v"),  # empty buckets
+        )
+    )
+    raw = F.floor(F.lit(HLL_NUMERATOR) / F.col("__s"))
+    # Flajolet small-range correction: LinearCounting on the empty-
+    # bucket count when raw <= 2.5m (raw HLL overestimates badly for
+    # n << m — the fixture's 31-token vocabularies hit exactly this).
+    # ln runs on an exact integer ratio computed identically on both
+    # engines; a cross-libm 1-ulp log delta could only flip the floor
+    # if m*ln(m/V) sat within ~1e-13 of an integer — none of the 256
+    # possible V values do.
+    lin = F.floor(F.lit(float(HLL_M))
+                  * F.log(F.lit(float(HLL_M)) / F.col("__v")))
+    est = F.when((raw <= 2.5 * HLL_M) & (F.col("__v") > 0), lin) \
+        .otherwise(raw)
+    return agg.select(*gcols, est.cast("long").alias("hll_est"))
+
+
+def kmv_estimate(df: DataFrame, item_col: str,
+                 group_cols: Sequence[str] = ()) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) distinct-count estimate per
+    group: over the DISTINCT 52-bit md5-derived hashes, the k-th
+    smallest h_k gives est = (k-1)*2^52 div h_k (Bar-Yossef et al.'s
+    unbiased form) — pure integer arithmetic end to end, so any
+    engine agrees exactly. Groups with fewer than k distinct hashes
+    return the exact distinct count (the sketch IS the distinct set
+    there). Doubles as a deterministic uniform sample of the distinct
+    domain (the bottom-k hash set)."""
+    gcols = list(group_cols)
+    h = F.conv(F.substring(F.md5(F.col(item_col)), 1, 13), 16, 10) \
+        .cast("long")
+    hashes = df.select(*gcols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*gcols).orderBy("__h")
+    ranked = hashes.select(
+        *gcols, "__h", F.row_number().over(w).alias("__rn"))
+    per_group = (
+        ranked.groupBy(*gcols)
+        .agg(F.max(F.when(F.col("__rn") == KMV_K, F.col("__h")))
+             .alias("__hk"),
+             F.count("*").alias("__nd"))
+    )
+    est = F.when(
+        F.col("__nd") < KMV_K, F.col("__nd")
+    ).otherwise(F.expr(f"({KMV_K} - 1) * {1 << KMV_BITS}L div __hk"))
+    return per_group.select(*gcols, est.cast("long").alias("kmv_est"))

@@ -2200,3 +2200,127 @@ def count_min_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("est_n") - F.col("true_n")).alias("overcount"))
         .orderBy(F.desc("true_n"), "token")
     )
+
+
+from flight_data_pipeline_spark.operators.sketches import (  # noqa: E402
+    HLL_NUMERATOR,
+    KMV_BITS,
+    KMV_K,
+)
+
+
+@query(
+    "distinct_token_sketches",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tok AS (
+        SELECT lang, token FROM t WHERE token <> ''
+    ), hx AS (
+        SELECT lang, token,
+               ('0x' || substr(md5(token), 1, 2))::INT AS b,
+               substr(md5(token), 3, 6) AS suffix,
+               ('0x' || substr(md5(token), 1, 13))::BIGINT AS h52
+        FROM tok
+    ), rho AS (
+        SELECT lang, b, h52,
+               CASE WHEN length(regexp_extract(suffix, '^(0*)', 1)) = 6
+                    THEN 25
+                    ELSE 4 * length(regexp_extract(suffix, '^(0*)', 1))
+                         + (4 - CASE
+                             WHEN ('0x' || substr(suffix,
+                                     length(regexp_extract(suffix,
+                                            '^(0*)', 1)) + 1, 1))::INT >= 8
+                                 THEN 4
+                             WHEN ('0x' || substr(suffix,
+                                     length(regexp_extract(suffix,
+                                            '^(0*)', 1)) + 1, 1))::INT >= 4
+                                 THEN 3
+                             WHEN ('0x' || substr(suffix,
+                                     length(regexp_extract(suffix,
+                                            '^(0*)', 1)) + 1, 1))::INT >= 2
+                                 THEN 2
+                             ELSE 1 END) + 1
+               END AS rho
+        FROM hx
+    ), regs AS (
+        SELECT lang, b, MAX(rho) AS r FROM rho GROUP BY lang, b
+    ), hraw AS (
+        SELECT lang,
+               FLOOR({HLL_NUMERATOR!r} /
+                    (SUM(1::BIGINT << (25 - r))
+                     + (256 - COUNT(*)) * (1::BIGINT << 25))) AS raw,
+               256 - COUNT(*) AS v
+        FROM regs GROUP BY lang
+    ), hll AS (
+        SELECT lang,
+               CAST(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                         THEN FLOOR(256.0 * ln(256.0 / v))
+                         ELSE raw END AS BIGINT) AS hll_est
+        FROM hraw
+    ), dh AS (
+        SELECT DISTINCT lang, h52 FROM hx
+    ), rk AS (
+        SELECT lang, h52,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h52) AS rn
+        FROM dh
+    ), kmv AS (
+        SELECT lang,
+               CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)
+                    ELSE ({KMV_K} - 1) * {1 << KMV_BITS}
+                         // MAX(CASE WHEN rn = {KMV_K} THEN h52 END)
+               END AS kmv_est
+        FROM rk GROUP BY lang
+    ), exact AS (
+        SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact
+        FROM tok GROUP BY lang
+    )
+    SELECT e.lang,
+           e.n_exact,
+           CAST(h.hll_est AS BIGINT) AS hll_est,
+           CAST(k.kmv_est AS BIGINT) AS kmv_est,
+           abs(h.hll_est - e.n_exact) <= 0.25 * e.n_exact AS hll_ok,
+           abs(k.kmv_est - e.n_exact) <= 0.30 * e.n_exact AS kmv_ok
+    FROM exact e JOIN hll h USING (lang) JOIN kmv k USING (lang)
+    ORDER BY e.lang
+    """,
+)
+def distinct_token_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-vocabulary estimation per language via the two
+    classic distinct-count sketches, FULLY hash-checked (the
+    count_min md5 trick applied to cardinality): HyperLogLog
+    registers from string-arithmetic leading-zero counts (no float
+    log2) with a scaled-integer harmonic mean, and KMV bottom-k over
+    52-bit hashes with a pure-integer estimate — the oracle rebuilds
+    BOTH sketches bit-identically, so every estimate (and its
+    bounded-error verdict vs the exact count) must agree. Completes
+    the sketch family's 'how many distinct' tier with mergeable,
+    O(m)/O(k)-state structures: at 100 TB the registers/bottom-k
+    sets merge associatively across partitions and days — state is
+    256 registers / 64 hashes per group, never the vocabulary."""
+    from flight_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        kmv_estimate,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") > 0)
+    )
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("token").alias("n_exact"))
+    hll = hll_estimate(toks, "token", group_cols=["lang"])
+    kmv = kmv_estimate(toks, "token", group_cols=["lang"])
+    return (
+        exact.join(hll, "lang").join(kmv, "lang")
+        .select(
+            "lang", "n_exact", "hll_est", "kmv_est",
+            (F.abs(F.col("hll_est") - F.col("n_exact"))
+             <= 0.25 * F.col("n_exact")).alias("hll_ok"),
+            (F.abs(F.col("kmv_est") - F.col("n_exact"))
+             <= 0.30 * F.col("n_exact")).alias("kmv_ok"),
+        )
+        .orderBy("lang")
+    )

