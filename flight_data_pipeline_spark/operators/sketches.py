@@ -286,3 +286,50 @@ def kmv_estimate(df: DataFrame, item_col: str,
         F.col("__nd") < KMV_K, F.col("__nd")
     ).otherwise(F.expr(f"({KMV_K} - 1) * {1 << KMV_BITS}L div __hk"))
     return per_group.select(*gcols, est.cast("long").alias("kmv_est"))
+
+
+# --- membership tier: Bloom filter -------------------------------------------
+
+BLOOM_BITS = 32768   # 2^15-bit space
+BLOOM_D = 3          # hash rows (reuses the count-min md5 cells)
+
+
+def bloom_build(df: DataFrame, item_col: str,
+                m_bits: int = BLOOM_BITS, depth: int = BLOOM_D) -> DataFrame:
+    """Bloom filter as a relation of SET BIT positions: each item
+    lights ``depth`` md5-derived positions (the count-min ``_cm_col``
+    hash rows aimed at one shared bit space), distinct-collapsed.
+    ≤ depth·|items| rows, broadcastable — membership probes become a
+    map-side broadcast join instead of a shuffle semi-join, the
+    standard pre-filter in front of an exact join at scale (false
+    positives possible at rate ~(1-e^(-dn/m))^d, false negatives
+    impossible). md5 keeps the filter reconstructible bit-for-bit in
+    any engine, so probes hash-check INCLUDING their false positives.
+    At 100 TB the relation packs into m/64 BIGINT words via
+    ``bit_or(shiftleft(1, pos % 64))`` grouped by word — same
+    semantics, denser broadcast; the relation form is kept here for
+    oracle parity."""
+    positions = F.explode(F.array(*[
+        _cm_col(F.col(item_col), i, m_bits) for i in range(depth)
+    ]))
+    return df.select(positions.alias("pos")).distinct()
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, item_col: str,
+                m_bits: int = BLOOM_BITS, depth: int = BLOOM_D) -> DataFrame:
+    """Membership verdict per probe row: an item MAY be in the built
+    set iff all ``depth`` of its positions are set. Returns the probe
+    columns + boolean ``bloom_hit``. The bloom side broadcasts."""
+    exploded = probes.select(
+        "*",
+        F.explode(F.array(*[
+            _cm_col(F.col(item_col), i, m_bits) for i in range(depth)
+        ])).alias("pos"),
+    )
+    return (
+        exploded.join(F.broadcast(bloom.withColumn("__set", F.lit(1))),
+                      "pos", "left")
+        .groupBy(*probes.columns)
+        .agg((F.sum(F.coalesce(F.col("__set"), F.lit(0))) == depth)
+             .alias("bloom_hit"))
+    )

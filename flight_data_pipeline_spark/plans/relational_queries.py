@@ -2069,6 +2069,189 @@ def null_and_bool_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "recursive_cte_probe",
+    oracle="""
+    WITH RECURSIVE walk(custkey, node, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        UNION ALL
+        SELECT custkey, node // 2, depth + 1 FROM walk WHERE node > 1
+    )
+    SELECT depth                        AS root_distance,
+           CAST(COUNT(*) AS BIGINT)     AS n_customers,
+           CAST(MIN(custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(custkey) AS BIGINT) AS max_custkey
+    FROM walk WHERE node = 1
+    GROUP BY depth ORDER BY depth
+    """,
+)
+def recursive_cte_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (iterative queries as declarative SQL — new in
+    Spark 4): every customer walks the implicit binary forest
+    ``k -> k div 2 -> ... -> 1`` and the per-depth population of the
+    terminal rows is checked. Depth varies per row (ceil(log2(k))
+    levels), so the probe genuinely exercises multi-level recursive
+    union execution — seed + N dependent iterations, each a join-free
+    map over the previous frontier — not a fixed unrolling; the
+    closed-form structure is what lets the oracle agree exactly.
+    The engine's SCALE path for unbounded graph iteration remains
+    operators/dedup.connected_components (set-group collapse with
+    lineage truncation); the recursive CTE is the right tool when
+    depth is small and known-bounded (paths, hierarchies, BOM walks).
+    """
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "customer")
+    return spark.sql("""
+        WITH RECURSIVE walk(custkey, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer
+            UNION ALL
+            SELECT custkey, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        )
+        SELECT depth                        AS root_distance,
+               CAST(COUNT(*) AS BIGINT)     AS n_customers,
+               CAST(MIN(custkey) AS BIGINT) AS min_custkey,
+               CAST(MAX(custkey) AS BIGINT) AS max_custkey
+        FROM walk WHERE node = 1
+        GROUP BY depth ORDER BY depth
+    """)
+
+
+@query(
+    "json_functions_probe",
+    oracle="""
+    WITH j AS (
+        SELECT event_type,
+               event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k,
+               concat('{"id":', CAST(event_id AS VARCHAR),
+                      ',"tag":"', event_type,
+                      '","nested":{"k":',
+                      CAST(CAST(json_extract(props, '$.k') AS INT)
+                           AS VARCHAR),
+                      ',"flags":[true,false]}}') AS x_doc
+        FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)            AS n,
+           CAST(SUM(k) AS BIGINT)              AS sum_k,
+           bool_and(TRUE)                      AS roundtrip_id_ok,
+           bool_and(TRUE)                      AS nested_path_ok,
+           bool_and(TRUE)                      AS array_elem_ok,
+           bool_and(TRUE)                      AS tuple_ok,
+           bool_and(TRUE)                      AS keys_ok
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function surface (§2.9): construct a nested document
+    in-query (to_json over struct/array), then take it apart with
+    get_json_object, json_tuple, from_json with an explicit schema,
+    and json_object_keys — hash-checked against the ALGEBRAIC ground
+    truth of the construction (the url-probe pattern: every bool is
+    literally TRUE on the oracle side, so any parsing or
+    serialization deviation on any row breaks the hash). Pins the
+    to_json field order, nested-path extraction, array indexing, and
+    key enumeration the props-handling operators rely on. All
+    map-side codegen'd expressions; one aggregate per event type."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("int")
+    doc = F.to_json(F.struct(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("tag"),
+        F.struct(k.alias("k"),
+                 F.array(F.lit(True), F.lit(False)).alias("flags"))
+        .alias("nested"),
+    ))
+    parsed = F.from_json(
+        F.col("doc"),
+        "id BIGINT, tag STRING, nested STRUCT<k: INT, flags: ARRAY<BOOLEAN>>",
+    )
+    return (
+        ev.select("event_type", "event_id", k.alias("k"), doc.alias("doc"))
+        .select(
+            "event_type", "k",
+            parsed.alias("p"),
+            F.get_json_object("doc", "$.nested.k").cast("int").alias("gk"),
+            F.get_json_object("doc", "$.nested.flags[1]").alias("flag1"),
+            F.json_tuple("doc", "id", "tag").alias("t_id", "t_tag"),
+            F.json_object_keys("doc").alias("keys"),
+            "event_id",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.bool_and(F.col("p.id") == F.col("event_id"))
+            .alias("roundtrip_id_ok"),
+            F.bool_and(F.col("gk") == F.col("k")).alias("nested_path_ok"),
+            F.bool_and(F.col("flag1") == "false").alias("array_elem_ok"),
+            F.bool_and((F.col("t_id") == F.col("event_id").cast("string"))
+                       & (F.col("t_tag") == F.col("event_type")))
+            .alias("tuple_ok"),
+            F.bool_and(F.col("keys")
+                       == F.array(F.lit("id"), F.lit("tag"),
+                                  F.lit("nested"))).alias("keys_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "calendar_functions_probe",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders
+    )
+    SELECT CAST(EXTRACT(year FROM dt) AS INT)      AS y,
+           CAST(COUNT(*) AS BIGINT)                AS n_dates,
+           CAST(SUM(EXTRACT(quarter FROM dt)) AS BIGINT)    AS sum_quarter,
+           CAST(SUM(EXTRACT(month FROM dt)) AS BIGINT)      AS sum_month,
+           CAST(SUM(EXTRACT(doy FROM dt)) AS BIGINT)        AS sum_doy,
+           CAST(SUM(CASE WHEN EXTRACT(isodow FROM dt) >= 6
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS n_weekend,
+           CAST(SUM(EXTRACT(day FROM last_day(dt))) AS BIGINT)
+                                                            AS sum_month_len,
+           CAST(SUM(EXTRACT(day FROM dt + INTERVAL 45 DAY)) AS BIGINT)
+                                                            AS sum_shift45,
+           CAST(SUM(EXTRACT(month FROM dt + INTERVAL 3 MONTH)) AS BIGINT)
+                                                            AS sum_addmon,
+           MIN(STRFTIME(date_trunc('week', dt), '%Y-%m-%d'))
+                                                            AS first_week_start
+    FROM d GROUP BY y ORDER BY y
+    """,
+)
+def calendar_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/date-arithmetic surface (§2.9): quarter / month /
+    day-of-year / ISO weekday (weekend detection) / last_day month
+    lengths (leap-February sensitive) / +45-day and +3-month shifts
+    (month-end clamping) / Monday-start week truncation — aggregated
+    per order year over the DISTINCT date domain, so every calendar
+    value in the fixture's 7-year span must agree. Pins the
+    cross-engine traps: Spark dayofweek is 1=Sunday (shifted here to
+    ISO 1=Monday to match EXTRACT(isodow)), and date_trunc('week')
+    is Monday-start on both engines."""
+    o = load_table(spark, "orders", sf_dir)
+    d = o.select(F.col("o_orderdate").cast("date").alias("dt")).distinct()
+    isodow = ((F.dayofweek("dt") + 5) % 7) + 1  # 1=Mon..7=Sun
+    return (
+        d.groupBy(F.year("dt").cast("int").alias("y"))
+        .agg(
+            F.count("*").alias("n_dates"),
+            F.sum(F.quarter("dt")).alias("sum_quarter"),
+            F.sum(F.month("dt")).alias("sum_month"),
+            F.sum(F.dayofyear("dt")).alias("sum_doy"),
+            F.sum(F.when(isodow >= 6, 1).otherwise(0)).alias("n_weekend"),
+            F.sum(F.dayofmonth(F.last_day("dt"))).alias("sum_month_len"),
+            F.sum(F.dayofmonth(F.date_add("dt", 45))).alias("sum_shift45"),
+            F.sum(F.month(F.add_months("dt", 3))).alias("sum_addmon"),
+            F.min(F.date_format(F.date_trunc("week", F.col("dt")),
+                                "yyyy-MM-dd")).alias("first_week_start"),
+        )
+        .orderBy("y")
+    )
+
+
+@query(
     "url_functions_probe",
     oracle="""
     WITH u AS (

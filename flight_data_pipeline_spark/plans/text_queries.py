@@ -2324,3 +2324,120 @@ def distinct_token_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "bloom_prefilter_decontamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(CASE WHEN len(t) >= {DECON_N}
+                           THEN list_transform(
+                                    generate_series(0, len(t) - {DECON_N}),
+                                    i -> array_to_string(
+                                        t[i + 1 : i + {DECON_N}], ' '))
+                           ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE source = '{DECON_BENCH_SRC}'),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(d.i::VARCHAR || '|' || g), 1, 8))
+                   ::BIGINT % 32768 AS pos
+        FROM bench, (SELECT unnest([0, 1, 2]) AS i) d
+    ),
+    probe AS (
+        SELECT doc_id, source, g,
+               SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 3
+                   AS bloom_hit
+        FROM (
+            SELECT doc_id, source, g,
+                   ('0x' || substr(md5(d.i::VARCHAR || '|' || g), 1, 8))
+                       ::BIGINT % 32768 AS pos
+            FROM g, (SELECT unnest([0, 1, 2]) AS i) d
+            WHERE source <> '{DECON_BENCH_SRC}'
+        ) p LEFT JOIN bits b USING (pos)
+        GROUP BY doc_id, source, g
+    ),
+    per_doc AS (
+        SELECT p.doc_id, p.source,
+               bool_or(p.bloom_hit) AS bloom_flag,
+               bool_or(bench.g IS NOT NULL) AS exact_flag
+        FROM probe p LEFT JOIN bench ON p.g = bench.g
+        GROUP BY p.doc_id, p.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bloom_flag THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_flagged,
+           CAST(SUM(CASE WHEN exact_flag THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_contaminated,
+           CAST(SUM(CASE WHEN bloom_flag AND NOT exact_flag
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           bool_and(bloom_flag OR NOT exact_flag) AS no_false_negatives
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def bloom_prefilter_decontamination(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter in front of exact test-set
+    decontamination, FULLY hash-checked: the benchmark corpus's
+    distinct 8-grams build an md5-derived 32768-bit Bloom filter
+    (operators/sketches.bloom_build — a broadcastable set-bit
+    relation), every other doc's grams probe it map-side, and the
+    verdicts are compared per source against the exact semi-join —
+    n_false_positive is part of the checked output (the oracle
+    rebuilds the identical filter, so even the false positives must
+    agree bit-for-bit), and no_false_negatives pins the structural
+    guarantee.
+
+    Why it matters at 100 TB: benchmark_ngram_overlap's exact
+    LeftSemi shuffles every corpus gram; the Bloom form broadcasts
+    ≤ d·|bench-grams| positions and answers most grams map-side, so
+    only the (tiny) bloom-positive slice needs the exact join —
+    the standard runtime-filter/pre-join pattern (Spark's own AQE
+    runtime filters, Parquet bloom indexes) made explicit and
+    engine-portable."""
+    from flight_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from flight_data_pipeline_spark.operators.text import ngram_explode
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = ngram_explode(docs, "text", DECON_N, "doc_id", "source") \
+        .distinct()
+    bench = (grams.where(F.col("source") == DECON_BENCH_SRC)
+             .select("g").distinct())
+    bloom = bloom_build(bench, "g")
+    corpus = grams.where(F.col("source") != DECON_BENCH_SRC)
+    probed = bloom_probe(bloom, corpus, "g")
+    exact = bench.withColumn("__bench", F.lit(1))
+    per_doc = (
+        probed.join(F.broadcast(exact), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.bool_or(F.col("bloom_hit")).alias("bloom_flag"),
+            F.bool_or(F.col("__bench").isNotNull()).alias("exact_flag"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("bloom_flag"), 1).otherwise(0))
+            .alias("n_bloom_flagged"),
+            F.sum(F.when(F.col("exact_flag"), 1).otherwise(0))
+            .alias("n_exact_contaminated"),
+            F.sum(F.when(F.col("bloom_flag") & ~F.col("exact_flag"), 1)
+                  .otherwise(0)).alias("n_false_positive"),
+            F.bool_and(F.col("bloom_flag") | ~F.col("exact_flag"))
+            .alias("no_false_negatives"),
+        )
+        .orderBy("source")
+    )

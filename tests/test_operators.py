@@ -660,3 +660,36 @@ class TestDistinctSketches:
         merged = hll_estimate(
             a.unionByName(b).distinct(), "item", ["g"]).first().hll_est
         assert whole == merged
+
+
+class TestBloomFilter:
+    def test_membership_guarantee_and_false_positive_rate(self, spark):
+        """Every inserted item MUST hit (no false negatives — the
+        structural guarantee); non-members may hit but the measured
+        rate at this fill factor must stay small; the empty filter
+        hits nothing."""
+        import pyspark.sql.functions as F
+
+        from flight_data_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        members = spark.range(500).select(
+            F.concat(F.lit("in_"), F.col("id")).alias("item"))
+        others = spark.range(2000).select(
+            F.concat(F.lit("out_"), F.col("id")).alias("item"))
+        bloom = bloom_build(members, "item")
+
+        hits_in = bloom_probe(bloom, members, "item") \
+            .where(~F.col("bloom_hit"))
+        assert hits_in.isEmpty()
+
+        n_fp = bloom_probe(bloom, others, "item") \
+            .where(F.col("bloom_hit")).toPandas().shape[0]
+        # d=3, n=500, m=32768 -> fp ~ (1-e^(-3*500/32768))^3 ~ 8e-5
+        assert n_fp <= 10
+
+        empty = bloom_build(members.limit(0), "item")
+        assert bloom_probe(empty, others.limit(50), "item") \
+            .where(F.col("bloom_hit")).isEmpty()
