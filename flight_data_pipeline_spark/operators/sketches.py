@@ -234,6 +234,21 @@ def hll_estimate(df: DataFrame, item_col: str,
         .groupBy(*gcols, "__b")
         .agg(F.max("__rho").alias("__r"))
     )
+    return hll_estimate_from_registers(regs, gcols)
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: Sequence[str] = (),
+                                bucket_col: str = "__b",
+                                rho_col: str = "__r") -> DataFrame:
+    """Apply the estimate formula to a stored (group, bucket, max-rho)
+    register relation — the consumer half of the streaming register
+    maintenance (pipeline_stream.stream_distinct_registers): registers
+    MAX-merge forever; the estimate is recomputable from them at any
+    time."""
+    gcols = list(group_cols)
+    regs = regs.select(*gcols, F.col(bucket_col).alias("__b"),
+                       F.col(rho_col).alias("__r"))
     scaled = F.expr(f"shiftleft(1L, {HLL_W} - __r)")
     agg = (
         regs.groupBy(*gcols)

@@ -664,3 +664,160 @@ def stream_attribution(events: DataFrame, match_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_hll_delta(registers_dir: str, batch_df: DataFrame,
+                    batch_id: int, item_col: str,
+                    group_cols: tuple[str, ...] = ()) -> bool:
+    """Idempotently fold one micro-batch into a persistent
+    HyperLogLog register table — the distinct-count tier of the
+    streaming-maintenance family (rollup view = SUM-mergeable,
+    heavy-hitters = Misra-Gries-mergeable, this = MAX-mergeable):
+    the batch's (group, bucket, rho-max) registers merge into the
+    stored table by MAX, which is associative, commutative, and
+    idempotent — O(m) state per group forever, any replay shape
+    safe. Same marker + atomic-swap + crash-recovery discipline
+    (:func:`_already_applied` / :func:`_swap_in_state`)."""
+    import os
+
+    from flight_data_pipeline_spark.operators.sketches import (
+        _hll_bucket_rho,
+    )
+
+    os.makedirs(registers_dir, exist_ok=True)
+    data_dir = os.path.join(registers_dir, "data")
+    if _already_applied(registers_dir, batch_id):
+        return False
+
+    spark = batch_df.sparkSession
+    gcols = list(group_cols)
+    bucket, rho = _hll_bucket_rho(F.col(item_col))
+    delta = (
+        batch_df.select(*gcols, bucket.alias("b"), rho.alias("rho"))
+        .groupBy(*gcols, "b")
+        .agg(F.max("rho").alias("r"))
+    )
+    if os.path.exists(data_dir):
+        base = spark.read.parquet(data_dir).select(*gcols, "b", "r")
+        merged = (
+            base.unionByName(delta.withColumnRenamed("r", "r"))
+            .groupBy(*gcols, "b")
+            .agg(F.max("r").alias("r"))
+        )
+    else:
+        merged = delta
+    _swap_in_state(registers_dir, batch_id, merged)
+    return True
+
+
+def stream_distinct_registers(events: DataFrame, registers_dir: str,
+                              checkpoint_dir: str, item_col: str,
+                              group_cols: tuple[str, ...] = ()
+                              ) -> StreamingQuery:
+    """Streaming distinct-count maintenance: each micro-batch's HLL
+    registers MAX-merge into a persistent register table; consumers
+    read the table and apply the estimate formula
+    (operators/sketches.hll_estimate over the registers) at any time
+    — cardinality-over-all-history in O(m) state per group, exactly
+    the shape a 100 TB dedupe/reach dashboard needs. foreachBatch +
+    checkpointed offsets + batch-id idempotence give effective
+    exactly-once on the registers across restarts."""
+    return (
+        events.writeStream
+        .foreachBatch(lambda df, bid: apply_hll_delta(
+            registers_dir, df, bid, item_col, group_cols))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def apply_attribution_credits_delta(state_dir: str, batch_df: DataFrame,
+                                    batch_id: int) -> bool:
+    """Incremental maintenance of the per-purchase U-shaped credit
+    table from the attribution MATCH stream — the pattern for
+    non-decomposable per-entity aggregates (a purchase's credit split
+    shifts whenever its touch path grows, so it can't partial-agg):
+    recompute ONLY the purchases present in this batch over the full
+    match log, and key-replace their rows in the stored table.
+
+    Layout under ``state_dir``: ``matches/batch=<id>/`` holds each
+    micro-batch's matches (mode=overwrite per batch dir, so a replay
+    rewrites identical bytes — idempotent by construction), and
+    ``credits/`` is the per-(pid, day, touch_type) credit table under
+    the shared marker+swap+recovery discipline. Work per trigger is
+    O(affected purchases' matches + credit-table anti join), never a
+    full recompute; consumers aggregate the table to the
+    (day, touch_type) view, which equals the batch
+    multi_touch_attribution on the same events (pinned in tests)."""
+    import os
+
+    credits_root = os.path.join(state_dir, "credits")
+    os.makedirs(credits_root, exist_ok=True)
+    if _already_applied(credits_root, batch_id):
+        return False
+
+    spark = batch_df.sparkSession
+    match_dir = os.path.join(state_dir, "matches", f"batch={batch_id}")
+    batch_df.write.mode("overwrite").parquet(match_dir)
+
+    log = spark.read.parquet(os.path.join(state_dir, "matches"))
+    affected = batch_df.select("pid").distinct()
+    aff = log.join(F.broadcast(affected), "pid", "left_semi")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid")
+    rk = F.row_number().over(w.orderBy("vts", "vid"))
+    n = F.count("*").over(w)
+    ranked = aff.select("pid", "pts", "touch_type",
+                        rk.alias("rk"), n.alias("n"))
+    # exact integer micro-credits — the batch query's discipline
+    credit_e6 = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")),
+              F.lit(400_000))
+        .otherwise(F.floor(F.lit(200000.0) / (F.col("n") - 2))
+                   .cast("long"))
+    )
+    fresh = (
+        ranked.groupBy(
+            "pid",
+            F.date_format(F.col("pts").cast("date"), "yyyy-MM-dd")
+            .alias("day"),
+            "touch_type")
+        .agg(F.sum(credit_e6).alias("credit_e6"),
+             F.count("*").alias("n_touches"))
+    )
+    data_dir = os.path.join(credits_root, "data")
+    if os.path.exists(data_dir):
+        base = spark.read.parquet(data_dir)
+        merged = base.join(F.broadcast(affected), "pid", "left_anti") \
+            .unionByName(fresh)
+    else:
+        merged = fresh
+    _swap_in_state(credits_root, batch_id, merged)
+    return True
+
+
+def stream_attribution_credits(events: DataFrame, state_dir: str,
+                               checkpoint_dir: str,
+                               lookback_sec: int = 86400,
+                               watermark: str = "1 hour") -> StreamingQuery:
+    """End-to-end streaming attribution: the watermarked interval
+    join (stream_attribution_matches) feeds foreachBatch delta
+    maintenance of the per-purchase credit table
+    (apply_attribution_credits_delta). Together: matches stream
+    exactly-once; credits converge to the batch answer as each
+    purchase's window fills — the streaming twin of
+    multi_touch_attribution with replay-safe state."""
+    return (
+        stream_attribution_matches(events, lookback_sec, watermark)
+        .writeStream
+        .foreachBatch(lambda df, bid: apply_attribution_credits_delta(
+            state_dir, df, bid))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

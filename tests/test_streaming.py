@@ -959,3 +959,173 @@ def test_stream_attribution_matches_batch(spark, tmp_path):
 
     assert credit_totals(spark.read.parquet(matches)) == credit_totals(
         batch_matches)
+
+
+def test_stream_distinct_registers_maintains_hll(spark, tmp_path):
+    """HLL registers MAX-merged across micro-batch runs must equal
+    the batch sketch over the full history (merge associativity end
+    to end), the estimate must be readable from the stored registers
+    at any time, and a replayed batch must be a no-op."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_from_registers,
+    )
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_hll_delta,
+        stream_distinct_registers,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    regs = str(tmp_path / "regs")
+
+    def write_file(name, items):
+        (src / name).write_text("\n".join(
+            json.dumps({"g": g, "item": i}) for g, i in items))
+
+    def read_stream():
+        return spark.readStream.schema("g string, item string") \
+            .json(str(src))
+
+    b1 = [("a", f"x{i}") for i in range(400)] + [("b", "only")]
+    b2 = [("a", f"x{i}") for i in range(200, 600)] + [("b", "other")]
+    write_file("b1.json", b1)
+    stream_distinct_registers(
+        read_stream(), regs, str(tmp_path / "ck"), "item",
+        ("g",)).awaitTermination(120)
+    write_file("b2.json", b2)
+    stream_distinct_registers(
+        read_stream(), regs, str(tmp_path / "ck"), "item",
+        ("g",)).awaitTermination(120)
+
+    stored = spark.read.parquet(regs + "/data")
+    streamed = {
+        r.g: r.hll_est
+        for r in hll_estimate_from_registers(
+            stored, ["g"], bucket_col="b", rho_col="r").collect()
+    }
+    full = spark.createDataFrame(b1 + b2, "g string, item string")
+    batch = {r.g: r.hll_est
+             for r in hll_estimate(full, "item", ["g"]).collect()}
+    assert streamed == batch          # merged registers == one-shot sketch
+    assert streamed["b"] == 2         # LinearCounting regime exact-ish
+
+    # replay of an applied batch id is a no-op
+    replay = spark.createDataFrame([("b", "third?")], "g string, item string")
+    assert apply_hll_delta(regs, replay, 0, "item", ("g",)) is False
+    assert {r.g: r.hll_est for r in hll_estimate_from_registers(
+        spark.read.parquet(regs + "/data"), ["g"],
+        bucket_col="b", rho_col="r").collect()} == streamed
+
+
+def test_stream_attribution_credits_converge_to_batch(spark, tmp_path):
+    """The full streaming attribution pipeline (interval join ->
+    per-purchase credit delta maintenance): after two micro-batch
+    runs — the second GROWING an already-credited purchase's touch
+    path, which must re-split its credit — the stored credit table
+    aggregated to (day, touch_type) equals the batch U-shaped
+    computation over all events; a replayed batch id is a no-op."""
+    import json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_attribution_credits_delta,
+        stream_attribution_credits,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    state = str(tmp_path / "attr")
+    ck = str(tmp_path / "ck")
+
+    def ev(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype}
+
+    # user 1's purchase arrives in batch 1 with ONE touch; batch 2
+    # delivers a second (late) touch inside the window -> its credit
+    # must re-split 1.0 -> 0.5/0.5. user 2 is a 3-touch path.
+    batch1 = [
+        ev(1, "2024-01-02T08:00:00", 1, "view"),
+        ev(2, "2024-01-02T11:00:00", 1, "purchase"),
+        ev(3, "2024-01-02T07:00:00", 2, "view"),
+        ev(4, "2024-01-02T08:00:00", 2, "click"),
+        ev(5, "2024-01-02T09:00:00", 2, "view"),
+        ev(6, "2024-01-02T10:00:00", 2, "purchase"),
+    ]
+    batch2 = [
+        ev(7, "2024-01-02T09:30:00", 1, "click"),
+    ]
+
+    def read_stream():
+        return spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).json(str(src))
+
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    stream_attribution_credits(
+        read_stream(), state, ck, watermark="30 days").awaitTermination(120)
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in batch2))
+    stream_attribution_credits(
+        read_stream(), state, ck, watermark="30 days").awaitTermination(120)
+
+    stored = spark.read.parquet(state + "/credits/data")
+    got = {
+        (r.day, r.touch_type): (r.credit, r.n_touches)
+        for r in stored.groupBy("day", "touch_type")
+        .agg((F.sum("credit_e6") / 1000000.0).alias("credit"),
+             F.sum("n_touches").alias("n_touches")).collect()
+    }
+
+    # batch oracle over all events
+    all_events = spark.createDataFrame(
+        [tuple(r.values()) for r in batch1 + batch2],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = all_events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts"))
+    t = all_events.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("vid"),
+        F.col("event_type").alias("touch_type"), F.col("ts").alias("vts"))
+    m = p.join(t, "user_id").where(
+        (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 24 HOUR"))
+        & (F.col("vts") < F.col("pts")))
+    w = Window.partitionBy("pid")
+    rk = F.row_number().over(w.orderBy("vts", "vid"))
+    n = F.count("*").over(w)
+    credit_e6 = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")),
+              F.lit(400_000))
+        .otherwise(F.floor(F.lit(200000.0) / (F.col("n") - 2))
+                   .cast("long"))
+    )
+    want = {
+        (r.day, r.touch_type): (r.credit, r.n_touches)
+        for r in m.select("pid", "pts", "touch_type",
+                          rk.alias("rk"), n.alias("n"))
+        .groupBy(F.date_format(F.col("pts").cast("date"), "yyyy-MM-dd")
+                 .alias("day"), "touch_type")
+        .agg((F.sum(credit_e6) / 1000000.0).alias("credit"),
+             F.count("*").alias("n_touches")).collect()
+    }
+    assert got == want
+    # the grown path re-split: purchase 2 now has two touches 0.5/0.5
+    pid2 = {(r.touch_type): r.credit_e6
+            for r in stored.where(F.col("pid") == 2).collect()}
+    assert pid2 == {"view": 500_000, "click": 500_000}
+
+    # replay no-op
+    replay = spark.createDataFrame(
+        [(2, "2024-01-02T11:00:00", "view", "2024-01-02T08:00:00", 99)],
+        "pid long, pts string, touch_type string, vts string, vid long",
+    ).withColumn("pts", F.to_timestamp("pts")) \
+     .withColumn("vts", F.to_timestamp("vts"))
+    assert apply_attribution_credits_delta(state, replay, 0) is False
