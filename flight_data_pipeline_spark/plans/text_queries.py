@@ -2441,3 +2441,48 @@ def bloom_prefilter_decontamination(spark: SparkSession,
         )
         .orderBy("source")
     )
+
+
+@query("textrank_keyword_scores")  # rows-only: iterative float ranks
+def textrank_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the corpus token-transition graph — an edge
+    token_i → token_{i+1} per adjacent pair, weighted by corpus
+    bigram count — surfacing the tokens most central to how the
+    corpus actually flows, a step beyond raw frequency (top_tokens)
+    and TF-IDF. Registered rows-only: 15 rounds of damped float
+    propagation have no SQL twin (DuckDB's recursive CTE is
+    UNION-semantics, not iterate-replace); correctness is pinned
+    against a numpy power-iteration oracle in
+    tests/test_operators.py::TestPageRank.
+
+    Plan: one token explode + window-lag builds the bigram edge
+    list (aggregated to |vocab|² at most — the transition graph,
+    corpus-size-independent); operators/graph.pagerank then iterates
+    over GRAPH-sized frames only. Ranks rounded to 9 before the
+    deterministic (score, token) ordering."""
+    from pyspark.sql import Window
+
+    from flight_data_pipeline_spark.operators.graph import pagerank
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .where(F.length("token") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    edges = (
+        toks.withColumn("next", F.lead("token").over(w))
+        .where(F.col("next").isNotNull())
+        .groupBy(F.col("token").alias("src"), F.col("next").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+    ranks = pagerank(edges, weight="weight", max_iter=15)
+    return (
+        ranks.select(F.col("v").alias("token"),
+                     F.round("rank", 9).alias("score"))
+        .orderBy(F.desc("score"), "token")
+        .limit(25)
+    )

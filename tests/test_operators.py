@@ -693,3 +693,51 @@ class TestBloomFilter:
         empty = bloom_build(members.limit(0), "item")
         assert bloom_probe(empty, others.limit(50), "item") \
             .where(F.col("bloom_hit")).isEmpty()
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        """Weighted digraph with a dangling node: DataFrame PageRank
+        must match numpy power iteration with uniform dangling
+        redistribution to 1e-6 per node, and ranks must sum to 1."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.graph import pagerank
+
+        edges = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+                 ("c", "a", 1.0), ("d", "a", 3.0)]  # e isolated below
+        edges.append(("c", "e", 1.0))               # e has no out-edges
+        df = spark.createDataFrame(
+            edges, "src string, dst string, weight double")
+        got = {r.v: r.rank
+               for r in pagerank(df, weight="weight", max_iter=50,
+                                 tol=1e-12).collect()}
+
+        nodes = sorted({s for s, _, _ in edges}
+                       | {d for _, d, _ in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        M = np.zeros((n, n))
+        outw = {}
+        for s, _, w in edges:
+            outw[s] = outw.get(s, 0.0) + w
+        for s, d, w in edges:
+            M[idx[d], idx[s]] = w / outw[s]
+        r = np.full(n, 1.0 / n)
+        d = 0.85
+        for _ in range(200):
+            dangling = sum(r[idx[v]] for v in nodes if v not in outw)
+            r = (1 - d) / n + d * (M @ r + dangling / n)
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+        for v in nodes:
+            assert abs(got[v] - r[idx[v]]) < 1e-6
+
+    def test_early_stop_on_converged_graph(self, spark):
+        """A symmetric 2-cycle converges immediately to uniform —
+        the tol probe must stop the loop (smoke for loop control)."""
+        from flight_data_pipeline_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([("x", "y"), ("y", "x")],
+                                   "src string, dst string")
+        got = {r.v: r.rank for r in pagerank(df, max_iter=50).collect()}
+        assert abs(got["x"] - 0.5) < 1e-9 and abs(got["y"] - 0.5) < 1e-9
