@@ -101,6 +101,14 @@ HEADLINE = [
     # round-5 late addition: the two-path skew-split join — its split
     # + union must stay cheaper than the skew it prevents
     "skew_safe_order_revenue",
+    # round-6 additions: one tracked query per new plan family — the
+    # broadcast Bloom prefilter vs its exact semi-join, the
+    # register/bottom-k distinct sketches, and the iterative PageRank
+    # loop (the probes and hashing vectorizer are sub-second scans,
+    # not tracked)
+    "bloom_prefilter_decontamination",
+    "distinct_token_sketches",
+    "textrank_keyword_scores",
 ]
 
 

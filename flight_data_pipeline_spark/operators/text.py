@@ -339,3 +339,33 @@ def classifier_sigmoid(w_sum: Column, n_feat: Column) -> Column:
     """Mean-weight sigmoid score in (0, 1) from the exact integer
     feature sums — the only floating step of the classifier."""
     return 1.0 / (1.0 + F.exp(-(w_sum / (F.lit(CLF_SCALE) * n_feat))))
+
+
+HASHING_TF_DIM = 1024
+
+
+def hashing_tf(df, text_col: str, *keep_cols: str,
+               dim: int = HASHING_TF_DIM):
+    """Hashing-trick term-frequency features (the HashingTF
+    vectorizer) in SPARSE RELATION form: one (keep_cols…, idx, tf)
+    row per non-zero feature, idx = md5(token) mod dim — no
+    vocabulary table, no fit step, memory O(non-zeros). md5 (not
+    xxhash64) keeps the feature space reconstructible in any engine,
+    so downstream checksums hash-check cross-engine. The relation
+    form is the representation that scales: a dense array<double>
+    per doc is dim×rows cells regardless of sparsity, while this is
+    exactly the non-zeros and feeds joins/aggregations directly
+    (classifier dot products become relation joins on idx)."""
+    toks = df.select(
+        *keep_cols,
+        F.explode(F.split(F.col(text_col), " ")).alias("__t"),
+    ).where(F.length("__t") > 0)
+    idx = (
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10)
+        .cast("long") % dim
+    )
+    return (
+        toks.select(*keep_cols, idx.alias("idx"))
+        .groupBy(*keep_cols, "idx")
+        .agg(F.count("*").alias("tf"))
+    )

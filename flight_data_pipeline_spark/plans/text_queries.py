@@ -2486,3 +2486,51 @@ def textrank_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "token")
         .limit(25)
     )
+
+
+@query(
+    "hashing_tf_checksum",
+    oracle="""
+    WITH t AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), f AS (
+        SELECT lang, doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS idx,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t WHERE tok <> ''
+        GROUP BY lang, doc_id, idx
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)              AS n_nonzeros,
+           CAST(COUNT(DISTINCT idx) AS BIGINT)   AS n_features,
+           CAST(SUM(tf) AS BIGINT)               AS total_tf,
+           CAST(SUM((idx + 1) * tf) % 1000000007 AS BIGINT)
+                                                 AS feature_checksum
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def hashing_tf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (operators/text.hashing_tf) checked
+    end to end: per-language non-zero counts, feature-space
+    occupancy, token mass, and a position-weighted integer checksum
+    over every (doc, feature, tf) cell — the oracle rebuilds the
+    md5 feature space identically, so any indexing or counting
+    deviation in any cell breaks the hash. The no-vocabulary
+    vectorization step a 100 TB classifier pipeline starts with
+    (no fit pass, no vocab broadcast — memory O(non-zeros))."""
+    from flight_data_pipeline_spark.operators.text import hashing_tf
+
+    docs = load_table(spark, "documents", sf_dir)
+    f = hashing_tf(docs, "text", "lang", "doc_id")
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_nonzeros"),
+            F.count_distinct("idx").alias("n_features"),
+            F.sum("tf").alias("total_tf"),
+            (F.sum((F.col("idx") + 1) * F.col("tf"))
+             % 1000000007).alias("feature_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,109 @@
+"""Source/sink format breadth: the engine's tables must survive
+round trips through the other columnar/text formats Spark ships
+(CSV, JSON-lines, ORC) with schema enforcement, and parquet reads
+must tolerate additive schema evolution — the connector surface a
+migration off the reference would immediately need."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flight_data_pipeline_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    # cast the date to string once: CSV/JSON round-trip comparisons
+    # then never depend on per-format temporal type inference
+    return load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, orders, tmp_path):
+    """CSV with header + explicit schema (never inference in
+    production paths) must reproduce the frame exactly — including
+    money values, which ride the 2-decimal grid and therefore
+    serialize losslessly."""
+    p = str(tmp_path / "orders_csv")
+    orders.write.mode("overwrite").option("header", True).csv(p)
+    back = spark.read.schema(orders.schema).option("header", True).csv(p)
+    assert _canon(back) == _canon(orders)
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, orders, tmp_path):
+    p = str(tmp_path / "orders_jsonl")
+    orders.write.mode("overwrite").json(p)
+    back = spark.read.schema(orders.schema).json(p)
+    assert _canon(back) == _canon(orders)
+
+
+def test_orc_roundtrip(spark, orders, tmp_path):
+    p = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == orders.schema
+    assert _canon(back) == _canon(orders)
+
+
+def test_avro_roundtrip_if_available(spark, orders, tmp_path):
+    """Avro ships as an external Spark module; exercise it when the
+    jar is present, skip cleanly when not (no installs in this
+    container)."""
+    p = str(tmp_path / "orders_avro")
+    try:
+        orders.write.mode("overwrite").format("avro").save(p)
+    except Exception as ex:  # noqa: BLE001 — jar-absence is env-specific
+        pytest.skip(f"avro module unavailable: {str(ex)[:120]}")
+    back = spark.read.format("avro").load(p)
+    assert _canon(back) == _canon(orders)
+
+
+def test_parquet_additive_schema_evolution(spark, tmp_path):
+    """mergeSchema read over a directory whose newer files carry an
+    added column: old rows surface NULL for it, new rows keep their
+    values, and the unified schema contains the superset — the
+    additive-evolution contract a long-lived 100 TB table relies on."""
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, x string")
+    v1.write.mode("append").parquet(p)
+    v2 = spark.createDataFrame([(3, "c", 30.0)],
+                               "id long, x string, score double")
+    v2.write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r.id: (r.x, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0)}
+
+
+def test_csv_malformed_rows_to_corrupt_column(spark, tmp_path):
+    """PERMISSIVE mode with a corrupt-record column: bad lines land
+    in the dead-letter column instead of failing the read — the
+    batch twin of the stream's dead-letter discipline."""
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "id,value\n1,10.5\nnot_a_number,oops,extra\n3,7.25\n")
+    schema = "id LONG, value DOUBLE, _corrupt STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+        .cache()
+    )
+    good = df.where(F.col("_corrupt").isNull())
+    bad = df.where(F.col("_corrupt").isNotNull())
+    assert sorted((r.id, r.value) for r in good.collect()) == [
+        (1, 10.5), (3, 7.25)]
+    assert [r._corrupt for r in bad.collect()] == ["not_a_number,oops,extra"]

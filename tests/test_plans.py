@@ -406,3 +406,25 @@ def test_skew_split_join_plans_the_two_path_union(spark):
     assert plan.count("BroadcastHashJoin") >= 3  # filters + hot join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_bits(spark):
+    """The Bloom prefilter's point is a BROADCAST probe: the set-bit
+    relation must ride a BroadcastHashJoin (never a shuffled
+    sort-merge against the corpus gram stream), and no cartesian
+    anywhere."""
+    plan = plan_of(spark, "bloom_prefilter_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_plans_native_recursion(spark):
+    """WITH RECURSIVE must compile to Spark's native recursive-union
+    execution (a UnionLoop/recursive node), not an unrolled chain."""
+    plan = plan_of(spark, "recursive_cte_probe")
+    assert "Loop" in plan or "Recursi" in plan
+
+
+def test_distinct_sketches_have_no_cartesian(spark):
+    plan = plan_of(spark, "distinct_token_sketches")
+    assert "CartesianProduct" not in plan
