@@ -1114,3 +1114,76 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "point_in_time_state_join",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT *, SUM(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM flagged
+    ), per_run AS (
+        SELECT user_id, run, event_type AS state, MIN(ts) AS vf
+        FROM runs GROUP BY user_id, run, event_type
+    ), p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), cand AS (
+        SELECT p.event_id, r.state,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY r.vf DESC, r.state DESC) AS rn
+        FROM p JOIN per_run r
+          ON p.user_id = r.user_id AND r.vf < p.ts
+    ), latest AS (
+        SELECT event_id, state FROM cand WHERE rn = 1
+    )
+    SELECT COALESCE(l.state, '(new)') AS prior_state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM p LEFT JOIN latest l USING (event_id)
+    GROUP BY prior_state
+    ORDER BY prior_state
+    """,
+)
+def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension join — the feature-leakage
+    rule every training-data pipeline must obey: each purchase is
+    enriched with the user's SCD2 state interval that was valid
+    STRICTLY BEFORE the purchase instant (never the interval the
+    purchase itself opened — joining state at ts >= own-event time is
+    exactly how label leakage enters offline feature sets). Purchases
+    with no prior history surface as '(new)'.
+
+    Plan: the SCD2 history build (operators.temporal.scd2_history —
+    one user_id shuffle, no self-join) feeds interval STARTS into
+    operators.relational.asof_join with strict=True — the union +
+    last(ignorenulls) window zip, one more (user, ts) sort, never an
+    interval-containment nested loop. Equal-start ties (two runs
+    opening on the same timestamp) break on max state, mirrored in
+    the oracle's explicit rn window because native ASOF leaves ties
+    undefined."""
+    from flight_data_pipeline_spark.operators.temporal import scd2_history
+
+    ev = load_table(spark, "events", sf_dir)
+    hist = scd2_history(ev, "user_id", "ts", "event_type",
+                        tiebreak_col="event_id")
+    runs = hist.select("user_id", F.col("valid_from").alias("ts"), "state")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts")
+    joined = asof_join(purchases, runs, on="ts", by="user_id",
+                       right_cols=["state"], suffix="", strict=True)
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("state"), F.lit("(new)")).alias("prior_state"))
+        .agg(F.count("*").alias("n_purchases"),
+             F.count_distinct("user_id").alias("n_users"))
+        .orderBy("prior_state")
+    )
