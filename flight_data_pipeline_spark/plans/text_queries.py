@@ -2534,3 +2534,67 @@ def hashing_tf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+K_ANON_K = 5          # privacy threshold: groups smaller than k are risk
+K_ANON_CHAR_BUCKET = 100
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT lang,
+               CAST(FLOOR(n_chars / {K_ANON_CHAR_BUCKET}) AS BIGINT)
+                   AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS grp
+        FROM documents
+        GROUP BY lang, len_bucket
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)        AS n_groups,
+           CAST(MIN(grp) AS BIGINT)        AS min_group_size,
+           CAST(SUM(CASE WHEN grp < {K_ANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT)                 AS n_small_groups,
+           CAST(SUM(CASE WHEN grp < {K_ANON_K} THEN grp ELSE 0 END)
+                AS BIGINT)                 AS n_rows_at_risk,
+           CAST(SUM(grp) AS BIGINT)        AS n_rows
+    FROM q GROUP BY lang ORDER BY lang
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a training-data release needs: rows whose (lang,
+    length-bucket) combination is shared by fewer than K_ANON_K
+    documents are re-identification risks. Reports, per language, the
+    group-size floor, the count of sub-k groups, and the rows at
+    risk — flag-don't-drop, like every quality gate here: the
+    release decision (suppress, generalize the bucket, or accept)
+    stays with the caller.
+
+    Plan: one hash aggregate on the quasi-identifier (map-side
+    combined), one tiny re-aggregate on its group sizes — the audit
+    costs one scan at any corpus size, and generalizing the
+    quasi-identifier (coarser bucket) to pass the audit is a
+    constant change."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = (
+        docs.groupBy(
+            "lang",
+            F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
+            .alias("len_bucket"))
+        .agg(F.count("*").alias("grp"))
+    )
+    at_risk = F.when(F.col("grp") < K_ANON_K, F.col("grp")).otherwise(0)
+    return (
+        q.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.min("grp").alias("min_group_size"),
+            F.sum(F.when(F.col("grp") < K_ANON_K, 1).otherwise(0))
+            .alias("n_small_groups"),
+            F.sum(at_risk).alias("n_rows_at_risk"),
+            F.sum("grp").alias("n_rows"),
+        )
+        .orderBy("lang")
+    )
