@@ -821,3 +821,106 @@ def stream_attribution_credits(events: DataFrame, state_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_lsh_dedup_delta(state_dir: str, batch_df: DataFrame,
+                          batch_id: int, id_col: str = "doc_id",
+                          text_col: str = "text", num_hashes: int = 32,
+                          bands: int = 8, shingle_size: int = 3) -> bool:
+    """Incremental NEAR-dup detection for streaming document ingest:
+    each micro-batch's MinHash band keys probe the persistent LSH
+    bucket store built from every earlier batch — a new doc is
+    flagged when it collides with the corpus-so-far (or with a
+    smaller-id doc in its own batch), then its keys join the store.
+    The streaming twin of minhash_lsh_candidates with the batch
+    keep-min convention, provided ids grow with arrival order.
+
+    State under ``state_dir``: ``buckets/batch=<id>/`` band-key
+    relations (overwrite per batch dir — replay rewrites identical
+    bytes; probes exclude the current batch's dir, so a replay after
+    a crash between bucket write and flag swap never self-matches)
+    and ``flags/`` — the cumulative (doc, n_candidates, is_near_dup)
+    table under the shared marker+swap+recovery discipline.
+
+    Scale: per trigger the probe joins batch keys against the store
+    on band key — collision-bounded like the batch LSH (never
+    pairs²); the store grows by one bounded relation per batch and
+    its dirs compact like any append table."""
+    import os
+
+    from flight_data_pipeline_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    flags_root = os.path.join(state_dir, "flags")
+    os.makedirs(flags_root, exist_ok=True)
+    if _already_applied(flags_root, batch_id):
+        return False
+
+    spark = batch_df.sparkSession
+    sigs = minhash_signatures(batch_df, id_col, text_col,
+                              num_hashes=num_hashes,
+                              shingle_size=shingle_size)
+    keys = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(lsh_band_keys(F.col("sig"), bands,
+                                num_hashes // bands)).alias("bk"),
+    ).distinct()
+
+    bucket_root = os.path.join(state_dir, "buckets")
+    os.makedirs(bucket_root, exist_ok=True)
+    prior_dirs = [
+        os.path.join(bucket_root, d) for d in sorted(os.listdir(bucket_root))
+        if d.startswith("batch=") and d != f"batch={batch_id}"
+    ]
+    cross = (
+        keys.join(spark.read.parquet(*prior_dirs)
+                  .select(F.col("doc").alias("__prior"), "bk"), "bk")
+        .select("doc", F.col("__prior").alias("partner"))
+        if prior_dirs else keys.limit(0).select(
+            "doc", F.col("doc").alias("partner"))
+    )
+    intra = (
+        keys.join(keys.select(F.col("doc").alias("__other"), "bk"), "bk")
+        .where(F.col("__other") < F.col("doc"))
+        .select("doc", F.col("__other").alias("partner"))
+    )
+    cands = cross.unionByName(intra).distinct()
+    fresh = (
+        batch_df.select(F.col(id_col).alias("doc"))
+        .join(cands.groupBy("doc")
+              .agg(F.count("*").alias("n_candidates")), "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            (F.coalesce("n_candidates", F.lit(0)) > 0)
+            .alias("is_near_dup"),
+        )
+    )
+    keys.write.mode("overwrite").parquet(
+        os.path.join(bucket_root, f"batch={batch_id}"))
+    data_dir = os.path.join(flags_root, "data")
+    if os.path.exists(data_dir):
+        merged = spark.read.parquet(data_dir).unionByName(fresh)
+    else:
+        merged = fresh
+    _swap_in_state(flags_root, batch_id, merged)
+    return True
+
+
+def stream_near_dup_flags(docs: DataFrame, state_dir: str,
+                          checkpoint_dir: str, **lsh_kwargs
+                          ) -> StreamingQuery:
+    """Run incremental LSH near-dup flagging over a document stream
+    (see apply_lsh_dedup_delta). foreachBatch + checkpointed offsets
+    + batch-id idempotence: every doc is flagged exactly once against
+    the corpus that preceded it."""
+    return (
+        docs.writeStream
+        .foreachBatch(lambda df, bid: apply_lsh_dedup_delta(
+            state_dir, df, bid, **lsh_kwargs))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1129,3 +1129,76 @@ def test_stream_attribution_credits_converge_to_batch(spark, tmp_path):
     ).withColumn("pts", F.to_timestamp("pts")) \
      .withColumn("vts", F.to_timestamp("vts"))
     assert apply_attribution_credits_delta(state, replay, 0) is False
+
+
+def test_stream_near_dup_flags_match_batch_lsh(spark, tmp_path):
+    """Incremental LSH over two micro-batch runs: the cumulative flag
+    table must mark exactly the docs that the BATCH
+    minhash_lsh_candidates over the full corpus marks as non-minimal
+    pair members (ids grow with arrival, so keep-min == flag-later) —
+    including a cross-batch near-dup pair; a replayed batch is a
+    no-op."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_lsh_dedup_delta,
+        stream_near_dup_flags,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    uniq = [
+        "completely different words about spark adaptive execution",
+        "yet another text regarding parquet column pruning today",
+        "unrelated content concerning watermark state eviction path",
+    ]
+    docs1 = [
+        (1, base),
+        (2, uniq[0]),
+        (3, base + " extra"),       # near-dup of 1 (same batch)
+    ]
+    docs2 = [
+        (4, base + " indeed"),      # near-dup of 1/3 (cross batch)
+        (5, uniq[1]),
+        (6, uniq[2]),
+    ]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    state = str(tmp_path / "lsh")
+    ck = str(tmp_path / "ck")
+
+    def write(name, rows):
+        (src / name).write_text("\n".join(
+            json.dumps({"doc_id": i, "text": t}) for i, t in rows))
+
+    def read_stream():
+        return spark.readStream.schema("doc_id long, text string") \
+            .json(str(src))
+
+    write("a.json", docs1)
+    stream_near_dup_flags(read_stream(), state, ck).awaitTermination(120)
+    write("b.json", docs2)
+    stream_near_dup_flags(read_stream(), state, ck).awaitTermination(120)
+
+    flags = {r.doc: r.is_near_dup
+             for r in spark.read.parquet(state + "/flags/data").collect()}
+    assert set(flags) == {1, 2, 3, 4, 5, 6}
+
+    full = spark.createDataFrame(docs1 + docs2, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(full, "doc_id", "text").collect()
+    flagged_batch = {p.id_b for p in pairs}   # keep-min convention
+    assert {d for d, f in flags.items() if f} == flagged_batch
+    assert flags[3] and flags[4] and not flags[1]
+
+    # replay no-op: marker suppresses, state unchanged
+    replay = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert apply_lsh_dedup_delta(state, replay, 0) is False
+    assert {r.doc: r.is_near_dup
+            for r in spark.read.parquet(state + "/flags/data").collect()
+            } == flags
