@@ -3523,3 +3523,238 @@ def skew_safe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p_c2,
+               CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)      AS q_c2
+        FROM lineitem
+    ), cum AS (
+        SELECT l_returnflag, p_c2, q_c2,
+               SUM(q_c2) OVER (PARTITION BY l_returnflag
+                               ORDER BY p_c2
+                               ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(q_c2) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           MIN(p_c2) / 100.0 AS weighted_median_price,
+           MIN(tw)           AS total_weight_c2
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile no built-in aggregate provides (percentile() weighs rows
+    equally): the smallest price whose cumulative quantity reaches
+    half the group's total. Exact and engine-stable by the integer
+    discipline: prices and weights ride as cents, the crossing test
+    ``2*cum >= total`` is pure integer comparison, and ties on the
+    crossing price collapse via MIN.
+
+    Plan: one window pass (running weight + group total share a
+    single partition-sort) + a crossing filter + a tiny aggregate —
+    no self-join, no percentile UDF. At 100 TB pre-aggregate equal
+    prices per group first (the value grid is ~10^7 cents — the
+    window then runs on grid-sized, not row-sized, frames)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    w = li.select(
+        "l_returnflag",
+        to_units(F.col("l_extendedprice"), 2).alias("p_c2"),
+        to_units(F.col("l_quantity"), 2).alias("q_c2"),
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("p_c2") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag", "p_c2",
+        F.sum("q_c2").over(win).alias("cw"),
+        F.sum("q_c2").over(tot).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg((F.min("p_c2") / 100.0).alias("weighted_median_price"),
+             F.min("tw").alias("total_weight_c2"))
+        .orderBy("l_returnflag")
+    )
+
+
+RFM_ASOF = "2001-06-01"  # pinned "today" for recency (orders span 1995-2001)
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         DATE '{RFM_ASOF}')                  AS recency_days,
+               CAST(COUNT(*) AS BIGINT)                      AS frequency,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                                                             AS monetary_c2
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS r,
+               NTILE(4) OVER (ORDER BY frequency   DESC, o_custkey) AS f,
+               NTILE(4) OVER (ORDER BY monetary_c2 DESC, o_custkey) AS m,
+               monetary_c2
+        FROM rfm
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(monetary_c2) / 100.0 AS segment_revenue
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value composite:
+    per-customer Recency (days since last order at a pinned as-of),
+    Frequency (order count), Monetary (lifetime cents, exact), each
+    quartiled with NTILE, rolled up to the 4x4x4 segment grid with
+    customer counts and exact segment revenue. Quartile ties break
+    on custkey so NTILE's arbitrary-within-tie placement is
+    deterministic on both engines.
+
+    Plan: one customer-grain aggregate, three NTILE windows sharing
+    one global sort each (customer-cardinality frames, not fact
+    rows), one small segment aggregate. At 100 TB the quartile
+    boundaries would come from approx quantiles broadcast as
+    literals instead of global NTILE sorts."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(RFM_ASOF).cast("date"),
+                       F.max(F.col("o_orderdate").cast("date")))
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(to_units(F.col("o_totalprice"), 2)).alias("monetary_c2"),
+        )
+    )
+    scored = rfm.select(
+        "monetary_c2",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"),
+                                       F.asc("o_custkey"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"),
+                                       F.asc("o_custkey"))).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary_c2"),
+                                       F.asc("o_custkey"))).alias("m"),
+    )
+    return (
+        scored.groupBy(F.col("r").cast("int").alias("r"),
+                       F.col("f").cast("int").alias("f"),
+                       F.col("m").cast("int").alias("m"))
+        .agg(F.count("*").alias("n_customers"),
+             (F.sum("monetary_c2") / 100.0).alias("segment_revenue"))
+        .orderBy("r", "f", "m")
+    )
+
+
+BASKET_MIN_SUPPORT = 20  # min co-occurrence count for a reported pair
+
+
+@query(
+    "part_basket_lift",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n1 AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM items
+        GROUP BY p_brand
+    ), tot AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM items
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY brand_a, brand_b
+        HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           na.n AS n_a, nb.n AS n_b,
+           ((2 * p.n_ab * 10000 + t.n_orders) // (2 * t.n_orders))
+               / 10000.0 AS support,
+           ((2 * p.n_ab * 10000 + na.n) // (2 * na.n)) / 10000.0
+               AS confidence_a_to_b,
+           ((2 * p.n_ab * t.n_orders * 10000 + na.n * nb.n)
+            // (2 * na.n * nb.n)) / 10000.0 AS lift
+    FROM pairs p
+    JOIN n1 na ON na.p_brand = p.brand_a
+    JOIN n1 nb ON nb.p_brand = p.brand_b
+    CROSS JOIN tot t
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: brand
+    pairs co-purchased in the same order, scored with
+    support/confidence/lift — the frequent-itemset family
+    (co-occurrence analytics) the engine lacked. All three ratios
+    render through exact integer half-up division, so the hash pins
+    them including ties at the LIMIT boundary (lift desc, brand
+    tie-break).
+
+    Plan: the self-join runs on the DISTINCT (order, brand) item
+    relation keyed by order — pairs per order are bounded by the
+    basket width squared (~7² here), never corpus²; the min-support
+    HAVING prunes before the dimension joins; brand totals broadcast.
+    At 100 TB this is the standard a-priori first pass (pair
+    counting), with higher-order itemsets built by iterating the
+    same join on surviving pairs."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    items = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand").distinct()
+    )
+    n1 = items.groupBy("p_brand").agg(F.count("*").alias("n"))
+    tot = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(F.col("a.p_brand").alias("brand_a"),
+                 F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs
+        .join(F.broadcast(n1.select(F.col("p_brand").alias("brand_a"),
+                                    F.col("n").alias("n_a"))), "brand_a")
+        .join(F.broadcast(n1.select(F.col("p_brand").alias("brand_b"),
+                                    F.col("n").alias("n_b"))), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a", "brand_b", "n_ab", "n_a", "n_b",
+            (F.expr("(2 * n_ab * 10000 + n_orders) div (2 * n_orders)")
+             / 10000.0).alias("support"),
+            (F.expr("(2 * n_ab * 10000 + n_a) div (2 * n_a)")
+             / 10000.0).alias("confidence_a_to_b"),
+            (F.expr("(2 * n_ab * n_orders * 10000 + n_a * n_b)"
+                    " div (2 * n_a * n_b)") / 10000.0).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
