@@ -3758,3 +3758,137 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+# Benford expected first-digit shares in 1e-4 units (log10(1+1/d),
+# precomputed once in Python so BOTH engines compare against the
+# identical integer literals — no in-query transcendentals)
+BENFORD_E4 = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792,
+              6: 669, 7: 580, 8: 512, 9: 458}
+
+
+@query(
+    "benford_price_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), c AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               SUM(COUNT(*)) OVER () AS n_total
+        FROM d GROUP BY digit
+    )
+    SELECT digit,
+           n_obs,
+           CAST((2 * n_obs * 10000 + n_total) // (2 * n_total)
+                AS BIGINT) AS share_e4,
+           CAST(CASE digit
+                {' '.join(f'WHEN {d} THEN {v}' for d, v in BENFORD_E4.items())}
+                END AS BIGINT) AS benford_e4,
+           CAST((2 * n_obs * 10000 + n_total) // (2 * n_total)
+                - CASE digit
+                  {' '.join(f'WHEN {d} THEN {v}' for d, v in BENFORD_E4.items())}
+                  END AS BIGINT) AS deviation_e4
+    FROM c ORDER BY digit
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the standard
+    fabricated-data / generator-artifact screen: observed first-
+    significant-digit shares against log10(1+1/d), one row per digit
+    with the deviation in exact 1e-4 units (expected shares are
+    Python-precomputed integer literals embedded in BOTH engines —
+    no in-query transcendentals, no float aggregation anywhere).
+    Synthetic fixtures typically FAIL Benford (uniform-ish totals) —
+    the deviation column is the point, not a pass verdict: it
+    quantifies how un-organic the distribution is.
+
+    Plan: first digit via string-of-cents (exact: floor-to-cents
+    then leading character — never float log10), one 9-group
+    aggregate with a window total over the 9-row result."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        to_units(F.col("o_totalprice"), 2).cast("string"), 1, 1).cast("int")
+    c = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit").agg(F.count("*").alias("n_obs"))
+        .withColumn("n_total",
+                    F.sum("n_obs").over(
+                        Window.partitionBy()
+                        .rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing)))
+    )
+    benford = F.element_at(
+        F.create_map(*[F.lit(x) for d, v in BENFORD_E4.items()
+                       for x in (d, v)]),
+        F.col("digit"))
+    share = F.expr("(2 * n_obs * 10000 + n_total) div (2 * n_total)")
+    return (
+        c.select(
+            "digit", "n_obs",
+            share.alias("share_e4"),
+            benford.cast("long").alias("benford_e4"),
+            (share - benford).cast("long").alias("deviation_e4"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "ansi_safety_probe",
+    oracle="""
+    WITH src AS (
+        SELECT p_partkey,
+               p_size,
+               split_part(p_name, ' ', 1) AS word,
+               CAST(p_partkey % 5 AS BIGINT) AS den
+        FROM part
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n,
+           CAST(COUNT(TRY_CAST(word AS INT)) AS BIGINT)   AS n_numeric_words,
+           CAST(COUNT(CASE WHEN den <> 0
+                           THEN p_size / den END) AS BIGINT)
+                                                          AS n_safe_divides,
+           CAST(SUM(CASE WHEN den <> 0
+                         THEN p_size // den ELSE 0 END) AS BIGINT)
+                                                          AS sum_int_div,
+           CAST(COUNT(CASE WHEN p_size <= 7 THEN 1 END) AS BIGINT)
+                                                          AS n_no_overflow
+    FROM src
+    """,
+)
+def ansi_safety_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safety surface (§2.9): the try_* family —
+    try_cast on non-numeric strings, try_divide by a data-driven
+    zero, try_add at the BIGINT overflow edge — each yielding NULL
+    instead of a runtime error, counted so every row's verdict is in
+    the hash. The oracle expresses the same semantics with guards
+    (DuckDB has TRY_CAST but errors on division by zero and
+    overflow), which is itself the point: the probe pins that
+    Spark's try_* results equal the explicitly-guarded computation.
+    Production rule this encodes: ingest paths use try_* so one
+    malformed row degrades to NULL (flag-don't-drop) instead of
+    failing a 100 TB job."""
+    p = load_table(spark, "part", sf_dir)
+    src = p.select(
+        "p_partkey", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("word"),
+        (F.col("p_partkey") % 5).cast("long").alias("den"),
+    )
+    big = F.lit(9223372036854775800).cast("long")
+    return src.agg(
+        F.count("*").alias("n"),
+        F.count(F.col("word").try_cast("int")).alias("n_numeric_words"),
+        F.count(F.try_divide("p_size", "den")).alias("n_safe_divides"),
+        F.sum(F.coalesce(F.try_divide("p_size", "den").cast("long"),
+                         F.lit(0))).alias("sum_int_div"),
+        # try_add NULLs exactly the rows where p_size would overflow
+        # BIGINT max (p_size > 7 against max-7); the oracle counts the
+        # guard condition directly — equality IS the probe
+        F.count(F.when(F.try_add(F.col("p_size"), big).isNotNull(), 1))
+        .alias("n_no_overflow"),
+    )

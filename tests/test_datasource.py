@@ -321,3 +321,53 @@ class TestCarbonIntensityStream:
         assert os.listdir(opts["stage_dir"]) == []
         with pytest.raises(RuntimeError, match="stage_dir"):
             list(r2.readBetweenOffsets({"poll": 0}, {"poll": 1}))
+
+
+class TestJsonlSinkWriter:
+    def test_write_commit_manifest_roundtrip(self, spark, tmp_path):
+        """df.write.format('jsonl_sink') writes task part files, the
+        driver commit publishes _MANIFEST, and the manifest reader
+        reproduces the frame exactly."""
+        from flight_data_pipeline_spark.sources.jsonl_sink import (
+            JsonlSinkDataSource,
+            read_jsonl_manifest,
+        )
+        import json
+        import os
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        out = str(tmp_path / "sink")
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+            "id long, name string, score double",
+        ).repartition(3)
+        df.write.format("jsonl_sink").option("path", out).mode(
+            "append").save()
+
+        with open(os.path.join(out, "_MANIFEST")) as fh:
+            manifest = json.load(fh)
+        assert manifest["n_rows"] == 3
+        assert len(manifest["files"]) >= 1
+        back = read_jsonl_manifest(spark, out).select("id", "name", "score")
+        assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+            (1, "a", 1.5), (2, "b", 2.5), (3, "c", None)]
+
+    def test_uncommitted_part_files_are_invisible(self, spark, tmp_path):
+        """A stray part file (crashed attempt / speculative task) in
+        the output dir must NOT surface through the manifest reader —
+        the commit contract under test."""
+        from flight_data_pipeline_spark.sources.jsonl_sink import (
+            JsonlSinkDataSource,
+            read_jsonl_manifest,
+        )
+        import os
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        out = str(tmp_path / "sink2")
+        spark.createDataFrame([(1,)], "id long").write.format(
+            "jsonl_sink").option("path", out).mode("append").save()
+        # simulate a crashed attempt's orphan
+        with open(os.path.join(out, "part-deadbeef.jsonl"), "w") as fh:
+            fh.write('{"id": 999}\n')
+        ids = [r.id for r in read_jsonl_manifest(spark, out).collect()]
+        assert ids == [1]
