@@ -3892,3 +3892,67 @@ def ansi_safety_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.try_add(F.col("p_size"), big).isNotNull(), 1))
         .alias("n_no_overflow"),
     )
+
+
+@query(
+    "collation_probe",
+    oracle="""
+    WITH v AS (
+        SELECT p_partkey,
+               CASE p_partkey % 3 WHEN 0 THEN upper(p_brand)
+                                  WHEN 1 THEN lower(p_brand)
+                                  ELSE p_brand END AS brand_mixed,
+               p_brand
+        FROM part
+    )
+    SELECT lower(brand_mixed) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT brand_mixed) AS BIGINT) AS n_case_variants,
+           CAST(COUNT(DISTINCT lower(brand_mixed)) AS BIGINT) AS n_ci_distinct,
+           MIN(brand_mixed) AS min_binary
+    FROM v
+    GROUP BY lower(brand_mixed)
+    ORDER BY brand_ci
+    """,
+)
+def collation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: grouping and distinct-counting on a
+    UNICODE_CI-collated column — a deliberately case-perturbed brand
+    value groups case-insensitively under the collation while the
+    binary-collated original still counts its case variants. The
+    oracle expresses the same semantics with explicit lower() (exact
+    for this ASCII domain), which is the point: the probe pins that
+    the COLLATED group/distinct equals the canonicalized computation
+    — the first-class engine form of the lower()-everywhere idiom
+    the string operators otherwise use.
+
+    Plan: collation is metadata on the comparator — same hash
+    aggregate, no extra pass; the group key output is re-expressed
+    via lower() so both engines emit the identical canonical
+    spelling."""
+    p = load_table(spark, "part", sf_dir)
+    mixed = (
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_brand"))
+        .when(F.col("p_partkey") % 3 == 1, F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+    )
+    v = p.select(
+        mixed.alias("brand_mixed"),
+        F.expr("CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand) "
+               "WHEN p_partkey % 3 = 1 THEN lower(p_brand) "
+               "ELSE p_brand END COLLATE UNICODE_CI").alias("brand_coll"),
+    )
+    return (
+        v.groupBy(F.col("brand_coll"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("brand_mixed").alias("n_case_variants"),
+            F.count_distinct("brand_coll").alias("n_ci_distinct"),
+            F.min("brand_mixed").alias("min_binary"),
+        )
+        .select(
+            F.lower(F.col("brand_coll").cast("string")).alias("brand_ci"),
+            "n", "n_case_variants", "n_ci_distinct", "min_binary",
+        )
+        .orderBy("brand_ci")
+    )

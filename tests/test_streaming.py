@@ -1202,3 +1202,50 @@ def test_stream_near_dup_flags_match_batch_lsh(spark, tmp_path):
     assert {r.doc: r.is_near_dup
             for r in spark.read.parquet(state + "/flags/data").collect()
             } == flags
+
+
+def test_progress_audit_listener_captures_batches(spark, tmp_path):
+    """The listener must record a started event, one progress row per
+    micro-batch with the right input-row count, and a clean
+    terminated event — without touching the query's own sink path."""
+    import json
+    import time
+
+    from flight_data_pipeline_spark.streaming.observability import (
+        attach_progress_audit,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"v": i}) for i in range(7)))
+    audit = str(tmp_path / "progress.jsonl")
+    listener = attach_progress_audit(spark, audit)
+    try:
+        q = (
+            spark.readStream.schema("v long").json(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener bus is async — wait for the terminated event
+        for _ in range(100):
+            lines = [json.loads(ln) for ln in
+                     open(audit)] if __import__("os").path.exists(
+                         audit) else []
+            if any(r["event"] == "terminated" for r in lines):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    events = [r["event"] for r in lines]
+    assert "started" in events and "terminated" in events
+    progress = [r for r in lines if r["event"] == "progress"]
+    assert sum(r["num_input_rows"] for r in progress) == 7
+    assert all(r["duration_ms"] is not None for r in progress)
+    term = [r for r in lines if r["event"] == "terminated"][0]
+    assert term["exception"] is None
