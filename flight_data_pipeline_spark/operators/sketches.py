@@ -105,22 +105,24 @@ def mg_merge(old: DataFrame, delta: DataFrame,
     makes truncation safe without tracking per-item error.)
 
     All DataFrame ops on SUMMARY-sized data (≤ k + batch-vocabulary
-    rows): one sum-aggregate, one single-partition rank over the
-    bounded summary — never over the stream."""
+    rows): one sum-aggregate, then the (k+1)-th-largest cut via
+    ORDER BY … LIMIT k+1 — TakeOrderedAndProject, a per-partition
+    top-(k+1) + driver-side merge of k+1-row heads, so even a
+    stream-sized mistake in the input never funnels through one
+    sorting partition (the r5 nit: the previous global rank window
+    did). The cut is the min of that head when it holds exactly k+1
+    rows (fewer means nothing to evict — cut 0)."""
     summed = (
         old.unionByName(delta)
         .groupBy("item").agg(F.sum("cnt").alias("cnt"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cnt"), "item")
-    ranked = summed.withColumn("__r", F.row_number().over(w))
-    cut = ranked.agg(
-        F.max(F.when(F.col("__r") == k_counters + 1, F.col("cnt")))
-        .alias("__cut"))
+    head = summed.orderBy(F.desc("cnt"), "item").limit(k_counters + 1)
+    cut = head.agg(
+        F.when(F.count("*") == k_counters + 1, F.min("cnt"))
+        .otherwise(F.lit(0)).alias("__cut"))
     return (
-        ranked.crossJoin(F.broadcast(cut))
-        .withColumn("cnt", F.col("cnt") - F.coalesce("__cut", F.lit(0)))
+        summed.crossJoin(F.broadcast(cut))
+        .withColumn("cnt", F.col("cnt") - F.col("__cut"))
         .where(F.col("cnt") > 0)
         .select("item", "cnt")
     )

@@ -963,3 +963,56 @@ def test_skew_split_join_equals_plain_join(spark, left_rows, right_rows,
     want = sorted((r.k, r.lv, r.rv) for r in
                   left.join(right, "k", how).collect())
     assert got == want
+
+
+class TestExactArithmetic:
+    """The r6 money/ratio discipline, property-pinned against Python
+    Decimal ground truth: to_units must hit the exact fixed-point
+    integer for any on-grid value, and the integer half-up div
+    formula must equal ROUND_HALF_UP for any ratio — these two
+    identities are what every converted oracle leans on."""
+
+    @given(st.integers(min_value=0, max_value=10**9),
+           st.integers(min_value=0, max_value=6))
+    @settings(max_examples=200, deadline=None)
+    def test_to_units_is_exact_on_grid(self, units, decimals):
+        from decimal import Decimal
+        from math import floor
+
+        value = float(Decimal(units) / (10 ** decimals))
+        # the Python mirror of scalars.to_units' floor(v*10^d + 0.5)
+        assert floor(value * 10 ** decimals + 0.5) == units
+
+    @given(st.integers(min_value=0, max_value=10**12),
+           st.integers(min_value=1, max_value=10**12),
+           st.integers(min_value=0, max_value=6))
+    @settings(max_examples=200, deadline=None)
+    def test_half_up_div_matches_decimal(self, num, den, d):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        scale = 10 ** d
+        got = (2 * num * scale + den) // (2 * den)
+        want = int((Decimal(num) * scale / Decimal(den)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+        # the formula rounds half UP (toward +inf) like SQL ROUND on
+        # positives; Decimal HALF_UP agrees on the non-negative domain
+        assert got == want
+
+    @given(st.integers(min_value=0, max_value=(1 << 24) - 1))
+    @settings(max_examples=300, deadline=None)
+    def test_hll_rho_string_arithmetic_matches_bits(self, suffix24):
+        """The hex-string leading-zero computation used by
+        sketches._hll_bucket_rho must equal the bit-level definition
+        rho = (leading zero bits of the 24-bit suffix) + 1, clamped
+        at 25 for zero."""
+        hex6 = f"{suffix24:06x}"
+        lz_hex = len(hex6) - len(hex6.lstrip("0"))
+        if lz_hex == 6:
+            got = 25
+        else:
+            digit = int(hex6[lz_hex], 16)
+            bitlen = 4 if digit >= 8 else 3 if digit >= 4 else \
+                2 if digit >= 2 else 1
+            got = 4 * lz_hex + (4 - bitlen) + 1
+        want = 25 if suffix24 == 0 else (24 - suffix24.bit_length()) + 1
+        assert got == want
