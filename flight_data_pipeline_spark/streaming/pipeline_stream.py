@@ -601,7 +601,8 @@ def stream_frequent_items(events: DataFrame, summary_dir: str,
 
 def stream_attribution_matches(events: DataFrame,
                                lookback_sec: int = 86400,
-                               watermark: str = "1 hour") -> DataFrame:
+                               watermark: str = "1 hour",
+                               how: str = "inner") -> DataFrame:
     """Streaming half of multi-touch attribution: a WATERMARKED
     stream-stream interval join pairing each purchase with the same
     user's view/click touches in the preceding ``lookback_sec`` —
@@ -615,6 +616,15 @@ def stream_attribution_matches(events: DataFrame,
     ``vts + lookback_sec``, purchase state once touches can no
     longer arrive inside its window. Matches stream out
     incrementally and exactly once (append mode).
+
+    ``how="left_outer"`` adds the WATERMARK-EXPIRY contract: a
+    purchase with no touches emits ONCE, with null touch columns,
+    only after the watermark passes the end of its join window —
+    i.e. when no late touch can still legally arrive. That is the
+    only correct time to say "organic purchase" on a stream, and it
+    is exactly the state-cleanup instant, so completeness and
+    bounded state are the same mechanism (tests pin the emission
+    landing in the NEXT trigger after the watermark moves past).
 
     Deliberately emits MATCHES, not credits: U-shaped credit is a
     function of a purchase's COMPLETE touch path (first/last/middle
@@ -638,13 +648,19 @@ def stream_attribution_matches(events: DataFrame,
                 F.col("ts").alias("vts"))
         .withWatermark("vts", watermark)
     )
+    # literal INTERVAL syntax, not make_interval(): the stream-stream
+    # join's state-watermark extraction recognizes only foldable
+    # interval arithmetic in the range condition — with an opaque
+    # expression the join still answers correctly but never derives a
+    # state eviction bound, so outer rows would never emit and state
+    # would grow without bound
     cond = (
         (F.col("p_user") == F.col("t_user"))
-        & (F.col("vts") >= F.col("pts")
-           - F.make_interval(secs=F.lit(lookback_sec)))
+        & (F.col("vts")
+           >= F.col("pts") - F.expr(f"INTERVAL {lookback_sec} SECOND"))
         & (F.col("vts") < F.col("pts"))
     )
-    return purchases.join(touches, cond, "inner").drop("t_user")
+    return purchases.join(touches, cond, how).drop("t_user")
 
 
 def stream_attribution(events: DataFrame, match_dir: str,

@@ -1249,3 +1249,81 @@ def test_progress_audit_listener_captures_batches(spark, tmp_path):
     assert all(r["duration_ms"] is not None for r in progress)
     term = [r for r in lines if r["event"] == "terminated"][0]
     assert term["exception"] is None
+
+
+def test_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream interval join: a purchase with no
+    touches must emit exactly once with NULL touch columns — and only
+    AFTER the watermark passes the end of its join window (batch 1
+    must NOT contain it; the batch whose data advances the watermark
+    must). Matched purchases emit their matches normally."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        stream_attribution_matches,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out = str(tmp_path / "matches")
+    ck = str(tmp_path / "ck")
+
+    def ev(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype}
+
+    def run():
+        q = (
+            stream_attribution_matches(
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long,"
+                    " event_type string").json(str(src)),
+                lookback_sec=3600, watermark="10 minutes",
+                how="left_outer")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: an organic purchase (no touches) + a matched one
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        ev(1, "2024-01-02T10:00:00", 1, "purchase"),      # organic
+        ev(2, "2024-01-02T09:30:00", 2, "view"),
+        ev(3, "2024-01-02T10:00:00", 2, "purchase"),      # matched
+    ]))
+    run()
+    rows1 = spark.read.parquet(out).collect()
+    # the matched pair flows; the organic purchase is still OPEN
+    # (a touch inside its 1 h window could arrive until the watermark
+    # passes 2024-01-02 11:00) — it must NOT have emitted yet
+    assert {(r.pid, r.vid) for r in rows1} == {(3, 2)}
+
+    # batch 2 ADVANCES the watermark past every open window — BOTH
+    # branches must move: the global watermark is the MIN over every
+    # watermark node, so a quiet purchase branch pins it forever (the
+    # trap this test exists to document). The watermark moves at
+    # batch END, and batch 3 — the next trigger — is where state
+    # older than it flushes as null rows: outer emission is one
+    # trigger late by design.
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in [
+        ev(9, "2024-01-03T00:00:00", 3, "view"),
+        ev(10, "2024-01-03T00:00:00", 4, "purchase"),
+    ]))
+    run()
+    (src / "c.json").write_text("\n".join(json.dumps(r) for r in [
+        ev(11, "2024-01-03T01:00:00", 3, "view"),
+        ev(12, "2024-01-03T01:00:00", 4, "purchase"),
+    ]))
+    run()
+    rows2 = spark.read.parquet(out).collect()
+    organic = [r for r in rows2 if r.pid == 1]
+    assert len(organic) == 1 and organic[0].vid is None \
+        and organic[0].touch_type is None
+    assert {(r.pid, r.vid) for r in rows2 if r.pid == 3} == {(3, 2)}
+    # still exactly-once for the matched pair
+    assert len([r for r in rows2 if r.pid == 3]) == 1
