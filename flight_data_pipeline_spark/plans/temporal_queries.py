@@ -724,10 +724,10 @@ def date_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE value IS NOT NULL GROUP BY 1
     )
     SELECT day,
-           ROUND(cents / 100.0, 2) AS total,
-           ROUND(quantile_cont(cents, 0.5) OVER (
+           cents / 100.0 AS total,
+           CAST(quantile_cont(cents, 0.5) OVER (
                ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) / 100.0, 2) AS rolling_median_7d
+           ) * 2 AS BIGINT) / 200.0 AS rolling_median_7d
     FROM daily ORDER BY day
     """,
 )
@@ -742,8 +742,12 @@ def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     is trivial at any scale — the fact table is reduced to |days|
     rows before any window work. Spark percentile and DuckDB
     quantile_cont share linear interpolation (the
-    order_price_quantiles precedent), and interpolating integer
-    cents keeps half-values exact."""
+    order_price_quantiles precedent). The median renders on the
+    exact HALF-CENT grid (x2 -> integer -> /200): the warm-up
+    frames are even-sized, their interpolated midpoint is a
+    half-cent, and ROUND(x.xx5, 2) half-ulp-flipped between engines
+    at sf0.1 (caught by the r6 full-sf0.1 sweep; doubling first
+    makes every value an exact integer before any rounding)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
@@ -757,9 +761,9 @@ def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.select(
             "day",
-            F.round(F.col("cents") / 100.0, 2).alias("total"),
-            F.round(F.expr("percentile(cents, 0.5)").over(w) / 100.0, 2)
-            .alias("rolling_median_7d"),
+            (F.col("cents") / 100.0).alias("total"),
+            ((F.expr("percentile(cents, 0.5)").over(w) * 2)
+             .cast("long") / 200.0).alias("rolling_median_7d"),
         )
         .orderBy("day")
     )

@@ -428,3 +428,26 @@ def test_recursive_cte_plans_native_recursion(spark):
 def test_distinct_sketches_have_no_cartesian(spark):
     plan = plan_of(spark, "distinct_token_sketches")
     assert "CartesianProduct" not in plan
+
+
+def test_no_float_round_sum_in_oracles():
+    """The market_share_by_year lesson, enforced statically: no oracle
+    may ROUND a re-associated double SUM (half-ulp flips between
+    engines at rounding boundaries). Money/product sums must ride
+    integer fixed-point (scalars.to_units + FLOOR(...*10^d+0.5)
+    pattern). Allowed survivors: integer CASE sums (association-free)
+    and the explicitly-analyzed PSI probe (20 deterministic dyadic
+    terms, documented in its docstring)."""
+    import re
+
+    allowed_names = {"value_psi_drift"}
+    pat = re.compile(r"ROUND\(\s*SUM\(\s*([A-Za-z(]+)", re.I)
+    offenders = []
+    for name, sql in registry.ORACLE_SQL.items():
+        if name in allowed_names:
+            continue
+        for m in pat.finditer(sql):
+            head = m.group(1).upper()
+            if head != "CASE":   # integer CASE sums are exact
+                offenders.append((name, sql[m.start():m.start() + 70]))
+    assert offenders == [], offenders
