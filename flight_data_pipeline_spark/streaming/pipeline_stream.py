@@ -940,3 +940,108 @@ def stream_near_dup_flags(docs: DataFrame, state_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_corpus_intake_delta(state_dir: str, batch_df: DataFrame,
+                              batch_id: int, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              source_col: str = "source") -> bool:
+    """Streaming corpus curation — the incremental counterpart of the
+    batch `curated_training_mix` funnel, composed from the round's
+    streaming primitives: each document batch is (1) near-dup-flagged
+    against the corpus-so-far via the persistent LSH bucket store
+    (apply_lsh_dedup_delta's probe, shared state layout), (2) quality
+    -gated (operators/text.quality_band — flag-don't-drop), and
+    (3) folded into two stores: the cumulative per-doc DECISION table
+    and the per-source funnel COUNTS (SUM-mergeable, so the funnel
+    is a partial-aggregate merge, never a rescan). Everything rides
+    the shared marker+swap+recovery discipline; a doc admitted once
+    can never be retro-rejected by later arrivals (arrival order IS
+    the keep-min rule — the first copy wins, its later near-dups are
+    rejected, exactly the batch keep-min convention under
+    arrival-ordered ids)."""
+    import os
+
+    from flight_data_pipeline_spark.operators.text import quality_band
+
+    decisions_root = os.path.join(state_dir, "decisions")
+    os.makedirs(decisions_root, exist_ok=True)
+    if _already_applied(decisions_root, batch_id):
+        return False
+
+    spark = batch_df.sparkSession
+    flagged = batch_df.select(
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("source"),
+        (quality_band(F.col(text_col)) == "good").alias("quality_ok"),
+    )
+    # near-dup flags vs corpus-so-far: reuse the LSH delta's bucket
+    # store + probe by running it against a sibling root (it swaps its
+    # own flags table; we join it for this batch's docs)
+    lsh_state = os.path.join(state_dir, "lsh")
+    applied = apply_lsh_dedup_delta(lsh_state, batch_df, batch_id,
+                                    id_col=id_col, text_col=text_col)
+    lsh_flags = spark.read.parquet(
+        os.path.join(lsh_state, "flags", "data"))
+    fresh = (
+        flagged.join(lsh_flags.select("doc", "is_near_dup"), "doc")
+        .select(
+            "doc", "source", "quality_ok",
+            F.col("is_near_dup").alias("dup"),
+            (F.col("quality_ok") & ~F.col("is_near_dup"))
+            .alias("accepted"),
+        )
+    )
+    data_dir = os.path.join(decisions_root, "data")
+    if os.path.exists(data_dir):
+        merged = spark.read.parquet(data_dir).unionByName(fresh)
+    else:
+        merged = fresh
+    _swap_in_state(decisions_root, batch_id, merged)
+
+    # per-source funnel counts: SUM-mergeable partials
+    funnel_root = os.path.join(state_dir, "funnel")
+    os.makedirs(funnel_root, exist_ok=True)
+    if not _already_applied(funnel_root, batch_id):
+        delta = (
+            fresh.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("dup"), 1).otherwise(0))
+                 .alias("n_dups"),
+                 F.sum(F.when(~F.col("quality_ok"), 1).otherwise(0))
+                 .alias("n_low_quality"),
+                 F.sum(F.when(F.col("accepted"), 1).otherwise(0))
+                 .alias("n_accepted"))
+        )
+        fdata = os.path.join(funnel_root, "data")
+        if os.path.exists(fdata):
+            base = spark.read.parquet(fdata)
+            fmerged = (
+                base.unionByName(delta)
+                .groupBy("source")
+                .agg(F.sum("n_docs").alias("n_docs"),
+                     F.sum("n_dups").alias("n_dups"),
+                     F.sum("n_low_quality").alias("n_low_quality"),
+                     F.sum("n_accepted").alias("n_accepted"))
+            )
+        else:
+            fmerged = delta
+        _swap_in_state(funnel_root, batch_id, fmerged)
+    return applied
+
+
+def stream_corpus_intake(docs: DataFrame, state_dir: str,
+                         checkpoint_dir: str) -> StreamingQuery:
+    """Run the incremental curation funnel over a document stream —
+    see apply_corpus_intake_delta. The streaming counterpart of the
+    batch curated_training_mix flagship: decisions and funnel counts
+    stay current per micro-batch at delta cost, never a corpus
+    rescan."""
+    return (
+        docs.writeStream
+        .foreachBatch(lambda df, bid: apply_corpus_intake_delta(
+            state_dir, df, bid))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

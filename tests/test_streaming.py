@@ -1327,3 +1327,80 @@ def test_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
     assert {(r.pid, r.vid) for r in rows2 if r.pid == 3} == {(3, 2)}
     # still exactly-once for the matched pair
     assert len([r for r in rows2 if r.pid == 3]) == 1
+
+
+def test_stream_corpus_intake_incremental_funnel(spark, tmp_path):
+    """The streaming curation funnel across two micro-batch runs:
+    per-doc decisions must apply quality + corpus-so-far near-dup
+    rules (first copy admitted, its cross-batch near-dup rejected),
+    funnel counts must equal a recount of the decision table, and a
+    replayed batch must change nothing."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_corpus_intake_delta,
+        stream_corpus_intake,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "green forest waits in the quiet morning light today")
+    short = "too short"
+    b1 = [(1, good, "web"), (2, short, "web"),
+          (3, ("a wholly distinct passage where different animals "
+               "wander through another valley beneath a red evening "
+               "sky and nothing repeats the first text"), "books")]
+    b2 = [(4, good + " again", "web"),       # near-dup of 1 -> reject
+          (5, ("completely different sentences about spark and the "
+               "parquet format with many common little words in them"),
+           "books")]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    state = str(tmp_path / "intake")
+    ck = str(tmp_path / "ck")
+
+    def write(name, rows):
+        (src / name).write_text("\n".join(
+            json.dumps({"doc_id": i, "text": t, "source": s})
+            for i, t, s in rows))
+
+    def read_stream():
+        return spark.readStream.schema(
+            "doc_id long, text string, source string").json(str(src))
+
+    write("a.json", b1)
+    stream_corpus_intake(read_stream(), state, ck).awaitTermination(120)
+    write("b.json", b2)
+    stream_corpus_intake(read_stream(), state, ck).awaitTermination(120)
+
+    dec = {r.doc: (r.accepted, r.dup, r.quality_ok)
+           for r in spark.read.parquet(state + "/decisions/data").collect()}
+    assert dec[1] == (True, False, True)    # first copy admitted
+    assert dec[2][2] is False               # quality reject
+    assert dec[4] == (False, True, True)    # cross-batch near-dup
+    assert dec[3][0] and dec[5][0]
+
+    funnel = {r.source: (r.n_docs, r.n_dups, r.n_low_quality, r.n_accepted)
+              for r in spark.read.parquet(state + "/funnel/data").collect()}
+    recount = {
+        r.source: (r.n, r.d, r.q, r.a)
+        for r in spark.read.parquet(state + "/decisions/data")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("d"),
+             F.sum(F.when(~F.col("quality_ok"), 1).otherwise(0)).alias("q"),
+             F.sum(F.when(F.col("accepted"), 1).otherwise(0)).alias("a"))
+        .collect()
+    }
+    assert funnel == recount
+    assert funnel["web"] == (3, 1, 1, 1)
+
+    # replay no-op on both stores
+    replay = spark.createDataFrame([(9, good, "web")],
+                                   "doc_id long, text string, source string")
+    assert apply_corpus_intake_delta(state, replay, 0) is False
+    assert {r.doc for r in
+            spark.read.parquet(state + "/decisions/data").collect()
+            } == {1, 2, 3, 4, 5}
