@@ -3956,3 +3956,76 @@ def collation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_ci")
     )
+
+
+@query(
+    "robust_value_outliers",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c2
+        FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT event_type,
+               CAST(quantile_cont(c2, 0.5) * 2 AS BIGINT) AS med_hc
+        FROM c GROUP BY event_type
+    ), dev AS (
+        SELECT c.event_type, c.c2, m.med_hc,
+               abs(2 * c.c2 - m.med_hc) AS dev_hc
+        FROM c JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, med_hc,
+               CAST(quantile_cont(dev_hc, 0.5) * 2 AS BIGINT) AS mad_q
+        FROM dev GROUP BY event_type, med_hc
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT)        AS n,
+           MIN(d.med_hc) / 200.0           AS median_value,
+           MIN(m.mad_q) / 400.0            AS mad_value,
+           CAST(SUM(CASE WHEN 2 * d.dev_hc > 3 * m.mad_q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type — the
+    heavy-tail-safe twin of the z-score anomaly family (mean and
+    stddev follow the outliers they're supposed to find; the median
+    absolute deviation doesn't). Exact and engine-stable end to end
+    by unit-doubling at each interpolation: values ride as cents,
+    the median as HALF-cents (x2 before any cast — the
+    rolling-median lesson), per-row deviations as exact integers,
+    the MAD as QUARTER-cents, and the 3-MAD outlier test as a pure
+    integer comparison — no float round anywhere.
+
+    Plan: two percentile aggregates (cents, then deviations) and one
+    broadcast-size join of 5-row summaries back to the facts; the
+    fact table is scanned twice (median must precede deviations —
+    inherent to MAD), each pass map-side + one small aggregate."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull())
+    c = ev.select("event_type", to_units(F.col("value"), 2).alias("c2"))
+    med = c.groupBy("event_type").agg(
+        (F.expr("percentile(c2, 0.5)") * 2).cast("long").alias("med_hc"))
+    dev = (
+        c.join(F.broadcast(med), "event_type")
+        .select("event_type", "med_hc",
+                F.abs(2 * F.col("c2") - F.col("med_hc")).alias("dev_hc"))
+    )
+    mad = dev.groupBy("event_type", "med_hc").agg(
+        (F.expr("percentile(dev_hc, 0.5)") * 2).cast("long").alias("mad_q"))
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad_q")),
+                 "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("med_hc") / 200.0).alias("median_value"),
+            (F.min("mad_q") / 400.0).alias("mad_value"),
+            F.sum(F.when(2 * F.col("dev_hc") > 3 * F.col("mad_q"), 1)
+                  .otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -2603,3 +2603,63 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+L_DIVERSITY_L = 3   # sensitive-attribute diversity threshold
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT lang,
+               CAST(FLOOR(n_chars / {K_ANON_CHAR_BUCKET}) AS BIGINT)
+                   AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS grp,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS l_div
+        FROM documents
+        GROUP BY lang, len_bucket
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)  AS n_groups,
+           CAST(MIN(l_div) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l_div < {L_DIVERSITY_L} THEN 1 ELSE 0 END)
+                AS BIGINT)           AS n_low_diversity_groups,
+           CAST(SUM(CASE WHEN l_div < {L_DIVERSITY_L} THEN grp ELSE 0 END)
+                AS BIGINT)           AS n_rows_at_risk
+    FROM q GROUP BY lang ORDER BY lang
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit — k-anonymity's stronger sibling
+    (Machanavajjhala et al.): a quasi-identifier group is unsafe not
+    only when SMALL but when its SENSITIVE attribute (here: source)
+    is homogeneous — an attacker matching the group learns the
+    sensitive value even with k members. Reports, per language, the
+    diversity floor and the groups/rows where fewer than
+    L_DIVERSITY_L distinct sensitive values co-occur. Same
+    flag-don't-drop, one-scan shape as k_anonymity_audit (a distinct
+    aggregate on the quasi-identifier, then a group-sized
+    re-aggregate)."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = (
+        docs.groupBy(
+            "lang",
+            F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
+            .alias("len_bucket"))
+        .agg(F.count("*").alias("grp"),
+             F.count_distinct("source").alias("l_div"))
+    )
+    low = F.col("l_div") < L_DIVERSITY_L
+    return (
+        q.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.min("l_div").alias("min_l"),
+            F.sum(F.when(low, 1).otherwise(0))
+            .alias("n_low_diversity_groups"),
+            F.sum(F.when(low, F.col("grp")).otherwise(0))
+            .alias("n_rows_at_risk"),
+        )
+        .orderBy("lang")
+    )

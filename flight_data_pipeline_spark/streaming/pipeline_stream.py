@@ -49,8 +49,12 @@ def read_payload_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
-def telemetry_stream(raw: DataFrame) -> DataFrame:
-    """Raw payload lines → validated, hour-deduped telemetry stream."""
+def _payload_rows(raw: DataFrame, *keep_cols: str) -> DataFrame:
+    """The payload→record projection shared by the live stream and
+    the dead-letter replay (same parse, same drift tolerance):
+    emits (keep_cols…, record_found, timestamp, overall_intensity,
+    fuel_*_perc). Works on streaming AND batch frames — the dedup/
+    watermark stages live in the callers."""
     from flight_data_pipeline_spark.sources.rest_json import (
         GENERATION_SCHEMA_DICT,
         GENERATION_SCHEMA_LIST,
@@ -78,7 +82,8 @@ def telemetry_stream(raw: DataFrame) -> DataFrame:
         return F.coalesce(F.get(matches, 0)["perc"], F.lit(0.0)) \
                 .alias(f"fuel_{fuel}_perc")
 
-    rows = raw.select(
+    return raw.select(
+        *keep_cols,
         int_rec.isNotNull().alias("record_found"),
         parse_iso8601(int_rec["from"]).alias("timestamp"),
         coalesce_falsy(int_rec["intensity"]["actual"],
@@ -86,11 +91,17 @@ def telemetry_stream(raw: DataFrame) -> DataFrame:
         .alias("overall_intensity"),
         *[fuel_perc(f) for f in FUELS],
     )
+
+
+def telemetry_stream(raw: DataFrame) -> DataFrame:
+    """Raw payload lines → validated, hour-deduped telemetry stream."""
+    rows = _payload_rows(raw)
     # malformed/empty payloads: the batch path raises (etl_job.py:
     # 102-103 → run 'failure'); a stream can't abort the query for one
     # bad record, so the streaming semantics is dead-letter: drop the
-    # record here (it never had data). Validation failures on REAL
-    # records still flag-don't-drop below.
+    # record here (it never had data) — quarantine_malformed captures
+    # such payload FILES for repair + reprocess_dead_letters replay.
+    # Validation failures on REAL records still flag-don't-drop below.
     rows = rows.where(F.col("record_found")).drop("record_found")
     gated = quality_gate(rows, telemetry_checks())
     return (
@@ -1045,3 +1056,108 @@ def stream_corpus_intake(docs: DataFrame, state_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+
+def quarantine_malformed(spark: SparkSession, landing_dir: str,
+                         dlq_dir: str) -> int:
+    """Dead-letter CAPTURE: copy every landing payload file the
+    parser cannot extract a record from into ``dlq_dir`` with a
+    ``.reason`` sidecar. The live stream DROPS such records (a stream
+    can't abort for one bad file, and the record never had data) —
+    capture is what makes the reference's failed-run → fix → rerun
+    loop (etl_job.py status machine) possible in file form.
+    Idempotent: re-runs overwrite the same names. Returns the count
+    quarantined.
+
+    Plan: the probe is the same projection the stream parses with,
+    evaluated distributively; only the quarantine-sized FILE LIST
+    reaches the driver for the copies."""
+    import os
+    import shutil
+
+    raw = (
+        spark.read.format("text").option("wholetext", True)
+        .load(landing_dir)
+        .withColumnRenamed("value", "payload")
+        .withColumn("file", F.input_file_name())
+    )
+    bad = (
+        _payload_rows(raw, "file")
+        .where(~F.col("record_found"))
+        .select("file")
+    )
+    os.makedirs(dlq_dir, exist_ok=True)
+    n = 0
+    for row in bad.toLocalIterator():
+        path = row.file.removeprefix("file:")
+        name = os.path.basename(path)
+        shutil.copyfile(path, os.path.join(dlq_dir, name))
+        with open(os.path.join(dlq_dir, name + ".reason"), "w") as fh:
+            fh.write("no parseable intensity record")
+        n += 1
+    return n
+
+
+def reprocess_dead_letters(spark: SparkSession, dlq_dir: str,
+                           telemetry_path: str, audit_path: str) -> dict:
+    """Dead-letter REPLAY: after the payloads are repaired in place
+    (or the parser fixed), run the quarantined files through the SAME
+    parse → validate → hour-dedup path as live traffic. Recovered
+    rows append idempotently (hour buckets already present in the
+    sink are skipped, so a double-replay is a no-op); recovered files
+    and sidecars are removed; still-unparseable files stay
+    quarantined. One audit row records the attempt. Returns
+    {"recovered_rows", "recovered_files", "still_dead"}."""
+    import os
+
+    from flight_data_pipeline_spark.sinks import AuditSink, TelemetrySink
+
+    files = [f for f in sorted(os.listdir(dlq_dir))
+             if not f.endswith(".reason")]
+    if not files:
+        return {"recovered_rows": 0, "recovered_files": 0, "still_dead": 0}
+    raw = (
+        spark.read.format("text").option("wholetext", True)
+        .load([os.path.join(dlq_dir, f) for f in files])
+        .withColumnRenamed("value", "payload")
+        .withColumn("file", F.input_file_name())
+    )
+    rows = _payload_rows(raw, "file")
+    ok = rows.where(F.col("record_found")).drop("record_found")
+    gated = quality_gate(ok, telemetry_checks())
+    sink = TelemetrySink(spark, telemetry_path)
+    try:
+        existing_hours = sink.read().select(
+            F.date_trunc("hour", "timestamp").alias("__hb")).distinct()
+    except Exception:  # noqa: BLE001 — sink not created yet
+        existing_hours = None
+    fresh = gated.withColumn(
+        "__hb", F.date_trunc("hour", F.col("timestamp")))
+    if existing_hours is not None:
+        fresh = fresh.join(existing_hours, "__hb", "left_anti")
+    recovered_files = [
+        r.file.removeprefix("file:")
+        for r in ok.select("file").distinct().toLocalIterator()
+    ]
+    out = fresh.drop("__hb", "file")
+    pdf = out.toPandas()
+    n = len(pdf)
+    if n:
+        spark.createDataFrame(pdf, schema=out.schema) \
+            .write.mode("append").parquet(telemetry_path)
+    AuditSink(spark, audit_path).log_run(
+        "success" if n else "skipped", n, 0)
+    for full in recovered_files:
+        name = os.path.basename(full)
+        for victim in (os.path.join(dlq_dir, name),
+                       os.path.join(dlq_dir, name + ".reason")):
+            try:
+                os.remove(victim)
+            except OSError:
+                pass
+    still = len([f for f in os.listdir(dlq_dir)
+                 if not f.endswith(".reason")])
+    return {"recovered_rows": n,
+            "recovered_files": len(recovered_files),
+            "still_dead": still}

@@ -1404,3 +1404,57 @@ def test_stream_corpus_intake_incremental_funnel(spark, tmp_path):
     assert {r.doc for r in
             spark.read.parquet(state + "/decisions/data").collect()
             } == {1, 2, 3, 4, 5}
+
+
+def test_dead_letter_capture_and_reprocess(spark, tmp_path):
+    """The full dead-letter loop: malformed landing payloads are
+    quarantined with reasons; after in-place repair, reprocessing
+    recovers them through the same parse/validate/dedup path into the
+    telemetry sink idempotently (a second replay is a no-op); an
+    unrepairable file stays quarantined."""
+    from flight_data_pipeline_spark.sinks import TelemetrySink
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        quarantine_malformed,
+        reprocess_dead_letters,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dlq = str(tmp_path / "dlq")
+    tele = str(tmp_path / "tele")
+    audit = str(tmp_path / "audit")
+
+    (landing / "good.json").write_text(payload(14, 0))
+    (landing / "empty.json").write_text(
+        '{"intensity": {"data": []}, "generation": {"data": []}}')
+    (landing / "garbage.json").write_text("not json at all {")
+
+    # capture: the two recordless payloads quarantine, the good one
+    # does not
+    assert quarantine_malformed(spark, str(landing), dlq) == 2
+    import os
+    assert sorted(f for f in os.listdir(dlq)
+                  if not f.endswith(".reason")) == [
+        "empty.json", "garbage.json"]
+
+    # run the live stream over the landing dir so the sink exists
+    run_stream(spark, landing, tele, tmp_path / "a0", tmp_path / "c0")
+    assert len(TelemetrySink(spark, tele).read().collect()) == 1
+
+    # repair ONE quarantined file in place (the fetcher re-delivered
+    # hour 16); the garbage file stays broken
+    (tmp_path / "dlq" / "empty.json").write_text(payload(16, 0))
+    res = reprocess_dead_letters(spark, dlq, tele, audit)
+    assert res == {"recovered_rows": 1, "recovered_files": 1,
+                   "still_dead": 1}
+    hours = sorted(r.timestamp.hour
+                   for r in TelemetrySink(spark, tele).read().collect())
+    assert hours == [14, 16]
+
+    # double replay: the recovered hour is already in the sink -> no-op
+    (tmp_path / "dlq" / "again.json").write_text(payload(16, 30))
+    res2 = reprocess_dead_letters(spark, dlq, tele, audit)
+    assert res2["recovered_rows"] == 0
+    assert sorted(r.timestamp.hour
+                  for r in TelemetrySink(spark, tele).read().collect()
+                  ) == [14, 16]
