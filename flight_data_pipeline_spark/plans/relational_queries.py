@@ -4029,3 +4029,201 @@ def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Quantile-histogram estimator: fixed integer-cents grid. 100 bins of
+# 500 cents over the pinned [0, 500) value domain; permille targets.
+QH_BIN_CENTS = 500
+QH_MAX_BIN = 99
+QH_PERMILLES = (500, 950, 990)
+
+
+@query(
+    "quantile_histogram_estimates",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                     // {QH_BIN_CENTS}, {QH_MAX_BIN}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, bin
+    ),
+    cum AS (
+        SELECT event_type, bin, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(n) OVER (PARTITION BY event_type) AS total
+        FROM h
+    ),
+    grid AS (SELECT unnest([{", ".join(map(str, QH_PERMILLES))}]) AS p)
+    SELECT event_type,
+           p AS permille,
+           CAST(MIN(total) AS BIGINT) AS n_values,
+           (MIN(bin) * {QH_BIN_CENTS}
+            + ({QH_BIN_CENTS} * ((p * MIN(total) + 999) // 1000
+                                 - (MIN(c) - MIN(n))))
+              // MIN(n)) / 100.0 AS est_value
+    FROM cum CROSS JOIN grid
+    WHERE c >= (p * total + 999) // 1000
+      AND c - n < (p * total + 999) // 1000
+    GROUP BY event_type, p
+    ORDER BY event_type, p
+    """,
+)
+def quantile_histogram_estimates(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Quantile estimation from a fixed-grid histogram — the
+    MERGEABLE quantile tier that completes the sketch family
+    (HLL/KMV: distinct; CM/Space-Saving: frequency; this: rank). The
+    histogram is a SUM-mergeable summary (bin → count), so partials
+    combine map-side across partitions, days, or streams, and any
+    permille is answered from ≤100 rows per group; exact percentile()
+    by contrast must shuffle every value. p50/p95/p99 per event type,
+    estimated by integer linear interpolation inside the crossing bin.
+
+    Exactness discipline: values ride as cents, bins are integer
+    division on the cents (clamped into the top bin), rank targets
+    are ceil on the permille grid, and the interpolation is pure
+    integer division — every engine computes the identical estimate
+    bit-for-bit. Error bound: ±ε·range/bins with equi-width bins
+    (here ≤ $5); tighten by raising the bin count, still
+    summary-sized. Plan: one map-side-combined aggregate on
+    (type, bin), two window passes over ≤ 100-row groups, a 3-row
+    broadcast permille grid — the shuffle carries the histogram, not
+    the data."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull())
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"least(cast(floor(value * 100 + 0.5) as bigint) "
+                   f"div {QH_BIN_CENTS}, {QH_MAX_BIN}L)").alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type", "bin", "n",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in QH_PERMILLES])).alias("p"))
+    need = F.expr("(p * total + 999) div 1000")
+    return (
+        cum.crossJoin(F.broadcast(grid))
+        .where((F.col("c") >= need) & (F.col("c") - F.col("n") < need))
+        .groupBy("event_type", F.col("p").alias("permille"))
+        .agg(
+            F.min("total").alias("n_values"),
+            ((F.min("bin") * QH_BIN_CENTS
+              + F.expr(f"({QH_BIN_CENTS} * ((permille * min(total) + 999) "
+                       f"div 1000 - (min(c) - min(n)))) div min(n)"))
+             / 100.0).alias("est_value"),
+        )
+        .orderBy("event_type", "permille")
+    )
+
+
+# Snapshot-diff pinned parameters: v1 = orders known at D1, v2 = the
+# same table one simulated publish later (new rows through D2, a
+# deterministic slice of open orders repriced, a deterministic slice
+# deleted). The POINT is the diff operator; the snapshot construction
+# just has to be engine-identical.
+DIFF_D1 = "1999-01-01"
+DIFF_D2 = "2000-01-01"
+DIFF_REPRICE_MOD = 7    # open orders with key % 7 == 0 gain 1 cent
+DIFF_DELETE_MOD = 13    # orders with key % 13 == 0 vanish from v2
+
+
+@query(
+    "snapshot_diff_summary",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders WHERE o_orderdate < TIMESTAMP '{DIFF_D1}'
+    ),
+    v2 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderstatus = 'O'
+                           AND o_orderkey % {DIFF_REPRICE_MOD} = 0
+                      THEN 1 ELSE 0 END AS c
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '{DIFF_D2}'
+          AND o_orderkey % {DIFF_DELETE_MOD} <> 0
+    ),
+    joined AS (
+        SELECT COALESCE(v1.k, v2.k) AS k,
+               CASE WHEN v1.k IS NULL THEN 'added'
+                    WHEN v2.k IS NULL THEN 'removed'
+                    WHEN v1.st <> v2.st OR v1.c <> v2.c THEN 'changed'
+                    ELSE 'unchanged' END AS change_class,
+               COALESCE(v1.c, 0) AS c1, COALESCE(v2.c, 0) AS c2
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT change_class,
+           CAST(COUNT(*) AS BIGINT)    AS n_rows,
+           CAST(SUM(c1) AS BIGINT)     AS v1_cents,
+           CAST(SUM(c2) AS BIGINT)     AS v2_cents,
+           CAST(SUM(c2 - c1) AS BIGINT) AS delta_cents
+    FROM joined GROUP BY change_class ORDER BY change_class
+    """,
+)
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC/reconciliation operator every
+    incremental pipeline needs: given two published versions of a
+    keyed table, classify every key as added / removed / changed /
+    unchanged and account for the value drift, in ONE full-outer
+    join. 'Changed' compares the full row payload (status + exact
+    cents), so silent repricings surface even when the key set is
+    identical; the signed delta column reconciles the books between
+    versions.
+
+    The two versions here are deterministic constructions over the
+    fixture (later cutoff ⇒ adds; a modular slice repriced ⇒
+    changes; a modular slice dropped ⇒ removes) so the diff exercises
+    all four classes on both engines. At 100 TB: the join shuffles on
+    the key both snapshots are already partitioned by in practice —
+    with bucketed/partitioned publishes it degrades to a zipped
+    per-partition merge, and the output is class-summary-sized. For
+    petabyte tables, run per-partition with partition pruning on the
+    publish date."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = to_units(F.col("o_totalprice"), 2)
+    v1 = o.where(F.col("o_orderdate") < F.lit(DIFF_D1).cast("timestamp")
+                 ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st1"),
+        cents.alias("c1"))
+    v2 = o.where(
+        (F.col("o_orderdate") < F.lit(DIFF_D2).cast("timestamp"))
+        & (F.col("o_orderkey") % DIFF_DELETE_MOD != 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st2"),
+        (cents + F.when((F.col("o_orderstatus") == "O")
+                        & (F.col("o_orderkey") % DIFF_REPRICE_MOD == 0),
+                        1).otherwise(0)).alias("c2"))
+    joined = v1.join(v2, "k", "full_outer").select(
+        F.when(F.col("st1").isNull(), "added")
+        .when(F.col("st2").isNull(), "removed")
+        .when((F.col("st1") != F.col("st2"))
+              | (F.col("c1") != F.col("c2")), "changed")
+        .otherwise("unchanged").alias("change_class"),
+        F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+    )
+    return (
+        joined.groupBy("change_class")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("c1").alias("v1_cents"),
+             F.sum("c2").alias("v2_cents"),
+             F.sum(F.col("c2") - F.col("c1")).alias("delta_cents"))
+        .orderBy("change_class")
+    )

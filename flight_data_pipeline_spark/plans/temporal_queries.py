@@ -1191,3 +1191,85 @@ def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count_distinct("user_id").alias("n_users"))
         .orderBy("prior_state")
     )
+
+
+# Seasonal-naive backtest: the 1-week seasonality lag.
+SEASONAL_LAG_DAYS = 7
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, day
+    ),
+    scored AS (
+        SELECT a.event_type,
+               a.cents       AS actual_c,
+               f.cents       AS forecast_c
+        FROM daily a
+        JOIN daily f ON a.event_type = f.event_type
+                    AND f.day + INTERVAL {SEASONAL_LAG_DAYS} DAY = a.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                      AS n_days_scored,
+           CAST(SUM(ABS(actual_c - forecast_c)) AS BIGINT)
+               AS total_abs_err_cents,
+           ((2 * SUM(ABS(actual_c - forecast_c)) + COUNT(*))
+            // (2 * COUNT(*))) / 100.0                   AS mae_value,
+           CAST(SUM(actual_c - forecast_c) AS BIGINT)    AS bias_cents
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's value mass
+    per event type as the SAME WEEKDAY one week earlier and score the
+    prediction where both days exist — the baseline every forecasting
+    model must beat, and the backtest harness shape (join actuals to
+    lagged actuals, aggregate the error) that scores real models the
+    same way at scale.
+
+    The 7-day shift is an explicit self-JOIN on ``day − 7`` rather
+    than ``LAG(7)`` over day-ordered rows: LAG counts ROWS, so one
+    missing calendar day silently misaligns every later forecast —
+    the join keys on the calendar itself. Errors ride as exact
+    integer cents (|a−f| of two integer sums), MAE renders half-up on
+    the integer grid, and the signed bias column exposes systematic
+    over/under-forecast. Plan: one map-side-combined daily aggregate
+    (events scanned once), then a day-keyed self-join of
+    summary-sized frames and a per-type fold."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull())
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(to_units(F.col("value"), 2)).alias("cents"))
+    )
+    fc = daily.select(
+        "event_type",
+        (F.col("day") + F.expr(f"INTERVAL {SEASONAL_LAG_DAYS} DAY"))
+        .alias("day"),
+        F.col("cents").alias("forecast_c"),
+    )
+    scored = daily.withColumnRenamed("cents", "actual_c").join(
+        fc, ["event_type", "day"])
+    err = F.abs(F.col("actual_c") - F.col("forecast_c"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days_scored"),
+            F.sum(err).alias("total_abs_err_cents"),
+            (F.expr("(2 * sum(abs(actual_c - forecast_c)) + count(*)) "
+                    "div (2 * count(*))") / 100.0).alias("mae_value"),
+            F.sum(F.col("actual_c") - F.col("forecast_c"))
+            .alias("bias_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -901,3 +901,208 @@ def label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
                        schema="label int, medoid_id bigint, avg_cos double")
         .orderBy("label")
     )
+
+
+# --- Quantized / truncated serving tiers (round 6, session 2) ---------------
+
+# Per-vector symmetric int8 quantization: q_i = round(x_i / scale * 127)
+# with scale = max|x| — the storage layout vector stores serve from
+# (4 bytes/dim → 1 byte/dim). The quantize expression is a
+# deterministic function of each stored float (one division, one
+# multiplication, one floor — all IEEE correctly-rounded, identical
+# expression tree on both engines), so the int8 codes are
+# bit-identical cross-engine and the integer dot products are exact.
+_Q8_DUCK = """
+        list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CASE WHEN scale = 0 THEN 0::BIGINT
+                      ELSE CAST(FLOOR(x / scale * 127.0 + 0.5) AS BIGINT)
+                 END)"""
+
+
+@query(
+    "int8_quantized_cosine_topk",
+    oracle=f"""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS scale,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, {_Q8_DUCK} AS qv
+        FROM scaled
+    ),
+    paired AS (
+        SELECT q.vec_id,
+               CAST(list_sum(list_transform(range(64),
+                    i -> q.qv[i + 1] * qq.qv[i + 1])) AS BIGINT) AS dot_q,
+               CAST(list_sum(list_transform(q.qv, v -> v * v))
+                    AS BIGINT) AS na,
+               (SELECT CAST(list_sum(list_transform(qv, v -> v * v))
+                            AS BIGINT)
+                FROM q WHERE vec_id = {QUERY_VEC_ID}) AS nb
+        FROM q CROSS JOIN (SELECT qv FROM q
+                           WHERE vec_id = {QUERY_VEC_ID}) qq
+    )
+    SELECT vec_id, dot_q,
+           ROUND(dot_q / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4)
+               AS cosine_q8
+    FROM paired
+    ORDER BY cosine_q8 DESC, vec_id
+    LIMIT 10
+    """,
+)
+def int8_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-10 — the serving-standard compression
+    tier between exact float (cosine_topk_bruteforce) and the 1-bit
+    sign sketch (hamming_sign_topk): per-vector max-abs symmetric
+    quantization to int8 codes, then EXACT integer dot products over
+    the codes (|q|≤127, d=64 ⇒ dot ≤ ~10^6, nowhere near overflow).
+    The only floats are the final norm division — correctly-rounded
+    IEEE ops on identical inputs, rounded to 4 before ranking with id
+    tie-breaks, so the cut is engine-stable. ``dot_q`` rides as the
+    exact integer audit column.
+
+    At 100 TB: 64 B/vector instead of 256 B — the brute-force scan
+    tier gets 4× more vectors per byte of scan, and the integer dot
+    kernel vectorizes better than float; survivors re-rank with exact
+    cosine if the 4-digit margin matters. One scan, one broadcast of
+    the 1-row query code, TakeOrderedAndProject."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    scaled = emb.select(
+        "vec_id",
+        F.array_max(F.transform(
+            as_double(F.col("embedding")), lambda x: F.abs(x))
+        ).alias("scale"),
+        "embedding",
+    )
+    qv = F.expr(
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        "x -> IF(scale = 0D, 0L, "
+        "CAST(floor(x / scale * 127.0D + 0.5D) AS BIGINT)))")
+    q = scaled.select("vec_id", qv.alias("qv"))
+    qrow = q.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qv").alias("qq"),
+        F.expr("aggregate(transform(qv, v -> v * v), 0L, "
+               "(acc, v) -> acc + v)").alias("nb"))
+    return (
+        q.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.expr("aggregate(zip_with(qv, qq, (x, y) -> x * y), 0L, "
+                   "(acc, v) -> acc + v)").alias("dot_q"),
+            F.expr("aggregate(transform(qv, v -> v * v), 0L, "
+                   "(acc, v) -> acc + v)").alias("na"),
+            "nb",
+        )
+        .select(
+            "vec_id", "dot_q",
+            F.round(F.col("dot_q")
+                    / F.sqrt(F.col("na").cast("double")
+                             * F.col("nb").cast("double")), 4)
+            .alias("cosine_q8"),
+        )
+        .orderBy(F.desc("cosine_q8"), "vec_id")
+        .limit(10)
+    )
+
+
+MATRYOSHKA_DIMS = 16  # leading-prefix dimensionality for the cheap tier
+
+
+@query(
+    "matryoshka_prefix_topk",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(embedding[1:{MATRYOSHKA_DIMS}] AS DOUBLE[]),
+               (SELECT CAST(embedding[1:{MATRYOSHKA_DIMS}] AS DOUBLE[])
+                FROM embeddings WHERE vec_id = {QUERY_VEC_ID})), 4)
+               AS cosine_sim
+    FROM embeddings
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-embedding search: rank by cosine
+    over only the LEADING 16 dimensions — the
+    coarse-tier trick MRL-trained embedding models enable (prefixes
+    are themselves valid embeddings, so a 4× shorter vector gives a
+    4× cheaper scan for candidate generation, re-ranked by the full
+    vector when needed). Same round-before-rank + id tie-break
+    discipline as the full-width exact query; `slice` keeps the
+    truncation in the scan projection, so only 1/4 of the vector
+    bytes ever leave the column reader."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.slice(F.col("embedding"), 1, MATRYOSHKA_DIMS)
+        .alias("embedding"))
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return cosine_topk(emb, qv, vec_col="embedding", id_col="vec_id", k=10)
+
+
+CASCADE_SHORTLIST = 50  # sketch-tier survivors re-ranked exactly
+
+
+@query(
+    "sketch_rerank_cascade",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, CAST({_SIGN_MASK_DUCK} AS BIGINT) AS mask
+        FROM embeddings
+    ),
+    shortlist AS (
+        SELECT m.vec_id
+        FROM m
+        ORDER BY bit_count(xor(m.mask,
+                 (SELECT mask FROM m WHERE vec_id = {QUERY_VEC_ID}))),
+                 m.vec_id
+        LIMIT {CASCADE_SHORTLIST}
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID})), 4) AS cosine_sim
+    FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sketch_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN cascade as ONE checked plan: the 8-byte sign
+    sketch (XOR+popcount — hamming_sign_topk's tier) prefilters to a
+    50-vector shortlist, and only the shortlist pays
+    exact float cosine. Both stages are deterministic (hamming and
+    similarity ties break on vec_id), so the composed result is
+    hash-checkable end to end — the property that lets a cascade be
+    validated stage-by-stage at 100 TB instead of trusted.
+
+    Scale shape: stage 1 scans masks only (8 B/vector — memory-tier),
+    TakeOrderedAndProject keeps the shortlist driver-free; stage 2's
+    semi-join touches only shortlist-many full vectors regardless of
+    corpus size. Recall vs exact top-10 is pinned in
+    tests/test_extensions.py (sketch tier ranks true neighbors high)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    mask_expr = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + "
+        "IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))")
+    m = emb.select("vec_id", mask_expr.alias("mask"))
+    qm = m.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("mask").alias("qmask"))
+    shortlist = (
+        m.crossJoin(F.broadcast(qm))
+        .select(
+            "vec_id",
+            F.bit_count(F.col("mask").bitwiseXOR(F.col("qmask")))
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(CASCADE_SHORTLIST)
+        .select("vec_id")
+    )
+    survivors = emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return cosine_topk(survivors, qv, vec_col="embedding",
+                       id_col="vec_id", k=10)

@@ -1165,3 +1165,64 @@ class TestThetaOverlap:
         )
         assert abs(got.inter - 10_000) / 10_000 <= 0.05, got.inter
         assert abs(got.uni - 50_000) / 50_000 <= 0.05, got.uni
+
+
+class TestServingTiers:
+    """Round-6 session-2 serving tiers: int8 search, matryoshka
+    prefix, and the sketch-then-rerank cascade."""
+
+    def test_int8_topk_agrees_with_exact(self, spark):
+        """Max-abs int8 keeps ~0.999 reconstruction cosine (pinned by
+        TestInt8Quantization), so the quantized top-10 must overlap
+        the exact float top-10 heavily and share its top-1 (the
+        query vector itself at similarity 1.0)."""
+        registry.load_all()
+        q8 = registry.QUERIES["int8_quantized_cosine_topk"](
+            spark, SF_DIR).collect()
+        exact = registry.QUERIES["cosine_topk_bruteforce"](
+            spark, SF_DIR).collect()
+        assert q8[0].vec_id == 0 and q8[0].cosine_q8 == 1.0
+        overlap = {r.vec_id for r in q8} & {r.vec_id for r in exact}
+        assert len(overlap) >= 8, sorted(overlap)
+        # integer audit column: self-dot is the squared int8 norm,
+        # strictly the largest dot in the list
+        assert q8[0].dot_q == max(r.dot_q for r in q8)
+
+    def test_matryoshka_prefix_is_exact_on_its_slice(self, spark):
+        """The 16-dim prefix tier must rank the query vector first at
+        exactly 1.0 with a properly descending similarity column.
+        NOTE the fixture limitation: these are RANDOM embeddings, so
+        a 16-dim prefix shares no signal with the full-width ranking
+        (prefix-vs-full cosine correlation ~ N(0, 1/16) noise) — the
+        recall-vs-full-width property only exists for MRL-trained
+        models and is deliberately NOT asserted here; what IS pinned
+        is that the tier computes exact cosine on its slice."""
+        registry.load_all()
+        pre = registry.QUERIES["matryoshka_prefix_topk"](
+            spark, SF_DIR).collect()
+        assert pre[0].vec_id == 0 and pre[0].cosine_sim == 1.0
+        sims = [r.cosine_sim for r in pre]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+    def test_cascade_recall_vs_exact(self, spark):
+        """With a 50-vector shortlist over the 500-vector fixture the
+        cascade must recover most of the exact top-10 (sign-sketch
+        Hamming correlates with cosine — TestHammingSignSketch — but
+        on RANDOM embeddings the correlation is noisy, so one true
+        neighbor occasionally escapes a 10% shortlist; perfect recall
+        is a trained-embedding property, not asserted). Every id the
+        cascade does return must carry the identical exact similarity
+        (stage 2 IS exact cosine) and the query vector ranks first."""
+        registry.load_all()
+        cas = registry.QUERIES["sketch_rerank_cascade"](
+            spark, SF_DIR).collect()
+        exact = registry.QUERIES["cosine_topk_bruteforce"](
+            spark, SF_DIR).collect()
+        assert cas[0].vec_id == 0 and cas[0].cosine_sim == 1.0
+        overlap = {r.vec_id for r in cas} & {r.vec_id for r in exact}
+        assert len(overlap) >= 7, sorted(overlap)
+        exact_sim = {r.vec_id: r.cosine_sim for r in exact}
+        for r in cas:
+            if r.vec_id in exact_sim:
+                assert r.cosine_sim == exact_sim[r.vec_id]
