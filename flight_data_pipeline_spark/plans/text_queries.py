@@ -2663,3 +2663,162 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Systematic PPS sampling: target sample size per source and the
+# deterministic frame order (doc_id).
+PPS_TARGET_PER_SOURCE = 10
+
+
+@query(
+    "systematic_pps_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+                   - n_chars AS cum_before,
+               SUM(n_chars) OVER (PARTITION BY source) AS total
+        FROM documents
+    ),
+    strided AS (
+        SELECT source, doc_id, n_chars, cum_before, total,
+               GREATEST(total // {PPS_TARGET_PER_SOURCE}, 1) AS stride
+        FROM w
+    ),
+    picked AS (
+        SELECT source, doc_id, n_chars
+        FROM strided
+        WHERE cum_before // stride
+              < (cum_before + n_chars) // stride
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)      AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT)  AS sampled_chars,
+           CAST(SUM(doc_id) AS BIGINT)   AS doc_id_checksum
+    FROM picked GROUP BY source ORDER BY source
+    """,
+)
+def systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling per
+    source: walk each source's documents in a fixed frame order,
+    accumulate size, and pick every document whose size interval
+    straddles a stride boundary — P(pick) ∝ n_chars with ~target
+    picks per source, ZERO randomness (the classic systematic PPS
+    estimator over an ordered frame). Where the temperature/top-p
+    samplers reweight randomly per epoch, this is the
+    auditable-and-reproducible tier: the sample is a pure function of
+    the corpus, so two runs — or two engines — agree bit-for-bit
+    (doc_id_checksum proves row-level identity, not just counts).
+
+    Oversized documents (n_chars ≥ stride) are ALWAYS picked —
+    exactly the certainty-inclusion rule textbook PPS prescribes for
+    units above the sampling interval. One window sort per source
+    partition, no self-join, summary-sized output; at 100 TB the
+    frame order is the storage order and the pass is a single scan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    wcum = (Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("source")
+    strided = docs.select(
+        "source", "doc_id", "n_chars",
+        (F.sum("n_chars").over(wcum) - F.col("n_chars"))
+        .alias("cum_before"),
+        F.greatest(
+            F.expr(f"sum(n_chars) over (partition by source) "
+                   f"div {PPS_TARGET_PER_SOURCE}"),
+            F.lit(1).cast("long")).alias("stride"),
+    )
+    picked = strided.where(
+        F.expr("cum_before div stride")
+        < F.expr("(cum_before + n_chars) div stride"))
+    return (
+        picked.groupBy("source")
+        .agg(F.count("*").alias("n_sampled"),
+             F.sum("n_chars").alias("sampled_chars"),
+             F.sum("doc_id").alias("doc_id_checksum"))
+        .orderBy("source")
+    )
+
+
+# Compaction planning: pack each source's documents into output bins
+# of ~TARGET chars, sequentially in frame order.
+COMPACT_TARGET_CHARS = 50_000
+
+
+@query(
+    "compaction_plan_stats",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+                   - n_chars AS cum_before
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, n_chars,
+               cum_before // {COMPACT_TARGET_CHARS} AS bin
+        FROM w
+    ),
+    bins AS (
+        SELECT source, bin,
+               CAST(COUNT(*) AS BIGINT)     AS n_files,
+               CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+        FROM binned GROUP BY source, bin
+    )
+    SELECT source,
+           CAST(SUM(n_files) AS BIGINT)  AS n_input_files,
+           CAST(COUNT(*) AS BIGINT)      AS n_output_bins,
+           CAST(MAX(bin_chars) AS BIGINT) AS largest_bin_chars,
+           CAST(MIN(bin_chars) AS BIGINT) AS smallest_bin_chars,
+           CAST(MAX(n_files) AS BIGINT)  AS max_files_per_bin
+    FROM bins GROUP BY source ORDER BY source
+    """,
+)
+def compaction_plan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the operational answer to the
+    problem that kills 100 TB tables in practice (millions of KB-size
+    files from streaming/per-partition writes): assign every input
+    file (here: document, sized by n_chars) to an output bin by
+    integer division of its cumulative offset, packing each source's
+    files sequentially into ~50 KB targets. The assignment is a pure
+    window-cumsum function — no driver loop, no greedy mutable state,
+    bit-identical on any engine — and the summary it returns (bins,
+    fill spread, worst fan-in) is what an autonomous compactor logs
+    before rewriting.
+
+    Frame-order packing keeps the plan ONE window sort per source; a
+    true bin-packing optimum is NP-hard and buys <2× over sequential
+    fill at file-count scale. The same expression drives the actual
+    rewrite: ``repartition(bin)`` + write, giving deterministic
+    output file sizes. Offset-based binning means every bin except
+    each source's last holds ≥ target chars (a file straddling the
+    boundary lands in the bin its first byte falls in)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    wcum = (Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = docs.select(
+        "source", "n_chars",
+        F.expr(f"(sum(n_chars) over (partition by source order by doc_id "
+               f"rows unbounded preceding) - n_chars) "
+               f"div {COMPACT_TARGET_CHARS}").alias("bin"),
+    )
+    bins = (
+        binned.groupBy("source", "bin")
+        .agg(F.count("*").alias("n_files"),
+             F.sum("n_chars").alias("bin_chars"))
+    )
+    return (
+        bins.groupBy("source")
+        .agg(F.sum("n_files").alias("n_input_files"),
+             F.count("*").alias("n_output_bins"),
+             F.max("bin_chars").alias("largest_bin_chars"),
+             F.min("bin_chars").alias("smallest_bin_chars"),
+             F.max("n_files").alias("max_files_per_bin"))
+        .orderBy("source")
+    )

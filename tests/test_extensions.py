@@ -1226,3 +1226,53 @@ class TestServingTiers:
         for r in cas:
             if r.vec_id in exact_sim:
                 assert r.cosine_sim == exact_sim[r.vec_id]
+
+
+class TestSystematicPps:
+    def test_pps_sample_properties(self, spark):
+        """Systematic PPS invariants on the fixture: (a) pick counts
+        land within ±1 of the per-source target except for
+        certainty-inclusion overshoot, (b) every document at least
+        one stride wide is ALWAYS picked (textbook certainty units),
+        (c) the sample is deterministic (two runs, identical
+        checksums)."""
+        registry.load_all()
+        rows = registry.QUERIES["systematic_pps_sample"](
+            spark, SF_DIR).collect()
+        assert len(rows) == 20
+        docs = load_table(spark, "documents", SF_DIR)
+        totals = {
+            r.source: r.t for r in
+            docs.groupBy("source").agg(
+                F.sum("n_chars").alias("t")).collect()
+        }
+        for r in rows:
+            stride = max(totals[r.source] // 10, 1)
+            n_certain = docs.where(
+                (F.col("source") == r.source)
+                & (F.col("n_chars") >= stride)).count()
+            assert r.n_sampled >= max(n_certain, 1)
+            assert r.n_sampled <= 10 + n_certain + 1
+        rerun = registry.QUERIES["systematic_pps_sample"](
+            spark, SF_DIR).collect()
+        assert [tuple(r) for r in rerun] == [tuple(r) for r in rows]
+
+    def test_compaction_bins_respect_target(self, spark):
+        """Offset-binned packing: every bin but each source's last
+        must hold at least the target (a straddling file tops the
+        bin past the boundary), and file counts must reconcile with
+        the corpus."""
+        registry.load_all()
+        rows = registry.QUERIES["compaction_plan_stats"](
+            spark, SF_DIR).collect()
+        docs_per_source = {
+            r.source: r.n for r in
+            load_table(spark, "documents", SF_DIR)
+            .groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for r in rows:
+            assert r.n_input_files == docs_per_source[r.source]
+            assert r.largest_bin_chars >= r.smallest_bin_chars
+            if r.n_output_bins > 1:
+                # all but the trailing bin must reach the 50k target
+                assert r.largest_bin_chars >= 50_000
