@@ -1161,3 +1161,113 @@ def reprocess_dead_letters(spark: SparkSession, dlq_dir: str,
     return {"recovered_rows": n,
             "recovered_files": len(recovered_files),
             "still_dead": still}
+
+
+def apply_join_ivm_delta(state_dir: str, batch_df: DataFrame,
+                         batch_id: int) -> bool:
+    """Incremental view maintenance of a two-sided JOIN aggregate —
+    the delta-join algebra (ΔF ⋈ D ∪ F ⋈ ΔD ∪ ΔF ⋈ ΔD) the streaming
+    tier was missing: both the fact side AND the dimension side
+    arrive incrementally on one CDC-style union feed, and the
+    materialized revenue-per-segment view stays equal to the full
+    join recomputed over everything seen so far, without ever
+    rescanning it.
+
+    This is the case the simpler maintenance shapes can't cover:
+    ``stream_rollup_upsert`` maintains a single-table aggregate, and
+    ``stream_enrich`` joins facts against the dim AS OF their batch —
+    a fact whose dimension row hasn't arrived yet is enriched NULL
+    forever. Here that late-arriving dimension is the ``F_old ⋈ ΔD``
+    term: when the dim row lands, every stored fact waiting on its
+    key joins at that moment and the view catches up exactly.
+
+    Feed schema (one stream, CDC topic-per-table collapsed with a
+    tag): ``side ('fact'|'dim'), k (join key), cents (fact payload,
+    NULL on dim rows), segment (dim payload, NULL on fact rows)``.
+    INSERT-only deltas with unique dim keys — segment UPDATEs would
+    need retraction rows (emit (-n, -cents) under the old segment,
+    (+) under the new); the marker/merge machinery below would carry
+    them unchanged, the feed just doesn't produce them.
+
+    State under ``state_dir``: ``facts/batch=<id>/`` and
+    ``dims/batch=<id>/`` side stores (overwrite per batch dir —
+    replay rewrites identical bytes; the three delta terms read only
+    PRIOR batch dirs, so a crash-then-replay never double-joins), and
+    ``view/`` — the (segment, n_orders, cents) aggregate under the
+    shared marker+swap+recovery discipline.
+
+    Scale: per trigger the three terms shuffle only ``|ΔF| + |ΔD| +
+    matched-prior rows`` on the join key (the stores are key-stored
+    relations any real deployment would bucket by k, making the
+    prior-side probes partition-local); the view merge is
+    summary-sized. The full-history F ⋈ D is never recomputed — that
+    is the point of IVM."""
+    import os
+
+    from flight_data_pipeline_spark.operators.relational import (
+        combine_partial_aggs,
+    )
+
+    view_root = os.path.join(state_dir, "view")
+    os.makedirs(view_root, exist_ok=True)
+    if _already_applied(view_root, batch_id):
+        return False
+
+    spark = batch_df.sparkSession
+    d_facts = (batch_df.where(F.col("side") == "fact")
+               .select("k", "cents"))
+    d_dims = (batch_df.where(F.col("side") == "dim")
+              .select("k", "segment"))
+
+    def prior(kind: str, cols: str) -> DataFrame:
+        root = os.path.join(state_dir, kind)
+        os.makedirs(root, exist_ok=True)
+        dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))
+                if d.startswith("batch=") and d != f"batch={batch_id}"]
+        if dirs:
+            return spark.read.parquet(*dirs)
+        return spark.createDataFrame([], cols)
+
+    f_old = prior("facts", "k long, cents long")
+    d_old = prior("dims", "k long, segment string")
+
+    delta_join = (
+        d_facts.join(d_old, "k")                  # ΔF ⋈ D_old
+        .unionByName(f_old.join(d_dims, "k"))     # F_old ⋈ ΔD
+        .unionByName(d_facts.join(d_dims, "k"))   # ΔF ⋈ ΔD
+    )
+    delta = (delta_join.groupBy("segment")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum("cents").alias("cents")))
+
+    d_facts.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "facts", f"batch={batch_id}"))
+    d_dims.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "dims", f"batch={batch_id}"))
+
+    data_dir = os.path.join(view_root, "data")
+    if os.path.exists(data_dir):
+        merged = combine_partial_aggs(
+            spark.read.parquet(data_dir), delta,
+            keys=("segment",), agg_cols=("n_orders", "cents"))
+    else:
+        merged = delta
+    _swap_in_state(view_root, batch_id, merged)
+    return True
+
+
+def stream_join_ivm(feed: DataFrame, state_dir: str,
+                    checkpoint_dir: str) -> StreamingQuery:
+    """Run incremental join-view maintenance over a CDC union feed
+    (see apply_join_ivm_delta). foreachBatch + checkpointed offsets +
+    batch-id idempotence: the maintained per-segment aggregate equals
+    a full recompute over every fact/dim row delivered so far, with
+    late-arriving dimension rows healing their waiting facts."""
+    return (
+        feed.writeStream
+        .foreachBatch(lambda df, bid: apply_join_ivm_delta(
+            state_dir, df, bid))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

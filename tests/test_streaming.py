@@ -1458,3 +1458,82 @@ def test_dead_letter_capture_and_reprocess(spark, tmp_path):
     assert sorted(r.timestamp.hour
                   for r in TelemetrySink(spark, tele).read().collect()
                   ) == [14, 16]
+
+
+def test_join_ivm_matches_recompute_with_late_dims(spark, tmp_path):
+    """Delta-join IVM: interleave fact and dim arrivals across three
+    batches — including facts whose dimension arrives ONE BATCH LATER
+    (the case stream_enrich leaves NULL forever) — and the maintained
+    per-segment view must equal a full join recompute after every
+    batch. A replayed batch id is a no-op."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_join_ivm_delta,
+        stream_join_ivm,
+    )
+
+    state = str(tmp_path / "ivm")
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def write_file(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def read_feed():
+        return spark.readStream.schema(
+            "side string, k long, cents long, segment string"
+        ).json(str(src))
+
+    def run():
+        stream_join_ivm(read_feed(), state,
+                        str(tmp_path / "ck")).awaitTermination(60)
+
+    def view():
+        return {
+            r.segment: (r.n_orders, r.cents)
+            for r in spark.read.parquet(state + "/view/data").collect()
+        }
+
+    def fact(k, cents):
+        return {"side": "fact", "k": k, "cents": cents, "segment": None}
+
+    def dim(k, segment):
+        return {"side": "dim", "k": k, "cents": None, "segment": segment}
+
+    # batch 0: dim 1 + facts on 1 (immediate join) and on 2 (dim
+    # arrives in batch 1 — the late-dim case)
+    write_file("b0.json",
+               [dim(1, "GOLD"), fact(1, 100), fact(1, 50), fact(2, 70)])
+    run()
+    assert view() == {"GOLD": (2, 150)}
+
+    # batch 1: dim 2 lands -> the stored fact on 2 heals; more facts
+    write_file("b1.json", [dim(2, "SILVER"), fact(2, 30), fact(1, 1)])
+    run()
+    assert view() == {"GOLD": (3, 151), "SILVER": (2, 100)}
+
+    # batch 2: both-new term (ΔF ⋈ ΔD) plus another late fact
+    write_file("b2.json", [dim(3, "GOLD"), fact(3, 9), fact(2, 11)])
+    run()
+    assert view() == {"GOLD": (4, 160), "SILVER": (3, 111)}
+
+    # replay of batch 0 must be skipped by the marker
+    replay = spark.createDataFrame(
+        [("fact", 1, 999, None)],
+        "side string, k long, cents long, segment string")
+    assert apply_join_ivm_delta(state, replay, 0) is False
+    assert view() == {"GOLD": (4, 160), "SILVER": (3, 111)}
+
+    # invariant: the view equals a full recompute over all rows seen
+    facts = spark.read.parquet(*[f"{state}/facts/batch={i}" for i in range(3)])
+    dims = spark.read.parquet(*[f"{state}/dims/batch={i}" for i in range(3)])
+    full = {
+        r.segment: (r.n_orders, r.cents)
+        for r in facts.join(dims, "k").groupBy("segment")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("cents").alias("cents")).collect()
+    }
+    assert full == view()
