@@ -109,6 +109,17 @@ HEADLINE = [
     "bloom_prefilter_decontamination",
     "distinct_token_sketches",
     "textrank_keyword_scores",
+    # round-6 session-2 additions: one tracked query per new plan
+    # family — the int8 integer-dot scan tier and the composed
+    # sketch→rerank cascade (matryoshka rides the cosine family),
+    # the mergeable-histogram quantile estimator, the full-outer
+    # CDC diff, and the window-cumsum PPS sampler (compaction and
+    # the seasonal backtest share its shape)
+    "int8_quantized_cosine_topk",
+    "sketch_rerank_cascade",
+    "quantile_histogram_estimates",
+    "snapshot_diff_summary",
+    "systematic_pps_sample",
 ]
 
 
