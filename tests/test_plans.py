@@ -451,3 +451,47 @@ def test_no_float_round_sum_in_oracles():
             if head != "CASE":   # integer CASE sums are exact
                 offenders.append((name, sql[m.start():m.start() + 70]))
     assert offenders == [], offenders
+
+
+def test_serving_tiers_plan_as_single_pass_topk(spark):
+    """The three r6s2 serving tiers must plan as one scan +
+    TakeOrderedAndProject (heap per partition, never a global sort)
+    with only broadcast exchanges for the 1-row query vector."""
+    for name in ("int8_quantized_cosine_topk", "matryoshka_prefix_topk"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # the cascade contains TWO TakeOrdered cuts (shortlist + rerank)
+    plan = plan_of(spark, "sketch_rerank_cascade")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_pps_and_compaction_are_single_window_passes(spark):
+    """The window-cumsum family must not self-join or globally sort:
+    one per-source window sort each, aggregates partial+final."""
+    for name in ("systematic_pps_sample", "compaction_plan_stats"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "partial" in plan.lower(), name
+
+
+def test_snapshot_diff_is_one_shuffle_join(spark):
+    """The CDC diff reads the orders scan twice (two version
+    predicates) and joins once on the key — no nested loop, no
+    broadcast of a fact-sized side."""
+    plan = plan_of(spark, "snapshot_diff_summary")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_histogram_shuffles_summary_not_data(spark):
+    """The mergeable-quantile plan must aggregate partial+final on
+    (type, bin) — the histogram — and only then window over ≤100-row
+    groups; the permille grid joins by broadcast."""
+    plan = plan_of(spark, "quantile_histogram_estimates")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
