@@ -4227,3 +4227,92 @@ def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("c2") - F.col("c1")).alias("delta_cents"))
         .orderBy("change_class")
     )
+
+
+# Join-size estimation: bucketized key histograms (the optimizer-
+# statistics shape), md5-bucketed so both engines build the identical
+# histogram.
+JCE_BUCKETS = 256
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle=f"""
+    WITH ha AS (
+        SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                   ::BIGINT % {JCE_BUCKETS} AS b,
+               CAST(COUNT(*) AS BIGINT) AS fa,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS da
+        FROM lineitem GROUP BY b
+    ),
+    hb AS (
+        SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   ::BIGINT % {JCE_BUCKETS} AS b,
+               CAST(COUNT(*) AS BIGINT) AS fb,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS db
+        FROM orders GROUP BY b
+    ),
+    est AS (
+        SELECT CAST(SUM((fa * fb) // GREATEST(da, db)) AS BIGINT)
+                   AS est_rows
+        FROM ha JOIN hb USING (b)
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT {JCE_BUCKETS} AS n_buckets,
+           est_rows, exact_rows,
+           (ABS(est_rows - exact_rows) * 1000) // exact_rows
+               AS abs_err_permille
+    FROM est CROSS JOIN exact
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Join-size estimation from bucketized key histograms — the
+    statistics a cost-based optimizer keeps, computed AS a query so
+    the estimator itself is hash-checkable: each side's keys hash
+    (md5, engine-identical) into 256 buckets carrying (row count,
+    distinct keys), and the classic per-bucket estimate
+    ``Σ fa·fb / max(da, db)`` lands beside the true join count with
+    its error in permille. On the fixture's FK join the estimate is
+    near-exact (uniform keys, max(da,db)=db dominates); skewed or
+    correlated keys widen it — which is exactly the signal a planner
+    reads from this summary before choosing broadcast vs shuffle.
+
+    Scale story: the histograms are 256-row summaries built in one
+    map-side-combined pass per side — the full join (computed here
+    only as the audit column) is precisely what the estimator lets a
+    100 TB planner AVOID running; integer floor division keeps every
+    digit engine-identical."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+
+    def hist(df: DataFrame, key: str, f: str, d: str) -> DataFrame:
+        b = (F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8),
+                    16, 10).cast("long") % JCE_BUCKETS)
+        return (df.groupBy(b.alias("b"))
+                .agg(F.count("*").alias(f),
+                     F.count_distinct(F.col(key)).alias(d)))
+
+    ha = hist(li, "l_orderkey", "fa", "da")
+    hb = hist(o, "o_orderkey", "fb", "db")
+    est = (
+        ha.join(hb, "b")
+        .agg(F.sum(F.expr("(fa * fb) div greatest(da, db)"))
+             .alias("est_rows"))
+    )
+    exact = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(F.count("*").alias("exact_rows"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(JCE_BUCKETS).alias("n_buckets"),
+            "est_rows", "exact_rows",
+            F.expr("(abs(est_rows - exact_rows) * 1000) div exact_rows")
+            .alias("abs_err_permille"),
+        )
+    )

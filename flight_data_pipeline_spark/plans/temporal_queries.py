@@ -1273,3 +1273,105 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ewma_control_chart",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, day
+    ),
+    idx AS (
+        SELECT event_type, day, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i
+        FROM daily
+    ),
+    scaled AS (
+        SELECT event_type, day, c, i,
+               SUM(CASE WHEN i = 1 THEN c
+                        ELSE c * (1::BIGINT << (i - 2)) END)
+                   OVER (PARTITION BY event_type ORDER BY i
+                         ROWS UNBOUNDED PRECEDING) AS s
+        FROM idx
+    ),
+    flagged AS (
+        SELECT event_type, day, c, i, s,
+               LAG(s) OVER (PARTITION BY event_type ORDER BY i)
+                   AS s_prev
+        FROM scaled
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN i > 1 AND
+                    5 * ABS(c * (1::BIGINT << (i - 2)) - s_prev)
+                        > s_prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_control,
+           ROUND(MAX(CASE WHEN i = (SELECT MAX(i) FROM flagged f2
+                                    WHERE f2.event_type = flagged.event_type)
+                          THEN s / POWER(2.0, i - 1) END) / 100.0, 4)
+               AS ewma_final
+    FROM flagged
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily value series, EXACT across
+    engines — the batch twin of the streaming ``ewma_fold`` state
+    operator, and a worked answer to "recursive smoothing can't be
+    hash-checked": with α = 1/2 the recursion
+    ``e_i = (c_i + e_{i-1})/2`` scales to pure integers,
+    ``S_i = e_i·2^{i-1} = S_{i-1} + c_i·2^{i-2}`` — a plain window
+    cumsum of shift-weighted cents — and the control test
+    ``|c_i − e_{i-1}| > 20%·e_{i-1}`` becomes the integer comparison
+    ``5·|c_i·2^{i-2} − S_{i-1}| > S_{i-1}``. The only float is the
+    final display: BIGINT→DOUBLE conversion (correctly rounded,
+    engine-identical — above 2^53 it may drop low bits but both
+    engines drop the SAME bits) then an exact power-of-two division.
+    Overflow headroom: 31 days ⇒ S < 2^30·daily-cents ≪ 2^63 even
+    at sf1.
+
+    Out-of-control days compare each observation against the PRIOR
+    day's smoothed level (the standard chart direction — the point
+    must not influence the limit it is tested against). Plan: one
+    daily aggregate, one window sort per type reused by
+    row_number/cumsum/lag, a 5-row output."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull())
+    daily = (
+        ev.groupBy("event_type",
+                   F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(to_units(F.col("value"), 2)).alias("c"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(wo))
+    wi = Window.partitionBy("event_type").orderBy("i")
+    scaled = idx.withColumn(
+        "s",
+        F.sum(F.expr("IF(i = 1, c, c * shiftleft(1L, i - 2))"))
+        .over(wi.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)))
+    flagged = scaled.withColumn("s_prev", F.lag("s").over(wi))
+    out_of_control = F.expr(
+        "IF(i > 1 AND 5 * abs(c * shiftleft(1L, i - 2) - s_prev)"
+        " > s_prev, 1, 0)")
+    wlast = Window.partitionBy("event_type")
+    last_ewma = F.when(
+        F.col("i") == F.max("i").over(wlast),
+        F.col("s") / F.pow(F.lit(2.0), F.col("i") - 1))
+    return (
+        flagged.withColumn("__last", last_ewma)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(out_of_control).alias("n_out_of_control"),
+            F.round(F.max("__last") / 100.0, 4).alias("ewma_final"),
+        )
+        .orderBy("event_type")
+    )
