@@ -2822,3 +2822,107 @@ def compaction_plan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("n_files").alias("max_files_per_bin"))
         .orderBy("source")
     )
+
+
+# Curriculum scheduling: stages per language, balanced by token mass.
+CURRICULUM_STAGES = 3
+
+
+@query(
+    "curriculum_schedule",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST((len(list_filter(string_split(text, ' '),
+                                     t -> t IN ({_SW}))) * 1000)
+                    // len(string_split(text, ' ')) AS BIGINT)
+                   AS ratio_pm
+        FROM documents
+    ),
+    ordered AS (
+        SELECT lang, doc_id, n_tok, ratio_pm,
+               SUM(n_tok) OVER (PARTITION BY lang
+                                ORDER BY ratio_pm, doc_id
+                                ROWS UNBOUNDED PRECEDING)
+                   - n_tok AS cum_before,
+               SUM(n_tok) OVER (PARTITION BY lang) AS total_tok
+        FROM scored
+    ),
+    staged AS (
+        SELECT lang, n_tok, ratio_pm,
+               LEAST((cum_before * {CURRICULUM_STAGES}) // total_tok,
+                     {CURRICULUM_STAGES} - 1) AS stage
+        FROM ordered
+    )
+    SELECT lang, stage,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)   AS stage_tokens,
+           ((2 * SUM(ratio_pm) + COUNT(*)) // (2 * COUNT(*)))
+               AS mean_ratio_pm,
+           CAST(MAX(ratio_pm) AS BIGINT) AS worst_ratio_pm
+    FROM staged
+    GROUP BY lang, stage
+    ORDER BY lang, stage
+    """,
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling: order each language's corpus from
+    cleanest to noisiest (stopword-density permille, doc_id
+    tie-break) and cut it into 3 stages of EQUAL TOKEN MASS by
+    integer division of the cumulative token offset — the
+    quality-curriculum every staged pretraining run needs (early
+    stages see clean text, late stages add the noisy tail), with the
+    stage boundary defined on the budget axis that matters (tokens),
+    not document counts. Composes with the deterministic epoch
+    shuffle: stage membership here, within-stage order there.
+
+    Everything rides integers (density permille by integer division,
+    stage id by cumulative-offset division, mean density by the
+    half-up render), so schedule and audit columns are
+    engine-identical. One window sort per language; the same
+    expression tags rows for the actual per-stage writer
+    (partitionBy(stage)) at any corpus size. Monotonicity
+    (stage 0 cleanest) is pinned in tests."""
+    from pyspark.sql import Window
+
+    from flight_data_pipeline_spark.operators.text import (
+        stopword_count,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "lang", "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.expr("cast((size(filter(split(text, ' '), "
+               f"t -> array_contains(array({_SW}), t))) * 1000) "
+               "div size(split(text, ' ')) as bigint)").alias("ratio_pm"),
+    )
+    wcum = (Window.partitionBy("lang").orderBy("ratio_pm", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("lang")
+    staged = (
+        scored
+        .withColumn("cum_before",
+                    F.sum("n_tok").over(wcum) - F.col("n_tok"))
+        .withColumn("total_tok", F.sum("n_tok").over(wall))
+        .select(
+            "lang", "n_tok", "ratio_pm",
+            F.least(
+                F.expr(f"(cum_before * {CURRICULUM_STAGES}) "
+                       f"div total_tok"),
+                F.lit(CURRICULUM_STAGES - 1).cast("long")).alias("stage"),
+        )
+    )
+    return (
+        staged.groupBy("lang", "stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("stage_tokens"),
+            F.expr("(2 * sum(ratio_pm) + count(*)) div (2 * count(*))")
+            .alias("mean_ratio_pm"),
+            F.max("ratio_pm").alias("worst_ratio_pm"),
+        )
+        .orderBy("lang", "stage")
+    )

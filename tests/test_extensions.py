@@ -1276,3 +1276,30 @@ class TestSystematicPps:
             if r.n_output_bins > 1:
                 # all but the trailing bin must reach the 50k target
                 assert r.largest_bin_chars >= 50_000
+
+
+class TestCurriculumSchedule:
+    def test_stage_monotonicity_and_budget_balance(self, spark):
+        """Stage 0 must be cleanest (mean stopword density
+        non-decreasing across stages within a language) and the
+        token-mass split must be balanced: every stage within ±1
+        max-doc of a third of its language's tokens."""
+        registry.load_all()
+        rows = registry.QUERIES["curriculum_schedule"](
+            spark, SF_DIR).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        assert len(by_lang) == 5
+        max_tok = (load_table(spark, "documents", SF_DIR)
+                   .select(F.size(F.split("text", " ")).alias("t"))
+                   .agg(F.max("t")).first()[0])
+        for lang, rs in by_lang.items():
+            rs.sort(key=lambda r: r.stage)
+            assert [r.stage for r in rs] == [0, 1, 2]
+            means = [r.mean_ratio_pm for r in rs]
+            assert means == sorted(means), (lang, means)
+            total = sum(r.stage_tokens for r in rs)
+            for r in rs:
+                assert abs(r.stage_tokens - total / 3) <= max_tok, (
+                    lang, r.stage, r.stage_tokens, total)
