@@ -2926,3 +2926,100 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "stage")
     )
+
+
+# AMS (Alon–Matias–Szegedy) second-moment sketch: 16 ±1-hash
+# estimators averaged; signs from md5 so both engines build the
+# identical sketch.
+AMS_SKETCHES = 16
+
+
+@query(
+    "ams_second_moment",
+    oracle=f"""
+    WITH freq AS (
+        SELECT lang, t AS token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY lang, t
+    ),
+    exact AS (
+        SELECT lang, CAST(SUM(f * f) AS BIGINT) AS exact_f2
+        FROM freq GROUP BY lang
+    ),
+    sketches AS (
+        SELECT lang, s,
+               CAST(SUM((1 - 2 * (('0x' || substr(md5(token || '#'
+                                   || CAST(s AS VARCHAR)), 1, 8))
+                                  ::BIGINT % 2)) * f) AS BIGINT) AS x
+        FROM freq CROSS JOIN (SELECT unnest(range({AMS_SKETCHES})) AS s)
+        GROUP BY lang, s
+    ),
+    est AS (
+        SELECT lang,
+               (2 * SUM(x * x) + {AMS_SKETCHES})
+                   // (2 * {AMS_SKETCHES}) AS est_f2
+        FROM sketches GROUP BY lang
+    )
+    SELECT e.lang, x.exact_f2, e.est_f2,
+           (ABS(e.est_f2 - x.exact_f2) * 1000) // x.exact_f2
+               AS abs_err_permille
+    FROM est e JOIN exact x ON e.lang = x.lang
+    ORDER BY e.lang
+    """,
+)
+def ams_second_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch per language — the classic
+    tug-of-war estimator, completing the frequency-moment tier
+    beside F0 (HLL/KMV distinct) and the point queries (Count-Min):
+    16 independent ±1 hash projections of the token-frequency
+    vector, each squared, averaged. F2 = Σ f_t² IS the token
+    self-join size, so this is the sketch a planner consults before
+    a frequency-weighted self-join (the quadratic blowup detector) —
+    the exact column rides beside it with the error in permille.
+
+    Engine-identical end to end: signs come from md5 parity, the
+    projections are integer sums, the average renders half-up on the
+    integer grid. Scale: one (lang, token) aggregate (the same
+    shuffle a vocabulary pass already pays), then 16 summary-sized
+    fold rows per language — state per group is 16 integers
+    regardless of vocabulary, and sketches of disjoint corpus shards
+    ADD (merge = vector sum), the mergeability that makes this a
+    streaming/partitioned estimator."""
+    docs = load_table(spark, "documents", sf_dir)
+    freq = (
+        docs.select("lang",
+                    F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("f"))
+    )
+    grid = spark.range(AMS_SKETCHES).select(
+        F.col("id").cast("int").alias("s"))
+    sign = (1 - 2 * (F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("token"),
+                              F.col("s").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2))
+    sketches = (
+        freq.crossJoin(F.broadcast(grid))
+        .groupBy("lang", "s")
+        .agg(F.sum(sign * F.col("f")).alias("x"))
+    )
+    est = (
+        sketches.groupBy("lang")
+        .agg(F.expr(f"(2 * sum(x * x) + {AMS_SKETCHES}) "
+                    f"div (2 * {AMS_SKETCHES})").alias("est_f2"))
+    )
+    exact = (
+        freq.groupBy("lang")
+        .agg(F.sum(F.col("f") * F.col("f")).alias("exact_f2"))
+    )
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang", "exact_f2", "est_f2",
+            F.expr("(abs(est_f2 - exact_f2) * 1000) div exact_f2")
+            .alias("abs_err_permille"),
+        )
+        .orderBy("lang")
+    )
