@@ -4316,3 +4316,188 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str
             .alias("abs_err_permille"),
         )
     )
+
+
+@query(
+    "expectations_audit",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT)
+                   AS key_nulls,
+               CAST(COUNT(o_orderkey)
+                    - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS key_dups,
+               CAST(SUM(CASE WHEN o_totalprice <= 0
+                             OR o_totalprice >= 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS price_oob,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS status_bad,
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT)
+                   AS date_nulls
+        FROM orders
+    ),
+    fk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS fk_orphans
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT chk AS check_name, n_rows AS n_checked, v AS n_violations,
+           v = 0 AS passed
+    FROM (
+        SELECT 'key_not_null' AS chk, n_rows, key_nulls AS v
+        FROM agg
+        UNION ALL SELECT 'key_unique', n_rows, key_dups FROM agg
+        UNION ALL SELECT 'price_in_range', n_rows, price_oob FROM agg
+        UNION ALL SELECT 'status_in_domain', n_rows, status_bad FROM agg
+        UNION ALL SELECT 'date_not_null', n_rows, date_nulls FROM agg
+        UNION ALL SELECT 'custkey_fk', (SELECT n_rows FROM agg),
+                         fk_orphans FROM fk
+    )
+    ORDER BY check_name
+    """,
+)
+def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-expectations audit over the orders table —
+    the dbt-test / Great-Expectations gate as ONE query: not-null,
+    uniqueness, range, domain, and referential integrity evaluated
+    together and reported as (check, checked, violations, passed)
+    rows, flag-don't-drop like the reference's own P7-P10 validators
+    (etl_job.py:55-83) but generalized to the contract shape a
+    warehouse enforces on EVERY table.
+
+    Plan discipline: the five column checks fold into ONE map-side
+    aggregate over a single scan (counters, not row copies —
+    uniqueness via count−count_distinct); only the FK check pays a
+    join, and it is a broadcast-dim anti-join semantically identical
+    to `customers_without_orders`' shape. The counter struct then
+    explodes into the report rows driver-free. At 100 TB the audit
+    costs one scan + one semi-join — cheap enough to gate every
+    load, which is the point."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_orderkey")).alias("key_nulls"),
+        (F.count("o_orderkey") - F.count_distinct("o_orderkey"))
+        .alias("key_dups"),
+        F.sum(F.when((F.col("o_totalprice") <= 0)
+                     | (F.col("o_totalprice") >= 1_000_000), 1)
+              .otherwise(0)).alias("price_oob"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+              .otherwise(0)).alias("status_bad"),
+        (F.count("*") - F.count("o_orderdate")).alias("date_nulls"),
+    )
+    orphans = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("fk_orphans"))
+    )
+    stacked = (
+        agg.crossJoin(F.broadcast(orphans))
+        .select(F.expr(
+            "explode(array("
+            "named_struct('check_name', 'key_not_null',"
+            "  'n_checked', n_rows, 'n_violations', key_nulls),"
+            "named_struct('check_name', 'key_unique',"
+            "  'n_checked', n_rows, 'n_violations', key_dups),"
+            "named_struct('check_name', 'price_in_range',"
+            "  'n_checked', n_rows, 'n_violations', price_oob),"
+            "named_struct('check_name', 'status_in_domain',"
+            "  'n_checked', n_rows, 'n_violations', status_bad),"
+            "named_struct('check_name', 'date_not_null',"
+            "  'n_checked', n_rows, 'n_violations', date_nulls),"
+            "named_struct('check_name', 'custkey_fk',"
+            "  'n_checked', n_rows, 'n_violations', fk_orphans)"
+            ")) AS r"))
+    )
+    return (
+        stacked.select(
+            F.col("r.check_name").alias("check_name"),
+            F.col("r.n_checked").alias("n_checked"),
+            F.col("r.n_violations").alias("n_violations"),
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+
+
+BFS_SOURCE_PART = 1  # pinned BFS origin (exists at every fixture sf)
+
+
+@query(
+    "copurchase_graph_levels",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    l1 AS (
+        SELECT DISTINCT b.p
+        FROM items a JOIN items b ON a.o = b.o
+        WHERE a.p = {BFS_SOURCE_PART} AND b.p <> {BFS_SOURCE_PART}
+    ),
+    l2 AS (
+        SELECT DISTINCT b.p
+        FROM l1 JOIN items a ON a.p = l1.p
+                JOIN items b ON a.o = b.o
+        WHERE b.p <> {BFS_SOURCE_PART}
+          AND b.p NOT IN (SELECT p FROM l1)
+    ),
+    lvl AS (
+        SELECT 1 AS level, p FROM l1
+        UNION ALL SELECT 2, p FROM l2
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p) AS BIGINT)   AS min_partkey,
+           CAST(SUM(p) AS BIGINT)   AS partkey_checksum
+    FROM lvl GROUP BY level ORDER BY level
+    """,
+)
+def copurchase_graph_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop BFS over the co-purchase graph (parts adjacent when
+    they appear in the same order), expanded frontier-by-frontier as
+    joins with anti-join exclusion of visited nodes — the
+    bounded-depth graph traversal pattern that sits between the
+    engine's two other graph tools: connected_components (unbounded,
+    global, iterative collapse) and the recursive CTE probe
+    (closed-form walk). Level 1 = parts co-purchased with the pinned
+    part; level 2 = parts co-purchased with THOSE, minus everything
+    already reached. The checksum column pins exact frontier
+    MEMBERSHIP, not just counts.
+
+    Plan: the order–part incidence list is built once (distinct over
+    the lineitem scan) and reused by every hop; each hop joins
+    frontier → orders → parts on equi-keys plus a left-anti visited
+    filter, so per-hop work is bounded by frontier size × basket
+    width (the part_basket_lift bound), never a cartesian expansion
+    — how d-hop neighborhoods are computed at 100 TB, with deeper
+    fixed-depth walks repeating the same join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(F.col("l_orderkey").alias("o"),
+                      F.col("l_partkey").alias("p")).distinct()
+    src = items.where(F.col("p") == BFS_SOURCE_PART)
+    l1 = (
+        items.join(src.select("o"), "o")
+        .where(F.col("p") != BFS_SOURCE_PART)
+        .select("p").distinct()
+    )
+    l1_orders = items.join(l1, "p").select("o").distinct()
+    l2 = (
+        items.join(l1_orders, "o")
+        .where(F.col("p") != BFS_SOURCE_PART)
+        .join(l1, "p", "left_anti")
+        .select("p").distinct()
+    )
+    lvl = (
+        l1.select(F.lit(1).alias("level"), "p")
+        .unionByName(l2.select(F.lit(2).alias("level"), "p"))
+    )
+    return (
+        lvl.groupBy("level")
+        .agg(F.count("*").alias("n_parts"),
+             F.min("p").alias("min_partkey"),
+             F.sum("p").alias("partkey_checksum"))
+        .orderBy("level")
+    )
