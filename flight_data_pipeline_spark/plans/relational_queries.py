@@ -4501,3 +4501,106 @@ def copurchase_graph_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("p").alias("partkey_checksum"))
         .orderBy("level")
     )
+
+
+@query(
+    "ab_test_conversion_ztest",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS variant,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             AND value > 480
+                        THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 0 THEN converted
+                        ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 1 THEN converted
+                        ELSE 0 END) AS BIGINT) AS conv_b
+        FROM users
+    ),
+    stat AS (
+        SELECT n_a, conv_a, n_b, conv_b,
+               ROUND((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                     / NULLIF(SQRT(
+                         ((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                         * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z_score
+        FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b, z_score,
+           COALESCE(ABS(z_score) > 1.96, FALSE) AS significant
+    FROM stat
+    """,
+)
+def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Two-proportion z-test on conversion between hash-assigned
+    experiment arms — the experiment-analysis readout every product
+    pipeline runs: users split A/B by md5 parity (the deterministic,
+    engine-identical assignment a real experiment service uses so a
+    user re-bucketizes stably), converted = any HIGH-VALUE purchase
+    (>480 — plain "any purchase" saturates to rate 1.0 on this
+    fixture, making the pooled variance 0), and the pooled-variance
+    z statistic lands beside the raw counts. On the unperturbed
+    fixture the arms are exchangeable, so |z| stays small and
+    `significant` is FALSE — the null behaving as a null, which is
+    itself the property worth pinning (a biased assignment hash
+    would show up right here). NULLIF guards the degenerate
+    all-or-nothing variance (ANSI double division by zero is an
+    ERROR, not Inf — z goes NULL, significant FALSE, the job never
+    dies on a saturated metric).
+
+    Float discipline: the only non-integers are ratios of exact
+    counts pushed through one identical expression tree (divisions,
+    multiply, sqrt — each IEEE correctly-rounded, no SUM
+    re-association anywhere), rounded to 4 before the significance
+    comparison on BOTH engines. Plan: one user-grain aggregate (the
+    per-user conversion flag), one 4-counter fold, zero joins."""
+    ev = load_table(spark, "events", sf_dir)
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.when((F.col("event_type") == "purchase")
+                          & (F.col("value") > 480), 1)
+                   .otherwise(0)).alias("converted"))
+        .select(
+            (F.conv(F.substring(
+                F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10).cast("long") % 2).alias("variant"),
+            "converted")
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))
+              .otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))
+              .otherwise(0)).alias("conv_b"),
+    )
+    pooled = ((F.col("conv_a") + F.col("conv_b")) * 1.0
+              / (F.col("n_a") + F.col("n_b")))
+    z = F.round(
+        (F.col("conv_a") * 1.0 / F.col("n_a")
+         - F.col("conv_b") * 1.0 / F.col("n_b"))
+        / F.nullif(
+            F.sqrt(pooled * (1 - pooled)
+                   * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+            F.lit(0.0)), 4)
+    return (
+        arms.select("n_a", "conv_a", "n_b", "conv_b",
+                    z.alias("z_score"))
+        .select(
+            "n_a", "conv_a", "n_b", "conv_b", "z_score",
+            F.coalesce(F.abs(F.col("z_score")) > 1.96, F.lit(False))
+            .alias("significant"),
+        )
+    )

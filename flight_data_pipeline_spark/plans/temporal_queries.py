@@ -1375,3 +1375,127 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "hourly_linear_interpolation",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM events
+        WHERE event_type = 'purchase' AND value > {GAPFILL_MIN_VALUE}
+        GROUP BY hour
+    ),
+    joined AS (
+        SELECT s.hour, a.c,
+               SUM(CASE WHEN a.c IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (ORDER BY s.hour
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM spine s LEFT JOIN agg a ON s.hour = a.hour
+    ),
+    walls AS (
+        SELECT hour, c, grp,
+               MAX(c) OVER (PARTITION BY grp) AS prev_c,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hour) - 1
+                   AS k,
+               COUNT(*) OVER (PARTITION BY grp) AS gap1
+        FROM joined
+    ),
+    nexts AS (
+        SELECT hour, c, prev_c, k, gap1,
+               MAX(next_anchor) OVER (ORDER BY hour DESC
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS next_c
+        FROM (SELECT *,
+                     CASE WHEN c IS NOT NULL THEN c END AS next_anchor
+              FROM walls)
+    )
+    SELECT STRFTIME(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           c IS NOT NULL AS observed,
+           CASE
+             WHEN c IS NOT NULL THEN c
+             WHEN prev_c IS NULL THEN next_c
+             WHEN next_c IS NULL THEN prev_c
+             ELSE (2 * (prev_c * (gap1 - k) + next_c * k) + gap1)
+                  // (2 * gap1)
+           END AS value_cents
+    FROM nexts ORDER BY hour
+    """,
+)
+def hourly_linear_interpolation(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Linear-interpolation gap fill — the complement of
+    hourly_gap_fill's forward fill: a missing hour takes the value on
+    the straight line between its two surrounding observations
+    (edges clamp to the nearest anchor), which is what
+    sensor/financial resampling wants when the series is a LEVEL,
+    not a flow. Exact across engines: anchors are integer cent sums,
+    and the interpolation ``prev + (next−prev)·k/gap`` renders
+    half-up as one integer division (k = offset in the gap, counted
+    by a run-id window; gap = the run's length to the next anchor).
+
+    Plan: the dense spine left-joins the sparse series (the
+    hourly_gap_fill shape), then THREE window passes over the
+    spine-sized frame — run-id cumsum, per-run offset/anchor, and a
+    reversed running MAX for the next anchor — no self-join, no
+    explode; spine length bounds every intermediate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    agg = (
+        ev.where((F.col("event_type") == "purchase")
+                 & (F.col("value") > GAPFILL_MIN_VALUE))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.sum(to_units(F.col("value"), 2)).alias("c"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(
+            F.col("lo"), F.col("hi"),
+            F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    joined = spine.join(agg, "hour", "left")
+    wfwd = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wbwd = Window.orderBy(F.desc("hour")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    withgrp = joined.withColumn(
+        "grp", F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+        .over(wfwd))
+    wgrp = Window.partitionBy("grp")
+    wgrpo = Window.partitionBy("grp").orderBy("hour")
+    walls = (
+        withgrp
+        .withColumn("prev_c", F.max("c").over(wgrp))
+        .withColumn("k", F.row_number().over(wgrpo) - 1)
+        .withColumn("gap1", F.count("*").over(wgrp))
+        .withColumn("next_c",
+                    F.max(F.when(F.col("c").isNotNull(), F.col("c")))
+                    .over(wbwd))
+    )
+    interp = F.expr(
+        "CASE WHEN c IS NOT NULL THEN c "
+        "WHEN prev_c IS NULL THEN next_c "
+        "WHEN next_c IS NULL THEN prev_c "
+        "ELSE (2 * (prev_c * (gap1 - k) + next_c * k) + gap1) "
+        "div (2 * gap1) END")
+    return (
+        walls.select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("c").isNotNull().alias("observed"),
+            interp.alias("value_cents"),
+        )
+        .orderBy("hour")
+    )
