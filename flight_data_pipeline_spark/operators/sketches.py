@@ -350,3 +350,51 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, item_col: str,
         .agg((F.sum(F.coalesce(F.col("__set"), F.lit(0))) == depth)
              .alias("bloom_hit"))
     )
+
+
+def quantiles_from_histogram(hist: DataFrame, group_cols: list[str],
+                             bin_width: int, permilles: list[int],
+                             max_bin: int | None = None) -> DataFrame:
+    """Rank queries answered from a SUM-mergeable integer histogram —
+    the reusable half of the `quantile_histogram_estimates` checked
+    query, factored out so every histogram producer (the batch
+    aggregate, `streaming_value_histogram`'s maintained state, a
+    union of per-shard partials) serves quantiles through ONE
+    implementation.
+
+    ``hist`` carries (group_cols..., bin, n) where bin = unit-value
+    div ``bin_width`` (clamping, if any, happened at build time).
+    For each permille p: target rank = ceil(p·total/1000), the
+    crossing bin is located on the cumulative counts, and the
+    estimate interpolates INSIDE the bin with pure integer division
+    — engine-identical, association-free, exactly the discipline of
+    the checked query. Returns (group_cols..., permille, n_values,
+    est_units). Estimate error ≤ bin_width per query; the histogram
+    is the only state, so partials from disjoint shards merge by
+    summing n per (group, bin) — the property the mergeability test
+    pins."""
+    spark = hist.sparkSession
+    gp = [F.col(c) for c in group_cols]
+    wcum = (Window.partitionBy(*group_cols).orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *gp, "bin", "n",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in permilles])).alias("p"))
+    need = F.expr("(p * total + 999) div 1000")
+    return (
+        cum.crossJoin(F.broadcast(grid))
+        .where((F.col("c") >= need) & (F.col("c") - F.col("n") < need))
+        .groupBy(*group_cols, F.col("p").alias("permille"))
+        .agg(
+            F.min("total").alias("n_values"),
+            (F.min("bin") * bin_width
+             + F.expr(f"({bin_width} * ((permille * min(total) + 999) "
+                      f"div 1000 - (min(c) - min(n)))) div min(n)"))
+            .alias("est_units"),
+        )
+    )

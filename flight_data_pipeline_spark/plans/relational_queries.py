@@ -4092,6 +4092,10 @@ def quantile_histogram_estimates(spark: SparkSession, sf_dir: str
     (type, bin), two window passes over ≤ 100-row groups, a 3-row
     broadcast permille grid — the shuffle carries the histogram, not
     the data."""
+    from flight_data_pipeline_spark.operators.sketches import (
+        quantiles_from_histogram,
+    )
+
     ev = load_table(spark, "events", sf_dir).where(
         F.col("value").isNotNull())
     h = (
@@ -4101,29 +4105,12 @@ def quantile_histogram_estimates(spark: SparkSession, sf_dir: str
                    f"div {QH_BIN_CENTS}, {QH_MAX_BIN}L)").alias("bin"))
         .agg(F.count("*").alias("n"))
     )
-    from pyspark.sql import Window
-
-    wcum = (Window.partitionBy("event_type").orderBy("bin")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wall = Window.partitionBy("event_type")
-    cum = h.select(
-        "event_type", "bin", "n",
-        F.sum("n").over(wcum).alias("c"),
-        F.sum("n").over(wall).alias("total"),
-    )
-    grid = spark.range(1).select(
-        F.explode(F.array(*[F.lit(p) for p in QH_PERMILLES])).alias("p"))
-    need = F.expr("(p * total + 999) div 1000")
+    q = quantiles_from_histogram(
+        h, ["event_type"], QH_BIN_CENTS, list(QH_PERMILLES))
     return (
-        cum.crossJoin(F.broadcast(grid))
-        .where((F.col("c") >= need) & (F.col("c") - F.col("n") < need))
-        .groupBy("event_type", F.col("p").alias("permille"))
-        .agg(
-            F.min("total").alias("n_values"),
-            ((F.min("bin") * QH_BIN_CENTS
-              + F.expr(f"({QH_BIN_CENTS} * ((permille * min(total) + 999) "
-                       f"div 1000 - (min(c) - min(n)))) div min(n)"))
-             / 100.0).alias("est_value"),
+        q.select(
+            "event_type", "permille", "n_values",
+            (F.col("est_units") / 100.0).alias("est_value"),
         )
         .orderBy("event_type", "permille")
     )

@@ -1303,3 +1303,42 @@ class TestCurriculumSchedule:
             for r in rs:
                 assert abs(r.stage_tokens - total / 3) <= max_tok, (
                     lang, r.stage, r.stage_tokens, total)
+
+
+class TestHistogramQuantileMergeability:
+    def test_sharded_partials_merge_to_same_quantiles(self, spark):
+        """THE mergeable-sketch property, pinned concretely: build the
+        (type, bin) histogram independently on three disjoint shards
+        of events, SUM-merge the partials, and the quantiles served
+        from the merged histogram must equal the ones served from the
+        single-pass histogram — bin counts are the whole state, so a
+        streaming maintainer or per-shard map-side partial loses
+        nothing."""
+        from flight_data_pipeline_spark.operators.sketches import (
+            quantiles_from_histogram,
+        )
+
+        ev = load_table(spark, "events", SF_DIR).where(
+            F.col("value").isNotNull())
+        bin_expr = F.expr(
+            "least(cast(floor(value * 100 + 0.5) as bigint) div 500, 99L)")
+
+        def hist(df):
+            return (df.groupBy("event_type", bin_expr.alias("bin"))
+                    .agg(F.count("*").alias("n")))
+
+        direct = hist(ev)
+        shards = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+        merged = (
+            hist(shards[0]).unionByName(hist(shards[1]))
+            .unionByName(hist(shards[2]))
+            .groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
+        )
+        ps = [500, 950, 990]
+        a = {(r.event_type, r.permille): (r.n_values, r.est_units)
+             for r in quantiles_from_histogram(
+                 direct, ["event_type"], 500, ps).collect()}
+        b = {(r.event_type, r.permille): (r.n_values, r.est_units)
+             for r in quantiles_from_histogram(
+                 merged, ["event_type"], 500, ps).collect()}
+        assert a == b and len(a) == 15
