@@ -1537,3 +1537,41 @@ def test_join_ivm_matches_recompute_with_late_dims(spark, tmp_path):
              F.sum("cents").alias("cents")).collect()
     }
     assert full == view()
+
+
+def test_join_ivm_crash_between_side_write_and_view_swap(spark, tmp_path):
+    """The IVM-specific crash window: side stores for batch N are
+    written but the view swap never happened. On replay the delta
+    terms read only PRIOR batch dirs (the current batch's dirs are
+    excluded by name), so the rewritten side dirs are identical and
+    the view folds batch N exactly once."""
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_join_ivm_delta,
+    )
+
+    state = str(tmp_path / "ivm")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "side string, k long, cents long, segment string")
+
+    b0 = batch([("dim", 1, None, "GOLD"), ("fact", 1, 100, None)])
+    assert apply_join_ivm_delta(state, b0, 0) is True
+
+    # simulate the crash: batch 1's side dirs land, view untouched
+    b1 = batch([("fact", 1, 50, None), ("dim", 2, None, "SILVER"),
+                ("fact", 2, 30, None)])
+    b1.where("side = 'fact'").select("k", "cents").write.mode(
+        "overwrite").parquet(f"{state}/facts/batch=1")
+    b1.where("side = 'dim'").select("k", "segment").write.mode(
+        "overwrite").parquet(f"{state}/dims/batch=1")
+
+    # replay of batch 1 through the normal path must apply ONCE
+    assert apply_join_ivm_delta(state, b1, 1) is True
+    view = {
+        r.segment: (r.n_orders, r.cents)
+        for r in spark.read.parquet(state + "/view/data").collect()
+    }
+    assert view == {"GOLD": (2, 150), "SILVER": (1, 30)}
+    # and a second replay is a no-op
+    assert apply_join_ivm_delta(state, b1, 1) is False
