@@ -4163,11 +4163,13 @@ DIFF_DELETE_MOD = 13    # orders with key % 13 == 0 vanish from v2
     """,
 )
 def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff — the CDC/reconciliation operator every
-    incremental pipeline needs: given two published versions of a
-    keyed table, classify every key as added / removed / changed /
-    unchanged and account for the value drift, in ONE full-outer
-    join. 'Changed' compares the full row payload (status + exact
+    """Snapshot diff RECONCILIATION — the accounting complement of
+    `operators/relational.snapshot_diff` (which derives the
+    row-level insert/update/delete CDC feed, proven by
+    `events_snapshot_diff`'s diff∘merge round trip): this one keeps
+    the unchanged class and BOTH sides' values, classifying every
+    key as added / removed / changed / unchanged and accounting for
+    the exact money drift, in ONE full-outer join. 'Changed' compares the full row payload (status + exact
     cents), so silent repricings surface even when the key set is
     identical; the signed delta column reconciles the books between
     versions.
@@ -4352,7 +4354,10 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     together and reported as (check, checked, violations, passed)
     rows, flag-don't-drop like the reference's own P7-P10 validators
     (etl_job.py:55-83) but generalized to the contract shape a
-    warehouse enforces on EVERY table.
+    warehouse enforces on EVERY table. Sibling of
+    `referential_integrity_audit`, which fans the FK check alone
+    across every edge of the star schema; here one edge rides as one
+    check among the table's full contract.
 
     Plan discipline: the five column checks fold into ONE map-side
     aggregate over a single scan (counters, not row copies —
