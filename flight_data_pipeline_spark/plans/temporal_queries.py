@@ -1499,3 +1499,152 @@ def hourly_linear_interpolation(spark: SparkSession, sf_dir: str
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           (n * 1000) // SUM(n) OVER (PARTITION BY from_type)
+               AS p_permille
+    FROM pairs ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the user journey —
+    the user-flow staple between the funnel (fixed path) and
+    MATCH_RECOGNIZE (regex paths): every within-user adjacent event
+    pair counted into a from×to matrix with row-normalized
+    probabilities in integer permille. Ties on the timestamp break
+    on event_id (the driver-determinism rule), so the pair stream —
+    and therefore the matrix — is engine-identical.
+
+    Plan: one per-user window sort (shared with the sessionize
+    family), one |types|² aggregate, and a window over the 25-row
+    matrix for row totals — the shuffle carries the matrix, not the
+    events. At 100 TB the same plan yields per-cohort matrices by
+    adding the cohort key to both the partition and the group."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"),
+                 F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("__total", F.sum("n").over(wrow))
+        .select(
+            "from_type", "to_type", "n",
+            F.expr("(n * 1000) div __total").alias("p_permille"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "points_balance_floor_zero",
+    oracle="""
+    WITH ledger AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 10
+               END AS delta_c
+        FROM events WHERE value IS NOT NULL
+    ),
+    prefix AS (
+        SELECT user_id, ts, event_id, delta_c,
+               SUM(delta_c) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS p
+        FROM ledger
+    ),
+    pre AS (
+        SELECT user_id, delta_c, p,
+               MIN(p) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_min
+        FROM prefix
+    ),
+    bal AS (
+        SELECT user_id, delta_c,
+               p - LEAST(run_min, 0) AS s
+        FROM pre
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_entries,
+           CAST(SUM(CASE WHEN delta_c > 0 THEN delta_c ELSE 0 END)
+                AS BIGINT)           AS earned_c,
+           CAST(SUM(CASE WHEN delta_c < 0 THEN -delta_c ELSE 0 END)
+                AS BIGINT)           AS attempted_spend_c,
+           CAST(MAX(s) AS BIGINT)    AS peak_balance_c
+    FROM bal GROUP BY user_id
+    ORDER BY user_id LIMIT 20
+    """,
+)
+def points_balance_floor_zero(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Floor-at-zero running balance — the Lindley recursion
+    ``s_i = max(0, s_{i-1} + x_i)`` that models any clamped
+    accumulator (loyalty points where overspend forfeits, inventory
+    that can't go negative, battery charge), which LOOKS like it
+    needs per-row iteration but has the exact closed form
+    ``s_i = P_i − min(0, min_{k≤i} P_k)`` over plain prefix sums —
+    two stacked window passes on one sort, fully parallel, no
+    recursion. Deltas: non-purchase events earn value/10 in cents,
+    purchases attempt to spend their value; everything integer so
+    the clamp comparison is exact.
+
+    Per-user summary (first 20 users): entries, earned, attempted
+    spend, and the peak clamped balance. The recursion-free identity
+    is the point — the same trick that turns "capped cumulative
+    sums" from an iterative UDF into codegen'd windows at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    ledger = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", -cents)
+        .otherwise(F.expr(
+            "cast(floor(value * 100 + 0.5) as bigint) div 10"))
+        .alias("delta_c"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = ledger.withColumn("p", F.sum("delta_c").over(w)).withColumn(
+        "run_min", F.min("p").over(w))
+    bal = pre.withColumn(
+        "s", F.col("p") - F.least(F.col("run_min"), F.lit(0)))
+    return (
+        bal.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_entries"),
+            F.sum(F.when(F.col("delta_c") > 0, F.col("delta_c"))
+                  .otherwise(0)).alias("earned_c"),
+            F.sum(F.when(F.col("delta_c") < 0, -F.col("delta_c"))
+                  .otherwise(0)).alias("attempted_spend_c"),
+            F.max("s").alias("peak_balance_c"),
+        )
+        .orderBy("user_id")
+        .limit(20)
+    )

@@ -1342,3 +1342,50 @@ class TestHistogramQuantileMergeability:
              for r in quantiles_from_histogram(
                  merged, ["event_type"], 500, ps).collect()}
         assert a == b and len(a) == 15
+
+
+class TestLindleyBalance:
+    def test_closed_form_equals_iterative_recursion(self, spark):
+        """The windowed closed form s_i = P_i − min(0, min_k P_k) must
+        equal the literal max(0, s+x) fold, checked per-user in
+        Python over the raw ledger — the identity the query's
+        no-iteration claim rests on."""
+        registry.load_all()
+        ev = load_table(spark, "events", SF_DIR).where(
+            F.col("value").isNotNull())
+        rows = ev.select(
+            "user_id", "ts", "event_id",
+            F.expr("IF(event_type = 'purchase', "
+                   "-cast(floor(value * 100 + 0.5) as bigint), "
+                   "cast(floor(value * 100 + 0.5) as bigint) div 10)")
+            .alias("d")).collect()
+        ledger = {}
+        for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+            ledger.setdefault(r.user_id, []).append(r.d)
+        peaks = {}
+        for u, ds in ledger.items():
+            s = peak = 0
+            for d in ds:
+                s = max(0, s + d)
+                peak = max(peak, s)
+            peaks[u] = peak
+        got = {r.user_id: r.peak_balance_c for r in
+               registry.QUERIES["points_balance_floor_zero"](
+                   spark, SF_DIR).collect()}
+        for u, peak in got.items():
+            assert peaks[u] == peak, (u, peaks[u], peak)
+
+    def test_transition_matrix_rows_are_distributions(self, spark):
+        """Each from_type row of the Markov matrix must be a valid
+        permille distribution (sums within rounding of 1000) over
+        the five event types."""
+        registry.load_all()
+        rows = registry.QUERIES["event_transition_matrix"](
+            spark, SF_DIR).collect()
+        by_from = {}
+        for r in rows:
+            by_from.setdefault(r.from_type, []).append(r)
+        assert len(by_from) == 5
+        for ft, rs in by_from.items():
+            total_p = sum(r.p_permille for r in rs)
+            assert 1000 - len(rs) <= total_p <= 1000, (ft, total_p)
