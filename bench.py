@@ -120,6 +120,14 @@ HEADLINE = [
     "quantile_histogram_estimates",
     "snapshot_diff_summary",
     "systematic_pps_sample",
+    # round-6 session-2 late additions: the exact-join audit column
+    # makes the estimator the round's heaviest new row; the AMS
+    # explode-and-project sketch, the multi-join graph frontier, and
+    # the curriculum's corpus-wide window family
+    "join_cardinality_estimate",
+    "ams_second_moment",
+    "copurchase_graph_levels",
+    "curriculum_schedule",
 ]
 
 
