@@ -69,3 +69,26 @@ def quality_gate(df: DataFrame, checks: dict[str, Column],
     return out.withColumn(
         status_col, F.when(all_ok, F.lit("success")).otherwise(F.lit("partial"))
     )
+
+
+def observe_quality(df: DataFrame, name: str,
+                    checks: dict[str, Column]) -> "tuple[DataFrame, object]":
+    """Attach quality metrics to a plan as an OBSERVATION — Spark's
+    accumulator-backed `DataFrame.observe`: the counters ride the
+    job that was running anyway (no second scan, no extra shuffle)
+    and surface after any action on the returned frame. This is how
+    a 100 TB load reports its violation counts for free — the
+    expectations_audit query is the standalone gate; this is the
+    zero-cost inline form for pipelines that already write the data.
+
+    ``checks`` maps metric name → BOOLEAN violation column; each is
+    observed as ``count_if(check)`` beside a total row count. Returns
+    (df, observation); read ``observation.get`` after an action on
+    df. Works for batch frames; for streams use the same Observation
+    with the listener bus (`streaming/observability`)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [F.count_if(col).alias(k) for k, col in checks.items()]
+    return df.observe(obs, *metrics), obs

@@ -1185,9 +1185,13 @@ def apply_join_ivm_delta(state_dir: str, batch_df: DataFrame,
     tag): ``side ('fact'|'dim'), k (join key), cents (fact payload,
     NULL on dim rows), segment (dim payload, NULL on fact rows)``.
     INSERT-only deltas with unique dim keys — segment UPDATEs would
-    need retraction rows (emit (-n, -cents) under the old segment,
-    (+) under the new); the marker/merge machinery below would carry
-    them unchanged, the feed just doesn't produce them.
+    need retraction rows (a signed ``weight`` column summed in place
+    of ``count(*)``, emitting −1/−cents under the old segment and
+    +1/+cents under the new); the view merge (SUM-combine) would
+    carry those signed partials unchanged, but the delta aggregation
+    below counts rows, so supporting retractions means switching its
+    two aggregates to ``sum(weight)`` / ``sum(weight*cents)`` —
+    noted here so the extension is mechanical, not archaeology.
 
     State under ``state_dir``: ``facts/batch=<id>/`` and
     ``dims/batch=<id>/`` side stores (overwrite per batch dir —

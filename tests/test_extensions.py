@@ -1389,3 +1389,30 @@ class TestLindleyBalance:
         for ft, rs in by_from.items():
             total_p = sum(r.p_permille for r in rs)
             assert 1000 - len(rs) <= total_p <= 1000, (ft, total_p)
+
+
+class TestInPlanObservation:
+    def test_observe_quality_counts_match_recompute(self, spark):
+        """`observe_quality` must report violation counters from the
+        SAME job that consumes the frame (one scan — the observation
+        is accumulator-backed, not a re-aggregation), and the numbers
+        must equal an explicit recompute."""
+        from flight_data_pipeline_spark.operators.quality import (
+            observe_quality,
+        )
+
+        o = load_table(spark, "orders", SF_DIR)
+        checks = {
+            "price_oob": (F.col("o_totalprice") <= 0)
+            | (F.col("o_totalprice") >= 1_000_000),
+            "status_bad": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        }
+        observed, obs = observe_quality(o, "orders_load", checks)
+        n_written = observed.count()  # "the job that was running anyway"
+        got = obs.get
+        assert got["n_rows"] == n_written
+        want = o.agg(
+            F.count_if(checks["price_oob"]).alias("p"),
+            F.count_if(checks["status_bad"]).alias("s")).first()
+        assert got["price_oob"] == want.p
+        assert got["status_bad"] == want.s

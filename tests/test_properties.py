@@ -1016,3 +1016,34 @@ class TestExactArithmetic:
             got = 4 * lz_hex + (4 - bitlen) + 1
         want = 25 if suffix24 == 0 else (24 - suffix24.bit_length()) + 1
         assert got == want
+
+
+@SETTINGS
+@given(
+    values=st.lists(st.integers(0, 9_999), min_size=1, max_size=60),
+    bin_width=st.sampled_from([100, 500, 1000]),
+    p=st.sampled_from([250, 500, 900, 990]),
+)
+def test_histogram_quantile_within_one_bin_of_truth(spark, values,
+                                                    bin_width, p):
+    """quantiles_from_histogram's estimate must land within one bin
+    width of the TRUE rank statistic of the underlying values (the
+    estimator's advertised error bound), and its reported n_values
+    must be exact — checked against a naive Python rank computation
+    on randomized integer unit values, including all-ties and
+    single-value shapes the fixture never produces."""
+    from flight_data_pipeline_spark.operators.sketches import (
+        quantiles_from_histogram,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "u long")
+    hist = (df.withColumn("g", F.lit("g"))
+            .groupBy("g", F.expr(f"u div {bin_width}").alias("bin"))
+            .agg(F.count("*").alias("n")))
+    row = quantiles_from_histogram(
+        hist, ["g"], bin_width, [p]).collect()
+    assert len(row) == 1 and row[0].n_values == len(values)
+    rank = -(-p * len(values) // 1000)  # ceil, matching the operator
+    truth = sorted(values)[max(rank - 1, 0)]
+    assert abs(row[0].est_units - truth) <= bin_width, (
+        row[0].est_units, truth, values, bin_width, p)
