@@ -215,12 +215,19 @@ def main() -> None:
     # broken query reports {"err": ...} for itself and the JSON line
     # still carries timings for every other query (round-3 lesson —
     # a single crash zeroed the whole round's bench evidence).
+    # Best-of-N, default 2 (the methodology every recorded baseline
+    # used — keep it for comparable history). The first run of each
+    # query pays its whole-stage-codegen class compile (~2-3×,
+    # measured in BASELINE.md's bimodality note); set
+    # SPARK_GRAFT_BENCH_RUNS=3 for steady-state numbers when
+    # diagnosing a flag rather than recording a round.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, object] = {}
     errors = 0
     for name in HEADLINE:
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.time()
                 run(queries[name](spark, sf_dir))
                 best = min(best, time.time() - t0)
