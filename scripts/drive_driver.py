@@ -1,11 +1,11 @@
 """Simulate the verification driver: vanilla session, sf0.01, DuckDB compare.
 
 Set DRIVE_SF_DIR to spot-check another scale (e.g.
-DRIVE_SF_DIR=/root/testdata/sf0.1 — FULL sweep re-verified 2026-08-14
-r6: all 168 checked queries MATCH at sf0.1; the sweep caught and fixed
-the one latent half-tie, rolling_median_daily_value's even-frame
-interpolated half-cent under ROUND(.,2)). Set DRIVE_ONLY=a,b to run a
-subset."""
+DRIVE_SF_DIR=/root/testdata/sf0.1 — FULL sweep re-verified 2026-08-15
+r6 session 2: all 188 checked queries MATCH at sf0.1, DRIVER-SIM PASS;
+the 2026-08-14 sweep caught and fixed the one latent half-tie,
+rolling_median_daily_value's even-frame interpolated half-cent under
+ROUND(.,2)). Set DRIVE_ONLY=a,b to run a subset."""
 import os
 import sys
 sys.path.insert(0, '/root/repo')
