@@ -128,6 +128,17 @@ HEADLINE = [
     "ams_second_moment",
     "copurchase_graph_levels",
     "curriculum_schedule",
+    # round-6 session-3 additions: one tracked query per new plan
+    # family — the largest-remainder proration (shared-window family
+    # at full lineitem fan-out), the sweep-line concurrency union +
+    # running sum, the checked integer-PageRank loop (co-purchase
+    # edge build + 3 join/agg rounds — the heaviest new row), and
+    # the double-scan zone-map audit (the integer-moment scaling/OLS
+    # queries are single-pass scans riding the stats family)
+    "order_value_proration",
+    "max_concurrent_sessions",
+    "copurchase_pagerank",
+    "zone_map_skipping_stats",
 ]
 
 

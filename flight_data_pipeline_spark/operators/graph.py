@@ -94,3 +94,71 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if converged:
             break
     return ranks
+
+
+def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
+                     scale: int = 10**12, d_num: int = 85,
+                     d_den: int = 100, iters: int = 3) -> DataFrame:
+    """Fixed-point integer PageRank → (v, rank) with rank a scaled
+    BIGINT — every arithmetic step is integer (div / mod / sum), so
+    the result is BIT-IDENTICAL on any engine that implements 64-bit
+    integer division. This is what makes an *iterative* graph
+    algorithm hash-checkable against a SQL oracle: the float variant
+    (``pagerank`` above) can only ever be rows-only because partial
+    float sums re-associate, while this one replays exactly.
+
+    Update rule (no convergence test — a fixed ``iters`` rounds keeps
+    the computation a pure function of the input):
+
+        r0(v)  = scale div N
+        r_k(v) = (1-d)·scale div N
+                 + d_num · Σ_{u→v} (r_{k-1}(u) div deg(u)) div d_den
+
+    Dangling mass is dropped rather than redistributed (total mass is
+    NOT conserved under integer floors anyway); callers that need the
+    stochastic completion use the float ``pagerank``. Floors lose at
+    most 1 unit per edge per round — at scale=1e12 the relative error
+    is ~deg/1e12, far below any ranking-relevant gap.
+
+    Scale shape: identical to ``pagerank`` — per round one edge⋈rank
+    shuffle on the source key plus one dst aggregate, state one row
+    per node, edges/degrees checkpointed once, per-round eager
+    localCheckpoint truncating lineage. Recompute-safe: every round
+    is deterministic, so a lost partition rebuilds identically."""
+    e = edges.select(F.col(src).alias("s"),
+                     F.col(dst).alias("d")).localCheckpoint()
+    deg = e.groupBy("s").agg(F.count("*").alias("__deg")).localCheckpoint()
+    nodes = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select(F.col("d").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n1 = nodes.agg(F.count("*").alias("__n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select("v", F.expr(f"CAST({scale} AS BIGINT) div __n")
+                .alias("rank"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "s")
+            .join(ranks.select(F.col("v").alias("s"), "rank"), "s")
+            .select(F.col("d").alias("v"),
+                    F.expr("rank div __deg").alias("__c"))
+            .groupBy("v").agg(F.sum("__c").alias("__c"))
+        )
+        ranks = (
+            nodes.join(contrib, "v", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "v",
+                (F.expr(f"CAST({(d_den - d_num) * scale} AS BIGINT)"
+                        f" div ({d_den} * __n)")
+                 + F.expr(f"({d_num} * coalesce(__c, CAST(0 AS BIGINT)))"
+                          f" div {d_den}")).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -4596,3 +4596,464 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str
             .alias("significant"),
         )
     )
+
+
+# --- largest-remainder proration ---------------------------------------------
+@query(
+    "order_value_proration",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+               l.l_linenumber,
+               CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_c
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sized AS (
+        SELECT *, SUM(ext_c) OVER (PARTITION BY o_orderkey) AS sum_ext
+        FROM base
+    ),
+    flo AS (
+        SELECT o_orderkey, o_orderpriority, total_c, l_linenumber,
+               (total_c * ext_c) // sum_ext AS alloc_floor,
+               (total_c * ext_c) %  sum_ext AS rem,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY (total_c * ext_c) % sum_ext DESC,
+                                           l_linenumber) AS rk
+        FROM sized
+    ),
+    resid AS (
+        SELECT *, total_c - SUM(alloc_floor) OVER (PARTITION BY o_orderkey)
+                      AS residual
+        FROM flo
+    ),
+    alloc AS (
+        SELECT o_orderkey, o_orderpriority, total_c,
+               alloc_floor + CASE WHEN rk <= residual THEN 1 ELSE 0 END
+                   AS alloc_c,
+               CASE WHEN rk <= residual THEN 1 ELSE 0 END AS bumped
+        FROM resid
+    ),
+    per_order AS (
+        SELECT o_orderkey, o_orderpriority,
+               MAX(total_c)  AS total_c,
+               SUM(alloc_c)  AS alloc_sum,
+               COUNT(*)      AS n_items,
+               SUM(bumped)   AS bumped_items
+        FROM alloc
+        GROUP BY o_orderkey, o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)          AS n_orders,
+           CAST(SUM(n_items) AS BIGINT)      AS n_items,
+           CAST(SUM(alloc_sum) AS BIGINT)    AS allocated_c,
+           CAST(SUM(bumped_items) AS BIGINT) AS bumped_items,
+           CAST(SUM(alloc_sum - total_c) AS BIGINT) AS conservation_error
+    FROM per_order
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_value_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) proration of each order's header
+    total across its line items, weighted by extended price — the
+    classic "split an invoice across its lines with no lost cents"
+    problem. All arithmetic is exact BIGINT cents: floor allocation is
+    ``(total_c * ext_c) div sum_ext``, and the leftover
+    ``total_c - Σfloor`` cents (always 0 ≤ r < n_items) go one cent
+    each to the items with the largest remainders (deterministic
+    l_linenumber tie-break). ``conservation_error`` proves exactness:
+    Σalloc_c == total_c per order, so the aggregate is identically 0 —
+    an invariant a float-proration cannot give.
+
+    Plan shape: one o_orderkey-partitioned shuffle shared by every
+    window (size/rank/residual all use the same partition key, so
+    Spark sorts once and reuses the exchange), then a two-level
+    aggregate rollup. No broadcast needed — the join and all windows
+    co-partition on o_orderkey, which is uniformly distributed at any
+    scale. Proration is the workhorse of cost attribution /
+    training-budget chargeback at 100 TB; the integer discipline is
+    what makes it reconciliation-grade."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority",
+        to_units(F.col("o_totalprice"), 2).alias("total_c"),
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber",
+        to_units(F.col("l_extendedprice"), 2).alias("ext_c"),
+    )
+    base = li.join(o, "o_orderkey")
+    w_ord = Window.partitionBy("o_orderkey")
+    sized = base.withColumn("sum_ext", F.sum("ext_c").over(w_ord)).withColumn(
+        "prod", F.col("total_c") * F.col("ext_c")
+    )
+    flo = sized.select(
+        "o_orderkey", "o_orderpriority", "total_c", "l_linenumber",
+        F.expr("prod div sum_ext").alias("alloc_floor"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_orderkey").orderBy(
+                (F.col("prod") % F.col("sum_ext")).desc(), "l_linenumber"
+            )
+        )
+        .alias("rk"),
+    )
+    resid = flo.withColumn(
+        "residual", F.col("total_c") - F.sum("alloc_floor").over(w_ord)
+    )
+    bump = (F.col("rk") <= F.col("residual")).cast("long")
+    alloc = resid.select(
+        "o_orderkey", "o_orderpriority", "total_c",
+        (F.col("alloc_floor") + bump).alias("alloc_c"),
+        bump.alias("bumped"),
+    )
+    per_order = alloc.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.max("total_c").alias("total_c"),
+        F.sum("alloc_c").alias("alloc_sum"),
+        F.count("*").alias("n_items"),
+        F.sum("bumped").alias("bumped_items"),
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.sum("alloc_sum").cast("long").alias("allocated_c"),
+            F.sum("bumped_items").cast("long").alias("bumped_items"),
+            F.sum(F.col("alloc_sum") - F.col("total_c"))
+            .cast("long")
+            .alias("conservation_error"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- integer-exact PageRank (checked iterative graph) ------------------------
+@query(
+    "copurchase_pagerank",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS s, b.p AS d
+        FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+    ),
+    deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT v, CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn) AS r
+        FROM nodes
+    ),
+    c1 AS (
+        SELECT e.d AS v, SUM(r0.r // deg.dg) AS c
+        FROM edges e JOIN deg ON e.s = deg.s JOIN r0 ON r0.v = e.s
+        GROUP BY e.d
+    ),
+    r1 AS (
+        SELECT nodes.v,
+               CAST(15000000000000 AS BIGINT) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c1.c, 0)) // 100 AS r
+        FROM nodes LEFT JOIN c1 ON nodes.v = c1.v
+    ),
+    c2 AS (
+        SELECT e.d AS v, SUM(r1.r // deg.dg) AS c
+        FROM edges e JOIN deg ON e.s = deg.s JOIN r1 ON r1.v = e.s
+        GROUP BY e.d
+    ),
+    r2 AS (
+        SELECT nodes.v,
+               CAST(15000000000000 AS BIGINT) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c2.c, 0)) // 100 AS r
+        FROM nodes LEFT JOIN c2 ON nodes.v = c2.v
+    ),
+    c3 AS (
+        SELECT e.d AS v, SUM(r2.r // deg.dg) AS c
+        FROM edges e JOIN deg ON e.s = deg.s JOIN r2 ON r2.v = e.s
+        GROUP BY e.d
+    ),
+    r3 AS (
+        SELECT nodes.v,
+               CAST(15000000000000 AS BIGINT) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c3.c, 0)) // 100 AS r
+        FROM nodes LEFT JOIN c3 ON nodes.v = c3.v
+    )
+    SELECT CAST(rk AS BIGINT) AS rk,
+           CAST(v AS BIGINT)  AS partkey,
+           CAST(r AS BIGINT)  AS rank_scaled
+    FROM (SELECT v, r, ROW_NUMBER() OVER (ORDER BY r DESC, v) AS rk
+          FROM r3)
+    WHERE rk <= 15
+    ORDER BY rk
+    """,
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the part co-purchase graph —
+    the engine's ONE hash-checked iterative graph algorithm. The float
+    ``pagerank`` (textrank_keyword_scores) is necessarily rows-only:
+    partial float sums re-associate across engines. Here every step is
+    64-bit integer arithmetic (operators/graph.pagerank_integer), so 3
+    damped propagation rounds replay bit-identically in DuckDB as 3
+    unrolled join+aggregate CTEs — upgrading "iterative ⇒ weaker
+    rows-only check" to a full value-hash proof for this family.
+
+    Graph: parts are adjacent when some order contains both (the
+    copurchase_graph_levels incidence list, symmetrized, so there are
+    no dangling nodes). Output: top-15 parts by scaled rank with
+    deterministic (rank DESC, partkey) tie-break.
+
+    Plan: per round one edge⋈rank shuffle + one dst-keyed aggregate —
+    the same partitioning every round — with eager localCheckpoints
+    truncating lineage; the final top-15 is TakeOrderedAndProject and
+    the rk stamp is a window over 15 rows. At 100 TB the edge list is
+    built once and the per-round state is one BIGINT per node."""
+    from flight_data_pipeline_spark.operators.graph import pagerank_integer
+
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(F.col("l_orderkey").alias("o"),
+                      F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        items.alias("a")
+        .join(items.alias("b"),
+              (F.col("a.o") == F.col("b.o"))
+              & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("s"), F.col("b.p").alias("d"))
+        .distinct()
+    )
+    ranks = pagerank_integer(edges, src="s", dst="d", iters=3)
+    top = ranks.orderBy(F.desc("rank"), "v").limit(15)
+    w = Window.orderBy(F.desc("rank"), "v")
+    return (
+        top.select(F.row_number().over(w).cast("long").alias("rk"),
+                   F.col("v").cast("long").alias("partkey"),
+                   F.col("rank").cast("long").alias("rank_scaled"))
+        .orderBy("rk")
+    )
+
+
+# --- zone-map data-skipping audit --------------------------------------------
+@query(
+    "zone_map_skipping_stats",
+    oracle="""
+    WITH z AS (
+        SELECT 'insertion' AS layout, l_orderkey // 32768 AS zone,
+               l_shipdate AS sd
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate',
+               CAST(YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS BIGINT),
+               l_shipdate
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT layout, zone, COUNT(*) AS n_rows,
+               MIN(sd) AS lo, MAX(sd) AS hi,
+               SUM(CASE WHEN sd BETWEEN DATE '1994-01-01'
+                                    AND DATE '1994-03-31'
+                        THEN 1 ELSE 0 END) AS mrows
+        FROM z GROUP BY layout, zone
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(CASE WHEN hi >= DATE '1994-01-01'
+                          AND lo <= DATE '1994-03-31'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+           CAST(SUM(CASE WHEN hi >= DATE '1994-01-01'
+                          AND lo <= DATE '1994-03-31'
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_rows) AS BIGINT)  AS total_rows,
+           CAST(SUM(mrows) AS BIGINT)   AS matching_rows,
+           CAST((SUM(CASE WHEN hi >= DATE '1994-01-01'
+                           AND lo <= DATE '1994-03-31'
+                      THEN 0 ELSE 1 END) * 1000) // COUNT(*) AS BIGINT)
+               AS skip_permille
+    FROM stats GROUP BY layout ORDER BY layout
+    """,
+)
+def zone_map_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) data-skipping audit — quantifies
+    WHY physical layout decides scan cost at 100 TB. Two simulated
+    layouts of the same lineitem rows: 'insertion' zones are
+    l_orderkey ranges (32k keys/zone — how data lands when written in
+    arrival order, shipdates smeared across every zone) and
+    'shipdate' zones are calendar months (how it lands when
+    write-clustered by date). For a Q1-1994 quarter predicate the
+    audit reports, per layout, how many zones a min/max-pruning
+    reader must scan, the rows behind them, and the skip ratio in
+    exact permille — the measured gap between ~0% skipping
+    (insertion) and ~96% (date-clustered) is the argument for
+    cluster_by_range/zorder_key in operators/layout.py.
+
+    Everything is integer/date arithmetic (counts, min/max over
+    DATE, integer permille division) so the hash check is exact.
+    Plan: one scan unioned under two zone keys, one partial-agg
+    shuffle per layout-zone, then a 2-row rollup — the audit itself
+    costs one pass, independent of layout."""
+    li = load_table(spark, "lineitem", sf_dir)
+    d1, d2 = F.lit("1994-01-01").cast("date"), F.lit("1994-03-31").cast("date")
+    z = (
+        li.select(F.lit("insertion").alias("layout"),
+                  F.expr("l_orderkey div 32768").alias("zone"),
+                  F.col("l_shipdate").alias("sd"))
+        .unionByName(
+            li.select(
+                F.lit("shipdate").alias("layout"),
+                (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+                .cast("long").alias("zone"),
+                F.col("l_shipdate").alias("sd")))
+    )
+    stats = z.groupBy("layout", "zone").agg(
+        F.count("*").alias("n_rows"),
+        F.min("sd").alias("lo"), F.max("sd").alias("hi"),
+        F.sum(F.when(F.col("sd").between(d1, d2), 1).otherwise(0))
+        .alias("mrows"),
+    )
+    scanned = (F.col("hi") >= d1) & (F.col("lo") <= d2)
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_zones"),
+            F.sum(scanned.cast("long")).cast("long").alias("zones_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long").alias("rows_scanned"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.sum("mrows").cast("long").alias("matching_rows"),
+            F.expr(
+                "CAST(sum(CASE WHEN hi >= DATE'1994-01-01'"
+                " AND lo <= DATE'1994-03-31' THEN 0 ELSE 1 END) * 1000"
+                " div count(*) AS BIGINT)").alias("skip_permille"),
+        )
+        .orderBy("layout")
+    )
+
+
+# --- exact triangle counting (degree-ordered orientation) --------------------
+TRI_PART_CAP = 500  # subgraph cap: keeps the wedge join bench-sized at any sf
+
+
+@query(
+    "copurchase_triangles",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_partkey < {TRI_PART_CAP}
+    ),
+    und AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS dg
+        FROM (SELECT u AS node FROM und
+              UNION ALL SELECT v AS node FROM und)
+        GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+                    THEN u ELSE v END AS s,
+               CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+                    THEN v ELSE u END AS d
+        FROM und JOIN deg du ON und.u = du.node
+                 JOIN deg dv ON und.v = dv.node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.d = e2.s
+        JOIN oriented e3 ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    wed AS (
+        SELECT SUM(dg * (dg - 1) // 2) AS n_wedges FROM deg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT)  AS n_nodes,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT)  AS n_edges,
+           CAST(tri.n_triangles AS BIGINT)             AS n_triangles,
+           CAST(wed.n_wedges AS BIGINT)                AS n_wedges,
+           CAST((3 * tri.n_triangles * 1000) // wed.n_wedges AS BIGINT)
+               AS clustering_permille
+    FROM tri, wed
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (capped to a partkey subgraph so the wedge
+    join stays bench-sized at every fixture sf) — the standard
+    degree-ordered edge-iterator algorithm as three equi-joins, fully
+    hash-checked because every quantity is an integer.
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one; the orientation is acyclic, so each
+    triangle {{x,y,z}} is counted EXACTLY once as the wedge
+    x->y, y->z closed by x->z. The orientation is also what makes the
+    plan scale: out-degree under it is bounded by O(sqrt(E)) — a
+    celebrity node with degree 10^6 contributes NO wedges from its
+    hub side (all its edges point inward), so the e1(d)=e2(s) join
+    fans out as Sum(outdeg^2) ~ E^1.5 worst case instead of the
+    unoriented Sum(deg^2), which a single hot node makes quadratic.
+    That is the difference between "works on any graph" and "dies on
+    the first power-law vertex" at 100 TB.
+
+    Plan: incidence-list distinct, one self-join to edges, two
+    degree joins (deg is node-sized, broadcastable), then the wedge
+    equi-join closed by an equi-join on the edge set itself — all
+    shuffle-partitioned on graph keys, no cartesian anywhere.
+    clustering_permille = 3*triangles*1000 div wedges, exact integer
+    division on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = (
+        li.where(F.col("l_partkey") < TRI_PART_CAP)
+        .select(F.col("l_orderkey").alias("o"),
+                F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    und = (
+        items.alias("a")
+        .join(items.alias("b"),
+              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = (
+        und.join(F.broadcast(deg.select(F.col("node").alias("u"),
+                                        F.col("dg").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("node").alias("v"),
+                                     F.col("dg").alias("dv"))), "v")
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        )
+    )
+    tri = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.d") == F.col("e2.s"))
+        .join(oriented.alias("e3"),
+              (F.col("e3.s") == F.col("e1.s"))
+              & (F.col("e3.d") == F.col("e2.d")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("dg * (dg - 1) div 2")).alias("n_wedges"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wed))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.expr("CAST(3 * n_triangles * 1000 div n_wedges AS BIGINT)")
+            .alias("clustering_permille"),
+        )
+    )

@@ -1648,3 +1648,391 @@ def points_balance_floor_zero(spark: SparkSession, sf_dir: str
         .orderBy("user_id")
         .limit(20)
     )
+
+
+# --- interval concurrency (sweep line) ---------------------------------------
+@query(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH iv AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   + 60 + (CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 3540)
+                   AS e
+        FROM events WHERE value IS NOT NULL
+    ),
+    pts AS (
+        SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+    ),
+    swept AS (
+        SELECT event_type, t,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta, event_id
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    ),
+    peaks AS (
+        SELECT event_type, t, conc,
+               MAX(conc) OVER (PARTITION BY event_type) AS peak
+        FROM swept
+    )
+    SELECT event_type,
+           CAST(MAX(peak) AS BIGINT)                 AS peak_concurrency,
+           CAST(MIN(CASE WHEN conc = peak THEN t END) AS BIGINT)
+                                                     AS first_peak_epoch_s
+    FROM peaks
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency — the classic "max simultaneous
+    sessions" problem, solved without any interval self-join: each
+    event opens a synthetic session of 60 s + (value-cents mod 3540)
+    (deterministic 1-60 min duration), every interval contributes a
+    (+1, start) and a (-1, end) point, and one windowed running sum
+    over (t, delta, event_id) IS the concurrency curve. Ends sort
+    before starts at the same second (delta -1 < +1), so touching
+    intervals never overlap — the standard half-open [s, e) rule.
+
+    A naive interval-overlap self-join is O(n·k) pairs and quadratic
+    on hot spots; the sweep line is one shuffle (the window sort) and
+    stays linear at 100 TB — per event_type partitions bound the sort
+    width. All arithmetic on BIGINT epoch seconds for hash parity.
+    Output: per event type, the peak concurrency and the first time
+    it is reached."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    es = to_epoch_seconds(F.col("ts"))
+    iv = ev.select(
+        "event_id", "event_type", es.alias("s"),
+        (es + F.lit(60) + to_units(F.col("value"), 2) % F.lit(3540)).alias("e"),
+    )
+    pts = (
+        iv.select("event_type", F.col("s").alias("t"),
+                  F.lit(1).alias("delta"), "event_id")
+        .unionByName(
+            iv.select("event_type", F.col("e").alias("t"),
+                      F.lit(-1).alias("delta"), "event_id"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("t", "delta", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    swept = pts.withColumn("conc", F.sum("delta").over(w))
+    peaks = swept.withColumn(
+        "peak", F.max("conc").over(Window.partitionBy("event_type")))
+    return (
+        peaks.groupBy("event_type")
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrency"),
+            F.min(F.when(F.col("conc") == F.col("peak"), F.col("t")))
+            .cast("long").alias("first_peak_epoch_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- integer-exact per-group feature scaling ---------------------------------
+@query(
+    "group_feature_scaling",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*)       AS n,
+               SUM(c)         AS s,
+               SUM(c * c)     AS q,
+               MIN(c)         AS lo,
+               MAX(c)         AS hi
+        FROM c GROUP BY event_type
+    ),
+    scored AS (
+        SELECT c.event_type, c.event_id, stats.n,
+               (stats.n * c.c - stats.s)
+                   / NULLIF(SQRT(CAST(stats.n * stats.q
+                                      - stats.s * stats.s
+                                      AS DOUBLE)), 0) AS z,
+               (c.c - stats.lo) * 1.0
+                   / NULLIF(stats.hi - stats.lo, 0)   AS mm
+        FROM c JOIN stats USING (event_type)
+    ),
+    ranked AS (
+        SELECT event_type, event_id, n,
+               ROUND(z, 6) AS z6, ROUND(mm, 6) AS minmax6,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(ABS(z), 6) DESC, event_id)
+                   AS rk
+        FROM scored
+    )
+    SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id,
+           CAST(n AS BIGINT) AS n, z6, minmax6
+    FROM ranked WHERE rk <= 3
+    ORDER BY event_type, rk
+    """,
+)
+def group_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling (z-score + min-max) with the integer
+    fixed-point discipline that makes the floats ENGINE-IDENTICAL:
+    moments ride as exact BIGINT sums (n, Σc, Σc², min, max over
+    value-cents), and z = (n·c − Σc)/sqrt(n·Σc² − (Σc)²) — an
+    algebraic rearrangement whose numerator/denominator are exact
+    integers, so the one division and sqrt are IEEE correctly-rounded
+    on both engines (SUM(double) re-association, the usual parity
+    killer, never happens). Top-3 |z| outliers per event type,
+    round-then-rank with event_id tie-break.
+
+    Plan shape: one partial-agg shuffle for the moments, a broadcast
+    join of the 5-row stats frame back onto events, one window for
+    the top-3 cut. At 100 TB the stats frame is still 5 rows — the
+    scaling pass is map-side."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    c = ev.select("event_type", "event_id",
+                  to_units(F.col("value"), 2).alias("c"))
+    stats = c.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.min("c").alias("lo"), F.max("c").alias("hi"),
+    )
+    scored = (
+        c.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "event_id", "n",
+            ((F.col("n") * F.col("c") - F.col("s"))
+             / F.nullif(
+                 F.sqrt((F.col("n") * F.col("q")
+                         - F.col("s") * F.col("s")).cast("double")),
+                 F.lit(0.0))).alias("z"),
+            ((F.col("c") - F.col("lo")) * F.lit(1.0)
+             / F.nullif((F.col("hi") - F.col("lo")).cast("double"),
+                        F.lit(0.0))).alias("mm"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs(F.col("z")), 6).desc(), "event_id")
+    return (
+        scored.select(
+            "event_type", "event_id", "n",
+            F.round("z", 6).alias("z6"), F.round("mm", 6).alias("minmax6"),
+            F.row_number().over(wr).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", "n", "z6", "minmax6")
+        .orderBy("event_type", "rk")
+    )
+
+
+# --- closed-form per-group OLS trend -----------------------------------------
+@query(
+    "group_ols_trend",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS x,
+               CAST(FLOOR(value + 0.5) AS BIGINT)        AS yd
+        FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+        SELECT event_type, x, SUM(yd) AS y
+        FROM d GROUP BY event_type, x
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*)   AS n,
+               SUM(x)     AS sx,
+               SUM(y)     AS sy,
+               SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx,
+               SUM(y * y) AS syy
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6)
+               AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE), 0), 6)
+               AS r_squared
+    FROM m ORDER BY event_type
+    """,
+)
+def group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope / intercept / R²)
+    of daily event value against time, via the closed form over EXACT
+    integer moments — the same discipline as group_feature_scaling:
+    n, Σx, Σy, Σxy, Σx², Σy² all ride as BIGINT sums (x = epoch day
+    ~2×10⁴, y = whole-dollar daily totals), so
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    divides two exactly-representable doubles — IEEE correctly
+    rounded, bit-identical on both engines; SUM(double)
+    re-association, the cross-engine parity killer, never occurs.
+    R² = cov²/(varₓ·var_y) from the same six moments. Overflow head-
+    room: Σy² caps at ~3×10¹⁵ here (whole dollars, ~30 days); at
+    larger spans, center x at the group's min day and y in coarser
+    units — the moments stay exact BIGINTs.
+
+    This is regression-as-aggregation: one partial-agg shuffle to
+    daily grain, one 5-row moment aggregate, zero iterations — how a
+    trend fit over 100 TB of telemetry actually runs (REGR_SLOPE's
+    float path can't hash-match; this can)."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    d = ev.select(
+        "event_type",
+        to_epoch_seconds(F.col("ts")).alias("es"),
+        to_units(F.col("value"), 0).alias("yd"),
+    ).select("event_type", F.expr("es div 86400").alias("x"), "yd")
+    daily = d.groupBy("event_type", "x").agg(F.sum("yd").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
+    return (
+        m.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(slope, 6).alias("slope"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double"), 6).alias("intercept"),
+            F.round(cov * cov / F.nullif(varx * vary, F.lit(0.0)), 6)
+            .alias("r_squared"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- CUSUM change-point detection (integer-exact) ----------------------------
+@query(
+    "value_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS x,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)  AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+        SELECT event_type, x, SUM(c) AS y
+        FROM d GROUP BY event_type, x
+    ),
+    tot AS (
+        SELECT event_type, COUNT(*) AS n, SUM(y) AS s
+        FROM daily GROUP BY event_type
+    ),
+    cum AS (
+        SELECT daily.event_type, daily.x, tot.n, tot.s,
+               SUM(daily.y) OVER (PARTITION BY daily.event_type
+                                  ORDER BY daily.x) AS cy,
+               ROW_NUMBER() OVER (PARTITION BY daily.event_type
+                                  ORDER BY daily.x) AS k
+        FROM daily JOIN tot ON daily.event_type = tot.event_type
+    ),
+    best AS (
+        SELECT *,
+               ABS(n * cy - k * s) AS adev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(n * cy - k * s) DESC, x)
+                   AS rk
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           STRFTIME(DATE '1970-01-01' + CAST(x AS INTEGER), '%Y-%m-%d')
+               AS changepoint_day,
+           CAST(adev AS BIGINT) AS max_abs_dev,
+           CAST((2 * cy + k) // (2 * k) AS BIGINT) AS mean_before_c,
+           CAST((2 * (s - cy) + (n - k)) // NULLIF(2 * (n - k), 0)
+               AS BIGINT) AS mean_after_c
+    FROM best WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily value series of
+    each event type — where did the level shift? The classic offline
+    CUSUM statistic G_k = sum_{i<=k}(y_i - mean) peaks at the split
+    point; multiplying through by n makes it EXACTLY integer:
+
+        n * G_k = n * cumsum_k - k * total
+
+    so the argmax (and the reported deviation) is a pure BIGINT
+    computation — no float mean, no re-association, bit-identical on
+    both engines. The before/after level estimates come out as
+    half-up integer cents via the (2s+n) div (2n) pattern (the
+    repo-wide float discipline; see rolling_median_daily_value).
+
+    Plan shape: one partial-agg shuffle to daily grain (the raw scan
+    never reaches the window), one per-type window cumsum over ~30
+    rows per group, a 5-row argmax. At 100 TB the window input is
+    |types| x |days| — thousands of rows regardless of event volume;
+    change-point detection rides entirely on the pre-aggregation.
+    Tie-break: earliest day at equal deviation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    d = ev.select(
+        "event_type",
+        to_epoch_seconds(F.col("ts")).alias("es"),
+        to_units(F.col("value"), 2).alias("c"),
+    ).select("event_type", F.expr("es div 86400").alias("x"), "c")
+    daily = d.groupBy("event_type", "x").agg(F.sum("c").alias("y"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s"))
+    wcum = Window.partitionBy("event_type").orderBy("x")
+    cum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("cy", F.sum("y").over(wcum))
+        .withColumn("k", F.row_number().over(wcum))
+    )
+    adev = F.abs(F.col("n") * F.col("cy") - F.col("k") * F.col("s"))
+    best = cum.withColumn("adev", adev).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(adev.desc(), "x")),
+    )
+    return (
+        best.where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.date_format(
+                F.expr("date_add(DATE'1970-01-01', CAST(x AS INT))"),
+                "yyyy-MM-dd").alias("changepoint_day"),
+            F.col("adev").cast("long").alias("max_abs_dev"),
+            F.expr("CAST((2 * cy + k) div (2 * k) AS BIGINT)")
+            .alias("mean_before_c"),
+            F.expr("CAST((2 * (s - cy) + (n - k))"
+                   " div NULLIF(2 * (n - k), 0) AS BIGINT)")
+            .alias("mean_after_c"),
+        )
+        .orderBy("event_type")
+    )
