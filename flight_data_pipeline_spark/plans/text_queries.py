@@ -5,7 +5,7 @@ scope: token counting, quality scoring, fingerprinting, language-ID).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from flight_data_pipeline_spark.operators.text import (
     BLOCKLIST,
@@ -19,6 +19,7 @@ from flight_data_pipeline_spark.operators.text import (
     stopword_count,
     token_count,
 )
+from flight_data_pipeline_spark.functions.scalars import to_units
 from flight_data_pipeline_spark.plans.registry import query
 from flight_data_pipeline_spark.tables import load_table
 
@@ -3023,3 +3024,132 @@ def ams_second_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+BM25_TERMS = ("spark", "vector", "hash")  # pinned query, present at every sf
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# Shared CTE chain: (doc_id, bm25_u, n_terms) in integer micro-units —
+# reused verbatim by hybrid_retrieval_rrf's oracle (vector_queries.py)
+# so the lexical leg of the fusion is literally the same SQL.
+BM25_AGG_SQL = f"""
+    toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS s FROM dl),
+    tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM toks WHERE tok IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                   LN(1 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75
+                        * (dl.dl / (CAST(corpus.s AS DOUBLE) / corpus.n))))
+                   * 1000000 + 0.5) AS BIGINT) AS term_score_u
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.term = dfreq.term, corpus
+    ),
+    agg AS (
+        SELECT doc_id, SUM(term_score_u) AS bm25_u, COUNT(*) AS n_terms
+        FROM scored GROUP BY doc_id
+    )
+"""
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_u, n_terms) for the pinned BM25_TERMS query —
+    the integer-micro-unit BM25 aggregate shared by bm25_doc_topk and
+    hybrid_retrieval_rrf (the Spark twin of BM25_AGG_SQL)."""
+    from flight_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+    tf = (
+        toks.where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            to_units(
+                F.log(F.lit(1.0)
+                      + (F.col("n") - F.col("df") + F.lit(0.5))
+                      / (F.col("df") + F.lit(0.5)))
+                * (F.col("tf") * F.lit(2.2))
+                / (F.col("tf") + F.lit(1.2)
+                   * (F.lit(0.25) + F.lit(0.75)
+                      * (F.col("dl")
+                         / (F.col("s").cast("double") / F.col("n"))))),
+                6,
+            ).alias("term_score_u"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_score_u").alias("bm25_u"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+@query(
+    "bm25_doc_topk",
+    oracle=f"""
+    WITH {BM25_AGG_SQL.strip()}
+    SELECT CAST(rk AS BIGINT)        AS rk,
+           doc_id,
+           CAST(bm25_u AS BIGINT)    AS bm25_micro,
+           CAST(n_terms AS BIGINT)   AS n_terms_matched
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25_u DESC, doc_id) AS rk
+          FROM agg)
+    WHERE rk <= 15 ORDER BY rk
+    """,
+)
+def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) ranked retrieval for a pinned query term
+    set — the lexical half of a RAG retrieval stack, one step past
+    tfidf_top_term_per_doc: tf saturation (a term's 50th occurrence
+    adds almost nothing) and document-length normalization (long docs
+    don't win by volume). The float discipline that makes an
+    inherently-float scorer hash-checkable: each per-(doc, term)
+    score is computed by an IDENTICAL expression tree on both engines
+    (exact-integer inputs -> each op IEEE correctly-rounded), then
+    FLOORed to integer micro-units BEFORE the per-doc sum — so the
+    only re-association-prone step (SUM over matched terms) happens
+    in exact BIGINT arithmetic. Round-then-rank with doc_id
+    tie-break.
+
+    Plan shape: one explode->count pass builds tf (filtered to the
+    query terms at the explode, so the shuffle carries |terms|x|docs|
+    rows, not the vocabulary), dl rides the same pass; dfreq and the
+    2-scalar corpus frame are broadcast. Query evaluation at 100 TB
+    is the same plan with the roles reversed: the posting lists
+    (tf) are the big side, everything query-sized broadcasts."""
+    agg = bm25_doc_scores(spark, sf_dir)
+    w = Window.orderBy(F.desc("bm25_u"), "doc_id")
+    top = agg.orderBy(F.desc("bm25_u"), "doc_id").limit(15)
+    return (
+        top.select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            "doc_id",
+            F.col("bm25_u").cast("long").alias("bm25_micro"),
+            F.col("n_terms").cast("long").alias("n_terms_matched"),
+        )
+        .orderBy("rk")
+    )
+
+

@@ -6,7 +6,7 @@ centroid stats, and the LSH-bucketed ANN scale path (rows-only).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from flight_data_pipeline_spark.operators.multimodal import (
     binarize_documents,
@@ -1106,3 +1106,115 @@ def sketch_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
     return cosine_topk(survivors, qv, vec_col="embedding",
                        id_col="vec_id", k=10)
+
+
+# --- hybrid retrieval: reciprocal-rank fusion --------------------------------
+from flight_data_pipeline_spark.plans.text_queries import BM25_AGG_SQL
+
+_RRF_ORACLE = """
+    WITH {BM25_AGG},
+    bm AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_u DESC, doc_id) AS rnk
+        FROM agg
+    ),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = {QV})), 4) DESC, vec_id) AS rnk
+        FROM embeddings
+    ),
+    fused AS (
+        SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+               COALESCE(1000000000000 // (60 + bm.rnk), 0)
+                   + COALESCE(1000000000000 // (60 + cos.rnk), 0) AS rrf_u,
+               bm.rnk  AS bm25_rank,
+               cos.rnk AS cosine_rank
+        FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+    )
+    SELECT CAST(rk AS BIGINT)           AS rk,
+           doc_id,
+           CAST(rrf_u AS BIGINT)        AS rrf_pico,
+           CAST(bm25_rank AS BIGINT)    AS bm25_rank,
+           CAST(cosine_rank AS BIGINT)  AS cosine_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= 10 ORDER BY rk
+""".format(BM25_AGG=BM25_AGG_SQL.strip(), QV=QUERY_VEC_ID)
+
+
+@query("hybrid_retrieval_rrf", oracle=_RRF_ORACLE)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the standard way
+    a RAG stack combines a lexical ranking (BM25 over pinned query
+    terms; text_queries.bm25_doc_scores, shared SQL) with a dense
+    ranking (cosine against the pinned query vector, the
+    cosine_topk_bruteforce discipline: round-4 then rank): each
+    document's fused score is sum over legs of 1/(60 + rank). The
+    fusion is computed in INTEGER pico-units — 10^12 div (60 + rank)
+    — so the classically-float RRF sum is exact BIGINT addition,
+    hash-identical on both engines (the div floor loses < 1 pico-unit
+    per leg, far below the ~10^8 gap between adjacent ranks).
+    Documents missing from a leg (no BM25 term match) contribute 0
+    from that leg via the full outer join, exactly as RRF specifies.
+
+    Plan shape: both legs are rank-stamped aggregates orders of
+    magnitude smaller than the corpus (BM25 rides posting lists for
+    |query terms|; the dense leg is the brute-force scorer whose
+    IVF/PQ/Hamming scale tiers already exist in this file — swap in
+    hamming_sign_topk's prefilter at 100 TB); the fusion join is
+    doc-keyed over candidate sets, and the global rank windows run
+    over candidate-sized frames, not the corpus. Top-10, doc_id
+    tie-break everywhere."""
+    from flight_data_pipeline_spark.operators.vectors import cosine
+    from flight_data_pipeline_spark.plans.text_queries import bm25_doc_scores
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = (emb.where(F.col("vec_id") == QUERY_VEC_ID)
+          .select(as_double(F.col("embedding")).alias("__qvec")))
+    cos_ranked = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(as_double(F.col("embedding")), F.col("__qvec")), 4)
+            .alias("sim"),
+        )
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id"))
+            .alias("rnk"),
+        )
+    )
+    bm_ranked = bm25_doc_scores(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("bm25_u"), "doc_id"))
+        .alias("rnk"),
+    )
+    fused = (
+        bm_ranked.withColumnRenamed("rnk", "bm_rnk")
+        .join(cos_ranked.withColumnRenamed("rnk", "cos_rnk"),
+              "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.coalesce(F.expr("1000000000000 div (60 + bm_rnk)"), F.lit(0))
+             + F.coalesce(F.expr("1000000000000 div (60 + cos_rnk)"),
+                          F.lit(0))).alias("rrf_u"),
+            F.col("bm_rnk").alias("bm25_rank"),
+            F.col("cos_rnk").alias("cosine_rank"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_u"), "doc_id")
+    top = fused.orderBy(F.desc("rrf_u"), "doc_id").limit(10)
+    return (
+        top.select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            "doc_id",
+            F.col("rrf_u").cast("long").alias("rrf_pico"),
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("cosine_rank").cast("long").alias("cosine_rank"),
+        )
+        .orderBy("rk")
+    )
