@@ -139,6 +139,13 @@ HEADLINE = [
     "max_concurrent_sessions",
     "copurchase_pagerank",
     "zone_map_skipping_stats",
+    # round-6 session-4 additions: the degree-ordered wedge join
+    # (triangle counting), the BM25 posting-list retrieval leg, and
+    # the two-leg RRF fusion (the CUSUM change-point rides the
+    # pre-aggregated daily grain and stays in the stats family)
+    "copurchase_triangles",
+    "bm25_doc_topk",
+    "hybrid_retrieval_rrf",
 ]
 
 

@@ -5007,12 +5007,18 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_partkey").alias("p"))
         .distinct()
     )
+    # und/oriented feed four output branches (edges, degrees, wedges,
+    # triangle join x3 aliases) — lazy localCheckpoint computes each
+    # ONCE in the first job touching it and serves every other branch
+    # from the cached partitions (the curation_stages diamond pattern)
+    # instead of re-running the incidence self-join per branch.
     und = (
         items.alias("a")
         .join(items.alias("b"),
               (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -5031,6 +5037,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("d"),
         )
+        .localCheckpoint(eager=False)
     )
     tri = (
         oriented.alias("e1")
