@@ -4813,13 +4813,22 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     items = li.select(F.col("l_orderkey").alias("o"),
                       F.col("l_partkey").alias("p")).distinct()
-    edges = (
+    # build the DISTINCT symmetric edge set at half cost: dedup only
+    # the u<v half (the oracle's a.p <> b.p DISTINCT), then mirror —
+    # (u,v) distinct implies (v,u) distinct, so the union is distinct
+    # by construction and the mirror leg is map-side
+    und = (
         items.alias("a")
         .join(items.alias("b"),
               (F.col("a.o") == F.col("b.o"))
-              & (F.col("a.p") != F.col("b.p")))
-        .select(F.col("a.p").alias("s"), F.col("b.p").alias("d"))
+              & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+    )
+    edges = (
+        und.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(und.select(F.col("v").alias("s"),
+                                F.col("u").alias("d")))
     )
     ranks = pagerank_integer(edges, src="s", dst="d", iters=3)
     top = ranks.orderBy(F.desc("rank"), "v").limit(15)

@@ -741,3 +741,36 @@ class TestPageRank:
                                    "src string, dst string")
         got = {r.v: r.rank for r in pagerank(df, max_iter=50).collect()}
         assert abs(got["x"] - 0.5) < 1e-9 and abs(got["y"] - 0.5) < 1e-9
+
+
+class TestPagerankInteger:
+    def test_exact_serial_replay(self, spark):
+        """pagerank_integer must equal a serial Python replay of the
+        integer update rule EXACTLY (not to a tolerance) — that bit-
+        replayability is the whole point of the fixed-point variant
+        (it is what lets copurchase_pagerank hash-check against an
+        unrolled SQL oracle). Graph has asymmetric degrees and a
+        node with no in-edges so the coalesce(0) path is exercised."""
+        from flight_data_pipeline_spark.operators.graph import pagerank_integer
+
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (4, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        scale, d_num, d_den, iters = 10**12, 85, 100, 3
+        got = {r.v: r.rank
+               for r in pagerank_integer(df, scale=scale, iters=iters)
+               .collect()}
+
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        n = len(nodes)
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {v: scale // n for v in nodes}
+        for _ in range(iters):
+            contrib = {}
+            for s, d in edges:
+                contrib[d] = contrib.get(d, 0) + r[s] // deg[s]
+            r = {v: ((d_den - d_num) * scale) // (d_den * n)
+                 + (d_num * contrib.get(v, 0)) // d_den
+                 for v in nodes}
+        assert got == r
