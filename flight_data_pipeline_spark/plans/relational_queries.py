@@ -5073,3 +5073,104 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_permille"),
         )
     )
+
+
+# --- chi-square independence test (integer-moment discipline) ----------------
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN value < 100 THEN 'b0'
+                    WHEN value < 250 THEN 'b1'
+                    WHEN value < 400 THEN 'b2'
+                    ELSE 'b3' END AS band,
+               COUNT(*) AS o
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+    cols_t AS (SELECT band, SUM(o) AS ct FROM cells GROUP BY 1),
+    n_t AS (SELECT SUM(o) AS n FROM cells),
+    contrib AS (
+        SELECT cells.event_type, cells.band,
+               CAST(FLOOR(
+                   (cells.o - CAST(rows_t.rt * cols_t.ct AS DOUBLE) / n_t.n)
+                   * (cells.o - CAST(rows_t.rt * cols_t.ct AS DOUBLE) / n_t.n)
+                   / (CAST(rows_t.rt * cols_t.ct AS DOUBLE) / n_t.n)
+                   * 1000000 + 0.5) AS BIGINT) AS cell_u
+        FROM cells
+        JOIN rows_t ON cells.event_type = rows_t.event_type
+        JOIN cols_t ON cells.band = cols_t.band, n_t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rows_t) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM cols_t) AS BIGINT) AS n_cols,
+           CAST(((SELECT COUNT(*) FROM rows_t) - 1)
+                * ((SELECT COUNT(*) FROM cols_t) - 1) AS BIGINT) AS dof,
+           CAST((SELECT n FROM n_t) AS BIGINT) AS n_obs,
+           CAST(SUM(cell_u) AS BIGINT) AS chi2_micro,
+           SUM(cell_u) > 21026000000 AS reject_independence
+    FROM contrib
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    value band — contingency-table statistics as pure aggregation,
+    the categorical sibling of ab_test_conversion_ztest. Expected
+    counts E = row_total * col_total / N divide exact BIGINTs (every
+    engine rounds that one division identically), each cell's
+    (O-E)^2/E is an identical expression tree on identical doubles,
+    and the only re-association-prone step — summing the ~20 cell
+    contributions — happens AFTER flooring each cell to integer
+    micro-units, so the total is exact BIGINT addition. The rejection
+    threshold is the pinned 0.05 critical value for dof=12 (21.026),
+    compared in micro-units.
+
+    Plan shape: one partial-agg shuffle collapses the scan to the
+    |types| x |bands| cell grid (~20 rows); row/col/grand totals and
+    the chi-square fold are all broadcast-sized aggregates of that
+    grid. At 100 TB the statistic costs exactly one scan — the
+    textbook reduce-then-test shape."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    cells = (
+        ev.select(
+            "event_type",
+            F.when(F.col("value") < 100, "b0")
+            .when(F.col("value") < 250, "b1")
+            .when(F.col("value") < 400, "b2")
+            .otherwise("b3").alias("band"),
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_t = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_t = cells.groupBy("band").agg(F.sum("o").alias("ct"))
+    n_t = cells.agg(F.sum("o").alias("n"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    contrib = (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "band")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            to_units((F.col("o") - e) * (F.col("o") - e) / e, 6)
+            .alias("cell_u"),
+        )
+    )
+    nr = rows_t.agg(F.count("*").alias("n_rows"))
+    nc = cols_t.agg(F.count("*").alias("n_cols"))
+    return (
+        contrib.agg(F.sum("cell_u").alias("chi2_micro"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_cols").cast("long").alias("n_cols"),
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("long").alias("dof"),
+            F.col("n").cast("long").alias("n_obs"),
+            F.col("chi2_micro").cast("long").alias("chi2_micro"),
+            (F.col("chi2_micro") > F.lit(21026000000))
+            .alias("reject_independence"),
+        )
+    )

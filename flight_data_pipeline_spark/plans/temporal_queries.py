@@ -2036,3 +2036,72 @@ def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- exact sliding-window distinct (explode-by-offset) -----------------------
+@query(
+    "sliding_7d_distinct_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS d,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    contrib AS (
+        SELECT du.d + offs.k AS wd, du.user_id
+        FROM du, (SELECT UNNEST(range(0, 7)) AS k) offs
+    )
+    SELECT STRFTIME(DATE '1970-01-01' + CAST(days.d AS INTEGER),
+                    '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT contrib.user_id) AS BIGINT) AS n_users_7d
+    FROM days JOIN contrib ON contrib.wd = days.d
+    GROUP BY days.d
+    ORDER BY days.d
+    """,
+)
+def sliding_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day sliding distinct users per day — the windowed
+    companion to cumulative_unique_users_daily (unbounded) and
+    rolling_distinct_users_hll (sketch tier). Distinct-over-a-sliding-
+    window famously doesn't decompose (you can't subtract yesterday's
+    leavers from a count), so the scalable exact formulation is
+    EXPLODE-BY-OFFSET: each distinct (day, user) observation is
+    replicated to the 7 window-end days it falls inside — a map-side
+    constant factor of 7 — and one (window_day, user) distinct
+    aggregate does the rest. No per-day self-join over raw events, no
+    O(days) window scan; shuffle volume is 7 x |distinct day-user
+    pairs| regardless of event volume, and the factor is the window
+    length in GRAIN units (7), not in events.
+
+    Days land as epoch-day BIGINTs and only days that actually occur
+    are reported (the semi join against the day list), so the check is
+    pure integer/date arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    du = (
+        ev.select(
+            to_epoch_seconds(F.col("ts")).alias("es"), "user_id")
+        .select(F.expr("es div 86400").alias("d"), "user_id")
+        .distinct()
+    )
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6)))
+        .alias("wd"),
+        "user_id",
+    )
+    return (
+        contrib.join(days.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
+        .select(
+            F.date_format(
+                F.expr("date_add(DATE'1970-01-01', CAST(wd AS INT))"),
+                "yyyy-MM-dd").alias("day"),
+            "n_users_7d",
+            F.col("wd").alias("__ord"),
+        )
+        .orderBy("__ord")
+        .drop("__ord")
+    )

@@ -58,7 +58,18 @@ def get_spark(app_name: str = "flight_data_pipeline_spark",
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
 
-    builder = SparkSession.builder.appName(app_name).master(master)
+    # Local mode runs every executor thread inside the ONE driver JVM,
+    # whose default heap is 1 GiB — 32 threads sharing 1 GiB is the
+    # wrong sizing on this 128 GiB box and OOMs the 8x scale-curve
+    # corpora (first hit: the 19M-edge graph family at 8x). Size the
+    # heap like the single fat executor this process actually is; a
+    # real cluster sets executor memory per node instead. Only
+    # effective when this call launches the JVM — the verification
+    # driver's own session keeps its own sizing.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    builder = (SparkSession.builder.appName(app_name).master(master)
+               .config("spark.driver.memory", mem))
     for k, v in _BUILD_CONF.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

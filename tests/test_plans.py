@@ -495,3 +495,59 @@ def test_quantile_histogram_shuffles_summary_not_data(spark):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_proration_windows_share_order_exchange(spark):
+    # all three window passes (order-sum, remainder-rank, residual)
+    # partition on o_orderkey — they must ride ONE hash exchange on
+    # that key, not re-shuffle per window
+    import re
+
+    plan = plan_of(spark, "order_value_proration")
+    assert plan.count("Window") >= 2
+    solo = re.findall(r"hashpartitioning\(o_orderkey#\d+L?, \d+\)", plan)
+    assert len(solo) == 1, plan
+
+
+def test_triangle_join_has_no_cartesian_and_one_edge_build(spark):
+    # the wedge join closes through equi-joins only, and the lazy
+    # checkpoints collapse the four output branches onto one edge
+    # subtree (pre-fix this plan had 442 nodes from re-derived edges)
+    plan = plan_of(spark, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    # the only BNL joins are the 4 single-row scalar attaches
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_pagerank_loop_broadcasts_rank_state(spark):
+    # the per-round edge⋈rank join must be a broadcast join (rank
+    # state is node-sized); a SortMergeJoin in the loop means the
+    # multi-million-row edge side is sorted every round
+    plan = plan_of(spark, "copurchase_pagerank")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cusum_rides_daily_grain(spark):
+    # the raw event scan must collapse to (type, day) BEFORE any
+    # window: one partial+final aggregate pair below the cumsum
+    plan = plan_of(spark, "value_cusum_changepoint")
+    assert plan.count("HashAggregate") >= 2
+    # windows run over the daily grain — partitioned by event_type
+    assert "Window" in plan
+
+
+def test_bm25_broadcasts_query_sized_frames(spark):
+    # dfreq (|terms| rows) and the 2-scalar corpus frame broadcast;
+    # the posting-list side is never broadcast
+    plan = plan_of(spark, "bm25_doc_topk")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_is_doc_keyed_outer_join(spark):
+    # the two ranking legs fuse through an equi full-outer join on
+    # doc_id — no nested-loop anywhere but the 1-row vector attach
+    plan = plan_of(spark, "hybrid_retrieval_rrf")
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
