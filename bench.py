@@ -146,6 +146,9 @@ HEADLINE = [
     "copurchase_triangles",
     "bm25_doc_topk",
     "hybrid_retrieval_rrf",
+    # the exact sliding-distinct explode-by-offset shape (the
+    # chi-square test rides the single-scan stats family untracked)
+    "sliding_7d_distinct_users",
 ]
 
 
