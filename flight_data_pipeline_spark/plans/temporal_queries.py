@@ -2105,3 +2105,116 @@ def sliding_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("__ord")
         .drop("__ord")
     )
+
+
+# --- rolling correlation over exact windowed moments --------------------------
+@query(
+    "rolling_14d_type_correlation",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+               event_type,
+               CAST(FLOOR(value + 0.5) AS BIGINT) AS yd
+        FROM events WHERE value IS NOT NULL
+    ),
+    spine AS (SELECT DISTINCT day FROM d),
+    v AS (SELECT day, SUM(yd) AS v FROM d WHERE event_type = 'view'
+          GROUP BY day),
+    p AS (SELECT day, SUM(yd) AS p FROM d WHERE event_type = 'purchase'
+          GROUP BY day),
+    series AS (
+        SELECT spine.day,
+               COALESCE(v.v, 0) AS v,
+               COALESCE(p.p, 0) AS p
+        FROM spine LEFT JOIN v ON spine.day = v.day
+                   LEFT JOIN p ON spine.day = p.day
+    ),
+    m AS (
+        SELECT day,
+               COUNT(*)   OVER w AS n,
+               SUM(v)     OVER w AS sx,
+               SUM(p)     OVER w AS sy,
+               SUM(v * p) OVER w AS sxy,
+               SUM(v * v) OVER w AS sxx,
+               SUM(p * p) OVER w AS syy
+        FROM series
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT STRFTIME(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d')
+               AS day,
+           CAST(n AS BIGINT) AS n_days_window,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+               AS corr6
+    FROM m ORDER BY m.day
+    """,
+)
+def rolling_14d_type_correlation(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Rolling 14-day Pearson correlation between the daily view and
+    purchase value series — windowed statistics via EXACT windowed
+    moments, extending group_ols_trend's closed-form discipline from
+    one global fit to a sliding fit per day: the six sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) ride as BIGINT window sums
+    over a dense day spine (missing days coalesce to 0 so the frame
+    is truly 14 calendar-grain rows at steady state), and
+    corr = (nΣxy − ΣxΣy) / sqrt((nΣxx − Σx²)(nΣyy − Σy²)) divides
+    exactly-representable doubles — no float re-association anywhere,
+    so a famously noisy statistic hash-checks. Whole-dollar units
+    keep nΣxy far inside 2^63 at any per-day volume this fixture
+    reaches; at bigger volumes, coarsen the unit — the moments stay
+    exact. Zero-variance windows (a constant series) yield NULL via
+    NULLIF, not a throw (ANSI guard).
+
+    Plan shape: one partial-agg shuffle to (day, type) grain, two
+    spine joins over day-count-sized frames, one unpartitioned window
+    over |days| rows (~30 here; a production spine partitions by
+    year). The raw scan never reaches the window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    d = ev.select(
+        to_epoch_seconds(F.col("ts")).alias("es"),
+        "event_type",
+        to_units(F.col("value"), 0).alias("yd"),
+    ).select(F.expr("es div 86400").alias("day"), "event_type", "yd")
+    spine = d.select("day").distinct()
+    v = (d.where(F.col("event_type") == "view")
+         .groupBy("day").agg(F.sum("yd").alias("v")))
+    p = (d.where(F.col("event_type") == "purchase")
+         .groupBy("day").agg(F.sum("yd").alias("p")))
+    series = (
+        spine.join(v, "day", "left").join(p, "day", "left")
+        .select("day",
+                F.coalesce("v", F.lit(0)).alias("v"),
+                F.coalesce("p", F.lit(0)).alias("p"))
+    )
+    w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    m = series.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("sx"),
+        F.sum("p").over(w).alias("sy"),
+        F.sum(F.col("v") * F.col("p")).over(w).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("sxx"),
+        F.sum(F.col("p") * F.col("p")).over(w).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        m.select(
+            F.date_format(
+                F.expr("date_add(DATE'1970-01-01', CAST(day AS INT))"),
+                "yyyy-MM-dd").alias("day_s"),
+            F.col("n").cast("long").alias("n_days_window"),
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr6"),
+            F.col("day").alias("__ord"),
+        )
+        .orderBy("__ord")
+        .select(F.col("day_s").alias("day"), "n_days_window", "corr6")
+    )
