@@ -582,3 +582,50 @@ def assign_contiguous_ids(df: DataFrame, id_col: str = "row_id",
         .withColumn(id_col, (F.col("__offset") + F.col("__rn")).cast("long"))
         .drop("__pid", "__rn", "__offset")
     )
+
+
+def prorate_largest_remainder(df: DataFrame, key: str, total_col: str,
+                              weight_col: str, tiebreak_col: str) -> DataFrame:
+    """Largest-remainder (Hamilton) proration: split each ``key``
+    group's ``total_col`` (an exact integer, e.g. cents) across its
+    rows proportionally to ``weight_col`` (exact integer weights),
+    with NO lost units: floor allocations ``(total*w) div sum_w``
+    first, then the leftover ``total - sum(floors)`` units (always
+    0 <= r < n_rows) go one unit each to the rows with the largest
+    division remainders, ties broken by ``tiebreak_col``. Adds
+    ``alloc_c`` (the row's allocation) and ``bumped`` (1 if the row
+    received a remainder unit). Sum(alloc_c) == total per group by
+    construction — the reconciliation-grade invariant float proration
+    cannot give (property-tested against a serial Python oracle in
+    tests/test_properties.py).
+
+    Plan shape: every window (group sum, remainder rank, residual)
+    partitions on ``key``, so Spark shuffles once and reuses the
+    exchange; cost is one sort of the group's rows. Assumes
+    weights >= 0 with a positive group sum (a zero-weight-sum group
+    would divide by zero — callers filter empty/degenerate groups)."""
+    w_grp = Window.partitionBy(key)
+    sized = (
+        df.withColumn("__sum_w", F.sum(weight_col).over(w_grp))
+        .withColumn("__prod", F.col(total_col) * F.col(weight_col))
+    )
+    flo = (
+        sized.withColumn("__alloc_floor",
+                         F.expr(f"__prod div __sum_w"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(key).orderBy(
+                    (F.col("__prod") % F.col("__sum_w")).desc(),
+                    tiebreak_col)),
+        )
+    )
+    resid = flo.withColumn(
+        "__residual",
+        F.col(total_col) - F.sum("__alloc_floor").over(w_grp))
+    bump = (F.col("__rk") <= F.col("__residual")).cast("long")
+    return (
+        resid.withColumn("alloc_c", F.col("__alloc_floor") + bump)
+        .withColumn("bumped", bump)
+        .drop("__sum_w", "__prod", "__alloc_floor", "__rk", "__residual")
+    )

@@ -4682,31 +4682,16 @@ def order_value_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o_orderkey"), "l_linenumber",
         to_units(F.col("l_extendedprice"), 2).alias("ext_c"),
     )
+    from flight_data_pipeline_spark.operators.relational import (
+        prorate_largest_remainder,
+    )
+
     base = li.join(o, "o_orderkey")
-    w_ord = Window.partitionBy("o_orderkey")
-    sized = base.withColumn("sum_ext", F.sum("ext_c").over(w_ord)).withColumn(
-        "prod", F.col("total_c") * F.col("ext_c")
-    )
-    flo = sized.select(
-        "o_orderkey", "o_orderpriority", "total_c", "l_linenumber",
-        F.expr("prod div sum_ext").alias("alloc_floor"),
-        F.row_number()
-        .over(
-            Window.partitionBy("o_orderkey").orderBy(
-                (F.col("prod") % F.col("sum_ext")).desc(), "l_linenumber"
-            )
-        )
-        .alias("rk"),
-    )
-    resid = flo.withColumn(
-        "residual", F.col("total_c") - F.sum("alloc_floor").over(w_ord)
-    )
-    bump = (F.col("rk") <= F.col("residual")).cast("long")
-    alloc = resid.select(
-        "o_orderkey", "o_orderpriority", "total_c",
-        (F.col("alloc_floor") + bump).alias("alloc_c"),
-        bump.alias("bumped"),
-    )
+    alloc = prorate_largest_remainder(
+        base, key="o_orderkey", total_col="total_c",
+        weight_col="ext_c", tiebreak_col="l_linenumber",
+    ).select("o_orderkey", "o_orderpriority", "total_c",
+             "alloc_c", "bumped")
     per_order = alloc.groupBy("o_orderkey", "o_orderpriority").agg(
         F.max("total_c").alias("total_c"),
         F.sum("alloc_c").alias("alloc_sum"),

@@ -123,6 +123,20 @@ GRAPH_HEAVY = [
     "copurchase_triangles",
 ]
 
+# The integer-moment stats family (r6s3/s4): scaling, OLS, CUSUM,
+# sweep-line concurrency, sliding distinct. Growth = MORE USERS (the
+# events replication). Every member collapses the scan to a grain
+# (daily / type / day-user) before any window, so time must track the
+# scan; the sweep-line and sliding-distinct shuffles carry 2x and 7x
+# the GRAIN rows respectively, not the event rows.
+STATS_HEAVY = [
+    "max_concurrent_sessions",
+    "group_feature_scaling",
+    "group_ols_trend",
+    "value_cusum_changepoint",
+    "sliding_7d_distinct_users",
+]
+
 BEGIN = "<!-- SCALECURVE:BEGIN (generated by scripts/scale_curve.py) -->"
 END = "<!-- SCALECURVE:END -->"
 EBEGIN = "<!-- SCALECURVE-EVENTS:BEGIN (generated by scripts/scale_curve.py) -->"
@@ -137,6 +151,8 @@ CBEGIN = "<!-- SCALECURVE-CUMSUM:BEGIN (generated by scripts/scale_curve.py) -->
 CEND = "<!-- SCALECURVE-CUMSUM:END -->"
 GBEGIN = "<!-- SCALECURVE-GRAPH:BEGIN (generated by scripts/scale_curve.py) -->"
 GEND = "<!-- SCALECURVE-GRAPH:END -->"
+STBEGIN = "<!-- SCALECURVE-STATS:BEGIN (generated by scripts/scale_curve.py) -->"
+STEND = "<!-- SCALECURVE-STATS:END -->"
 
 
 def build_corpus(scale: int, out_dir: str) -> None:
@@ -355,6 +371,10 @@ def main() -> None:
     if "graph" in fams:
         out["graph"] = graph_result = measure(
             GRAPH_HEAVY, build_tpch_corpus, os.path.join(root, "graph"))
+    stats_result = None
+    if "stats" in fams:
+        out["stats"] = stats_result = measure(
+            STATS_HEAVY, build_events_corpus, os.path.join(root, "stats"))
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
@@ -415,6 +435,28 @@ def main() -> None:
                     "scan + number of partitions — the production layout\n"
                     "for per-source window work. Seconds, single run\n"
                     "each, local[32].\n\n" + cblock + "\n"
+                )
+
+        if stats_result is not None:
+            stblock = (f"{STBEGIN}\n\n"
+                       f"{fmt_table(stats_result, STATS_HEAVY)}\n\n{STEND}")
+            if STBEGIN in text:
+                text = re.sub(
+                    re.escape(STBEGIN) + r".*?" + re.escape(STEND), stblock,
+                    text, flags=re.S)
+            else:
+                text += (
+                    "\n## Measured scale curve (integer-moment stats family)\n\n"
+                    "Growth = more users (the events replication).\n"
+                    "Every member collapses the scan to a grain —\n"
+                    "(type, day), (type, day-user), or the 2x start/end\n"
+                    "point set — BEFORE any window, so the windows run\n"
+                    "over grain-sized frames and total time must track\n"
+                    "the scan. The sweep-line shuffle carries 2 rows per\n"
+                    "event and the sliding-distinct 7 per day-user pair\n"
+                    "— constant factors, not growth terms. Seconds,\n"
+                    "single run each, local[32].\n\n"
+                    + stblock + "\n"
                 )
 
         if graph_result is not None:

@@ -1047,3 +1047,51 @@ def test_histogram_quantile_within_one_bin_of_truth(spark, values,
     truth = sorted(values)[max(rank - 1, 0)]
     assert abs(row[0].est_units - truth) <= bin_width, (
         row[0].est_units, truth, values, bin_width, p)
+
+
+# --- largest-remainder proration vs serial Hamilton oracle --------------------
+
+proration_groups = st.lists(
+    st.tuples(st.integers(0, 3),          # group key
+              st.integers(1, 10_000)),    # row weight (positive)
+    min_size=1, max_size=20,
+)
+
+
+@SETTINGS
+@given(data=proration_groups, totals=st.tuples(
+    st.integers(0, 10**9), st.integers(0, 10**9),
+    st.integers(0, 10**9), st.integers(0, 10**9)))
+def test_proration_matches_serial_hamilton(spark, data, totals):
+    """prorate_largest_remainder must equal the serial Hamilton
+    algorithm EXACTLY on random groups: identical per-row
+    allocations (not just conserved sums), remainder units going to
+    the largest-remainder rows with the declared tie-break. Random
+    shapes hit single-row groups, all-equal weights (pure tie-break),
+    and totals far larger/smaller than the weight mass."""
+    from flight_data_pipeline_spark.operators.relational import (
+        prorate_largest_remainder,
+    )
+
+    rows_in = [(i, k, w, totals[k]) for i, (k, w) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows_in, "rid long, k long, w long, total long")
+    got = {r.rid: (r.alloc_c, r.bumped)
+           for r in prorate_largest_remainder(
+               df, key="k", total_col="total", weight_col="w",
+               tiebreak_col="rid").collect()}
+
+    want = {}
+    for k in {k for _, k, _, _ in rows_in}:
+        grp = [(rid, w) for rid, kk, w, _ in rows_in if kk == k]
+        total = totals[k]
+        sum_w = sum(w for _, w in grp)
+        floors = {rid: (total * w) // sum_w for rid, w in grp}
+        rems = sorted(grp, key=lambda rw: (-((total * rw[1]) % sum_w),
+                                           rw[0]))
+        residual = total - sum(floors.values())
+        bumped = {rid for rid, _ in rems[:residual]}
+        for rid, _ in grp:
+            want[rid] = (floors[rid] + (1 if rid in bumped else 0),
+                         1 if rid in bumped else 0)
+    assert got == want
