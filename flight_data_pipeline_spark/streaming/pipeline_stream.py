@@ -1275,3 +1275,90 @@ def stream_join_ivm(feed: DataFrame, state_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_day_user_delta(state_dir: str, batch_df: DataFrame,
+                         batch_id: int, ts_col: str = "ts",
+                         user_col: str = "user_id") -> bool:
+    """Idempotently fold one micro-batch into the persistent distinct
+    (epoch-day, user) observation table — the EXACT state behind a
+    sliding-window distinct-users metric. Distinct-over-a-window
+    doesn't decompose into mergeable counters, but its MINIMAL exact
+    state does: the day×user presence set, whose merge (distinct
+    union) is associative, commutative, and idempotent — any replay
+    shape is safe, same as the HLL register table one tier up (which
+    remains the sketch alternative when |users| makes exact state too
+    big). State grows with |days| × |active users/day| — the same
+    grain the batch query (sliding_7d_distinct_users) reduces to
+    before ITS window, so the stream holds nothing the batch plan
+    wouldn't materialize anyway. Same marker + atomic-swap +
+    crash-recovery discipline as every store in this module."""
+    import os
+
+    from flight_data_pipeline_spark.functions.scalars import (
+        to_epoch_seconds,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    data_dir = os.path.join(state_dir, "data")
+    if _already_applied(state_dir, batch_id):
+        return False
+
+    spark = batch_df.sparkSession
+    delta = (
+        batch_df.select(
+            F.expr(f"CAST({ts_col} AS TIMESTAMP)").alias("__ts"),
+            F.col(user_col).alias("user_id"))
+        .select(to_epoch_seconds(F.col("__ts")).alias("__es"), "user_id")
+        .select(F.expr("__es div 86400").alias("d"), "user_id")
+        .distinct()
+    )
+    if os.path.exists(data_dir):
+        base = spark.read.parquet(data_dir).select("d", "user_id")
+        merged = base.unionByName(delta).distinct()
+    else:
+        merged = delta
+    _swap_in_state(state_dir, batch_id, merged)
+    return True
+
+
+def sliding_distinct_users_view(spark: SparkSession, state_dir: str,
+                                window_days: int = 7) -> DataFrame:
+    """Consumer of the day×user store: per observed day, the exact
+    distinct-user count over the trailing ``window_days`` — the same
+    explode-by-offset plan as the batch sliding_7d_distinct_users
+    (each pair replicated to the window-end days it falls inside, one
+    distinct aggregate), so stream-maintained state and batch
+    recompute are pinned equal by construction, reading day-grain
+    state instead of raw events."""
+    du = spark.read.parquet(state_dir + "/data")
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"),
+                             F.col("d") + F.lit(window_days - 1)))
+        .alias("wd"),
+        "user_id",
+    )
+    return (
+        contrib.join(days.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def stream_sliding_distinct(events: DataFrame, state_dir: str,
+                            checkpoint_dir: str, ts_col: str = "ts",
+                            user_col: str = "user_id") -> StreamingQuery:
+    """Streaming maintenance of the exact sliding-distinct state:
+    each micro-batch's distinct (day, user) pairs union into the
+    persistent store; consumers call sliding_distinct_users_view at
+    any time. foreachBatch + checkpointed offsets + batch-id
+    idempotence give effective exactly-once across restarts."""
+    return (
+        events.writeStream
+        .foreachBatch(lambda df, bid: apply_day_user_delta(
+            state_dir, df, bid, ts_col, user_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1575,3 +1575,72 @@ def test_join_ivm_crash_between_side_write_and_view_swap(spark, tmp_path):
     assert view == {"GOLD": (2, 150), "SILVER": (1, 30)}
     # and a second replay is a no-op
     assert apply_join_ivm_delta(state, b1, 1) is False
+
+
+def test_stream_sliding_distinct_matches_batch(spark, tmp_path):
+    """The stream-maintained day×user store, read through the
+    explode-by-offset consumer, must equal the batch
+    sliding_7d_distinct_users recompute over the same events — and a
+    replayed batch id must be a no-op on the store."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.plans import registry
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_day_user_delta,
+        sliding_distinct_users_view,
+        stream_sliding_distinct,
+    )
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    from flight_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        F.col("ts").cast("string").alias("ts"), "user_id")
+    rows = ev.collect()
+    half = len(rows) // 2
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, chunk):
+        (src / name).write_text("\n".join(
+            json.dumps({"ts": r.ts, "user_id": r.user_id})
+            for r in chunk))
+
+    def read_stream():
+        return spark.readStream.schema("ts string, user_id long") \
+            .json(str(src))
+
+    state = str(tmp_path / "du")
+    # two micro-batch runs over a growing directory (restart replay
+    # of batch 0 exercises the idempotence path on the second run)
+    write_file("b1.json", rows[:half])
+    stream_sliding_distinct(
+        read_stream(), state, str(tmp_path / "ck")).awaitTermination(120)
+    write_file("b2.json", rows[half:])
+    stream_sliding_distinct(
+        read_stream(), state, str(tmp_path / "ck")).awaitTermination(120)
+
+    streamed = {r.wd: r.n_users
+                for r in sliding_distinct_users_view(spark, state).collect()}
+    batch = {r.day: r.n_users_7d
+             for r in registry.QUERIES["sliding_7d_distinct_users"](
+                 spark, SF_DIR).collect()}
+    # same days, same counts (batch keys are date strings)
+    import datetime as dt
+
+    streamed_by_day = {
+        (dt.date(1970, 1, 1) + dt.timedelta(days=int(wd))).isoformat(): n
+        for wd, n in streamed.items()}
+    assert streamed_by_day == batch
+
+    # replay of an applied batch id is a no-op
+    extra = spark.createDataFrame(
+        [("2030-01-01 00:00:00", 999999)], "ts string, user_id long")
+    assert apply_day_user_delta(state, extra, 0) is False
+    assert {r.wd: r.n_users
+            for r in sliding_distinct_users_view(spark, state).collect()
+            } == streamed
