@@ -1259,3 +1259,105 @@ def curated_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- MinHash construction, hash-proven (md5 permutation twin) ----------------
+MH_PERMS = 16      # md5-derived permutations (production tier: xxhash64)
+MH_BANDBUCKETS = 1024
+
+
+@query(
+    "minhash_md5_signatures",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(
+                   generate_series(0, len(t) - 3),
+                   i -> array_to_string(t[i + 1 : i + 3], ' '))) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    h AS (
+        SELECT doc_id, source, perms.i,
+               MIN(('0x' || substr(md5(CAST(perms.i AS VARCHAR)
+                                       || '|' || g.g), 1, 8))::BIGINT)
+                   AS sig
+        FROM g, (SELECT UNNEST(range(0, {MH_PERMS})) AS i) perms
+        GROUP BY doc_id, source, perms.i
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               SUM(sig) AS sig_sum,
+               MIN(CASE WHEN i = 0 THEN sig END) % {MH_BANDBUCKETS}
+                   AS b0
+        FROM h GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(SUM(sig_sum) AS BIGINT)       AS signature_checksum,
+           CAST(COUNT(DISTINCT b0) AS BIGINT) AS band0_buckets
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def minhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature construction PROVEN by value hash — the
+    check-tier twin of the production MinHash+LSH path
+    (operators/dedup.py), which rides xxhash64 and therefore can only
+    ever be rows-only (no oracle engine reproduces Spark's xxhash64).
+    Here each of the 16 permutations is an md5-derived 32-bit
+    hash both engines compute bit-identically, so the per-doc
+    signature (min per permutation over distinct 3-gram shingles),
+    its checksum, and the band-0 bucket assignment all hash-match —
+    upgrading the MinHash family's correctness story from "recall
+    pinned on fixtures" to "construction replayed exactly on another
+    engine". Same shingle definition as the contamination oracles
+    (token 3-grams, <3-token docs excluded on both sides).
+
+    Plan shape: gram explode x 16 permutation fan-out is one
+    map-side explode (no joins), then a (doc, perm) partial+final
+    min — the shuffle carries |docs| x 16 signature rows,
+    not gram rows, thanks to map-side combine. The checksum and
+    bucket rollups are source-sized. The production tier keeps
+    xxhash64 (2-3x faster per gram, no hex decode); this query pins
+    the LOGIC both tiers share."""
+    from flight_data_pipeline_spark.operators.text import ngram_explode
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.size(tokens(F.col("text"))) >= 3)
+    )
+    grams = (
+        ngram_explode(docs, "text", 3, "doc_id", "source")
+        .distinct()
+    )
+    h = (
+        grams.select(
+            "doc_id", "source", "g",
+            F.explode(F.sequence(F.lit(0), F.lit(MH_PERMS - 1))).alias("i"),
+        )
+        .select(
+            "doc_id", "source", "i",
+            F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.col("i").cast("string"),
+                                  F.col("g"))), 1, 8), 16, 10)
+            .cast("long").alias("hv"),
+        )
+        .groupBy("doc_id", "source", "i")
+        .agg(F.min("hv").alias("sig"))
+    )
+    per_doc = h.groupBy("doc_id", "source").agg(
+        F.sum("sig").alias("sig_sum"),
+        (F.min(F.when(F.col("i") == 0, F.col("sig")))
+         % F.lit(MH_BANDBUCKETS)).alias("b0"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("sig_sum").cast("long").alias("signature_checksum"),
+            F.countDistinct("b0").cast("long").alias("band0_buckets"),
+        )
+        .orderBy("source")
+    )
