@@ -1361,3 +1361,93 @@ def minhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- SimHash fold, hash-proven (md5 32-bit twin) -----------------------------
+_SH_VOTES_SQL = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(32))
+_SH_SIG_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(32))
+
+
+@query(
+    "simhash_md5_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, source,
+               {_SH_VOTES_SQL}
+        FROM h GROUP BY doc_id, source
+    ),
+    sig AS (
+        SELECT doc_id, source, {_SH_SIG_SQL} AS sig32
+        FROM votes
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                  AS n_docs,
+           CAST(SUM(sig32) AS BIGINT)                AS fingerprint_checksum,
+           CAST(COUNT(DISTINCT sig32 >> 24) AS BIGINT)
+               AS prefix_buckets
+    FROM sig GROUP BY source ORDER BY source
+    """,
+)
+def simhash_md5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-vote fold PROVEN by value hash — the check-tier
+    twin of simhash64 (operators/dedup.py), whose production xxhash64
+    token hashes no oracle engine reproduces. Same fold semantics
+    exactly: one +/-1 vote per token OCCURRENCE (not per distinct
+    token) for each bit, bit set iff its vote sum is strictly
+    positive — here over md5-derived 32-bit token hashes both engines
+    compute identically, so the per-doc fingerprint, its per-source
+    checksum, and the 8-bit prefix bucket assignment all hash-match.
+    With minhash_md5_signatures this makes BOTH near-dup signature
+    constructions construction-replayed-exactly, not just
+    recall-pinned.
+
+    Plan shape: token explode -> one (doc, source) aggregate carrying
+    32 conditional sums (partial+final, map-side combine — no
+    per-bit row fan-out), then a map-side signature fold and a
+    source-sized rollup. One shuffle of |docs| x 32 counters."""
+    votes = [
+        F.sum(F.when(F.expr(f"(hv >> {b}) & 1 = 1"), 1).otherwise(-1))
+        .alias(f"v{b}") for b in range(32)
+    ]
+    sig = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select(
+        "doc_id", "source",
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id", "source",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10)
+        .cast("long").alias("hv"),
+    )
+    per_doc = (
+        h.groupBy("doc_id", "source").agg(*votes)
+        .select("doc_id", "source", sig.alias("sig32"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("sig32").cast("long").alias("fingerprint_checksum"),
+            F.countDistinct(F.expr("sig32 >> 24")).cast("long")
+            .alias("prefix_buckets"),
+        )
+        .orderBy("source")
+    )
