@@ -117,12 +117,56 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # approximate by design ⇒ rows-only check
+def _lsh_component(b: int, i: int) -> float:
+    """The hyperplane component formula of
+    operators/vectors.hyperplane_signature, reproduced so the oracle
+    can inline the IDENTICAL plane literals (sha256-derived, salt 0).
+    repr() round-trips doubles exactly, so both engines dot against
+    bit-identical planes."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.sha256(f"{b}:{i}".encode()).digest()[:8], "big")
+    return (h % 10_000_001) / 5_000_000.0 - 1.0
+
+
+_LSH_BITS, _LSH_DIM = 4, 64
+_LSH_SIG_SQL = " + ".join(
+    "(CASE WHEN list_sum(list_transform(generate_series(1, {d}),"
+    " i -> CAST(embedding[i] AS DOUBLE) * ([{lits}]::DOUBLE[])[i]))"
+    " > 0 THEN {w} ELSE 0 END)".format(
+        d=_LSH_DIM,
+        lits=", ".join(repr(_lsh_component(b, i)) for i in range(_LSH_DIM)),
+        w=1 << b)
+    for b in range(_LSH_BITS))
+
+_LSH_ORACLE = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, ({_LSH_SIG_SQL}) AS s FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, s AS qs FROM sig
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(sig.embedding AS DOUBLE[]),
+               CAST((SELECT qe FROM q) AS DOUBLE[])), 4) AS cosine_sim
+    FROM sig WHERE s = (SELECT qs FROM q)
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("ann_lsh_topk", oracle=_LSH_ORACLE)
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k for the pinned query vector —
     the scale path (probe one hyperplane bucket instead of the full
-    table). Approximate ⇒ no SQL oracle; recall vs the exact query is
-    measured in tests/test_extensions.py."""
+    table). PROMOTED from rows-only (r6s4): "approximate" means
+    approximate RECALL vs the exact scan, not nondeterminism — the
+    hyperplane planes are sha256-derived literals the oracle inlines
+    verbatim, so bucket assignment and the in-bucket exact cosine
+    top-10 replay on the oracle engine and the result hash-matches.
+    (Sign tests on dots of O(1) magnitude tolerate any cross-engine
+    summation-order noise at 1e-15.) Recall vs the exact query
+    remains measured in tests/test_extensions.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
     return ann_lsh_topk(emb, qv, vec_col="embedding", id_col="vec_id",
