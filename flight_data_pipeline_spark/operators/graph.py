@@ -99,7 +99,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
                      scale: int = 10**12, d_num: int = 85,
                      d_den: int = 100, iters: int = 3,
-                     broadcast_state: bool = True) -> DataFrame:
+                     broadcast_state: bool = True,
+                     weight: str | None = None) -> DataFrame:
     """Fixed-point integer PageRank → (v, rank) with rank a scaled
     BIGINT — every arithmetic step is integer (div / mod / sum), so
     the result is BIT-IDENTICAL on any engine that implements 64-bit
@@ -114,6 +115,12 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
         r0(v)  = scale div N
         r_k(v) = (1-d)·scale div N
                  + d_num · Σ_{u→v} (r_{k-1}(u) div deg(u)) div d_den
+
+    With ``weight`` set (integer edge weights — the TextRank case),
+    the per-edge share becomes ``(r_{k-1}(u) * w) div sw(u)`` where
+    ``sw(u)`` is u's total out-weight: the weighted generalization,
+    still pure 64-bit integer arithmetic (callers keep
+    ``scale * max_weight`` under 2^63).
 
     Dangling mass is dropped rather than redistributed (total mass is
     NOT conserved under integer floors anyway); callers that need the
@@ -137,9 +144,12 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
     round is deterministic, so a lost partition rebuilds
     identically."""
     maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
+    wcol = (F.col(weight).cast("long") if weight is not None
+            else F.lit(1).cast("long"))
     e = edges.select(F.col(src).alias("s"),
-                     F.col(dst).alias("d")).localCheckpoint()
-    deg = e.groupBy("s").agg(F.count("*").alias("__deg"))
+                     F.col(dst).alias("d"),
+                     wcol.alias("__w")).localCheckpoint()
+    deg = e.groupBy("s").agg(F.sum("__w").alias("__deg"))
     # per-edge degree annotation: a map-side broadcast join off the
     # checkpointed edge list (deg is node-sized). Deliberately NOT
     # materialized — re-deriving it per round is one broadcast probe,
@@ -163,7 +173,7 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
             e_deg.join(maybe_bc(ranks.select(F.col("v").alias("s"), "rank")),
                        "s")
             .select(F.col("d").alias("v"),
-                    F.expr("rank div __deg").alias("__c"))
+                    F.expr("(rank * __w) div __deg").alias("__c"))
             .groupBy("v").agg(F.sum("__c").alias("__c"))
         )
         ranks = (

@@ -3153,3 +3153,106 @@ def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- integer TextRank (checked iterative keyword extraction) -----------------
+_TR_ROUNDS_SQL = "\n    ".join(
+    f"""c{k} AS (
+        SELECT e.dst AS v, SUM((r{k-1}.r * e.w) // sw.sw) AS c
+        FROM edges e JOIN sw ON e.src = sw.src
+                     JOIN r{k-1} ON r{k-1}.v = e.src
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT nodes.v,
+               CAST(15000000000000 AS BIGINT)
+                   // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c{k}.c, 0)) // 100 AS r
+        FROM nodes LEFT JOIN c{k} ON nodes.v = c{k}.v
+    ),""" for k in (1, 2, 3))
+
+
+@query(
+    "textrank_integer_keywords",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        FROM documents
+    ),
+    edges AS (
+        SELECT src, dst, COUNT(*) AS w FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1), i -> t[i])) AS src,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - 1), i -> t[i + 1])) AS dst
+            FROM t WHERE len(t) >= 2
+        ) GROUP BY src, dst
+    ),
+    sw AS (SELECT src, SUM(w) AS sw FROM edges GROUP BY src),
+    nodes AS (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM edges
+            UNION ALL SELECT dst AS v FROM edges)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT v, CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn) AS r
+        FROM nodes
+    ),
+    {_TR_ROUNDS_SQL}
+    final AS (
+        SELECT v, r, ROW_NUMBER() OVER (ORDER BY r DESC, v) AS rk
+        FROM r3
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, v AS token,
+           CAST(r AS BIGINT)  AS rank_scaled
+    FROM final WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def textrank_integer_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction PROVEN by value hash — the
+    check-tier twin of textrank_keyword_scores, whose 10 rounds of
+    damped FLOAT propagation can never hash-match another engine
+    (partial-sum re-association). Same transition graph exactly
+    (adjacent-token bigram edges weighted by corpus count, empty
+    tokens filtered BEFORE pairing), but the propagation is the
+    weighted integer fixed-point rule (operators/graph
+    .pagerank_integer with per-edge share (r*w) div sw(u)), unrolled
+    as 3 join+aggregate CTE rounds in the oracle — completing the
+    iterative-family promotions: PageRank (copurchase_pagerank) and
+    now weighted TextRank both replay bit-identically in SQL, so the
+    float tiers' LOGIC is proven even though their exact values
+    stay rows-only.
+
+    Plan: the bigram edge build is one map-side transform+explode
+    (no window lag needed — pairs come from an index zip inside the
+    array), aggregated to the vocabulary-sized transition graph;
+    per-round cost is graph-sized and corpus-size-independent, the
+    same data-independent fixed cost the float query documents."""
+    from flight_data_pipeline_spark.operators.graph import pagerank_integer
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("t")
+    ).where(F.size("t") >= 2)
+    edges = (
+        toks.select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) AS src,"
+            "             element_at(t, i + 1) AS dst))")).alias("z"))
+        .select(F.col("z.src").alias("src"), F.col("z.dst").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = pagerank_integer(edges, weight="w", iters=3)
+    top = ranks.orderBy(F.desc("rank"), "v").limit(20)
+    w = Window.orderBy(F.desc("rank"), "v")
+    return (
+        top.select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.col("v").alias("token"),
+            F.col("rank").cast("long").alias("rank_scaled"),
+        )
+        .orderBy("rk")
+    )

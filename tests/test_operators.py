@@ -774,3 +774,30 @@ class TestPagerankInteger:
                  + (d_num * contrib.get(v, 0)) // d_den
                  for v in nodes}
         assert got == r
+
+    def test_weighted_exact_serial_replay(self, spark):
+        """Weighted variant: per-edge share (r*w) div sw(u) — must
+        also replay the serial integer recursion exactly."""
+        from flight_data_pipeline_spark.operators.graph import pagerank_integer
+
+        edges = [(1, 2, 3), (1, 3, 1), (2, 3, 5), (3, 1, 2), (4, 3, 7)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        scale, iters = 10**12, 3
+        got = {r.v: r.rank
+               for r in pagerank_integer(df, weight="w", scale=scale,
+                                         iters=iters).collect()}
+
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        n = len(nodes)
+        sw = {}
+        for s, _, w in edges:
+            sw[s] = sw.get(s, 0) + w
+        r = {v: scale // n for v in nodes}
+        for _ in range(iters):
+            contrib = {}
+            for s, d, w in edges:
+                contrib[d] = contrib.get(d, 0) + (r[s] * w) // sw[s]
+            r = {v: (15 * scale) // (100 * n)
+                 + (85 * contrib.get(v, 0)) // 100
+                 for v in nodes}
+        assert got == r
