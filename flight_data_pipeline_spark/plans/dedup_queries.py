@@ -1319,9 +1319,16 @@ def minhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side explode (no joins), then a (doc, perm) partial+final
     min — the shuffle carries |docs| x 16 signature rows,
     not gram rows, thanks to map-side combine. The checksum and
-    bucket rollups are source-sized. The production tier keeps
-    xxhash64 (2-3x faster per gram, no hex decode); this query pins
-    the LOGIC both tiers share."""
+    bucket rollups are source-sized. Measured on the 1x-8x retrieval
+    curve (SCALE.md): near-linear tail (~0.87), as it must be — the
+    md5 work is inherently linear in corpus grams. A
+    no-fan-out alternative (16 MIN aggregates, one complex md5 expr
+    each, over plain gram rows) was measured and REJECTED: identical
+    hash work but 1.5-1.7x slower at every scale point (24.4 s vs
+    15.3 s at 8x) — 16 interpreted agg-input expressions lose to the
+    codegen'd explode. The production tier keeps xxhash64 (2-3x
+    faster per gram, no hex decode); this query pins the LOGIC both
+    tiers share."""
     from flight_data_pipeline_spark.operators.text import ngram_explode
 
     docs = (

@@ -129,6 +129,31 @@ GRAPH_HEAVY = [
 # (daily / type / day-user) before any window, so time must track the
 # scan; the sweep-line and sliding-distinct shuffles carry 2x and 7x
 # the GRAIN rows respectively, not the event rows.
+# The retrieval family (r6s4): BM25 posting lists, the two-leg RRF
+# fusion (lexical + dense — needs BOTH documents and embeddings
+# replicated in lockstep so doc_id↔vec_id alignment survives), and
+# the two hash-proven signature constructions. Growth = more docs
+# AND more vectors (disjoint ids). BM25/signatures ride explode →
+# partial-agg shapes (near-linear in corpus tokens); RRF adds the
+# dense brute-force leg (linear in vectors) and a candidate-sized
+# fusion join.
+RETRIEVAL_HEAVY = [
+    "bm25_doc_topk",
+    "hybrid_retrieval_rrf",
+    "minhash_md5_signatures",
+    "simhash_md5_fingerprints",
+    "tfidf_top_term_per_doc",
+]
+
+
+def build_retrieval_corpus(scale: int, out_dir: str) -> None:
+    """documents + embeddings replicated in lockstep (same id
+    offsets), so the RRF doc_id = vec_id join stays 1:1 at every
+    scale."""
+    build_corpus(scale, out_dir)
+    build_vectors_corpus(scale, out_dir)
+
+
 STATS_HEAVY = [
     "max_concurrent_sessions",
     "group_feature_scaling",
@@ -153,6 +178,8 @@ GBEGIN = "<!-- SCALECURVE-GRAPH:BEGIN (generated by scripts/scale_curve.py) -->"
 GEND = "<!-- SCALECURVE-GRAPH:END -->"
 STBEGIN = "<!-- SCALECURVE-STATS:BEGIN (generated by scripts/scale_curve.py) -->"
 STEND = "<!-- SCALECURVE-STATS:END -->"
+RBEGIN = "<!-- SCALECURVE-RETRIEVAL:BEGIN (generated by scripts/scale_curve.py) -->"
+REND = "<!-- SCALECURVE-RETRIEVAL:END -->"
 
 
 def build_corpus(scale: int, out_dir: str) -> None:
@@ -375,6 +402,11 @@ def main() -> None:
     if "stats" in fams:
         out["stats"] = stats_result = measure(
             STATS_HEAVY, build_events_corpus, os.path.join(root, "stats"))
+    retrieval_result = None
+    if "retrieval" in fams:
+        out["retrieval"] = retrieval_result = measure(
+            RETRIEVAL_HEAVY, build_retrieval_corpus,
+            os.path.join(root, "retrieval"))
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
@@ -435,6 +467,28 @@ def main() -> None:
                     "scan + number of partitions — the production layout\n"
                     "for per-source window work. Seconds, single run\n"
                     "each, local[32].\n\n" + cblock + "\n"
+                )
+
+        if retrieval_result is not None:
+            rblock = (f"{RBEGIN}\n\n"
+                      f"{fmt_table(retrieval_result, RETRIEVAL_HEAVY)}\n\n{REND}")
+            if RBEGIN in text:
+                text = re.sub(
+                    re.escape(RBEGIN) + r".*?" + re.escape(REND), rblock,
+                    text, flags=re.S)
+            else:
+                text += (
+                    "\n## Measured scale curve (retrieval family)\n\n"
+                    "Growth = more documents AND more vectors in\n"
+                    "lockstep (the RRF fusion needs the doc_id = vec_id\n"
+                    "alignment at every scale). BM25 and the two\n"
+                    "hash-proven signature constructions are explode ->\n"
+                    "partial-agg shapes that must track corpus tokens;\n"
+                    "the RRF adds the dense brute-force leg (linear in\n"
+                    "vectors — the IVF/Hamming tiers are the documented\n"
+                    "scale path) plus a candidate-sized fusion join.\n"
+                    "Seconds, single run each, local[32].\n\n"
+                    + rblock + "\n"
                 )
 
         if stats_result is not None:
