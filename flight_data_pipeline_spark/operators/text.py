@@ -369,3 +369,24 @@ def hashing_tf(df, text_col: str, *keep_cols: str,
         .groupBy(*keep_cols, "idx")
         .agg(F.count("*").alias("tf"))
     )
+
+
+def bm25_term_score_micro(tf: Column, dl: Column, df_: Column,
+                          n: Column, s: Column,
+                          k1: float = 1.2, b: float = 0.75) -> Column:
+    """One BM25 term contribution in integer MICRO-UNITS — the exact
+    expression tree shared by the batch scorer
+    (plans/text_queries.bm25_doc_scores) and the incremental-index
+    consumer (streaming/pipeline_stream.bm25_topk_from_index), so
+    "batch recompute" and "stream-maintained index" scores are equal
+    BY CONSTRUCTION. Inputs are exact integers (tf, doc length,
+    document frequency, corpus doc count, corpus token count); every
+    float op is IEEE correctly-rounded on identical operands, and the
+    floor-to-micro-units happens per (doc, term) BEFORE any sum, so
+    downstream addition is association-free BIGINT arithmetic."""
+    idf = F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
+    score = (idf * (tf * F.lit(k1 + 1.0))
+             / (tf + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b)
+                   * (dl / (s.cast("double") / n)))))
+    return F.floor(score * F.lit(10 ** 6) + F.lit(0.5)).cast("long")

@@ -3081,23 +3081,19 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from flight_data_pipeline_spark.operators.text import (
+        bm25_term_score_micro,
+    )
+
     scored = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
-            to_units(
-                F.log(F.lit(1.0)
-                      + (F.col("n") - F.col("df") + F.lit(0.5))
-                      / (F.col("df") + F.lit(0.5)))
-                * (F.col("tf") * F.lit(2.2))
-                / (F.col("tf") + F.lit(1.2)
-                   * (F.lit(0.25) + F.lit(0.75)
-                      * (F.col("dl")
-                         / (F.col("s").cast("double") / F.col("n"))))),
-                6,
-            ).alias("term_score_u"),
+            bm25_term_score_micro(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n"), F.col("s")).alias("term_score_u"),
         )
     )
     return scored.groupBy("doc_id").agg(

@@ -1362,3 +1362,104 @@ def stream_sliding_distinct(events: DataFrame, state_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_posting_delta(index_dir: str, batch_df: DataFrame,
+                        batch_id: int, id_col: str = "doc_id",
+                        text_col: str = "text") -> bool:
+    """Idempotently fold one micro-batch of (immutable, append-only)
+    documents into a persistent BM25 POSTING-LIST INDEX: two stores
+    under ``index_dir`` — ``postings`` (term, doc_id, tf) and
+    ``doclen`` (doc_id, dl) — each with its own marker + atomic-swap
+    + crash-recovery state. A crash between the two swaps leaves one
+    store applied; on replay, its batch-id marker makes its re-apply
+    a no-op while the other catches up — the pair converges under any
+    replay shape because documents are append-only (new doc_ids
+    union in; nothing is ever updated in place).
+
+    This is incremental SEARCH-INDEX maintenance: the corpus is read
+    once as it arrives, and query-time work touches only the queried
+    terms' posting lists — never the corpus."""
+    import os
+
+    from flight_data_pipeline_spark.operators.text import tokens
+
+    applied = False
+    toks = batch_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    for sub, delta in (
+        ("postings",
+         toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))),
+        ("doclen",
+         toks.groupBy("doc_id").agg(F.count("*").alias("dl"))),
+    ):
+        root = os.path.join(index_dir, sub)
+        os.makedirs(root, exist_ok=True)
+        if _already_applied(root, batch_id):
+            continue
+        data_dir = os.path.join(root, "data")
+        if os.path.exists(data_dir):
+            base = batch_df.sparkSession.read.parquet(data_dir)
+            merged = base.unionByName(delta)
+        else:
+            merged = delta
+        _swap_in_state(root, batch_id, merged)
+        applied = True
+    return applied
+
+
+def bm25_topk_from_index(spark: SparkSession, index_dir: str,
+                         terms: tuple[str, ...], k: int = 15) -> DataFrame:
+    """Query the stream-maintained index: BM25 top-k for ``terms``
+    touching ONLY those terms' posting lists (a term-keyed semi
+    filter on the postings store) plus the doc-length table — the
+    payoff of index maintenance: query cost is candidate-sized, not
+    corpus-sized. Scoring uses the SAME integer-micro-unit expression
+    as the batch scorer (operators/text.bm25_term_score_micro), so
+    index-served and batch-recomputed scores are equal by
+    construction (pinned in tests/test_streaming.py). Returns
+    (doc_id, bm25_u, n_terms) like text_queries.bm25_doc_scores."""
+    from flight_data_pipeline_spark.operators.text import (
+        bm25_term_score_micro,
+    )
+
+    postings = spark.read.parquet(index_dir + "/postings/data")
+    dl = spark.read.parquet(index_dir + "/doclen/data")
+    corpus = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+    tf = postings.where(F.col("term").isin(*terms))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            bm25_term_score_micro(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n"), F.col("s")).alias("term_score_u"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score_u").alias("bm25_u"),
+        F.count("*").alias("n_terms"),
+    )
+    return agg.orderBy(F.desc("bm25_u"), "doc_id").limit(k)
+
+
+def stream_bm25_index(docs: DataFrame, index_dir: str,
+                      checkpoint_dir: str, id_col: str = "doc_id",
+                      text_col: str = "text") -> StreamingQuery:
+    """Streaming BM25 index maintenance over an append-only document
+    stream: foreachBatch + checkpointed offsets + per-store batch-id
+    idempotence give effective exactly-once on both index tables
+    across restarts."""
+    return (
+        docs.writeStream
+        .foreachBatch(lambda df, bid: apply_posting_delta(
+            index_dir, df, bid, id_col, text_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

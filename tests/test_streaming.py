@@ -1644,3 +1644,64 @@ def test_stream_sliding_distinct_matches_batch(spark, tmp_path):
     assert {r.wd: r.n_users
             for r in sliding_distinct_users_view(spark, state).collect()
             } == streamed
+
+
+def test_stream_bm25_index_matches_batch_scorer(spark, tmp_path):
+    """BM25 scores served from the stream-maintained posting-list
+    index must EXACTLY equal the batch scorer over the same corpus
+    (shared integer-micro-unit expression), and a replayed batch id
+    must be a no-op on both index stores."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flight_data_pipeline_spark.plans.text_queries import (
+        BM25_TERMS,
+        bm25_doc_scores,
+    )
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_posting_delta,
+        bm25_topk_from_index,
+        stream_bm25_index,
+    )
+    from flight_data_pipeline_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    rows = docs.collect()
+    half = len(rows) // 2
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write_file(name, chunk):
+        (src / name).write_text("\n".join(
+            json.dumps({"doc_id": r.doc_id, "text": r.text})
+            for r in chunk))
+
+    def read_stream():
+        return spark.readStream.schema("doc_id long, text string") \
+            .json(str(src))
+
+    idx = str(tmp_path / "idx")
+    write_file("b1.json", rows[:half])
+    stream_bm25_index(
+        read_stream(), idx, str(tmp_path / "ck")).awaitTermination(120)
+    write_file("b2.json", rows[half:])
+    stream_bm25_index(
+        read_stream(), idx, str(tmp_path / "ck")).awaitTermination(120)
+
+    served = {r.doc_id: (r.bm25_u, r.n_terms)
+              for r in bm25_topk_from_index(
+                  spark, idx, BM25_TERMS, k=10**9).collect()}
+    batch = {r.doc_id: (r.bm25_u, r.n_terms)
+             for r in bm25_doc_scores(spark, SF_DIR).collect()}
+    assert served == batch
+
+    # replayed batch id: no-op on both stores
+    extra = spark.createDataFrame([(999999, "spark spark spark")],
+                                  "doc_id long, text string")
+    assert apply_posting_delta(idx, extra, 0) is False
+    assert {r.doc_id: (r.bm25_u, r.n_terms)
+            for r in bm25_topk_from_index(
+                spark, idx, BM25_TERMS, k=10**9).collect()} == served
