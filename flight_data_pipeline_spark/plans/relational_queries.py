@@ -5159,3 +5159,55 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reject_independence"),
         )
     )
+
+
+# --- FILTER-clause aggregate surface -----------------------------------------
+@query(
+    "filtered_aggregates_probe",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000)
+                AS BIGINT) AS n_big,
+           CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                  AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F'), 0)
+                AS BIGINT) AS finished_cents,
+           CAST(COUNT(DISTINCT o_custkey)
+                FILTER (WHERE o_orderstatus = 'O')
+                AS BIGINT) AS open_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def filtered_aggregates_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``agg(...) FILTER (WHERE ...)`` surface probe — the
+    standard form of conditional aggregation (one scan, per-aggregate
+    predicates), pinned against the CASE-WHEN rewrites used elsewhere
+    in this file. Catalyst compiles the FILTER clause to the same
+    partial+final hash aggregate with a per-buffer predicate, so a
+    mixed set of filtered COUNT / SUM / COUNT(DISTINCT) still costs
+    ONE pass over orders (the distinct adds its expand, exactly as an
+    unfiltered distinct would). Money rides as integer cents
+    (to_units twin of the oracle's FLOOR), the filtered SUM coalesces
+    to 0 where a group has no matching rows on both engines.
+    Expressed via spark.sql so the PARSER surface — not just the
+    plan — is what's being proven."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000)
+                    AS BIGINT) AS n_big,
+               CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                      AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F'), 0)
+                    AS BIGINT) AS finished_cents,
+               CAST(COUNT(DISTINCT o_custkey)
+                    FILTER (WHERE o_orderstatus = 'O')
+                    AS BIGINT) AS open_customers
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)

@@ -1262,3 +1262,77 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- ANN tier recall audit ----------------------------------------------------
+from flight_data_pipeline_spark.plans.registry import ORACLE_SQL as _OSQL
+
+_RECALL_ORACLE = f"""
+    WITH exact AS (SELECT vec_id FROM ({_OSQL["cosine_topk_bruteforce"]})),
+    ham AS (
+        SELECT COUNT(*) AS c FROM
+        (SELECT vec_id FROM ({_OSQL["hamming_sign_topk"]})) t
+        JOIN exact USING (vec_id)
+    ),
+    i8 AS (
+        SELECT COUNT(*) AS c FROM
+        (SELECT vec_id FROM ({_OSQL["int8_quantized_cosine_topk"]})) t
+        JOIN exact USING (vec_id)
+    ),
+    lsh AS (
+        SELECT COUNT(*) AS c FROM
+        (SELECT vec_id FROM ({_OSQL["ann_lsh_topk"]})) t
+        JOIN exact USING (vec_id)
+    )
+    SELECT tier, CAST(10 AS BIGINT) AS k, CAST(c AS BIGINT) AS n_hits,
+           CAST(c * 100 AS BIGINT) AS recall_permille
+    FROM (
+        SELECT 'hamming' AS tier, c FROM ham
+        UNION ALL SELECT 'int8', c FROM i8
+        UNION ALL SELECT 'lsh', c FROM lsh
+    ) ORDER BY tier
+"""
+
+
+@query("ann_recall_audit", oracle=_RECALL_ORACLE)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every approximate serving tier against the exact
+    cosine top-10 — the EVALUATION HARNESS a serving stack ships
+    with, itself a checked query: every tier is deterministic
+    (round-then-rank cuts, pinned constants), so the recall numbers
+    hash-match the oracle, which rebuilds all four rankings from the
+    tiers' own oracle SQL verbatim (single source of truth — a
+    semantics change in any tier flips this audit too). Exact-tier
+    ids are lazily checkpointed and broadcast into the three
+    candidate-sized intersection joins; nothing leaves the plan.
+
+    Reading at fixture scale: hamming/int8 recall is high (tight
+    approximations of the same metric), LSH recall is whatever its
+    4-bit bucket happened to capture — the audit is the measurement,
+    not a target; production tunes bits/probes against exactly this
+    number at scale."""
+    exact = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    tiers = (
+        ("hamming", hamming_sign_topk),
+        ("int8", int8_quantized_cosine_topk),
+        ("lsh", ann_lsh_topk_query),
+    )
+    out = None
+    for name, fn in tiers:
+        hits = (
+            fn(spark, sf_dir).select("vec_id")
+            .join(F.broadcast(exact), "vec_id")
+            .agg(F.count("*").alias("c"))
+            .select(
+                F.lit(name).alias("tier"),
+                F.lit(10).cast("long").alias("k"),
+                F.col("c").cast("long").alias("n_hits"),
+                (F.col("c") * 100).cast("long").alias("recall_permille"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy("tier")
