@@ -1458,3 +1458,148 @@ def simhash_md5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- LSH banding recall audit (all-md5, fully checked) ------------------------
+_BAND_W = {0: 1, 1: 31, 2: 961, 3: 29791}  # weight by i mod 4
+_BANDKEY_SQL = ("SUM(sig * (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 "
+                "WHEN 2 THEN 961 ELSE 29791 END))")
+
+
+from flight_data_pipeline_spark.plans.registry import ORACLE_SQL as _OSQL2
+
+
+@query(
+    "lsh_candidate_recall_audit",
+    # the exact-pair subquery is the checked near_dup_jaccard_pairs
+    # oracle embedded VERBATIM (single source of truth), spliced in
+    # below via replace to keep this template a plain f-string
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS g
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, perms.i,
+               MIN(('0x' || substr(md5(CAST(perms.i AS VARCHAR)
+                                       || '|' || g.g), 1, 8))::BIGINT)
+                   AS sig
+        FROM g, (SELECT UNNEST(range(0, {MH_PERMS})) AS i) perms
+        GROUP BY doc_id, perms.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 4 AS band, {_BANDKEY_SQL} AS key
+        FROM h GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key
+         AND a.doc_id < b.doc_id
+    ),
+    exact AS (
+        SELECT doc_a, doc_b FROM ({{EXACT}})
+    ),
+    hits AS (
+        SELECT COUNT(*) AS c FROM cand JOIN exact
+          ON cand.doc_a = exact.doc_a AND cand.doc_b = exact.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM cand)  AS BIGINT) AS n_candidates,
+           CAST(hits.c AS BIGINT)                       AS n_hits,
+           CAST(hits.c * 1000
+                // NULLIF((SELECT COUNT(*) FROM exact), 0) AS BIGINT)
+               AS recall_permille,
+           CAST(hits.c * 1000
+                // NULLIF((SELECT COUNT(*) FROM cand), 0) AS BIGINT)
+               AS precision_permille
+    FROM hits
+    """.replace("{EXACT}", _OSQL2["near_dup_jaccard_pairs"]),
+)
+def lsh_candidate_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding recall/precision audit, FULLY checked —
+    the dedup twin of ann_recall_audit: how many of the true
+    near-duplicate pairs (the checked exact Jaccard query, whose
+    oracle SQL this one embeds verbatim) does 4-band × 4-row banding
+    over the md5 permutation signatures actually surface, and at what
+    candidate precision? Everything is md5/integer — signatures, the
+    order-independent weighted band key (sig·31^(i mod 4) summed over
+    the band's 4 rows), the pair joins — so the audit itself
+    hash-matches, making candidate-generation quality a DRIVER-PROVEN
+    number instead of a fixture assertion. The production xxhash64
+    banding (operators/dedup.py) has the same structure; its recall
+    is pinned by unit tests, this query pins the methodology
+    cross-engine.
+
+    Signatures here are over the SAME similarity the ground truth
+    uses — distinct TOKENS (the exact query's jaccard basis), not the
+    3-gram shingles of minhash_md5_signatures; an earlier shingle-
+    based draft measured recall ~0 against token-set truth, which is
+    the mismatch the audit exists to catch.
+
+    Plan: signature build as in minhash_md5_signatures, band keys via
+    one more doc-grain aggregate, candidates via a (band, key)
+    equi-self-join (bucket-sized fan-out — the whole point of LSH),
+    intersection against the exact-pair subtree, three scalar
+    aggregates broadcast into one row."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    h = (
+        grams.select(
+            "doc_id", "g",
+            F.explode(F.sequence(F.lit(0), F.lit(MH_PERMS - 1))).alias("i"),
+        )
+        .select(
+            "doc_id", "i",
+            F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.col("i").cast("string"),
+                                  F.col("g"))), 1, 8), 16, 10)
+            .cast("long").alias("hv"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("sig"))
+    )
+    w = (F.when(F.col("i") % 4 == 0, 1)
+         .when(F.col("i") % 4 == 1, 31)
+         .when(F.col("i") % 4 == 2, 961)
+         .otherwise(29791).cast("long"))
+    bands = (
+        h.groupBy("doc_id", F.expr("i div 4").alias("band"))
+        .agg(F.sum(F.col("sig") * w).alias("key"))
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        near_dup_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    hits = cand.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("c"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    return (
+        hits.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("c").cast("long").alias("n_hits"),
+            F.expr("CAST(c * 1000 div NULLIF(n_exact, 0) AS BIGINT)")
+            .alias("recall_permille"),
+            F.expr("CAST(c * 1000 div NULLIF(n_candidates, 0) AS BIGINT)")
+            .alias("precision_permille"),
+        )
+    )
