@@ -5211,3 +5211,92 @@ def filtered_aggregates_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+# --- item-item co-occurrence cosine (recommender primitive) ------------------
+@query(
+    "copurchase_item_similarity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    occ AS (SELECT p, COUNT(*) AS c FROM items GROUP BY p),
+    co AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    scored AS (
+        SELECT co.pa, co.pb, co.cab, oa.c AS ca, ob.c AS cb,
+               ROUND(co.cab / SQRT(CAST(oa.c * ob.c AS DOUBLE)), 6)
+                   AS cosine6
+        FROM co JOIN occ oa ON co.pa = oa.p
+                JOIN occ ob ON co.pb = ob.p
+        WHERE co.cab >= 3
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, pa, pb,
+           CAST(cab AS BIGINT) AS n_co,
+           CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+           cosine6
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY cosine6 DESC, pa, pb) AS rk
+          FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over co-purchase counts — the
+    classic neighborhood-model recommender primitive (sim(a,b) =
+    c_ab / sqrt(c_a * c_b), cosine over binary basket vectors,
+    computed from counts alone — no vectors materialized). The
+    numerator/denominator are exact integers, so the one division and
+    sqrt are IEEE correctly-rounded and engine-identical; round-6
+    then rank with a (pa, pb) tie-break makes the top-20 cut stable.
+    A minimum co-occurrence support (>= 3) kills the
+    single-co-purchase noise pairs that dominate raw cosine — the
+    standard support floor.
+
+    Plan shape: the same distinct incidence self-join as the graph
+    family, aggregated to the co-occurrence matrix (one shuffle on
+    the pair key, map-side combine), two broadcast joins of the
+    node-sized occurrence counts, TakeOrderedAndProject for the cut.
+    At 100 TB the co-matrix is the heavy object; the support floor
+    and per-item top-k (a window over pa) are the standard ways to
+    bound it, both expressible on this exact plan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(F.col("l_orderkey").alias("o"),
+                      F.col("l_partkey").alias("p")).distinct()
+    occ = items.groupBy("p").agg(F.count("*").alias("c"))
+    co = (
+        items.alias("a")
+        .join(items.alias("b"),
+              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("cab"))
+        .where(F.col("cab") >= 3)
+    )
+    scored = (
+        co.join(F.broadcast(occ.select(F.col("p").alias("pa"),
+                                       F.col("c").alias("ca"))), "pa")
+        .join(F.broadcast(occ.select(F.col("p").alias("pb"),
+                                     F.col("c").alias("cb"))), "pb")
+        .select(
+            "pa", "pb", "cab", "ca", "cb",
+            F.round(F.col("cab")
+                    / F.sqrt((F.col("ca") * F.col("cb")).cast("double")), 6)
+            .alias("cosine6"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine6"), "pa", "pb")
+    top = scored.orderBy(F.desc("cosine6"), "pa", "pb").limit(20)
+    return (
+        top.select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            "pa", "pb",
+            F.col("cab").cast("long").alias("n_co"),
+            F.col("ca").cast("long").alias("n_a"),
+            F.col("cb").cast("long").alias("n_b"),
+            "cosine6",
+        )
+        .orderBy("rk")
+    )
