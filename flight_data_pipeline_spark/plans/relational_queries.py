@@ -3543,7 +3543,7 @@ def skew_safe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            MIN(p_c2) / 100.0 AS weighted_median_price,
-           MIN(tw)           AS total_weight_c2
+           CAST(MIN(tw) AS BIGINT) AS total_weight_c2
     FROM cum
     WHERE 2 * cw >= tw
     GROUP BY l_returnflag

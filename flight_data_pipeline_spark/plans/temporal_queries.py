@@ -1518,8 +1518,8 @@ def hourly_linear_interpolation(spark: SparkSession, sf_dir: str
         GROUP BY from_type, to_type
     )
     SELECT from_type, to_type, n,
-           (n * 1000) // SUM(n) OVER (PARTITION BY from_type)
-               AS p_permille
+           CAST((n * 1000) // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_permille
     FROM pairs ORDER BY from_type, to_type
     """,
 )

@@ -2852,15 +2852,15 @@ CURRICULUM_STAGES = 3
     ),
     staged AS (
         SELECT lang, n_tok, ratio_pm,
-               LEAST((cum_before * {CURRICULUM_STAGES}) // total_tok,
-                     {CURRICULUM_STAGES} - 1) AS stage
+               CAST(LEAST((cum_before * {CURRICULUM_STAGES}) // total_tok,
+                          {CURRICULUM_STAGES} - 1) AS BIGINT) AS stage
         FROM ordered
     )
     SELECT lang, stage,
            CAST(COUNT(*) AS BIGINT)     AS n_docs,
            CAST(SUM(n_tok) AS BIGINT)   AS stage_tokens,
-           ((2 * SUM(ratio_pm) + COUNT(*)) // (2 * COUNT(*)))
-               AS mean_ratio_pm,
+           CAST((2 * SUM(ratio_pm) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS mean_ratio_pm,
            CAST(MAX(ratio_pm) AS BIGINT) AS worst_ratio_pm
     FROM staged
     GROUP BY lang, stage
@@ -2958,13 +2958,13 @@ AMS_SKETCHES = 16
     ),
     est AS (
         SELECT lang,
-               (2 * SUM(x * x) + {AMS_SKETCHES})
-                   // (2 * {AMS_SKETCHES}) AS est_f2
+               CAST((2 * SUM(x * x) + {AMS_SKETCHES})
+                    // (2 * {AMS_SKETCHES}) AS BIGINT) AS est_f2
         FROM sketches GROUP BY lang
     )
     SELECT e.lang, x.exact_f2, e.est_f2,
-           (ABS(e.est_f2 - x.exact_f2) * 1000) // x.exact_f2
-               AS abs_err_permille
+           CAST((ABS(e.est_f2 - x.exact_f2) * 1000) // x.exact_f2
+                AS BIGINT) AS abs_err_permille
     FROM est e JOIN exact x ON e.lang = x.lang
     ORDER BY e.lang
     """,

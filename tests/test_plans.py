@@ -453,6 +453,33 @@ def test_no_float_round_sum_in_oracles():
     assert offenders == [], offenders
 
 
+def test_no_hugeint_in_oracle_output():
+    """The r6 lesson (4 driver-hash failures), enforced statically:
+    no oracle's final SELECT may emit a HUGEINT column. DuckDB widens
+    SUM(BIGINT) to HUGEINT, and fetchdf() maps HUGEINT to float64, so
+    the driver hashes 250.0 against Spark's int 250 and fails even
+    though every value is identical. DESCRIBE binds the query without
+    executing it, so this sweeps all ~210 oracles in seconds. Fix for
+    an offender: CAST(... AS BIGINT) on the flagged column (template:
+    points_balance_floor_zero, temporal_queries.py)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    offenders = []
+    for name, sql in registry.ORACLE_SQL.items():
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+        bad = [(c, ty) for c, ty, *_ in desc
+               if "HUGEINT" in ty.upper()]
+        if bad:
+            offenders.append((name, bad))
+    assert offenders == [], offenders
+
+
 def test_serving_tiers_plan_as_single_pass_topk(spark):
     """The three r6s2 serving tiers must plan as one scan +
     TakeOrderedAndProject (heap per partition, never a global sort)
