@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str | None = None, damping: float = 0.85,
-             max_iter: int = 15, tol: float = 1e-6) -> DataFrame:
+             max_iter: int = 15, tol: float = 1e-6,
+             init_ranks: DataFrame | None = None) -> DataFrame:
     """Weighted PageRank over a directed edge list → (v, rank), ranks
     summing to ~1. Per round every node distributes damping×rank
     along its out-edges proportional to edge weight; dangling nodes
@@ -32,6 +33,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     stochastic-matrix completion, kept as a one-row broadcast scalar
     so the loop stays fully declarative (no driver-side mass
     constant). Stops early when no node moves more than ``tol``.
+
+    ``init_ranks`` (v, rank) WARM-STARTS the iteration: nodes present
+    keep their prior rank, new nodes enter at 1/N, and the combined
+    vector is renormalized to total mass 1 — the damping<1 fixed
+    point is unique for any mass-1 start, so a warm start changes
+    only how many rounds convergence takes, not where it lands. This
+    is the incremental-maintenance hook: after an edge delta, re-run
+    from the previous snapshot and typically converge in 1-3 rounds
+    instead of ~15 (streaming/pipeline_stream.apply_rank_delta).
 
     Scale shape: each round is one edge⋈rank join (shuffle on the
     edge's source key, the same partitioning every round) + one
@@ -50,11 +60,27 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     n1 = nodes.agg(F.count("*").cast("double").alias("__n"))
     outw = e.groupBy("s").agg(F.sum("w").alias("__ow"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(n1))
-        .select("v", (F.lit(1.0) / F.col("__n")).alias("rank"))
-        .localCheckpoint()
-    )
+    if init_ranks is None:
+        ranks = (
+            nodes.crossJoin(F.broadcast(n1))
+            .select("v", (F.lit(1.0) / F.col("__n")).alias("rank"))
+            .localCheckpoint()
+        )
+    else:
+        seeded = (
+            nodes.join(init_ranks.select("v", F.col("rank")
+                                         .alias("__r0")), "v", "left")
+            .crossJoin(F.broadcast(n1))
+            .select("v", F.coalesce(F.col("__r0"),
+                                    F.lit(1.0) / F.col("__n"))
+                    .alias("rank"))
+        )
+        mass = seeded.agg(F.sum("rank").alias("__m"))
+        ranks = (
+            seeded.crossJoin(F.broadcast(mass))
+            .select("v", (F.col("rank") / F.col("__m")).alias("rank"))
+            .localCheckpoint()
+        )
     for _ in range(max_iter):
         # mass leaving via edges: rank_s * w / out_weight_s
         contrib = (

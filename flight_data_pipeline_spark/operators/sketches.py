@@ -353,8 +353,8 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, item_col: str,
 
 
 def quantiles_from_histogram(hist: DataFrame, group_cols: list[str],
-                             bin_width: int, permilles: list[int],
-                             max_bin: int | None = None) -> DataFrame:
+                             bin_width: int,
+                             permilles: list[int]) -> DataFrame:
     """Rank queries answered from a SUM-mergeable integer histogram —
     the reusable half of the `quantile_histogram_estimates` checked
     query, factored out so every histogram producer (the batch

@@ -74,8 +74,11 @@ class JdbcSink:
     inserts per partition and the database provides the transactional
     commit the reference gets from psycopg.
 
-    Untested in-container (no JDBC driver or server ships here);
-    the parquet sinks above are the engine's native path and the
+    Executed in-container against embedded Derby (the JDBC driver
+    Spark ships in its own jars/ for the Hive metastore) —
+    tests/test_pipeline.py::TestJdbcSinkEmbeddedDerby appends the
+    telemetry + audit two-table shape and reads both back. The
+    parquet sinks above remain the engine's native path; the
     pipeline accepts either through the same append/read interface.
     ``properties`` passes driver options (user, password, driver)."""
 

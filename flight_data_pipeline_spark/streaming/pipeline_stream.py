@@ -1140,12 +1140,18 @@ def reprocess_dead_letters(spark: SparkSession, dlq_dir: str,
         r.file.removeprefix("file:")
         for r in ok.select("file").distinct().toLocalIterator()
     ]
-    out = fresh.drop("__hb", "file")
-    pdf = out.toPandas()
-    n = len(pdf)
-    if n:
-        spark.createDataFrame(pdf, schema=out.schema) \
-            .write.mode("append").parquet(telemetry_path)
+    # Count via an in-plan Observation on the append itself — no
+    # driver materialization in the write path (the toPandas round
+    # trip this replaces collected the whole recovered batch onto the
+    # driver just to learn its size). A zero-row append is metadata
+    # only, so writing unconditionally keeps replay idempotent.
+    from pyspark.sql import Observation
+
+    obs = Observation("dlq_replay")
+    out = fresh.drop("__hb", "file").observe(
+        obs, F.count(F.lit(1)).alias("n"))
+    out.write.mode("append").parquet(telemetry_path)
+    n = int(obs.get["n"])
     AuditSink(spark, audit_path).log_run(
         "success" if n else "skipped", n, 0)
     for full in recovered_files:
@@ -1459,6 +1465,98 @@ def stream_bm25_index(docs: DataFrame, index_dir: str,
         docs.writeStream
         .foreachBatch(lambda df, bid: apply_posting_delta(
             index_dir, df, bid, id_col, text_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def apply_rank_delta(state_dir: str, batch_df: DataFrame,
+                     batch_id: int, damping: float = 0.85,
+                     tol: float = 1e-9, max_rounds: int = 40) -> bool:
+    """Incremental PAGERANK maintenance on an edge-delta stream — the
+    streaming twin the iterative-graph family was missing (every
+    other extension tier already has one: rollups, heavy hitters,
+    HLL, BM25 index, LSH dedup, attribution, join-IVM).
+
+    Two stores under ``state_dir``, each with its own marker +
+    atomic-swap + crash-recovery state (the apply_posting_delta
+    two-store shape): ``edges`` (s, d, w — weights summed per edge as
+    deltas fold in) and ``ranks`` (v, rank — the maintained
+    snapshot). Per batch: merge the edge delta, then re-run the float
+    :func:`~flight_data_pipeline_spark.operators.graph.pagerank`
+    rounds over the accumulated edge set WARM-STARTED from the stored
+    snapshot. Damping < 1 makes the fixed point unique for any mass-1
+    start, so the maintained snapshot converges to exactly what a
+    batch recompute over the same edges yields (pinned in
+    tests/test_streaming.py) — but a small delta typically needs 1-3
+    rounds from the warm start instead of ~15 from uniform, which is
+    the entire economy of maintaining state.
+
+    Replay contract: a replayed batch whose edges are already folded
+    skips the merge (marker) and whose ranks are already published
+    skips the recompute — fully idempotent. A crash between the two
+    swaps replays safely: edges skip, ranks re-converge over the
+    already-merged edge set (same fixed point)."""
+    import os
+
+    from flight_data_pipeline_spark.operators.graph import pagerank
+
+    spark = batch_df.sparkSession
+    delta = (
+        batch_df.select(F.col("src").alias("s"), F.col("dst").alias("d"),
+                        F.col("w").cast("double").alias("w"))
+        .groupBy("s", "d").agg(F.sum("w").alias("w"))
+    )
+    applied = False
+
+    eroot = os.path.join(state_dir, "edges")
+    os.makedirs(eroot, exist_ok=True)
+    if not _already_applied(eroot, batch_id):
+        edata = os.path.join(eroot, "data")
+        if os.path.exists(edata):
+            merged = (
+                spark.read.parquet(edata).unionByName(delta)
+                .groupBy("s", "d").agg(F.sum("w").alias("w"))
+            )
+        else:
+            merged = delta
+        _swap_in_state(eroot, batch_id, merged)
+        applied = True
+
+    rroot = os.path.join(state_dir, "ranks")
+    os.makedirs(rroot, exist_ok=True)
+    if not _already_applied(rroot, batch_id):
+        edges = spark.read.parquet(os.path.join(eroot, "data"))
+        rdata = os.path.join(rroot, "data")
+        prev = spark.read.parquet(rdata) if os.path.exists(rdata) else None
+        ranks = pagerank(edges, src="s", dst="d", weight="w",
+                         damping=damping, max_iter=max_rounds, tol=tol,
+                         init_ranks=prev)
+        _swap_in_state(rroot, batch_id, ranks)
+        applied = True
+    return applied
+
+
+def rank_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the maintained (v, rank) PageRank snapshot — query cost is
+    node-sized, never touching the edge store."""
+    import os
+
+    return spark.read.parquet(os.path.join(state_dir, "ranks", "data"))
+
+
+def stream_rank_maintenance(edge_deltas: DataFrame, state_dir: str,
+                            checkpoint_dir: str,
+                            damping: float = 0.85) -> StreamingQuery:
+    """Streaming PageRank maintenance over an (src, dst, w) edge-delta
+    stream: foreachBatch + checkpointed offsets + per-store batch-id
+    idempotence give effective exactly-once on the rank snapshot
+    across restarts and replays."""
+    return (
+        edge_deltas.writeStream
+        .foreachBatch(lambda df, bid: apply_rank_delta(
+            state_dir, df, bid, damping))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -55,6 +55,30 @@ class TestLoadBaseline:
         # a refreshed by r2; b keeps its r1 float through the r2 error
         assert base == {"a": 0.5, "b": 2.0, "c": 3.0}
 
+    def test_pinned_baseline_file_wins(self, tmp_path):
+        (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+            {"queries": {"a": 9.0}}))
+        (tmp_path / "BENCH_BASELINE.json").write_text(json.dumps(
+            {"runs": 3, "queries": {"a": 1.0, "b": {"err": "x"}}}))
+        # pinned file overrides history entirely; non-numeric skipped
+        assert bench.load_baseline(str(tmp_path)) == {"a": 1.0}
+
+    def test_compact_line_fits_tail_capture_worst_case(self):
+        # worst case: 80 queries with 40-char names, every one flagged.
+        # The printed official line must stay well under the round
+        # driver's ~2.3 KB stdout tail capture (round 6's full line
+        # overflowed it and the artifact recorded "parsed": null).
+        timings = {f"query_with_a_really_long_name_{i:04d}_xxxx": 99.999
+                   for i in range(80)}
+        regs = [{"query": n, "sec": 99.999, "baseline_sec": 1.234,
+                 "ratio": 81.037} for n in timings]
+        line = bench.compact_line(timings, 7999.92, 0.1, 80, regs)
+        assert len(line) < 2000, len(line)
+        parsed = json.loads(line)
+        assert parsed["queries_total_n"] == 80
+        assert len(parsed["queries"]) == 12
+        assert parsed["flags"] == 80 and len(parsed["regressions"]) == 6
+
     def test_repo_baseline_covers_headline(self):
         # the real BENCH_r*.json history must yield baselines for the
         # carried headline queries (new round-5 rows have none yet)

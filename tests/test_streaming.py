@@ -1705,3 +1705,67 @@ def test_stream_bm25_index_matches_batch_scorer(spark, tmp_path):
     assert {r.doc_id: (r.bm25_u, r.n_terms)
             for r in bm25_topk_from_index(
                 spark, idx, BM25_TERMS, k=10**9).collect()} == served
+
+
+def test_stream_pagerank_maintenance_converges_to_batch(spark, tmp_path):
+    """The stream-maintained PageRank snapshot after edge deltas must
+    converge to the batch recompute over the same accumulated edge
+    set (damping<1 → unique fixed point regardless of the warm
+    start), and a replayed batch id must be a no-op on both the edge
+    store and the rank snapshot."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from flight_data_pipeline_spark.operators.graph import pagerank
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_rank_delta,
+        rank_snapshot,
+        stream_rank_maintenance,
+    )
+
+    # a small weighted digraph delivered as two edge-delta batches;
+    # b2 repeats an edge (weights must SUM across deltas) and adds a
+    # brand-new node so the warm start exercises the 1/N seeding
+    b1 = [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (1, 3, 1.0)]
+    b2 = [(1, 2, 1.0), (3, 4, 2.0), (4, 1, 1.0)]
+
+    src = tmp_path / "edges"
+    src.mkdir()
+
+    def write_file(name, chunk):
+        (src / name).write_text("\n".join(
+            json.dumps({"src": s, "dst": d, "w": w})
+            for s, d, w in chunk))
+
+    def read_stream():
+        return spark.readStream.schema("src long, dst long, w double") \
+            .json(str(src))
+
+    state = str(tmp_path / "pr")
+    write_file("b1.json", b1)
+    stream_rank_maintenance(
+        read_stream(), state, str(tmp_path / "ck")).awaitTermination(120)
+    write_file("b2.json", b2)
+    stream_rank_maintenance(
+        read_stream(), state, str(tmp_path / "ck")).awaitTermination(120)
+
+    streamed = {r.v: r.rank for r in rank_snapshot(spark, state).collect()}
+
+    all_edges = spark.createDataFrame(
+        b1 + b2, "src long, dst long, w double") \
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    batch = {r.v: r.rank
+             for r in pagerank(all_edges, weight="w", tol=1e-9,
+                               max_iter=60).collect()}
+    assert set(streamed) == set(batch)
+    for v, rank in batch.items():
+        assert abs(streamed[v] - rank) < 1e-6, (v, streamed[v], rank)
+    assert abs(sum(streamed.values()) - 1.0) < 1e-6
+
+    # replayed batch id: no-op on both stores
+    extra = spark.createDataFrame([(8, 9, 5.0)],
+                                  "src long, dst long, w double")
+    assert apply_rank_delta(state, extra, 0) is False
+    assert {r.v: r.rank
+            for r in rank_snapshot(spark, state).collect()} == streamed
