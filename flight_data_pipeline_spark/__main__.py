@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None,
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     if argv[:1] == ["query"]:
         return query_main(argv[1:])
+    use_flow = argv[:1] == ["flow"]
+    if use_flow:
+        # orchestrated form (the reference's `python prefect_flow.py`
+        # vs `python etl_job.py` split): task-level retries + the two
+        # endpoint fetches in parallel, same pipeline underneath
+        argv = argv[1:]
     parser = argparse.ArgumentParser(prog="flight_data_pipeline_spark")
     parser.add_argument("--telemetry",
                         default=os.environ.get("TELEMETRY_PATH",
@@ -93,8 +99,18 @@ def main(argv: list[str] | None = None,
     from flight_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="flight_data_pipeline_spark.batch")
-    result = run_pipeline(spark, fetch_intensity, fetch_mix,
-                          args.telemetry, args.audit)
+    if use_flow:
+        from flight_data_pipeline_spark.flow import grid_etl_flow
+
+        flow_run = grid_etl_flow(spark, fetch_intensity, fetch_mix,
+                                 args.telemetry, args.audit)
+        for t in flow_run.tasks:
+            print(f"task={t.name} ok={t.ok} attempts={t.attempts} "
+                  f"ms={t.ms}" + (f" error={t.error!r}" if t.error else ""))
+        result = flow_run.result
+    else:
+        result = run_pipeline(spark, fetch_intensity, fetch_mix,
+                              args.telemetry, args.audit)
     print(f"status={result.status} rows_inserted={result.rows_inserted} "
           f"execution_time_ms={result.execution_time_ms}"
           + (f" error={result.error_message!r}" if result.error_message else ""))

@@ -36,6 +36,10 @@ out = {
     "sf": detail["sf"],
     "total_sec": detail["value"],
     "n": len(queries),
+    # machine-speed probe from the SAME session: the tripwire scales
+    # these baselines by cal_now/cal_sec at compare time, so a slower
+    # (or faster) shared-host window doesn't read as a plan change
+    "cal_sec": (detail.get("cal") or {}).get("sec"),
     "queries": queries,
 }
 path = os.path.join(REPO, "BENCH_BASELINE.json")

@@ -72,12 +72,38 @@ class TestLoadBaseline:
                    for i in range(80)}
         regs = [{"query": n, "sec": 99.999, "baseline_sec": 1.234,
                  "ratio": 81.037} for n in timings]
-        line = bench.compact_line(timings, 7999.92, 0.1, 80, regs)
+        line = bench.compact_line(timings, 7999.92, 0.1, 80, regs,
+                                  cal={"sec": 0.4512, "base": 0.3333,
+                                       "x": 1.354})
         assert len(line) < 2000, len(line)
         parsed = json.loads(line)
         assert parsed["queries_total_n"] == 80
         assert len(parsed["queries"]) == 12
         assert parsed["flags"] == 80 and len(parsed["regressions"]) == 6
+
+    def test_cal_loaded_from_pinned_file(self, tmp_path):
+        (tmp_path / "BENCH_BASELINE.json").write_text(json.dumps(
+            {"cal_sec": 0.45, "queries": {"a": 1.0}}))
+        assert bench.load_baseline_cal(str(tmp_path)) == 0.45
+        # pre-calibration baseline file → None (tripwire unscaled)
+        (tmp_path / "BENCH_BASELINE.json").write_text(json.dumps(
+            {"queries": {"a": 1.0}}))
+        assert bench.load_baseline_cal(str(tmp_path)) is None
+        assert bench.load_baseline_cal(str(tmp_path / "missing")) is None
+
+    def test_cal_scaling_absorbs_host_window_drift(self):
+        """A uniformly 1.4×-slower host window (the measured shared-VM
+        drift) must produce ZERO flags once baselines are scaled by
+        the same session's calibration ratio — while a real 2× plan
+        regression on top of it still flags."""
+        base = {"q_mid": 1.00, "q_heavy": 4.00}
+        cal_x = 1.4
+        scaled = {q: b * cal_x for q, b in base.items()}
+        drifted = {"q_mid": 1.42, "q_heavy": 5.55}
+        assert bench.find_regressions(drifted, scaled) == []
+        regressed = dict(drifted, q_heavy=11.2)  # 2× plan cost at 1.4× host
+        flags = bench.find_regressions(regressed, scaled)
+        assert [f["query"] for f in flags] == ["q_heavy"]
 
     def test_repo_baseline_covers_headline(self):
         # the real BENCH_r*.json history must yield baselines for the
