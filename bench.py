@@ -157,6 +157,15 @@ HEADLINE = [
     # the exact sliding-distinct explode-by-offset shape (the
     # chi-square test rides the single-scan stats family untracked)
     "sliding_7d_distinct_users",
+    # round-7 additions: the bigram-LM corpus scorer (two count-table
+    # builds + a two-key join over every bigram — the heaviest new
+    # row), the broadcast Lloyd assignment round (K×corpus fold), and
+    # the NB classifier (tokens × classes scoring join + per-doc
+    # argmax window); the bottom-k reservoir rides the top-k family
+    # untracked
+    "bigram_lm_quality_score",
+    "kmeans_assignment_round",
+    "naive_bayes_lang_accuracy",
 ]
 
 

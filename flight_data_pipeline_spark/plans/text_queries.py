@@ -3252,3 +3252,322 @@ def textrank_integer_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- deterministic bottom-k (reservoir) sampling ------------------------------
+RESERVOIR_K = 5      # uniform picks per source
+RESERVOIR_SEED = "rs7"  # pinned salt: the sample is a pure corpus function
+
+
+@query(
+    "reservoir_sample_bottomk",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, doc_id, n_chars,
+               ('0x' || substr(md5('{RESERVOIR_SEED}|'
+                                   || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS hk
+        FROM documents
+    ),
+    picked AS (
+        SELECT source, doc_id, n_chars, hk,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY hk, doc_id) AS rn
+        FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)     AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT)  AS doc_id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MAX(hk) AS BIGINT)      AS reservoir_threshold
+    FROM picked WHERE rn <= {RESERVOIR_K}
+    GROUP BY source ORDER BY source
+    """,
+)
+def reservoir_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-source sampling as BOTTOM-K ON A KEYED HASH — the
+    distributed-safe reservoir: rank every document by
+    md5(seed|doc_id) and keep the k smallest per source. Equivalent
+    in distribution to a uniform reservoir (the hash is a fixed
+    random permutation of the ids) but, unlike the classic
+    stream-reservoir, it is MERGEABLE — bottom-k of per-partition
+    bottom-ks is the global bottom-k, so executors sample
+    independently and a tiny final merge wins; and it is a pure
+    function of the corpus, so two runs or two engines produce the
+    identical sample (doc_id_checksum pins row-level identity,
+    reservoir_threshold is the k-th smallest hash — the acceptance
+    bar an incremental maintainer would carry as its only state).
+    Complements systematic_pps_sample (size-proportional tier): this
+    is the equal-probability tier of the sampling family.
+
+    Scale shape: one map-side hash + per-source top-k (partial top-k
+    per partition under AQE, no full sort); output is sources × k."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select(
+        "source", "doc_id", "n_chars",
+        F.conv(F.substring(F.md5(
+            F.concat(F.lit(RESERVOIR_SEED + "|"),
+                     F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long").alias("hk"),
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RESERVOIR_K)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.max("hk").cast("long").alias("reservoir_threshold"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- bigram LM corpus-quality scoring (CCNet-style) ---------------------------
+LM_TRAIN_SOURCE = "src0"   # the "reference corpus" the LM is fit on
+
+
+@query(
+    "bigram_lm_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+        FROM toks WHERE len(t) >= 2
+    ),
+    flat AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c2 AS (
+        SELECT w1, w2, COUNT(*) AS n2 FROM flat
+        WHERE source = '{LM_TRAIN_SOURCE}' GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, COUNT(*) AS n1 FROM flat
+        WHERE source = '{LM_TRAIN_SOURCE}' GROUP BY w1
+    ),
+    v AS (
+        SELECT COUNT(DISTINCT w2) AS vocab FROM flat
+        WHERE source = '{LM_TRAIN_SOURCE}'
+    ),
+    scored AS (
+        SELECT f.doc_id, f.source,
+               (COALESCE(c2.n2, 0) + 1) * 1000000
+                   // (COALESCE(c1.n1, 0) + v.vocab) AS p_ppm
+        FROM flat f
+        LEFT JOIN c2 ON f.w1 = c2.w1 AND f.w2 = c2.w2
+        LEFT JOIN c1 ON f.w1 = c1.w1
+        CROSS JOIN v
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               (2 * SUM(p_ppm) + COUNT(*)) // (2 * COUNT(*)) AS doc_ppm
+        FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((2 * SUM(doc_ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS mean_doc_ppm,
+           CAST(MAX(doc_ppm) AS BIGINT) AS max_doc_ppm,
+           CAST(SUM(CASE WHEN doc_ppm < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_likelihood
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def bigram_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: fit an add-one
+    bigram LM on a reference source and score every document by its
+    mean bigram likelihood — the standard "keep what looks like the
+    reference corpus" filter in large-scale training-data pipelines
+    (CCNet prunes CommonCrawl by Wikipedia-LM perplexity; this is
+    that op with the LM SQL-expressible). Likelihoods ride as INTEGER
+    parts-per-million with half-up integer division at every fold —
+    log-space perplexity would need ln(), whose last ulp is not
+    engine-portable, while (c2+1)*1e6 // (c1+V) is pure BIGINT
+    arithmetic, monotone in the true probability per bigram, so the
+    low-likelihood ranking it induces is the same filter.
+
+    Scale shape: the LM is two count tables (bigram, unigram) built
+    map-side from the reference slice; scoring is one join per table
+    keyed on the bigram — at 100 TB the count tables are
+    Bloom-prefiltered or broadcast when the reference corpus is small
+    (it usually is: Wikipedia vs CommonCrawl), and the per-doc fold is
+    a partial aggregate. n_low_likelihood is the filter's kill count
+    at a pinned threshold."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", "source",
+                       F.split(F.col("text"), " ").alias("t"))
+    flat = (
+        toks.where(F.size("t") >= 2)
+        .select("doc_id", "source", F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) AS w1,"
+            "             element_at(t, i + 1) AS w2))")).alias("b"))
+        .select("doc_id", "source", "b.w1", "b.w2")
+    )
+    train = flat.where(F.col("source") == LM_TRAIN_SOURCE)
+    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("n1"))
+    v = train.agg(F.countDistinct("w2").alias("vocab"))
+    scored = (
+        flat.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id", "source",
+            ((F.coalesce(F.col("n2"), F.lit(0)) + 1) * F.lit(1000000)
+             ).cast("long").alias("num"),
+            (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vocab"))
+            .cast("long").alias("den"),
+        )
+        .select("doc_id", "source",
+                F.expr("num DIV den").alias("p_ppm"))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.expr("(2 * SUM(p_ppm) + COUNT(*)) DIV (2 * COUNT(*))")
+        .alias("doc_ppm"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("(2 * SUM(doc_ppm) + COUNT(*)) DIV (2 * COUNT(*))")
+            .cast("long").alias("mean_doc_ppm"),
+            F.max("doc_ppm").cast("long").alias("max_doc_ppm"),
+            F.sum(F.when(F.col("doc_ppm") < 1000, 1).otherwise(0))
+            .cast("long").alias("n_low_likelihood"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- Naive Bayes language classifier (integer log2 fixed point) ---------------
+
+
+@query(
+    "naive_bayes_lang_accuracy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    eval_ AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    cc AS (SELECT lang, tok, COUNT(*) AS c FROM train GROUP BY lang, tok),
+    ct AS (SELECT lang, COUNT(*) AS n FROM train GROUP BY lang),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM train),
+    prior AS (
+        SELECT lang, LENGTH(BIN(GREATEST(
+                   nd * 1048576 // SUM(nd) OVER (), 1))) - 1 AS prior_l2
+        FROM (SELECT lang, COUNT(DISTINCT doc_id) AS nd
+              FROM train GROUP BY lang)
+    ),
+    scored AS (
+        SELECT e.doc_id, e.lang AS true_lang, ct.lang AS cand,
+               MIN(prior.prior_l2) + SUM(LENGTH(BIN(GREATEST(
+                   (COALESCE(cc.c, 0) + 1) * 1048576
+                       // (ct.n + v.vocab), 1))) - 1) AS score_l2
+        FROM eval_ e
+        CROSS JOIN ct
+        CROSS JOIN v
+        JOIN prior ON prior.lang = ct.lang
+        LEFT JOIN cc ON cc.lang = ct.lang AND cc.tok = e.tok
+        GROUP BY e.doc_id, e.lang, ct.lang
+    ),
+    picked AS (
+        SELECT doc_id, true_lang, cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_l2 DESC, cand) AS rn
+        FROM scored
+    )
+    SELECT true_lang AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((2000 * SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS accuracy_permille
+    FROM picked WHERE rn = 1
+    GROUP BY true_lang ORDER BY true_lang
+    """,
+)
+def naive_bayes_lang_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    IN-PLAN and hash-proven — the count-based classifier every corpus
+    pipeline keeps around for cheap labeling, expressed as two
+    aggregates and one join. Deterministic even/odd doc_id split
+    gives a real held-out accuracy (the leakage-safe split operator
+    is the production splitter; parity here needs a pure function of
+    the corpus). Log-likelihoods ride as INTEGER floor-log2 units:
+    flog2(x) = LENGTH(BIN(x)) - 1 on BIGINT-scaled probabilities
+    ((c+1)·2^20 // (n+V), Laplace smoothing) — both engines produce
+    the identical binary string, so the scores (and therefore the
+    argmax, tie-broken on class name) replay bit-identically, where
+    float ln() would drift in the last ulp. Coarser than float NB by
+    design: the checked twin pins the MACHINERY (counts, smoothing,
+    argmax, accuracy fold); production swaps flog2 for float log in
+    the same plan.
+
+    Reading the fixture numbers honestly: the synthetic langs share
+    ONE 31-token vocabulary with near-identical frequencies (verified
+    per-lang permille tables), so the Bayes-optimal prediction here
+    IS the majority class and per-lang accuracy is dominated by the
+    prior — the checked rows pin that the machinery computes exactly
+    that, not that the fixture is separable. (Real lang-ID rides the
+    n-gram heuristic operator, operators/text.predict_lang.)
+
+    Scale shape: the model is two count tables (class×token, class
+    totals) built map-side; scoring joins eval tokens to the
+    broadcast model per class — rows = doc_tokens × n_classes, one
+    partial-aggregate fold to per-doc scores, TakeOrdered-free argmax
+    via a per-doc window over n_classes rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    train = toks.where(F.col("doc_id") % 2 == 0)
+    ev = toks.where(F.col("doc_id") % 2 == 1)
+    cc = train.groupBy("lang", "tok").agg(F.count("*").alias("c")) \
+        .withColumnRenamed("lang", "cand")
+    ct = train.groupBy("lang").agg(F.count("*").alias("n")) \
+        .withColumnRenamed("lang", "cand")
+    v = train.agg(F.countDistinct("tok").alias("vocab"))
+    nd = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    prior = nd.crossJoin(F.broadcast(
+        nd.agg(F.sum("nd").alias("nd_total")))).select(
+        F.col("lang").alias("cand"),
+        (F.length(F.bin(F.greatest(
+            F.expr("nd * 1048576 DIV nd_total"), F.lit(1)))) - 1)
+        .cast("long").alias("prior_l2"))
+    scored = (
+        ev.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(v))
+        .join(F.broadcast(prior), "cand")
+        .join(F.broadcast(cc), ["cand", "tok"], "left")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand")
+        .agg((F.min("prior_l2") + F.sum(
+            F.length(F.bin(F.greatest(
+                F.expr("(COALESCE(c, 0) + 1) * 1048576 DIV (n + vocab)"),
+                F.lit(1)))) - 1)).alias("score_l2"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_l2"), "cand")
+    picked = scored.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") == 1)
+    correct = F.sum(F.when(F.col("cand") == F.col("true_lang"), 1)
+                    .otherwise(0))
+    return (
+        picked.groupBy(F.col("true_lang").alias("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_eval_docs"),
+            correct.cast("long").alias("n_correct"),
+            F.expr("(2000 * SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0"
+                   " END) + COUNT(*)) DIV (2 * COUNT(*))")
+            .cast("long").alias("accuracy_permille"),
+        )
+        .orderBy("lang")
+    )

@@ -1336,3 +1336,96 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionByName(hits)
     return out.orderBy("tier")
+
+
+# --- k-means Lloyd assignment, hash-proven (integer milli-unit twin) ----------
+KM_K = 8      # md5-seeded centroids
+KM_DIM = 64   # fixture embedding width
+
+
+@query(
+    "kmeans_assignment_round",
+    oracle=f"""
+    WITH cents AS (
+        SELECT k, list_transform(range(1, {KM_DIM} + 1), d ->
+                   ('0x' || substr(md5('km' || CAST(k AS VARCHAR) || '_'
+                                       || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                   % 2001 - 1000) AS c
+        FROM (SELECT UNNEST(range(0, {KM_K})) AS k)
+    ),
+    d2 AS (
+        SELECT e.vec_id, cents.k,
+               list_sum(list_transform(range(1, {KM_DIM} + 1), i ->
+                   (CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000 + 0.5)
+                         AS BIGINT) - cents.c[i])
+                 * (CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000 + 0.5)
+                         AS BIGINT) - cents.c[i]))) AS d2
+        FROM embeddings e CROSS JOIN cents
+    ),
+    assigned AS (
+        SELECT vec_id, k, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, k) AS rn
+        FROM d2
+    )
+    SELECT CAST(k AS BIGINT)            AS k,
+           CAST(COUNT(*) AS BIGINT)     AS n_assigned,
+           CAST(SUM(d2) AS BIGINT)      AS inertia_milli2,
+           CAST(SUM(vec_id) AS BIGINT)  AS vec_id_checksum
+    FROM assigned WHERE rn = 1
+    GROUP BY k ORDER BY k
+    """,
+)
+def kmeans_assignment_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment round PROVEN BY VALUE HASH — the check-tier
+    twin of the production float KMeans that trains the IVF index
+    (operators/vectors.build_ivf_index, rows-only because float
+    argmin over engine-ordered partial sums is not replayable).
+    Discipline, same as the integer PageRank/TextRank promotions:
+    centroids are md5-derived integer milli-units both engines
+    rebuild bit-identically, vectors are quantized to milli-units
+    with half-up FLOOR (mul on identical doubles is IEEE
+    correctly-rounded, so the quantization is engine-identical), and
+    squared distance is pure BIGINT arithmetic — order-free, so
+    Spark's sequential zip_with fold and the oracle's list_sum cannot
+    disagree. Argmin ties break on centroid id. Per-centroid counts,
+    integer inertia, and the member-id checksum pin the ASSIGNMENT
+    itself, not just sizes.
+
+    Scale shape: centroids broadcast (K×dim literals), one map-side
+    fold per (vector, k) — embarrassingly parallel scan, partial
+    aggregate on k; this is exactly the per-iteration cost profile of
+    distributed Lloyd, so proving one round proves the building block
+    the iterative trainer loops."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = spark.range(KM_K).select(
+        F.col("id").alias("k"),
+        F.expr(f"""transform(sequence(1, {KM_DIM}), d ->
+            CAST(conv(substring(md5(concat('km', CAST(id AS STRING), '_',
+                 CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            % 2001 - 1000)""").alias("c"),
+    )
+    d2 = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "k",
+            F.expr("""aggregate(zip_with(embedding, c, (x, ci) ->
+                (CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) - ci)
+              * (CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) - ci)),
+              CAST(0 AS BIGINT), (acc, v) -> acc + v)""").alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "k")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.sum("d2").cast("long").alias("inertia_milli2"),
+            F.sum("vec_id").cast("long").alias("vec_id_checksum"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "n_assigned",
+                "inertia_milli2", "vec_id_checksum")
+        .orderBy("k")
+    )

@@ -1561,3 +1561,112 @@ def stream_rank_maintenance(edge_deltas: DataFrame, state_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_cluster_map_delta(state_dir: str, batch_df: DataFrame,
+                            batch_id: int, src: str = "doc_a",
+                            dst: str = "doc_b") -> bool:
+    """Incremental NEAR-DUP CLUSTER-MAP maintenance on a pair-delta
+    stream — union-find view maintenance as pure DataFrame ops. The
+    batch `near_dup_clusters` runs connected components over the full
+    pair graph; at 100 TB with a live intake you cannot re-run CC per
+    batch, and this is the standard fix: keep the (doc, cluster) map
+    (cluster = component min doc id, the batch convention), and per
+    pair-delta batch
+
+    1. CONTRACT: map each new pair's endpoints to their current
+       cluster labels (a doc not yet in the map labels itself) and
+       drop self-loops — the surviving edges connect CLUSTERS, so the
+       graph CC must chew is delta-sized, never corpus-sized;
+    2. run :func:`~...operators.dedup.connected_components` on that
+       contracted graph → old-label → new-label merge mapping
+       (contracting the components of E(t-1) and adding the delta
+       yields exactly the components of E(t-1) ∪ delta, and the min
+       over {old labels ∪ new doc ids} IS the new component min, so
+       the min-id convention is preserved without touching members);
+    3. re-label the stored map through the mapping (one broadcast-
+       sized join — the mapping has one row per touched cluster) and
+       append the delta's new docs with their final labels.
+
+    The maintained map is the same (doc, cluster) table
+    `leakage_safe_split_materialized` reads, so the leakage-safe
+    split's input stays fresh without ever re-running CC over the
+    corpus. Marker + atomic-swap + batch-id idempotence as all the
+    sibling stores; converge-to-batch and replay no-op are pinned in
+    tests/test_streaming.py."""
+    import os
+
+    from flight_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    spark = batch_df.sparkSession
+    root = os.path.join(state_dir, "clusters")
+    os.makedirs(root, exist_ok=True)
+    if _already_applied(root, batch_id):
+        return False
+
+    delta = (batch_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .where(F.col("a") != F.col("b")).distinct())
+    data = os.path.join(root, "data")
+    cmap = (spark.read.parquet(data) if os.path.exists(data)
+            else spark.createDataFrame([], "doc long, cluster long"))
+
+    # contract: endpoint → current cluster (self if unmapped)
+    contracted = (
+        delta
+        .join(cmap.select(F.col("doc").alias("a"),
+                          F.col("cluster").alias("ca")), "a", "left")
+        .join(cmap.select(F.col("doc").alias("b"),
+                          F.col("cluster").alias("cb")), "b", "left")
+        .select(F.coalesce("ca", F.col("a")).alias("s"),
+                F.coalesce("cb", F.col("b")).alias("d"))
+        .where(F.col("s") != F.col("d"))
+    )
+    # merge mapping over the contracted (delta-sized) graph
+    mapping = (connected_components(contracted, src="s", dst="d")
+               .select(F.col("v").alias("old_label"),
+                       F.col("label").alias("new_label")))
+
+    relabeled = (
+        cmap.join(F.broadcast(mapping),
+                  cmap.cluster == mapping.old_label, "left")
+        .select("doc", F.coalesce("new_label", "cluster").alias("cluster"))
+    )
+    new_docs = (
+        delta.select(F.col("a").alias("doc"))
+        .unionByName(delta.select(F.col("b").alias("doc")))
+        .distinct()
+        .join(cmap.select("doc"), "doc", "left_anti")
+        .join(F.broadcast(mapping),
+              F.col("doc") == F.col("old_label"), "left")
+        .select("doc", F.coalesce("new_label", F.col("doc"))
+                .alias("cluster"))
+    )
+    _swap_in_state(root, batch_id, relabeled.unionByName(new_docs))
+    return True
+
+
+def cluster_map_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (doc, cluster) map — cluster = component min doc
+    id, identical to the batch connected-components labels over every
+    pair folded so far."""
+    import os
+
+    return spark.read.parquet(os.path.join(state_dir, "clusters", "data"))
+
+
+def stream_cluster_map(pairs: DataFrame, state_dir: str,
+                       checkpoint_dir: str, src: str = "doc_a",
+                       dst: str = "doc_b") -> StreamingQuery:
+    """Streaming union-find: maintain the near-dup cluster map over a
+    (doc_a, doc_b) pair-delta stream (the LSH prober's output) with
+    effective exactly-once across restarts and replays."""
+    return (
+        pairs.writeStream
+        .foreachBatch(lambda df, bid: apply_cluster_map_delta(
+            state_dir, df, bid, src=src, dst=dst))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1769,3 +1769,69 @@ def test_stream_pagerank_maintenance_converges_to_batch(spark, tmp_path):
     assert apply_rank_delta(state, extra, 0) is False
     assert {r.v: r.rank
             for r in rank_snapshot(spark, state).collect()} == streamed
+
+
+def test_stream_cluster_map_matches_batch_cc(spark, tmp_path):
+    """The stream-maintained (doc, cluster) map after pair-delta
+    batches must equal the batch connected-components labels over the
+    union of all pairs — including the nasty case where a LATER batch
+    introduces a doc id smaller than an existing cluster's min (the
+    whole component must relabel) and where one batch MERGES two
+    previously separate clusters. Replayed batch ids are no-ops."""
+    import json
+
+    from flight_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_cluster_map_delta,
+        cluster_map_snapshot,
+        stream_cluster_map,
+    )
+
+    # b1: two separate clusters {10,11,12} and {20,21}
+    b1 = [(10, 11), (11, 12), (20, 21)]
+    # b2: merge the two clusters (12-20), relabel via a smaller id
+    # (5-21 drags both below 10), plus a fresh pair {30,31}
+    b2 = [(12, 20), (5, 21), (30, 31)]
+
+    src = tmp_path / "pairs"
+    src.mkdir()
+
+    def write_file(name, chunk):
+        (src / name).write_text("\n".join(
+            json.dumps({"doc_a": a, "doc_b": b}) for a, b in chunk))
+
+    def read_stream():
+        return spark.readStream.schema("doc_a long, doc_b long") \
+            .json(str(src))
+
+    state = str(tmp_path / "cc")
+    write_file("b1.json", b1)
+    stream_cluster_map(
+        read_stream(), state, str(tmp_path / "ck")).awaitTermination(120)
+    mid = {r.doc: r.cluster
+           for r in cluster_map_snapshot(spark, state).collect()}
+    assert mid == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    write_file("b2.json", b2)
+    stream_cluster_map(
+        read_stream(), state, str(tmp_path / "ck")).awaitTermination(120)
+    streamed = {r.doc: r.cluster
+                for r in cluster_map_snapshot(spark, state).collect()}
+
+    all_pairs = spark.createDataFrame(b1 + b2, "doc_a long, doc_b long")
+    batch = {r.v: r.label
+             for r in connected_components(
+                 all_pairs, src="doc_a", dst="doc_b").collect()}
+    assert streamed == batch
+    # the merged mega-cluster relabeled to the late-arriving min 5
+    assert streamed[10] == 5 and streamed[21] == 5
+    assert streamed[30] == 30 and streamed[31] == 30
+
+    # replayed batch id: no-op
+    extra = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert apply_cluster_map_delta(state, extra, 0) is False
+    assert {r.doc: r.cluster
+            for r in cluster_map_snapshot(spark, state).collect()} \
+        == streamed
