@@ -247,7 +247,7 @@ def load_baseline_cal(repo: str) -> float | None:
 def find_regressions(
     timings: dict[str, object],
     baseline: dict[str, float],
-    threshold: float = 1.25,
+    threshold: float = 1.35,
     min_sec: float = 0.25,
     min_delta_sec: float = 0.2,
 ) -> list[dict[str, object]]:
@@ -257,8 +257,12 @@ def find_regressions(
     exempt entirely. Both floors exist because measured round-5
     back-to-back runs showed untouched 0.3 s queries drifting ±0.12 s
     with session position — ratio alone flags scheduler jitter, not
-    plans. Pure function so the tripwire itself is unit-testable
-    (tests/test_bench.py)."""
+    plans. ``threshold`` sits at 1.35 because the pinned baseline is
+    best-of-THREE (steady state) while a round run is best-of-two:
+    measured same-plan, calibration-matched drift between the two
+    methodologies reaches ~1.31×, so 1.25 flagged untouched queries;
+    real plan regressions land ≥1.5× and still trip. Pure function so
+    the tripwire itself is unit-testable (tests/test_bench.py)."""
     flags = []
     for name, sec in timings.items():
         base = baseline.get(name)

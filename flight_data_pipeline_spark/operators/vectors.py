@@ -597,3 +597,53 @@ def planted_cluster_embeddings(ids: DataFrame, dim: int = 64,
           AS FLOAT))"""
     )
     return ids.select(id_col, vec.alias("embedding"), cluster_col)
+
+
+def md5_seed_centroids(spark, k: int = 8, dim: int = 64,
+                       prefix: str = "km") -> DataFrame:
+    """The md5-seeded integer milli-unit centroids both engines (and
+    every session) rebuild bit-identically — the shared constant
+    behind the checked `kmeans_assignment_round` query and the
+    streaming centroid-stats maintenance. Returns (k, c) with c an
+    array<bigint> of ``dim`` values in [-1000, 1000]."""
+    return spark.range(k).select(
+        F.col("id").alias("k"),
+        F.expr(f"""transform(sequence(1, {dim}), d ->
+            CAST(conv(substring(md5(concat('{prefix}', CAST(id AS STRING),
+                 '_', CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            % 2001 - 1000)""").alias("c"),
+    )
+
+
+def quantized_lloyd_assignment(df: DataFrame, cents: DataFrame,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """One Lloyd ASSIGNMENT step in integer milli-units: quantize each
+    vector half-up to milli-units (IEEE-correctly-rounded mul on
+    identical doubles ⇒ engine-identical), squared L2 to every
+    centroid as pure BIGINT arithmetic (order-free, so no fold-order
+    hazard), argmin tie-broken on centroid id. Returns one row per
+    input vector: (id_col, k, d2, q) with q the quantized vector —
+    the carrier the sufficient-stats fold (streaming maintenance)
+    sums per dimension. Centroids ride a broadcast; cost is one
+    map-side fold per (vector, centroid)."""
+    from pyspark.sql import Window
+
+    q = df.select(
+        id_col,
+        F.expr(f"""transform({vec_col}, x ->
+            CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))""")
+        .alias("q"),
+    )
+    d2 = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            id_col, "k", "q",
+            F.expr("""aggregate(zip_with(q, c, (x, ci) ->
+                (x - ci) * (x - ci)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)""").alias("d2"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "k")
+    return (d2.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))

@@ -1396,29 +1396,21 @@ def kmeans_assignment_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per (vector, k) — embarrassingly parallel scan, partial
     aggregate on k; this is exactly the per-iteration cost profile of
     distributed Lloyd, so proving one round proves the building block
-    the iterative trainer loops."""
+    the iterative trainer loops. The centroids and the assignment are
+    the shared operators (vectors.md5_seed_centroids /
+    quantized_lloyd_assignment) the streaming sufficient-stats
+    maintenance folds with (pipeline_stream.apply_centroid_stats_delta),
+    so batch-checked and stream-maintained forms cannot drift."""
+    from flight_data_pipeline_spark.operators.vectors import (
+        md5_seed_centroids,
+        quantized_lloyd_assignment,
+    )
+
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = spark.range(KM_K).select(
-        F.col("id").alias("k"),
-        F.expr(f"""transform(sequence(1, {KM_DIM}), d ->
-            CAST(conv(substring(md5(concat('km', CAST(id AS STRING), '_',
-                 CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT)
-            % 2001 - 1000)""").alias("c"),
-    )
-    d2 = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "k",
-            F.expr("""aggregate(zip_with(embedding, c, (x, ci) ->
-                (CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) - ci)
-              * (CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) - ci)),
-              CAST(0 AS BIGINT), (acc, v) -> acc + v)""").alias("d2"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "k")
+    assigned = quantized_lloyd_assignment(
+        emb, md5_seed_centroids(spark, KM_K, KM_DIM))
     return (
-        d2.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        assigned
         .groupBy("k")
         .agg(
             F.count("*").cast("long").alias("n_assigned"),

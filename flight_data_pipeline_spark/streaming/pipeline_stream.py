@@ -1670,3 +1670,96 @@ def stream_cluster_map(pairs: DataFrame, state_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_centroid_stats_delta(state_dir: str, batch_df: DataFrame,
+                               batch_id: int, k: int = 8,
+                               dim: int = 64) -> bool:
+    """Incremental CLUSTERING sufficient-stats maintenance on a vector
+    stream — the streaming twin of the checked
+    `kmeans_assignment_round` (same md5-seeded integer milli-unit
+    centroids, same quantized assignment). Per batch, each arriving
+    vector is assigned to its nearest fixed centroid and folded into
+    two SUM-mergeable stores:
+
+    - ``counts``: (k, n, inertia) — members and integer inertia;
+    - ``dims``: (k, pos, s) — per-dimension milli-unit sums in LONG
+      format (k×dim rows, the same layout the batch `label_centroids`
+      uses), so the fold is a plain groupBy merge, never an
+      array-aggregate.
+
+    Together these are exactly Lloyd's UPDATE-step input: the next
+    centroid for cluster k is dims.s/counts.n per position — so a
+    periodic centroid refresh is one k×dim-row job over the store,
+    and the assignment loop never rescans history (mini-batch k-means
+    à la Sculley, with the stats exact rather than decayed). Because
+    everything is integer and SUM-mergeable, the maintained state
+    equals the batch recompute over all folded vectors bit-for-bit
+    (pinned in tests/test_streaming.py). Marker + swap + batch-id
+    idempotence as all sibling stores."""
+    import os
+
+    from flight_data_pipeline_spark.operators.vectors import (
+        md5_seed_centroids,
+        quantized_lloyd_assignment,
+    )
+
+    spark = batch_df.sparkSession
+    cents = md5_seed_centroids(spark, k, dim)
+    assigned = quantized_lloyd_assignment(batch_df, cents)
+    applied = False
+
+    croot = os.path.join(state_dir, "counts")
+    os.makedirs(croot, exist_ok=True)
+    if not _already_applied(croot, batch_id):
+        delta = assigned.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("d2").alias("inertia"))
+        cdata = os.path.join(croot, "data")
+        if os.path.exists(cdata):
+            delta = (spark.read.parquet(cdata).unionByName(delta)
+                     .groupBy("k").agg(F.sum("n").alias("n"),
+                                       F.sum("inertia").alias("inertia")))
+        _swap_in_state(croot, batch_id, delta)
+        applied = True
+
+    droot = os.path.join(state_dir, "dims")
+    os.makedirs(droot, exist_ok=True)
+    if not _already_applied(droot, batch_id):
+        ddelta = (
+            assigned.select("k", F.posexplode("q").alias("pos", "v"))
+            .groupBy("k", "pos").agg(F.sum("v").alias("s"))
+        )
+        ddata = os.path.join(droot, "data")
+        if os.path.exists(ddata):
+            ddelta = (spark.read.parquet(ddata).unionByName(ddelta)
+                      .groupBy("k", "pos").agg(F.sum("s").alias("s")))
+        _swap_in_state(droot, batch_id, ddelta)
+        applied = True
+    return applied
+
+
+def centroid_stats_snapshot(spark: SparkSession,
+                            state_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(counts, dims) — the maintained per-centroid sufficient stats;
+    counts = (k, n, inertia), dims = (k, pos, s)."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(state_dir, "counts", "data")),
+        spark.read.parquet(os.path.join(state_dir, "dims", "data")),
+    )
+
+
+def stream_centroid_stats(vectors: DataFrame, state_dir: str,
+                          checkpoint_dir: str, k: int = 8,
+                          dim: int = 64) -> StreamingQuery:
+    """Streaming k-means sufficient-stats maintenance over a
+    (vec_id, embedding) stream with effective exactly-once."""
+    return (
+        vectors.writeStream
+        .foreachBatch(lambda df, bid: apply_centroid_stats_delta(
+            state_dir, df, bid, k=k, dim=dim))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

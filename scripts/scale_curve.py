@@ -94,6 +94,7 @@ VEC_HEAVY = [
     "hamming_sign_topk",
     "sketch_rerank_cascade",
     "label_centroids",
+    "kmeans_assignment_round",  # r7: K×corpus broadcast Lloyd fold
 ]
 
 # The window-cumsum family (r6s2): one partitioned window sort per
@@ -160,6 +161,19 @@ STATS_HEAVY = [
     "group_ols_trend",
     "value_cusum_changepoint",
     "sliding_7d_distinct_users",
+]
+
+# The round-7 corpus-model family: sampling + in-plan model training/
+# scoring over documents (the dedup replication: growth = MORE
+# SOURCES). reservoir = one per-source top-k (scan-tracking); the
+# bigram LM trains on the FIXED src0 slice while eval grows (model
+# constant, scoring join linear in eval bigrams); NB trains on even
+# doc_ids, which replicate too — both model build and scoring scale
+# with the corpus, the honest retrain-as-you-grow shape.
+ML_HEAVY = [
+    "reservoir_sample_bottomk",
+    "bigram_lm_quality_score",
+    "naive_bayes_lang_accuracy",
 ]
 
 BEGIN = "<!-- SCALECURVE:BEGIN (generated by scripts/scale_curve.py) -->"
@@ -407,6 +421,10 @@ def main() -> None:
         out["retrieval"] = retrieval_result = measure(
             RETRIEVAL_HEAVY, build_retrieval_corpus,
             os.path.join(root, "retrieval"))
+    ml_result = None
+    if "ml" in fams:
+        out["ml"] = ml_result = measure(
+            ML_HEAVY, build_corpus, os.path.join(root, "ml"))
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
@@ -489,6 +507,32 @@ def main() -> None:
                     "scale path) plus a candidate-sized fusion join.\n"
                     "Seconds, single run each, local[32].\n\n"
                     + rblock + "\n"
+                )
+
+        if ml_result is not None:
+            MLBEGIN = ("<!-- SCALECURVE-ML:BEGIN "
+                       "(generated by scripts/scale_curve.py) -->")
+            MLEND = "<!-- SCALECURVE-ML:END -->"
+            mblock = (f"{MLBEGIN}\n\n"
+                      f"{fmt_table(ml_result, ML_HEAVY)}\n\n{MLEND}")
+            if MLBEGIN in text:
+                text = re.sub(
+                    re.escape(MLBEGIN) + r".*?" + re.escape(MLEND), mblock,
+                    text, flags=re.S)
+            else:
+                text += (
+                    "\n## Measured scale curve (corpus-model family, r7)\n\n"
+                    "Sampling + in-plan model training/scoring over\n"
+                    "documents (growth = more sources). The bottom-k\n"
+                    "reservoir is one per-source top-k (scan-tracking).\n"
+                    "The bigram LM trains on the FIXED src0 slice while\n"
+                    "eval grows — model constant, scoring join linear in\n"
+                    "eval bigrams. NB trains on even doc_ids, which\n"
+                    "replicate too, so model build AND scoring grow with\n"
+                    "the corpus (the honest retrain-as-you-grow shape);\n"
+                    "its scoring join fans out tokens x 5 classes.\n"
+                    "Seconds, single run each, local[32].\n\n"
+                    + mblock + "\n"
                 )
 
         if stats_result is not None:

@@ -22,7 +22,7 @@ class TestFindRegressions:
 
     def test_flags_sorted_worst_first(self):
         flags = bench.find_regressions(
-            {"q_mid": 1.30, "q_heavy": 8.00}, self.BASE)
+            {"q_mid": 1.45, "q_heavy": 8.00}, self.BASE)
         assert [f["query"] for f in flags] == ["q_heavy", "q_mid"]
 
     def test_within_threshold_not_flagged(self):

@@ -1835,3 +1835,72 @@ def test_stream_cluster_map_matches_batch_cc(spark, tmp_path):
     assert {r.doc: r.cluster
             for r in cluster_map_snapshot(spark, state).collect()} \
         == streamed
+
+
+def test_stream_centroid_stats_match_batch(spark, tmp_path):
+    """The stream-maintained k-means sufficient stats (per-centroid
+    counts, integer inertia, per-dim milli-unit sums) after two
+    vector batches must equal the one-shot batch aggregate over the
+    union — everything is integer and SUM-mergeable, so equality is
+    exact, not approximate. Replay of a folded batch id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from flight_data_pipeline_spark.operators.vectors import (
+        md5_seed_centroids,
+        quantized_lloyd_assignment,
+    )
+    from flight_data_pipeline_spark.streaming.pipeline_stream import (
+        apply_centroid_stats_delta,
+        centroid_stats_snapshot,
+        stream_centroid_stats,
+    )
+    from flight_data_pipeline_spark.tables import load_table
+
+    K, DIM = 4, 64
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001") \
+        .select("vec_id", "embedding").where(F.col("vec_id") < 60)
+    src = tmp_path / "vecs"
+    emb.where("vec_id < 30").write.parquet(str(src / "b1"))
+    state = str(tmp_path / "km")
+
+    def read_stream():
+        return spark.readStream.schema(emb.schema).option(
+            "recursiveFileLookup", "true").parquet(str(src))
+
+    stream_centroid_stats(read_stream(), state, str(tmp_path / "ck"),
+                          k=K, dim=DIM).awaitTermination(120)
+    emb.where("vec_id >= 30").write.parquet(str(src / "b2"))
+    stream_centroid_stats(read_stream(), state, str(tmp_path / "ck"),
+                          k=K, dim=DIM).awaitTermination(120)
+
+    counts, dims = centroid_stats_snapshot(spark, state)
+    got_counts = {r.k: (r.n, r.inertia) for r in counts.collect()}
+    got_dims = {(r.k, r.pos): r.s for r in dims.collect()}
+
+    batch = quantized_lloyd_assignment(
+        emb, md5_seed_centroids(spark, K, DIM))
+    want_counts = {r.k: (r.n, r.inertia)
+                   for r in batch.groupBy("k")
+                   .agg(F.count("*").alias("n"),
+                        F.sum("d2").alias("inertia")).collect()}
+    want_dims = {(r.k, r.pos): r.s
+                 for r in batch.select("k", F.posexplode("q")
+                                       .alias("pos", "v"))
+                 .groupBy("k", "pos")
+                 .agg(F.sum("v").alias("s")).collect()}
+    assert got_counts == want_counts
+    assert got_dims == want_dims
+    assert sum(n for n, _ in got_counts.values()) == 60
+
+    # the maintained stats ARE the Lloyd update input: refreshed
+    # centroid = per-dim mean; sanity-check it stays in milli-range
+    refreshed = {(k, p): s / got_counts[k][0]
+                 for (k, p), s in got_dims.items()}
+    assert all(-1200 <= v <= 1200 for v in refreshed.values())
+
+    # replayed batch id: no-op on both stores
+    extra = emb.limit(5)
+    assert apply_centroid_stats_delta(state, extra, 0, k=K, dim=DIM) \
+        is False
+    counts2, _ = centroid_stats_snapshot(spark, state)
+    assert {r.k: (r.n, r.inertia) for r in counts2.collect()} == got_counts
