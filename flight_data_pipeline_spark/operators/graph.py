@@ -19,7 +19,7 @@ is why the consumers round before ranking).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -215,3 +215,99 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
             .localCheckpoint()
         )
     return ranks
+
+
+def label_propagation_integer(edges: DataFrame, src: str = "src",
+                              dst: str = "dst", iters: int = 3,
+                              broadcast_state: bool = True) -> DataFrame:
+    """Community detection by LABEL PROPAGATION → (v, label), fully
+    deterministic and therefore hash-checkable (the textbook LPA is
+    randomized-order; this is the synchronous variant with a pinned
+    tie-break, the same determinism move as ``pagerank_integer``):
+
+        l0(v)  = v
+        l_k(v) = the label most frequent among v's in-neighbors'
+                 l_{k-1}, ties broken by SMALLEST label.
+
+    A fixed ``iters`` rounds keeps the result a pure function of the
+    edge list (no convergence test). Unlike connected components
+    (min-label flood = one community per component), LPA's majority
+    vote lets DENSE regions keep their own label against sparse
+    bridges — the community structure CC cannot see.
+
+    Scale shape: per round one edge⋈label join (state broadcast —
+    one BIGINT per node) + one (v, label) count aggregate + one
+    per-v argmax window over the few distinct neighbor labels;
+    lineage truncated per round with an eager localCheckpoint."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .localCheckpoint())
+    maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
+    labels = (e.select(F.col("s").alias("v")).distinct()
+              .select("v", F.col("v").alias("label"))
+              .localCheckpoint())
+    w = Window.partitionBy("v").orderBy(F.desc("__c"), "label")
+    for _ in range(iters):
+        votes = (
+            e.join(maybe_bc(labels.select(F.col("v").alias("s"), "label")),
+                   "s")
+            .groupBy(F.col("d").alias("v"), "label")
+            .agg(F.count("*").alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def min_plus_shortest_paths(edges: DataFrame, source: DataFrame,
+                            src: str = "src", dst: str = "dst",
+                            weight: str = "w", iters: int = 3,
+                            inf: int = 10**15,
+                            broadcast_state: bool = True) -> DataFrame:
+    """Single-source shortest paths by ``iters`` rounds of BELLMAN-FORD
+    relaxation over the (min, +) TROPICAL semiring → (v, dist) with
+    dist = ``inf`` when no ≤``iters``-hop path exists. Where PageRank
+    iterates sum-product, this iterates min-plus — integer edge
+    weights make every step exact 64-bit arithmetic, so the k-round
+    distance vector replays bit-identically as k unrolled SQL CTEs
+    (the same promotion recipe as ``pagerank_integer``). After
+    ``iters`` rounds d(v) is EXACTLY the cheapest ≤iters-hop path —
+    a semantics of its own (bounded-hop reachability cost), not an
+    approximation error.
+
+    ``source`` is a one-column (v) frame of seed nodes (dist 0).
+
+    Scale shape: per round one edge⋈dist join (state broadcast, one
+    BIGINT per node) + one dst-keyed MIN aggregate — the same
+    partitioning every round; localCheckpoint truncates lineage."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                      F.col(weight).cast("long").alias("w"))
+         .localCheckpoint())
+    maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
+    nodes = e.select(F.col("s").alias("v")).distinct()
+    dist = (
+        nodes.join(source.select(F.col(source.columns[0]).alias("v"))
+                   .withColumn("__z", F.lit(0)), "v", "left")
+        .select("v", F.coalesce(F.col("__z").cast("long"),
+                                F.lit(inf).cast("long")).alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        relax = (
+            e.join(maybe_bc(dist.select(F.col("v").alias("s"), "dist")),
+                   "s")
+            .where(F.col("dist") < inf)  # no relaxing from unreached
+            .groupBy(F.col("d").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("__nd"))
+        )
+        dist = (
+            dist.join(maybe_bc(relax), "v", "left")
+            .select("v", F.least(
+                "dist", F.coalesce("__nd", F.lit(inf).cast("long")))
+                .alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -5300,3 +5300,234 @@ def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- label-propagation communities (checked iterative graph #2) --------------
+@query(
+    "copurchase_label_communities",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS s, b.p AS d
+        FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+    ),
+    l0 AS (SELECT DISTINCT s AS v, s AS lab FROM edges),
+    v1 AS (
+        SELECT e.d AS v, l.lab, COUNT(*) AS c
+        FROM edges e JOIN l0 l ON l.v = e.s GROUP BY e.d, l.lab
+    ),
+    l1 AS (
+        SELECT v, lab FROM (
+            SELECT v, lab, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY c DESC, lab) AS rn FROM v1)
+        WHERE rn = 1
+    ),
+    v2 AS (
+        SELECT e.d AS v, l.lab, COUNT(*) AS c
+        FROM edges e JOIN l1 l ON l.v = e.s GROUP BY e.d, l.lab
+    ),
+    l2 AS (
+        SELECT v, lab FROM (
+            SELECT v, lab, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY c DESC, lab) AS rn FROM v2)
+        WHERE rn = 1
+    ),
+    v3 AS (
+        SELECT e.d AS v, l.lab, COUNT(*) AS c
+        FROM edges e JOIN l2 l ON l.v = e.s GROUP BY e.d, l.lab
+    ),
+    l3 AS (
+        SELECT v, lab FROM (
+            SELECT v, lab, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY c DESC, lab) AS rn FROM v3)
+        WHERE rn = 1
+    ),
+    comm AS (
+        SELECT lab AS community, COUNT(*) AS n_members,
+               MIN(v) AS min_member, SUM(v) AS member_checksum
+        FROM l3 GROUP BY lab
+    )
+    SELECT CAST(rk AS BIGINT)              AS rk,
+           CAST(community AS BIGINT)       AS community,
+           CAST(n_members AS BIGINT)       AS n_members,
+           CAST(min_member AS BIGINT)      AS min_member,
+           CAST(member_checksum AS BIGINT) AS member_checksum
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY n_members DESC, community) AS rk FROM comm)
+    WHERE rk <= 15 ORDER BY rk
+    """,
+)
+def copurchase_label_communities(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation over the
+    part co-purchase graph, hash-proven — the second checked
+    iterative graph algorithm beside integer PageRank, and a
+    different fixed point than connected components: CC's min-label
+    flood gives one label per component, while LPA's MAJORITY vote
+    (ties → smallest label) lets dense regions hold their own label
+    against sparse bridges. 3 unrolled rounds keep the result a pure
+    function of the edge list; the oracle replays them as 3
+    count+argmax CTE pairs. Output: top-15 communities by size with
+    min-member and member-id checksum pinning MEMBERSHIP, not just
+    sizes.
+
+    Plan: per round one edge⋈label join (label state broadcast — one
+    BIGINT per node) + one (v, label) count + a per-v argmax window;
+    localCheckpoint truncates lineage per round (operators/graph.
+    label_propagation_integer)."""
+    from flight_data_pipeline_spark.operators.graph import (
+        label_propagation_integer,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(F.col("l_orderkey").alias("o"),
+                      F.col("l_partkey").alias("p")).distinct()
+    und = (
+        items.alias("a")
+        .join(items.alias("b"),
+              (F.col("a.o") == F.col("b.o"))
+              & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(und.select(F.col("v").alias("s"),
+                                F.col("u").alias("d")))
+    )
+    labels = label_propagation_integer(edges, src="s", dst="d", iters=3)
+    comm = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("v").alias("min_member"),
+        F.sum("v").alias("member_checksum"))
+    w = Window.orderBy(F.desc("n_members"), "community")
+    return (
+        comm.orderBy(F.desc("n_members"), "community").limit(15)
+        .select(F.row_number().over(w).cast("long").alias("rk"),
+                F.col("community").cast("long").alias("community"),
+                F.col("n_members").cast("long").alias("n_members"),
+                F.col("min_member").cast("long").alias("min_member"),
+                F.col("member_checksum").cast("long")
+                .alias("member_checksum"))
+        .orderBy("rk")
+    )
+
+
+# --- min-plus shortest paths (checked iterative graph #3) ---------------------
+@query(
+    "copurchase_shortest_paths",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    ew AS (
+        -- items is DISTINCT (o, p), so each (o, s, d) joins exactly
+        -- once: COUNT(*) IS the co-order support, no distinct needed
+        SELECT a.p AS s, b.p AS d,
+               1 + 1000 // COUNT(*) AS w
+        FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+        GROUP BY a.p, b.p
+    ),
+    srcv AS (SELECT MIN(s) AS v FROM ew),
+    d0 AS (
+        SELECT s AS v,
+               CASE WHEN s = (SELECT v FROM srcv)
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1000000000000000 AS BIGINT) END AS dist
+        FROM (SELECT DISTINCT s FROM ew)
+    ),
+    x1 AS (
+        SELECT e.d AS v, MIN(d0.dist + e.w) AS nd
+        FROM ew e JOIN d0 ON d0.v = e.s
+        WHERE d0.dist < 1000000000000000 GROUP BY e.d
+    ),
+    d1 AS (
+        SELECT d0.v, LEAST(d0.dist,
+               COALESCE(x1.nd, CAST(1000000000000000 AS BIGINT))) AS dist
+        FROM d0 LEFT JOIN x1 ON d0.v = x1.v
+    ),
+    x2 AS (
+        SELECT e.d AS v, MIN(d1.dist + e.w) AS nd
+        FROM ew e JOIN d1 ON d1.v = e.s
+        WHERE d1.dist < 1000000000000000 GROUP BY e.d
+    ),
+    d2 AS (
+        SELECT d1.v, LEAST(d1.dist,
+               COALESCE(x2.nd, CAST(1000000000000000 AS BIGINT))) AS dist
+        FROM d1 LEFT JOIN x2 ON d1.v = x2.v
+    ),
+    x3 AS (
+        SELECT e.d AS v, MIN(d2.dist + e.w) AS nd
+        FROM ew e JOIN d2 ON d2.v = e.s
+        WHERE d2.dist < 1000000000000000 GROUP BY e.d
+    ),
+    d3 AS (
+        SELECT d2.v, LEAST(d2.dist,
+               COALESCE(x3.nd, CAST(1000000000000000 AS BIGINT))) AS dist
+        FROM d2 LEFT JOIN x3 ON d2.v = x3.v
+    )
+    SELECT CAST(rk AS BIGINT)   AS rk,
+           CAST(v AS BIGINT)    AS partkey,
+           CAST(dist AS BIGINT) AS dist_units
+    FROM (SELECT v, dist, ROW_NUMBER() OVER (ORDER BY dist, v) AS rk
+          FROM d3)
+    WHERE rk <= 15 ORDER BY rk
+    """,
+)
+def copurchase_shortest_paths(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Single-source SHORTEST PATHS by Bellman-Ford relaxation over
+    the weighted co-purchase graph, hash-proven — the third checked
+    iterative graph algorithm, and a different ALGEBRA from the other
+    two: PageRank iterates sum-product, LPA iterates count-argmax,
+    this iterates the (min, +) tropical semiring. Edge cost
+    1 + 1000 // support makes strongly co-purchased parts cheap to
+    traverse ("association distance"); the pinned source is the
+    smallest partkey in the graph; integer arithmetic end-to-end, so
+    the 3-round distance vector (exactly the cheapest ≤3-hop paths —
+    bounded-hop semantics, not approximation) replays as 3 unrolled
+    relax CTEs. Output: the 15 closest parts with their distances.
+
+    Plan: per round one edge⋈dist join (distance state broadcast) +
+    one dst-keyed MIN aggregate — same shape and cost profile as the
+    PageRank loop (operators/graph.min_plus_shortest_paths)."""
+    from flight_data_pipeline_spark.operators.graph import (
+        min_plus_shortest_paths,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(F.col("l_orderkey").alias("o"),
+                      F.col("l_partkey").alias("p")).distinct()
+    half = (
+        items.alias("a")
+        .join(items.alias("b"),
+              (F.col("a.o") == F.col("b.o"))
+              & (F.col("a.p") < F.col("b.p")))
+        # items is distinct (o, p) ⇒ each (o, u, v) appears once:
+        # COUNT(*) IS the co-order support (the oracle says the same)
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("co"))
+    )
+    ew = (
+        half.select(F.col("u").alias("s"), F.col("v").alias("d"), "co")
+        .unionByName(half.select(F.col("v").alias("s"),
+                                 F.col("u").alias("d"), "co"))
+        .select("s", "d", (F.lit(1) + F.expr("1000 DIV co")).alias("w"))
+        # materialize ONCE: the source aggregate below and the
+        # operator's per-round joins otherwise each re-run the whole
+        # self-join edge build (measured 37.7 s -> ~7 s at sf0.1)
+        .localCheckpoint()
+    )
+    source = ew.agg(F.min("s").alias("v"))
+    dist = min_plus_shortest_paths(ew, source, src="s", dst="d",
+                                   weight="w", iters=3)
+    w = Window.orderBy("dist", "v")
+    return (
+        dist.orderBy("dist", "v").limit(15)
+        .select(F.row_number().over(w).cast("long").alias("rk"),
+                F.col("v").cast("long").alias("partkey"),
+                F.col("dist").cast("long").alias("dist_units"))
+        .orderBy("rk")
+    )

@@ -122,6 +122,8 @@ GRAPH_HEAVY = [
     "copurchase_pagerank",
     "copurchase_graph_levels",
     "copurchase_triangles",
+    "copurchase_label_communities",  # r7: count+argmax rounds
+    "copurchase_shortest_paths",     # r7: min-plus relax rounds
 ]
 
 # The integer-moment stats family (r6s3/s4): scaling, OLS, CUSUM,

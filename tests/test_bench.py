@@ -91,6 +91,21 @@ class TestLoadBaseline:
         assert bench.load_baseline_cal(str(tmp_path)) is None
         assert bench.load_baseline_cal(str(tmp_path / "missing")) is None
 
+    def test_median_host_factor_logic(self):
+        """The median-of-ratios host factor: a uniform 1.3× window
+        scales every baseline (zero flags) while a single genuinely
+        regressed query still trips — one plan cannot move the median
+        of many. Mirrors the main() wiring as a pure check."""
+        base = {f"q{i}": 1.0 for i in range(20)}
+        run = {f"q{i}": 1.30 for i in range(20)}
+        run["q7"] = 3.0  # the one real regression
+        ratios = sorted(run[q] / base[q] for q in base)
+        med = ratios[len(ratios) // 2]
+        assert med == 1.30
+        scaled = {q: b * med for q, b in base.items()}
+        flags = bench.find_regressions(run, scaled)
+        assert [f["query"] for f in flags] == ["q7"]
+
     def test_cal_scaling_absorbs_host_window_drift(self):
         """A uniformly 1.4×-slower host window (the measured shared-VM
         drift) must produce ZERO flags once baselines are scaled by

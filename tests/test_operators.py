@@ -801,3 +801,89 @@ class TestPagerankInteger:
                  + (85 * contrib.get(v, 0)) // 100
                  for v in nodes}
         assert got == r
+
+
+class TestLabelPropagationInteger:
+    def test_two_cliques_with_bridge_keep_separate_communities(self, spark):
+        """Two triangles joined by one bridge edge: CC would merge
+        them into one component; LPA's majority vote keeps two
+        communities (each triangle's min id), which is exactly the
+        distinction the operator exists for."""
+        from flight_data_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+        from flight_data_pipeline_spark.operators.graph import (
+            label_propagation_integer,
+        )
+
+        tri1 = [(1, 2), (2, 3), (1, 3)]
+        tri2 = [(10, 11), (11, 12), (10, 12)]
+        bridge = [(3, 10)]
+        und = tri1 + tri2 + bridge
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src long, dst long")
+
+        labels = {r.v: r.label
+                  for r in label_propagation_integer(
+                      edges, iters=4).collect()}
+        comms = {}
+        for v, lab in labels.items():
+            comms.setdefault(lab, set()).add(v)
+        assert {frozenset(c) for c in comms.values()} \
+            == {frozenset({1, 2, 3}), frozenset({10, 11, 12})}
+
+        # contrast: CC floods min-label across the bridge -> ONE label
+        cc = {r.v: r.label
+              for r in connected_components(edges).collect()}
+        assert set(cc.values()) == {1}
+
+    def test_deterministic_tie_break_to_smallest_label(self, spark):
+        """A node with an evenly split neighborhood must take the
+        SMALLEST majority label — the pinned tie-break that makes the
+        iterative algorithm hash-checkable."""
+        from flight_data_pipeline_spark.operators.graph import (
+            label_propagation_integer,
+        )
+
+        und = [(1, 5), (2, 5)]  # node 5 sees labels {1, 2} once each
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src long, dst long")
+        labels = {r.v: r.label
+                  for r in label_propagation_integer(
+                      edges, iters=1).collect()}
+        assert labels[5] == 1
+
+
+class TestMinPlusShortestPaths:
+    EDGES = [
+        # diamond where the 2-hop detour beats the direct edge
+        (1, 2, 1), (2, 4, 1), (1, 4, 10),
+        (4, 5, 2),
+        (8, 9, 1),  # disconnected from the source
+    ]
+
+    def _dist(self, spark, iters):
+        from flight_data_pipeline_spark.operators.graph import (
+            min_plus_shortest_paths,
+        )
+
+        sym = self.EDGES + [(d, s, w) for s, d, w in self.EDGES]
+        edges = spark.createDataFrame(sym, "src long, dst long, w long")
+        source = spark.createDataFrame([(1,)], "v long")
+        return {r.v: r.dist
+                for r in min_plus_shortest_paths(
+                    edges, source, iters=iters).collect()}
+
+    def test_relaxation_finds_cheaper_multi_hop_path(self, spark):
+        d = self._dist(spark, iters=3)
+        assert d[1] == 0 and d[2] == 1
+        assert d[4] == 2      # via 2, not the weight-10 direct edge
+        assert d[5] == 4
+        assert d[8] == 10**15 and d[9] == 10**15  # unreachable
+
+    def test_bounded_hop_semantics(self, spark):
+        """After k rounds the distance is exactly the cheapest
+        <=k-hop path: with one round node 4 only sees the direct
+        weight-10 edge; the 2-hop detour needs round two."""
+        assert self._dist(spark, iters=1)[4] == 10
+        assert self._dist(spark, iters=2)[4] == 2
