@@ -357,13 +357,29 @@ def main() -> None:
             d = os.path.join(root, f"x{s}")
             build(s, d)
             dirs[s] = d
-        # warmup: full 1x pass pays codegen + parquet first-touch once
+        # warmup: full 1x pass pays codegen once
         for name in names:
             run(name, dirs[1])
         timings: dict[str, dict[int, float]] = {q: {} for q in names}
         for s in SCALES:  # scale-major: adjacent runs share the corpus
+            # touch THIS scale's corpus before timing: without it the
+            # first query at each scale pays the whole corpus's parquet
+            # first-touch IO and reads as a fake super-linear point
+            # (measured: pagerank@8x 84.7 s cold vs ~16 s warm — the
+            # other queries at the same scale were already 3-5x lower)
+            for t in os.listdir(dirs[s]):
+                spark.read.parquet(os.path.join(dirs[s], t)) \
+                    .write.format("noop").mode("overwrite").save()
+            # best-of-N (SPARK_GRAFT_CURVE_RUNS, default 1): on a
+            # degraded shared-host window the 8x block shows random
+            # multi-10s stalls landing on DIFFERENT queries per pass
+            # (measured back-to-back: triangles@8x 3.5 s then 39.3 s,
+            # pagerank@8x 84.7 then 35.4) — the min is the plan cost
+            nruns = max(1, int(os.environ.get(
+                "SPARK_GRAFT_CURVE_RUNS", "1")))
             for name in names:
-                timings[name][s] = round(run(name, dirs[s]), 3)
+                timings[name][s] = round(
+                    min(run(name, dirs[s]) for _ in range(nruns)), 3)
         return {
             "sf_dir": SRC,
             "scales": SCALES,
