@@ -238,15 +238,58 @@ def calibration_sec(spark) -> float:
     return round(best, 4)
 
 
-def load_baseline_cal(repo: str) -> float | None:
-    """cal_sec recorded alongside the pinned baseline (same session,
-    same host window) — None for pre-calibration baseline files."""
+def calibration_mem_sec() -> float:
+    """Memory-BANDWIDTH probe: best-of-3 copy of a 768 MiB numpy
+    array. The CPU probe above is cache-resident and provably blind
+    to the hypervisor's memory-bandwidth/steal pressure (measured: a
+    1.38×-median window at CPU-cal ratio 1.05); a large memcpy sees
+    exactly that pressure. Together the two probes bound the host
+    window, so a median per-query ratio FAR above BOTH is evidence of
+    a genuine uniform code regression (e.g. a broken session conf)
+    rather than host drift — surfaced as ``uniform_suspect`` in the
+    official line instead of being silently rescaled away (ADVICE r7)."""
+    import numpy as np
+
+    a = np.ones(96 * 1024 * 1024, dtype=np.float64)  # 768 MiB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # discard: page-fault/first-touch cost
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.copyto(b, a)
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
+def load_baseline_cal(repo: str, key: str = "cal_sec") -> float | None:
+    """cal_sec / cal_mem_sec recorded alongside the pinned baseline
+    (same session, same host window) — None for baseline files that
+    predate that probe."""
     try:
         with open(os.path.join(repo, "BENCH_BASELINE.json")) as f:
-            v = json.load(f).get("cal_sec")
+            v = json.load(f).get(key)
         return float(v) if isinstance(v, (int, float)) else None
     except (OSError, json.JSONDecodeError):
         return None
+
+
+def uniform_slowdown_suspect(med: float, cal_x: float,
+                             mem_x: float | None,
+                             n_ratios: int) -> bool:
+    """Uniform-slowdown discriminator (ADVICE r7): the median
+    normalizer absorbs ANY sub-2x uniform slowdown by design, so the
+    median ratio is checked against BOTH independent host probes —
+    CPU speed (cache-resident xxhash fold) and memory bandwidth
+    (768 MiB memcpy). Host drift moves at least one probe (measured
+    windows: bandwidth pressure at CPU-cal 1.05); a median far above
+    both is evidence of a genuine everything-slow code regression
+    (e.g. a broken session conf) and is surfaced in the official
+    line rather than silently rescaled away. Requires the mem probe
+    baseline (else the single-probe blind spot would false-flag
+    every degraded-host window, the exact r6 failure mode)."""
+    if mem_x is None or n_ratios < 8:
+        return False
+    return med > 1.35 * max(cal_x, mem_x) and med > 1.35
 
 
 def find_regressions(
@@ -331,11 +374,18 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
         except Exception as exc:
-            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            # a valid timing from an earlier pass (or an earlier run
+            # of this pass) outranks a later transient failure — only
+            # record err when NO successful timing exists, else a
+            # flaky second-chance re-run would drop the query out of
+            # the total and leave the errors count stale (ADVICE r7)
+            if best == float("inf"):
+                timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            else:
+                timings[name] = round(best, 3)
 
     for name in HEADLINE:
         time_query(name)
-    errors = sum(1 for v in timings.values() if not isinstance(v, float))
 
     # Host-speed normalization, two signals:
     # (a) the CPU calibration probe (cal_now/cal_base) — catches
@@ -352,6 +402,10 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     cal_base = load_baseline_cal(repo)
     cal_x = round(min(3.0, max(0.5, cal_now / cal_base)), 3) if cal_base else 1.0
+    mem_now = calibration_mem_sec()
+    mem_base = load_baseline_cal(repo, "cal_mem_sec")
+    mem_x = (round(min(3.0, max(0.5, mem_now / mem_base)), 3)
+             if mem_base else None)
     base = load_baseline(repo)
     ratios = sorted(
         timings[q] / base[q] for q in base
@@ -360,6 +414,8 @@ def main() -> None:
            if len(ratios) >= 8 else cal_x)
     host = min(2.0, max(0.5, med))
     scaled = {q: b * host for q, b in base.items()}
+    uniform_suspect = uniform_slowdown_suspect(med, cal_x, mem_x,
+                                               len(ratios))
 
     # Second-chance pass (the "real only if it reproduces" policy from
     # measured back-to-back variance): any first-pass flag gets ONE
@@ -369,8 +425,11 @@ def main() -> None:
         time_query(r["query"])
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     regressions = find_regressions(timings, scaled)
+    errors = sum(1 for v in timings.values() if not isinstance(v, float))
     cal = {"sec": cal_now, "base": cal_base, "x": cal_x,
-           "median_ratio": med, "host": round(host, 3)}
+           "mem_sec": mem_now, "mem_base": mem_base, "mem_x": mem_x,
+           "median_ratio": med, "host": round(host, 3),
+           "uniform_suspect": uniform_suspect}
 
     # Full per-query detail goes to a sidecar the judge reads from the
     # repo; the printed line must stay compact. Round 6's single line

@@ -183,7 +183,8 @@ def _cron_field(expr: str, lo: int, hi: int) -> frozenset[int]:
     vals: set[int] = set()
     for part in expr.split(","):
         step = 1
-        if "/" in part:
+        stepped = "/" in part
+        if stepped:
             part, s = part.split("/", 1)
             step = int(s)
         if part in ("*", ""):
@@ -191,6 +192,10 @@ def _cron_field(expr: str, lo: int, hi: int) -> frozenset[int]:
         elif "-" in part:
             a, b = part.split("-", 1)
             rng = range(int(a), int(b) + 1)
+        elif stepped:
+            # vixie: a bare number with a step means N-max/step
+            # ("5/15" in the minute field = 5,20,35,50), not {N}
+            rng = range(int(part), hi + 1)
         else:
             rng = range(int(part), int(part) + 1)
         vals.update(v for i, v in enumerate(rng) if i % step == 0)
@@ -215,8 +220,11 @@ def next_fire(cron: str, after: datetime) -> datetime:
     month = _cron_field(fields[3], 1, 12)
     dow = frozenset((v % 7) for v in _cron_field(fields[4], 0, 7))
 
-    dom_any = fields[2] in ("*",)
-    dow_any = fields[4] in ("*",)
+    # vixie keys the dom/dow OR rule on the field STARTING with '*':
+    # '*/2' in dom is still "unrestricted" for the rule, so
+    # '0 0 */2 * 1' fires on (every-2nd-day AND Monday), not the union
+    dom_any = fields[2].startswith("*")
+    dow_any = fields[4].startswith("*")
 
     t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
     for _ in range(366 * 24 * 60):

@@ -225,38 +225,50 @@ def label_propagation_integer(edges: DataFrame, src: str = "src",
     randomized-order; this is the synchronous variant with a pinned
     tie-break, the same determinism move as ``pagerank_integer``):
 
-        l0(v)  = v
+        l0(v)  = v                       for every v in src ∪ dst
         l_k(v) = the label most frequent among v's in-neighbors'
-                 l_{k-1}, ties broken by SMALLEST label.
+                 l_{k-1}, ties broken by SMALLEST label;
+                 l_{k-1}(v) carried forward when v has no in-votes.
 
     A fixed ``iters`` rounds keeps the result a pure function of the
     edge list (no convergence test). Unlike connected components
     (min-label flood = one community per component), LPA's majority
     vote lets DENSE regions keep their own label against sparse
-    bridges — the community structure CC cannot see.
+    bridges — the community structure CC cannot see. Seeding from
+    src ∪ dst and carrying labels forward makes the contract hold on
+    DIRECTED input too: a source-only node keeps voting with its own
+    label instead of dropping out of the state after round 1.
 
     Scale shape: per round one edge⋈label join (state broadcast —
     one BIGINT per node) + one (v, label) count aggregate + one
-    per-v argmax window over the few distinct neighbor labels;
-    lineage truncated per round with an eager localCheckpoint."""
+    per-v argmax window over the few distinct neighbor labels + one
+    node-keyed carry-forward left join; lineage truncated per round
+    with an eager localCheckpoint."""
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
          .localCheckpoint())
     maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
-    labels = (e.select(F.col("s").alias("v")).distinct()
+    labels = (e.select(F.col("s").alias("v"))
+              .unionByName(e.select(F.col("d").alias("v")))
+              .distinct()
               .select("v", F.col("v").alias("label"))
               .localCheckpoint())
-    w = Window.partitionBy("v").orderBy(F.desc("__c"), "label")
+    w = Window.partitionBy("v").orderBy(F.desc("__c"), "__vl")
     for _ in range(iters):
         votes = (
-            e.join(maybe_bc(labels.select(F.col("v").alias("s"), "label")),
+            e.join(maybe_bc(labels.select(F.col("v").alias("s"),
+                                          F.col("label").alias("__vl"))),
                    "s")
-            .groupBy(F.col("d").alias("v"), "label")
+            .groupBy(F.col("d").alias("v"), "__vl")
             .agg(F.count("*").alias("__c"))
         )
-        labels = (
+        winners = (
             votes.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
-            .select("v", "label")
+            .select("v", "__vl")
+        )
+        labels = (
+            labels.join(maybe_bc(winners), "v", "left")
+            .select("v", F.coalesce("__vl", "label").alias("label"))
             .localCheckpoint()
         )
     return labels
@@ -287,7 +299,12 @@ def min_plus_shortest_paths(edges: DataFrame, source: DataFrame,
                       F.col(weight).cast("long").alias("w"))
          .localCheckpoint())
     maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
-    nodes = e.select(F.col("s").alias("v")).distinct()
+    # node set from src UNION dst: on directed input a sink (dst-only)
+    # node must still appear in the distance vector, else relaxed
+    # distances onto it are silently dropped by the carry-forward join
+    nodes = (e.select(F.col("s").alias("v"))
+             .unionByName(e.select(F.col("d").alias("v")))
+             .distinct())
     dist = (
         nodes.join(source.select(F.col(source.columns[0]).alias("v"))
                    .withColumn("__z", F.lit(0)), "v", "left")

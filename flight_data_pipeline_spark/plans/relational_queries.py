@@ -5313,36 +5313,49 @@ def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.p AS s, b.p AS d
         FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
     ),
-    l0 AS (SELECT DISTINCT s AS v, s AS lab FROM edges),
+    l0 AS (SELECT v, v AS lab FROM (
+        SELECT s AS v FROM edges UNION SELECT d AS v FROM edges)),
     v1 AS (
         SELECT e.d AS v, l.lab, COUNT(*) AS c
         FROM edges e JOIN l0 l ON l.v = e.s GROUP BY e.d, l.lab
     ),
-    l1 AS (
+    w1 AS (
         SELECT v, lab FROM (
             SELECT v, lab, ROW_NUMBER() OVER (
                 PARTITION BY v ORDER BY c DESC, lab) AS rn FROM v1)
         WHERE rn = 1
     ),
+    l1 AS (
+        SELECT l0.v, COALESCE(w1.lab, l0.lab) AS lab
+        FROM l0 LEFT JOIN w1 ON w1.v = l0.v
+    ),
     v2 AS (
         SELECT e.d AS v, l.lab, COUNT(*) AS c
         FROM edges e JOIN l1 l ON l.v = e.s GROUP BY e.d, l.lab
     ),
-    l2 AS (
+    w2 AS (
         SELECT v, lab FROM (
             SELECT v, lab, ROW_NUMBER() OVER (
                 PARTITION BY v ORDER BY c DESC, lab) AS rn FROM v2)
         WHERE rn = 1
     ),
+    l2 AS (
+        SELECT l1.v, COALESCE(w2.lab, l1.lab) AS lab
+        FROM l1 LEFT JOIN w2 ON w2.v = l1.v
+    ),
     v3 AS (
         SELECT e.d AS v, l.lab, COUNT(*) AS c
         FROM edges e JOIN l2 l ON l.v = e.s GROUP BY e.d, l.lab
     ),
-    l3 AS (
+    w3 AS (
         SELECT v, lab FROM (
             SELECT v, lab, ROW_NUMBER() OVER (
                 PARTITION BY v ORDER BY c DESC, lab) AS rn FROM v3)
         WHERE rn = 1
+    ),
+    l3 AS (
+        SELECT l2.v, COALESCE(w3.lab, l2.lab) AS lab
+        FROM l2 LEFT JOIN w3 ON w3.v = l2.v
     ),
     comm AS (
         SELECT lab AS community, COUNT(*) AS n_members,
@@ -5432,11 +5445,11 @@ def copurchase_label_communities(spark: SparkSession,
     ),
     srcv AS (SELECT MIN(s) AS v FROM ew),
     d0 AS (
-        SELECT s AS v,
-               CASE WHEN s = (SELECT v FROM srcv)
+        SELECT nv AS v,
+               CASE WHEN nv = (SELECT v FROM srcv)
                     THEN CAST(0 AS BIGINT)
                     ELSE CAST(1000000000000000 AS BIGINT) END AS dist
-        FROM (SELECT DISTINCT s FROM ew)
+        FROM (SELECT s AS nv FROM ew UNION SELECT d AS nv FROM ew)
     ),
     x1 AS (
         SELECT e.d AS v, MIN(d0.dist + e.w) AS nd

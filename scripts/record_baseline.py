@@ -40,6 +40,10 @@ out = {
     # these baselines by cal_now/cal_sec at compare time, so a slower
     # (or faster) shared-host window doesn't read as a plan change
     "cal_sec": (detail.get("cal") or {}).get("sec"),
+    # memory-bandwidth probe twin (bench.calibration_mem_sec): the
+    # uniform-slowdown discriminator compares the round's median
+    # per-query ratio against BOTH probes' ratios
+    "cal_mem_sec": (detail.get("cal") or {}).get("mem_sec"),
     "queries": queries,
 }
 path = os.path.join(REPO, "BENCH_BASELINE.json")

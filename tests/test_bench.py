@@ -74,7 +74,11 @@ class TestLoadBaseline:
                  "ratio": 81.037} for n in timings]
         line = bench.compact_line(timings, 7999.92, 0.1, 80, regs,
                                   cal={"sec": 0.4512, "base": 0.3333,
-                                       "x": 1.354})
+                                       "x": 1.354, "mem_sec": 0.1234,
+                                       "mem_base": 0.0999, "mem_x": 1.235,
+                                       "median_ratio": 1.354,
+                                       "host": 1.354,
+                                       "uniform_suspect": False})
         assert len(line) < 2000, len(line)
         parsed = json.loads(line)
         assert parsed["queries_total_n"] == 80
@@ -90,6 +94,39 @@ class TestLoadBaseline:
             {"queries": {"a": 1.0}}))
         assert bench.load_baseline_cal(str(tmp_path)) is None
         assert bench.load_baseline_cal(str(tmp_path / "missing")) is None
+
+    def test_cal_mem_loaded_from_pinned_file(self, tmp_path):
+        (tmp_path / "BENCH_BASELINE.json").write_text(json.dumps(
+            {"cal_sec": 0.45, "cal_mem_sec": 0.12, "queries": {"a": 1.0}}))
+        assert bench.load_baseline_cal(str(tmp_path), "cal_mem_sec") == 0.12
+        (tmp_path / "BENCH_BASELINE.json").write_text(json.dumps(
+            {"cal_sec": 0.45, "queries": {"a": 1.0}}))
+        assert bench.load_baseline_cal(str(tmp_path), "cal_mem_sec") is None
+
+
+class TestUniformSlowdownSuspect:
+    """ADVICE r7: a genuine everything-slow regression below the 2.0
+    median clamp must not be silently rescaled away — but the measured
+    degraded-host windows (bandwidth pressure the CPU probe can't see)
+    must NOT false-flag either."""
+
+    def test_real_uniform_regression_flags(self):
+        # median 1.8x while both host probes read ~1.0x: not host drift
+        assert bench.uniform_slowdown_suspect(1.8, 1.05, 1.1, 60)
+
+    def test_measured_bandwidth_window_does_not_flag(self):
+        # the r7-measured window: median 1.38x, CPU cal 1.05 — but the
+        # mem probe sees the bandwidth pressure (1.4x) → host drift
+        assert not bench.uniform_slowdown_suspect(1.38, 1.05, 1.4, 60)
+
+    def test_cpu_speed_window_does_not_flag(self):
+        assert not bench.uniform_slowdown_suspect(1.5, 1.45, 1.0, 60)
+
+    def test_requires_mem_probe_baseline_and_enough_ratios(self):
+        # without the mem probe the single-probe blind spot would
+        # false-flag every degraded window → stay conservative
+        assert not bench.uniform_slowdown_suspect(1.8, 1.05, None, 60)
+        assert not bench.uniform_slowdown_suspect(1.8, 1.05, 1.1, 5)
 
     def test_median_host_factor_logic(self):
         """The median-of-ratios host factor: a uniform 1.3× window

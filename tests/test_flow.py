@@ -179,6 +179,26 @@ class TestNextFire:
         t = next_fire("0 0 1 * *", datetime(2026, 8, 15, 12, 0))
         assert t == datetime(2026, 9, 1, 0, 0)
 
+    def test_stepped_wildcard_dom_is_unrestricted_for_or_rule(self):
+        # ADVICE r7: vixie keys the OR rule on the field starting
+        # with '*' — '0 0 */2 * 1' = (odd day-of-month) AND Monday,
+        # the intersection, not the union. 2026-08-17 is a Monday
+        # (day 17, odd → in */2 from day 1); the 16th (Sunday) and
+        # the 19th (odd but Wednesday) must NOT fire.
+        t = next_fire("0 0 */2 * 1", datetime(2026, 8, 15, 12, 0))
+        assert t == datetime(2026, 8, 17, 0, 0)
+        # next after the 17th: Monday 2026-08-31 (the 24th is even)
+        t = next_fire("0 0 */2 * 1", datetime(2026, 8, 17, 0, 0))
+        assert t == datetime(2026, 8, 31, 0, 0)
+
+    def test_number_with_step_expands_to_range(self):
+        # ADVICE r7: '5/15' in the minute field = 5,20,35,50 (vixie
+        # expands N/step as N-max/step), not the single minute 5
+        t = next_fire("5/15 * * * *", datetime(2026, 8, 15, 14, 6))
+        assert t == datetime(2026, 8, 15, 14, 20)
+        t = next_fire("5/15 * * * *", datetime(2026, 8, 15, 14, 50))
+        assert t == datetime(2026, 8, 15, 15, 5)
+
     def test_rejects_malformed(self):
         with pytest.raises(ValueError):
             next_fire("0 * * *", datetime(2026, 8, 15))

@@ -853,6 +853,25 @@ class TestLabelPropagationInteger:
                       edges, iters=1).collect()}
         assert labels[5] == 1
 
+    def test_directed_chain_keeps_sources_and_propagates(self, spark):
+        """Directed input (ADVICE r7): a source-only node must keep
+        voting with its own label (carry-forward) instead of falling
+        out of the state after round 1, and the label set must cover
+        src UNION dst — on the chain 1→2→3 the label floods down to
+        node 3 by round 2 while node 1 (no in-edges) keeps label 1."""
+        from flight_data_pipeline_spark.operators.graph import (
+            label_propagation_integer,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long")
+        l1 = {r.v: r.label
+              for r in label_propagation_integer(edges, iters=1).collect()}
+        assert l1 == {1: 1, 2: 1, 3: 2}
+        l2 = {r.v: r.label
+              for r in label_propagation_integer(edges, iters=2).collect()}
+        assert l2 == {1: 1, 2: 1, 3: 1}
+
 
 class TestMinPlusShortestPaths:
     EDGES = [
@@ -887,3 +906,19 @@ class TestMinPlusShortestPaths:
         weight-10 edge; the 2-hop detour needs round two."""
         assert self._dist(spark, iters=1)[4] == 10
         assert self._dist(spark, iters=2)[4] == 2
+
+    def test_directed_sink_nodes_get_distances(self, spark):
+        """Directed input (ADVICE r7): a dst-only sink node must
+        appear in the output with its relaxed distance, not be
+        dropped by the carry-forward join keyed on src-only nodes."""
+        from flight_data_pipeline_spark.operators.graph import (
+            min_plus_shortest_paths,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2, 3), (2, 3, 4)], "src long, dst long, w long")
+        source = spark.createDataFrame([(1,)], "v long")
+        d = {r.v: r.dist
+             for r in min_plus_shortest_paths(
+                 edges, source, iters=2).collect()}
+        assert d == {1: 0, 2: 3, 3: 7}
