@@ -312,7 +312,8 @@ def ann_ivf_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
 
 def semdedup_labels(assignments: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", list_col: str = "ivf_list",
-                    tau: float = 0.32, max_iter: int = 10) -> DataFrame:
+                    tau: float = 0.32, max_iter: int = 10,
+                    sim_digits: int | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public
     arXiv:2303.09540 recipe): near-duplicate discovery scoped to the
     coarse k-means clusters of an IVF index — pairwise cosine is
@@ -326,6 +327,11 @@ def semdedup_labels(assignments: DataFrame, vec_col: str = "embedding",
     its within-list connected component — keep the vector equal to its
     label, prune the rest. Vectors absent from the result have no
     within-list near-dup and are all kept.
+
+    ``sim_digits`` rounds the cosine BEFORE the τ-compare (the
+    cross-engine discipline of the checked ``embedding_near_dup_pairs``
+    query: a boundary pair must cut identically on both engines);
+    default None keeps the raw compare.
     """
     from flight_data_pipeline_spark.operators.dedup import connected_components
 
@@ -335,10 +341,13 @@ def semdedup_labels(assignments: DataFrame, vec_col: str = "embedding",
     b = assignments.select(
         F.col(list_col).alias("__l"), F.col(id_col).alias("__vb"),
         as_double(F.col(vec_col)).alias("__eb"))
+    sim = cosine(F.col("__ea"), F.col("__eb"))
+    if sim_digits is not None:
+        sim = F.round(sim, sim_digits)
     edges = (
         a.join(b, "__l")
         .where(F.col("__va") < F.col("__vb"))
-        .where(cosine(F.col("__ea"), F.col("__eb")) >= tau)
+        .where(sim >= tau)
         .select(F.col("__va").alias("src"), F.col("__vb").alias("dst"))
     )
     return connected_components(edges, "src", "dst", max_iter=max_iter)

@@ -98,7 +98,46 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 GUARD_MAX_TOKEN_DF = 20
 
 
-@query("near_dup_jaccard_pairs_guarded")  # DF-capped candidates ⇒ rows-only
+@query(
+    "near_dup_jaccard_pairs_guarded",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    posting AS (
+        SELECT doc_id, source, unnest(t) AS tok FROM toks
+    ),
+    tok_df AS (
+        SELECT source, tok, COUNT(*) AS dfreq
+        FROM posting GROUP BY source, tok
+    ),
+    capped AS (
+        SELECT p.doc_id, p.source, p.tok
+        FROM posting p JOIN tok_df d
+          ON d.source = p.source AND d.tok = p.tok
+        WHERE d.dfreq <= {GUARD_MAX_TOKEN_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.source = b.source AND a.tok = b.tok
+             AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard_sim
+    FROM (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(len(list_intersect(ta.t, tb.t)) * 1.0
+                     / (len(ta.t) + len(tb.t)
+                        - len(list_intersect(ta.t, tb.t))), 4)
+                   AS jaccard_sim
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b)
+    WHERE jaccard_sim >= {JACCARD_THRESHOLD}
+    """,
+)
 def near_dup_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-token-guarded form of near_dup_jaccard_pairs: candidate
     pairs are generated only from postings whose per-block document
@@ -115,12 +154,15 @@ def near_dup_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFram
     size drops them (recall 335/147 839 at sf0.1 for caps 20-150). On
     natural corpora the hot tokens are stopwords carrying no dup
     signal — there the guard is the 100× default, with the cap sized
-    above the largest expected duplicate cluster. At the checked
-    scales (sf0.001/sf0.01: 25-doc blocks, cap 20) the guarded output
-    is IDENTICAL to the exact path — pinned by
-    tests/test_extensions.py::TestHotTokenGuard — but rows-only here
-    because that identity is a property of the block size, not of the
-    operator, and an oracle must not claim exactness at every sf."""
+    above the largest expected duplicate cluster. PROMOTED from
+    rows-only (r8): the oracle replays the GUARD ITSELF — a token-DF
+    CTE, the ≤cap posting filter, the capped candidate self-join, and
+    the exact full-token-set verification — rather than claiming
+    equality with the exact path (which is a block-size property, not
+    an operator property; it stays pinned separately at the fixture
+    scales by tests/test_extensions.py::TestHotTokenGuard). The
+    threshold applies to the ROUND(·, 4) sim on both sides, exactly
+    as _verify_pair_candidates does."""
     from flight_data_pipeline_spark.operators.dedup import jaccard_pairs_blocked
 
     docs = load_table(spark, "documents", sf_dir)

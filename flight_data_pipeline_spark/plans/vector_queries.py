@@ -219,13 +219,37 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk_multiprobe")  # approximate by design ⇒ rows-only
+_LSH_MULTIPROBE_ORACLE = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, ({_LSH_SIG_SQL}) AS s FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, s AS qs FROM sig
+          WHERE vec_id = {QUERY_VEC_ID}),
+    probes AS (
+        SELECT xor((SELECT qs FROM q), f) AS p
+        FROM (SELECT unnest([0, 1, 2, 4, 8]) AS f)
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(sig.embedding AS DOUBLE[]),
+               CAST((SELECT qe FROM q) AS DOUBLE[])), 4) AS cosine_sim
+    FROM sig WHERE s IN (SELECT p FROM probes)
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("ann_lsh_topk_multiprobe", oracle=_LSH_MULTIPROBE_ORACLE)
 def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: the query's bucket plus every Hamming-1
     neighbor (one hyperplane vote flipped) — measured 2× the recall
     of single-probe at identical bits on the fixture (adversarially
-    far vectors), at (bits+1)/2^bits scan fraction. Rows-only;
-    recall-dominates-single-probe is pinned in tests."""
+    far vectors), at (bits+1)/2^bits scan fraction. PROMOTED from
+    rows-only (r8): the probe set is the query signature XOR each
+    power of two — with the sha256-derived planes inlined as
+    literals (the ``ann_lsh_topk`` r6 recipe) the oracle replays
+    bucket assignment, the 5-bucket probe list, and the in-bucket
+    exact cosine top-10, so the result hash-matches. Recall-dominates-
+    single-probe stays pinned in tests."""
     emb = load_table(spark, "embeddings", sf_dir)
     qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
     return ann_lsh_topk(emb, qv, vec_col="embedding", id_col="vec_id",
@@ -492,25 +516,115 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = NEAR_DUP_COS  # reuse the fixture-meaningful threshold
+KM_K = 8      # md5-seeded centroids (shared with kmeans_assignment_round)
+KM_DIM = 64   # fixture embedding width
+
+_KM_CENTS_SQL = f"""
+    SELECT k, list_transform(range(1, {KM_DIM} + 1), d ->
+               ('0x' || substr(md5('km' || CAST(k AS VARCHAR) || '_'
+                                   || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+               % 2001 - 1000) AS c
+    FROM (SELECT UNNEST(range(0, {KM_K})) AS k)
+"""
 
 
-@query("semdedup_prune_stats")  # KMeans cluster scoping ⇒ rows-only
+@query(
+    "semdedup_prune_stats",
+    oracle=f"""
+    WITH RECURSIVE cents AS ({_KM_CENTS_SQL}),
+    dist2 AS (
+        SELECT e.vec_id, e.embedding, cents.k,
+               list_sum(list_transform(range(1, {KM_DIM} + 1), i ->
+                   (CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000 + 0.5)
+                         AS BIGINT) - cents.c[i])
+                 * (CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000 + 0.5)
+                         AS BIGINT) - cents.c[i]))) AS d2
+        FROM embeddings e CROSS JOIN cents
+    ),
+    asn AS (
+        SELECT vec_id, embedding, k FROM (
+            SELECT vec_id, embedding, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, k) AS rn
+            FROM dist2) WHERE rn = 1
+    ),
+    edges AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM asn a JOIN asn b ON a.k = b.k AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 4) >= {SEMDEDUP_TAU}
+    ),
+    sym AS (SELECT s AS a, d AS b FROM edges
+            UNION SELECT d, s FROM edges),
+    reach(v, lab) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.v
+    ),
+    labels AS (SELECT v, MIN(lab) AS lab FROM reach GROUP BY v),
+    tot AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    nl AS (SELECT COUNT(DISTINCT k) AS n_lists FROM asn),
+    comp AS (
+        SELECT COUNT(*) AS n_near_dup_vecs,
+               COUNT(DISTINCT lab) AS n_components,
+               SUM(CASE WHEN v <> lab THEN 1 ELSE 0 END) AS n_pruned
+        FROM labels
+    )
+    SELECT CAST(n_vecs AS BIGINT)          AS n_vecs,
+           CAST(n_lists AS BIGINT)         AS n_lists,
+           CAST(n_near_dup_vecs AS BIGINT) AS n_near_dup_vecs,
+           CAST(n_components AS BIGINT)    AS n_components,
+           CAST(COALESCE(n_pruned, 0) AS BIGINT) AS n_pruned,
+           ROUND((n_vecs - COALESCE(n_pruned, 0)) * 1.0 / n_vecs, 4)
+               AS keep_rate
+    FROM tot, nl, comp
+    """,
+)
 def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup audit: prune counts from cluster-scoped embedding
-    dedup — τ-cosine components computed only within the IVF lists of
-    the session's built-once index, keep the min-id vector per
-    component. One summary row: corpus size, cluster count, vectors
-    touching a τ-edge, component count, pruned count, keep rate.
+    dedup — τ-cosine components computed only within coarse k-means
+    lists, keep the min-id vector per component. One summary row:
+    corpus size, cluster count, vectors touching a τ-edge, component
+    count, pruned count, keep rate.
 
-    Rows-only: list assignment comes from sampled KMeans (iterative,
-    engine-specific); the keep/prune contract is pinned by property
-    tests instead (kept set is τ-independent within every list,
-    components match a union-find oracle)."""
-    from flight_data_pipeline_spark.operators.vectors import semdedup_labels
+    PROMOTED from rows-only (r8), by making every stage replayable:
+    (1) list assignment uses the md5-seeded integer milli-unit
+    centroids + quantized Lloyd argmin of the checked
+    ``kmeans_assignment_round`` (bit-identical on both engines)
+    instead of the session's sampled-KMeans IVF index — the paper's
+    semantics are "any coarse clustering scopes the pair space", so
+    a deterministic clustering is a faithful instance, and the
+    trained-IVF scale path stays exercised by the ANN tier queries;
+    (2) τ-edges compare the ROUND(cos, 4) sim (the
+    ``embedding_near_dup_pairs`` discipline); (3) the oracle replays
+    min-label connected components exactly with a recursive CTE
+    (set-semantics UNION reaches the same fixpoint the operator's
+    converged pointer-jumping loop returns). The keep/prune contract
+    additionally stays pinned by property tests (kept set is
+    τ-independent within every list, components match a union-find
+    oracle)."""
+    from flight_data_pipeline_spark.operators.vectors import (
+        md5_seed_centroids,
+        quantized_lloyd_assignment,
+        semdedup_labels,
+    )
 
-    idx = _ivf_index_for(spark, sf_dir)
-    asn = idx.assignments
-    labels = semdedup_labels(asn, tau=SEMDEDUP_TAU)
+    emb = load_table(spark, "embeddings", sf_dir)
+    asn = (
+        emb.join(
+            quantized_lloyd_assignment(
+                emb, md5_seed_centroids(spark, KM_K, KM_DIM))
+            .select("vec_id", F.col("k").alias("ivf_list")),
+            "vec_id")
+    )
+    # max_iter=24: the md5-seeded coarse lists (unlike trained KMeans
+    # lists) leave long-diameter τ-chains on the near-random fixture —
+    # 10 pointer-jumping rounds measurably split one component at
+    # sf0.01; the loop early-exits on convergence so the higher cap
+    # costs nothing once settled
+    labels = semdedup_labels(asn, tau=SEMDEDUP_TAU, sim_digits=4,
+                             max_iter=24)
     totals = asn.agg(
         F.count("*").alias("n_vecs"),
         F.countDistinct("ivf_list").alias("n_lists"))
@@ -1339,8 +1453,8 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- k-means Lloyd assignment, hash-proven (integer milli-unit twin) ----------
-KM_K = 8      # md5-seeded centroids
-KM_DIM = 64   # fixture embedding width
+# (KM_K / KM_DIM are defined above semdedup_prune_stats, which shares
+# the same md5-seeded centroid family)
 
 
 @query(
