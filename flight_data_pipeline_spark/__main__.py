@@ -18,6 +18,16 @@ client):
     python -m flight_data_pipeline_spark query --list
     python -m flight_data_pipeline_spark query daily_rollup \
         [--sf-dir DIR] [--limit N] [--explain]
+    python -m flight_data_pipeline_spark query \
+        --sql "SELECT COUNT(*) FROM etl_runs" [--audit PATH]
+
+``--sql`` accepts arbitrary Spark SQL over the registered fixture
+views (region … embeddings) PLUS the engine's own sink tables
+(``grid_telemetry``, ``etl_runs``) — so the reference's documented
+monitoring queries (README.md:171-195,546-563;
+docs/GITHUB_ACTIONS_SETUP.md:79-106) run VERBATIM against this
+engine's sinks, exactly as they run against the reference's Postgres
+(tests/test_flow.py::TestSqlCli executes them verbatim).
 """
 
 from __future__ import annotations
@@ -27,6 +37,27 @@ import os
 import sys
 
 
+def sql_client(spark, sql: str, sf_dir: str | None = None,
+               telemetry: str = "spark-warehouse/grid_telemetry",
+               audit: str = "spark-warehouse/etl_runs"):
+    """The EP3 any-SQL-client surface behind ``query --sql``: register
+    the fixture tables plus the engine's own sink tables
+    (``grid_telemetry``, ``etl_runs`` — empty-but-typed when never
+    written) as temp views and run ONE raw Spark SQL statement. The
+    reference's documented monitoring SQL (README.md:171-195,546-563;
+    docs/GITHUB_ACTIONS_SETUP.md:79-106) runs verbatim here — a
+    trailing ';' (the psql habit of the docs) is stripped since Spark
+    parses single statements only."""
+    from flight_data_pipeline_spark.sinks import AuditSink, TelemetrySink
+    from flight_data_pipeline_spark.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    TelemetrySink(spark, telemetry).read() \
+        .createOrReplaceTempView("grid_telemetry")
+    AuditSink(spark, audit).read().createOrReplaceTempView("etl_runs")
+    return spark.sql(sql.strip().rstrip(";"))
+
+
 def query_main(argv: list[str]) -> int:
     """Run a registered query against the fixture tables and print
     the head — the engine-side SQL client (SURVEY.md EP3)."""
@@ -34,12 +65,37 @@ def query_main(argv: list[str]) -> int:
         prog="flight_data_pipeline_spark query")
     parser.add_argument("name", nargs="?", help="registered query name")
     parser.add_argument("--list", action="store_true", dest="list_queries")
+    parser.add_argument("--sql", help="raw Spark SQL over the fixture "
+                        "views + grid_telemetry/etl_runs sink views "
+                        "(the reference's any-SQL-client surface)")
     parser.add_argument("--sf-dir",
                         default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                "/root/testdata/sf0.01"))
+    parser.add_argument("--telemetry",
+                        default=os.environ.get("TELEMETRY_PATH",
+                                               "spark-warehouse/grid_telemetry"))
+    parser.add_argument("--audit",
+                        default=os.environ.get("AUDIT_PATH",
+                                               "spark-warehouse/etl_runs"))
     parser.add_argument("--limit", type=int, default=20)
     parser.add_argument("--explain", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.sql:
+        if args.name:
+            print("pass a registered name OR --sql, not both",
+                  file=sys.stderr)
+            return 2
+        from flight_data_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name="fdps-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = sql_client(spark, args.sql, args.sf_dir,
+                        args.telemetry, args.audit)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
 
     from flight_data_pipeline_spark.plans import registry
 

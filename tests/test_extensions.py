@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 
 from flight_data_pipeline_spark.operators.multimodal import (
     FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
     binarize_documents,
     extract_features,
     real_decode,
@@ -415,9 +416,119 @@ class TestMultimodal:
             assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized
             assert r.n_bytes > 0 and r.byte_entropy > 0
 
-    def test_real_decode_is_explicit_stub(self):
+    def test_real_decode_still_stubbed_for_compressed_formats(self):
         with pytest.raises(NotImplementedError):
             real_decode(b"\x89PNG", "png")
+
+    # --- real in-container decoders (VERDICT r7 #5) -----------------
+
+    @staticmethod
+    def _ppm_payload():
+        """3x2 P6 PPM with a comment line: 6 known RGB pixels."""
+        pixels = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,
+                        10, 20, 30,  40, 50, 60,  200, 200, 200])
+        return b"P6\n# test image\n3 2\n255\n" + pixels, pixels
+
+    @staticmethod
+    def _bmp_payload():
+        """3x2 uncompressed 24-bit BMP, bottom-up, stride-padded."""
+        import struct
+
+        # rows in IMAGE order (top first), pixel = (r, g, b)
+        img = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+               [(10, 20, 30), (40, 50, 60), (200, 200, 200)]]
+        stride = (3 * 3 + 3) & ~3  # 12 bytes: 9 + 3 padding
+        raster = b""
+        for row in reversed(img):  # bottom-up storage
+            line = b"".join(bytes([b, g, r]) for r, g, b in row)  # BGR
+            raster += line + b"\x00" * (stride - len(line))
+        header = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+                  + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0,
+                                len(raster), 2835, 2835, 0, 0))
+        flat = [c for row in img for px in row for c in px]
+        return header + raster, bytes(flat)
+
+    @staticmethod
+    def _wav_payload():
+        """8 frames of 16-bit mono PCM with known sample values."""
+        import io
+        import struct
+        import wave
+
+        samples = [0, 16384, 32767, 16384, 0, -16384, -32768, -16384]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack("<8h", *samples))
+        return buf.getvalue(), samples
+
+    def test_decode_netpbm_pixels(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_netpbm,
+        )
+
+        payload, pixels = self._ppm_payload()
+        img = decode_netpbm(payload)
+        assert img.shape == (2, 3, 3)
+        assert img.tobytes() == pixels
+        # grayscale P5 with the same raster bytes
+        g = decode_netpbm(b"P5\n3 2\n255\n" + pixels[:6])
+        assert g.shape == (2, 3, 1) and g.tobytes() == pixels[:6]
+
+    def test_decode_bmp_undoes_bgr_stride_and_row_flip(self):
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        payload, flat_rgb = self._bmp_payload()
+        img = decode_bmp(payload)
+        assert img.shape == (2, 3, 3)
+        assert img.tobytes() == flat_rgb  # RGB, top row first
+
+    def test_decode_wav_samples(self):
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        payload, samples = self._wav_payload()
+        arr = decode_wav(payload)
+        assert len(arr) == 8
+        assert max(abs(arr[i] - samples[i] / 32768.0)
+                   for i in range(8)) < 1e-6
+
+    def test_real_payloads_decode_end_to_end(self, spark):
+        """A PPM, a BMP and a WAV payload flow through the default
+        extract_features path (auto_decode → real_decode) and come
+        back with features computed over DECODED pixels/samples —
+        the PPM and BMP encode the SAME six pixels, so their features
+        must be identical even though their file bytes differ."""
+        ppm, _ = self._ppm_payload()
+        bmp, _ = self._bmp_payload()
+        wav, samples = self._wav_payload()
+        rows = [
+            (1, ppm, {"kind": "image", "format": "ppm",
+                      "n_bytes": len(ppm)}),
+            (2, bmp, {"kind": "image", "format": "bmp",
+                      "n_bytes": len(bmp)}),
+            (3, wav, {"kind": "audio", "format": "wav",
+                      "n_bytes": len(wav)}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_id: r for r in extract_features(media).collect()}
+        assert set(got) == {1, 2, 3}
+        for r in got.values():
+            assert len(r.feature) == 16
+            assert abs(sum(r.feature) - 1.0) < 1e-5
+        # same pixels ⇒ same decoded feature, despite different bytes
+        assert list(got[1].feature) == list(got[2].feature)
+        # the wav feature reflects amplitudes: symmetric test signal
+        # puts mass in both negative and positive bins
+        wf = list(got[3].feature)
+        assert sum(wf[:8]) > 0 and sum(wf[8:]) > 0
 
     def test_custom_decoder_injectable(self, spark):
         docs = load_table(spark, "documents", SF_DIR).limit(5)

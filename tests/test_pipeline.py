@@ -399,6 +399,126 @@ class TestQueryCli:
         assert "n_events" in capsys.readouterr().out
 
 
+class TestSqlCli:
+    """EP3 raw-SQL parity (VERDICT r7 #6): the reference's documented
+    monitoring SQL runs VERBATIM through `query --sql` against this
+    engine's sinks, and each result equals its checked-query twin's
+    DataFrame logic computed over the same sink rows."""
+
+    # verbatim from the reference docs — do not reformat
+    SQL_SUCCESS_RATE = """SELECT
+  DATE(run_timestamp) AS day,
+  COUNT(*) AS total_runs,
+  SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END) AS successful,
+  ROUND(100.0 * SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END) / COUNT(*), 2) AS success_pct
+FROM etl_runs
+WHERE run_timestamp >= NOW() - INTERVAL '7 days'
+GROUP BY 1
+ORDER BY 1 DESC;"""  # README.md:171-181
+    SQL_RECENT = """SELECT run_timestamp, status, rows_inserted, execution_time_ms, error_message
+FROM etl_runs
+ORDER BY run_timestamp DESC
+LIMIT 10;"""  # README.md:184-188
+    SQL_STATUS_PCT = """SELECT
+  status,
+  COUNT(*) as count,
+  ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM etl_runs), 1) as pct
+FROM etl_runs
+GROUP BY status;"""  # docs/GITHUB_ACTIONS_SETUP.md:83-89
+    SQL_TREND = """SELECT
+  DATE_TRUNC('day', run_timestamp) as day,
+  AVG(execution_time_ms) as avg_ms,
+  MAX(execution_time_ms) as max_ms
+FROM etl_runs
+WHERE status = 'success'
+GROUP BY 1
+ORDER BY 1 DESC;"""  # docs/GITHUB_ACTIONS_SETUP.md:97-105
+    SQL_TOTAL = "SELECT COUNT(*) FROM etl_runs;"       # docs:81
+    SQL_TELE = "SELECT COUNT(*) FROM grid_telemetry;"  # README.md:193
+
+    @pytest.fixture
+    def populated(self, spark, paths):
+        """Three pipeline runs → etl_runs rows with success / skipped /
+        failure statuses and one telemetry row."""
+        run(spark, paths)                       # success
+        run(spark, paths)                       # same hour → skipped
+
+        def boom():
+            raise ValueError("api down")
+
+        tele, audit = paths
+        run_pipeline(spark, boom, lambda: MIX, tele, audit,
+                     sleep=lambda s: None)      # failure
+        return paths
+
+    def _sql(self, spark, populated, sql):
+        from flight_data_pipeline_spark.__main__ import sql_client
+        from tests.conftest import SF_DIR
+
+        tele, audit = populated
+        return sql_client(spark, sql, SF_DIR, tele, audit)
+
+    def test_verbatim_success_rate_equals_twin(self, spark, populated):
+        got = self._sql(spark, populated, self.SQL_SUCCESS_RATE).collect()
+        audit = AuditSink(spark, populated[1]).read()
+        twin = (
+            audit.groupBy(F.to_date("run_timestamp").alias("day"))
+            .agg(F.count("*").alias("total_runs"),
+                 F.sum(F.when(F.col("status") == "success", 1)
+                       .otherwise(0)).alias("successful"))
+            .collect()
+        )
+        assert len(got) == len(twin) == 1
+        assert (got[0].total_runs, got[0].successful) \
+            == (twin[0].total_runs, twin[0].successful) == (3, 1)
+        # Spark types ROUND(100.0 * …, 2) as DECIMAL — compare as float
+        assert float(got[0].success_pct) == round(100.0 * 1 / 3, 2)
+
+    def test_verbatim_recent_runs_equals_twin(self, spark, populated):
+        got = self._sql(spark, populated, self.SQL_RECENT).collect()
+        audit = AuditSink(spark, populated[1]).read()
+        twin = (audit.orderBy(F.desc("run_timestamp")).limit(10)
+                .select("run_timestamp", "status", "rows_inserted",
+                        "execution_time_ms", "error_message").collect())
+        assert [tuple(r) for r in got] == [tuple(r) for r in twin]
+        assert {r.status for r in got} == {"success", "skipped", "failure"}
+
+    def test_verbatim_status_distribution_equals_twin(self, spark,
+                                                      populated):
+        got = {r.status: (r["count"], float(r.pct))
+               for r in self._sql(spark, populated,
+                                  self.SQL_STATUS_PCT).collect()}
+        assert got == {"success": (1, 33.3), "skipped": (1, 33.3),
+                       "failure": (1, 33.3)}
+
+    def test_verbatim_trend_and_scalar_counts(self, spark, populated):
+        trend = self._sql(spark, populated, self.SQL_TREND).collect()
+        audit = AuditSink(spark, populated[1]).read()
+        ms = [r.execution_time_ms for r in
+              audit.where(F.col("status") == "success").collect()]
+        assert len(trend) == 1
+        assert trend[0].avg_ms == sum(ms) / len(ms)
+        assert trend[0].max_ms == max(ms)
+        assert self._sql(spark, populated,
+                         self.SQL_TOTAL).first()[0] == 3
+        assert self._sql(spark, populated, self.SQL_TELE).first()[0] == 1
+
+    def test_cli_flag_prints_result(self, spark, populated, capsys):
+        from flight_data_pipeline_spark.__main__ import main
+        from tests.conftest import SF_DIR
+
+        tele, audit = populated
+        rc = main(["query", "--sql", self.SQL_TOTAL, "--sf-dir", SF_DIR,
+                   "--telemetry", tele, "--audit", audit])
+        assert rc == 0
+        assert "3" in capsys.readouterr().out
+
+    def test_name_and_sql_are_exclusive(self, capsys):
+        from flight_data_pipeline_spark.__main__ import main
+
+        assert main(["query", "daily_rollup", "--sql", "SELECT 1"]) == 2
+
+
 class TestSingleProbeAction:
     def test_run_pipeline_uses_one_driver_probe(self, spark, paths,
                                                 monkeypatch):
