@@ -1412,6 +1412,229 @@ def minhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MinHash estimator ACCURACY audit, hash-proven (r8) ----------------------
+@query(
+    "minhash_jaccard_estimate_error",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(
+                   generate_series(0, len(t) - 3),
+                   i -> array_to_string(t[i + 1 : i + 3], ' '))) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    ng AS (
+        SELECT doc_id, source, COUNT(*) AS n FROM g GROUP BY doc_id, source
+    ),
+    inter AS (
+        SELECT a.source, a.doc_id AS a, b.doc_id AS b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM g a JOIN g b ON a.source = b.source AND a.g = b.g
+                         AND a.doc_id < b.doc_id
+        GROUP BY a.source, a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.source, i.a, i.b, i.inter,
+               CAST(na.n + nb.n - i.inter AS BIGINT) AS un
+        FROM inter i
+        JOIN ng na ON na.doc_id = i.a AND na.source = i.source
+        JOIN ng nb ON nb.doc_id = i.b AND nb.source = i.source
+    ),
+    h AS (
+        SELECT doc_id, source, perms.i,
+               MIN(('0x' || substr(md5(CAST(perms.i AS VARCHAR)
+                                       || '|' || g.g), 1, 8))::BIGINT)
+                   AS sig
+        FROM g, (SELECT UNNEST(range(0, {MH_PERMS})) AS i) perms
+        GROUP BY doc_id, source, perms.i
+    ),
+    m AS (
+        SELECT p.source, p.a, p.b,
+               CAST(SUM(CASE WHEN ha.sig = hb.sig THEN 1 ELSE 0 END)
+                    AS BIGINT) AS matches
+        FROM pairs p
+        JOIN h ha ON ha.doc_id = p.a AND ha.source = p.source
+        JOIN h hb ON hb.doc_id = p.b AND hb.source = p.source
+                  AND hb.i = ha.i
+        GROUP BY p.source, p.a, p.b
+    ),
+    e AS (
+        SELECT p.source,
+               ABS(m.matches
+                   - (2 * {MH_PERMS} * p.inter + p.un) // (2 * p.un)) AS e
+        FROM pairs p
+        JOIN m ON m.source = p.source AND m.a = p.a AND m.b = p.b
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)        AS n_pairs,
+           CAST(SUM(e) AS BIGINT)          AS sum_err_16ths,
+           CAST(MAX(e) AS BIGINT)          AS max_err_16ths,
+           CAST(SUM(CASE WHEN e <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_1
+    FROM e GROUP BY source ORDER BY source
+    """,
+)
+def minhash_jaccard_estimate_error(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-accuracy audit, hash-proven — the sibling of
+    `lsh_candidate_recall_audit` (which pins what the bands FIND) that
+    pins what the signatures CLAIM: for every within-source pair
+    sharing at least one 3-gram shingle, the 16-permutation signature
+    agreement (the sketch's Jaccard estimate, in 16ths) is compared
+    against the EXACT shingle-set Jaccard, with the error kept in pure
+    integers — true J is rendered half-up in 16ths as
+    (2·16·inter + union) DIV (2·union), so both engines agree
+    bit-for-bit and the per-source error profile (sum, max,
+    within-±1/16 count) hash-matches. Pairs sharing NO shingle are
+    out of population by construction (their true J is 0; the posting
+    join cannot see them — stated, not hidden).
+
+    Plan shape, all posting-bounded (never docs²): shingle explode →
+    per-(source, gram) co-occurrence self-join for exact
+    intersections (the near_dup_jaccard machinery), the
+    minhash_md5_signatures construction for sigs (shuffle carries
+    docs × 16 rows), one candidate×16 equi-join for agreement counts,
+    source-sized rollup. Cites the reference's dedup rationale
+    (etl_job.py:226-237) extended to the sketch-audit tier."""
+    from flight_data_pipeline_spark.operators.text import ngram_explode
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.size(tokens(F.col("text"))) >= 3)
+    )
+    grams = ngram_explode(docs, "text", 3, "doc_id", "source").distinct()
+    ng = grams.groupBy("doc_id", "source").agg(F.count("*").alias("n"))
+
+    ga = grams.select("source", F.col("doc_id").alias("a"), "g")
+    gb = grams.select("source", F.col("doc_id").alias("b"), "g")
+    inter = (
+        ga.join(gb, ["source", "g"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("source", "a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter
+        .join(ng.select("source", F.col("doc_id").alias("a"),
+                        F.col("n").alias("na")), ["source", "a"])
+        .join(ng.select("source", F.col("doc_id").alias("b"),
+                        F.col("n").alias("nb")), ["source", "b"])
+        .select("source", "a", "b", "inter",
+                (F.col("na") + F.col("nb") - F.col("inter")).alias("un"))
+    )
+
+    h = (
+        grams.select(
+            "doc_id", "source", "g",
+            F.explode(F.sequence(F.lit(0), F.lit(MH_PERMS - 1))).alias("i"))
+        .select(
+            "doc_id", "source", "i",
+            F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.col("i").cast("string"),
+                                  F.col("g"))), 1, 8), 16, 10)
+            .cast("long").alias("hv"))
+        .groupBy("doc_id", "source", "i")
+        .agg(F.min("hv").alias("sig"))
+    )
+    sa = h.select("source", F.col("doc_id").alias("a"), "i",
+                  F.col("sig").alias("sig_a"))
+    sb = h.select("source", F.col("doc_id").alias("b"), "i",
+                  F.col("sig").alias("sig_b"))
+    matches = (
+        pairs.select("source", "a", "b")
+        .join(sa, ["source", "a"])
+        .join(sb, ["source", "b", "i"])
+        .groupBy("source", "a", "b")
+        .agg(F.sum((F.col("sig_a") == F.col("sig_b")).cast("long"))
+             .alias("matches"))
+    )
+    e = (
+        pairs.join(matches, ["source", "a", "b"])
+        .select("source", F.abs(
+            F.col("matches")
+            - F.expr(f"(2 * {MH_PERMS} * inter + un) DIV (2 * un)"))
+            .alias("e"))
+    )
+    return (
+        e.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("e").cast("long").alias("sum_err_16ths"),
+            F.max("e").cast("long").alias("max_err_16ths"),
+            F.sum((F.col("e") <= 1).cast("long")).cast("long")
+            .alias("n_within_1"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- exact-dedup ROI report (r8) ----------------------------------------------
+@query(
+    "dedup_token_savings",
+    oracle="""
+    WITH grp AS (
+        SELECT source, md5(text) AS h,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS tok
+        FROM documents GROUP BY source, md5(text)
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT)              AS n_docs,
+               CAST(COUNT(*) AS BIGINT)              AS n_unique_docs,
+               CAST(SUM(cnt * tok) AS BIGINT)        AS tokens_total,
+               CAST(SUM((cnt - 1) * tok) AS BIGINT)  AS tokens_saved
+        FROM grp GROUP BY source
+    )
+    SELECT source, n_docs, n_unique_docs, tokens_total, tokens_saved,
+           CAST((2000 * tokens_saved + tokens_total)
+                // (2 * tokens_total) AS BIGINT) AS savings_permille
+    FROM agg ORDER BY source
+    """,
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup ROI report — the number every corpus-curation run
+    publishes: per source, how many documents and how many TOKENS
+    (the budget axis that matters for training) exact dedup removes,
+    keeping one copy per md5(text) group. Identical text implies an
+    identical token count, so the keeper's tokens are the group MIN
+    and the savings arithmetic stays pure BIGINT (savings_permille is
+    integer half-up: (2000·saved + total) DIV (2·total)).
+
+    Plan shape: ONE (source, md5) hash aggregate carrying count +
+    token count (map-side combined; the md5 grouping key is how exact
+    dedup shuffles at any corpus size — never text itself), then a
+    source-sized rollup. The keep-min-doc_id selection itself is
+    `exact_dedup_documents`; this is its accounting view."""
+    per = load_table(spark, "documents", sf_dir).select(
+        "source", F.md5("text").alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("tok"))
+    grp = per.groupBy("source", "h").agg(
+        F.count("*").alias("cnt"), F.min("tok").alias("tok"))
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique_docs"),
+            F.sum(F.col("cnt") * F.col("tok")).cast("long")
+            .alias("tokens_total"),
+            F.sum((F.col("cnt") - 1) * F.col("tok")).cast("long")
+            .alias("tokens_saved"),
+        )
+        .select(
+            "source", "n_docs", "n_unique_docs", "tokens_total",
+            "tokens_saved",
+            F.expr("(2000 * tokens_saved + tokens_total)"
+                   " DIV (2 * tokens_total)").cast("long")
+            .alias("savings_permille"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- SimHash fold, hash-proven (md5 32-bit twin) -----------------------------
 _SH_VOTES_SQL = ",\n               ".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"

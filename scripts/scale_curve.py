@@ -45,6 +45,15 @@ HEAVY = [
 SCALES = [1, 2, 4, 8]
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The deep tail (VERDICT r7 #8): the two heaviest dedup rows pushed a
+# decade further — 16x/32x (160k docs / 1024 source blocks at sf0.1
+# base) — to find where (or whether) the 1x-8x sub-linearity breaks.
+DEEP_HEAVY = [
+    "near_dup_jaccard_pairs",   # prefix-filtered posting join + verify
+    "curated_training_mix",     # the full flagship composition
+]
+DEEP_SCALES = [1, 2, 4, 8, 16, 32]
+
 # The interval-join / window family over events: growth = MORE USERS
 # (disjoint id spaces per replica), so per-user fan-out — session
 # length, 24 h lookback width — stays fixture-shaped and total work
@@ -351,9 +360,10 @@ def main() -> None:
             "overwrite").save()
         return time.time() - t0
 
-    def measure(names: list[str], build, root: str) -> dict:
+    def measure(names: list[str], build, root: str,
+                scales: list[int] = SCALES) -> dict:
         dirs = {}
-        for s in SCALES:
+        for s in scales:
             d = os.path.join(root, f"x{s}")
             build(s, d)
             dirs[s] = d
@@ -361,7 +371,7 @@ def main() -> None:
         for name in names:
             run(name, dirs[1])
         timings: dict[str, dict[int, float]] = {q: {} for q in names}
-        for s in SCALES:  # scale-major: adjacent runs share the corpus
+        for s in scales:  # scale-major: adjacent runs share the corpus
             # touch THIS scale's corpus before timing: without it the
             # first query at each scale pays the whole corpus's parquet
             # first-touch IO and reads as a fake super-linear point
@@ -382,18 +392,18 @@ def main() -> None:
                     min(run(name, dirs[s]) for _ in range(nruns)), 3)
         return {
             "sf_dir": SRC,
-            "scales": SCALES,
+            "scales": scales,
             "queries": {
                 name: {
-                    "sec": {str(s): timings[name][s] for s in SCALES},
+                    "sec": {str(s): timings[name][s] for s in scales},
                     "exponent": round(
                         fit_exponent(
-                            [(s, timings[name][s]) for s in SCALES]), 3),
-                    # tail slope (2x->8x) discounts fixed per-query
+                            [(s, timings[name][s]) for s in scales]), 3),
+                    # tail slope (2x->max) discounts fixed per-query
                     # overhead
                     "exponent_tail": round(
                         fit_exponent(
-                            [(s, timings[name][s]) for s in SCALES[1:]]), 3),
+                            [(s, timings[name][s]) for s in scales[1:]]), 3),
                 }
                 for name in names
             },
@@ -443,21 +453,28 @@ def main() -> None:
     if "ml" in fams:
         out["ml"] = ml_result = measure(
             ML_HEAVY, build_corpus, os.path.join(root, "ml"))
+    deep_result = None
+    if "deep" in fams:
+        out["deep"] = deep_result = measure(
+            DEEP_HEAVY, build_corpus, os.path.join(root, "deep"),
+            scales=DEEP_SCALES)
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
     if "--update-scale-md" in sys.argv:
         def fmt_table(res: dict, names: list[str]) -> str:
+            scales = res["scales"]
             lines = [
-                "| query | 1x | 2x | 4x | 8x | exponent | tail (2x-8x) |",
-                "|---|---|---|---|---|---|---|",
+                "| query | " + " | ".join(f"{s}x" for s in scales)
+                + f" | exponent | tail (2x-{scales[-1]}x) |",
+                "|---|" + "---|" * (len(scales) + 2),
             ]
             for name in names:
                 q = res["queries"][name]
+                cells = " | ".join(str(q["sec"][str(s)]) for s in scales)
                 lines.append(
-                    "| {} | {} | {} | {} | {} | {} | {} |".format(
-                        name, *(q["sec"][str(s)] for s in SCALES),
-                        q["exponent"], q["exponent_tail"]))
+                    f"| {name} | {cells} | {q['exponent']} |"
+                    f" {q['exponent_tail']} |")
             return "\n".join(lines)
 
         path = os.path.join(REPO, "SCALE.md")
@@ -551,6 +568,30 @@ def main() -> None:
                     "its scoring join fans out tokens x 5 classes.\n"
                     "Seconds, single run each, local[32].\n\n"
                     + mblock + "\n"
+                )
+
+        if deep_result is not None:
+            DBEGIN = ("<!-- SCALECURVE-DEEP:BEGIN "
+                      "(generated by scripts/scale_curve.py) -->")
+            DEND = "<!-- SCALECURVE-DEEP:END -->"
+            dblock = (f"{DBEGIN}\n\n"
+                      f"{fmt_table(deep_result, DEEP_HEAVY)}\n\n{DEND}")
+            if DBEGIN in text:
+                text = re.sub(
+                    re.escape(DBEGIN) + r".*?" + re.escape(DEND), dblock,
+                    text, flags=re.S)
+            else:
+                text += (
+                    "\n## Measured scale curve (deep tail, 1x-32x)\n\n"
+                    "The two heaviest dedup rows pushed a decade past\n"
+                    "the standard 1x-8x sweep — 32x is 160k docs across\n"
+                    "1024 source blocks. Same replication (growth = more\n"
+                    "sources, block shape fixed), same per-scale\n"
+                    "pre-touch discipline. The point is the TAIL: a\n"
+                    "posting-join or funnel stage whose cost is secretly\n"
+                    "quadratic in some corpus-wide term would bend here\n"
+                    "first. Seconds, single run each, local[32].\n\n"
+                    + dblock + "\n"
                 )
 
         if stats_result is not None:
