@@ -171,6 +171,11 @@ HEADLINE = [
     # PageRank edge build (the cost driver at this scale)
     "copurchase_label_communities",
     "copurchase_shortest_paths",
+    # round-8 addition: the sketch-accuracy audit — exact posting-join
+    # intersections PLUS a candidate×16 signature-agreement join in
+    # one DAG, the round's heaviest new shape (dedup_token_savings is
+    # a single map-side-combined aggregate, untracked per policy)
+    "minhash_jaccard_estimate_error",
 ]
 
 
