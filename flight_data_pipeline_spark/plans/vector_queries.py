@@ -644,6 +644,95 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 17  # deterministic eval-set carve: vec_id % 17 == 0
+
+
+@query(
+    "embedding_decontamination_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id % {EVAL_MOD} = 0
+    ),
+    tr AS (
+        SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % {EVAL_MOD} <> 0
+    ),
+    best AS (
+        SELECT tr.label, tr.vec_id,
+               MAX(ROUND(list_cosine_similarity(tr.e, ev.e), 4))
+                   AS max_cos4
+        FROM tr CROSS JOIN ev
+        GROUP BY tr.label, tr.vec_id
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN max_cos4 >= {NEAR_DUP_COS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN max_cos4 >= {NEAR_DUP_COS}
+                         THEN vec_id ELSE 0 END) AS BIGINT)
+               AS contaminated_checksum,
+           MAX(max_cos4) AS top_cos4
+    FROM best GROUP BY label ORDER BY label
+    """,
+)
+def embedding_decontamination_audit(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic twin of the
+    n-gram/Bloom benchmark decontamination family: a deterministic
+    eval carve-out (vec_id % {EVAL_MOD} == 0, the held-out benchmark
+    stand-in) is screened against every training vector; a train
+    vector whose best eval cosine clears the near-dup threshold is a
+    semantic leak an n-gram overlap can miss (paraphrases). Reports
+    per label: train/eval sizes, contaminated count + id checksum
+    (membership pinned, not just counts), and the worst similarity.
+
+    Checked via the ROUND(cos, 4)-before-threshold discipline; MAX of
+    identically-rounded values is engine-identical.
+
+    Scale shape — the production decontamination plan: the EVAL side
+    is tiny (benchmarks are KBs against 100 TB of train), so it rides
+    a broadcast into a map-side fan-out of |train| × |eval| cosine
+    rows, partial-MAX-combined per train vector before the shuffle —
+    no train-side self-join anywhere; the LSH/IVF tiers in this file
+    are the sub-linear path when eval outgrows broadcast."""
+    from flight_data_pipeline_spark.operators.vectors import (
+        as_double,
+        cosine,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = (emb.where(F.col("vec_id") % EVAL_MOD == 0)
+          .select(as_double(F.col("embedding")).alias("ev_e")))
+    tr = emb.where(F.col("vec_id") % EVAL_MOD != 0).select(
+        "label", "vec_id", as_double(F.col("embedding")).alias("tr_e"))
+    n_eval = ev.agg(F.count("*").alias("n_eval"))
+    best = (
+        tr.join(F.broadcast(ev))
+        .groupBy("label", "vec_id")
+        .agg(F.max(F.round(cosine(F.col("tr_e"), F.col("ev_e")), 4))
+             .alias("max_cos4"))
+    )
+    contaminated = F.col("max_cos4") >= NEAR_DUP_COS
+    return (
+        best.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum(F.when(contaminated, 1).otherwise(0)).cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.when(contaminated, F.col("vec_id")).otherwise(0))
+            .cast("long").alias("contaminated_checksum"),
+            F.max("max_cos4").alias("top_cos4"),
+        )
+        .crossJoin(F.broadcast(n_eval))
+        .select("label", "n_train",
+                F.col("n_eval").cast("long").alias("n_eval"),
+                "n_contaminated", "contaminated_checksum", "top_cos4")
+        .orderBy("label")
+    )
+
+
 @query(
     "doc_embedding_quality_join",
     oracle=f"""
