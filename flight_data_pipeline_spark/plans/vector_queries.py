@@ -699,20 +699,30 @@ def embedding_decontamination_audit(spark: SparkSession,
     are the sub-linear path when eval outgrows broadcast."""
     from flight_data_pipeline_spark.operators.vectors import (
         as_double,
-        cosine,
+        dot,
+        l2_norm,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
+    # norms hoisted to per-ROW columns before the fan-out: inside the
+    # |train|x|eval| loop only the dot remains (the norm folds would
+    # otherwise re-run per PAIR — 3x the HOF work); same operands and
+    # association as cosine(), so values are IEEE-identical
     ev = (emb.where(F.col("vec_id") % EVAL_MOD == 0)
-          .select(as_double(F.col("embedding")).alias("ev_e")))
-    tr = emb.where(F.col("vec_id") % EVAL_MOD != 0).select(
-        "label", "vec_id", as_double(F.col("embedding")).alias("tr_e"))
+          .select(as_double(F.col("embedding")).alias("ev_e"))
+          .select("ev_e", l2_norm(F.col("ev_e")).alias("ev_n")))
+    tr = (emb.where(F.col("vec_id") % EVAL_MOD != 0)
+          .select("label", "vec_id",
+                  as_double(F.col("embedding")).alias("tr_e"))
+          .select("label", "vec_id", "tr_e",
+                  l2_norm(F.col("tr_e")).alias("tr_n")))
     n_eval = ev.agg(F.count("*").alias("n_eval"))
+    sim = dot(F.col("tr_e"), F.col("ev_e")) / (F.col("tr_n")
+                                               * F.col("ev_n"))
     best = (
         tr.join(F.broadcast(ev))
         .groupBy("label", "vec_id")
-        .agg(F.max(F.round(cosine(F.col("tr_e"), F.col("ev_e")), 4))
-             .alias("max_cos4"))
+        .agg(F.max(F.round(sim, 4)).alias("max_cos4"))
     )
     contaminated = F.col("max_cos4") >= NEAR_DUP_COS
     return (
