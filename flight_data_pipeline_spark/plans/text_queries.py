@@ -3445,6 +3445,148 @@ def bigram_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- learned-score vs rule-gate calibration report (r8) -----------------------
+@query(
+    "quality_score_calibration",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+        FROM toks WHERE len(t) >= 2
+    ),
+    flat AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c2 AS (
+        SELECT w1, w2, COUNT(*) AS n2 FROM flat
+        WHERE source = '{LM_TRAIN_SOURCE}' GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, COUNT(*) AS n1 FROM flat
+        WHERE source = '{LM_TRAIN_SOURCE}' GROUP BY w1
+    ),
+    v AS (
+        SELECT COUNT(DISTINCT w2) AS vocab FROM flat
+        WHERE source = '{LM_TRAIN_SOURCE}'
+    ),
+    scored AS (
+        SELECT f.doc_id, f.source,
+               (COALESCE(c2.n2, 0) + 1) * 1000000
+                   // (COALESCE(c1.n1, 0) + v.vocab) AS p_ppm
+        FROM flat f
+        LEFT JOIN c2 ON f.w1 = c2.w1 AND f.w2 = c2.w2
+        LEFT JOIN c1 ON f.w1 = c1.w1
+        CROSS JOIN v
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               (2 * SUM(p_ppm) + COUNT(*)) // (2 * COUNT(*)) AS doc_ppm
+        FROM scored GROUP BY doc_id, source
+    ),
+    band AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 500
+                     AND len(list_filter(string_split(text, ' '),
+                                         t -> t IN ({_SW})))
+                         * 1.0 / len(string_split(text, ' '))
+                         BETWEEN 0.0 AND 0.8
+                    THEN 1 ELSE 0 END AS is_good
+        FROM documents
+    ),
+    dec AS (
+        SELECT p.source, p.doc_ppm, b.is_good,
+               NTILE(10) OVER (PARTITION BY p.source
+                               ORDER BY p.doc_ppm, p.doc_id) AS decile
+        FROM per_doc p JOIN band b ON b.doc_id = p.doc_id
+    )
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_good) AS BIGINT) AS n_good,
+           CAST((2000 * SUM(is_good) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS good_permille,
+           CAST(MIN(doc_ppm) AS BIGINT) AS min_ppm,
+           CAST(MAX(doc_ppm) AS BIGINT) AS max_ppm
+    FROM dec GROUP BY source, decile ORDER BY source, decile
+    """,
+)
+def quality_score_calibration(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CALIBRATION report between the two quality signals every
+    curation pipeline runs side by side: the LEARNED bigram-LM score
+    (integer ppm — the checked ``bigram_lm_quality_score``
+    construction) and the RULE gate (length + stopword-ratio band of
+    ``doc_embedding_quality_join``). Documents are cut into
+    per-source score DECILES (NTILE with (score, doc_id) tie-break)
+    and each decile reports its rule-pass rate in integer permille —
+    monotone-increasing good_permille across deciles means the
+    learned filter agrees with the rules; a flat profile means the LM
+    learned something orthogonal (worth knowing before swapping
+    filters at 100 TB). Scoreable docs only (≥2 tokens), identically
+    on both sides.
+
+    Plan shape: the LM count tables broadcast (reference-slice-sized),
+    scoring is map-side joins + one per-doc partial fold; deciles are
+    per-SOURCE windows (never a global single-partition sort), and
+    the rollup is sources × 10 rows."""
+    from flight_data_pipeline_spark.operators.text import quality_band
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", "source",
+                       F.split(F.col("text"), " ").alias("t"))
+    flat = (
+        toks.where(F.size("t") >= 2)
+        .select("doc_id", "source", F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) AS w1,"
+            "             element_at(t, i + 1) AS w2))")).alias("b"))
+        .select("doc_id", "source", "b.w1", "b.w2")
+    )
+    train = flat.where(F.col("source") == LM_TRAIN_SOURCE)
+    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("n1"))
+    v = train.agg(F.countDistinct("w2").alias("vocab"))
+    scored = (
+        flat.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id", "source",
+            ((F.coalesce(F.col("n2"), F.lit(0)) + 1) * F.lit(1000000)
+             ).cast("long").alias("num"),
+            (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vocab"))
+            .cast("long").alias("den"),
+        )
+        .select("doc_id", "source", F.expr("num DIV den").alias("p_ppm"))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.expr("(2 * SUM(p_ppm) + COUNT(*)) DIV (2 * COUNT(*))")
+        .alias("doc_ppm"))
+    band = docs.select(
+        "doc_id",
+        (quality_band(F.col("text")) == "good").cast("long")
+        .alias("is_good"))
+    w = Window.partitionBy("source").orderBy("doc_ppm", "doc_id")
+    dec = (per_doc.join(band, "doc_id")
+           .withColumn("decile", F.ntile(10).over(w)))
+    return (
+        dec.groupBy("source", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_good").cast("long").alias("n_good"),
+            F.expr("(2000 * SUM(is_good) + COUNT(*)) DIV (2 * COUNT(*))")
+            .cast("long").alias("good_permille"),
+            F.min("doc_ppm").cast("long").alias("min_ppm"),
+            F.max("doc_ppm").cast("long").alias("max_ppm"),
+        )
+        .select("source", F.col("decile").cast("long").alias("decile"),
+                "n_docs", "n_good", "good_permille", "min_ppm", "max_ppm")
+        .orderBy("source", "decile")
+    )
+
+
 # --- Naive Bayes language classifier (integer log2 fixed point) ---------------
 
 
