@@ -252,16 +252,22 @@ def calibration_mem_sec() -> float:
     window, so a median per-query ratio FAR above BOTH is evidence of
     a genuine uniform code regression (e.g. a broken session conf)
     rather than host drift — surfaced as ``uniform_suspect`` in the
-    official line instead of being silently rescaled away (ADVICE r7)."""
+    official line instead of being silently rescaled away (ADVICE r7).
+
+    Footprint: 2×128 MiB buffers × 6 copies per timed rep — bandwidth
+    saturates far below 768 MiB, and the old 2×768 MiB allocation
+    could swap a memory-tight host and skew adjacent query timings
+    (ADVICE r8). Same total bytes moved per measurement as before."""
     import numpy as np
 
-    a = np.ones(96 * 1024 * 1024, dtype=np.float64)  # 768 MiB
+    a = np.ones(16 * 1024 * 1024, dtype=np.float64)  # 128 MiB
     b = np.empty_like(a)
     np.copyto(b, a)  # discard: page-fault/first-touch cost
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        np.copyto(b, a)
+        for _ in range(6):
+            np.copyto(b, a)
         best = min(best, time.time() - t0)
     return round(best, 4)
 

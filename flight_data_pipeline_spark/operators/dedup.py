@@ -155,7 +155,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 10) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 10,
+                         strict: bool = False) -> DataFrame:
     """Connected components over an undirected edge list → (v, label)
     with label = the component's minimum node id — the step that turns
     near-dup PAIRS into dedup CLUSTERS (keep min-id doc per cluster,
@@ -182,9 +183,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     the materialization), so the convergence probe is an
     ``isEmpty()`` filter over already-materialized rows — loop
     control, not an extra join job. If ``max_iter`` rounds pass with
-    labels still moving (component diameter ≳ 2^max_iter), a warning
-    is logged and the partial labels are returned: clusters may be
-    split; raise ``max_iter``.
+    labels still moving (component diameter ≳ 2^max_iter), the
+    default is a logged warning + partial labels (clusters may be
+    split; raise ``max_iter``); ``strict=True`` raises instead —
+    oracle-checked callers want a clear convergence error, not a
+    confusing downstream hash MISMATCH from silently-split clusters
+    (ADVICE r8).
 
     Lineage discipline: each round references the previous labels
     twice (message join + union), so an unbroken logical plan doubles
@@ -248,10 +252,12 @@ def connected_components(edges: DataFrame, src: str = "src",
         if converged:
             break
     if not converged:
-        logging.getLogger(__name__).warning(
-            "connected_components: labels still changing after %d rounds "
-            "— components wider than max_iter hops are split; raise "
-            "max_iter", max_iter)
+        msg = (f"connected_components: labels still changing after "
+               f"{max_iter} rounds — components wider than max_iter "
+               f"hops are split; raise max_iter")
+        if strict:
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 

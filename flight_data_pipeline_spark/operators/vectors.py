@@ -313,7 +313,8 @@ def ann_ivf_topk(df: DataFrame, query_vec: DataFrame, vec_col: str,
 def semdedup_labels(assignments: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", list_col: str = "ivf_list",
                     tau: float = 0.32, max_iter: int = 10,
-                    sim_digits: int | None = None) -> DataFrame:
+                    sim_digits: int | None = None,
+                    strict: bool = False) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public
     arXiv:2303.09540 recipe): near-duplicate discovery scoped to the
     coarse k-means clusters of an IVF index — pairwise cosine is
@@ -350,7 +351,8 @@ def semdedup_labels(assignments: DataFrame, vec_col: str = "embedding",
         .where(sim >= tau)
         .select(F.col("__va").alias("src"), F.col("__vb").alias("dst"))
     )
-    return connected_components(edges, "src", "dst", max_iter=max_iter)
+    return connected_components(edges, "src", "dst", max_iter=max_iter,
+                                strict=strict)
 
 
 class PqCodebooks:

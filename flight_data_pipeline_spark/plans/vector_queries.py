@@ -622,9 +622,11 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lists) leave long-diameter τ-chains on the near-random fixture —
     # 10 pointer-jumping rounds measurably split one component at
     # sf0.01; the loop early-exits on convergence so the higher cap
-    # costs nothing once settled
+    # costs nothing once settled. strict=True: this query is
+    # oracle-checked, so non-convergence at a larger sf must surface
+    # as a clear error, not a downstream hash MISMATCH.
     labels = semdedup_labels(asn, tau=SEMDEDUP_TAU, sim_digits=4,
-                             max_iter=24)
+                             max_iter=24, strict=True)
     totals = asn.agg(
         F.count("*").alias("n_vecs"),
         F.countDistinct("ivf_list").alias("n_lists"))
@@ -681,7 +683,7 @@ def embedding_decontamination_audit(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """EMBEDDING-space decontamination — the semantic twin of the
     n-gram/Bloom benchmark decontamination family: a deterministic
-    eval carve-out (vec_id % {EVAL_MOD} == 0, the held-out benchmark
+    eval carve-out (vec_id % EVAL_MOD (=17) == 0, the held-out benchmark
     stand-in) is screened against every training vector; a train
     vector whose best eval cosine clears the near-dup threshold is a
     semantic leak an n-gram overlap can miss (paraphrases). Reports

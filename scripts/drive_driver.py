@@ -30,19 +30,9 @@ con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-def canon(df):
-    df = df[sorted(df.columns)]
-    rows = []
-    for r in df.itertuples(index=False):
-        # Type-faithful: floats carry an 'f:' tag so an int64 250 never
-        # canonicalizes equal to a float64 250.0 (the HUGEINT->float64
-        # fetchdf drift that shipped four broken oracles in r6 — the
-        # real driver hashes dtype-sensitive values, so must the sim).
-        rows.append(tuple(
-            '∅' if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT
-            else (f"f:{v:.9g}" if isinstance(v, float) else str(v))
-            for v in r))
-    return sorted(rows)
+# Type-faithful dtype-tagged canonicalizer, shared with
+# standalone_smoke.py so the two harnesses compare identically.
+from canon_util import canon
 
 qs, osql = e.queries(), e.oracle_sql()
 only = os.environ.get('DRIVE_ONLY')  # comma-separated query names: spot-run a subset

@@ -171,13 +171,20 @@ def main() -> int:
                 if os.path.exists(p):
                     con.execute(f"CREATE VIEW {t} AS "
                                 f"SELECT * FROM read_parquet('{p}')")
-            exp = con.execute(oracle).fetchdf().to_dict("records")
+            # Canonical compare shared with drive_driver.py: rows
+            # sorted (no total-ORDER-BY dependence), columns sorted,
+            # floats/Decimals dtype-tagged (Decimal('81.0400') ==
+            # 81.04) — the old positional zip + str() false-failed on
+            # both (ADVICE r8).
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from canon_util import canon, canon_records
+
+            exp_df = con.execute(oracle).fetchdf()
             got = result["rows"]
-            assert len(got) == len(exp), (len(got), len(exp))
-            for g, e in zip(got, exp):
-                for k, v in e.items():
-                    assert str(g[k]) == str(v), (k, g[k], v)
-            print(f"oracle check     : {len(exp)} rows equal — OK")
+            assert len(got) == len(exp_df), (len(got), len(exp_df))
+            assert canon_records(got) == canon(exp_df), \
+                f"value mismatch vs oracle for {name}"
+            print(f"oracle check     : {len(exp_df)} rows equal — OK")
         print("STANDALONE-SMOKE PASS")
         return 0
     finally:
