@@ -3,9 +3,10 @@ image/audio/video as opaque ``binary`` columns with typed metadata,
 processed by Arrow-batched pandas functions via mapInPandas.
 
 The decode step REALLY DECODES the codec-free formats (netpbm
-PPM/PGM, uncompressed 24-bit BMP, PCM WAV via the stdlib ``wave``
-module — pure numpy/stdlib, no external codec libs needed), and stays
-STUBBED for compressed formats (jpeg/png/mp4: PIL/ffmpeg/torchcodec
+PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG via stdlib ``zlib``
+inflate + unfilter, PCM WAV via the stdlib ``wave`` module — pure
+numpy/stdlib, no external codec libs needed), and stays STUBBED for
+formats that need real codec libs (jpeg/mp4: PIL/ffmpeg/torchcodec
 are not in this container) behind ``decoder=`` injection points with
 a deterministic fake — so the Spark-side plumbing (schema, batch
 iteration, partition-preserving UDF shape, metadata passthrough) is
@@ -146,8 +147,91 @@ def decode_wav(payload: bytes):
     return arr
 
 
+def decode_png(payload: bytes):
+    """PNG decode with stdlib ``zlib`` alone → uint8 ndarray of shape
+    (h, w, channels): parse the chunk stream, inflate the concatenated
+    IDAT data, undo the per-scanline filters (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6). Supports 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace — the shapes a
+    training corpus' thumbnails actually use; palette/16-bit/Adam7
+    raise and remain on the injected-decoder path.
+
+    Unfilter cost: Sub is a per-lane cumsum (vectorized via numpy),
+    Up a vectorized add against the previous reconstructed row;
+    Average/Paeth fall back to a per-byte loop only on rows that used
+    them. Runs inside mapInPandas batches, so the per-image Python
+    cost is bounded by image size, not partition size."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    if payload[:8] != SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} needs an injected decoder")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace needs an injected decoder")
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        ft, line = int(ftypes[y]), rows[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:                       # None
+            out[y] = line
+        elif ft == 1:                     # Sub: per-lane cumsum mod 256
+            lanes = line.reshape(w, bpp).astype(np.int64)
+            out[y] = (lanes.cumsum(axis=0) % 256).astype(
+                np.uint8).reshape(stride)
+        elif ft == 2:                     # Up
+            out[y] = line + prev          # uint8 wraps mod 256
+        elif ft == 3:                     # Average
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:                     # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    return out.reshape(h, w, channels)
+
+
 #: formats real_decode can fully decode with stdlib + numpy alone
-REAL_DECODE_FORMATS = frozenset({"ppm", "pgm", "bmp", "wav"})
+REAL_DECODE_FORMATS = frozenset({"ppm", "pgm", "bmp", "wav", "png"})
 
 
 def _unit_hist(values, lo: float, hi: float):
@@ -162,18 +246,20 @@ def _unit_hist(values, lo: float, hi: float):
 
 
 def real_decode(payload: bytes, fmt: str):
-    """Real media decode for the codec-free formats: netpbm PPM/PGM
-    and uncompressed 24-bit BMP decode to pixel arrays, PCM WAV to
-    float samples; the feature is a 16-bin histogram of the DECODED
-    values (pixel intensities / sample amplitudes), so header and
-    container bytes never leak into it. Compressed formats
-    (jpeg/png/mp4/…) still raise — no codec libs in this container;
-    production injects PIL/soundfile/ffmpeg for those (fake_decode
-    remains the deterministic test stand-in)."""
+    """Real media decode for the codec-free formats: netpbm PPM/PGM,
+    uncompressed 24-bit BMP and 8-bit PNG decode to pixel arrays, PCM
+    WAV to float samples; the feature is a 16-bin histogram of the
+    DECODED values (pixel intensities / sample amplitudes), so header,
+    filter, and container bytes never leak into it. Formats that need
+    real codec libraries (jpeg/mp4/…) still raise — none in this
+    container; production injects PIL/soundfile/ffmpeg for those
+    (fake_decode remains the deterministic test stand-in)."""
     if fmt in ("ppm", "pgm"):
         return _unit_hist(decode_netpbm(payload), 0.0, 256.0)
     if fmt == "bmp":
         return _unit_hist(decode_bmp(payload), 0.0, 256.0)
+    if fmt == "png":
+        return _unit_hist(decode_png(payload), 0.0, 256.0)
     if fmt == "wav":
         return _unit_hist(decode_wav(payload), -1.0, 1.0)
     raise NotImplementedError(

@@ -131,14 +131,27 @@ def _lsh_component(b: int, i: int) -> float:
 
 
 _LSH_BITS, _LSH_DIM = 4, 64
-_LSH_SIG_SQL = " + ".join(
-    "(CASE WHEN list_sum(list_transform(generate_series(1, {d}),"
-    " i -> CAST(embedding[i] AS DOUBLE) * ([{lits}]::DOUBLE[])[i]))"
-    " > 0 THEN {w} ELSE 0 END)".format(
-        d=_LSH_DIM,
-        lits=", ".join(repr(_lsh_component(b, i)) for i in range(_LSH_DIM)),
-        w=1 << b)
-    for b in range(_LSH_BITS))
+
+
+def _lsh_sig_sql(salt: int = 0) -> str:
+    """DuckDB expression computing the ``salt``-offset hyperplane
+    signature over the ``embedding`` column — the oracle-side replay
+    of operators/vectors.hyperplane_signature(bits=4, salt=salt),
+    against bit-identical inlined plane literals. salt=0 is the
+    single-bucket probe family; salt=64*b is band b of the multi-band
+    candidate generator (lsh_candidate_pairs)."""
+    return " + ".join(
+        "(CASE WHEN list_sum(list_transform(generate_series(1, {d}),"
+        " i -> CAST(embedding[i] AS DOUBLE) * ([{lits}]::DOUBLE[])[i]))"
+        " > 0 THEN {w} ELSE 0 END)".format(
+            d=_LSH_DIM,
+            lits=", ".join(repr(_lsh_component(salt + b, i))
+                           for i in range(_LSH_DIM)),
+            w=1 << b)
+        for b in range(_LSH_BITS))
+
+
+_LSH_SIG_SQL = _lsh_sig_sql(0)
 
 _LSH_ORACLE = f"""
     WITH sig AS (
@@ -303,22 +316,11 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
     return idx
 
 
-@query("ann_ivf_topk")  # approximate + iterative training ⇒ rows-only
-def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (MLlib KMeans coarse quantizer,
-    2-of-16 lists probed) — the second ANN scale path beside the
-    hyperplane-LSH variant. The index is built once per session/dataset
-    (sampled training, persisted assignments) and only probed here;
-    probe selection is a plan-side broadcast against the centroid
-    table. Rows-only: KMeans is iterative and approximate by design;
-    recall vs exact is pinned in tests."""
-    from flight_data_pipeline_spark.operators.vectors import ann_ivf_topk
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
-    return ann_ivf_topk(emb, qv, vec_col="embedding", id_col="vec_id",
-                        k=10, n_lists=16, n_probe=2,
-                        index=_ivf_index_for(spark, sf_dir))
+# ann_ivf_topk is registered further down, after _KM_CENTS_SQL: the
+# checked form replays md5-seeded integer centroids on both engines
+# (the semdedup_prune_stats r8 recipe). The trained-KMeans IVF path
+# stays query-exposed through the ann_ivf_pq_topk family below, which
+# keeps using _ivf_index_for's persisted sampled-KMeans index.
 
 
 @query(
@@ -419,14 +421,57 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("closest_pair_per_label_lsh")  # approximate by design ⇒ rows-only
+# multi-band replay: band b of lsh_candidate_pairs(bits=4, bands=3)
+# uses the salt=64*b plane family
+_LSH_BAND_SIGS = [_lsh_sig_sql(64 * b) for b in range(3)]
+
+_CLOSEST_LSH_ORACLE = f"""
+    WITH sig AS (
+        SELECT label, vec_id, embedding,
+               ({_LSH_BAND_SIGS[0]}) AS s0,
+               ({_LSH_BAND_SIGS[1]}) AS s1,
+               ({_LSH_BAND_SIGS[2]}) AS s2
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.label  AS label,
+               a.vec_id AS vec_a,
+               b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+        FROM sig a JOIN sig b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+         AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2)
+    )
+    SELECT label, vec_a, vec_b, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY cosine_sim DESC, vec_a, vec_b) AS rn
+        FROM scored) WHERE rn = 1
+"""
+
+
+@query("closest_pair_per_label_lsh", oracle=_CLOSEST_LSH_ORACLE)
 def closest_pair_per_label_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-blocked twin of closest_pair_per_label: candidate pairs
     come from multi-band hyperplane buckets (within each label) instead
     of the label-wide all-pairs join — the shape that survives one
     huge label at 100 TB, where a per-block quadratic join does not.
     Same output schema as the exact query; recall vs the exact pair
-    set is pinned in tests/test_extensions.py."""
+    set is pinned in tests/test_extensions.py.
+
+    PROMOTED from rows-only (r9), the ``ann_lsh_topk`` r6 recipe
+    extended to the multi-band family: the oracle inlines all THREE
+    salt-offset plane families (salt=0/64/128, sha256-derived
+    literals, repr-round-tripped doubles) and replays candidate
+    generation itself — a pair is a candidate iff it shares ANY band
+    signature within its label — then scores ROUND(cos, 4) and takes
+    the per-label top-1 with the same (sim DESC, vec_a, vec_b)
+    tie-break. "Approximate" means approximate RECALL vs the exact
+    all-pairs twin, not nondeterminism: on identical planes both
+    engines derive the identical candidate set. (The oracle's
+    label-wide pair join is fixture-scale only — the Spark plan joins
+    banded buckets, never all pairs.)"""
     from flight_data_pipeline_spark.operators.relational import top_k_per_group
     from flight_data_pipeline_spark.operators.vectors import (
         as_double,
@@ -526,6 +571,103 @@ _KM_CENTS_SQL = f"""
                % 2001 - 1000) AS c
     FROM (SELECT UNNEST(range(0, {KM_K})) AS k)
 """
+
+
+IVF_N_PROBE = 2  # lists probed of KM_K in the checked IVF query
+
+_IVF_QUANT_D2 = (
+    "list_sum(list_transform(range(1, {dim} + 1), i -> "
+    "(CAST(FLOOR(CAST({vec}[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+    " - cents.c[i]) * "
+    "(CAST(FLOOR(CAST({vec}[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+    " - cents.c[i])))")
+
+_IVF_TOPK_ORACLE = f"""
+    WITH cents AS ({_KM_CENTS_SQL}),
+    q AS (SELECT embedding AS qe FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+    qd2 AS (
+        SELECT cents.k,
+               {_IVF_QUANT_D2.format(dim=KM_DIM, vec='q.qe')} AS d2
+        FROM cents CROSS JOIN q
+    ),
+    probe AS (SELECT k FROM qd2 ORDER BY d2, k LIMIT {IVF_N_PROBE}),
+    dist2 AS (
+        SELECT e.vec_id, e.embedding, cents.k,
+               {_IVF_QUANT_D2.format(dim=KM_DIM, vec='e.embedding')} AS d2
+        FROM embeddings e CROSS JOIN cents
+    ),
+    asn AS (
+        SELECT vec_id, embedding, k FROM (
+            SELECT vec_id, embedding, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, k) AS rn
+            FROM dist2) WHERE rn = 1
+    )
+    SELECT asn.vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(asn.embedding AS DOUBLE[]),
+               CAST(q.qe AS DOUBLE[])), 4) AS cosine_sim
+    FROM asn CROSS JOIN q
+    WHERE asn.k IN (SELECT k FROM probe)
+    ORDER BY cosine_sim DESC, asn.vec_id LIMIT 10
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_TOPK_ORACLE)
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: probe the ``IVF_N_PROBE``
+    coarse lists nearest the pinned query vector, exact rounded
+    cosine within — the second ANN scale path beside hyperplane LSH
+    (scan fraction ≈ n_probe/n_lists; files outside the probed lists
+    are partition-pruned when the index is written
+    partitionBy(ivf_list), see operators/vectors.IvfIndex.write).
+
+    PROMOTED from rows-only (r9), the ``semdedup_prune_stats`` r8
+    recipe: the coarse quantizer is the md5-seeded integer milli-unit
+    centroid set + quantized-Lloyd argmin both engines rebuild
+    bit-identically (pure BIGINT arithmetic, order-free), so list
+    assignment AND probe selection (same integer d2, (d2, k)
+    tie-break) replay exactly on the oracle; the in-list scoring is
+    the checked ROUND(cos, 4) discipline. "Approximate" means
+    approximate RECALL vs the exact scan, not nondeterminism. The
+    trained-KMeans IVF index (sampled, persisted, session-cached)
+    remains the production quantizer, exercised by the
+    ann_ivf_pq_topk family and its recall tests."""
+    from flight_data_pipeline_spark.operators.vectors import (
+        as_double,
+        cosine,
+        md5_seed_centroids,
+        quantized_lloyd_assignment,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = md5_seed_centroids(spark, KM_K, KM_DIM)
+    asn = quantized_lloyd_assignment(emb, cents).select("vec_id", "k")
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    # probe selection: integer d2 of the quantized query against every
+    # centroid (a KM_K-row broadcast), (d2, k) tie-break — replayed
+    # verbatim in the oracle's qd2/probe CTEs
+    qq = qv.select(F.expr(
+        "transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))").alias("q"))
+    qd2 = qq.crossJoin(F.broadcast(cents)).select(
+        "k",
+        F.expr("aggregate(zip_with(q, c, (x, ci) -> (x - ci) * (x - ci)), "
+               "CAST(0 AS BIGINT), (acc, v) -> acc + v)").alias("d2"))
+    probe = qd2.orderBy("d2", "k").limit(IVF_N_PROBE).select("k")
+    qdf = qv.select(as_double(F.col("embedding")).alias("__qvec"))
+    return (
+        emb.join(asn, "vec_id")
+        .join(F.broadcast(probe), "k", "left_semi")
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), F.col("__qvec")), 4)
+            .alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
+    )
 
 
 @query(

@@ -416,9 +416,9 @@ class TestMultimodal:
             assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized
             assert r.n_bytes > 0 and r.byte_entropy > 0
 
-    def test_real_decode_still_stubbed_for_compressed_formats(self):
+    def test_real_decode_still_stubbed_for_codec_formats(self):
         with pytest.raises(NotImplementedError):
-            real_decode(b"\x89PNG", "png")
+            real_decode(b"\xff\xd8\xff", "jpeg")
 
     # --- real in-container decoders (VERDICT r7 #5) -----------------
 
@@ -464,6 +464,96 @@ class TestMultimodal:
             wf.writeframes(struct.pack("<8h", *samples))
         return buf.getvalue(), samples
 
+    @staticmethod
+    def _png_payload(img, color_type):
+        """Minimal stdlib PNG ENCODER for test fixtures: 8-bit, no
+        interlace, one forward filter per scanline cycling through all
+        five types (None/Sub/Up/Average/Paeth) so the decoder's every
+        unfilter path is exercised; IDAT split in two to exercise
+        chunk concatenation."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+
+        h, w, ch = img.shape
+        bpp = ch
+        prev = np.zeros(w * ch, dtype=np.int64)
+        scanlines = []
+        for y in range(h):
+            rec = img[y].reshape(-1).astype(np.int64)
+            ft = y % 5
+            if ft == 0:
+                filt = rec % 256
+            elif ft == 1:
+                left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+                filt = (rec - left) % 256
+            elif ft == 2:
+                filt = (rec - prev) % 256
+            else:
+                filt = np.empty(w * ch, np.int64)
+                for x in range(w * ch):
+                    a = int(rec[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    if ft == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c)
+                    filt[x] = (rec[x] - pred) % 256
+            scanlines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+            prev = rec
+        data = zlib.compress(b"".join(scanlines))
+        mid = len(data) // 2
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", data[:mid]) + chunk(b"IDAT", data[mid:])
+                + chunk(b"IEND", b""))
+
+    def test_decode_png_all_filters_and_color_types(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        # gray, RGB, gray+alpha, RGBA; ≥5 rows so every filter fires
+        for color_type, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+            img = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+            dec = decode_png(self._png_payload(img, color_type))
+            assert dec.shape == img.shape
+            assert np.array_equal(dec, img)
+
+    def test_decode_png_rejects_unsupported_shapes(self):
+        import struct
+        import zlib
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+        )
+
+        with pytest.raises(ValueError):
+            decode_png(b"\xff\xd8\xff not a png")
+        # palette (color type 3) must route to the injected decoder
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+
+        pal = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+               + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            decode_png(pal)
+
     def test_decode_netpbm_pixels(self):
         import numpy as np
 
@@ -501,13 +591,18 @@ class TestMultimodal:
                    for i in range(8)) < 1e-6
 
     def test_real_payloads_decode_end_to_end(self, spark):
-        """A PPM, a BMP and a WAV payload flow through the default
-        extract_features path (auto_decode → real_decode) and come
-        back with features computed over DECODED pixels/samples —
-        the PPM and BMP encode the SAME six pixels, so their features
-        must be identical even though their file bytes differ."""
-        ppm, _ = self._ppm_payload()
+        """A PPM, a BMP, a PNG and a WAV payload flow through the
+        default extract_features path (auto_decode → real_decode) and
+        come back with features computed over DECODED pixels/samples —
+        the PPM, BMP and PNG encode the SAME six pixels, so their
+        features must be identical even though their file bytes (and
+        for PNG, the zlib-compressed filtered raster) differ."""
+        import numpy as np
+
+        ppm, pixels = self._ppm_payload()
         bmp, _ = self._bmp_payload()
+        png = self._png_payload(
+            np.frombuffer(pixels, dtype=np.uint8).reshape(2, 3, 3), 2)
         wav, samples = self._wav_payload()
         rows = [
             (1, ppm, {"kind": "image", "format": "ppm",
@@ -516,15 +611,18 @@ class TestMultimodal:
                       "n_bytes": len(bmp)}),
             (3, wav, {"kind": "audio", "format": "wav",
                       "n_bytes": len(wav)}),
+            (4, png, {"kind": "image", "format": "png",
+                      "n_bytes": len(png)}),
         ]
         media = spark.createDataFrame(rows, MEDIA_SCHEMA)
         got = {r.media_id: r for r in extract_features(media).collect()}
-        assert set(got) == {1, 2, 3}
+        assert set(got) == {1, 2, 3, 4}
         for r in got.values():
             assert len(r.feature) == 16
             assert abs(sum(r.feature) - 1.0) < 1e-5
         # same pixels ⇒ same decoded feature, despite different bytes
         assert list(got[1].feature) == list(got[2].feature)
+        assert list(got[1].feature) == list(got[4].feature)
         # the wav feature reflects amplitudes: symmetric test signal
         # puts mass in both negative and positive bins
         wf = list(got[3].feature)
@@ -1591,3 +1689,78 @@ class TestPlantedClusterTierRecall:
         # between random (~0-1 hits) and the full-precision tiers
         assert 3 <= r["hamming_sign_topk"] <= 9
         assert r["ann_lsh_topk"] >= 3
+
+
+class TestDecileCalibrationApprox:
+    def test_approx_decile_agreement_with_exact(self, spark):
+        """Quantify the exact-NTILE vs approx-cut-point decile
+        boundary disagreement on the fixture (VERDICT r8 #7).
+        Measured: 300/500 docs agree exactly and EVERY doc lands
+        within ONE decile of its exact rank — the disagreement is
+        entirely the boundary-rank convention (NTILE front-loads
+        remainder docs; value cuts use the sketch's nearest-rank
+        value), which at the fixture's 25 docs/source touches the
+        1-2 docs beside each of the 9 boundaries, i.e. O(9/25) of
+        rows. The convention-sensitive mass shrinks as 9·(rank error)
+        / N — at accuracy 10⁴ and production per-source N it is
+        ≤ ~0.2% — so the pins here are the structural claims: never
+        off by more than one decile, per-source disagreements bounded
+        by 2 docs per boundary, and identical corpus totals (the
+        shape test below)."""
+        from flight_data_pipeline_spark.plans.text_queries import (
+            _lm_rule_scored_docs,
+        )
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        per_doc = _lm_rule_scored_docs(spark, SF_DIR)
+        exact = per_doc.withColumn(
+            "d_exact",
+            F.ntile(10).over(
+                Window.partitionBy("source").orderBy("doc_ppm", "doc_id")))
+        cuts = per_doc.groupBy("source").agg(
+            F.percentile_approx(
+                "doc_ppm", [i / 10.0 for i in range(1, 10)], 10_000)
+            .alias("cuts"))
+        both = (
+            exact.join(F.broadcast(cuts), "source")
+            .withColumn(
+                "d_approx",
+                F.expr("1 + aggregate(cuts, 0, (acc, c) -> "
+                       "acc + CASE WHEN doc_ppm > c THEN 1 ELSE 0 END)"))
+        )
+        stats = both.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("d_exact") == F.col("d_approx")).cast("long"))
+            .alias("agree"),
+            F.max(F.abs(F.col("d_exact") - F.col("d_approx")))
+            .alias("max_off"),
+        ).collect()[0]
+        assert stats.n > 0
+        # every doc within one decile of its exact rank, majority
+        # identical even at 2-3 docs/decile
+        assert stats.max_off <= 1
+        assert stats.agree / stats.n >= 0.5, \
+            f"approx decile agreement {stats.agree}/{stats.n}"
+        per_src = (
+            both.where(F.col("d_exact") != F.col("d_approx"))
+            .groupBy("source").count().collect())
+        # ≤2 convention-sensitive docs per boundary, 9 boundaries
+        assert all(r["count"] <= 18 for r in per_src), per_src
+
+    def test_approx_report_same_shape_and_totals(self, spark):
+        """The approx report covers the same docs (per-source decile
+        counts sum to the exact query's) with the same schema."""
+        exact = registry.QUERIES["quality_score_calibration"](
+            spark, SF_DIR)
+        approx = registry.QUERIES["quality_score_calibration_approx"](
+            spark, SF_DIR)
+        assert exact.columns == approx.columns
+        import pyspark.sql.functions as F
+
+        te = exact.groupBy("source").agg(
+            F.sum("n_docs").alias("n"), F.sum("n_good").alias("g"))
+        ta = approx.groupBy("source").agg(
+            F.sum("n_docs").alias("n"), F.sum("n_good").alias("g"))
+        assert sorted(map(tuple, te.collect())) \
+            == sorted(map(tuple, ta.collect()))
