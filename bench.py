@@ -176,6 +176,11 @@ HEADLINE = [
     # one DAG, the round's heaviest new shape (dedup_token_savings is
     # a single map-side-combined aggregate, untracked per policy)
     "minhash_jaccard_estimate_error",
+    # round-9 addition: the broadcast fan-out screen — |train|×|eval|
+    # cosine work folded map-side over one collected eval row, flat
+    # shuffle (scale-curve-proven); tracked so the fold form's CPU
+    # cost stays accountable vs the old join+groupBy shape
+    "embedding_decontamination_audit",
 ]
 
 

@@ -837,13 +837,17 @@ def embedding_decontamination_audit(spark: SparkSession,
 
     Scale shape — the production decontamination plan: the EVAL side
     is tiny (benchmarks are KBs against 100 TB of train), so it rides
-    a broadcast into a map-side fan-out of |train| × |eval| cosine
-    rows, partial-MAX-combined per train vector before the shuffle —
-    no train-side self-join anywhere; the LSH/IVF tiers in this file
-    are the sub-linear path when eval outgrows broadcast."""
+    a broadcast as ONE collected row of eval vectors and the
+    per-train-row best-eval-cosine is a map-side array fold — the
+    |train| × |eval| work happens entirely inside the scan, no
+    train-side self-join and NO per-train-row shuffle (the r8 form's
+    groupBy(label, vec_id) partial-MAX exchanged one summary row per
+    train vector — correct but linear shuffle; measured in the r9
+    scale curve, this fold form's shuffle is flat per-label partials
+    only). The LSH/IVF tiers in this file are the sub-linear path
+    when eval outgrows broadcast."""
     from flight_data_pipeline_spark.operators.vectors import (
         as_double,
-        dot,
         l2_norm,
     )
 
@@ -861,12 +865,26 @@ def embedding_decontamination_audit(spark: SparkSession,
           .select("label", "vec_id", "tr_e",
                   l2_norm(F.col("tr_e")).alias("tr_n")))
     n_eval = ev.agg(F.count("*").alias("n_eval"))
-    sim = dot(F.col("tr_e"), F.col("ev_e")) / (F.col("tr_n")
-                                               * F.col("ev_n"))
+    # ONE row holding every eval (vector, norm): broadcast-attached so
+    # the per-train-row fold below runs inside the train scan. The
+    # inner dot is the same zip_with/aggregate fold as dot() over the
+    # same operand values, so sims are IEEE-identical to the r8
+    # join+groupBy form (the oracle hash pins this).
+    ev_pack = ev.agg(
+        F.collect_list(F.struct("ev_e", "ev_n")).alias("evs"))
     best = (
-        tr.join(F.broadcast(ev))
-        .groupBy("label", "vec_id")
-        .agg(F.max(F.round(sim, 4)).alias("max_cos4"))
+        tr.crossJoin(F.broadcast(ev_pack))
+        .select(
+            "label", "vec_id",
+            F.expr("""
+                aggregate(evs, CAST(-2.0 AS DOUBLE), (acc, ev) ->
+                    greatest(acc, round(
+                        aggregate(zip_with(tr_e, ev.ev_e,
+                                           (x, y) -> x * y),
+                                  CAST(0.0 AS DOUBLE),
+                                  (a, v) -> a + v)
+                        / (tr_n * ev.ev_n), 4)))
+            """).alias("max_cos4"))
     )
     contaminated = F.col("max_cos4") >= NEAR_DUP_COS
     return (

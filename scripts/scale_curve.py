@@ -205,6 +205,8 @@ STBEGIN = "<!-- SCALECURVE-STATS:BEGIN (generated by scripts/scale_curve.py) -->
 STEND = "<!-- SCALECURVE-STATS:END -->"
 RBEGIN = "<!-- SCALECURVE-RETRIEVAL:BEGIN (generated by scripts/scale_curve.py) -->"
 REND = "<!-- SCALECURVE-RETRIEVAL:END -->"
+DCBEGIN = "<!-- SCALECURVE-DECON:BEGIN (generated by scripts/scale_curve.py) -->"
+DCEND = "<!-- SCALECURVE-DECON:END -->"
 
 
 def build_corpus(scale: int, out_dir: str) -> None:
@@ -335,6 +337,69 @@ def build_vectors_corpus(scale: int, out_dir: str) -> None:
     )
 
 
+# The broadcast fan-out family (VERDICT r8 #6): the decontamination
+# audit broadcasts the FIXED eval carve (vec_id % 17 == 0 of the base
+# fixture) and fans each train row out against it map-side with a
+# partial-MAX before the per-label shuffle. Growth = MORE TRAIN
+# VECTORS ONLY: replica k > 0 drops the ids that would land in the
+# eval carve, so |eval| is constant at every scale and the claim
+# under test is precisely "linear in train, shuffle flat" — time
+# tracks |train|×|eval| map work, shuffle bytes track the per-label
+# summary, not the fan-out.
+DECON_HEAVY = ["embedding_decontamination_audit"]
+
+
+def build_decon_corpus(scale: int, out_dir: str) -> None:
+    """embeddings.parquet with train-side-only growth: replica 0 is
+    the fixture verbatim (eval carve intact); replicas k > 0 shift
+    vec_id into disjoint ranges, nudge the first component, and
+    EXCLUDE ids ≡ 0 (mod 17) so they contribute zero eval rows."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    parts = ["SELECT vec_id, embedding, label FROM dsrc"]
+    parts += [
+        f"""
+        SELECT vec_id + {k}::BIGINT * 1000000000 AS vec_id,
+               CAST(list_concat(
+                   [embedding[1] + CAST({k} * 0.001 AS FLOAT)],
+                   embedding[2:]) AS FLOAT[]) AS embedding,
+               label
+        FROM dsrc
+        WHERE (vec_id + {k}::BIGINT * 1000000000) % 17 <> 0
+        """
+        for k in range(1, scale)
+    ]
+    replicas = " UNION ALL ".join(parts)
+    duckdb.sql(
+        f"""
+        CREATE OR REPLACE VIEW dsrc AS
+        SELECT * FROM '{SRC}/embeddings.parquet';
+        COPY ({replicas}) TO '{out_dir}/embeddings.parquet'
+            (FORMAT PARQUET);
+        """
+    )
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Total shuffle WRITE bytes across all completed stages of this
+    app, via the driver's own UI REST endpoint (stdlib urllib — diff
+    two readings around a run to get that run's shuffle volume)."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return -1
+    with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+        apps = _json.load(r)
+    app_id = apps[0]["id"]
+    with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete") as r:
+        stages = _json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
 def fit_exponent(points: list[tuple[int, float]]) -> float:
     """Least-squares slope of log(t) over log(s)."""
     xs = [math.log(s) for s, _ in points]
@@ -458,6 +523,49 @@ def main() -> None:
         out["deep"] = deep_result = measure(
             DEEP_HEAVY, build_corpus, os.path.join(root, "deep"),
             scales=DEEP_SCALES)
+    decon_result = None
+    if "decon" in fams:
+        # same protocol as measure() (build, 1x warmup, per-scale
+        # corpus touch, best-of-N) plus a shuffle-write-bytes reading
+        # around each timed run — the family's claim is shuffle
+        # FLATNESS, not just time linearity, so bytes are first-class
+        droot = os.path.join(root, "decon")
+        ddirs = {}
+        for s in SCALES:
+            d = os.path.join(droot, f"x{s}")
+            build_decon_corpus(s, d)
+            ddirs[s] = d
+        name = DECON_HEAVY[0]
+        run(name, ddirs[1])  # codegen warmup
+        nruns = max(1, int(os.environ.get("SPARK_GRAFT_CURVE_RUNS", "1")))
+        rows = {}
+        for s in SCALES:
+            spark.read.parquet(
+                os.path.join(ddirs[s], "embeddings.parquet")) \
+                .write.format("noop").mode("overwrite").save()
+            n_train = spark.read.parquet(
+                os.path.join(ddirs[s], "embeddings.parquet")) \
+                .where("vec_id % 17 <> 0").count()
+            best_sec, best_bytes = float("inf"), None
+            for _ in range(nruns):
+                b0 = shuffle_write_bytes(spark)
+                sec = run(name, ddirs[s])
+                b1 = shuffle_write_bytes(spark)
+                if sec < best_sec:
+                    best_sec, best_bytes = sec, b1 - b0
+            rows[s] = {"sec": round(best_sec, 3),
+                       "shuffle_mb": round(best_bytes / 1e6, 2),
+                       "train_rows": n_train}
+        out["decon"] = decon_result = {
+            "sf_dir": SRC,
+            "scales": SCALES,
+            "rows": {str(s): rows[s] for s in SCALES},
+            # exponent of time in TRAIN ROWS (not the nominal scale —
+            # replicas are 1/17 smaller than the base by design)
+            "exponent_train": round(fit_exponent(
+                [(rows[s]["train_rows"], rows[s]["sec"])
+                 for s in SCALES]), 3),
+        }
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
@@ -592,6 +700,46 @@ def main() -> None:
                     "quadratic in some corpus-wide term would bend here\n"
                     "first. Seconds, single run each, local[32].\n\n"
                     + dblock + "\n"
+                )
+
+        if decon_result is not None:
+            scales = decon_result["scales"]
+            rows_ = decon_result["rows"]
+            dlines = [
+                "| scale | train rows | eval rows | sec | shuffle MB |",
+                "|---|---|---|---|---|",
+            ]
+            n_eval = "~30 (fixed)"
+            for s in scales:
+                r = rows_[str(s)]
+                dlines.append(
+                    f"| {s}x | {r['train_rows']} | {n_eval} |"
+                    f" {r['sec']} | {r['shuffle_mb']} |")
+            dlines.append(
+                f"\ntime exponent in TRAIN rows: "
+                f"**{decon_result['exponent_train']}** "
+                f"(claim: ≈1.0, shuffle flat)")
+            dcblock = f"{DCBEGIN}\n\n" + "\n".join(dlines) + f"\n\n{DCEND}"
+            if DCBEGIN in text:
+                text = re.sub(
+                    re.escape(DCBEGIN) + r".*?" + re.escape(DCEND), dcblock,
+                    text, flags=re.S)
+            else:
+                text += (
+                    "\n## Measured scale curve (broadcast fan-out"
+                    " family)\n\n"
+                    "embedding_decontamination_audit broadcasts the\n"
+                    "FIXED eval carve and fans each train row out\n"
+                    "against it map-side with a partial-MAX before the\n"
+                    "per-label shuffle. Growth here is TRAIN-ONLY\n"
+                    "(replicas exclude ids that would land in the eval\n"
+                    "carve), so the measured claim is exactly the\n"
+                    "production one: time linear in train, shuffle\n"
+                    "bytes flat (the shuffle carries the per-label\n"
+                    "summary, never the |train|x|eval| fan-out).\n"
+                    "Seconds + shuffle-write bytes per timed run,\n"
+                    "local[32].\n\n"
+                    + dcblock + "\n"
                 )
 
         if stats_result is not None:
