@@ -296,7 +296,7 @@ def uniform_slowdown_suspect(med: float, cal_x: float,
     normalizer absorbs ANY sub-2x uniform slowdown by design, so the
     median ratio is checked against BOTH independent host probes —
     CPU speed (cache-resident xxhash fold) and memory bandwidth
-    (768 MiB memcpy). Host drift moves at least one probe (measured
+    (128 MiB×6 memcpy). Host drift moves at least one probe (measured
     windows: bandwidth pressure at CPU-cal 1.05); a median far above
     both is evidence of a genuine everything-slow code regression
     (e.g. a broken session conf) and is surfaced in the official
