@@ -658,3 +658,66 @@ def quantized_lloyd_assignment(df: DataFrame, cents: DataFrame,
     w = Window.partitionBy(id_col).orderBy("d2", "k")
     return (d2.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1).drop("rn"))
+
+
+def md5_seed_codebooks(spark, m: int = 8, codes: int = 16,
+                       subdim: int = 8,
+                       prefix: str = "pqc") -> DataFrame:
+    """Product-quantization codebooks both engines rebuild
+    bit-identically — the md5_seed_centroids discipline extended to
+    the (subspace, code) grid. Returns (sub, code, c) with c an
+    array<bigint> of ``subdim`` integer milli-units in [-1000, 1000].
+    m*codes rows total (128 by default) — a broadcast literal at any
+    corpus size; a trained PQ codebook is the same shape, so the
+    assignment/audit plan below is the production plan."""
+    return spark.range(m * codes).select(
+        (F.col("id") / codes).cast("long").alias("sub"),
+        (F.col("id") % codes).alias("code"),
+        F.expr(f"""transform(sequence(1, {subdim}), d ->
+            CAST(conv(substring(md5(concat('{prefix}',
+                 CAST(id div {codes} AS STRING), '_',
+                 CAST(id % {codes} AS STRING), '_',
+                 CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            % 2001 - 1000)""").alias("c"),
+    )
+
+
+def pq_assign(df: DataFrame, codebooks: DataFrame,
+              subdim: int = 8, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """PQ ASSIGNMENT in integer milli-units: quantize each vector
+    half-up (IEEE correctly-rounded mul ⇒ engine-identical), squared
+    L2 of each length-``subdim`` slice against every code of that
+    subspace as pure BIGINT arithmetic (order-free fold — no
+    association hazard), argmin tie-broken on code id via one
+    min(struct) aggregate (no window sort). Returns one row per
+    (vector, subspace): (id_col, sub, code, d2).
+
+    Scale shape: codebooks ride a broadcast (m×codes literals); cost
+    is one map-side fold per (vector, sub, code) followed by a
+    partial+final min aggregate on (id, sub) — the same
+    embarrassingly-parallel profile as quantized_lloyd_assignment,
+    ×m subspaces."""
+    q = df.select(
+        id_col,
+        F.expr(f"""transform({vec_col}, x ->
+            CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))""")
+        .alias("q"),
+    )
+    d2 = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            id_col, "sub", "code",
+            F.expr(f"""aggregate(zip_with(
+                slice(q, CAST(sub * {subdim} + 1 AS INT), {subdim}),
+                c, (x, ci) -> (x - ci) * (x - ci)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)""").alias("d2"),
+        )
+    )
+    best = d2.groupBy(id_col, "sub").agg(
+        F.min(F.struct("d2", "code")).alias("m"))
+    return best.select(
+        id_col, "sub",
+        F.col("m.code").alias("code"),
+        F.col("m.d2").alias("d2"),
+    )

@@ -18,6 +18,7 @@ from flight_data_pipeline_spark.operators.text import (
     quality_band,
     stopword_count,
     token_count,
+    tokens,
 )
 from flight_data_pipeline_spark.functions.scalars import to_units
 from flight_data_pipeline_spark.plans.registry import query
@@ -3765,4 +3766,288 @@ def naive_bayes_lang_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("accuracy_permille"),
         )
         .orderBy("lang")
+    )
+
+
+# --- KMV distinct-value sketch, hash-proven (theta family check twin) ---------
+
+KMV_K = 64
+_KMV_H = 1 << 32  # hash space: 32-bit md5 prefix
+
+
+@query(
+    "kmv_overlap_estimate",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nh
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, list_sort(list(h)) AS sk, MAX(nh) AS nh
+        FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+    ex AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS exact_overlap
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.sk AS sk_a, b.sk AS sk_b,
+               LEAST(CASE WHEN a.nh < {KMV_K} THEN {_KMV_H}
+                          ELSE a.sk[{KMV_K}] END,
+                     CASE WHEN b.nh < {KMV_K} THEN {_KMV_H}
+                          ELSE b.sk[{KMV_K}] END) AS theta,
+               list_slice(list_sort(list_distinct(
+                   list_concat(a.sk, b.sk))), 1, {KMV_K}) AS merged
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    est AS (
+        SELECT type_a, type_b, theta,
+               len(list_filter(list_intersect(sk_a, sk_b),
+                               x -> x < theta)) AS common,
+               len(merged) AS n_merged,
+               merged[{KMV_K}] AS theta_u
+        FROM pairs
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(CASE WHEN e.theta >= {_KMV_H} THEN e.common
+                     ELSE (2 * e.common * {_KMV_H} + e.theta)
+                          // (2 * e.theta) END AS BIGINT) AS kmv_overlap,
+           CAST(CASE WHEN e.n_merged < {KMV_K} THEN e.n_merged
+                     ELSE (2 * {KMV_K - 1} * {_KMV_H} + e.theta_u)
+                          // (2 * e.theta_u) END AS BIGINT) AS kmv_union,
+           CAST(COALESCE(x.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+           CAST(sa.n + sb.n - COALESCE(x.exact_overlap, 0) AS BIGINT)
+               AS exact_union
+    FROM est e
+    LEFT JOIN ex x USING (type_a, type_b)
+    JOIN sizes sa ON sa.event_type = e.type_a
+    JOIN sizes sb ON sb.event_type = e.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV audience overlap PROVEN BY VALUE HASH — the check-tier
+    twin of theta_sketch_audience_overlap (rows-only: Datasketches
+    binaries have no oracle twin). KMV *is* the original theta
+    sketch: per event type keep the k=64 smallest distinct 32-bit md5
+    user hashes; the k-th value is the sketch's theta.
+    |A ∩ B| ≈ |{h ∈ S_A ∩ S_B : h < θ}| · H/θ with θ =
+    min(θ_A, θ_B); |A ∪ B| ≈ (k−1) · H/θ_U with θ_U the k-th smallest
+    of the merged sketch (KMV's mergeability — union of sketches is
+    the sketch of the union). Both engines rebuild the identical
+    sketches, so estimates, not just bounds, hash-match; exact
+    intersection/union audit columns ride beside them (fixture-sized
+    |A|·|B| equi-join — at 100 TB the audit drops and the 64-hash
+    sketches ARE the answer). Degenerate guards (n < k ⇒ sketch is
+    exact, θ = H) are replayed on both sides. Estimator accuracy is
+    pinned in tests/test_extensions.py::TestKmvOverlap.
+
+    Scale shape: sketch build is the mergeable two-stage bottom-k —
+    per (type, salt=h%16) partial bottom-64 via one sorted-slice
+    aggregate, then bottom-64 of the flattened partials (global
+    bottom-k of distinct hashes exactly, since every global top
+    candidate survives its salt's partial cut; per-salt distinct-set
+    state is the documented fixture-tier bound — the production tier
+    is a bounded custom aggregator, same algebra). Pair math is
+    sketch-sized: 5 sketches × 64 longs."""
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.select(
+        "event_type",
+        F.expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+               " 16, 10) AS BIGINT)").alias("h"),
+    ).distinct()
+    part = (
+        h.groupBy("event_type", (F.col("h") % 16).alias("salt"))
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, KMV_K)
+             .alias("part"),
+             F.count("*").alias("n_part"))
+    )
+    sk = (
+        part.groupBy("event_type")
+        .agg(F.slice(F.sort_array(F.flatten(F.collect_list("part"))),
+                     1, KMV_K).alias("sk"),
+             F.sum("n_part").alias("nh"))
+    )
+    theta_of = (
+        lambda side: f"CASE WHEN nh_{side} < {KMV_K} THEN {_KMV_H} "
+                     f"ELSE element_at(sk_{side}, {KMV_K}) END"
+    )
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sk").alias("sk_a"), F.col("nh").alias("nh_a"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sk").alias("sk_b"), F.col("nh").alias("nh_b"))
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .withColumn("theta", F.expr(
+            f"LEAST({theta_of('a')}, {theta_of('b')})"))
+        .withColumn("merged", F.expr(
+            f"slice(sort_array(array_distinct(concat(sk_a, sk_b))),"
+            f" 1, {KMV_K})"))
+        .withColumn("common", F.expr(
+            "size(filter(array_intersect(sk_a, sk_b), x -> x < theta))"))
+    )
+    est = pairs.select(
+        "type_a", "type_b",
+        F.expr(f"CAST(CASE WHEN theta >= {_KMV_H} THEN common"
+               f" ELSE (2 * common * {_KMV_H} + theta) div (2 * theta)"
+               f" END AS BIGINT)").alias("kmv_overlap"),
+        F.expr(f"CAST(CASE WHEN size(merged) < {KMV_K} THEN size(merged)"
+               f" ELSE (2 * {KMV_K - 1} * {_KMV_H}"
+               f" + element_at(merged, {KMV_K}))"
+               f" div (2 * element_at(merged, {KMV_K}))"
+               f" END AS BIGINT)").alias("kmv_union"),
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    ta = tu.select(F.col("event_type").alias("type_a"),
+                   F.col("user_id").alias("ua"))
+    tb = tu.select(F.col("event_type").alias("type_b"),
+                   F.col("user_id").alias("ub"))
+    exact = (
+        ta.join(tb, (F.col("type_a") < F.col("type_b"))
+                & (F.col("ua") == F.col("ub")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        est.join(exact, ["type_a", "type_b"], "left")
+        .join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "kmv_overlap", "kmv_union",
+            F.coalesce("exact_overlap", F.lit(0)).cast("long")
+            .alias("exact_overlap"),
+            (F.col("n_a") + F.col("n_b")
+             - F.coalesce("exact_overlap", F.lit(0))).cast("long")
+            .alias("exact_union"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --- chunk content-integrity audit (boundary-drift detection) -----------------
+
+_CI_SIZE = 16   # fixture-scaled window: ~55-token docs -> ~5 chunks each
+_CI_STRIDE = 12  # 4-token overlap between consecutive chunks
+
+
+@query(
+    "chunk_integrity_audit",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    per AS (
+        SELECT source, doc_id,
+               array_to_string(
+                   toks[s + 1 : s + {_CI_SIZE}], ' ') AS chunk
+        FROM t, UNNEST(list_filter(
+            generate_series(0, len(toks) - 1, {_CI_STRIDE}),
+            s -> s < len(toks))) AS u(s)
+    ),
+    agg AS (
+        SELECT source,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_chunks,
+               SUM(len(string_split(chunk, ' '))) AS sum_chunk_tokens,
+               SUM(CASE WHEN len(string_split(chunk, ' ')) < {_CI_SIZE}
+                        THEN 1 ELSE 0 END) AS short_chunks,
+               SUM(('0x' || substr(md5(chunk), 1, 8))::BIGINT)
+                   AS chunk_text_checksum
+        FROM per GROUP BY source
+    ),
+    tot AS (SELECT source, SUM(len(toks)) AS total_tokens FROM t
+            GROUP BY source)
+    SELECT agg.source,
+           CAST(n_docs AS BIGINT)           AS n_docs,
+           CAST(n_chunks AS BIGINT)         AS n_chunks,
+           CAST(sum_chunk_tokens AS BIGINT) AS sum_chunk_tokens,
+           CAST(sum_chunk_tokens - total_tokens AS BIGINT)
+               AS overlap_tokens,
+           CAST(short_chunks AS BIGINT)     AS short_chunks,
+           CAST(chunk_text_checksum AS BIGINT) AS chunk_text_checksum
+    FROM agg JOIN tot USING (source)
+    ORDER BY source
+    """,
+)
+def chunk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk CONTENT integrity — the drift-detection tier above
+    doc_chunking_stats (which counts chunks and length shapes, same
+    operators/text.chunk_tokens transform): here every chunk's joined
+    text is hashed (32-bit md5) and summed per source, so a one-token
+    boundary drift in ANY chunk anywhere — an off-by-one in the
+    stride arithmetic, a tokenizer change, a slice-clamp regression —
+    breaks the value hash even when counts and lengths stay
+    identical. The report also prices the overlap tax
+    (overlap_tokens = chunk tokens re-embedded/re-trained beyond the
+    corpus' own, the cost knob a RAG index or packing pipeline tunes
+    stride against) and counts short tails. Window 16/stride 12 is
+    fixture-scaled (~55-token docs -> ~5 chunks each) so the overlap
+    path is actually exercised; the transform is the SAME shared
+    operator at any (size, stride). Chunks-reassemble-to-document and
+    a pure-python recompute are pinned in
+    tests/test_extensions.py::TestChunkIntegrity.
+
+    Scale shape: chunking is per-row array ops in the scan projection
+    (sequence -> filter -> slice, no UDF), explode feeds a map-side-
+    combined |sources|-row aggregate — embarrassingly parallel at any
+    corpus size; integer-only arithmetic, engine-identical."""
+    from flight_data_pipeline_spark.operators.text import chunk_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    per = docs.select(
+        "doc_id", "source",
+        F.explode(chunk_tokens(F.col("text"), _CI_SIZE, _CI_STRIDE))
+        .alias("chunk"),
+    )
+    n_tok = F.size(F.split(F.col("chunk"), " "))
+    agg = (
+        per.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(n_tok).cast("long").alias("sum_chunk_tokens"),
+            F.sum(F.when(n_tok < _CI_SIZE, 1).otherwise(0))
+            .cast("long").alias("short_chunks"),
+            F.sum(F.expr(
+                "CAST(conv(substring(md5(chunk), 1, 8), 16, 10)"
+                " AS BIGINT)"))
+            .cast("long").alias("chunk_text_checksum"),
+        )
+    )
+    tot = t.groupBy("source").agg(
+        F.sum(F.size("toks")).cast("long").alias("total_tokens"))
+    return (
+        agg.join(tot, "source")
+        .select(
+            "source", "n_docs", "n_chunks", "sum_chunk_tokens",
+            (F.col("sum_chunk_tokens") - F.col("total_tokens"))
+            .cast("long").alias("overlap_tokens"),
+            "short_chunks", "chunk_text_checksum",
+        )
+        .orderBy("source")
     )

@@ -1764,3 +1764,182 @@ class TestDecileCalibrationApprox:
             F.sum("n_docs").alias("n"), F.sum("n_good").alias("g"))
         assert sorted(map(tuple, te.collect())) \
             == sorted(map(tuple, ta.collect()))
+
+
+class TestKmvOverlap:
+    """kmv_overlap_estimate — the hash-checked KMV twin of the theta
+    sketch family (construction replayed by the oracle; these tests
+    pin estimator ACCURACY, which the hash can't see)."""
+
+    def test_fixture_exact_below_k(self, spark):
+        """At sf0.001 each type has 15 users < k=64, so the sketch IS
+        the set and every estimate must equal its exact audit column
+        (the degenerate-guard path; sf0.01's 150 users/type exercise
+        real estimation under the driver's hash gate)."""
+        from flight_data_pipeline_spark.plans.registry import (
+            QUERIES, load_all)
+        from tests.conftest import SF_DIR
+
+        load_all()
+        rows = QUERIES["kmv_overlap_estimate"](spark, SF_DIR).collect()
+        assert len(rows) == 10  # C(5,2) event-type pairs
+        for r in rows:
+            assert r.n_a < 64 and r.n_b < 64
+            assert r.kmv_overlap == r.exact_overlap, r
+            assert r.kmv_union == r.exact_union, r
+
+    def test_exact_below_k_and_estimation_above(self, spark, tmp_path):
+        """Degenerate guard: audiences smaller than k come back EXACT
+        (the sketch is the whole set); well above k the estimates stay
+        within 25% on a 3000/1000-overlap synthetic."""
+        import pyspark.sql.functions as F
+
+        from flight_data_pipeline_spark.plans.registry import (
+            QUERIES, load_all)
+
+        load_all()
+
+        def make_events(path, n_a, n_b, overlap):
+            a = spark.range(0, n_a).select(
+                F.lit("a").alias("event_type"), F.col("id").alias("user_id"))
+            b = spark.range(n_a - overlap, n_a - overlap + n_b).select(
+                F.lit("b").alias("event_type"), F.col("id").alias("user_id"))
+            a.unionByName(b).write.mode("overwrite").parquet(
+                str(path / "events.parquet"))
+            return str(path)
+
+        small = make_events(tmp_path / "small", 10, 12, 5)
+        for r in QUERIES["kmv_overlap_estimate"](spark, small).collect():
+            assert r.kmv_overlap == r.exact_overlap == 5
+            assert r.kmv_union == r.exact_union == 17
+
+        # k=64 on |A∩B|=1000, |A∪B|=5000: expected common-below-theta
+        # count is k·J ≈ 13, 1σ ≈ 28% relative — the bound catches a
+        # construction bug (wrong theta / missing distinct blow past
+        # 2×), not sketch noise. Union rides (k-1)/θ_U: 1σ ≈ 13%.
+        big = make_events(tmp_path / "big", 3000, 3000, 1000)
+        for r in QUERIES["kmv_overlap_estimate"](spark, big).collect():
+            assert 400 <= r.kmv_overlap <= 2000, r
+            assert abs(r.kmv_union - 5000) <= 750, r
+
+
+class TestPqReconstruction:
+    """pq_reconstruction_error — PQ assignment replayed independently
+    in numpy from the same md5 construction (the oracle already
+    replays it in SQL; this pins the CONSTRUCTION spec itself)."""
+
+    def test_report_shape_and_mean_consistency(self, spark):
+        from flight_data_pipeline_spark.plans.registry import (
+            QUERIES, load_all)
+        from tests.conftest import SF_DIR
+
+        load_all()
+        rows = QUERIES["pq_reconstruction_error"](spark, SF_DIR).collect()
+        assert [r.sub for r in rows] == list(range(8))
+        for r in rows:
+            assert r.n_vecs == 500
+            assert 1 <= r.codes_used <= 16
+            assert r.err_mean_milli2 \
+                == (2 * r.err_milli2 + r.n_vecs) // (2 * r.n_vecs)
+
+    def test_matches_numpy_brute_force(self, spark):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from flight_data_pipeline_spark.plans.registry import (
+            QUERIES, load_all)
+        from tests.conftest import SF_DIR
+
+        load_all()
+
+        def h32(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        cb = np.array([[[h32(f"pqc{s}_{c}_{d}") % 2001 - 1000
+                         for d in range(1, 9)]
+                        for c in range(16)]
+                       for s in range(8)], dtype=np.int64)
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        q = np.floor(np.stack(emb["embedding"].to_numpy())
+                     .astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        vec_ids = emb["vec_id"].to_numpy()
+        expect = {}
+        for s in range(8):
+            sl = q[:, s * 8:(s + 1) * 8]                     # (500, 8)
+            d2 = ((sl[:, None, :] - cb[s][None, :, :]) ** 2) \
+                .sum(axis=2)                                 # (500, 16)
+            code = d2.argmin(axis=1)                         # ties: lowest
+            err = d2[np.arange(len(sl)), code]
+            expect[s] = (int(err.sum()),
+                         int((vec_ids * (code + 1)).sum()),
+                         len(np.unique(code)))
+        rows = QUERIES["pq_reconstruction_error"](spark, SF_DIR).collect()
+        for r in rows:
+            e_err, e_chk, e_used = expect[r.sub]
+            assert r.err_milli2 == e_err
+            assert r.code_checksum == e_chk
+            assert r.codes_used == e_used
+
+
+class TestChunkIntegrity:
+    """chunk_integrity_audit — the report recomputed independently in
+    pure python (split/stride/md5), and the coverage invariant:
+    chunks reassemble to the original token stream."""
+
+    CHUNK, STRIDE = 16, 12
+
+    def _chunks(self, toks):
+        n = len(toks)
+        starts = range(0, n, self.STRIDE)
+        return [toks[s:s + self.CHUNK] for s in starts]
+
+    def test_matches_pure_python(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        from flight_data_pipeline_spark.plans.registry import (
+            QUERIES, load_all)
+        from tests.conftest import SF_DIR
+
+        load_all()
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        expect = {}
+        for src, grp in docs.groupby("source"):
+            n_chunks = sum_tok = short = chk = total = 0
+            for text in grp["text"]:
+                toks = text.split(" ")
+                total += len(toks)
+                for c in self._chunks(toks):
+                    n_chunks += 1
+                    sum_tok += len(c)
+                    short += len(c) < self.CHUNK
+                    chk += int(hashlib.md5(
+                        " ".join(c).encode()).hexdigest()[:8], 16)
+            expect[src] = (len(grp), n_chunks, sum_tok,
+                           sum_tok - total, short, chk)
+        rows = QUERIES["chunk_integrity_audit"](spark, SF_DIR).collect()
+        assert len(rows) == len(expect)
+        for r in rows:
+            assert (r.n_docs, r.n_chunks, r.sum_chunk_tokens,
+                    r.overlap_tokens, r.short_chunks,
+                    r.chunk_text_checksum) == expect[r.source], r.source
+
+    def test_chunks_reassemble_to_document(self):
+        """Every token appears; dropping each chunk's first
+        (CHUNK - STRIDE) overlap tokens reassembles the doc exactly."""
+        import pandas as pd
+
+        from tests.conftest import SF_DIR
+
+        overlap = self.CHUNK - self.STRIDE
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        for text in docs["text"].head(100):
+            toks = text.split(" ")
+            chunks = self._chunks(toks)
+            rebuilt = list(chunks[0])
+            for c in chunks[1:]:
+                rebuilt.extend(c[overlap:])
+            assert rebuilt == toks
