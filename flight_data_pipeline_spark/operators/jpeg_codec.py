@@ -1,0 +1,540 @@
+"""Baseline JPEG codec in pure stdlib + numpy (extension scope:
+multimodal decode tier — closes the jpeg third of the jpeg/png/mp4
+codec gap; no PIL/libjpeg/ffmpeg in this container).
+
+Decoder: ITU-T T.81 BASELINE SEQUENTIAL DCT, Huffman entropy coding —
+the profile every compliant JPEG file must also be decodable as, and
+what image training corpora overwhelmingly contain. Supports 8-bit
+grayscale and 3-component YCbCr at any sampling factors (4:4:4,
+4:2:2, 4:2:0, ...), multiple DQT/DHT tables, restart markers, and
+0xFF00 byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit,
+and CMYK raise ``NotImplementedError`` and stay on the injected-
+decoder path, same contract as palette/16-bit PNG.
+
+Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
+length Huffman tables carried in DHT, optional restart markers).
+It exists so tests can ROUND-TRIP real JPEG bitstreams in-container —
+the same reason tests/test_extensions.py carries a PNG encoder — and
+doubles as the write side of a media re-encode stage. With an
+all-ones quant table the round trip is exact up to DCT rounding
+(max ±2 per pixel), which the tests pin.
+
+Scale posture: decode runs per-image inside Arrow ``mapInPandas``
+batches (operators/multimodal.py), so cost is bounded by image size,
+not partition size. The per-bit Python Huffman loop is the
+correctness tier (~MB/s); production throughput injects a native
+codec through the same ``decoder=`` seam — the bitstream semantics
+pinned here are what such a codec must reproduce.
+
+Reference parity note: the reference pipeline (etl_job.py) has no
+media surface; this module is extension scope per SURVEY.md §2's
+LLM-data-pipeline additions (multimodal columns).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    out = []
+    for s in range(15):
+        rng = list(range(max(0, s - 7), min(s, 7) + 1))
+        for r in (rng if s % 2 else reversed(rng)):
+            out.append((r, s - r))
+    return out
+
+
+#: ZIGZAG[k] = flat (row-major) index of the k-th zigzag coefficient
+ZIGZAG = np.array([r * 8 + c for r, c in _zigzag_pairs()], dtype=np.int64)
+
+#: orthonormal 8-point DCT-II basis: F = M @ f @ M.T, f = M.T @ F @ M
+_M = np.array([[0.5 * (np.sqrt(0.5) if u == 0 else 1.0)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)] for u in range(8)])
+
+
+# --------------------------------------------------------------------------
+# bit I/O
+# --------------------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return 0  # past-the-end safety; MCU count bounds real reads
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # stuff
+                self.acc = 0
+                self.n = 0
+
+    def pad_to_byte(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad bits are 1s (T.81 F.1.2.3)
+
+
+# --------------------------------------------------------------------------
+# Huffman
+# --------------------------------------------------------------------------
+
+def _build_decode_lut(counts: list[int], symbols: bytes) -> dict:
+    """Canonical JPEG Huffman: (length, code) → symbol."""
+    lut, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _build_encode_lut(counts: list[int], symbols: bytes) -> dict:
+    """symbol → (code, length), same canonical assignment."""
+    lut, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[symbols[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _decode_symbol(br: _BitReader, lut: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = lut.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG entropy stream")
+
+
+def _extend(value: int, nbits: int) -> int:
+    """T.81 EXTEND: map the received magnitude bits to a signed value."""
+    if nbits == 0:
+        return 0
+    if value < (1 << (nbits - 1)):
+        return value - (1 << nbits) + 1
+    return value
+
+
+def _category(value: int) -> int:
+    """Bit length of |value| — the DC/AC size category."""
+    return int(abs(value)).bit_length()
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect entropy-coded data from ``pos``: undo 0xFF00 stuffing,
+    split at RSTn markers (one de-stuffed segment per restart
+    interval), stop at any other marker. Returns (segments, pos of the
+    terminating 0xFF)."""
+    segments, cur = [], bytearray()
+    i = int(pos)
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JPEG → uint8 ndarray of shape
+    (h, w, 1) for grayscale or (h, w, 3) RGB (JFIF BT.601 full-range
+    YCbCr inverse). See module docstring for the supported profile."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+
+    qtables: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    frame = None          # (h, w, [(comp_id, hi, vi, tq), ...])
+    restart_interval = 0
+    scan = None           # ([(comp_idx, dc_id, ac_id), ...], segments)
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = np.frombuffer(body, dtype=">u2", count=64,
+                                         offset=i).astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body, dtype=np.uint8, count=64,
+                                         offset=i).astype(np.int64)
+                    i += 64
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = vals
+                qtables[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1:i + 17])
+                nsym = sum(counts)
+                symbols = body[i + 17:i + 17 + nsym]
+                (ac_luts if tc else dc_luts)[th] = _build_decode_lut(
+                    counts, symbols)
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both sequential DCT)
+            prec = body[0]
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG needs an "
+                                          "injected decoder")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (CMYK?) needs an injected "
+                    "decoder")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
+                "progressive/lossless/arithmetic) needs an injected decoder")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            sel = []
+            comp_ids = [c[0] for c in frame[2]]
+            for s in range(ns):
+                cid, tt = body[1 + 2 * s:3 + 2 * s]
+                sel.append((comp_ids.index(cid), tt >> 4, tt & 0x0F))
+            segments, pos = _split_scan(payload, pos)
+            scan = (sel, segments)
+            break  # single-scan baseline: decode now
+        # else: APPn / COM / DNL — skip
+
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    h_img, w_img, comps = frame
+    sel, segments = scan
+    if len(sel) != len(comps):
+        raise NotImplementedError("multi-scan JPEG needs an injected decoder")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    # per-component zigzag coefficient store, (blocks_y, blocks_x, 64)
+    coef = [np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)
+            for c in comps]
+
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing RST segment in JPEG scan")
+            br = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, dc_id, ac_id in sel:
+            _, hi, vi, _ = comps[ci]
+            dc_lut, ac_lut = dc_luts[dc_id], ac_luts[ac_id]
+            for v in range(vi):
+                for hh in range(hi):
+                    blk = np.zeros(64, dtype=np.int64)
+                    t = _decode_symbol(br, dc_lut)
+                    preds[ci] += _extend(br.receive(t), t)
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_symbol(br, ac_lut)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break        # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        blk[k] = _extend(br.receive(s), s)
+                        k += 1
+                    coef[ci][my * vi + v, mx * hi + hh] = blk
+
+    # dequantize + dezigzag + IDCT, whole component at once
+    planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        # qtable is stored natural-order (8,8); coefficients are
+        # zigzag-ordered, so read the table back in zigzag order
+        zz = coef[ci] * qtables[tq].reshape(64)[ZIGZAG][
+            np.newaxis, np.newaxis, :]
+        blocks = np.zeros(zz.shape, dtype=np.float64)
+        blocks[:, :, ZIGZAG] = zz
+        by, bx = blocks.shape[:2]
+        f = blocks.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ui,abuv,vj->abij", _M, f, _M) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+        # upsample to full resolution, crop to image dims
+        plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        planes.append(plane[:h_img, :w_img])
+
+    if len(planes) == 1:
+        return planes[0][:, :, np.newaxis]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# encoder (fixture generator / re-encode stage)
+# --------------------------------------------------------------------------
+
+#: flat quant table of ones — near-lossless, used by round-trip tests
+QUANT_ONES = np.ones((8, 8), dtype=np.int64)
+
+#: Annex-K-flavored luminance table (coarse) for size-over-fidelity runs
+QUANT_STD_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+# fixed-length Huffman tables carried in DHT: 12 DC categories at 4
+# bits, the 162 baseline AC symbols at 8 bits. Deliberately
+# suboptimal-but-trivially-correct — the decoder reads whatever DHT
+# declares, and fixtures don't need compression ratio.
+_DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS = bytes(range(12))
+_AC_SYMBOLS = bytes([0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Plane (H, W) multiple-of-8 → zigzag-quantized int blocks
+    (by, bx, 64)."""
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    f = (plane.astype(np.float64) - 128.0).reshape(by, 8, bx, 8)
+    f = f.transpose(0, 2, 1, 3)
+    coeffs = np.einsum("iu,abuv,jv->abij", _M, f, _M)
+    quant = np.round(coeffs / q[np.newaxis, np.newaxis]).astype(np.int64)
+    return quant.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def _pad_to(plane: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    return np.pad(plane, ((0, hh - plane.shape[0]),
+                          (0, ww - plane.shape[1])), mode="edge")
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_lut: dict, ac_lut: dict) -> int:
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, ln = dc_lut[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_lut[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_lut[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_lut[0x00]
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode a uint8 image — (h, w) / (h, w, 1) gray or (h, w, 3)
+    RGB — as baseline sequential JPEG. ``subsample=True`` emits 4:2:0
+    (2×2-mean chroma), else 4:4:4; gray emits one component. One
+    quant table serves all components (fixture simplicity)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, np.newaxis]
+    h_img, w_img, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg takes gray or RGB input")
+
+    if ch == 1:
+        planes = [img[:, :, 0].astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            he, we = (h_img + 1) & ~1, (w_img + 1) & ~1
+            cbp = _pad_to(cb, he, we).reshape(he // 2, 2, we // 2, 2)
+            crp = _pad_to(cr, he, we).reshape(he // 2, 2, we // 2, 2)
+            planes = [y, cbp.mean(axis=(1, 3)), crp.mean(axis=(1, 3))]
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            factors = [(1, 1), (1, 1), (1, 1)]
+    planes = [np.clip(np.round(p), 0, 255) for p in planes]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    blocks = []
+    for p, (hi, vi) in zip(planes, factors):
+        padded = _pad_to(p, mcus_y * vi * 8, mcus_x * hi * 8)
+        blocks.append(_fdct_quant(padded, quant))
+
+    dc_lut = _build_encode_lut(_DC_COUNTS, _DC_SYMBOLS)
+    ac_lut = _build_encode_lut(_AC_COUNTS, _AC_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def segment(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    qz = quant.reshape(64)[ZIGZAG].astype(np.uint8)
+    segment(0xDB, bytes([0x00]) + qz.tobytes())
+    sof = struct.pack(">BHHB", 8, h_img, w_img, len(planes))
+    for i, (hi, vi) in enumerate(factors):
+        sof += bytes([i + 1, (hi << 4) | vi, 0])
+    segment(0xC0, sof)
+    segment(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)
+    segment(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS)
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    segment(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.pad_to_byte()
+            out.extend(bw.buf)
+            bw = _BitWriter()
+            rst = (mcu // restart_interval - 1) % 8
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (hi, vi) in enumerate(factors):
+            for v in range(vi):
+                for hh in range(hi):
+                    zz = blocks[ci][my * vi + v, mx * hi + hh]
+                    preds[ci] = _encode_block(bw, zz, preds[ci],
+                                              dc_lut, ac_lut)
+    bw.pad_to_byte()
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

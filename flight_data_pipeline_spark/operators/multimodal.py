@@ -2,16 +2,19 @@
 image/audio/video as opaque ``binary`` columns with typed metadata,
 processed by Arrow-batched pandas functions via mapInPandas.
 
-The decode step REALLY DECODES the codec-free formats (netpbm
-PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG via stdlib ``zlib``
-inflate + unfilter, PCM WAV via the stdlib ``wave`` module — pure
-numpy/stdlib, no external codec libs needed), and stays STUBBED for
-formats that need real codec libs (jpeg/mp4: PIL/ffmpeg/torchcodec
-are not in this container) behind ``decoder=`` injection points with
-a deterministic fake — so the Spark-side plumbing (schema, batch
-iteration, partition-preserving UDF shape, metadata passthrough) is
-real and tested end-to-end on real pixels/samples, and swapping in a
-full codec stack still changes ONE function.
+The decode step REALLY DECODES the codec-bearing-but-stdlib-tractable
+formats (netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG via
+stdlib ``zlib`` inflate + unfilter, PCM WAV via the stdlib ``wave``
+module, and baseline-sequential JPEG via the pure-python Huffman +
+numpy-IDCT codec in operators/jpeg_codec.py — no external codec libs
+needed), and stays STUBBED only where a real external codec is
+unavoidable (mp4/video: ffmpeg/torchcodec are not in this container;
+ditto progressive JPEG and palette PNG sub-profiles) behind
+``decoder=`` injection points with a deterministic fake — so the
+Spark-side plumbing (schema, batch iteration, partition-preserving
+UDF shape, metadata passthrough) is real and tested end-to-end on
+real pixels/samples, and swapping in a full codec stack still
+changes ONE function.
 
 Scale posture: binary payloads stay in Arrow record batches end to
 end (no per-row Python); mapInPandas streams batches so a partition
@@ -231,7 +234,8 @@ def decode_png(payload: bytes):
 
 
 #: formats real_decode can fully decode with stdlib + numpy alone
-REAL_DECODE_FORMATS = frozenset({"ppm", "pgm", "bmp", "wav", "png"})
+REAL_DECODE_FORMATS = frozenset(
+    {"ppm", "pgm", "bmp", "wav", "png", "jpeg", "jpg"})
 
 
 def _unit_hist(values, lo: float, hi: float):
@@ -246,20 +250,26 @@ def _unit_hist(values, lo: float, hi: float):
 
 
 def real_decode(payload: bytes, fmt: str):
-    """Real media decode for the codec-free formats: netpbm PPM/PGM,
-    uncompressed 24-bit BMP and 8-bit PNG decode to pixel arrays, PCM
-    WAV to float samples; the feature is a 16-bin histogram of the
-    DECODED values (pixel intensities / sample amplitudes), so header,
-    filter, and container bytes never leak into it. Formats that need
-    real codec libraries (jpeg/mp4/…) still raise — none in this
-    container; production injects PIL/soundfile/ffmpeg for those
-    (fake_decode remains the deterministic test stand-in)."""
+    """Real media decode for the in-container-decodable formats:
+    netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG and baseline
+    JPEG decode to pixel arrays, PCM WAV to float samples; the
+    feature is a 16-bin histogram of the DECODED values (pixel
+    intensities / sample amplitudes), so header, filter, entropy and
+    container bytes never leak into it. Formats that need real
+    external codec libraries (mp4/video, plus the progressive-JPEG /
+    palette-PNG sub-profiles) still raise — none in this container;
+    production injects PIL/soundfile/ffmpeg for those (fake_decode
+    remains the deterministic test stand-in)."""
     if fmt in ("ppm", "pgm"):
         return _unit_hist(decode_netpbm(payload), 0.0, 256.0)
     if fmt == "bmp":
         return _unit_hist(decode_bmp(payload), 0.0, 256.0)
     if fmt == "png":
         return _unit_hist(decode_png(payload), 0.0, 256.0)
+    if fmt in ("jpeg", "jpg"):
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg)
+        return _unit_hist(decode_jpeg(payload), 0.0, 256.0)
     if fmt == "wav":
         return _unit_hist(decode_wav(payload), -1.0, 1.0)
     raise NotImplementedError(

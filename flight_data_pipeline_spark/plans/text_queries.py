@@ -529,27 +529,73 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stratified_sample_stats")  # seeded Bernoulli ⇒ rows-only (no SQL twin)
+STRATA_SEED = "ss9"  # pinned salt: the sample is a pure corpus function
+
+
+@query(
+    "stratified_sample_stats",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5('{STRATA_SEED}|'
+                                   || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000 AS slot,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                    THEN 800 ELSE 200 END AS pm
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN slot < pm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(SUM(CASE WHEN slot < pm THEN doc_id ELSE 0 END) AS BIGINT)
+               AS sampled_id_checksum
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
 def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing: re-weight the corpus by source with per-stratum
-    Bernoulli sampling (even-numbered sources kept at 80%, odd at
-    20% — a stand-in for real mixture weights). Output compares
-    available vs sampled rows per source. Rows-only: the sample
-    depends on Spark's seeded per-row hash, which no SQL oracle
-    reproduces; statistical bounds are pinned in tests instead."""
-    from flight_data_pipeline_spark.operators.sampling import stratified_sample
+    sampling (even-numbered sources kept at 80%, odd at 20% — a
+    stand-in for real mixture weights). Output compares available vs
+    sampled rows per source, with an id checksum pinning ROW-LEVEL
+    sample identity, not just counts.
+
+    Promoted from rows-only in round 9 by switching the gate from
+    ``sampleBy`` (per-partition RNG — deterministic only for a fixed
+    input split) to the keyed-hash gate ``stratified_sample_hash``:
+    keep doc iff md5(seed|doc_id)-slot < permille(source). That is
+    the production-correct form at 100 TB — the sample is a pure
+    function of the corpus, so reruns, backfills, repartitions, and
+    a second engine all select the IDENTICAL rows (the oracle
+    replays the same md5 arithmetic). The RNG tier remains available
+    as ``stratified_sample`` for throwaway statistical draws.
+
+    Scale shape: one map-side hash gate (no shuffle) + one
+    per-source aggregate."""
+    from flight_data_pipeline_spark.operators.sampling import (
+        stratified_sample_hash)
 
     docs = load_table(spark, "documents", sf_dir)
-    fractions = {f"src{i}": (0.8 if i % 2 == 0 else 0.2) for i in range(20)}
+    permille = {f"src{i}": (800 if i % 2 == 0 else 200) for i in range(20)}
     sampled = (
-        stratified_sample(docs, "source", fractions, seed=42)
-        .groupBy("source").agg(F.count("*").alias("n_sampled"))
+        stratified_sample_hash(docs, "source", permille,
+                               key_col="doc_id", seed=STRATA_SEED)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"),
+             F.sum("doc_id").alias("sampled_id_checksum"))
     )
     totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     return (
         totals.join(sampled, "source", "left")
-        .select("source", "n_docs",
-                F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("long").alias("n_sampled"),
+            F.coalesce(F.col("sampled_id_checksum"), F.lit(0))
+            .cast("long").alias("sampled_id_checksum"),
+        )
+        .orderBy("source")
     )
 
 

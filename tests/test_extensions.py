@@ -357,7 +357,9 @@ class TestStratifiedSampling:
     def test_sample_stats_within_binomial_bounds(self, spark):
         """Each stratum's sampled count must sit within 4σ of its
         Bernoulli expectation (n·p ± 4·√(np(1−p)) + 2 slack for tiny
-        strata) and never exceed the available rows."""
+        strata) and never exceed the available rows — the hash gate
+        is a fixed random function of doc_id, so binomial bounds
+        apply exactly as they did to the RNG sampler."""
         rows = registry.QUERIES["stratified_sample_stats"](spark, SF_DIR).collect()
         assert len(rows) == 20
         for r in rows:
@@ -367,6 +369,25 @@ class TestStratifiedSampling:
             tol = 4 * (r.n_docs * p * (1 - p)) ** 0.5 + 2
             assert 0 <= r.n_sampled <= r.n_docs
             assert abs(r.n_sampled - mu) <= tol, (r.source, r.n_sampled, mu)
+
+    def test_hash_gate_stable_under_repartition(self, spark):
+        """The property that promoted the query: the hash-gated
+        sample selects the IDENTICAL row set regardless of input
+        partitioning (sampleBy's per-partition RNG does not — that
+        is why it stays the throwaway-draw tier)."""
+        from flight_data_pipeline_spark.operators.sampling import (
+            stratified_sample_hash)
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        permille = {f"src{i}": (800 if i % 2 == 0 else 200)
+                    for i in range(20)}
+        pick = lambda df: sorted(
+            r.doc_id for r in stratified_sample_hash(
+                df, "source", permille, key_col="doc_id", seed="ss9")
+            .select("doc_id").collect())
+        base = pick(docs)
+        assert base == pick(docs.repartition(7, "lang"))
+        assert base == pick(docs.coalesce(1))
 
     def test_mixture_fractions_cap_and_weighting(self):
         from flight_data_pipeline_spark.operators.sampling import mixture_fractions
@@ -417,8 +438,10 @@ class TestMultimodal:
             assert r.n_bytes > 0 and r.byte_entropy > 0
 
     def test_real_decode_still_stubbed_for_codec_formats(self):
+        # video stays the one injected-decoder format (no in-container
+        # ffmpeg); jpeg moved to the really-decoded set in round 9
         with pytest.raises(NotImplementedError):
-            real_decode(b"\xff\xd8\xff", "jpeg")
+            real_decode(b"\x00\x00\x00\x18ftypmp42", "mp4")
 
     # --- real in-container decoders (VERDICT r7 #5) -----------------
 
@@ -628,6 +651,33 @@ class TestMultimodal:
         wf = list(got[3].feature)
         assert sum(wf[:8]) > 0 and sum(wf[8:]) > 0
 
+    def test_jpeg_payload_decodes_end_to_end(self, spark):
+        """A baseline JPEG and a PPM encoding the SAME pixels produce
+        the IDENTICAL 16-bin feature through the default
+        extract_features path. Pixel values sit at histogram-bin
+        centers (8, 24, …, 248) so the codec's ±3 round-trip error
+        cannot cross a bin edge — the parity is exact, not
+        approximate."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg)
+
+        vals = np.repeat(np.arange(16, dtype=np.uint8) * 16 + 8, 16)
+        img = np.stack([vals.reshape(16, 16)] * 3, axis=-1)
+        jpg = encode_jpeg(img)
+        ppm = (b"P6\n16 16\n255\n" + img.tobytes())
+        rows = [
+            (1, jpg, {"kind": "image", "format": "jpeg",
+                      "n_bytes": len(jpg)}),
+            (2, ppm, {"kind": "image", "format": "ppm",
+                      "n_bytes": len(ppm)}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_id: r for r in extract_features(media).collect()}
+        assert list(got[1].feature) == list(got[2].feature)
+        assert abs(sum(got[1].feature) - 1.0) < 1e-5
+
     def test_custom_decoder_injectable(self, spark):
         docs = load_table(spark, "documents", SF_DIR).limit(5)
 
@@ -637,6 +687,108 @@ class TestMultimodal:
 
         rows = extract_features(binarize_documents(docs), decoder=tiny_decoder).collect()
         assert all(sum(r.feature) == 0.0 for r in rows)
+
+
+class TestJpegCodec:
+    """Round-trips of the pure-stdlib baseline JPEG codec
+    (operators/jpeg_codec.py). With an all-ones quant table the only
+    loss is DCT/color-transform rounding, so tight absolute error
+    bounds are checkable without any external codec."""
+
+    @staticmethod
+    def _err(a, b):
+        import numpy as np
+        return int(np.abs(np.asarray(a, int) - np.asarray(b, int)).max())
+
+    def test_gray_solid_block_is_exact(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        img = np.full((8, 8), 77, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (8, 8, 1)
+        assert self._err(dec[:, :, 0], img) == 0
+
+    def test_gray_random_nonmultiple_dims(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        img = np.random.default_rng(3).integers(
+            0, 256, (17, 23), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (17, 23, 1)       # padded blocks cropped
+        assert self._err(dec[:, :, 0], img) <= 2
+
+    def test_rgb_444_roundtrip(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        img = np.random.default_rng(5).integers(
+            0, 256, (16, 16, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == img.shape
+        assert self._err(dec, img) <= 3       # two color transforms round
+
+    def test_rgb_420_subsampled_roundtrip(self):
+        """4:2:0: gray-content RGB has constant chroma planes, which
+        2×2 subsampling preserves exactly — so the chroma path adds no
+        error and the decoder's upsample/crop geometry is pinned on
+        odd dimensions."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        g = np.random.default_rng(7).integers(
+            0, 256, (21, 13), dtype=np.uint8)
+        img = np.stack([g, g, g], axis=-1)
+        dec = decode_jpeg(encode_jpeg(img, subsample=True))
+        assert dec.shape == img.shape
+        assert self._err(dec, img) <= 2
+
+    def test_restart_markers(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        img = np.random.default_rng(11).integers(
+            0, 256, (24, 24), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, restart_interval=2))
+        assert self._err(dec[:, :, 0], img) <= 2
+
+    def test_coarse_quant_bounded_on_smooth_gradient(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            QUANT_STD_LUM, decode_jpeg, encode_jpeg)
+
+        img = (np.arange(32)[:, None] * 4
+               + np.arange(32)[None, :] * 3).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quant=QUANT_STD_LUM))
+        assert self._err(dec[:, :, 0], img) <= 8
+
+    def test_rejects_non_baseline_profiles(self):
+        import struct
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg)
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG not a jpeg")
+        # progressive (SOF2) routes to the injected decoder
+        sof2 = (b"\xff\xd8" + b"\xff\xc2"
+                + struct.pack(">H", 11)
+                + bytes([8]) + struct.pack(">HH", 8, 8)
+                + bytes([1, 1, 0x11, 0]))
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(sof2)
 
 
 class TestIvfRecall:
