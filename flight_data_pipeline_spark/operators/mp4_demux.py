@@ -1,0 +1,214 @@
+"""MP4 / ISO-BMFF container demux in pure stdlib (extension scope:
+multimodal frame sampling — makes the video third of the media tier
+real at the CONTAINER level; codec-level pixel decode of the
+extracted access units still needs ffmpeg/torchcodec and stays on
+the injected-decoder seam).
+
+What a 100 TB video-corpus pipeline actually does before any decode
+is DEMUX: locate each coded frame (sample) inside the container,
+recover its timestamp and keyframe flag, and pick the frames worth
+decoding (usually sync samples at some stride). All of that is box
+arithmetic — no codec involved — and is what this module implements:
+
+- box-tree walk (``ftyp``/``moov``/``trak``/``mdia``/``minf``/
+  ``stbl``), 32-bit and 64-bit (largesize) boxes,
+- sample table reconstruction: ``stsz`` (sizes), ``stsc``
+  (sample→chunk runs), ``stco``/``co64`` (chunk offsets), ``stts``
+  (decode-time deltas), ``stss`` (sync samples; absent ⇒ every
+  sample is sync), ``mdhd`` (timescale), ``hdlr`` (track kind),
+- per-sample output: byte range into the payload, timestamp in ms,
+  keyframe flag, codec fourcc from ``stsd``.
+
+``extract_sample_bytes`` feeds operators/multimodal.sample_frames as
+a real ``extractor``: the emitted "frames" are the track's actual
+coded access units, byte-exact, in decode order.
+
+Fragmented MP4 (``moof``) and encrypted tracks raise
+``NotImplementedError`` and stay on the injected path.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+class Mp4Sample(NamedTuple):
+    index: int        # 0-based decode order
+    offset: int       # byte offset of the coded frame in the payload
+    size: int         # coded frame size in bytes
+    dts_ms: int       # decode timestamp, integer milliseconds
+    keyframe: bool    # listed in stss (or no stss box at all)
+    codec: str        # stsd entry fourcc, e.g. 'avc1'
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for the boxes in
+    [start, end); handles 64-bit largesize and size-0 (to-end)."""
+    i = start
+    while i + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, i)
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", data, i + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError("malformed MP4 box size")
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _find(data: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _iter_boxes(data, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def _full_box(data: bytes, body: int) -> tuple[int, int]:
+    """(version, body-after-version/flags offset)."""
+    return data[body], body + 4
+
+
+def demux_mp4(payload: bytes) -> list[Mp4Sample]:
+    """Demux the first video track (fallback: first track with a
+    sample table) of an un-fragmented MP4 → decode-ordered
+    ``Mp4Sample`` list. Pure box arithmetic; the coded bytes are NOT
+    decoded."""
+    if len(payload) < 12 or payload[4:8] not in (b"ftyp", b"moov", b"mdat"):
+        raise ValueError("not an ISO-BMFF payload")
+    if _find(payload, 0, len(payload), b"moof") is not None:
+        raise NotImplementedError(
+            "fragmented MP4 (moof) needs an injected demuxer")
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+
+    chosen = None  # (is_video, stbl_range, timescale)
+    for t, b, e in _iter_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(payload, b, e, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _find(payload, *mdia, b"mdhd")
+        hdlr = _find(payload, *mdia, b"hdlr")
+        minf = _find(payload, *mdia, b"minf")
+        if mdhd is None or minf is None:
+            continue
+        stbl = _find(payload, *minf, b"stbl")
+        if stbl is None:
+            continue
+        ver, p = _full_box(payload, mdhd[0])
+        timescale = struct.unpack_from(
+            ">I", payload, p + (16 if ver == 1 else 8))[0]
+        kind = payload[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b"????"
+        is_video = kind == b"vide"
+        if chosen is None or (is_video and not chosen[0]):
+            chosen = (is_video, stbl, timescale)
+        if is_video:
+            break
+    if chosen is None:
+        raise ValueError("MP4 has no track with a sample table")
+    _, stbl, timescale = chosen
+
+    def full(btype: bytes, required: bool = True):
+        r = _find(payload, *stbl, btype)
+        if r is None:
+            if required:
+                raise ValueError(f"MP4 stbl missing {btype.decode()}")
+            return None
+        return _full_box(payload, r[0])[1]
+
+    # stsd → codec fourcc of the first entry
+    p = full(b"stsd")
+    codec = payload[p + 8:p + 12].decode("latin1")
+
+    # stsz → sizes
+    p = full(b"stsz")
+    fixed, count = struct.unpack_from(">II", payload, p)
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", payload, p + 8))
+
+    # stco / co64 → chunk offsets
+    r = _find(payload, *stbl, b"stco")
+    if r is not None:
+        p = _full_box(payload, r[0])[1]
+        (n_chunks,) = struct.unpack_from(">I", payload, p)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}I", payload, p + 4))
+    else:
+        p = full(b"co64")
+        (n_chunks,) = struct.unpack_from(">I", payload, p)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}Q", payload, p + 4))
+
+    # stsc → samples-per-chunk runs, expanded over the chunk list
+    p = full(b"stsc")
+    (n_runs,) = struct.unpack_from(">I", payload, p)
+    runs = [struct.unpack_from(">III", payload, p + 4 + 12 * i)
+            for i in range(n_runs)]
+    spc = [0] * n_chunks
+    for i, (first, per, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < n_runs else n_chunks
+        for c in range(first - 1, last):
+            spc[c] = per
+
+    # stts → per-sample decode timestamps
+    p = full(b"stts")
+    (n_tt,) = struct.unpack_from(">I", payload, p)
+    dts, t = [], 0
+    for i in range(n_tt):
+        cnt, delta = struct.unpack_from(">II", payload, p + 4 + 8 * i)
+        for _ in range(cnt):
+            dts.append(t)
+            t += delta
+    if len(dts) < count:
+        raise ValueError("stts covers fewer samples than stsz")
+
+    # stss → sync samples (1-based); absent ⇒ all sync
+    sync = None
+    r = _find(payload, *stbl, b"stss")
+    if r is not None:
+        p = _full_box(payload, r[0])[1]
+        (n_sync,) = struct.unpack_from(">I", payload, p)
+        sync = set(struct.unpack_from(f">{n_sync}I", payload, p + 4))
+
+    samples, si = [], 0
+    for c in range(n_chunks):
+        off = chunk_offs[c]
+        for _ in range(spc[c]):
+            if si >= count:
+                break
+            if off + sizes[si] > len(payload):
+                raise ValueError("MP4 sample range exceeds payload")
+            samples.append(Mp4Sample(
+                index=si, offset=off, size=sizes[si],
+                dts_ms=dts[si] * 1000 // timescale,
+                keyframe=(sync is None or (si + 1) in sync),
+                codec=codec,
+            ))
+            off += sizes[si]
+            si += 1
+    if si != count:
+        raise ValueError("stsc/stco chunk map does not cover all samples")
+    return samples
+
+
+def extract_sample_bytes(payload: bytes, fmt: str) -> list[bytes]:
+    """``sample_frames`` extractor: the track's coded access units,
+    byte-exact, in decode order — real container demux for mp4/m4v/
+    mov payloads."""
+    return [payload[s.offset:s.offset + s.size] for s in demux_mp4(payload)]
+
+
+def keyframe_sample_bytes(payload: bytes, fmt: str) -> list[bytes]:
+    """Like :func:`extract_sample_bytes` but sync samples only — the
+    frames a sampling pipeline would actually send to a decoder
+    (seek-free random access)."""
+    return [payload[s.offset:s.offset + s.size]
+            for s in demux_mp4(payload) if s.keyframe]

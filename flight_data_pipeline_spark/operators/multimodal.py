@@ -7,10 +7,14 @@ formats (netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG via
 stdlib ``zlib`` inflate + unfilter, PCM WAV via the stdlib ``wave``
 module, and baseline-sequential JPEG via the pure-python Huffman +
 numpy-IDCT codec in operators/jpeg_codec.py — no external codec libs
-needed), and stays STUBBED only where a real external codec is
-unavoidable (mp4/video: ffmpeg/torchcodec are not in this container;
-ditto progressive JPEG and palette PNG sub-profiles) behind
-``decoder=`` injection points with a deterministic fake — so the
+needed). Video is real at the CONTAINER level: mp4 frame sampling
+demuxes the actual coded access units with timestamps and keyframe
+flags via the stdlib ISO-BMFF parser in operators/mp4_demux.py.
+Only the steps where a real external codec is unavoidable (pixel
+decode of the coded video units: ffmpeg/torchcodec are not in this
+container; ditto progressive JPEG and palette PNG sub-profiles)
+stay behind ``decoder=`` injection points with a deterministic
+fake — so the
 Spark-side plumbing (schema, batch iteration, partition-preserving
 UDF shape, metadata passthrough) is real and tested end-to-end on
 real pixels/samples, and swapping in a full codec stack still
@@ -418,8 +422,24 @@ def fake_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
     return [data[i:i + chunk] for i in range(0, len(data), chunk)]
 
 
+def auto_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
+    """Default frame extractor: REAL ISO-BMFF container demux for
+    mp4/m4v/mov payloads (operators/mp4_demux.py — the emitted frames
+    are the video track's actual coded access units, byte-exact),
+    deterministic fixed-size chunking for everything else. Pixel
+    decode of the extracted units still needs an injected codec; the
+    demux arithmetic — which frames exist, where, when, which are
+    sync — is what a sampling pipeline needs first and is fully real
+    here."""
+    if fmt in ("mp4", "m4v", "mov"):
+        from flight_data_pipeline_spark.operators.mp4_demux import (
+            extract_sample_bytes)
+        return extract_sample_bytes(payload, fmt)
+    return fake_frame_extract(payload, fmt)
+
+
 def sample_frames(media: DataFrame, every_n: int = 2,
-                  extractor: Callable = fake_frame_extract) -> DataFrame:
+                  extractor: Callable = auto_frame_extract) -> DataFrame:
     """Frame sampling: one OUTPUT ROW per kept frame (every
     ``every_n``-th), via mapInPandas — the row-EXPANDING media op
     (video → frame table), which is why it is mapInPandas and not a

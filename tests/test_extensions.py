@@ -791,6 +791,123 @@ class TestJpegCodec:
             decode_jpeg(sof2)
 
 
+class TestMp4Demux:
+    """Container-level MP4 demux (operators/mp4_demux.py): a minimal
+    stdlib MUXER builds a real box tree — two chunks with a junk gap
+    between them, explicit sizes, two stts runs, a sync-sample subset
+    — and the demuxer must recover every coded frame byte-exactly
+    with its timestamp and keyframe flag. Same fixture philosophy as
+    the PNG/JPEG encoders: no media libs in the container, so tests
+    carry the write side."""
+
+    FRAMES = [b"IFRAME-0" * 4, b"pframe1" * 3, b"pframe22" * 2,
+              b"IFRAME-3" * 5, b"pframe4!" * 3]
+
+    @classmethod
+    def _mp4_payload(cls, with_stss=True):
+        import struct
+
+        def box(btype, body):
+            return struct.pack(">I", len(body) + 8) + btype + body
+
+        def full(btype, body, ver=0, flags=0):
+            return box(btype, struct.pack(">I", (ver << 24) | flags) + body)
+
+        f = cls.FRAMES
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+        # chunk 1 = frames 0-1, 4 junk bytes, chunk 2 = frames 2-4
+        mdat_body = f[0] + f[1] + b"JUNK" + f[2] + f[3] + f[4]
+        c1 = len(ftyp) + 8
+        c2 = c1 + len(f[0]) + len(f[1]) + 4
+        mdat = box(b"mdat", mdat_body)
+
+        stsd = full(b"stsd", struct.pack(">I", 1)
+                    + box(b"avc1", b"\x00" * 16))
+        # 3 samples at 40ms (timescale 1000), then 2 at 20ms
+        stts = full(b"stts", struct.pack(">IIIII", 2, 3, 40, 2, 20))
+        stsc = full(b"stsc", struct.pack(">IIIIIII", 2, 1, 2, 1, 2, 3, 1))
+        stsz = full(b"stsz", struct.pack(">II", 0, 5)
+                    + struct.pack(">5I", *[len(x) for x in f]))
+        stco = full(b"stco", struct.pack(">III", 2, c1, c2))
+        stss = full(b"stss", struct.pack(">III", 2, 1, 4))
+        stbl_body = stsd + stts + stsc + stsz + stco
+        if with_stss:
+            stbl_body += stss
+        stbl = box(b"stbl", stbl_body)
+        minf = box(b"minf", stbl)
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                    + b"\x00" * 12 + b"video\x00")
+        mdhd = full(b"mdhd", struct.pack(">IIIHH", 0, 0, 1000, 0, 0))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", mdia)
+        moov = box(b"moov", trak)
+        return ftyp + mdat + moov
+
+    def test_demux_recovers_frames_timestamps_keyframes(self):
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        payload = self._mp4_payload()
+        samples = demux_mp4(payload)
+        assert len(samples) == 5
+        for i, s in enumerate(samples):
+            assert payload[s.offset:s.offset + s.size] == self.FRAMES[i]
+            assert s.codec == "avc1"
+        assert [s.dts_ms for s in samples] == [0, 40, 80, 120, 140]
+        assert [s.keyframe for s in samples] == [
+            True, False, False, True, False]
+
+    def test_no_stss_means_all_sync(self):
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        samples = demux_mp4(self._mp4_payload(with_stss=False))
+        assert all(s.keyframe for s in samples)
+
+    def test_keyframe_extractor(self):
+        from flight_data_pipeline_spark.operators.mp4_demux import (
+            keyframe_sample_bytes)
+
+        keys = keyframe_sample_bytes(self._mp4_payload(), "mp4")
+        assert keys == [self.FRAMES[0], self.FRAMES[3]]
+
+    def test_rejects_fragmented_and_garbage(self):
+        import struct
+
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        with pytest.raises(ValueError):
+            demux_mp4(b"\x89PNG definitely not bmff")
+        frag = (struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+                + struct.pack(">I", 8) + b"moof")
+        with pytest.raises(NotImplementedError):
+            demux_mp4(frag)
+
+    def test_sample_frames_demuxes_mp4_end_to_end(self, spark):
+        """The default sample_frames path now REALLY demuxes mp4:
+        every_n=2 over the 5 real access units keeps decode indices
+        0/2/4 with byte-exact frame content, while non-mp4 media in
+        the same table still flows through the deterministic
+        chunker."""
+        from flight_data_pipeline_spark.operators.multimodal import (
+            sample_frames)
+
+        payload = self._mp4_payload()
+        rows = [
+            (1, payload, {"kind": "video", "format": "mp4",
+                          "n_bytes": len(payload)}),
+            (2, b"A" * 600, {"kind": "video", "format": "rawchunks",
+                             "n_bytes": 600}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = sample_frames(media, every_n=2).collect()
+        mp4_frames = sorted((r.frame_index, bytes(r.frame))
+                            for r in got if r.media_id == 1)
+        assert mp4_frames == [(0, self.FRAMES[0]), (2, self.FRAMES[2]),
+                              (4, self.FRAMES[4])]
+        assert all(r.n_frames_total == 5 for r in got if r.media_id == 1)
+        other = [r for r in got if r.media_id == 2]
+        assert [r.frame_index for r in other] == [0, 2]  # 3 chunks, keep 0/2
+
+
 class TestIvfRecall:
     def test_ivf_topk_overlaps_bruteforce(self, spark):
         """IVF with 2/16 lists probed scans ~12% of vectors; the
