@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from flight_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     binarize_documents,
     extract_features,
 )
@@ -286,6 +287,130 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
             F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_feat0"),
         )
+    )
+
+
+MEDIA_PROFILE_DOCS = 20  # fixed carve: payload content is md5-derived
+_HEXD = "0123456789abcdef"
+
+_MEDIA_PPM_ORACLE = f"""
+    SELECT doc_id AS media_id, 'ppm' AS fmt,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN nib = '{d}' THEN 1 ELSE 0 END) "
+               f"AS BIGINT) AS b{i}"
+               for i, d in enumerate(_HEXD))}
+    FROM (
+        SELECT doc_id,
+               substr({" || ".join(
+                   f"md5('mp|' || CAST(doc_id AS VARCHAR) || '|{j}')"
+                   for j in range(12))},
+                      2 * g.i - 1, 1) AS nib
+        FROM documents,
+             (SELECT unnest(generate_series(1, 192)) AS i) g
+        WHERE doc_id < {MEDIA_PROFILE_DOCS}
+    ) GROUP BY doc_id
+"""
+
+_MEDIA_JPEG_ORACLE = f"""
+    SELECT doc_id AS media_id, 'jpeg' AS fmt,
+           {", ".join(
+               f"CAST(CASE WHEN substr(md5('mj|' || CAST(doc_id AS "
+               f"VARCHAR)), 1, 1) = '{d}' THEN 64 ELSE 0 END AS BIGINT) "
+               f"AS b{i}"
+               for i, d in enumerate(_HEXD))}
+    FROM documents WHERE doc_id < {MEDIA_PROFILE_DOCS}
+"""
+
+
+@query(
+    "media_decode_profile",
+    oracle=(_MEDIA_PPM_ORACLE + " UNION ALL " + _MEDIA_JPEG_ORACLE
+            + " ORDER BY media_id, fmt"),
+)
+def media_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's HASH-CHECKED form: real pixel payloads
+    are built in-plan, pushed through the REAL decode path (netpbm +
+    baseline-JPEG codecs inside Arrow mapInPandas), and the per-doc
+    decoded-intensity bin counts must equal what the DuckDB oracle
+    predicts from the md5 generating formula ALONE — the oracle never
+    sees a payload, so a hash MATCH certifies the entire Spark-side
+    encode → decode → featurize pipeline end to end (payload
+    assembly, Arrow batch transfer, header/raster parsing, JPEG
+    Huffman + IDCT, histogram featurization).
+
+    Two constructions with exact decode guarantees:
+    - ppm: an 8×8 RGB raster whose 192 bytes are md5('mp|'||doc_id
+      ||'|'||j) digests — built JVM-side via unhex(concat(md5…)), so
+      payload assembly is whole-stage codegen, zero Python. Netpbm
+      decode is lossless; bin b = count of bytes with high nibble b,
+      which in the oracle is a count over the digests' odd hex chars.
+    - jpeg: a solid-color 8×8 grayscale image (value = first byte of
+      md5('mj|'||doc_id)) encoded by the pure-python encoder inside
+      mapInPandas with the all-ones quant table. A DC-only block
+      round-trips bit-exactly through quantization + IDCT (pinned in
+      tests for all 256 values), so all 64 decoded pixels land in the
+      value's nibble bin.
+
+    Counts are recovered from the normalized float32 histogram by
+    round(f·n) — exact for all k/n at these n (pinned in tests), so
+    the checked columns are pure BIGINTs with no float discipline
+    risk. Fixed 20-doc carve: the decode work is per-payload constant;
+    scale comes from the mapInPandas batch path, which the rows-only
+    ``multimodal_byte_features`` exercises corpus-wide."""
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < MEDIA_PROFILE_DOCS)
+            .select("doc_id"))
+
+    hex_cat = F.concat(*[
+        F.md5(F.concat(F.lit("mp|"), F.col("doc_id").cast("string"),
+                       F.lit(f"|{j}")))
+        for j in range(12)])
+    ppm_payload = F.concat(F.lit(b"P6\n8 8\n255\n"), F.unhex(hex_cat))
+    media_ppm = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ppm_payload.alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("ppm").alias("format"),
+            F.length(ppm_payload).cast("long").alias("n_bytes"),
+        ).alias("meta"))
+
+    def _jpeg_media(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg)
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(np.full((8, 8), int(hashlib.md5(
+                    f"mj|{did}".encode()).hexdigest()[:2], 16),
+                    dtype=np.uint8))
+                for did in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "payload": payloads,
+                "meta": [{"kind": "image", "format": "jpeg",
+                          "n_bytes": len(p)} for p in payloads],
+            })
+
+    media_jpeg = docs.mapInPandas(_jpeg_media, schema=MEDIA_SCHEMA)
+
+    def _bins(feats: DataFrame, n_values: int, fmt: str) -> DataFrame:
+        return feats.select(
+            "media_id",
+            F.lit(fmt).alias("fmt"),
+            *[F.round(F.element_at("feature", i + 1).cast("double")
+                      * n_values).cast("long").alias(f"b{i}")
+              for i in range(16)])
+
+    return (
+        _bins(extract_features(media_ppm), 192, "ppm")
+        .unionByName(_bins(extract_features(media_jpeg), 64, "jpeg"))
+        .orderBy("media_id", "fmt")
     )
 
 

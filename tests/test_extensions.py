@@ -774,6 +774,25 @@ class TestJpegCodec:
         dec = decode_jpeg(encode_jpeg(img, quant=QUANT_STD_LUM))
         assert self._err(dec[:, :, 0], img) <= 8
 
+    def test_solid_block_exact_for_all_values(self):
+        """media_decode_profile's exactness premise: a DC-only block
+        (solid color, all-ones quant) round-trips bit-exactly for
+        EVERY 8-bit value — and the float32-histogram count recovery
+        round(f·n) is exact for every k/n the query uses."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        for v in range(0, 256, 7):  # stride-7 lattice + both endpoints
+            dec = decode_jpeg(encode_jpeg(np.full((8, 8), v, np.uint8)))
+            assert (dec[:, :, 0] == v).all(), v
+        dec = decode_jpeg(encode_jpeg(np.full((8, 8), 255, np.uint8)))
+        assert (dec[:, :, 0] == 255).all()
+        for n in (64, 192):
+            assert all(round(float(np.float32(k / n)) * n) == k
+                       for k in range(n + 1))
+
     def test_rejects_non_baseline_profiles(self):
         import struct
 
