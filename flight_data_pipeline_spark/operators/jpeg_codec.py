@@ -447,12 +447,14 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
 
 
 def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
-                subsample: bool = False,
+                subsample: bool | str = False,
                 restart_interval: int = 0) -> bytes:
     """Encode a uint8 image — (h, w) / (h, w, 1) gray or (h, w, 3)
-    RGB — as baseline sequential JPEG. ``subsample=True`` emits 4:2:0
-    (2×2-mean chroma), else 4:4:4; gray emits one component. One
-    quant table serves all components (fixture simplicity)."""
+    RGB — as baseline sequential JPEG. ``subsample`` is False for
+    4:4:4, True or ``"420"`` for 4:2:0 (2×2-mean chroma), ``"422"``
+    for 4:2:2 (1×2-mean chroma — pins the decoder's asymmetric
+    upsample path); gray emits one component. One quant table serves
+    all components (fixture simplicity)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, np.newaxis]
@@ -470,15 +472,23 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
+        if subsample is True or subsample == "420":
             he, we = (h_img + 1) & ~1, (w_img + 1) & ~1
             cbp = _pad_to(cb, he, we).reshape(he // 2, 2, we // 2, 2)
             crp = _pad_to(cr, he, we).reshape(he // 2, 2, we // 2, 2)
             planes = [y, cbp.mean(axis=(1, 3)), crp.mean(axis=(1, 3))]
             factors = [(2, 2), (1, 1), (1, 1)]
-        else:
+        elif subsample == "422":
+            we = (w_img + 1) & ~1
+            cbp = _pad_to(cb, h_img, we).reshape(h_img, we // 2, 2)
+            crp = _pad_to(cr, h_img, we).reshape(h_img, we // 2, 2)
+            planes = [y, cbp.mean(axis=2), crp.mean(axis=2)]
+            factors = [(2, 1), (1, 1), (1, 1)]
+        elif subsample is False:
             planes = [y, cb, cr]
             factors = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsample mode {subsample!r}")
     planes = [np.clip(np.round(p), 0, 255) for p in planes]
 
     hmax = max(f[0] for f in factors)

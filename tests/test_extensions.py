@@ -752,6 +752,44 @@ class TestJpegCodec:
         assert dec.shape == img.shape
         assert self._err(dec, img) <= 2
 
+    def test_rgb_422_asymmetric_upsample(self):
+        """4:2:2 (h-only chroma subsample): pins the decoder's
+        asymmetric repeat geometry on an odd width."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        g = np.random.default_rng(13).integers(
+            0, 256, (10, 15), dtype=np.uint8)
+        img = np.stack([g, g, g], axis=-1)
+        dec = decode_jpeg(encode_jpeg(img, subsample="422"))
+        assert dec.shape == img.shape
+        assert self._err(dec, img) <= 2
+
+    def test_roundtrip_property_random_gray(self):
+        """Hypothesis sweep: ANY gray image of any small shape
+        round-trips within ±2 at quant-ones — the codec has no
+        shape-dependent edge (odd dims, single row/column, 1×1)."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        @settings(max_examples=20, deadline=None)
+        @given(st.integers(1, 20), st.integers(1, 20),
+               st.integers(0, 2**31 - 1))
+        def check(h, w, seed):
+            img = np.random.default_rng(seed).integers(
+                0, 256, (h, w), dtype=np.uint8)
+            dec = decode_jpeg(encode_jpeg(img))
+            assert dec.shape == (h, w, 1)
+            assert self._err(dec[:, :, 0], img) <= 2
+
+        check()
+
     def test_restart_markers(self):
         import numpy as np
 

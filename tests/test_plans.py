@@ -578,3 +578,15 @@ def test_rrf_fusion_is_doc_keyed_outer_join(spark):
     plan = plan_of(spark, "hybrid_retrieval_rrf")
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
+
+
+def test_media_decode_profile_pushes_carve_and_prunes(spark):
+    """The media pipeline's scan discipline: the 20-doc carve reaches
+    the documents parquet scan as a pushed filter, the scan reads
+    ONLY doc_id (payloads are synthesized, never read), and there is
+    no exchange before the Arrow stages — the only sort is the final
+    40-row presentation orderBy."""
+    plan = plan_of(spark, "media_decode_profile")
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:200]
