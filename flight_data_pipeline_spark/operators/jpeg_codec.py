@@ -61,29 +61,40 @@ _M = np.array([[0.5 * (np.sqrt(0.5) if u == 0 else 1.0)
 # --------------------------------------------------------------------------
 
 class _BitReader:
-    """MSB-first bit reader over de-stuffed entropy bytes."""
+    """MSB-first bit reader over de-stuffed entropy bytes, with a
+    16-bit peek for LUT-based Huffman decode. Reads past the end pad
+    with zero bits (safe: the MCU count bounds real reads)."""
 
     def __init__(self, data: bytes):
         self.data = data
+        self.n = len(data)
         self.pos = 0
         self.acc = 0
-        self.n = 0
+        self.bits = 0
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                return 0  # past-the-end safety; MCU count bounds real reads
-            self.acc = self.data[self.pos]
+    def _fill(self, need: int) -> None:
+        while self.bits < need:
+            b = self.data[self.pos] if self.pos < self.n else 0
             self.pos += 1
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+            self.acc = (self.acc << 8) | b
+            self.bits += 8
 
     def receive(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            v = (v << 1) | self.read_bit()
+        if nbits == 0:
+            return 0
+        self._fill(nbits)
+        self.bits -= nbits
+        v = (self.acc >> self.bits) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.bits) - 1
         return v
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.bits - 16)) & 0xFFFF
+
+    def skip(self, nbits: int) -> None:
+        self.bits -= nbits
+        self.acc &= (1 << self.bits) - 1
 
 
 class _BitWriter:
@@ -114,15 +125,31 @@ class _BitWriter:
 # Huffman
 # --------------------------------------------------------------------------
 
-def _build_decode_lut(counts: list[int], symbols: bytes) -> dict:
-    """Canonical JPEG Huffman: (length, code) → symbol."""
-    lut, code, k = {}, 0, 0
+_FAST_LUT_CACHE: dict = {}  # (counts, symbols) → 65536-entry peek table
+
+
+def _build_decode_lut(counts: list[int], symbols: bytes) -> list:
+    """Canonical JPEG Huffman as a flat 16-bit PEEK table:
+    lut[next16bits] = (symbol, code_length). Every 16-bit value
+    sharing a code's prefix maps to that code, so one list index
+    replaces the per-bit tree walk — the decoder's hot loop. Cached
+    by table content: fixed encoder tables and repeated images hit
+    the cache, so the 64Ki fill is paid once per distinct table."""
+    key = (bytes(counts), bytes(symbols))
+    lut = _FAST_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [None] * 65536
+    code, k = 0, 0
     for ln in range(1, 17):
+        span = 1 << (16 - ln)
         for _ in range(counts[ln - 1]):
-            lut[(ln, code)] = symbols[k]
+            base = code << (16 - ln)
+            lut[base:base + span] = [(symbols[k], ln)] * span
             k += 1
             code += 1
         code <<= 1
+    _FAST_LUT_CACHE[key] = lut
     return lut
 
 
@@ -138,14 +165,12 @@ def _build_encode_lut(counts: list[int], symbols: bytes) -> dict:
     return lut
 
 
-def _decode_symbol(br: _BitReader, lut: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = lut.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG entropy stream")
+def _decode_symbol(br: _BitReader, lut: list) -> int:
+    hit = lut[br.peek16()]
+    if hit is None:
+        raise ValueError("invalid Huffman code in JPEG entropy stream")
+    br.skip(hit[1])
+    return hit[0]
 
 
 def _extend(value: int, nbits: int) -> int:
@@ -175,20 +200,23 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     i = int(pos)
     n = len(payload)
     while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        j = payload.find(b"\xff", i)  # copy marker-free spans wholesale
+        if j < 0:
+            cur += payload[i:]
+            i = n
+            break
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
         if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
+            cur += payload[i:j + 1]  # keep the 0xFF, drop the stuffed 0x00
+            i = j + 2
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            cur += payload[i:j]
             segments.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:
+            cur += payload[i:j]
+            i = j
             break
     segments.append(bytes(cur))
     return segments, i
@@ -202,8 +230,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload (missing SOI)")
 
     qtables: dict[int, np.ndarray] = {}
-    dc_luts: dict[int, dict] = {}
-    ac_luts: dict[int, dict] = {}
+    dc_luts: dict[int, list] = {}
+    ac_luts: dict[int, list] = {}
     frame = None          # (h, w, [(comp_id, hi, vi, tq), ...])
     restart_interval = 0
     scan = None           # ([(comp_idx, dc_id, ac_id), ...], segments)

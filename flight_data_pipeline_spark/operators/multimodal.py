@@ -373,30 +373,92 @@ def fake_resize(payload: bytes, fmt: str, w: int, h: int) -> bytes:
     return arr[idx].tobytes()
 
 
+def _resample(img, w: int, h: int):
+    """uint8 (H, W, C) → (h, w, C). Exact box (area) average when both
+    factors divide evenly — the antialiasing-correct reduction for the
+    thumbnail/training-normalize case — else nearest-neighbor (the
+    deterministic general fallback; half-sample center convention)."""
+    import numpy as np
+
+    H, W, C = img.shape
+    if H % h == 0 and W % w == 0:
+        fy, fx = H // h, W // w
+        return (img.reshape(h, fy, w, fx, C).astype(np.uint32)
+                .mean(axis=(1, 3)).round().astype(np.uint8))
+    ys = np.minimum(((np.arange(h) + 0.5) * H / h).astype(np.int64), H - 1)
+    xs = np.minimum(((np.arange(w) + 0.5) * W / w).astype(np.int64), W - 1)
+    return img[ys][:, xs]
+
+
+def real_resize(payload: bytes, fmt: str, w: int, h: int) -> bytes:
+    """REAL pixel resampling for every in-container-decodable image
+    format: decode (netpbm/BMP/PNG/JPEG via the same codecs
+    real_decode uses), box-average or nearest-neighbor resample, and
+    re-emit as binary netpbm (P6 for color, P5 for gray) — the
+    canonical uncompressed interchange encoding, so downstream decode
+    /featurize stages consume the resized payload with zero codec
+    dependencies. Non-image formats raise: resize is an image op."""
+    if fmt in ("ppm", "pgm"):
+        img = decode_netpbm(payload)
+    elif fmt == "bmp":
+        img = decode_bmp(payload)
+    elif fmt == "png":
+        img = decode_png(payload)
+    elif fmt in ("jpeg", "jpg"):
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg)
+        img = decode_jpeg(payload)
+    else:
+        raise NotImplementedError(
+            f"no in-container image codec for {fmt!r}; inject a resizer")
+    out = _resample(img, w, h)
+    if out.shape[2] >= 3:
+        return b"P6\n%d %d\n255\n" % (w, h) + out[:, :, :3].tobytes()
+    return b"P5\n%d %d\n255\n" % (w, h) + out[:, :, 0].tobytes()
+
+
+def auto_resize(payload: bytes, fmt: str, w: int, h: int):
+    """Default resizer: real decode→resample→netpbm re-emit for the
+    decodable image formats (returns ``(payload, new_format)`` since
+    the re-emit changes the container), deterministic byte-stride
+    fake for everything else (returns bare bytes, format unchanged —
+    the same dispatch philosophy as auto_decode)."""
+    if fmt in REAL_DECODE_FORMATS and fmt != "wav":
+        out = real_resize(payload, fmt, w, h)
+        return out, ("pgm" if out[:2] == b"P5" else "ppm")
+    return fake_resize(payload, fmt, w, h)
+
+
 def resize_media(media: DataFrame, width: int, height: int,
-                 resizer: Callable = fake_resize) -> DataFrame:
+                 resizer: Callable = auto_resize) -> DataFrame:
     """Resize every media payload to (width, height) via mapInPandas —
     the standard image-normalization step before feature extraction or
     training. Map-side only: batches stream through Arrow, the output
     schema extends the input row with the target geometry, and
-    ``meta.n_bytes`` is updated to the resized payload. Production
-    swaps ``resizer`` for a PIL/opencv kernel; the batch shape is
-    identical (tests pin output sizes and metadata consistency)."""
+    ``meta`` is updated to the resized payload (including its format,
+    when the resizer re-containers — the default really resamples
+    pixels for every decodable image format and re-emits netpbm, so
+    resized rows feed straight back into extract_features).
+
+    Resizer contract: returns either bare bytes (format unchanged —
+    e.g. an injected PIL/opencv kernel re-encoding in place) or a
+    ``(bytes, new_format)`` pair; tests pin output geometry, pixel
+    values, and metadata consistency for both."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_payload = [
-                resizer(p, m["format"], width, height)
-                for p, m in zip(pdf["payload"], pdf["meta"])
-            ]
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                out = resizer(p, m["format"], width, height)
+                out, fmt = (out if isinstance(out, tuple)
+                            else (out, m["format"]))
+                payloads.append(out)
+                metas.append({"kind": m["kind"], "format": fmt,
+                              "n_bytes": len(out)})
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "payload": out_payload,
-                "meta": [
-                    {"kind": m["kind"], "format": m["format"],
-                     "n_bytes": len(p)}
-                    for m, p in zip(pdf["meta"], out_payload)
-                ],
+                "payload": payloads,
+                "meta": metas,
                 "target_w": width,
                 "target_h": height,
             })

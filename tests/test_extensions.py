@@ -1346,6 +1346,62 @@ class TestMultimodalResizeAndFrames:
             assert r.meta.n_bytes == 32           # metadata tracks payload
             assert (r.target_w, r.target_h) == (8, 4)
 
+    def test_real_resize_box_average_exact(self):
+        """4×4 → 2×2 with even factors is an EXACT box average; the
+        output re-containers as netpbm so it is immediately decodable
+        again."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_netpbm, real_resize)
+
+        img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        ppm = b"P6\n4 4\n255\n" + img.tobytes()
+        out = real_resize(ppm, "ppm", 2, 2)
+        dec = decode_netpbm(out)
+        expect = (img.reshape(2, 2, 2, 2, 3).astype(np.uint32)
+                  .mean(axis=(1, 3)).round().astype(np.uint8))
+        assert dec.shape == (2, 2, 3)
+        assert np.array_equal(dec, expect)
+        # gray input re-emits P5
+        pgm = b"P5\n4 4\n255\n" + bytes(range(16))
+        assert real_resize(pgm, "pgm", 2, 2)[:2] == b"P5"
+
+    def test_resize_media_really_resamples_jpeg(self, spark):
+        """End-to-end: a 16×16 JPEG resized to 8×8 through the DEFAULT
+        resize_media path comes back as a decodable PPM whose pixels
+        are the box average of the decoded JPEG — and the resized row
+        feeds straight back into extract_features (format metadata
+        updated to the new container)."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, decode_netpbm, extract_features, resize_media)
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        jpg = encode_jpeg(img)
+        media = spark.createDataFrame(
+            [(1, jpg, {"kind": "image", "format": "jpeg",
+                       "n_bytes": len(jpg)})], MEDIA_SCHEMA)
+        rows = resize_media(media, 8, 8).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.meta.format == "ppm"                 # re-containered
+        assert r.meta.n_bytes == len(bytes(r.payload))
+        got = decode_netpbm(bytes(r.payload))
+        dec = decode_jpeg(jpg)                        # driver-side twin
+        expect = (dec.reshape(8, 2, 8, 2, 3).astype(np.uint32)
+                  .mean(axis=(1, 3)).round().astype(np.uint8))
+        assert np.array_equal(got, expect)
+        # resized rows are ordinary media: featurize them directly
+        feats = extract_features(
+            resize_media(media, 8, 8).drop("target_w", "target_h")
+        ).collect()
+        assert len(feats) == 1 and abs(sum(feats[0].feature) - 1.0) < 1e-5
+
     def test_sample_frames_expands_rows_and_strides(self, spark):
         from flight_data_pipeline_spark.operators.multimodal import (
             binarize_documents,
