@@ -212,3 +212,47 @@ def keyframe_sample_bytes(payload: bytes, fmt: str) -> list[bytes]:
     (seek-free random access)."""
     return [payload[s.offset:s.offset + s.size]
             for s in demux_mp4(payload) if s.keyframe]
+
+
+def frame_metadata(media):
+    """Metadata-ONLY demux of every mp4/m4v/mov row: (media_id,
+    frame_index, dts_ms, keyframe, n_bytes, codec) — no frame bytes.
+
+    This is the 100 TB pattern for video: demux is box arithmetic
+    (KBs of moov per GB of mdat), so you profile the WHOLE corpus
+    first, pick frames relationally (keyframes at a stride, dts
+    windows, size caps — plain DataFrame filters with full pushdown),
+    and only then run the expensive byte extraction + pixel decode on
+    the selected subset. Non-video rows produce no output; malformed
+    video payloads raise (route through a dead-letter filter upstream
+    if the corpus is dirty)."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("dts_ms", T.LongType()),
+        T.StructField("keyframe", T.BooleanType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ])
+
+    def process(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_index", "dts_ms",
+                                    "keyframe", "n_bytes", "codec")}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                if meta["format"] not in ("mp4", "m4v", "mov"):
+                    continue
+                for s in demux_mp4(payload):
+                    rows["media_id"].append(mid)
+                    rows["frame_index"].append(s.index)
+                    rows["dts_ms"].append(s.dts_ms)
+                    rows["keyframe"].append(s.keyframe)
+                    rows["n_bytes"].append(s.size)
+                    rows["codec"].append(s.codec)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=schema)

@@ -48,14 +48,23 @@ _KIND_BY_EXT = {
 
 
 def read_tar_shards(spark: SparkSession, path: str,
-                    suffix: str = "*.tar") -> DataFrame:
+                    suffix: str = "*.tar",
+                    skip_corrupt: bool = False) -> DataFrame:
     """Read every tar shard under ``path`` into member rows.
 
     One input task per shard (binaryFile's natural split unit for
     non-splittable payloads); the untar runs inside mapInPandas so
     member bytes stay in Arrow record batches. Ordering within a
     shard is the tar's member order — the sequential-read order
-    WebDataset pipelines rely on for sample grouping."""
+    WebDataset pipelines rely on for sample grouping.
+
+    ``skip_corrupt=True`` quarantines unreadable shards instead of
+    failing the job: a corrupt tar yields ONE row with
+    key='__corrupt__', format='error' and the exception text as the
+    payload, so a 100k-shard read survives the shards that WILL be
+    truncated at that scale while keeping an auditable record (the
+    flag-don't-drop discipline; filter format='error' into the
+    dead-letter table downstream). Default stays fail-fast."""
     shards = (spark.read.format("binaryFile")
               .option("pathGlobFilter", suffix)
               .load(path)
@@ -70,18 +79,27 @@ def read_tar_shards(spark: SparkSession, path: str,
                 shard = posixpath.basename(path_str)
                 rows = {"shard": [], "key": [], "format": [],
                         "payload": [], "n_bytes": []}
-                with tarfile.open(fileobj=io.BytesIO(content)) as tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        data = tf.extractfile(m).read()
-                        name = posixpath.basename(m.name)
-                        key, dot, ext = name.rpartition(".")
-                        rows["shard"].append(shard)
-                        rows["key"].append(key if dot else name)
-                        rows["format"].append(ext.lower() if dot else "")
-                        rows["payload"].append(data)
-                        rows["n_bytes"].append(len(data))
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            data = tf.extractfile(m).read()
+                            name = posixpath.basename(m.name)
+                            key, dot, ext = name.rpartition(".")
+                            rows["shard"].append(shard)
+                            rows["key"].append(key if dot else name)
+                            rows["format"].append(
+                                ext.lower() if dot else "")
+                            rows["payload"].append(data)
+                            rows["n_bytes"].append(len(data))
+                except (tarfile.TarError, EOFError, OSError) as exc:
+                    if not skip_corrupt:
+                        raise
+                    err = f"{type(exc).__name__}: {exc}".encode()[:300]
+                    rows = {"shard": [shard], "key": ["__corrupt__"],
+                            "format": ["error"], "payload": [err],
+                            "n_bytes": [len(content)]}
                 # one pandas batch per shard: bounds task memory by a
                 # single shard even when binaryFile batches several
                 yield pd.DataFrame(rows)

@@ -938,6 +938,38 @@ class TestMp4Demux:
         with pytest.raises(NotImplementedError):
             demux_mp4(frag)
 
+    def test_frame_metadata_plans_selective_decode(self, spark):
+        """The 100 TB video pattern: metadata-only demux of the whole
+        corpus (box arithmetic, no frame bytes), then RELATIONAL
+        frame selection — keyframes under a dts cutoff — before any
+        byte extraction. Non-video rows vanish from the profile."""
+        import pyspark.sql.functions as F
+
+        from flight_data_pipeline_spark.operators.mp4_demux import (
+            frame_metadata)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA)
+
+        payload = self._mp4_payload()
+        rows = [
+            (1, payload, {"kind": "video", "format": "mp4",
+                          "n_bytes": len(payload)}),
+            (2, b"not a video", {"kind": "image", "format": "ppm",
+                                 "n_bytes": 11}),
+        ]
+        meta = frame_metadata(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)).cache()
+        got = meta.orderBy("frame_index").collect()
+        assert [r.media_id for r in got] == [1] * 5  # image row skipped
+        assert [(r.frame_index, r.dts_ms, r.keyframe) for r in got] == [
+            (0, 0, True), (1, 40, False), (2, 80, False),
+            (3, 120, True), (4, 140, False)]
+        assert all(r.codec == "avc1" for r in got)
+        assert [r.n_bytes for r in got] == [len(f) for f in self.FRAMES]
+        picked = meta.where(F.col("keyframe")
+                            & (F.col("dts_ms") < 100)).collect()
+        assert [(r.media_id, r.frame_index) for r in picked] == [(1, 0)]
+
     def test_sample_frames_demuxes_mp4_end_to_end(self, spark):
         """The default sample_frames path now REALLY demuxes mp4:
         every_n=2 over the 5 real access units keeps decode indices

@@ -188,3 +188,32 @@ class TestTarShards:
         assert len(by_kind["blob"]) == 2             # captions/labels ride along
         ids = [r.media_id for r in feats]
         assert len(set(ids)) == 4                    # stable distinct hashes
+
+    def test_corrupt_shard_quarantined_not_fatal(self, spark, tmp_path):
+        """skip_corrupt=True: a truncated tar yields ONE auditable
+        quarantine row (key='__corrupt__', format='error') while good
+        shards in the same read come through intact; the default
+        stays fail-fast."""
+        import pytest as _pytest
+
+        from flight_data_pipeline_spark.sources.tar_shards import (
+            read_tar_shards)
+
+        path, _, _ = self._write_shards(tmp_path)
+        import pathlib
+        good = pathlib.Path(path) / "shard-000.tar"
+        bad = pathlib.Path(path) / "shard-zzz.tar"
+        bad.write_bytes(good.read_bytes()[:700])  # truncated mid-member
+
+        rows = read_tar_shards(spark, path, skip_corrupt=True).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        q = by_shard["shard-zzz.tar"]
+        assert len(q) == 1 and q[0].key == "__corrupt__"
+        assert q[0].format == "error" and q[0].n_bytes == 700
+        assert len(by_shard["shard-000.tar"]) == 2   # good shards intact
+        assert len(by_shard["shard-001.tar"]) == 2
+
+        with _pytest.raises(Exception):
+            read_tar_shards(spark, path).collect()   # fail-fast default
