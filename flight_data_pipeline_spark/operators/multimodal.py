@@ -354,6 +354,107 @@ def extract_features(media: DataFrame,
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+MEDIA_QUALITY_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    # image geometry + pixel stats (NULL for non-images)
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_px", T.LongType()),          # pixel-value count (h·w·c)
+    T.StructField("px_sum", T.LongType()),        # Σ value (brightness·n)
+    T.StructField("px_sumsq", T.LongType()),      # Σ value² (contrast moment)
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
+    T.StructField("laplacian_var", T.DoubleType()),   # sharpness proxy
+    # audio stats (NULL for non-audio)
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("clipping_ratio", T.DoubleType()),
+])
+
+
+def _image_quality(img):
+    """uint8 (h, w, c) → quality stat dict. Integer moments are exact
+    BIGINTs (cross-engine replayable); the sharpness proxy is the
+    classic variance-of-Laplacian on the gray plane."""
+    import numpy as np
+
+    h, w, c = img.shape
+    flat = img.astype(np.int64)
+    gray = img.mean(axis=2).astype(np.float64)
+    lap = (-4.0 * gray[1:-1, 1:-1] + gray[:-2, 1:-1] + gray[2:, 1:-1]
+           + gray[1:-1, :-2] + gray[1:-1, 2:]) if min(h, w) >= 3 else None
+    return {
+        "width": w, "height": h,
+        "n_px": h * w * c,
+        "px_sum": int(flat.sum()),
+        "px_sumsq": int((flat * flat).sum()),
+        "px_min": int(img.min()), "px_max": int(img.max()),
+        "laplacian_var": float(lap.var()) if lap is not None else 0.0,
+    }
+
+
+def _audio_quality(samples):
+    """float32 [-1, 1] mono samples → level/clipping stats — the
+    gates an audio-corpus filter runs before transcription (silence,
+    clipping, too-short)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    n = len(a) or 1
+    peak = float(np.abs(a).max()) if len(a) else 0.0
+    return {
+        "n_samples": int(len(a)),
+        "rms": float(np.sqrt((a * a).mean())) if len(a) else 0.0,
+        "peak": peak,
+        "clipping_ratio": float((np.abs(a) >= 0.999).sum() / n),
+    }
+
+
+def media_quality(media: DataFrame) -> DataFrame:
+    """Per-media quality profile via mapInPandas — the multimodal
+    analog of the text tier's Gopher/C4 rule stats: images get
+    geometry + exact integer pixel moments (brightness = px_sum/n_px,
+    contrast = E[x²]−E[x]² from the two BIGINT sums) + a
+    variance-of-Laplacian sharpness proxy; audio gets sample count,
+    RMS level, peak, and clipping ratio. Downstream gating is then
+    plain relational filtering (flag-don't-drop), exactly like the
+    text quality funnel. Formats the container cannot decode raise —
+    run behind the same injection seam as extract_features."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_QUALITY_SCHEMA.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                fmt = meta["format"]
+                row = dict.fromkeys(cols)
+                row["media_id"] = mid
+                row["kind"] = meta["kind"]
+                if fmt in ("ppm", "pgm"):
+                    row.update(_image_quality(decode_netpbm(payload)))
+                elif fmt == "bmp":
+                    row.update(_image_quality(decode_bmp(payload)))
+                elif fmt == "png":
+                    row.update(_image_quality(decode_png(payload)))
+                elif fmt in ("jpeg", "jpg"):
+                    from flight_data_pipeline_spark.operators.jpeg_codec \
+                        import decode_jpeg
+                    row.update(_image_quality(decode_jpeg(payload)))
+                elif fmt == "wav":
+                    row.update(_audio_quality(decode_wav(payload)))
+                else:
+                    raise NotImplementedError(
+                        f"no in-container codec for {fmt!r}; "
+                        "inject a decoder")
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(process, schema=MEDIA_QUALITY_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(MEDIA_SCHEMA.fields + [
     T.StructField("target_w", T.IntegerType()),
     T.StructField("target_h", T.IntegerType()),

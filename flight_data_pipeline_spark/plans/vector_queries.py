@@ -414,6 +414,73 @@ def media_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_QUALITY_ORACLE = f"""
+    WITH v AS (
+        SELECT doc_id,
+               ('0x' || substr({" || ".join(
+                   f"md5('mq|' || CAST(doc_id AS VARCHAR) || '|{j}')"
+                   for j in range(12))},
+                      2 * g.i - 1, 2))::BIGINT AS val
+        FROM documents,
+             (SELECT unnest(generate_series(1, 192)) AS i) g
+        WHERE doc_id < {MEDIA_PROFILE_DOCS}
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(val) AS BIGINT) AS px_sum,
+           CAST(SUM(val * val) AS BIGINT) AS px_sumsq,
+           CAST(MIN(val) AS INTEGER) AS px_min,
+           CAST(MAX(val) AS INTEGER) AS px_max
+    FROM v GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@query("media_quality_profile", oracle=_MEDIA_QUALITY_ORACLE)
+def media_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-quality gate's hash-checked form — the VALUE-level
+    sibling of ``media_decode_profile`` (which checks the bin level):
+    md5-derived 8×8 PPM payloads flow through the real decoder into
+    ``media_quality``'s exact integer pixel moments (n_px, Σv, Σv²,
+    min, max — brightness and contrast are pure arithmetic on these),
+    and the DuckDB oracle recomputes every moment from the md5 hex
+    pairs alone. A hash MATCH certifies every decoded BYTE, not just
+    its high nibble — header bytes leaking into the stats, a channel
+    swap, or a stride bug all break Σv/Σv² immediately.
+
+    The full operator (variance-of-Laplacian sharpness, audio
+    RMS/clipping) is pinned in pytest with constructed fixtures; this
+    checked form covers the cross-engine-replayable integer core.
+    Scale shape: map-side payload build (whole-stage codegen md5),
+    one Arrow stage, per-doc output."""
+    from flight_data_pipeline_spark.operators.multimodal import (
+        media_quality)
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < MEDIA_PROFILE_DOCS)
+            .select("doc_id"))
+    hex_cat = F.concat(*[
+        F.md5(F.concat(F.lit("mq|"), F.col("doc_id").cast("string"),
+                       F.lit(f"|{j}")))
+        for j in range(12)])
+    ppm_payload = F.concat(F.lit(b"P6\n8 8\n255\n"), F.unhex(hex_cat))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ppm_payload.alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("ppm").alias("format"),
+            F.length(ppm_payload).cast("long").alias("n_bytes"),
+        ).alias("meta"))
+    return (
+        media_quality(media)
+        .select("media_id", "width", "height", "n_px",
+                "px_sum", "px_sumsq", "px_min", "px_max")
+        .orderBy("media_id")
+    )
+
+
 _IVF_INDEXES: dict = {}  # (applicationId, sf_dir) → built-once IvfIndex
 _IVF_CACHE_MAX = 4       # datasets cached per process before eviction
 

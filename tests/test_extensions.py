@@ -1434,6 +1434,61 @@ class TestMultimodalResizeAndFrames:
         ).collect()
         assert len(feats) == 1 and abs(sum(feats[0].feature) - 1.0) < 1e-5
 
+    def test_media_quality_image_and_audio(self, spark):
+        """media_quality: a flat image has zero contrast and zero
+        Laplacian variance while a checkerboard maximizes both; a
+        half-clipped square wave reports exact RMS/peak/clipping."""
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, media_quality)
+
+        flat = np.full((8, 8, 3), 100, dtype=np.uint8)
+        checker = (np.indices((8, 8)).sum(axis=0) % 2 * 255).astype(
+            np.uint8)[:, :, None].repeat(3, axis=2)
+        ppm = lambda a: b"P6\n8 8\n255\n" + a.tobytes()
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack(
+                "<8h", *([32767, -32768] * 2 + [16384, -16384] * 2)))
+        wav = buf.getvalue()
+
+        rows = [
+            (1, ppm(flat), {"kind": "image", "format": "ppm",
+                            "n_bytes": 203}),
+            (2, ppm(checker), {"kind": "image", "format": "ppm",
+                               "n_bytes": 203}),
+            (3, wav, {"kind": "audio", "format": "wav",
+                      "n_bytes": len(wav)}),
+        ]
+        got = {r.media_id: r for r in media_quality(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+
+        f = got[1]
+        assert (f.width, f.height, f.n_px) == (8, 8, 192)
+        assert f.px_sum == 192 * 100 and f.px_sumsq == 192 * 100 * 100
+        assert f.px_min == f.px_max == 100
+        assert f.laplacian_var == 0.0          # flat ⇒ no edges
+        c = got[2]
+        assert c.px_min == 0 and c.px_max == 255
+        assert c.laplacian_var > 100.0         # checkerboard ⇒ max edges
+        a = got[3]
+        assert a.n_samples == 8 and a.width is None
+        assert abs(a.peak - 1.0) < 1e-4
+        assert abs(a.clipping_ratio - 0.5) < 1e-9   # 4 of 8 at full scale
+        expect_rms = (sum(s * s for s in
+                          [1.0, -1.0, 1.0, -1.0, 0.5, -0.5, 0.5, -0.5])
+                      / 8) ** 0.5
+        assert abs(a.rms - expect_rms) < 1e-3
+
     def test_sample_frames_expands_rows_and_strides(self, spark):
         from flight_data_pipeline_spark.operators.multimodal import (
             binarize_documents,
