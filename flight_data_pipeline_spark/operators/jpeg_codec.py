@@ -240,6 +240,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        # optional fill bytes before any marker (T.81 B.1.1.2)
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

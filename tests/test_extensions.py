@@ -831,6 +831,23 @@ class TestJpegCodec:
             assert all(round(float(np.float32(k / n)) * n) == k
                        for k in range(n + 1))
 
+    def test_tolerates_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2: any marker may be preceded by 0xFF fill
+        bytes; splice some in front of every header marker."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        img = np.random.default_rng(19).integers(
+            0, 256, (8, 8), dtype=np.uint8)
+        jpg = bytearray(encode_jpeg(img))
+        # insert a fill byte before the first DQT marker (after SOI)
+        assert jpg[2] == 0xFF
+        padded = bytes(jpg[:2]) + b"\xff" + bytes(jpg[2:])
+        dec = decode_jpeg(padded)
+        assert self._err(dec[:, :, 0], img) <= 2
+
     def test_rejects_non_baseline_profiles(self):
         import struct
 
