@@ -217,3 +217,29 @@ class TestTarShards:
 
         with _pytest.raises(Exception):
             read_tar_shards(spark, path).collect()   # fail-fast default
+
+    def test_cross_container_image_dedup_composition(self, spark, tmp_path):
+        """The media family composes into the dedup discipline: the
+        PPM (shard 0) and JPEG (shard 1) encode the SAME pixels, so
+        grouping decoded-pixel moments (n_px, Σv, Σv², min, max) from
+        media_quality finds them as one duplicate group even though
+        their container bytes (and formats) differ — exact image
+        dedup that container re-encoding cannot evade. The caption/
+        label blobs are excluded relationally, like any quality gate."""
+        import pyspark.sql.functions as F
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            media_quality)
+        from flight_data_pipeline_spark.sources.tar_shards import (
+            read_tar_shards, tar_members_as_media)
+
+        path, _, _ = self._write_shards(tmp_path)
+        media = tar_members_as_media(read_tar_shards(spark, path))
+        images = media.where(F.col("meta.kind") == "image")
+        groups = (
+            media_quality(images)
+            .groupBy("n_px", "px_sum", "px_sumsq", "px_min", "px_max")
+            .agg(F.count("*").alias("n_copies"))
+            .collect())
+        assert len(groups) == 1          # one pixel-identical group
+        assert groups[0].n_copies == 2   # found across containers
