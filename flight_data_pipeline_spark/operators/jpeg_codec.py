@@ -5,10 +5,12 @@ codec gap; no PIL/libjpeg/ffmpeg in this container).
 Decoder: ITU-T T.81 BASELINE SEQUENTIAL DCT, Huffman entropy coding —
 the profile every compliant JPEG file must also be decodable as, and
 what image training corpora overwhelmingly contain. Supports 8-bit
-grayscale and 3-component YCbCr at any sampling factors (4:4:4,
-4:2:2, 4:2:0, ...), multiple DQT/DHT tables, restart markers, and
-0xFF00 byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit,
-and CMYK raise ``NotImplementedError`` and stay on the injected-
+grayscale and 3-component YCbCr at integer-ratio sampling factors
+(4:4:4, 4:2:2, 4:2:0, 4:1:1 — universal in practice), multiple
+DQT/DHT tables, restart markers, 0xFF00 byte stuffing, and fill
+bytes before markers (header and scan). Progressive (SOF2),
+arithmetic coding, 12-bit, CMYK, and exotic non-divisible sampling
+ratios raise ``NotImplementedError`` and stay on the injected-
 decoder path, same contract as palette/16-bit PNG.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
@@ -126,6 +128,9 @@ class _BitWriter:
 # --------------------------------------------------------------------------
 
 _FAST_LUT_CACHE: dict = {}  # (counts, symbols) → 65536-entry peek table
+_FAST_LUT_CACHE_MAX = 64    # ~0.5 MB/entry; real-world JPEGs carry
+#                             per-image optimized DHTs, so the cache
+#                             must be bounded on long-lived executors
 
 
 def _build_decode_lut(counts: list[int], symbols: bytes) -> list:
@@ -133,8 +138,9 @@ def _build_decode_lut(counts: list[int], symbols: bytes) -> list:
     lut[next16bits] = (symbol, code_length). Every 16-bit value
     sharing a code's prefix maps to that code, so one list index
     replaces the per-bit tree walk — the decoder's hot loop. Cached
-    by table content: fixed encoder tables and repeated images hit
-    the cache, so the 64Ki fill is paid once per distinct table."""
+    by table content (bounded FIFO): fixed encoder tables and
+    repeated images hit the cache, per-image optimized tables churn
+    through it without growing executor memory."""
     key = (bytes(counts), bytes(symbols))
     lut = _FAST_LUT_CACHE.get(key)
     if lut is not None:
@@ -145,10 +151,16 @@ def _build_decode_lut(counts: list[int], symbols: bytes) -> list:
         span = 1 << (16 - ln)
         for _ in range(counts[ln - 1]):
             base = code << (16 - ln)
+            if base + span > 65536:
+                raise ValueError(
+                    "corrupt JPEG DHT: code space overflows at "
+                    f"length {ln}")
             lut[base:base + span] = [(symbols[k], ln)] * span
             k += 1
             code += 1
         code <<= 1
+    while len(_FAST_LUT_CACHE) >= _FAST_LUT_CACHE_MAX:
+        _FAST_LUT_CACHE.pop(next(iter(_FAST_LUT_CACHE)))
     _FAST_LUT_CACHE[key] = lut
     return lut
 
@@ -209,6 +221,12 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
         if nxt == 0x00:
             cur += payload[i:j + 1]  # keep the 0xFF, drop the stuffed 0x00
             i = j + 2
+        elif nxt == 0xFF:
+            # fill byte before a marker (T.81 B.1.1.2): entropy data
+            # never contains bare FF FF (a data FF is always stuffed
+            # to FF 00), so the first FF is padding — drop it
+            cur += payload[i:j]
+            i = j + 1
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
             cur += payload[i:j]
             segments.append(bytes(cur))
@@ -382,6 +400,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         plane = np.clip(np.round(plane), 0, 255).astype(np.uint8)
         # upsample to full resolution, crop to image dims
+        if vmax % vi or hmax % hi:
+            raise NotImplementedError(
+                f"non-integer-ratio sampling factors ({hi},{vi}) vs "
+                f"({hmax},{vmax}) need an injected decoder")
         plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
         planes.append(plane[:h_img, :w_img])
 

@@ -412,7 +412,8 @@ def _audio_quality(samples):
     }
 
 
-def media_quality(media: DataFrame) -> DataFrame:
+def media_quality(media: DataFrame,
+                  decoder: Callable | None = None) -> DataFrame:
     """Per-media quality profile via mapInPandas — the multimodal
     analog of the text tier's Gopher/C4 rule stats: images get
     geometry + exact integer pixel moments (brightness = px_sum/n_px,
@@ -420,8 +421,15 @@ def media_quality(media: DataFrame) -> DataFrame:
     variance-of-Laplacian sharpness proxy; audio gets sample count,
     RMS level, peak, and clipping ratio. Downstream gating is then
     plain relational filtering (flag-don't-drop), exactly like the
-    text quality funnel. Formats the container cannot decode raise —
-    run behind the same injection seam as extract_features."""
+    text quality funnel.
+
+    ``decoder`` is the injection seam for formats the container
+    cannot decode (jpeg-progressive/flac/mp3/…): called as
+    ``decoder(payload, fmt)``, returning either a uint8 (h, w, c)
+    pixel array or 1-D float samples — the stats dispatch on the
+    array's rank. Without one, undecodable formats raise; pre-filter
+    non-media kinds (blobs/captions) relationally, as the tar-shard
+    tests do."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in MEDIA_QUALITY_SCHEMA.fields]
@@ -445,6 +453,10 @@ def media_quality(media: DataFrame) -> DataFrame:
                     row.update(_image_quality(decode_jpeg(payload)))
                 elif fmt == "wav":
                     row.update(_audio_quality(decode_wav(payload)))
+                elif decoder is not None:
+                    arr = decoder(payload, fmt)
+                    row.update(_image_quality(arr) if getattr(
+                        arr, "ndim", 1) == 3 else _audio_quality(arr))
                 else:
                     raise NotImplementedError(
                         f"no in-container codec for {fmt!r}; "

@@ -293,6 +293,28 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_PROFILE_DOCS = 20  # fixed carve: payload content is md5-derived
 _HEXD = "0123456789abcdef"
 
+
+def _md5_ppm_media(docs: DataFrame, salt: str) -> DataFrame:
+    """Shared fixture construction for the two checked media queries:
+    an 8×8 RGB PPM per doc whose 192 raster bytes are the
+    md5(salt|doc_id|j) digests for j in 0..11, assembled JVM-side via
+    unhex(concat(md5…)) — whole-stage codegen, zero Python. BOTH
+    DuckDB oracles replay this exact byte recipe, so the builder must
+    stay byte-identical for both; that is why it is one function."""
+    hex_cat = F.concat(*[
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col("doc_id").cast("string"),
+                       F.lit(f"|{j}")))
+        for j in range(12)])
+    payload = F.concat(F.lit(b"P6\n8 8\n255\n"), F.unhex(hex_cat))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("ppm").alias("format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"))
+
 _MEDIA_PPM_ORACLE = f"""
     SELECT doc_id AS media_id, 'ppm' AS fmt,
            {", ".join(
@@ -360,20 +382,7 @@ def media_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, "documents", sf_dir)
             .where(F.col("doc_id") < MEDIA_PROFILE_DOCS)
             .select("doc_id"))
-
-    hex_cat = F.concat(*[
-        F.md5(F.concat(F.lit("mp|"), F.col("doc_id").cast("string"),
-                       F.lit(f"|{j}")))
-        for j in range(12)])
-    ppm_payload = F.concat(F.lit(b"P6\n8 8\n255\n"), F.unhex(hex_cat))
-    media_ppm = docs.select(
-        F.col("doc_id").alias("media_id"),
-        ppm_payload.alias("payload"),
-        F.struct(
-            F.lit("image").alias("kind"),
-            F.lit("ppm").alias("format"),
-            F.length(ppm_payload).cast("long").alias("n_bytes"),
-        ).alias("meta"))
+    media_ppm = _md5_ppm_media(docs, "mp")
 
     def _jpeg_media(batches):
         import hashlib
@@ -460,21 +469,8 @@ def media_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, "documents", sf_dir)
             .where(F.col("doc_id") < MEDIA_PROFILE_DOCS)
             .select("doc_id"))
-    hex_cat = F.concat(*[
-        F.md5(F.concat(F.lit("mq|"), F.col("doc_id").cast("string"),
-                       F.lit(f"|{j}")))
-        for j in range(12)])
-    ppm_payload = F.concat(F.lit(b"P6\n8 8\n255\n"), F.unhex(hex_cat))
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        ppm_payload.alias("payload"),
-        F.struct(
-            F.lit("image").alias("kind"),
-            F.lit("ppm").alias("format"),
-            F.length(ppm_payload).cast("long").alias("n_bytes"),
-        ).alias("meta"))
     return (
-        media_quality(media)
+        media_quality(_md5_ppm_media(docs, "mq"))
         .select("media_id", "width", "height", "n_px",
                 "px_sum", "px_sumsq", "px_min", "px_max")
         .orderBy("media_id")
