@@ -847,6 +847,14 @@ class TestJpegCodec:
         padded = bytes(jpg[:2]) + b"\xff" + bytes(jpg[2:])
         dec = decode_jpeg(padded)
         assert self._err(dec[:, :, 0], img) <= 2
+        # and INSIDE the entropy stream: before an RST marker — the
+        # scan splitter must treat FF FF as padding, not scan end
+        rst = encode_jpeg(img, restart_interval=1)
+        k = rst.find(b"\xff\xd0")
+        assert k > 0
+        padded_rst = rst[:k] + b"\xff" + rst[k:]
+        dec = decode_jpeg(padded_rst)
+        assert self._err(dec[:, :, 0], img) <= 2
 
     def test_rejects_non_baseline_profiles(self):
         import struct
