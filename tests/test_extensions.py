@@ -849,12 +849,15 @@ class TestJpegCodec:
         assert self._err(dec[:, :, 0], img) <= 2
         # and INSIDE the entropy stream: before an RST marker — the
         # scan splitter must treat FF FF as padding, not scan end
-        rst = encode_jpeg(img, restart_interval=1)
+        # (needs >1 MCU for a restart marker to exist at all)
+        wide = np.random.default_rng(23).integers(
+            0, 256, (8, 24), dtype=np.uint8)
+        rst = encode_jpeg(wide, restart_interval=1)
         k = rst.find(b"\xff\xd0")
         assert k > 0
         padded_rst = rst[:k] + b"\xff" + rst[k:]
         dec = decode_jpeg(padded_rst)
-        assert self._err(dec[:, :, 0], img) <= 2
+        assert self._err(dec[:, :, 0], wide) <= 2
 
     def test_rejects_non_baseline_profiles(self):
         import struct
