@@ -1,9 +1,10 @@
 """Simulate the verification driver: vanilla session, sf0.01, DuckDB compare.
 
 Set DRIVE_SF_DIR to spot-check another scale (e.g.
-DRIVE_SF_DIR=/root/testdata/sf0.1 — FULL sweep re-verified 2026-08-15
-r6 session 2: all 188 checked queries MATCH at sf0.1, DRIVER-SIM PASS;
-the 2026-08-14 sweep caught and fixed the one latent half-tie,
+DRIVE_SF_DIR=/root/testdata/sf0.1 — FULL sweeps re-verified 2026-08-16
+r9 session 2: all 230 checked queries MATCH at BOTH sf0.01 and sf0.1,
+DRIVER-SIM PASS at each; earlier full-sweep history: r6s2 188/188 at
+sf0.1; the 2026-08-14 sweep caught and fixed the one latent half-tie,
 rolling_median_daily_value's even-frame interpolated half-cent under
 ROUND(.,2)). Set DRIVE_ONLY=a,b to run a subset."""
 import os
