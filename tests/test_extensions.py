@@ -998,6 +998,93 @@ class TestMp4Demux:
                             & (F.col("dts_ms") < 100)).collect()
         assert [(r.media_id, r.frame_index) for r in picked] == [(1, 0)]
 
+    def test_demux_property_random_layouts(self):
+        """Hypothesis sweep: ANY frame-size list, chunk partition,
+        timescale/delta choice and sync subset muxes to a container
+        the demuxer inverts exactly — sizes, byte content, dts, and
+        keyframe flags all round-trip."""
+        import io
+        import struct
+        import tarfile  # noqa: F401 (kept parallel with tar tests)
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        def mux(frames, chunk_sizes, timescale, delta, sync):
+            def box(btype, body):
+                return struct.pack(">I", len(body) + 8) + btype + body
+
+            def full(btype, body):
+                return box(btype, b"\x00" * 4 + body)
+
+            ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+            mdat = box(b"mdat", b"".join(frames))
+            # chunk offsets: chunks are consecutive runs inside mdat
+            offs, acc = [], len(ftyp) + 8
+            start = 0
+            for c in chunk_sizes:
+                offs.append(acc)
+                acc += sum(len(f) for f in frames[start:start + c])
+                start += c
+            stsd = full(b"stsd", struct.pack(">I", 1)
+                        + box(b"avc1", b"\x00" * 16))
+            stts = full(b"stts", struct.pack(">III", 1, len(frames), delta))
+            # stsc runs: collapse consecutive equal samples-per-chunk
+            runs = []
+            for i, c in enumerate(chunk_sizes):
+                if not runs or runs[-1][1] != c:
+                    runs.append((i + 1, c))
+            stsc = full(b"stsc", struct.pack(">I", len(runs)) + b"".join(
+                struct.pack(">III", first, per, 1) for first, per in runs))
+            stsz = full(b"stsz", struct.pack(">II", 0, len(frames))
+                        + b"".join(struct.pack(">I", len(f))
+                                   for f in frames))
+            stco = full(b"stco", struct.pack(">I", len(offs))
+                        + b"".join(struct.pack(">I", o) for o in offs))
+            stbl = stsd + stts + stsc + stsz + stco
+            if sync is not None:
+                stbl += full(b"stss", struct.pack(">I", len(sync))
+                             + b"".join(struct.pack(">I", s)
+                                        for s in sorted(sync)))
+            mdhd = full(b"mdhd", struct.pack(">IIIHH", 0, 0, timescale,
+                                             0, 0))
+            hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                        + b"\x00" * 12 + b"v\x00")
+            mdia = box(b"mdia", mdhd + hdlr + box(
+                b"minf", box(b"stbl", stbl)))
+            return ftyp + mdat + box(b"moov", box(b"trak", mdia))
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.data())
+        def check(data):
+            n = data.draw(st.integers(1, 10))
+            frames = [bytes([data.draw(st.integers(0, 255))])
+                      * data.draw(st.integers(1, 40)) for _ in range(n)]
+            # random chunk partition of n samples
+            chunk_sizes, left = [], n
+            while left:
+                c = data.draw(st.integers(1, left))
+                chunk_sizes.append(c)
+                left -= c
+            timescale = data.draw(st.integers(1, 90000))
+            delta = data.draw(st.integers(0, 3000))
+            sync = (None if data.draw(st.booleans()) else
+                    set(data.draw(st.lists(st.integers(1, n),
+                                           max_size=n))) or {1})
+            payload = mux(frames, chunk_sizes, timescale, delta, sync)
+            got = demux_mp4(payload)
+            assert [payload[s.offset:s.offset + s.size] for s in got] \
+                == frames
+            assert [s.dts_ms for s in got] == [
+                i * delta * 1000 // timescale for i in range(n)]
+            expect_sync = ([True] * n if sync is None else
+                           [(i + 1) in sync for i in range(n)])
+            assert [s.keyframe for s in got] == expect_sync
+
+        check()
+
     def test_sample_frames_demuxes_mp4_end_to_end(self, spark):
         """The default sample_frames path now REALLY demuxes mp4:
         every_n=2 over the 5 real access units keeps decode indices
