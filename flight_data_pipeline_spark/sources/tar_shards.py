@@ -71,40 +71,68 @@ def read_tar_shards(spark: SparkSession, path: str,
               .select("path", "content"))
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import tarfile
-
         for pdf in batches:
             for path_str, content in zip(pdf["path"], pdf["content"]):
-                shard = posixpath.basename(path_str)
-                rows = {"shard": [], "key": [], "format": [],
-                        "payload": [], "n_bytes": []}
-                try:
-                    with tarfile.open(fileobj=io.BytesIO(content)) as tf:
-                        for m in tf:
-                            if not m.isfile():
-                                continue
-                            data = tf.extractfile(m).read()
-                            name = posixpath.basename(m.name)
-                            key, dot, ext = name.rpartition(".")
-                            rows["shard"].append(shard)
-                            rows["key"].append(key if dot else name)
-                            rows["format"].append(
-                                ext.lower() if dot else "")
-                            rows["payload"].append(data)
-                            rows["n_bytes"].append(len(data))
-                except (tarfile.TarError, EOFError, OSError) as exc:
-                    if not skip_corrupt:
-                        raise
-                    err = f"{type(exc).__name__}: {exc}".encode()[:300]
-                    rows = {"shard": [shard], "key": ["__corrupt__"],
-                            "format": ["error"], "payload": [err],
-                            "n_bytes": [len(content)]}
                 # one pandas batch per shard: bounds task memory by a
                 # single shard even when binaryFile batches several
-                yield pd.DataFrame(rows)
+                yield _untar_rows(posixpath.basename(path_str), content,
+                                  skip_corrupt)
 
     return shards.mapInPandas(unpack, schema=TAR_MEMBER_SCHEMA)
+
+
+def _untar_rows(shard: str, content: bytes,
+                skip_corrupt: bool) -> pd.DataFrame:
+    """One shard's bytes → one member-row pandas batch (shared by the
+    batch reader above and the streaming path below)."""
+    import io
+    import tarfile
+
+    rows = {"shard": [], "key": [], "format": [],
+            "payload": [], "n_bytes": []}
+    try:
+        with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                data = tf.extractfile(m).read()
+                name = posixpath.basename(m.name)
+                key, dot, ext = name.rpartition(".")
+                rows["shard"].append(shard)
+                rows["key"].append(key if dot else name)
+                rows["format"].append(ext.lower() if dot else "")
+                rows["payload"].append(data)
+                rows["n_bytes"].append(len(data))
+    except (tarfile.TarError, EOFError, OSError) as exc:
+        if not skip_corrupt:
+            raise
+        err = f"{type(exc).__name__}: {exc}".encode()[:300]
+        rows = {"shard": [shard], "key": ["__corrupt__"],
+                "format": ["error"], "payload": [err],
+                "n_bytes": [len(content)]}
+    return pd.DataFrame(rows)
+
+
+def stream_tar_members(shard_paths: DataFrame,
+                       skip_corrupt: bool = False) -> DataFrame:
+    """Expand a stream (or frame) of shard PATHS into member rows —
+    the executor-side half of the streaming tar source: the driver
+    only ever lists names; file bytes are opened and untarred inside
+    mapInPandas on executors, one pandas batch per shard. Composes
+    identically on batch DataFrames (the path-listing twin of
+    read_tar_shards for pre-listed work queues)."""
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_str in pdf["shard_path"]:
+                local = (path_str[7:] if path_str.startswith("file://")
+                         else path_str)
+                with open(local, "rb") as fh:
+                    content = fh.read()
+                yield _untar_rows(posixpath.basename(path_str), content,
+                                  skip_corrupt)
+
+    return shard_paths.mapInPandas(unpack, schema=TAR_MEMBER_SCHEMA)
 
 
 def tar_members_as_media(members: DataFrame) -> DataFrame:
@@ -130,3 +158,110 @@ def tar_members_as_media(members: DataFrame) -> DataFrame:
             F.col("n_bytes").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming ingestion: new shards as they land
+# --------------------------------------------------------------------------
+
+class TarShardStreamReader:
+    """Driver-side shard LISTER with a lexicographic name watermark as
+    the offset: ``{"last": "<highest shard name ingested>"}``.
+
+    Contract (the standard WebDataset landing-zone discipline, stated
+    rather than assumed):
+    - shard names sort in arrival order (``shard-%06d.tar`` — the
+      universal convention), so "name > last" identifies exactly the
+      new files and the offset stays O(1) no matter how many shards
+      have ever landed (a seen-set offset would grow unbounded at
+      100k shards);
+    - shards are immutable and land atomically (temp + rename), so
+      re-listing a (start, end] name range during replay returns the
+      identical file set — that is what makes readBetweenOffsets
+      deterministic without any driver-side payload staging (unlike
+      the carbon poll source, the shard files ARE the WAL).
+
+    The reader emits only (shard_path, n_bytes) rows — bytes are read
+    and untarred executor-side by ``stream_tar_members``, keeping the
+    driver's per-batch work at one directory listing."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("tar_shards_stream requires .option('path', ...)")
+        self._dir = path[7:] if path.startswith("file://") else path
+        self._suffix = options.get("suffix", ".tar")
+
+    def _list(self):
+        import os as _os
+
+        try:
+            names = _os.listdir(self._dir)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.endswith(self._suffix))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def read(self, start: dict):
+        last = start["last"]
+        new = [n for n in self._list() if n > last]
+        rows = [(posixpath.join(self._dir, n),
+                 _file_size(posixpath.join(self._dir, n))) for n in new]
+        end = {"last": new[-1] if new else last}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start["last"], end["last"]
+        names = [n for n in self._list() if lo < n <= hi]
+        return iter([(posixpath.join(self._dir, n),
+                      _file_size(posixpath.join(self._dir, n)))
+                     for n in names])
+
+    def commit(self, end: dict) -> None:
+        pass  # shards are immutable; nothing staged driver-side
+
+
+def _file_size(p: str) -> int:
+    import os as _os
+
+    return _os.stat(p).st_size
+
+
+def tar_shard_stream_source():
+    """Build the DataSource class lazily (pyspark.sql.datasource import
+    kept out of module import time, same pattern as the carbon
+    stream's registration path)."""
+    import pyspark.sql.types as T_
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    path_schema = T_.StructType([
+        T_.StructField("shard_path", T_.StringType(), nullable=False),
+        T_.StructField("n_bytes", T_.LongType(), nullable=False),
+    ])
+
+    class _Reader(TarShardStreamReader, SimpleDataSourceStreamReader):
+        pass
+
+    class TarShardStreamDataSource(DataSource):
+        """``spark.readStream.format("tar_shards_stream")`` — new tar
+        shards in a landing directory become micro-batches of shard
+        paths; pipe through ``stream_tar_members`` →
+        ``tar_members_as_media`` → the media tier, giving the
+        multimodal family its streaming ingestion form."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "tar_shards_stream"
+
+        def schema(self):
+            return path_schema
+
+        def simpleStreamReader(self, schema):
+            return _Reader(self.options)
+
+    return TarShardStreamDataSource

@@ -371,3 +371,100 @@ class TestJsonlSinkWriter:
             fh.write('{"id": 999}\n')
         ids = [r.id for r in read_jsonl_manifest(spark, out).collect()]
         assert ids == [1]
+
+
+class TestTarShardStream:
+    """Streaming tar-shard ingestion (sources/tar_shards.py): the
+    lexicographic name watermark emits each landed shard exactly
+    once, replay re-lists the same (start, end] name range, and the
+    end-to-end stream untars members executor-side — the multimodal
+    family's streaming ingestion form."""
+
+    @staticmethod
+    def _shard(dirpath, name, members):
+        import io
+        import tarfile
+
+        with tarfile.open(dirpath / name, "w") as tf:
+            for mname, data in members:
+                info = tarfile.TarInfo(mname)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    def test_watermark_emits_each_shard_once(self, tmp_path):
+        from flight_data_pipeline_spark.sources.tar_shards import (
+            TarShardStreamReader)
+
+        land = tmp_path / "land"
+        land.mkdir()
+        r = TarShardStreamReader({"path": str(land)})
+        assert r.initialOffset() == {"last": ""}
+        rows, off = r.read({"last": ""})
+        assert list(rows) == [] and off == {"last": ""}
+
+        self._shard(land, "shard-000000.tar", [("a.txt", b"x")])
+        self._shard(land, "shard-000001.tar", [("b.txt", b"yy")])
+        rows, off = r.read({"last": ""})
+        names = [p.rsplit("/", 1)[-1] for p, _ in rows]
+        assert names == ["shard-000000.tar", "shard-000001.tar"]
+        assert off == {"last": "shard-000001.tar"}
+
+        # nothing new → empty batch, watermark holds
+        rows, off2 = r.read(off)
+        assert list(rows) == [] and off2 == off
+
+        # a later shard lands → only it is emitted
+        self._shard(land, "shard-000002.tar", [("c.txt", b"zzz")])
+        rows, off3 = r.read(off)
+        assert [p.rsplit("/", 1)[-1] for p, _ in rows] == [
+            "shard-000002.tar"]
+        assert off3 == {"last": "shard-000002.tar"}
+
+        # replay of the first range re-lists the identical files
+        replay = r.readBetweenOffsets(
+            {"last": ""}, {"last": "shard-000001.tar"})
+        assert [p.rsplit("/", 1)[-1] for p, _ in replay] == [
+            "shard-000000.tar", "shard-000001.tar"]
+
+    def test_end_to_end_members_stream(self, spark, tmp_path):
+        import time
+
+        from flight_data_pipeline_spark.sources.tar_shards import (
+            stream_tar_members, tar_shard_stream_source)
+
+        land = tmp_path / "land"
+        land.mkdir()
+        self._shard(land, "shard-000000.tar",
+                    [("s0.txt", b"hello"), ("s0.cls", b"3")])
+        spark.dataSource.register(tar_shard_stream_source())
+        paths = (spark.readStream.format("tar_shards_stream")
+                 .option("path", str(land)).load())
+        members = stream_tar_members(paths)
+        q = (members.writeStream.format("memory").queryName("tar_stream")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(processingTime="0 seconds").start())
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) AS n FROM tar_stream"
+                             ).first().n >= 2:
+                    break
+                time.sleep(0.5)
+            # second shard lands mid-stream → its members arrive too
+            self._shard(land, "shard-000001.tar", [("s1.txt", b"world")])
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) AS n FROM tar_stream"
+                             ).first().n >= 3:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM tar_stream").collect()
+        got = {(r.shard, r.key, r.format, bytes(r.payload)) for r in rows}
+        assert got == {
+            ("shard-000000.tar", "s0", "txt", b"hello"),
+            ("shard-000000.tar", "s0", "cls", b"3"),
+            ("shard-000001.tar", "s1", "txt", b"world"),
+        }
+        # exactly-once: no member row duplicated across micro-batches
+        assert len(rows) == 3
