@@ -68,6 +68,21 @@ def stratified_sample_hash(df: DataFrame, strata_col: str,
     return df.where(slot < lookup[F.col(strata_col)])
 
 
+def temperature_weights(counts: dict, alpha: float) -> dict:
+    """Temperature-scaled mixture weights: w_s ∝ counts[s]**alpha,
+    normalized to sum 1 — the standard multilingual/multi-source
+    balancing rule (alpha=1 reproduces natural proportions, alpha=0
+    uniform, the usual 0.2-0.7 range boosts low-resource strata
+    sub-linearly). Feed the result to :func:`mixture_fractions` to
+    turn weights into per-stratum sampling fractions. Pure python on
+    an audit aggregate's counts — no driver collect hidden here."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    raw = {s: float(c) ** alpha for s, c in counts.items() if c > 0}
+    z = sum(raw.values()) or 1.0
+    return {s: w / z for s, w in raw.items()}
+
+
 def mixture_fractions(counts: dict, target_weights: dict,
                       total_out: int) -> dict:
     """Convert target mixture weights into per-stratum sampling

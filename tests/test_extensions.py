@@ -389,6 +389,29 @@ class TestStratifiedSampling:
         assert base == pick(docs.repartition(7, "lang"))
         assert base == pick(docs.coalesce(1))
 
+    def test_temperature_weights_interpolate_natural_to_uniform(self):
+        """alpha=1 gives natural proportions, alpha=0 uniform, and
+        intermediate alpha boosts the low-resource stratum's share
+        monotonically — composing with mixture_fractions yields the
+        standard multilingual sampling setup."""
+        from flight_data_pipeline_spark.operators.sampling import (
+            mixture_fractions, temperature_weights)
+
+        counts = {"en": 900, "sw": 100}
+        nat = temperature_weights(counts, 1.0)
+        assert abs(nat["en"] - 0.9) < 1e-12 and abs(nat["sw"] - 0.1) < 1e-12
+        uni = temperature_weights(counts, 0.0)
+        assert abs(uni["en"] - 0.5) < 1e-12
+        t = temperature_weights(counts, 0.5)
+        assert nat["sw"] < t["sw"] < uni["sw"]   # boosted, not flattened
+        fr = mixture_fractions(counts, t, total_out=200)
+        assert 0 < fr["en"] < 1 and 0 < fr["sw"] <= 1
+        # zero-count strata drop; negative temperature rejected
+        assert "x" not in temperature_weights({"x": 0, "y": 5}, 0.5)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            temperature_weights(counts, -1)
+
     def test_mixture_fractions_cap_and_weighting(self):
         from flight_data_pipeline_spark.operators.sampling import mixture_fractions
 
