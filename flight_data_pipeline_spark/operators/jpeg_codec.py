@@ -36,6 +36,7 @@ LLM-data-pipeline additions (multimodal columns).
 from __future__ import annotations
 
 import struct
+import threading
 
 import numpy as np
 
@@ -128,6 +129,7 @@ class _BitWriter:
 # --------------------------------------------------------------------------
 
 _FAST_LUT_CACHE: dict = {}  # (counts, symbols) → 65536-entry peek table
+_FAST_LUT_LOCK = threading.Lock()  # executor threads share this module
 _FAST_LUT_CACHE_MAX = 64    # ~0.5 MB/entry; real-world JPEGs carry
 #                             per-image optimized DHTs, so the cache
 #                             must be bounded on long-lived executors
@@ -159,9 +161,12 @@ def _build_decode_lut(counts: list[int], symbols: bytes) -> list:
             k += 1
             code += 1
         code <<= 1
-    while len(_FAST_LUT_CACHE) >= _FAST_LUT_CACHE_MAX:
-        _FAST_LUT_CACHE.pop(next(iter(_FAST_LUT_CACHE)))
-    _FAST_LUT_CACHE[key] = lut
+    # Eviction + insert under a lock: concurrent decode threads in one
+    # executor process can otherwise race between iter() and pop().
+    with _FAST_LUT_LOCK:
+        while len(_FAST_LUT_CACHE) >= _FAST_LUT_CACHE_MAX:
+            _FAST_LUT_CACHE.pop(next(iter(_FAST_LUT_CACHE)))
+        _FAST_LUT_CACHE[key] = lut
     return lut
 
 
@@ -563,7 +568,16 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
         out.extend(body)
 
-    qz = quant.reshape(64)[ZIGZAG].astype(np.uint8)
+    # This encoder emits only 8-bit DQT (pq=0); an entry >255 would
+    # silently wrap through astype(uint8) into a valid-looking but
+    # wrong bitstream, so reject it (baseline JPEG quality ladders
+    # never need >255 anyway — quality 1 tops out at 255).
+    qflat = quant.reshape(64)
+    if int(qflat.max()) > 255 or int(qflat.min()) < 1:
+        raise ValueError(
+            "encode_jpeg quant table entries must be in [1, 255] for "
+            f"8-bit DQT; got range [{int(qflat.min())}, {int(qflat.max())}]")
+    qz = qflat[ZIGZAG].astype(np.uint8)
     segment(0xDB, bytes([0x00]) + qz.tobytes())
     sof = struct.pack(">BHHB", 8, h_img, w_img, len(planes))
     for i, (hi, vi) in enumerate(factors):

@@ -16,6 +16,12 @@ arithmetic — no codec involved — and is what this module implements:
   (sample→chunk runs), ``stco``/``co64`` (chunk offsets), ``stts``
   (decode-time deltas), ``stss`` (sync samples; absent ⇒ every
   sample is sync), ``mdhd`` (timescale), ``hdlr`` (track kind),
+- fragmented MP4 (the dominant shape for streaming-originated video:
+  DASH/HLS recordings): ``mvex``/``trex`` track defaults, then per
+  fragment ``moof`` → ``traf`` → ``tfhd`` (per-fragment defaults,
+  base-data-offset / default-base-is-moof), ``tfdt`` (base decode
+  time), ``trun`` (per-sample size/duration/flags runs) — pure
+  sample arithmetic, same as the stbl path,
 - per-sample output: byte range into the payload, timestamp in ms,
   keyframe flag, codec fourcc from ``stsd``.
 
@@ -23,8 +29,8 @@ arithmetic — no codec involved — and is what this module implements:
 a real ``extractor``: the emitted "frames" are the track's actual
 coded access units, byte-exact, in decode order.
 
-Fragmented MP4 (``moof``) and encrypted tracks raise
-``NotImplementedError`` and stay on the injected path.
+Encrypted tracks and codec-level pixel decode stay on the injected
+path.
 """
 
 from __future__ import annotations
@@ -44,9 +50,11 @@ class Mp4Sample(NamedTuple):
     codec: str        # stsd entry fourcc, e.g. 'avc1'
 
 
-def _iter_boxes(data: bytes, start: int, end: int):
-    """Yield (type, body_start, box_end) for the boxes in
-    [start, end); handles 64-bit largesize and size-0 (to-end)."""
+def _iter_boxes4(data: bytes, start: int, end: int):
+    """Yield (type, box_start, body_start, box_end) for the boxes in
+    [start, end); handles 64-bit largesize and size-0 (to-end).
+    box_start includes the header — the fMP4 default-base-is-moof
+    rule measures data offsets from there."""
     i = start
     while i + 8 <= end:
         size, btype = struct.unpack_from(">I4s", data, i)
@@ -58,8 +66,14 @@ def _iter_boxes(data: bytes, start: int, end: int):
             size = end - i
         if size < hdr or i + size > end:
             raise ValueError("malformed MP4 box size")
-        yield btype, i + hdr, i + size
+        yield btype, i, i + hdr, i + size
         i += size
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) — see :func:`_iter_boxes4`."""
+    for btype, _s, body, box_end in _iter_boxes4(data, start, end):
+        yield btype, body, box_end
 
 
 def _find(data: bytes, start: int, end: int, btype: bytes):
@@ -76,14 +90,15 @@ def _full_box(data: bytes, body: int) -> tuple[int, int]:
 
 def demux_mp4(payload: bytes) -> list[Mp4Sample]:
     """Demux the first video track (fallback: first track with a
-    sample table) of an un-fragmented MP4 → decode-ordered
-    ``Mp4Sample`` list. Pure box arithmetic; the coded bytes are NOT
-    decoded."""
-    if len(payload) < 12 or payload[4:8] not in (b"ftyp", b"moov", b"mdat"):
+    sample table) of an MP4 → decode-ordered ``Mp4Sample`` list.
+    Un-fragmented payloads walk the stbl tables; fragmented payloads
+    (``moof`` present) walk mvex/trex + moof/traf/tfhd/tfdt/trun.
+    Pure box arithmetic; the coded bytes are NOT decoded."""
+    if len(payload) < 12 or payload[4:8] not in (
+            b"ftyp", b"styp", b"moov", b"mdat"):
         raise ValueError("not an ISO-BMFF payload")
     if _find(payload, 0, len(payload), b"moof") is not None:
-        raise NotImplementedError(
-            "fragmented MP4 (moof) needs an injected demuxer")
+        return _demux_fmp4(payload)
     moov = _find(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("MP4 missing moov")
@@ -115,6 +130,11 @@ def demux_mp4(payload: bytes) -> list[Mp4Sample]:
     if chosen is None:
         raise ValueError("MP4 has no track with a sample table")
     _, stbl, timescale = chosen
+    if timescale == 0:
+        # Guard before any dts arithmetic: a malformed mdhd would
+        # otherwise surface as ZeroDivisionError, which dead-letter
+        # routing does not key on.
+        raise ValueError("MP4 mdhd timescale is 0")
 
     def full(btype: bytes, required: bool = True):
         r = _find(payload, *stbl, btype)
@@ -196,6 +216,184 @@ def demux_mp4(payload: bytes) -> list[Mp4Sample]:
             si += 1
     if si != count:
         raise ValueError("stsc/stco chunk map does not cover all samples")
+    return samples
+
+
+_NON_SYNC_BIT = 0x00010000  # sample_is_non_sync_sample in sample_flags
+
+
+def _demux_fmp4(payload: bytes) -> list[Mp4Sample]:
+    """Fragmented-MP4 path: moov carries empty sample tables plus
+    mvex/trex defaults; the samples live in moof/traf/trun runs.
+
+    Per ISO/IEC 14496-12 §8.8: tfhd may carry a base-data-offset or
+    the default-base-is-moof flag (data offsets measured from the
+    moof box start — the CMAF/DASH shape); absent both, the first
+    traf's base is the moof start and later trafs continue from the
+    previous traf's data end. trun flags select which per-sample
+    fields are inline vs defaulted from tfhd, then trex."""
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("fragmented MP4 missing moov (init segment)")
+
+    tracks = {}  # track_id -> (is_video, timescale, codec)
+    for t, b, e in _iter_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        tkhd = _find(payload, b, e, b"tkhd")
+        mdia = _find(payload, b, e, b"mdia")
+        if tkhd is None or mdia is None:
+            continue
+        ver, p = _full_box(payload, tkhd[0])
+        track_id = struct.unpack_from(
+            ">I", payload, p + (16 if ver == 1 else 8))[0]
+        mdhd = _find(payload, *mdia, b"mdhd")
+        hdlr = _find(payload, *mdia, b"hdlr")
+        minf = _find(payload, *mdia, b"minf")
+        if mdhd is None or minf is None:
+            continue
+        ver, p = _full_box(payload, mdhd[0])
+        timescale = struct.unpack_from(
+            ">I", payload, p + (16 if ver == 1 else 8))[0]
+        kind = payload[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b"????"
+        codec = "????"
+        stbl = _find(payload, *minf, b"stbl") if minf else None
+        if stbl is not None:
+            stsd = _find(payload, *stbl, b"stsd")
+            if stsd is not None:
+                p = _full_box(payload, stsd[0])[1]
+                codec = payload[p + 8:p + 12].decode("latin1")
+        tracks[track_id] = (kind == b"vide", timescale, codec)
+    if not tracks:
+        raise ValueError("fragmented MP4 has no usable track")
+    chosen_tid = next(
+        (tid for tid, v in tracks.items() if v[0]), next(iter(tracks)))
+    _, timescale, codec = tracks[chosen_tid]
+    if timescale == 0:
+        raise ValueError("MP4 mdhd timescale is 0")
+
+    # trex defaults (one per track)
+    trex: dict[int, tuple] = {}
+    mvex = _find(payload, *moov, b"mvex")
+    if mvex is not None:
+        for t, b, e in _iter_boxes(payload, *mvex):
+            if t == b"trex":
+                p = _full_box(payload, b)[1]
+                tid, _desc, ddur, dsize, dflags = struct.unpack_from(
+                    ">IIIII", payload, p)
+                trex[tid] = (ddur, dsize, dflags)
+
+    samples: list[Mp4Sample] = []
+    si = 0
+    t_cursor = 0  # decode time in track timescale; tfdt resets it
+    for bt, box_start, body, box_end in _iter_boxes4(
+            payload, 0, len(payload)):
+        if bt != b"moof":
+            continue
+        implicit_base = box_start  # first traf with no explicit base
+        for t2, _s2, b2, e2 in _iter_boxes4(payload, body, box_end):
+            if t2 != b"traf":
+                continue
+            tfhd_r = _find(payload, b2, e2, b"tfhd")
+            if tfhd_r is None:
+                raise ValueError("MP4 traf missing tfhd")
+            th = tfhd_r[0]
+            th_flags = int.from_bytes(payload[th + 1:th + 4], "big")
+            p = th + 4
+            (tid,) = struct.unpack_from(">I", payload, p)
+            p += 4
+            base_data_offset = None
+            if th_flags & 0x000001:
+                base_data_offset = struct.unpack_from(">Q", payload, p)[0]
+                p += 8
+            if th_flags & 0x000002:  # sample_description_index
+                p += 4
+            ddur, dsize, dflags = trex.get(tid, (None, None, None))
+            if th_flags & 0x000008:
+                ddur = struct.unpack_from(">I", payload, p)[0]
+                p += 4
+            if th_flags & 0x000010:
+                dsize = struct.unpack_from(">I", payload, p)[0]
+                p += 4
+            if th_flags & 0x000020:
+                dflags = struct.unpack_from(">I", payload, p)[0]
+                p += 4
+            if base_data_offset is not None:
+                base = base_data_offset
+            elif th_flags & 0x020000:  # default-base-is-moof
+                base = box_start
+            else:
+                base = implicit_base
+
+            emit = tid == chosen_tid
+            if emit:
+                tfdt_r = _find(payload, b2, e2, b"tfdt")
+                if tfdt_r is not None:
+                    ver, p2 = _full_box(payload, tfdt_r[0])
+                    t_cursor = struct.unpack_from(
+                        ">Q" if ver == 1 else ">I", payload, p2)[0]
+
+            # Walk every trun (even for skipped tracks — the implicit
+            # base of the NEXT traf is this traf's data end).
+            off = None
+            for t3, _s3, b3, e3 in _iter_boxes4(payload, b2, e2):
+                if t3 != b"trun":
+                    continue
+                tr_flags = int.from_bytes(payload[b3 + 1:b3 + 4], "big")
+                p3 = b3 + 4
+                (scount,) = struct.unpack_from(">I", payload, p3)
+                p3 += 4
+                if tr_flags & 0x000001:
+                    (doff,) = struct.unpack_from(">i", payload, p3)
+                    p3 += 4
+                    off = base + doff
+                elif off is None:
+                    off = base
+                first_flags = None
+                if tr_flags & 0x000004:
+                    (first_flags,) = struct.unpack_from(">I", payload, p3)
+                    p3 += 4
+                for k in range(scount):
+                    dur, size, sflags = ddur, dsize, dflags
+                    if tr_flags & 0x000100:
+                        (dur,) = struct.unpack_from(">I", payload, p3)
+                        p3 += 4
+                    if tr_flags & 0x000200:
+                        (size,) = struct.unpack_from(">I", payload, p3)
+                        p3 += 4
+                    if tr_flags & 0x000400:
+                        (sflags,) = struct.unpack_from(">I", payload, p3)
+                        p3 += 4
+                    if tr_flags & 0x000800:  # composition offset
+                        p3 += 4
+                    if k == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if size is None:
+                        raise ValueError(
+                            "MP4 trun sample has no size (no inline, "
+                            "tfhd, or trex default)")
+                    if emit:
+                        if dur is None:
+                            raise ValueError(
+                                "MP4 trun sample has no duration (no "
+                                "inline, tfhd, or trex default)")
+                        if off + size > len(payload):
+                            raise ValueError(
+                                "MP4 sample range exceeds payload")
+                        samples.append(Mp4Sample(
+                            index=si, offset=off, size=size,
+                            dts_ms=t_cursor * 1000 // timescale,
+                            keyframe=not ((sflags or 0) & _NON_SYNC_BIT),
+                            codec=codec,
+                        ))
+                        si += 1
+                        t_cursor += dur
+                    off += size
+            if off is not None:
+                implicit_base = off
+    if not samples:
+        raise ValueError("fragmented MP4 has no trun samples for the "
+                         "selected track")
     return samples
 
 

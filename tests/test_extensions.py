@@ -977,17 +977,34 @@ class TestMp4Demux:
         keys = keyframe_sample_bytes(self._mp4_payload(), "mp4")
         assert keys == [self.FRAMES[0], self.FRAMES[3]]
 
-    def test_rejects_fragmented_and_garbage(self):
+    def test_rejects_garbage_and_bare_fragment(self):
         import struct
 
         from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
 
         with pytest.raises(ValueError):
             demux_mp4(b"\x89PNG definitely not bmff")
+        # a moof with no moov (media segment without its init
+        # segment) is demuxable only with the init — ValueError, so
+        # dead-letter routing captures it
         frag = (struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
                 + struct.pack(">I", 8) + b"moof")
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             demux_mp4(frag)
+
+    def test_zero_timescale_is_value_error(self):
+        """ADVICE r9: a malformed mdhd with timescale=0 must raise
+        ValueError (the dead-letter contract), not ZeroDivisionError."""
+        import struct
+
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        payload = bytearray(self._mp4_payload())
+        k = payload.find(b"mdhd")
+        # mdhd body: ver/flags(4) creation(4) modification(4) timescale(4)
+        struct.pack_into(">I", payload, k + 4 + 12, 0)
+        with pytest.raises(ValueError, match="timescale"):
+            demux_mp4(bytes(payload))
 
     def test_frame_metadata_plans_selective_decode(self, spark):
         """The 100 TB video pattern: metadata-only demux of the whole
@@ -1133,6 +1150,157 @@ class TestMp4Demux:
         assert all(r.n_frames_total == 5 for r in got if r.media_id == 1)
         other = [r for r in got if r.media_id == 2]
         assert [r.frame_index for r in other] == [0, 2]  # 3 chunks, keep 0/2
+
+
+class TestFmp4Demux:
+    """Fragmented-MP4 demux (VERDICT r9 item 4): a minimal stdlib
+    fMP4 MUXER builds init segment (moov with empty stbl + mvex/trex
+    defaults) plus two moof+mdat fragments, and the demuxer must
+    recover every access unit byte-exactly with dts and keyframe
+    flags — across the three base-offset modes (default-base-is-moof,
+    explicit base-data-offset, implicit first-traf-base) and both
+    size sourcing modes (per-sample trun sizes vs tfhd default)."""
+
+    FRAG1 = [b"IFRAME-a" * 4, b"pframe-b" * 2, b"pframe-c" * 3]
+    FRAG2 = [b"IFRAME-d" * 5, b"pframe-e" * 2]
+    DUR1, DUR2 = [40, 40, 20], [20, 30]
+
+    @classmethod
+    def _fmp4_payload(cls, size_mode="per_sample", base_mode="moof"):
+        import struct
+
+        def box(btype, body):
+            return struct.pack(">I", len(body) + 8) + btype + body
+
+        def full(btype, body, ver=0, flags=0):
+            return box(btype, struct.pack(">I", (ver << 24) | flags) + body)
+
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"iso6")
+        tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 1))  # track_id 1
+        stsd = full(b"stsd", struct.pack(">I", 1)
+                    + box(b"avc1", b"\x00" * 16))
+        minf = box(b"minf", box(b"stbl", stsd))
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                    + b"\x00" * 12 + b"v\x00")
+        mdhd = full(b"mdhd", struct.pack(">IIIHH", 0, 0, 1000, 0, 0))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        # trex: duration default 0, size default 0, flags default
+        # non-sync (so keyframes must come from trun/first-sample flags)
+        trex = full(b"trex", struct.pack(">IIIII", 1, 1, 0, 0, 0x10000))
+        moov = box(b"moov", box(b"trak", tkhd + mdia) + box(b"mvex", trex))
+
+        def fragment(seq, frames, durs, base_dt, preceding_len):
+            mfhd = full(b"mfhd", struct.pack(">I", seq))
+            per_sample = size_mode == "per_sample"
+            tf_flags, tf_body = 0, struct.pack(">I", 1)  # track_id
+            tr_flags = 0x1 | 0x4 | 0x100  # data-offset, first-flags, dur
+            if per_sample:
+                tr_flags |= 0x200
+            else:
+                assert len({len(f) for f in frames}) == 1
+                tf_flags |= 0x10
+            tfdt = full(b"tfdt", struct.pack(">I", base_dt))
+
+            def build(data_offset, base_data_offset=None):
+                body, flags = tf_body, tf_flags
+                if base_data_offset is not None:
+                    flags |= 0x1
+                    body = (struct.pack(">I", 1)
+                            + struct.pack(">Q", base_data_offset))
+                if not per_sample:
+                    body += struct.pack(">I", len(frames[0]))
+                if base_mode == "moof":
+                    flags |= 0x020000
+                tfhd = box(b"tfhd",
+                           struct.pack(">I", flags) + body)
+                trun_body = struct.pack(">Ii", len(frames), data_offset)
+                trun_body += struct.pack(">I", 0x0)  # first: sync
+                for f, d in zip(frames, durs):
+                    trun_body += struct.pack(">I", d)
+                    if per_sample:
+                        trun_body += struct.pack(">I", len(f))
+                trun = box(b"trun",
+                           struct.pack(">I", tr_flags) + trun_body)
+                return box(b"moof", mfhd + box(b"traf",
+                                               tfhd + tfdt + trun))
+
+            # Probe build fixes the moof length (offsets are
+            # fixed-width), then rebuild with the real offsets.
+            if base_mode == "explicit":
+                probe = build(8, 0)
+                # base = absolute mdat box start; +8 skips its header
+                moof = build(8, preceding_len + len(probe))
+            else:
+                # moof and implicit modes both measure from moof start
+                probe = build(0)
+                moof = build(len(probe) + 8)
+            return moof + box(b"mdat", b"".join(frames))
+
+        out = ftyp + moov
+        out += fragment(1, cls.FRAG1, cls.DUR1, 0, len(out))
+        out += fragment(2, cls.FRAG2, cls.DUR2, sum(cls.DUR1), len(out))
+        return out
+
+    def test_fmp4_roundtrip_all_modes(self):
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        frames = self.FRAG1 + self.FRAG2
+        for size_mode in ("per_sample", "default"):
+            for base_mode in ("moof", "explicit", "implicit"):
+                if size_mode == "default":
+                    continue  # needs equal sizes; covered below
+                payload = self._fmp4_payload(size_mode, base_mode)
+                got = demux_mp4(payload)
+                assert [payload[s.offset:s.offset + s.size]
+                        for s in got] == frames, (size_mode, base_mode)
+                assert [s.dts_ms for s in got] == [0, 40, 80, 100, 120]
+                assert [s.keyframe for s in got] == [
+                    True, False, False, True, False]
+                assert all(s.codec == "avc1" for s in got)
+
+    def test_fmp4_default_sample_size(self):
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        same = [b"F0" * 8, b"F1" * 8, b"F2" * 8]
+        old1, old2 = self.__class__.FRAG1, self.__class__.FRAG2
+        try:
+            self.__class__.FRAG1, self.__class__.FRAG2 = same, same[:2]
+            payload = self._fmp4_payload("default", "moof")
+            got = demux_mp4(payload)
+            assert [payload[s.offset:s.offset + s.size] for s in got] \
+                == same + same[:2]
+            assert all(s.size == 16 for s in got)
+        finally:
+            self.__class__.FRAG1, self.__class__.FRAG2 = old1, old2
+
+    def test_fmp4_keyframe_and_extractor_paths(self):
+        from flight_data_pipeline_spark.operators.mp4_demux import (
+            extract_sample_bytes, keyframe_sample_bytes)
+
+        payload = self._fmp4_payload()
+        assert extract_sample_bytes(payload, "mp4") \
+            == self.FRAG1 + self.FRAG2
+        assert keyframe_sample_bytes(payload, "mp4") == [
+            self.FRAG1[0], self.FRAG2[0]]
+
+    def test_fmp4_frame_metadata(self, spark):
+        """frame_metadata handles fMP4 rows by default — the
+        selective-decode planning pattern works on DASH/HLS-shaped
+        corpora unchanged."""
+        from flight_data_pipeline_spark.operators.mp4_demux import (
+            frame_metadata)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA)
+
+        payload = self._fmp4_payload()
+        rows = [(7, payload, {"kind": "video", "format": "mp4",
+                              "n_bytes": len(payload)})]
+        got = frame_metadata(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).orderBy("frame_index").collect()
+        assert [(r.frame_index, r.dts_ms, r.keyframe) for r in got] == [
+            (0, 0, True), (1, 40, False), (2, 80, False),
+            (3, 100, True), (4, 120, False)]
 
 
 class TestIvfRecall:
