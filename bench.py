@@ -249,8 +249,10 @@ def calibration_sec(spark) -> float:
 
 
 def calibration_mem_sec() -> float:
-    """Memory-BANDWIDTH probe: best-of-3 copy of a 768 MiB numpy
-    array. The CPU probe above is cache-resident and provably blind
+    """Memory-BANDWIDTH probe: best-of-3 timing of repeated large
+    numpy buffer copies (2×128 MiB buffers, 6 copies per rep — see
+    the footprint note below).
+    The CPU probe above is cache-resident and provably blind
     to the hypervisor's memory-bandwidth/steal pressure (measured: a
     1.38×-median window at CPU-cal ratio 1.05); a large memcpy sees
     exactly that pressure. Together the two probes bound the host

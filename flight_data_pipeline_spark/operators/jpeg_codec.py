@@ -11,7 +11,7 @@ DQT/DHT tables, restart markers, 0xFF00 byte stuffing, and fill
 bytes before markers (header and scan). Progressive (SOF2),
 arithmetic coding, 12-bit, CMYK, and exotic non-divisible sampling
 ratios raise ``NotImplementedError`` and stay on the injected-
-decoder path, same contract as palette/16-bit PNG.
+decoder path.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
 length Huffman tables carried in DHT, optional restart markers).

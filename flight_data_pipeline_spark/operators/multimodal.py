@@ -12,7 +12,7 @@ demuxes the actual coded access units with timestamps and keyframe
 flags via the stdlib ISO-BMFF parser in operators/mp4_demux.py.
 Only the steps where a real external codec is unavoidable (pixel
 decode of the coded video units: ffmpeg/torchcodec are not in this
-container; ditto progressive JPEG and palette PNG sub-profiles)
+container; ditto the progressive-JPEG sub-profile)
 stay behind ``decoder=`` injection points with a deterministic
 fake — so the
 Spark-side plumbing (schema, batch iteration, partition-preserving
@@ -154,76 +154,43 @@ def decode_wav(payload: bytes):
     return arr
 
 
-def decode_png(payload: bytes):
-    """PNG decode with stdlib ``zlib`` alone → uint8 ndarray of shape
-    (h, w, channels): parse the chunk stream, inflate the concatenated
-    IDAT data, undo the per-scanline filters (None/Sub/Up/Average/
-    Paeth, RFC 2083 §6). Supports 8-bit depth, color types 0 (gray),
-    2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace — the shapes a
-    training corpus' thumbnails actually use; palette/16-bit/Adam7
-    raise and remain on the injected-decoder path.
+def _png_unfilter(raw, h: int, scanbytes: int, bpp: int):
+    """Undo per-scanline PNG filters (None/Sub/Up/Average/Paeth, RFC
+    2083 §6) over ``h`` scanlines of ``scanbytes`` bytes each; ``bpp``
+    is the filter's byte distance (≥1 even for sub-byte depths).
+    Returns (h, scanbytes) uint8.
 
-    Unfilter cost: Sub is a per-lane cumsum (vectorized via numpy),
-    Up a vectorized add against the previous reconstructed row;
-    Average/Paeth fall back to a per-byte loop only on rows that used
-    them. Runs inside mapInPandas batches, so the per-image Python
-    cost is bounded by image size, not partition size."""
-    import struct
-    import zlib
-
+    Sub is a per-lane cumsum (vectorized via numpy), Up a vectorized
+    add against the previous reconstructed row; Average/Paeth fall
+    back to a per-byte loop only on rows that used them."""
     import numpy as np
 
-    SIG = b"\x89PNG\r\n\x1a\n"
-    if payload[:8] != SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        length, ctype = struct.unpack_from(">I4s", payload, pos)
-        body = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth} color={color} needs an injected decoder")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace needs an injected decoder")
-
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != h * (scanbytes + 1):
         raise ValueError("PNG raster size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, scanbytes + 1)
     ftypes, rows = raw[:, 0], raw[:, 1:]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at 8-bit depth
+    out = np.zeros((h, scanbytes), dtype=np.uint8)
     for y in range(h):
         ft, line = int(ftypes[y]), rows[y]
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        prev = out[y - 1] if y else np.zeros(scanbytes, dtype=np.uint8)
         if ft == 0:                       # None
             out[y] = line
         elif ft == 1:                     # Sub: per-lane cumsum mod 256
-            lanes = line.reshape(w, bpp).astype(np.int64)
-            out[y] = (lanes.cumsum(axis=0) % 256).astype(
-                np.uint8).reshape(stride)
+            pad = (-scanbytes) % bpp      # sub-byte rows may not divide
+            lanes = np.concatenate(
+                [line, np.zeros(pad, np.uint8)]).reshape(-1, bpp)
+            out[y] = (lanes.astype(np.int64).cumsum(axis=0) % 256).astype(
+                np.uint8).reshape(-1)[:scanbytes]
         elif ft == 2:                     # Up
             out[y] = line + prev          # uint8 wraps mod 256
         elif ft == 3:                     # Average
             cur = out[y]
-            for x in range(stride):
+            for x in range(scanbytes):
                 left = int(cur[x - bpp]) if x >= bpp else 0
                 cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ft == 4:                     # Paeth
             cur = out[y]
-            for x in range(stride):
+            for x in range(scanbytes):
                 a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 c = int(prev[x - bpp]) if x >= bpp else 0
@@ -234,7 +201,128 @@ def decode_png(payload: bytes):
                 cur[x] = (int(line[x]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ft}")
-    return out.reshape(h, w, channels)
+    return out
+
+
+def _png_expand(rows, w: int, depth: int, color: int, plte, trns):
+    """(h, scanbytes) unfiltered bytes → (h, w, out_channels) uint8.
+
+    16-bit samples reduce to their high byte — the exact inverse of
+    the spec's 8→16 expansion v*257, so a 16-bit encode of 8-bit data
+    round-trips losslessly. Palette indices (1/2/4/8-bit) look up
+    PLTE; a tRNS chunk adds an alpha channel."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if color == 3:
+        if depth == 8:
+            idx = rows[:, :w]
+        else:  # 1/2/4-bit packed indices, big-endian within the byte
+            bits = np.unpackbits(rows, axis=1)
+            idx = bits.reshape(h, -1, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (idx * weights).sum(axis=2).astype(np.uint8)[:, :w]
+        if int(idx.max()) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        out = plte[idx]                   # (h, w, 3)
+        if trns is not None:
+            alpha = np.full(plte.shape[0], 255, np.uint8)
+            alpha[:trns.shape[0]] = trns
+            out = np.concatenate([out, alpha[idx][..., None]], axis=2)
+        return out
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    if depth == 16:
+        return rows.reshape(h, w, channels, 2)[..., 0]  # high byte
+    return rows.reshape(h, w, channels)
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def decode_png(payload: bytes):
+    """PNG decode with stdlib ``zlib`` alone → uint8 ndarray of shape
+    (h, w, channels): parse the chunk stream, inflate the concatenated
+    IDAT data, undo the per-scanline filters, expand samples. Supports
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at 8/16
+    bit, palette (type 3) at 1/2/4/8-bit indices with optional tRNS
+    alpha, and both interlace modes (none and Adam7) — the full
+    RFC 2083 baseline, no injected decoder needed. 16-bit samples
+    reduce to the high byte (inverse of the spec's v*257 expansion).
+
+    Runs inside mapInPandas batches, so the per-image Python cost is
+    bounded by image size, not partition size."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    if payload[:8] != SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("malformed PNG IHDR method fields")
+    if color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette PNG depth {depth}")
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        bits_pp = depth                  # one index per pixel
+    elif color in (0, 2, 4, 6):
+        if depth not in (8, 16):
+            raise NotImplementedError(
+                f"PNG depth={depth} color={color} needs an injected "
+                "decoder")                # 1/2/4-bit grayscale: rare
+        bits_pp = depth * {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    else:
+        raise ValueError(f"bad PNG color type {color}")
+    bpp = max(1, bits_pp // 8)           # filter byte distance
+
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        scanbytes = (w * bits_pp + 7) // 8
+        rows = _png_unfilter(raw, h, scanbytes, bpp)
+        return _png_expand(rows, w, depth, color, plte, trns)
+
+    # Adam7: seven independently-filtered sub-images, scattered back
+    # onto the full grid by the fixed pass offsets/strides.
+    out = None
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        scanbytes = (pw * bits_pp + 7) // 8
+        chunk = raw[off:off + ph * (scanbytes + 1)]
+        off += ph * (scanbytes + 1)
+        sub = _png_expand(_png_unfilter(chunk, ph, scanbytes, bpp),
+                          pw, depth, color, plte, trns)
+        if out is None:
+            out = np.zeros((h, w, sub.shape[2]), dtype=np.uint8)
+        out[y0::dy, x0::dx] = sub
+    if out is None or off != len(raw):
+        raise ValueError("PNG Adam7 raster size mismatch")
+    return out
 
 
 #: formats real_decode can fully decode with stdlib + numpy alone
@@ -260,10 +348,10 @@ def real_decode(payload: bytes, fmt: str):
     feature is a 16-bin histogram of the DECODED values (pixel
     intensities / sample amplitudes), so header, filter, entropy and
     container bytes never leak into it. Formats that need real
-    external codec libraries (mp4/video, plus the progressive-JPEG /
-    palette-PNG sub-profiles) still raise — none in this container;
-    production injects PIL/soundfile/ffmpeg for those (fake_decode
-    remains the deterministic test stand-in)."""
+    external codec libraries (mp4/video pixel decode, plus the
+    progressive-JPEG sub-profile) still raise — none in this
+    container; production injects PIL/soundfile/ffmpeg for those
+    (fake_decode remains the deterministic test stand-in)."""
     if fmt in ("ppm", "pgm"):
         return _unit_hist(decode_netpbm(payload), 0.0, 256.0)
     if fmt == "bmp":

@@ -28,9 +28,14 @@ import pandas as pd
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
-#: one row per tar member: sample key + format + opaque payload
+#: one row per tar member: sample key + format + opaque payload.
+#: ``ordinal`` is the member's 0-based position among the shard's file
+#: members — duplicate member names inside one tar are legal, so
+#: (shard, ordinal) is the only per-member unique key the container
+#: guarantees (quarantine rows carry ordinal=-1).
 TAR_MEMBER_SCHEMA = T.StructType([
     T.StructField("shard", T.StringType()),      # shard file name
+    T.StructField("ordinal", T.IntegerType()),   # position in the tar
     T.StructField("key", T.StringType()),        # member name sans ext
     T.StructField("format", T.StringType()),     # member extension
     T.StructField("payload", T.BinaryType()),
@@ -88,10 +93,11 @@ def _untar_rows(shard: str, content: bytes,
     import io
     import tarfile
 
-    rows = {"shard": [], "key": [], "format": [],
+    rows = {"shard": [], "ordinal": [], "key": [], "format": [],
             "payload": [], "n_bytes": []}
     try:
         with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+            ordinal = 0
             for m in tf:
                 if not m.isfile():
                     continue
@@ -99,15 +105,17 @@ def _untar_rows(shard: str, content: bytes,
                 name = posixpath.basename(m.name)
                 key, dot, ext = name.rpartition(".")
                 rows["shard"].append(shard)
+                rows["ordinal"].append(ordinal)
                 rows["key"].append(key if dot else name)
                 rows["format"].append(ext.lower() if dot else "")
                 rows["payload"].append(data)
                 rows["n_bytes"].append(len(data))
+                ordinal += 1
     except (tarfile.TarError, EOFError, OSError) as exc:
         if not skip_corrupt:
             raise
         err = f"{type(exc).__name__}: {exc}".encode()[:300]
-        rows = {"shard": [shard], "key": ["__corrupt__"],
+        rows = {"shard": [shard], "ordinal": [-1], "key": ["__corrupt__"],
                 "format": ["error"], "payload": [err],
                 "n_bytes": [len(content)]}
     return pd.DataFrame(rows)
@@ -138,9 +146,12 @@ def stream_tar_members(shard_paths: DataFrame,
 def tar_members_as_media(members: DataFrame) -> DataFrame:
     """Adapt tar member rows to the media-row contract
     (operators/multimodal.MEDIA_SCHEMA): media_id is a stable 64-bit
-    hash of (shard, member key, format) — deterministic across runs
-    and engines, no global sort or zipWithIndex — and kind is derived
-    from the extension. Non-media members (labels, captions, json)
+    hash of (shard, member ordinal, key, format) — deterministic
+    across runs and engines, no global sort or zipWithIndex — and kind
+    is derived from the extension. The ordinal is in the hash because
+    duplicate member names within one tar are legal; without it two
+    same-named members would collide and break the joinability this
+    contract promises. Non-media members (labels, captions, json)
     come through as kind='blob' so samples stay joinable on media_id
     upstream of any filter."""
     import pyspark.sql.functions as F
@@ -150,7 +161,7 @@ def tar_members_as_media(members: DataFrame) -> DataFrame:
           for ext, k in _KIND_BY_EXT.items()],
         F.lit("blob"))
     return members.select(
-        F.xxhash64("shard", "key", "format").alias("media_id"),
+        F.xxhash64("shard", "ordinal", "key", "format").alias("media_id"),
         F.col("payload"),
         F.struct(
             kind.alias("kind"),
@@ -183,7 +194,18 @@ class TarShardStreamReader:
 
     The reader emits only (shard_path, n_bytes) rows — bytes are read
     and untarred executor-side by ``stream_tar_members``, keeping the
-    driver's per-batch work at one directory listing."""
+    driver's per-batch work at one directory listing.
+
+    Contract violations are AUDITABLE, not silent (VERDICT r9 item 5):
+    a shard that lands with a name <= the watermark (out-of-order
+    arrival, retried upload under an old name) can never be ingested
+    by a name watermark, so each ``read`` diffs the listing's below-
+    watermark tail against the previous listing — in-memory only, NOT
+    part of the checkpointed offset, which stays O(1) — counts fresh
+    appearances in ``watermark_violations``, and logs them. Restart
+    resets the diff baseline (first read after restart can't tell old
+    from new below-watermark names), so the counter is a lower bound;
+    the log line names the offending shards for operator follow-up."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -191,6 +213,10 @@ class TarShardStreamReader:
             raise ValueError("tar_shards_stream requires .option('path', ...)")
         self._dir = path[7:] if path.startswith("file://") else path
         self._suffix = options.get("suffix", ".tar")
+        self._prev_listing: set[str] | None = None
+        #: cumulative count of shards that appeared below the
+        #: watermark after a prior listing (never ingested)
+        self.watermark_violations = 0
 
     def _list(self):
         import os as _os
@@ -205,8 +231,22 @@ class TarShardStreamReader:
         return {"last": ""}
 
     def read(self, start: dict):
+        import logging
+
         last = start["last"]
-        new = [n for n in self._list() if n > last]
+        names = self._list()
+        if self._prev_listing is not None:
+            stale = [n for n in names
+                     if n <= last and n not in self._prev_listing]
+            if stale:
+                self.watermark_violations += len(stale)
+                logging.getLogger(__name__).warning(
+                    "tar_shards_stream: %d shard(s) landed at or below "
+                    "the name watermark %r and will NOT be ingested "
+                    "(arrival-order contract violated): %s",
+                    len(stale), last, stale[:10])
+        self._prev_listing = set(names)
+        new = [n for n in names if n > last]
         rows = [(posixpath.join(self._dir, n),
                  _file_size(posixpath.join(self._dir, n))) for n in new]
         end = {"last": new[-1] if new else last}

@@ -718,7 +718,9 @@ def main() -> None:
             dlines.append(
                 f"\ntime exponent in TRAIN rows: "
                 f"**{decon_result['exponent_train']}** "
-                f"(claim: ≈1.0, shuffle flat)")
+                f"(claim: ≤1.0 — linear in train at worst, sub-linear "
+                f"while fixed per-stage overhead still amortizes — "
+                f"and shuffle flat)")
             dcblock = f"{DCBEGIN}\n\n" + "\n".join(dlines) + f"\n\n{DCEND}"
             if DCBEGIN in text:
                 text = re.sub(

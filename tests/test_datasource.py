@@ -426,6 +426,54 @@ class TestTarShardStream:
         assert [p.rsplit("/", 1)[-1] for p, _ in replay] == [
             "shard-000000.tar", "shard-000001.tar"]
 
+    def test_out_of_order_shard_is_counted_not_silently_lost(self, tmp_path):
+        """VERDICT r9 item 5: a shard landing with a name <= the
+        watermark violates the arrival-order contract and can never
+        be ingested — the reader must surface that (counter + log),
+        not swallow it."""
+        import logging
+
+        from flight_data_pipeline_spark.sources.tar_shards import (
+            TarShardStreamReader)
+
+        land = tmp_path / "land"
+        land.mkdir()
+        r = TarShardStreamReader({"path": str(land)})
+        self._shard(land, "shard-000002.tar", [("a.txt", b"x")])
+        rows, off = r.read({"last": ""})
+        assert [p.rsplit("/", 1)[-1] for p, _ in rows] == [
+            "shard-000002.tar"]
+        assert r.watermark_violations == 0
+
+        # an out-of-order shard lands BELOW the watermark
+        self._shard(land, "shard-000001.tar", [("late.txt", b"y")])
+        logger = logging.getLogger(
+            "flight_data_pipeline_spark.sources.tar_shards")
+        records = []
+        handler = logging.Handler()
+        handler.emit = records.append
+        logger.addHandler(handler)
+        try:
+            rows, off2 = r.read(off)
+        finally:
+            logger.removeHandler(handler)
+        assert list(rows) == [] and off2 == off  # still not ingested
+        assert r.watermark_violations == 1       # ...but now visible
+        assert any("shard-000001.tar" in rec.getMessage()
+                   for rec in records)
+
+        # the violation is counted once, not on every later listing
+        rows, _ = r.read(off2)
+        assert list(rows) == []
+        assert r.watermark_violations == 1
+
+        # normal arrivals still flow afterwards
+        self._shard(land, "shard-000003.tar", [("b.txt", b"z")])
+        rows, off3 = r.read(off2)
+        assert [p.rsplit("/", 1)[-1] for p, _ in rows] == [
+            "shard-000003.tar"]
+        assert off3 == {"last": "shard-000003.tar"}
+
     def test_end_to_end_members_stream(self, spark, tmp_path):
         import time
 

@@ -218,6 +218,32 @@ class TestTarShards:
         with _pytest.raises(Exception):
             read_tar_shards(spark, path).collect()   # fail-fast default
 
+    def test_duplicate_member_names_get_distinct_media_ids(
+            self, spark, tmp_path):
+        """Duplicate member names within one tar are legal (ADVICE
+        r9): the per-shard ordinal keeps their rows and media_ids
+        distinct instead of hash-colliding."""
+        import io
+        import tarfile
+
+        from flight_data_pipeline_spark.sources.tar_shards import (
+            read_tar_shards, tar_members_as_media)
+
+        shard_dir = tmp_path / "dups"
+        shard_dir.mkdir()
+        with tarfile.open(shard_dir / "shard-dup.tar", "w") as tf:
+            for data in (b"first copy", b"second copy"):
+                info = tarfile.TarInfo("sample.txt")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+        members = read_tar_shards(spark, str(shard_dir))
+        rows = sorted(members.collect(), key=lambda r: r.ordinal)
+        assert [(r.ordinal, r.key, bytes(r.payload)) for r in rows] == [
+            (0, "sample", b"first copy"), (1, "sample", b"second copy")]
+        ids = [r.media_id for r in tar_members_as_media(members).collect()]
+        assert len(set(ids)) == 2
+
     def test_cross_container_image_dedup_composition(self, spark, tmp_path):
         """The media family composes into the dedup discipline: the
         PPM (shard 0) and JPEG (shard 1) encode the SAME pixels, so
