@@ -214,14 +214,17 @@ def _png_expand(rows, w: int, depth: int, color: int, plte, trns):
     import numpy as np
 
     h = rows.shape[0]
+
+    def unpack_subbyte(packed):
+        """(h, scanbytes) → (h, w) values at 1/2/4 bits per sample,
+        big-endian within each byte (RFC 2083 §2.3)."""
+        bits = np.unpackbits(packed, axis=1)
+        vals = bits.reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (vals * weights).sum(axis=2).astype(np.uint8)[:, :w]
+
     if color == 3:
-        if depth == 8:
-            idx = rows[:, :w]
-        else:  # 1/2/4-bit packed indices, big-endian within the byte
-            bits = np.unpackbits(rows, axis=1)
-            idx = bits.reshape(h, -1, depth)
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-            idx = (idx * weights).sum(axis=2).astype(np.uint8)[:, :w]
+        idx = rows[:, :w] if depth == 8 else unpack_subbyte(rows)
         if int(idx.max()) >= plte.shape[0]:
             raise ValueError("PNG palette index out of range")
         out = plte[idx]                   # (h, w, 3)
@@ -231,6 +234,10 @@ def _png_expand(rows, w: int, depth: int, color: int, plte, trns):
             out = np.concatenate([out, alpha[idx][..., None]], axis=2)
         return out
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    if depth < 8:  # grayscale only (spec): left-bit replication is
+        # exactly v * 255/(2^d - 1) for the sub-byte depths
+        return (unpack_subbyte(rows)
+                * np.uint8(255 // ((1 << depth) - 1)))[..., None]
     if depth == 16:
         return rows.reshape(h, w, channels, 2)[..., 0]  # high byte
     return rows.reshape(h, w, channels)
@@ -245,11 +252,13 @@ def decode_png(payload: bytes):
     """PNG decode with stdlib ``zlib`` alone → uint8 ndarray of shape
     (h, w, channels): parse the chunk stream, inflate the concatenated
     IDAT data, undo the per-scanline filters, expand samples. Supports
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at 8/16
-    bit, palette (type 3) at 1/2/4/8-bit indices with optional tRNS
-    alpha, and both interlace modes (none and Adam7) — the full
-    RFC 2083 baseline, no injected decoder needed. 16-bit samples
-    reduce to the high byte (inverse of the spec's v*257 expansion).
+    every legal RFC 2083 shape: color types 0 (gray, 1/2/4/8/16-bit),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA) at 8/16-bit, palette (type 3)
+    at 1/2/4/8-bit indices with optional tRNS alpha, and both
+    interlace modes (none and Adam7) — no injected decoder needed.
+    16-bit samples reduce to the high byte (inverse of the spec's
+    v*257 expansion); sub-byte grayscale left-bit-replicates to
+    8-bit (v * 255/(2^d-1)).
 
     Runs inside mapInPandas batches, so the per-image Python cost is
     bounded by image size, not partition size."""
@@ -287,12 +296,15 @@ def decode_png(payload: bytes):
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         bits_pp = depth                  # one index per pixel
-    elif color in (0, 2, 4, 6):
+    elif color == 0:
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"bad grayscale PNG depth {depth}")
+        bits_pp = depth
+    elif color in (2, 4, 6):
         if depth not in (8, 16):
-            raise NotImplementedError(
-                f"PNG depth={depth} color={color} needs an injected "
-                "decoder")                # 1/2/4-bit grayscale: rare
-        bits_pp = depth * {0: 1, 2: 3, 4: 2, 6: 4}[color]
+            raise ValueError(
+                f"bad PNG depth {depth} for color type {color}")
+        bits_pp = depth * {2: 3, 4: 2, 6: 4}[color]
     else:
         raise ValueError(f"bad PNG color type {color}")
     bpp = max(1, bits_pp // 8)           # filter byte distance

@@ -1859,7 +1859,81 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_merge_table")  # iterative argmax loop has no SQL twin ⇒ rows-only
+def _bpe_oracle_sql(num_merges: int = 12, min_count: int = 2) -> str:
+    """DuckDB replay of the full bpe_learn loop (r10: promotes
+    bpe_merge_table from rows-only to hash-checked, VERDICT r9 item
+    7). The argmax loop is UNROLLED into one materialized CTE chain
+    per merge round — num_merges is a fixed literal of the checked
+    query, so no recursion is needed — and the greedy left-to-right
+    merge apply is a literal ``replace()``: each symbol is encoded as
+    ``chr(1)||sym||chr(2)``, making the adjacent pair (p1,p2) the
+    unique substring chr(1)p1chr(2)chr(1)p2chr(2); SQL replace scans
+    the original string left-to-right over non-overlapping
+    occurrences, which IS the Sennrich greedy-apply order (the fold
+    in operators/bpe._merge_fold). MATERIALIZED is load-bearing:
+    each state is referenced twice per round, so inlined CTEs would
+    re-evaluate the chain exponentially. Empty best rounds (no pair
+    >= min_count) surface as NULL via the aggregate wrapper and
+    no-op the state, mirroring the Spark sentinel rows; the final
+    filter drops them exactly like bpe_learn does."""
+    parts = ["""
+    WITH state_0 AS MATERIALIZED (
+        SELECT word, n,
+               list_aggregate(
+                   list_transform(
+                       list_append(string_split(word, ''), '</w>'),
+                       x -> chr(1) || x || chr(2)),
+                   'string_agg', '') AS s
+        FROM (
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ) WHERE length(word) > 0 GROUP BY word
+        )
+    )"""]
+    for r in range(1, num_merges + 1):
+        parts.append(f"""
+    pc_{r} AS MATERIALIZED (
+        SELECT pr[1] AS p1, pr[2] AS p2, sum(n) AS cnt
+        FROM (
+            SELECT n, unnest(list_zip(l[1:-2], l[2:])) AS pr
+            FROM (
+                SELECT n, string_split(
+                    trim(s, chr(1) || chr(2)), chr(2) || chr(1)) AS l
+                FROM state_{r - 1}
+            ) WHERE len(l) >= 2
+        ) GROUP BY 1, 2
+    ),
+    best_{r} AS MATERIALIZED (
+        SELECT any_value(p1) AS p1, any_value(p2) AS p2,
+               any_value(cnt) AS cnt
+        FROM (
+            SELECT p1, p2, cnt FROM pc_{r}
+            WHERE cnt >= {min_count}
+            ORDER BY cnt DESC, p1, p2 LIMIT 1
+        )
+    ),
+    state_{r} AS MATERIALIZED (
+        SELECT word, n,
+               CASE WHEN b.cnt IS NULL THEN s
+                    ELSE replace(s,
+                         chr(1) || b.p1 || chr(2)
+                             || chr(1) || b.p2 || chr(2),
+                         chr(1) || b.p1 || b.p2 || chr(2))
+               END AS s
+        FROM state_{r - 1} CROSS JOIN best_{r} b
+    )""")
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({r} AS INT) AS rank, p1 AS \"left\","
+        f" p2 AS \"right\", p1 || p2 AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM best_{r}"
+        for r in range(1, num_merges + 1))
+    return (",".join(parts)
+            + f"\n    SELECT * FROM (\n{union}\n    )"
+            f" WHERE pair_count >= {min_count}")
+
+
+@query("bpe_merge_table", oracle=_bpe_oracle_sql())
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction over the corpus
     (operators/bpe.bpe_learn): the tokenizer-training step of an LLM
@@ -1870,10 +1944,12 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline). Returns the learned merge sequence
     (rank, left, right, merged, pair_count).
 
-    Rows-only: a num_merges-round argmax loop is beyond a recursive
-    CTE oracle, so the driver records rows/schema; exact equivalence
-    to the serial Sennrich algorithm is property-pinned against a
-    pure-Python oracle on randomized corpora
+    Hash-checked since r10: the DuckDB oracle (_bpe_oracle_sql)
+    unrolls the 12 merge rounds into a materialized CTE chain and
+    replays the greedy apply as a delimiter-encoded literal replace —
+    see its docstring. Exact equivalence to the serial Sennrich
+    algorithm is additionally property-pinned against a pure-Python
+    oracle on randomized corpora
     (tests/test_properties.py::test_bpe_learn_matches_serial)."""
     from flight_data_pipeline_spark.operators.bpe import bpe_learn
 

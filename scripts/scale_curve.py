@@ -207,6 +207,8 @@ RBEGIN = "<!-- SCALECURVE-RETRIEVAL:BEGIN (generated by scripts/scale_curve.py) 
 REND = "<!-- SCALECURVE-RETRIEVAL:END -->"
 DCBEGIN = "<!-- SCALECURVE-DECON:BEGIN (generated by scripts/scale_curve.py) -->"
 DCEND = "<!-- SCALECURVE-DECON:END -->"
+MBEGIN = "<!-- SCALECURVE-MEDIA:BEGIN (generated by scripts/scale_curve.py) -->"
+MEND = "<!-- SCALECURVE-MEDIA:END -->"
 
 
 def build_corpus(scale: int, out_dir: str) -> None:
@@ -379,6 +381,100 @@ def build_decon_corpus(scale: int, out_dir: str) -> None:
             (FORMAT PARQUET);
         """
     )
+
+
+# The media tier (VERDICT r9 item 8): tar-shard untar → media adapt →
+# real decode → featurize, end to end. Growth = MORE SHARDS (the
+# WebDataset landing-zone shape: a corpus grows by landing shards, and
+# the shard is the unit of parallelism). Every stage is map-side
+# (binaryFile scan → mapInPandas untar → mapInPandas decode/featurize)
+# so the claim under test is time ≈ linear in shard count with ZERO
+# shuffle growth — the whole family's 100 TB story in one measured row.
+#
+# Two measurement-validity choices (both learned from first cuts):
+# - 1x must already saturate local[32] (64 shards = 2 task waves):
+#   with fewer-than-cores shards the early scales ride idle
+#   parallelism and the exponent measures machine fill-up, not the
+#   algorithm (measured 0.66 with an 8-shard base);
+# - per-shard DECODE work must dominate task overhead, or the curve
+#   measures the scheduler (measured exponent 0.20 with ~20 ms
+#   shards). Real corpora are JPEG-dominated, and the pure-python
+#   codec makes JPEG the expensive tier (~44 ms per 128x128), so
+#   shards carry 8 JPEGs (~0.35 s decode each) drawn from a
+#   32-image pool encoded once, plus PPM/WAV/caption variety.
+MEDIA_BASE_SHARDS = 64         # shards at 1x = 2 waves on 32 cores
+MEDIA_JPG_POOL = 32            # distinct 128x128 noise JPEGs, enc once
+MEDIA_JPG_PER_SHARD = 8        # ~0.35 s decode per shard
+MEDIA_PPM_PER_SHARD = 2        # 128x128 RGB netpbm (~48 KiB each)
+MEDIA_WAV_PER_SHARD = 2        # 16-bit mono PCM, 16k samples
+MEDIA_TXT_PER_SHARD = 2        # caption blobs (byte-histogram path)
+
+
+_MEDIA_JPG_CACHE: list = []
+
+
+def _media_jpg_pool() -> list:
+    """The shared JPEG pool, encoded once per process (pure-python
+    encode is as expensive as decode — re-encoding per shard would
+    make corpus GENERATION the bottleneck of the harness)."""
+    import numpy as np
+
+    from flight_data_pipeline_spark.operators.jpeg_codec import (
+        QUANT_STD_LUM, encode_jpeg)
+
+    if not _MEDIA_JPG_CACHE:
+        for i in range(MEDIA_JPG_POOL):
+            rng = np.random.default_rng(1000 + i)
+            img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+            _MEDIA_JPG_CACHE.append(encode_jpeg(img, quant=QUANT_STD_LUM))
+    return _MEDIA_JPG_CACHE
+
+
+def build_media_corpus(scale: int, out_dir: str) -> None:
+    """``MEDIA_BASE_SHARDS * scale`` tar shards of decodable media:
+    JPEGs drawn from the shared pool (the expensive decode tier that
+    dominates real corpora), PPM images, PCM WAVs and caption blobs —
+    deterministic per-shard seeds, so every scale's shard k is
+    byte-identical across runs."""
+    import io
+    import tarfile
+    import wave
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    pool = _media_jpg_pool()
+
+    for k in range(MEDIA_BASE_SHARDS * scale):
+        rng = np.random.default_rng(k)  # shard k identical at every scale
+        dst = os.path.join(out_dir, f"shard-{k:05d}.tar")
+        if os.path.exists(dst):
+            continue
+        with tarfile.open(dst, "w") as tf:
+            def add(name: str, data: bytes) -> None:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+            for i, j in enumerate(rng.choice(
+                    MEDIA_JPG_POOL, MEDIA_JPG_PER_SHARD, replace=False)):
+                add(f"s{k:05d}-jpg{i:03d}.jpeg", pool[j])
+            for i in range(MEDIA_PPM_PER_SHARD):
+                img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+                add(f"s{k:05d}-{i:03d}.ppm",
+                    b"P6\n128 128\n255\n" + img.tobytes())
+            for i in range(MEDIA_WAV_PER_SHARD):
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(16000)
+                    wf.writeframes(rng.integers(
+                        -32768, 32768, 16000, dtype=np.int16).tobytes())
+                add(f"s{k:05d}-wav{i:03d}.wav", buf.getvalue())
+            for i in range(MEDIA_TXT_PER_SHARD):
+                add(f"s{k:05d}-cap{i:03d}.txt",
+                    rng.bytes(400))
 
 
 def shuffle_write_bytes(spark) -> int:
@@ -566,6 +662,60 @@ def main() -> None:
                 [(rows[s]["train_rows"], rows[s]["sec"])
                  for s in SCALES]), 3),
         }
+    media_result = None
+    if "media" in fams:
+        # end-to-end tar → untar → decode → featurize (VERDICT r9
+        # item 8): same protocol as decon — warmup, per-scale page-
+        # cache touch, best-of-N, shuffle-write bytes around each
+        # timed run. The pipeline is built inline (it takes a shard
+        # DIRECTORY, not an sf_dir, so it is not a registry query).
+        from flight_data_pipeline_spark.operators.multimodal import (
+            extract_features)
+        from flight_data_pipeline_spark.sources.tar_shards import (
+            read_tar_shards, tar_members_as_media)
+
+        def run_media(path: str) -> float:
+            t0 = time.time()
+            extract_features(
+                tar_members_as_media(read_tar_shards(spark, path))
+            ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        mroot = os.path.join(root, "media")
+        mdirs = {}
+        for s in SCALES:
+            d = os.path.join(mroot, f"x{s}")
+            build_media_corpus(s, d)
+            mdirs[s] = d
+        run_media(mdirs[1])  # codegen + Arrow warmup
+        nruns = max(1, int(os.environ.get("SPARK_GRAFT_CURVE_RUNS", "1")))
+        mrows = {}
+        for s in SCALES:
+            # page-cache touch (binaryFile first-touch IO otherwise
+            # lands on the first timed pass, same as the parquet note)
+            spark.read.format("binaryFile").load(mdirs[s]) \
+                .write.format("noop").mode("overwrite").save()
+            n_members = read_tar_shards(spark, mdirs[s]).count()
+            best_sec, best_bytes = float("inf"), None
+            for _ in range(nruns):
+                b0 = shuffle_write_bytes(spark)
+                sec = run_media(mdirs[s])
+                b1 = shuffle_write_bytes(spark)
+                if sec < best_sec:
+                    best_sec, best_bytes = sec, b1 - b0
+            mrows[s] = {"sec": round(best_sec, 3),
+                        "shuffle_mb": round(best_bytes / 1e6, 2),
+                        "n_shards": MEDIA_BASE_SHARDS * s,
+                        "n_members": n_members}
+        out["media"] = media_result = {
+            "sf_dir": "synthetic tar shards (deterministic seeds)",
+            "scales": SCALES,
+            "rows": {str(s): mrows[s] for s in SCALES},
+            "exponent": round(fit_exponent(
+                [(s, mrows[s]["sec"]) for s in SCALES]), 3),
+            "exponent_tail": round(fit_exponent(
+                [(s, mrows[s]["sec"]) for s in SCALES[1:]]), 3),
+        }
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
@@ -742,6 +892,42 @@ def main() -> None:
                     "Seconds + shuffle-write bytes per timed run,\n"
                     "local[32].\n\n"
                     + dcblock + "\n"
+                )
+
+        if media_result is not None:
+            mlines = [
+                "| scale | shards | members | sec | shuffle MB |",
+                "|---|---|---|---|---|",
+            ]
+            for s in media_result["scales"]:
+                r = media_result["rows"][str(s)]
+                mlines.append(
+                    f"| {s}x | {r['n_shards']} | {r['n_members']} |"
+                    f" {r['sec']} | {r['shuffle_mb']} |")
+            mlines.append(
+                f"\ntime exponent in SHARDS: "
+                f"**{media_result['exponent']}** (tail 2x-8x: "
+                f"{media_result['exponent_tail']}; claim: ≈1.0 — the "
+                f"pipeline is map-side at every stage — and shuffle "
+                f"ZERO at all scales)")
+            mblock = f"{MBEGIN}\n\n" + "\n".join(mlines) + f"\n\n{MEND}"
+            if MBEGIN in text:
+                text = re.sub(
+                    re.escape(MBEGIN) + r".*?" + re.escape(MEND), mblock,
+                    text, flags=re.S)
+            else:
+                text += (
+                    "\n## Measured scale curve (media tier, end to"
+                    " end)\n\n"
+                    "tar-shard untar → media adapt → REAL decode (PPM/"
+                    "PNG/WAV) → featurize, timed over 1x-8x the shard\n"
+                    "count (the WebDataset growth axis: a corpus grows\n"
+                    "by landing shards, and the shard is the unit of\n"
+                    "parallelism). Every stage is mapInPandas over the\n"
+                    "binaryFile scan, so the claim is time ≈ linear in\n"
+                    "shards with ZERO shuffle at every scale. Seconds +\n"
+                    "shuffle-write bytes per timed run, local[32].\n\n"
+                    + mblock + "\n"
                 )
 
         if stats_result is not None:

@@ -585,13 +585,15 @@ class TestMultimodal:
             bits_pp = depth
         else:
             h, w, ch = img.shape
-            bits_pp = depth * ch
+            bits_pp = depth * ch if depth >= 8 else depth
 
         def raster(sub):
             if color_type == 3:
                 if depth == 8:
                     return sub
                 return cls._pack_indices(sub, depth)
+            if color_type == 0 and depth < 8:  # sub-byte grayscale
+                return cls._pack_indices(sub[:, :, 0], depth)
             if depth == 16:
                 return np.ascontiguousarray(
                     sub.astype(">u2")).view(np.uint8).reshape(
@@ -697,6 +699,23 @@ class TestMultimodal:
             dec = decode_png(self._png_payload(img16, color_type, depth=16))
             assert np.array_equal(dec, img8), color_type
 
+    def test_decode_png_subbyte_grayscale(self):
+        """1/2/4-bit grayscale left-bit-replicates to 8-bit: encoding
+        v then decoding yields v * 255/(2^d - 1) exactly."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+        )
+
+        rng = np.random.default_rng(29)
+        for depth in (1, 2, 4):
+            hi = (1 << depth) - 1
+            img = rng.integers(0, hi + 1, size=(6, 9, 1), dtype=np.uint8)
+            dec = decode_png(self._png_payload(img, 0, depth=depth))
+            assert dec.shape == (6, 9, 1)
+            assert np.array_equal(dec, img * np.uint8(255 // hi)), depth
+
     def test_decode_png_adam7(self):
         """Adam7 interlace: the seven independently-filtered passes
         scatter back to the original image — plain RGB, 16-bit, and
@@ -740,15 +759,15 @@ class TestMultimodal:
             return (struct.pack(">I", len(body)) + ctype + body
                     + struct.pack(">I", zlib.crc32(ctype + body)))
 
-        # sub-byte GRAYSCALE (legal but rare) still routes to the
-        # injected decoder; palette is decoded since r10
-        gray4 = (b"\x89PNG\r\n\x1a\n"
-                 + chunk(b"IHDR",
-                         struct.pack(">IIBBBBB", 2, 1, 4, 0, 0, 0, 0))
-                 + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
-                 + chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError):
-            decode_png(gray4)
+        # an ILLEGAL depth/color combination (RFC 2083 §4.1.1: color
+        # type 2 allows 8/16 only) is a malformed file → ValueError
+        rgb4 = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", 2, 1, 4, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+                + chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            decode_png(rgb4)
         # palette with a missing PLTE and an out-of-range index are
         # malformed files → ValueError (dead-letter), not injection
         pal_no_plte = (b"\x89PNG\r\n\x1a\n"
