@@ -2,24 +2,27 @@
 multimodal decode tier — closes the jpeg third of the jpeg/png/mp4
 codec gap; no PIL/libjpeg/ffmpeg in this container).
 
-Decoder: ITU-T T.81 BASELINE SEQUENTIAL DCT, Huffman entropy coding —
-the profile every compliant JPEG file must also be decodable as, and
-what image training corpora overwhelmingly contain. Supports 8-bit
-grayscale and 3-component YCbCr at integer-ratio sampling factors
-(4:4:4, 4:2:2, 4:2:0, 4:1:1 — universal in practice), multiple
-DQT/DHT tables, restart markers, 0xFF00 byte stuffing, and fill
-bytes before markers (header and scan). Progressive (SOF2),
-arithmetic coding, 12-bit, CMYK, and exotic non-divisible sampling
-ratios raise ``NotImplementedError`` and stay on the injected-
-decoder path.
+Decoder: ITU-T T.81 BASELINE SEQUENTIAL DCT plus PROGRESSIVE
+(SOF2, Annex G: spectral selection + successive approximation —
+the web's second-most-common profile), Huffman entropy coding.
+Supports 8-bit grayscale and 3-component YCbCr at integer-ratio
+sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 — universal in
+practice), multiple DQT/DHT tables (redefinable between progressive
+scans), restart markers, 0xFF00 byte stuffing, and fill bytes
+before markers (header and scan). Arithmetic coding, 12-bit,
+lossless, and CMYK raise ``NotImplementedError`` and stay on the
+injected-decoder path.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
-length Huffman tables carried in DHT, optional restart markers).
-It exists so tests can ROUND-TRIP real JPEG bitstreams in-container —
-the same reason tests/test_extensions.py carries a PNG encoder — and
-doubles as the write side of a media re-encode stage. With an
-all-ones quant table the round trip is exact up to DCT rounding
-(max ±2 per pixel), which the tests pin.
+length Huffman tables carried in DHT, optional restart markers) and
+a progressive encoder (``encode_jpeg_progressive``) whose scan
+script exercises every Annex-G decode path. They exist so tests can
+ROUND-TRIP real JPEG bitstreams in-container — the same reason
+tests/test_extensions.py carries a PNG encoder — and double as the
+write side of a media re-encode stage. With an all-ones quant table
+the round trip is exact up to DCT rounding (max ±2 per pixel), and
+progressive decode is bit-identical to baseline decode of the same
+image (same coefficients) — both pinned in tests.
 
 Scale posture: decode runs per-image inside Arrow ``mapInPandas``
 batches (operators/multimodal.py), so cost is bounded by image size,
@@ -245,6 +248,149 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, i
 
 
+def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
+                              h_img, w_img, hmax, vmax) -> None:
+    """T.81 Annex G progressive (Huffman) scan decoding into the
+    shared zigzag coefficient store — the successive-approximation /
+    spectral-selection algorithms as in libjpeg's jdphuff.c:
+
+    - DC first (Ss=0, Ah=0): baseline DC diffs, value << Al; may be
+      interleaved (MCU order) or single-component;
+    - DC refinement (Ah>0): one raw bit per block ORed in at Al;
+    - AC first (Ss>0, Ah=0): band [Ss, Se] with EOB-run coding;
+    - AC refinement (Ah>0): ±1<<Al insertions plus one correction
+      bit for every already-nonzero coefficient visited, including
+      the EOB-run tail.
+
+    AC scans are single-component by spec; their block raster covers
+    only the component's CODED blocks (ceil(comp_dim/8)), which is
+    smaller than the MCU-padded store for subsampled components.
+    Restart markers reset DC predictors and the EOB run."""
+    for sel, ss, se, ah, al, rst, segments in scans:
+        interleaved = len(sel) > 1
+        if interleaved and ss != 0:
+            raise ValueError("progressive AC scan must be "
+                             "single-component")
+
+        def units():
+            if interleaved:
+                for mcu in range(mcus_x * mcus_y):
+                    my, mx = divmod(mcu, mcus_x)
+                    blocks = []
+                    for ci, _dc, _ac in sel:
+                        _, hi, vi, _ = comps[ci]
+                        blocks.extend(
+                            (ci, my * vi + v, mx * hi + hh)
+                            for v in range(vi) for hh in range(hi))
+                    yield blocks
+            else:
+                # non-interleaved: raster over the component's CODED
+                # block grid — ceil(ceil(dim * fac / fac_max) / 8)
+                ci = sel[0][0]
+                _, hi, vi, _ = comps[ci]
+                cw = -(-(w_img * hi) // hmax)
+                ch = -(-(h_img * vi) // vmax)
+                for by in range(-(-ch // 8)):
+                    for bx in range(-(-cw // 8)):
+                        yield [(ci, by, bx)]
+
+        seg_idx = 0
+        br = _BitReader(segments[0])
+        preds = [0] * len(comps)
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for uidx, blocks in enumerate(units()):
+            if rst and uidx and uidx % rst == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing RST segment in JPEG scan")
+                br = _BitReader(segments[seg_idx])
+                preds = [0] * len(comps)
+                eobrun = 0
+            for ci, by, bx in blocks:
+                blk = coef[ci][by, bx]
+                dc_lut, ac_lut = sel[0][1], sel[0][2]
+                if interleaved:
+                    dc_lut = next(s[1] for s in sel if s[0] == ci)
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("progressive DC scan with Se>0")
+                    if ah == 0:      # DC first
+                        if dc_lut is None:
+                            raise ValueError(
+                                "JPEG scan references missing DHT")
+                        t = _decode_symbol(br, dc_lut)
+                        preds[ci] += _extend(br.receive(t), t)
+                        blk[0] = preds[ci] << al
+                    else:            # DC refinement: one raw bit
+                        if br.receive(1):
+                            blk[0] |= p1
+                elif ah == 0:        # AC first (G.1.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    if ac_lut is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    k = ss
+                    while k <= se:
+                        rs = _decode_symbol(br, ac_lut)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            k += 16      # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            blk[k] = _extend(br.receive(s), s) << al
+                            k += 1
+                else:                # AC refinement (G.1.2.3)
+                    if ac_lut is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _decode_symbol(br, ac_lut)
+                            r, s = rs >> 4, rs & 0x0F
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError(
+                                        "invalid AC refinement symbol")
+                                val = p1 if br.receive(1) else m1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            # advance past r zero-history positions,
+                            # emitting a correction bit at every
+                            # nonzero-history coefficient on the way
+                            while k <= se:
+                                if blk[k]:
+                                    if br.receive(1) and not (blk[k] & p1):
+                                        blk[k] += p1 if blk[k] > 0 else m1
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                            if s and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun:
+                        while k <= se:   # EOB-run tail corrections
+                            if blk[k] and br.receive(1) \
+                                    and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline-sequential JPEG → uint8 ndarray of shape
     (h, w, 1) for grayscale or (h, w, 3) RGB (JFIF BT.601 full-range
@@ -256,8 +402,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_luts: dict[int, list] = {}
     ac_luts: dict[int, list] = {}
     frame = None          # (h, w, [(comp_id, hi, vi, tq), ...])
+    progressive = False
     restart_interval = 0
-    scan = None           # ([(comp_idx, dc_id, ac_id), ...], segments)
+    # [( [(comp_idx, dc_lut, ac_lut), ...], Ss, Se, Ah, Al,
+    #    restart_interval, segments ), ...] — luts snapshotted at SOS
+    # time because DHT may redefine tables between progressive scans
+    scans: list[tuple] = []
 
     pos = 2
     while pos + 4 <= len(payload):
@@ -299,7 +449,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (ac_luts if tc else dc_luts)[th] = _build_decode_lut(
                     counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both sequential DCT)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
@@ -315,11 +465,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "progressive/lossless/arithmetic) needs an injected decoder")
+                "lossless/arithmetic/differential) needs an injected "
+                "decoder")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -330,19 +482,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comp_ids = [c[0] for c in frame[2]]
             for s in range(ns):
                 cid, tt = body[1 + 2 * s:3 + 2 * s]
-                sel.append((comp_ids.index(cid), tt >> 4, tt & 0x0F))
+                sel.append((comp_ids.index(cid),
+                            dc_luts.get(tt >> 4), ac_luts.get(tt & 0x0F)))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             segments, pos = _split_scan(payload, pos)
-            scan = (sel, segments)
-            break  # single-scan baseline: decode now
+            scans.append((sel, ss, se, ahal >> 4, ahal & 0x0F,
+                          restart_interval, segments))
+            if not progressive:
+                break  # single-scan baseline: decode now
         # else: APPn / COM / DNL — skip
 
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
 
     h_img, w_img, comps = frame
-    sel, segments = scan
-    if len(sel) != len(comps):
-        raise NotImplementedError("multi-scan JPEG needs an injected decoder")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -354,41 +508,50 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     coef = [np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)
             for c in comps]
 
-    seg_idx = 0
-    br = _BitReader(segments[0])
-    preds = [0] * len(comps)
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("missing RST segment in JPEG scan")
-            br = _BitReader(segments[seg_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, dc_id, ac_id in sel:
-            _, hi, vi, _ = comps[ci]
-            dc_lut, ac_lut = dc_luts[dc_id], ac_luts[ac_id]
-            for v in range(vi):
-                for hh in range(hi):
-                    blk = np.zeros(64, dtype=np.int64)
-                    t = _decode_symbol(br, dc_lut)
-                    preds[ci] += _extend(br.receive(t), t)
-                    blk[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(br, ac_lut)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break        # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        blk[k] = _extend(br.receive(s), s)
-                        k += 1
-                    coef[ci][my * vi + v, mx * hi + hh] = blk
+    if progressive:
+        _decode_progressive_scans(
+            scans, comps, coef, mcus_x, mcus_y, h_img, w_img, hmax, vmax)
+    else:
+        sel, _ss, _se, _ah, _al, restart_interval, segments = scans[0]
+        if len(sel) != len(comps):
+            raise NotImplementedError(
+                "multi-scan sequential JPEG needs an injected decoder")
+        seg_idx = 0
+        br = _BitReader(segments[0])
+        preds = [0] * len(comps)
+        for mcu in range(n_mcus):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing RST segment in JPEG scan")
+                br = _BitReader(segments[seg_idx])
+                preds = [0] * len(comps)
+            my, mx = divmod(mcu, mcus_x)
+            for ci, dc_lut, ac_lut in sel:
+                _, hi, vi, _ = comps[ci]
+                if dc_lut is None or ac_lut is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                for v in range(vi):
+                    for hh in range(hi):
+                        blk = np.zeros(64, dtype=np.int64)
+                        t = _decode_symbol(br, dc_lut)
+                        preds[ci] += _extend(br.receive(t), t)
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, ac_lut)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break        # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.receive(s), s)
+                            k += 1
+                        coef[ci][my * vi + v, mx * hi + hh] = blk
 
     # dequantize + dezigzag + IDCT, whole component at once
     planes = []
@@ -445,12 +608,13 @@ QUANT_STD_LUM = np.array([
 ], dtype=np.int64)
 
 # fixed-length Huffman tables carried in DHT: 12 DC categories at 4
-# bits, the 162 baseline AC symbols at 8 bits. Deliberately
+# bits, the 162 baseline AC symbols plus the 14 progressive EOB-run
+# symbols ((nbits<<4)|0, nbits 1..14) at 8 bits. Deliberately
 # suboptimal-but-trivially-correct — the decoder reads whatever DHT
 # declares, and fixtures don't need compression ratio.
 _DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC_SYMBOLS = bytes(range(12))
-_AC_SYMBOLS = bytes([0x00, 0xF0] + [
+_AC_SYMBOLS = bytes([0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)])
 _AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
 
@@ -504,15 +668,11 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
-                subsample: bool | str = False,
-                restart_interval: int = 0) -> bytes:
-    """Encode a uint8 image — (h, w) / (h, w, 1) gray or (h, w, 3)
-    RGB — as baseline sequential JPEG. ``subsample`` is False for
-    4:4:4, True or ``"420"`` for 4:2:0 (2×2-mean chroma), ``"422"``
-    for 4:2:2 (1×2-mean chroma — pins the decoder's asymmetric
-    upsample path); gray emits one component. One quant table serves
-    all components (fixture simplicity)."""
+def _prep_blocks(img: np.ndarray, quant: np.ndarray,
+                 subsample: bool | str):
+    """Shared encoder front half: RGB→YCbCr, chroma subsample, pad to
+    the MCU grid, FDCT+quantize. Returns (h_img, w_img, factors,
+    blocks) with blocks[ci] zigzag-ordered (by, bx, 64)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, np.newaxis]
@@ -558,6 +718,49 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
     for p, (hi, vi) in zip(planes, factors):
         padded = _pad_to(p, mcus_y * vi * 8, mcus_x * hi * 8)
         blocks.append(_fdct_quant(padded, quant))
+    return h_img, w_img, factors, blocks
+
+
+def _emit_headers(out: bytearray, sof_marker: int, h_img: int,
+                  w_img: int, factors: list, quant: np.ndarray) -> None:
+    """SOI through DHT (shared by both encoders). This encoder emits
+    only 8-bit DQT (pq=0); an entry >255 would silently wrap through
+    astype(uint8) into a valid-looking but wrong bitstream, so reject
+    it (baseline JPEG quality ladders never need >255 anyway —
+    quality 1 tops out at 255)."""
+    def segment(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    qflat = quant.reshape(64)
+    if int(qflat.max()) > 255 or int(qflat.min()) < 1:
+        raise ValueError(
+            "encode_jpeg quant table entries must be in [1, 255] for "
+            f"8-bit DQT; got range [{int(qflat.min())}, {int(qflat.max())}]")
+    qz = qflat[ZIGZAG].astype(np.uint8)
+    segment(0xDB, bytes([0x00]) + qz.tobytes())
+    sof = struct.pack(">BHHB", 8, h_img, w_img, len(factors))
+    for i, (hi, vi) in enumerate(factors):
+        sof += bytes([i + 1, (hi << 4) | vi, 0])
+    segment(sof_marker, sof)
+    segment(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)
+    segment(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS)
+
+
+def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
+                subsample: bool | str = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode a uint8 image — (h, w) / (h, w, 1) gray or (h, w, 3)
+    RGB — as baseline sequential JPEG. ``subsample`` is False for
+    4:4:4, True or ``"420"`` for 4:2:0 (2×2-mean chroma), ``"422"``
+    for 4:2:2 (1×2-mean chroma — pins the decoder's asymmetric
+    upsample path); gray emits one component. One quant table serves
+    all components (fixture simplicity)."""
+    h_img, w_img, factors, blocks = _prep_blocks(img, quant, subsample)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
 
     dc_lut = _build_encode_lut(_DC_COUNTS, _DC_SYMBOLS)
     ac_lut = _build_encode_lut(_AC_COUNTS, _AC_SYMBOLS)
@@ -568,33 +771,17 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
         out.extend(body)
 
-    # This encoder emits only 8-bit DQT (pq=0); an entry >255 would
-    # silently wrap through astype(uint8) into a valid-looking but
-    # wrong bitstream, so reject it (baseline JPEG quality ladders
-    # never need >255 anyway — quality 1 tops out at 255).
-    qflat = quant.reshape(64)
-    if int(qflat.max()) > 255 or int(qflat.min()) < 1:
-        raise ValueError(
-            "encode_jpeg quant table entries must be in [1, 255] for "
-            f"8-bit DQT; got range [{int(qflat.min())}, {int(qflat.max())}]")
-    qz = qflat[ZIGZAG].astype(np.uint8)
-    segment(0xDB, bytes([0x00]) + qz.tobytes())
-    sof = struct.pack(">BHHB", 8, h_img, w_img, len(planes))
-    for i, (hi, vi) in enumerate(factors):
-        sof += bytes([i + 1, (hi << 4) | vi, 0])
-    segment(0xC0, sof)
-    segment(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)
-    segment(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS)
+    _emit_headers(out, 0xC0, h_img, w_img, factors, quant)
     if restart_interval:
         segment(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(planes)])
-    for i in range(len(planes)):
+    sos = bytes([len(factors)])
+    for i in range(len(factors)):
         sos += bytes([i + 1, 0x00])
     sos += bytes([0, 63, 0])
     segment(0xDA, sos)
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(factors)
     n_mcus = mcus_x * mcus_y
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
@@ -603,7 +790,7 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
             bw = _BitWriter()
             rst = (mcu // restart_interval - 1) % 8
             out.extend(bytes([0xFF, 0xD0 + rst]))
-            preds = [0] * len(planes)
+            preds = [0] * len(factors)
         my, mx = divmod(mcu, mcus_x)
         for ci, (hi, vi) in enumerate(factors):
             for v in range(vi):
@@ -614,4 +801,197 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
     bw.pad_to_byte()
     out.extend(bw.buf)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(img: np.ndarray,
+                            quant: np.ndarray = QUANT_ONES,
+                            subsample: bool | str = False,
+                            al: int = 1, band_split: int = 5) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2) — the fixture write side for
+    the progressive decoder, same reason the repo carries PNG/fMP4
+    muxers in tests. The progression exercises every Annex-G decode
+    path: interleaved DC first at Al=``al`` then one DC refinement
+    per remaining bit; per component, AC first scans split at
+    ``band_split`` (spectral selection + EOB runs + ZRL) at Al=``al``
+    followed by the matching AC refinement scans (±1 insertions +
+    correction bits + EOB-run tails), ported from libjpeg's
+    jcphuff.c. Same fixed Huffman tables and 8-bit DQT as the
+    baseline encoder; no restart markers."""
+    h_img, w_img, factors, blocks = _prep_blocks(img, quant, subsample)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    dc_lut = _build_encode_lut(_DC_COUNTS, _DC_SYMBOLS)
+    ac_lut = _build_encode_lut(_AC_COUNTS, _AC_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")
+    _emit_headers(out, 0xC2, h_img, w_img, factors, quant)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int,
+            al_: int) -> None:
+        body = bytes([len(comp_ids)])
+        for i in comp_ids:
+            body += bytes([i + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al_])
+        out.extend(struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2))
+        out.extend(body)
+
+    def flush(bw: _BitWriter) -> None:
+        bw.pad_to_byte()
+        out.extend(bw.buf)
+
+    def comp_blocks(ci: int):
+        """The component's CODED block raster (non-interleaved)."""
+        hi, vi = factors[ci]
+        cw = -(-(w_img * hi) // hmax)
+        chh = -(-(h_img * vi) // vmax)
+        for by in range(-(-chh // 8)):
+            for bx in range(-(-cw // 8)):
+                yield blocks[ci][by, bx]
+
+    # ---- DC first: interleaved, diffs of (dc >> al) --------------------
+    sos(list(range(len(factors))), 0, 0, 0, al)
+    bw = _BitWriter()
+    preds = [0] * len(factors)
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (hi, vi) in enumerate(factors):
+            for v in range(vi):
+                for hh in range(hi):
+                    dc = int(blocks[ci][my * vi + v, mx * hi + hh][0]) >> al
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    t = _category(diff)
+                    code, ln = dc_lut[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << t) - 1, t)
+    flush(bw)
+
+    # ---- DC refinement: one raw bit per block per level ----------------
+    for lvl in range(al - 1, -1, -1):
+        sos(list(range(len(factors))), 0, 0, lvl + 1, lvl)
+        bw = _BitWriter()
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (hi, vi) in enumerate(factors):
+                for v in range(vi):
+                    for hh in range(hi):
+                        dc = int(blocks[ci][my * vi + v, mx * hi + hh][0])
+                        bw.write((dc >> lvl) & 1, 1)
+        flush(bw)
+
+    bands = [(1, band_split), (band_split + 1, 63)]
+
+    # ---- AC first scans (jcphuff.c encode_mcu_AC_first) ----------------
+    for ci in range(len(factors)):
+        for ss, se in bands:
+            sos([ci], ss, se, 0, al)
+            bw = _BitWriter()
+            eobrun = 0
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    code, ln = ac_lut[nbits << 4]
+                    bw.write(code, ln)
+                    if nbits:
+                        bw.write(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+
+            for blk in comp_blocks(ci):
+                r = 0
+                for k in range(ss, se + 1):
+                    temp = int(blk[k])
+                    mag = abs(temp) >> al
+                    if mag == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        code, ln = ac_lut[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                    s = _category(mag)
+                    code, ln = ac_lut[(r << 4) | s]
+                    bw.write(code, ln)
+                    v = mag if temp >= 0 else -mag
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == (1 << 14):
+                        emit_eobrun()
+            emit_eobrun()
+            flush(bw)
+
+    # ---- AC refinement scans (jcphuff.c encode_mcu_AC_refine) ----------
+    for lvl in range(al - 1, -1, -1):
+        for ci in range(len(factors)):
+            for ss, se in bands:
+                sos([ci], ss, se, lvl + 1, lvl)
+                bw = _BitWriter()
+                eobrun = 0
+                pending: list[int] = []  # correction bits owned by the
+                #                          open EOB run (BE buffer)
+
+                def emit_eobrun():
+                    nonlocal eobrun
+                    if eobrun > 0:
+                        nbits = eobrun.bit_length() - 1
+                        code, ln = ac_lut[nbits << 4]
+                        bw.write(code, ln)
+                        if nbits:
+                            bw.write(eobrun - (1 << nbits), nbits)
+                        eobrun = 0
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending.clear()
+
+                for blk in comp_blocks(ci):
+                    absv = [abs(int(blk[k])) >> lvl
+                            for k in range(ss, se + 1)]
+                    eob = 0  # band-relative index past the last new ±1
+                    for i, a in enumerate(absv):
+                        if a == 1:
+                            eob = i + 1
+                    r = 0
+                    br_bits: list[int] = []  # this block's corrections
+                    for i, a in enumerate(absv):
+                        if a == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i < eob:
+                            emit_eobrun()
+                            code, ln = ac_lut[0xF0]
+                            bw.write(code, ln)
+                            r -= 16
+                            for b in br_bits:
+                                bw.write(b, 1)
+                            br_bits = []
+                        if a > 1:  # history coefficient: correction bit
+                            br_bits.append(a & 1)
+                            continue
+                        emit_eobrun()
+                        code, ln = ac_lut[(r << 4) | 1]
+                        bw.write(code, ln)
+                        bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                        r = 0
+                    if r > 0 or br_bits:
+                        eobrun += 1
+                        pending.extend(br_bits)
+                        if eobrun == (1 << 14):
+                            emit_eobrun()
+                emit_eobrun()
+                flush(bw)
+
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -3,18 +3,20 @@ image/audio/video as opaque ``binary`` columns with typed metadata,
 processed by Arrow-batched pandas functions via mapInPandas.
 
 The decode step REALLY DECODES the codec-bearing-but-stdlib-tractable
-formats (netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG via
-stdlib ``zlib`` inflate + unfilter, PCM WAV via the stdlib ``wave``
-module, and baseline-sequential JPEG via the pure-python Huffman +
-numpy-IDCT codec in operators/jpeg_codec.py — no external codec libs
-needed). Video is real at the CONTAINER level: mp4 frame sampling
-demuxes the actual coded access units with timestamps and keyframe
-flags via the stdlib ISO-BMFF parser in operators/mp4_demux.py.
+formats (netpbm PPM/PGM, uncompressed 24-bit BMP, the full RFC 2083
+PNG baseline — every color type/depth incl. palette, 16-bit and
+Adam7 — via stdlib ``zlib`` inflate + unfilter, PCM WAV via the
+stdlib ``wave`` module, and baseline-sequential + progressive JPEG
+via the pure-python Huffman + numpy-IDCT codec in
+operators/jpeg_codec.py — no external codec libs needed). Video is
+real at the CONTAINER level: mp4 frame sampling (plain and
+fragmented/DASH) demuxes the actual coded access units with
+timestamps and keyframe flags via the stdlib ISO-BMFF parser in
+operators/mp4_demux.py.
 Only the steps where a real external codec is unavoidable (pixel
 decode of the coded video units: ffmpeg/torchcodec are not in this
-container; ditto the progressive-JPEG sub-profile)
-stay behind ``decoder=`` injection points with a deterministic
-fake — so the
+container) stay behind ``decoder=`` injection points with a
+deterministic fake — so the
 Spark-side plumbing (schema, batch iteration, partition-preserving
 UDF shape, metadata passthrough) is real and tested end-to-end on
 real pixels/samples, and swapping in a full codec stack still
@@ -355,15 +357,15 @@ def _unit_hist(values, lo: float, hi: float):
 
 def real_decode(payload: bytes, fmt: str):
     """Real media decode for the in-container-decodable formats:
-    netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG and baseline
-    JPEG decode to pixel arrays, PCM WAV to float samples; the
-    feature is a 16-bin histogram of the DECODED values (pixel
-    intensities / sample amplitudes), so header, filter, entropy and
-    container bytes never leak into it. Formats that need real
-    external codec libraries (mp4/video pixel decode, plus the
-    progressive-JPEG sub-profile) still raise — none in this
-    container; production injects PIL/soundfile/ffmpeg for those
-    (fake_decode remains the deterministic test stand-in)."""
+    netpbm PPM/PGM, uncompressed 24-bit BMP, full-baseline PNG and
+    baseline + progressive JPEG decode to pixel arrays, PCM WAV to
+    float samples; the feature is a 16-bin histogram of the DECODED
+    values (pixel intensities / sample amplitudes), so header,
+    filter, entropy and container bytes never leak into it. Formats
+    that need real external codec libraries (mp4/video pixel decode)
+    still raise — none in this container; production injects
+    PIL/soundfile/ffmpeg for those (fake_decode remains the
+    deterministic test stand-in)."""
     if fmt in ("ppm", "pgm"):
         return _unit_hist(decode_netpbm(payload), 0.0, 256.0)
     if fmt == "bmp":
@@ -524,7 +526,7 @@ def media_quality(media: DataFrame,
     text quality funnel.
 
     ``decoder`` is the injection seam for formats the container
-    cannot decode (jpeg-progressive/flac/mp3/…): called as
+    cannot decode (flac/mp3/video pixels/…): called as
     ``decoder(payload, fmt)``, returning either a uint8 (h, w, c)
     pixel array or 1-D float samples — the stats dispatch on the
     array's rank. Without one, undecodable formats raise; pre-filter

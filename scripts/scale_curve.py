@@ -672,12 +672,25 @@ def main() -> None:
         from flight_data_pipeline_spark.operators.multimodal import (
             extract_features)
         from flight_data_pipeline_spark.sources.tar_shards import (
-            read_tar_shards, tar_members_as_media)
+            read_tar_shards, stream_tar_members, tar_members_as_media)
 
+        # One task per shard via the path-listing reader. At
+        # production shard sizes (0.5-2 GB, >= maxPartitionBytes)
+        # binaryFile gives one task per shard naturally, but these
+        # synthetic shards are ~0.5 MB, so binaryFile PACKS ~32 per
+        # partition (openCostInBytes) and parallelism would GROW with
+        # scale — 2 tasks at 1x vs 16 at 8x — making the wall-clock
+        # curve measure machine fill-up again (measured 0.59 that
+        # way). The path-form pins parallelism to shard count at
+        # every scale, which is the claim under test.
         def run_media(path: str) -> float:
+            names = sorted(os.listdir(path))
+            paths = spark.createDataFrame(
+                [(os.path.join(path, n),) for n in names],
+                "shard_path string").repartition(len(names))
             t0 = time.time()
             extract_features(
-                tar_members_as_media(read_tar_shards(spark, path))
+                tar_members_as_media(stream_tar_members(paths))
             ).write.format("noop").mode("overwrite").save()
             return time.time() - t0
 
@@ -908,8 +921,9 @@ def main() -> None:
                 f"\ntime exponent in SHARDS: "
                 f"**{media_result['exponent']}** (tail 2x-8x: "
                 f"{media_result['exponent_tail']}; claim: ≈1.0 — the "
-                f"pipeline is map-side at every stage — and shuffle "
-                f"ZERO at all scales)")
+                f"pipeline is map-side at every stage; the only "
+                f"shuffled bytes are the PATH LIST feeding the "
+                f"one-task-per-shard repartition, never media bytes)")
             mblock = f"{MBEGIN}\n\n" + "\n".join(mlines) + f"\n\n{MEND}"
             if MBEGIN in text:
                 text = re.sub(
@@ -919,13 +933,14 @@ def main() -> None:
                 text += (
                     "\n## Measured scale curve (media tier, end to"
                     " end)\n\n"
-                    "tar-shard untar → media adapt → REAL decode (PPM/"
-                    "PNG/WAV) → featurize, timed over 1x-8x the shard\n"
-                    "count (the WebDataset growth axis: a corpus grows\n"
-                    "by landing shards, and the shard is the unit of\n"
-                    "parallelism). Every stage is mapInPandas over the\n"
-                    "binaryFile scan, so the claim is time ≈ linear in\n"
-                    "shards with ZERO shuffle at every scale. Seconds +\n"
+                    "tar-shard untar → media adapt → REAL decode (JPEG/"
+                    "PPM/WAV) → featurize, timed over 1x-8x the shard\n"
+                    "count (the WebDataset growth axis). Every stage is\n"
+                    "map-side; the harness pins one task per shard via\n"
+                    "the path-listing reader (its synthetic shards are\n"
+                    "~0.5 MB, so binaryFile would pack ~32/partition —\n"
+                    "at production shard sizes one-task-per-shard is\n"
+                    "binaryFile's natural behavior). Seconds +\n"
                     "shuffle-write bytes per timed run, local[32].\n\n"
                     + mblock + "\n"
                 )

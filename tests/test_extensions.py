@@ -1074,7 +1074,7 @@ class TestJpegCodec:
         dec = decode_jpeg(padded_rst)
         assert self._err(dec[:, :, 0], wide) <= 2
 
-    def test_rejects_non_baseline_profiles(self):
+    def test_rejects_unsupported_profiles(self):
         import struct
 
         from flight_data_pipeline_spark.operators.jpeg_codec import (
@@ -1082,13 +1082,92 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG not a jpeg")
-        # progressive (SOF2) routes to the injected decoder
-        sof2 = (b"\xff\xd8" + b"\xff\xc2"
+        # lossless (SOF3) routes to the injected decoder; progressive
+        # (SOF2) is DECODED since r10 — covered by TestJpegProgressive
+        sof3 = (b"\xff\xd8" + b"\xff\xc3"
                 + struct.pack(">H", 11)
                 + bytes([8]) + struct.pack(">HH", 8, 8)
                 + bytes([1, 1, 0x11, 0]))
         with pytest.raises(NotImplementedError):
-            decode_jpeg(sof2)
+            decode_jpeg(sof3)
+
+
+class TestJpegProgressive:
+    """Progressive JPEG (SOF2, T.81 Annex G — r10): the progressive
+    ENCODER's scan script exercises every decode path (interleaved DC
+    first + per-bit DC refinement, spectral-selection AC first scans
+    with EOB runs and ZRL, AC refinement with ±1 insertions,
+    correction bits, and EOB-run tails), and because successive
+    approximation is lossless once all bits are sent, progressive
+    decode must be BIT-IDENTICAL to baseline decode of the same image
+    — the strongest possible oracle, pinned across shapes, sampling
+    modes, quant tables, and Al depths."""
+
+    def test_progressive_matches_baseline_exactly(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            QUANT_ONES, QUANT_STD_LUM, decode_jpeg, encode_jpeg,
+            encode_jpeg_progressive)
+
+        rng = np.random.default_rng(42)
+        cases = [
+            (rng.integers(0, 256, (16, 16), np.uint8), {}),
+            (rng.integers(0, 256, (24, 17, 3), np.uint8), {}),
+            (rng.integers(0, 256, (19, 21, 3), np.uint8),
+             {"subsample": True}),
+            (rng.integers(0, 256, (16, 16, 3), np.uint8),
+             {"subsample": "422"}),
+        ]
+        for img, kw in cases:
+            for q in (QUANT_ONES, QUANT_STD_LUM):
+                for al in (0, 1, 2):
+                    base = decode_jpeg(encode_jpeg(img, quant=q, **kw))
+                    prog = decode_jpeg(encode_jpeg_progressive(
+                        img, quant=q, al=al, **kw))
+                    assert np.array_equal(base, prog), (
+                        img.shape, kw, al)
+
+    def test_eob_runs_across_blocks(self):
+        """A mostly-flat image makes every high-band block an EOB-run
+        member (eobrun spanning many blocks, with the one non-flat
+        block forcing run breaks) — the EOB-run accounting paths in
+        both first and refinement scans."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        img = np.full((40, 40), 128, np.uint8)
+        img[17:23, 17:23] = 255  # one busy block mid-run
+        base = decode_jpeg(encode_jpeg(img))
+        for al in (0, 2):
+            prog = decode_jpeg(encode_jpeg_progressive(img, al=al))
+            assert np.array_equal(base, prog), al
+
+    def test_progressive_through_extract_features(self, spark):
+        """A progressive and a baseline encoding of the SAME pixels
+        produce the IDENTICAL feature through the default
+        extract_features path — progressive corpora need no special
+        casing."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg, encode_jpeg_progressive)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, extract_features)
+
+        vals = np.repeat(np.arange(16, dtype=np.uint8) * 16 + 8, 16)
+        img = np.stack([vals.reshape(16, 16)] * 3, axis=-1)
+        rows = [
+            (1, encode_jpeg(img), {"kind": "image", "format": "jpeg",
+                                   "n_bytes": 0}),
+            (2, encode_jpeg_progressive(img),
+             {"kind": "image", "format": "jpeg", "n_bytes": 0}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_id: r for r in extract_features(media).collect()}
+        assert list(got[1].feature) == list(got[2].feature)
 
 
 class TestMp4Demux:
