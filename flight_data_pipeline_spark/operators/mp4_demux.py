@@ -14,8 +14,10 @@ arithmetic — no codec involved — and is what this module implements:
   ``stbl``), 32-bit and 64-bit (largesize) boxes,
 - sample table reconstruction: ``stsz`` (sizes), ``stsc``
   (sample→chunk runs), ``stco``/``co64`` (chunk offsets), ``stts``
-  (decode-time deltas), ``stss`` (sync samples; absent ⇒ every
-  sample is sync), ``mdhd`` (timescale), ``hdlr`` (track kind),
+  (decode-time deltas), ``ctts`` (composition offsets → pts, both
+  the v0 unsigned and v1 signed forms), ``stss`` (sync samples;
+  absent ⇒ every sample is sync), ``mdhd`` (timescale), ``hdlr``
+  (track kind),
 - fragmented MP4 (the dominant shape for streaming-originated video:
   DASH/HLS recordings): ``mvex``/``trex`` track defaults, then per
   fragment ``moof`` → ``traf`` → ``tfhd`` (per-fragment defaults,
@@ -46,6 +48,9 @@ class Mp4Sample(NamedTuple):
     offset: int       # byte offset of the coded frame in the payload
     size: int         # coded frame size in bytes
     dts_ms: int       # decode timestamp, integer milliseconds
+    pts_ms: int       # presentation timestamp (dts + ctts/trun
+    #                   composition offset; == dts when absent) —
+    #                   B-frame reordered streams present in pts order
     keyframe: bool    # listed in stss (or no stss box at all)
     codec: str        # stsd entry fourcc, e.g. 'avc1'
 
@@ -190,6 +195,23 @@ def demux_mp4(payload: bytes) -> list[Mp4Sample]:
     if len(dts) < count:
         raise ValueError("stts covers fewer samples than stsz")
 
+    # ctts → per-sample composition (pts-dts) offsets; absent ⇒ 0.
+    # Version 0 carries unsigned offsets, version 1 signed (the
+    # negative-offset form modern muxers emit with dts shifted).
+    cts = [0] * count
+    r = _find(payload, *stbl, b"ctts")
+    if r is not None:
+        ver, p = _full_box(payload, r[0])
+        (n_ct,) = struct.unpack_from(">I", payload, p)
+        fmt = ">Ii" if ver == 1 else ">II"
+        si = 0
+        for i in range(n_ct):
+            cnt, off_ct = struct.unpack_from(fmt, payload, p + 4 + 8 * i)
+            for _ in range(cnt):
+                if si < count:
+                    cts[si] = off_ct
+                si += 1
+
     # stss → sync samples (1-based); absent ⇒ all sync
     sync = None
     r = _find(payload, *stbl, b"stss")
@@ -209,6 +231,7 @@ def demux_mp4(payload: bytes) -> list[Mp4Sample]:
             samples.append(Mp4Sample(
                 index=si, offset=off, size=sizes[si],
                 dts_ms=dts[si] * 1000 // timescale,
+                pts_ms=(dts[si] + cts[si]) * 1000 // timescale,
                 keyframe=(sync is None or (si + 1) in sync),
                 codec=codec,
             ))
@@ -339,6 +362,7 @@ def _demux_fmp4(payload: bytes) -> list[Mp4Sample]:
             for t3, _s3, b3, e3 in _iter_boxes4(payload, b2, e2):
                 if t3 != b"trun":
                     continue
+                tr_ver = payload[b3]
                 tr_flags = int.from_bytes(payload[b3 + 1:b3 + 4], "big")
                 p3 = b3 + 4
                 (scount,) = struct.unpack_from(">I", payload, p3)
@@ -354,7 +378,7 @@ def _demux_fmp4(payload: bytes) -> list[Mp4Sample]:
                     (first_flags,) = struct.unpack_from(">I", payload, p3)
                     p3 += 4
                 for k in range(scount):
-                    dur, size, sflags = ddur, dsize, dflags
+                    dur, size, sflags, cts_off = ddur, dsize, dflags, 0
                     if tr_flags & 0x000100:
                         (dur,) = struct.unpack_from(">I", payload, p3)
                         p3 += 4
@@ -364,7 +388,9 @@ def _demux_fmp4(payload: bytes) -> list[Mp4Sample]:
                     if tr_flags & 0x000400:
                         (sflags,) = struct.unpack_from(">I", payload, p3)
                         p3 += 4
-                    if tr_flags & 0x000800:  # composition offset
+                    if tr_flags & 0x000800:  # composition (pts-dts)
+                        (cts_off,) = struct.unpack_from(
+                            ">i" if tr_ver == 1 else ">I", payload, p3)
                         p3 += 4
                     if k == 0 and first_flags is not None:
                         sflags = first_flags
@@ -383,6 +409,8 @@ def _demux_fmp4(payload: bytes) -> list[Mp4Sample]:
                         samples.append(Mp4Sample(
                             index=si, offset=off, size=size,
                             dts_ms=t_cursor * 1000 // timescale,
+                            pts_ms=(t_cursor + cts_off) * 1000
+                            // timescale,
                             keyframe=not ((sflags or 0) & _NON_SYNC_BIT),
                             codec=codec,
                         ))
@@ -414,7 +442,8 @@ def keyframe_sample_bytes(payload: bytes, fmt: str) -> list[bytes]:
 
 def frame_metadata(media):
     """Metadata-ONLY demux of every mp4/m4v/mov row: (media_id,
-    frame_index, dts_ms, keyframe, n_bytes, codec) — no frame bytes.
+    frame_index, dts_ms, pts_ms, keyframe, n_bytes, codec) — no
+    frame bytes.
 
     This is the 100 TB pattern for video: demux is box arithmetic
     (KBs of moov per GB of mdat), so you profile the WHOLE corpus
@@ -431,6 +460,7 @@ def frame_metadata(media):
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_index", T.IntegerType()),
         T.StructField("dts_ms", T.LongType()),
+        T.StructField("pts_ms", T.LongType()),
         T.StructField("keyframe", T.BooleanType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("codec", T.StringType()),
@@ -439,7 +469,8 @@ def frame_metadata(media):
     def process(batches):
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "frame_index", "dts_ms",
-                                    "keyframe", "n_bytes", "codec")}
+                                    "pts_ms", "keyframe", "n_bytes",
+                                    "codec")}
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
                 if meta["format"] not in ("mp4", "m4v", "mov"):
@@ -448,6 +479,7 @@ def frame_metadata(media):
                     rows["media_id"].append(mid)
                     rows["frame_index"].append(s.index)
                     rows["dts_ms"].append(s.dts_ms)
+                    rows["pts_ms"].append(s.pts_ms)
                     rows["keyframe"].append(s.keyframe)
                     rows["n_bytes"].append(s.size)
                     rows["codec"].append(s.codec)

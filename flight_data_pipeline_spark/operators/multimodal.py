@@ -134,8 +134,10 @@ def decode_bmp(payload: bytes):
 
 def decode_wav(payload: bytes):
     """PCM WAV decode via the stdlib ``wave`` module → float32 mono
-    samples in [-1, 1] (multi-channel is mean-downmixed). 16-bit and
-    8-bit PCM supported — the codec-free core of the format."""
+    samples in [-1, 1] (multi-channel is mean-downmixed). 8/16/24/32
+    bit integer PCM supported — the codec-free core of the format
+    (24-bit is the studio-recording shape; numpy has no 3-byte dtype,
+    so the bytes are assembled and sign-extended manually)."""
     import io
     import wave
 
@@ -149,6 +151,15 @@ def decode_wav(payload: bytes):
     elif sw == 1:
         arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
                - 128.0) / 128.0
+    elif sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        v = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        v -= (v & 0x800000) << 1  # sign-extend bit 23
+        arr = v.astype(np.float32) / 8388608.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float32) \
+            / 2147483648.0
     else:
         raise ValueError(f"sample width {sw} unsupported without codecs")
     if ch > 1:

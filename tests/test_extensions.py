@@ -818,6 +818,39 @@ class TestMultimodal:
         assert max(abs(arr[i] - samples[i] / 32768.0)
                    for i in range(8)) < 1e-6
 
+    def test_decode_wav_24_and_32_bit(self):
+        """24-bit (manual assembly + sign extension) and 32-bit PCM
+        (r10): the same ramp at each width decodes to the same
+        normalized floats."""
+        import io
+        import struct
+        import wave
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        samples = [0, 0.5, -0.5, 0.999, -1.0, 0.25, -0.25, 0.125]
+
+        def wav_bytes(sw):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(sw)
+                wf.setframerate(8000)
+                full = 1 << (8 * sw - 1)
+                for s in samples:
+                    v = max(-full, min(full - 1, int(s * full)))
+                    wf.writeframes(
+                        struct.pack("<i", v)[:sw])
+            return buf.getvalue()
+
+        for sw in (3, 4):
+            arr = decode_wav(wav_bytes(sw))
+            assert len(arr) == 8
+            assert max(abs(arr[i] - samples[i])
+                       for i in range(8)) < 1e-3, sw
+
     def test_real_payloads_decode_end_to_end(self, spark):
         """A PPM, a BMP, a PNG and a WAV payload flow through the
         default extract_features path (auto_decode → real_decode) and
@@ -1145,6 +1178,42 @@ class TestJpegProgressive:
             prog = decode_jpeg(encode_jpeg_progressive(img, al=al))
             assert np.array_equal(base, prog), al
 
+    def test_progressive_property_random_shapes(self):
+        """Hypothesis sweep: ANY shape, color mode, subsampling, Al
+        depth, band split and quant choice — progressive decode stays
+        bit-identical to baseline decode of the same image."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            QUANT_ONES, QUANT_STD_LUM, decode_jpeg, encode_jpeg,
+            encode_jpeg_progressive)
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.data())
+        def check(data):
+            h = data.draw(st.integers(1, 33))
+            w = data.draw(st.integers(1, 33))
+            gray = data.draw(st.booleans())
+            seed = data.draw(st.integers(0, 2**31))
+            rng = np.random.default_rng(seed)
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.integers(0, 256, shape, np.uint8)
+            sub = False if gray else data.draw(
+                st.sampled_from([False, True, "422"]))
+            al = data.draw(st.integers(0, 3))
+            band_split = data.draw(st.integers(1, 62))
+            q = data.draw(st.sampled_from([QUANT_ONES, QUANT_STD_LUM]))
+            base = decode_jpeg(encode_jpeg(img, quant=q, subsample=sub))
+            prog = decode_jpeg(encode_jpeg_progressive(
+                img, quant=q, subsample=sub, al=al,
+                band_split=band_split))
+            assert np.array_equal(base, prog)
+
+        check()
+
     def test_progressive_through_extract_features(self, spark):
         """A progressive and a baseline encoding of the SAME pixels
         produce the IDENTICAL feature through the default
@@ -1183,7 +1252,7 @@ class TestMp4Demux:
               b"IFRAME-3" * 5, b"pframe4!" * 3]
 
     @classmethod
-    def _mp4_payload(cls, with_stss=True):
+    def _mp4_payload(cls, with_stss=True, ctts_runs=None, ctts_ver=0):
         import struct
 
         def box(btype, body):
@@ -1212,6 +1281,13 @@ class TestMp4Demux:
         stbl_body = stsd + stts + stsc + stsz + stco
         if with_stss:
             stbl_body += stss
+        if ctts_runs is not None:
+            fmt = ">Ii" if ctts_ver == 1 else ">II"
+            ctts = full(b"ctts", struct.pack(">I", len(ctts_runs))
+                        + b"".join(struct.pack(fmt, c, o)
+                                   for c, o in ctts_runs),
+                        ver=ctts_ver)
+            stbl_body += ctts
         stbl = box(b"stbl", stbl_body)
         minf = box(b"minf", stbl)
         hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide"
@@ -1234,6 +1310,22 @@ class TestMp4Demux:
         assert [s.dts_ms for s in samples] == [0, 40, 80, 120, 140]
         assert [s.keyframe for s in samples] == [
             True, False, False, True, False]
+
+    def test_ctts_gives_pts(self):
+        """ctts composition offsets → pts (r10): v0 unsigned runs,
+        v1 signed (negative) runs, and pts == dts when absent."""
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        plain = demux_mp4(self._mp4_payload())
+        assert [s.pts_ms for s in plain] == [s.dts_ms for s in plain]
+
+        v0 = demux_mp4(self._mp4_payload(ctts_runs=[(2, 40), (3, 0)]))
+        assert [s.dts_ms for s in v0] == [0, 40, 80, 120, 140]
+        assert [s.pts_ms for s in v0] == [40, 80, 80, 120, 140]
+
+        v1 = demux_mp4(self._mp4_payload(
+            ctts_runs=[(1, 0), (2, -20), (2, 0)], ctts_ver=1))
+        assert [s.pts_ms for s in v1] == [0, 20, 60, 120, 140]
 
     def test_no_stss_means_all_sync(self):
         from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
@@ -1437,7 +1529,8 @@ class TestFmp4Demux:
     DUR1, DUR2 = [40, 40, 20], [20, 30]
 
     @classmethod
-    def _fmp4_payload(cls, size_mode="per_sample", base_mode="moof"):
+    def _fmp4_payload(cls, size_mode="per_sample", base_mode="moof",
+                      cts=None, trun_ver=0):
         import struct
 
         def box(btype, body):
@@ -1460,14 +1553,17 @@ class TestFmp4Demux:
         trex = full(b"trex", struct.pack(">IIIII", 1, 1, 0, 0, 0x10000))
         moov = box(b"moov", box(b"trak", tkhd + mdia) + box(b"mvex", trex))
 
-        def fragment(seq, frames, durs, base_dt, preceding_len):
+        def fragment(seq, frames, durs, base_dt, preceding_len,
+                     frag_cts=None):
             mfhd = full(b"mfhd", struct.pack(">I", seq))
             per_sample = size_mode == "per_sample"
             tf_flags, tf_body = 0, struct.pack(">I", 1)  # track_id
             tr_flags = 0x1 | 0x4 | 0x100  # data-offset, first-flags, dur
             if per_sample:
                 tr_flags |= 0x200
-            else:
+            if frag_cts is not None:
+                tr_flags |= 0x800  # composition offsets present
+            if not per_sample:
                 assert len({len(f) for f in frames}) == 1
                 tf_flags |= 0x10
             tfdt = full(b"tfdt", struct.pack(">I", base_dt))
@@ -1486,12 +1582,17 @@ class TestFmp4Demux:
                            struct.pack(">I", flags) + body)
                 trun_body = struct.pack(">Ii", len(frames), data_offset)
                 trun_body += struct.pack(">I", 0x0)  # first: sync
-                for f, d in zip(frames, durs):
+                for i, (f, d) in enumerate(zip(frames, durs)):
                     trun_body += struct.pack(">I", d)
                     if per_sample:
                         trun_body += struct.pack(">I", len(f))
+                    if frag_cts is not None:
+                        trun_body += struct.pack(
+                            ">i" if trun_ver == 1 else ">I",
+                            frag_cts[i])
                 trun = box(b"trun",
-                           struct.pack(">I", tr_flags) + trun_body)
+                           struct.pack(">I", (trun_ver << 24) | tr_flags)
+                           + trun_body)
                 return box(b"moof", mfhd + box(b"traf",
                                                tfhd + tfdt + trun))
 
@@ -1508,8 +1609,10 @@ class TestFmp4Demux:
             return moof + box(b"mdat", b"".join(frames))
 
         out = ftyp + moov
-        out += fragment(1, cls.FRAG1, cls.DUR1, 0, len(out))
-        out += fragment(2, cls.FRAG2, cls.DUR2, sum(cls.DUR1), len(out))
+        out += fragment(1, cls.FRAG1, cls.DUR1, 0, len(out),
+                        cts[0] if cts else None)
+        out += fragment(2, cls.FRAG2, cls.DUR2, sum(cls.DUR1), len(out),
+                        cts[1] if cts else None)
         return out
 
     def test_fmp4_roundtrip_all_modes(self):
@@ -1544,6 +1647,23 @@ class TestFmp4Demux:
         finally:
             self.__class__.FRAG1, self.__class__.FRAG2 = old1, old2
 
+    def test_fmp4_composition_offsets_give_pts(self):
+        """trun sample_composition_time_offsets → pts: v0 unsigned and
+        v1 signed (negative), and pts == dts when absent."""
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        plain = demux_mp4(self._fmp4_payload())
+        assert [s.pts_ms for s in plain] == [s.dts_ms for s in plain]
+
+        v0 = demux_mp4(self._fmp4_payload(
+            cts=([40, 40, 0], [0, 20])))
+        assert [s.dts_ms for s in v0] == [0, 40, 80, 100, 120]
+        assert [s.pts_ms for s in v0] == [40, 80, 80, 100, 140]
+
+        v1 = demux_mp4(self._fmp4_payload(
+            cts=([0, -20, 0], [20, -10]), trun_ver=1))
+        assert [s.pts_ms for s in v1] == [0, 20, 80, 120, 110]
+
     def test_fmp4_keyframe_and_extractor_paths(self):
         from flight_data_pipeline_spark.operators.mp4_demux import (
             extract_sample_bytes, keyframe_sample_bytes)
@@ -1553,6 +1673,97 @@ class TestFmp4Demux:
             == self.FRAG1 + self.FRAG2
         assert keyframe_sample_bytes(payload, "mp4") == [
             self.FRAG1[0], self.FRAG2[0]]
+
+    def test_fmp4_property_random_layouts(self):
+        """Hypothesis sweep: ANY fragment partition, frame sizes,
+        durations and composition offsets mux to an fMP4 the demuxer
+        inverts exactly — bytes, dts, pts and keyframe flags."""
+        import struct
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+
+        def box(btype, body):
+            return struct.pack(">I", len(body) + 8) + btype + body
+
+        def full(btype, body, ver=0):
+            return box(btype, struct.pack(">I", ver << 24) + body)
+
+        def mux(frags, timescale):
+            """frags: list of [(frame_bytes, dur, cts_off, sync)]"""
+            ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"iso6")
+            tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 1))
+            stsd = full(b"stsd", struct.pack(">I", 1)
+                        + box(b"avc1", b"\x00" * 16))
+            mdia = box(b"mdia", full(b"mdhd", struct.pack(
+                ">IIIHH", 0, 0, timescale, 0, 0))
+                + full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                       + b"\x00" * 12 + b"v\x00")
+                + box(b"minf", box(b"stbl", stsd)))
+            trex = full(b"trex", struct.pack(">IIIII", 1, 1, 0, 0,
+                                             0x10000))
+            out = ftyp + box(b"moov", box(b"trak", tkhd + mdia)
+                             + box(b"mvex", trex))
+            t = 0
+            for seq, frames in enumerate(frags):
+                tfhd = box(b"tfhd", struct.pack(">II", 0x020000, 1))
+                tfdt = full(b"tfdt", struct.pack(">I", t))
+                # per-sample dur+size+flags+cts (trun version 1)
+                tr_flags = 0x1 | 0x100 | 0x200 | 0x400 | 0x800
+                body = struct.pack(">Ii", len(frames), 0)
+                for fb, dur, cts, sync in frames:
+                    body += struct.pack(
+                        ">IIIi", dur, len(fb),
+                        0 if sync else 0x10000, cts)
+                    t += dur
+                trun = box(b"trun", struct.pack(
+                    ">I", (1 << 24) | tr_flags) + body)
+                probe = box(b"moof", full(b"mfhd", struct.pack(
+                    ">I", seq + 1)) + box(b"traf", tfhd + tfdt + trun))
+                body = struct.pack(">Ii", len(frames), len(probe) + 8) \
+                    + body[8:]
+                trun = box(b"trun", struct.pack(
+                    ">I", (1 << 24) | tr_flags) + body)
+                moof = box(b"moof", full(b"mfhd", struct.pack(
+                    ">I", seq + 1)) + box(b"traf", tfhd + tfdt + trun))
+                out += moof + box(b"mdat",
+                                  b"".join(f[0] for f in frames))
+            return out
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.data())
+        def check(data):
+            timescale = data.draw(st.integers(1, 90000))
+            n_frags = data.draw(st.integers(1, 4))
+            frags, flat = [], []
+            for _ in range(n_frags):
+                n = data.draw(st.integers(1, 6))
+                frames = []
+                for _ in range(n):
+                    fb = bytes([data.draw(st.integers(0, 255))]) \
+                        * data.draw(st.integers(1, 30))
+                    dur = data.draw(st.integers(0, 3000))
+                    cts = data.draw(st.integers(-500, 3000))
+                    sync = data.draw(st.booleans())
+                    frames.append((fb, dur, cts, sync))
+                frags.append(frames)
+                flat.extend(frames)
+            payload = mux(frags, timescale)
+            got = demux_mp4(payload)
+            assert [payload[s.offset:s.offset + s.size] for s in got] \
+                == [f[0] for f in flat]
+            t, dts, pts = 0, [], []
+            for fb, dur, cts, sync in flat:
+                dts.append(t * 1000 // timescale)
+                pts.append((t + cts) * 1000 // timescale)
+                t += dur
+            assert [s.dts_ms for s in got] == dts
+            assert [s.pts_ms for s in got] == pts
+            assert [s.keyframe for s in got] == [f[3] for f in flat]
+
+        check()
 
     def test_fmp4_frame_metadata(self, spark):
         """frame_metadata handles fMP4 rows by default — the
