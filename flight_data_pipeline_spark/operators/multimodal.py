@@ -5,10 +5,11 @@ processed by Arrow-batched pandas functions via mapInPandas.
 The decode step REALLY DECODES the codec-bearing-but-stdlib-tractable
 formats (netpbm PPM/PGM, uncompressed 24-bit BMP, the full RFC 2083
 PNG baseline — every color type/depth incl. palette, 16-bit and
-Adam7 — via stdlib ``zlib`` inflate + unfilter, PCM WAV via the
-stdlib ``wave`` module, and baseline-sequential + progressive JPEG
-via the pure-python Huffman + numpy-IDCT codec in
-operators/jpeg_codec.py — no external codec libs needed). Video is
+Adam7 — via stdlib ``zlib`` inflate + unfilter, GIF87a/89a via a
+pure-python LZW, PCM WAV at 8/16/24/32-bit via the stdlib ``wave``
+module, and baseline-sequential + progressive JPEG via the
+pure-python Huffman + numpy-IDCT codec in operators/jpeg_codec.py —
+no external codec libs needed). Video is
 real at the CONTAINER level: mp4 frame sampling (plain and
 fragmented/DASH) demuxes the actual coded access units with
 timestamps and keyframe flags via the stdlib ISO-BMFF parser in
@@ -350,9 +351,163 @@ def decode_png(payload: bytes):
     return out
 
 
+def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> bytearray:
+    """GIF's LSB-first variable-width LZW (GIF89a spec appendix):
+    codes start at min_code+1 bits, the table grows by one entry per
+    decoded code, the width bumps when the table fills the current
+    code space (capped at 12 bits until a CLEAR), and the KwKwK case
+    (code == next table slot) resolves to prev + prev[0]."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return out
+    return out
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a decode in pure stdlib + numpy: logical screen
+    descriptor, global/local color tables, the LSB-first variable-
+    width LZW raster, 4-pass interlace, and transparency via the
+    graphic control extension (adds an alpha channel, like PNG tRNS).
+    Returns the FIRST frame composited onto the logical screen
+    (background-color fill) as uint8 (h, w, 3|4) — the thumbnail /
+    featurize semantics; animated GIFs' later frames (with disposal
+    compositing) stay on the frame-sampling seam."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4 and payload[pos + 1] & 1:
+                transparent = payload[pos + 4]
+            while True:  # generic sub-block skip
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+        elif b0 == 0x2C:  # image descriptor — decode the first frame
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload,
+                                                   pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                table = np.frombuffer(payload, np.uint8, n * 3,
+                                      pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while True:
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                chunks.append(payload[pos:pos + sz])
+                pos += sz
+            idx = np.frombuffer(
+                bytes(_gif_lzw_decode(min_code, b"".join(chunks),
+                                      iw * ih)),
+                np.uint8, iw * ih).reshape(ih, iw)
+            if ipacked & 0x40:  # 4-pass interlace
+                de = np.empty_like(idx)
+                rows = np.concatenate([np.arange(s, ih, st) for s, st in
+                                       ((0, 8), (4, 8), (2, 4), (1, 2))])
+                de[rows] = idx
+                idx = de
+            if int(idx.max()) >= table.shape[0]:
+                raise ValueError("GIF palette index out of range")
+            # composite onto the logical screen (background fill)
+            bg_idx = bg if gct is not None and bg < table.shape[0] else 0
+            canvas = np.full((h, w), bg_idx, np.uint8)
+            canvas[top:top + ih, left:left + iw] = idx
+            out = table[canvas]
+            if transparent is not None:
+                alpha = np.full(table.shape[0], 255, np.uint8)
+                if transparent < table.shape[0]:
+                    alpha[transparent] = 0
+                out = np.concatenate(
+                    [out, alpha[canvas][..., None]], axis=2)
+            return out
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02X}")
+    raise ValueError("GIF has no image data")
+
+
+def decode_image(payload: bytes, fmt: str):
+    """Dispatch to the in-container image decoders — the single list
+    real_decode / media_quality / real_resize share."""
+    if fmt in ("ppm", "pgm"):
+        return decode_netpbm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
+    if fmt in ("jpeg", "jpg"):
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg)
+        return decode_jpeg(payload)
+    raise NotImplementedError(
+        f"no in-container image codec for {fmt!r}; inject a decoder")
+
+
 #: formats real_decode can fully decode with stdlib + numpy alone
 REAL_DECODE_FORMATS = frozenset(
-    {"ppm", "pgm", "bmp", "wav", "png", "jpeg", "jpg"})
+    {"ppm", "pgm", "bmp", "wav", "png", "gif", "jpeg", "jpg"})
 
 
 def _unit_hist(values, lo: float, hi: float):
@@ -368,30 +523,18 @@ def _unit_hist(values, lo: float, hi: float):
 
 def real_decode(payload: bytes, fmt: str):
     """Real media decode for the in-container-decodable formats:
-    netpbm PPM/PGM, uncompressed 24-bit BMP, full-baseline PNG and
-    baseline + progressive JPEG decode to pixel arrays, PCM WAV to
-    float samples; the feature is a 16-bin histogram of the DECODED
-    values (pixel intensities / sample amplitudes), so header,
-    filter, entropy and container bytes never leak into it. Formats
-    that need real external codec libraries (mp4/video pixel decode)
-    still raise — none in this container; production injects
+    netpbm PPM/PGM, uncompressed 24-bit BMP, full-baseline PNG, GIF,
+    and baseline + progressive JPEG decode to pixel arrays, PCM WAV
+    to float samples; the feature is a 16-bin histogram of the
+    DECODED values (pixel intensities / sample amplitudes), so
+    header, filter, entropy and container bytes never leak into it.
+    Formats that need real external codec libraries (mp4/video pixel
+    decode) still raise — none in this container; production injects
     PIL/soundfile/ffmpeg for those (fake_decode remains the
     deterministic test stand-in)."""
-    if fmt in ("ppm", "pgm"):
-        return _unit_hist(decode_netpbm(payload), 0.0, 256.0)
-    if fmt == "bmp":
-        return _unit_hist(decode_bmp(payload), 0.0, 256.0)
-    if fmt == "png":
-        return _unit_hist(decode_png(payload), 0.0, 256.0)
-    if fmt in ("jpeg", "jpg"):
-        from flight_data_pipeline_spark.operators.jpeg_codec import (
-            decode_jpeg)
-        return _unit_hist(decode_jpeg(payload), 0.0, 256.0)
     if fmt == "wav":
         return _unit_hist(decode_wav(payload), -1.0, 1.0)
-    raise NotImplementedError(
-        f"no in-container codec for {fmt!r}; inject a decoder"
-    )
+    return _unit_hist(decode_image(payload, fmt), 0.0, 256.0)
 
 
 def auto_decode(payload: bytes, fmt: str):
@@ -554,18 +697,10 @@ def media_quality(media: DataFrame,
                 row = dict.fromkeys(cols)
                 row["media_id"] = mid
                 row["kind"] = meta["kind"]
-                if fmt in ("ppm", "pgm"):
-                    row.update(_image_quality(decode_netpbm(payload)))
-                elif fmt == "bmp":
-                    row.update(_image_quality(decode_bmp(payload)))
-                elif fmt == "png":
-                    row.update(_image_quality(decode_png(payload)))
-                elif fmt in ("jpeg", "jpg"):
-                    from flight_data_pipeline_spark.operators.jpeg_codec \
-                        import decode_jpeg
-                    row.update(_image_quality(decode_jpeg(payload)))
-                elif fmt == "wav":
+                if fmt == "wav":
                     row.update(_audio_quality(decode_wav(payload)))
+                elif fmt in REAL_DECODE_FORMATS:
+                    row.update(_image_quality(decode_image(payload, fmt)))
                 elif decoder is not None:
                     arr = decoder(payload, fmt)
                     row.update(_image_quality(arr) if getattr(
@@ -618,25 +753,15 @@ def _resample(img, w: int, h: int):
 
 def real_resize(payload: bytes, fmt: str, w: int, h: int) -> bytes:
     """REAL pixel resampling for every in-container-decodable image
-    format: decode (netpbm/BMP/PNG/JPEG via the same codecs
-    real_decode uses), box-average or nearest-neighbor resample, and
-    re-emit as binary netpbm (P6 for color, P5 for gray) — the
+    format: decode (netpbm/BMP/PNG/GIF/JPEG via the shared
+    decode_image dispatch), box-average or nearest-neighbor resample,
+    and re-emit as binary netpbm (P6 for color, P5 for gray) — the
     canonical uncompressed interchange encoding, so downstream decode
     /featurize stages consume the resized payload with zero codec
     dependencies. Non-image formats raise: resize is an image op."""
-    if fmt in ("ppm", "pgm"):
-        img = decode_netpbm(payload)
-    elif fmt == "bmp":
-        img = decode_bmp(payload)
-    elif fmt == "png":
-        img = decode_png(payload)
-    elif fmt in ("jpeg", "jpg"):
-        from flight_data_pipeline_spark.operators.jpeg_codec import (
-            decode_jpeg)
-        img = decode_jpeg(payload)
-    else:
-        raise NotImplementedError(
-            f"no in-container image codec for {fmt!r}; inject a resizer")
+    if fmt == "wav":
+        raise NotImplementedError("resize is an image op; got wav")
+    img = decode_image(payload, fmt)
     out = _resample(img, w, h)
     if out.shape[2] >= 3:
         return b"P6\n%d %d\n255\n" % (w, h) + out[:, :, :3].tobytes()

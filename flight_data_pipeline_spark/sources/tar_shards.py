@@ -46,7 +46,7 @@ TAR_MEMBER_SCHEMA = T.StructType([
 #: kind='blob' (labels/captions/json ride beside their media member)
 _KIND_BY_EXT = {
     "ppm": "image", "pgm": "image", "bmp": "image", "png": "image",
-    "jpg": "image", "jpeg": "image",
+    "gif": "image", "jpg": "image", "jpeg": "image",
     "wav": "audio", "flac": "audio", "mp3": "audio",
     "mp4": "video", "m4v": "video", "mov": "video",
 }

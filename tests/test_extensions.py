@@ -1125,6 +1125,201 @@ class TestJpegCodec:
             decode_jpeg(sof3)
 
 
+class TestGifDecode:
+    """GIF87a/89a decode (r10): a minimal stdlib GIF ENCODER — real
+    variable-width LSB-first LZW with dictionary growth, width bumps
+    and CLEAR emission — builds fixtures the decoder must invert
+    exactly, across palette sizes, interlace, local color tables,
+    sub-frame placement and transparency."""
+
+    @staticmethod
+    def _lzw_encode(min_code, indices):
+        clear = 1 << min_code
+        eoi = clear + 1
+        out_bits = []  # (code, width)
+        width = min_code + 1
+        dict_ = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+
+        def emit(code):
+            out_bits.append((code, width))
+
+        emit(clear)
+        w = b""
+        for c in indices:
+            wc = w + bytes([c])
+            if wc in dict_:
+                w = wc
+                continue
+            emit(dict_[w])
+            if next_code < 4096:
+                dict_[wc] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+            else:
+                emit(clear)
+                dict_ = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code + 1
+            w = bytes([c])
+        if w:
+            emit(dict_[w])
+        emit(eoi)
+        # pack LSB-first
+        acc = nbits = 0
+        data = bytearray()
+        for code, cw in out_bits:
+            acc |= code << nbits
+            nbits += cw
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        return bytes(data)
+
+    @classmethod
+    def _gif_payload(cls, idx, palette, *, interlace=False, local=False,
+                     transparent=None, left=0, top=0, screen=None,
+                     bg=0):
+        import struct
+
+        import numpy as np
+
+        ih, iw = idx.shape
+        sw, sh = screen or (left + iw, top + ih)
+        n = palette.shape[0]
+        size_field = max(1, (n - 1).bit_length()) - 1
+        table_n = 2 << size_field
+        pal = np.zeros((table_n, 3), np.uint8)
+        pal[:n] = palette
+        min_code = max(2, size_field + 1)
+
+        out = bytearray(b"GIF89a")
+        packed = (0x80 | size_field) if not local else 0x00
+        out += struct.pack("<HH", sw, sh) + bytes([packed, bg, 0])
+        if not local:
+            out += pal.tobytes()
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        out += b"\x21\xfe\x05hello\x00"  # comment ext: generic skip
+        ipacked = (0x80 | size_field) if local else 0x00
+        if interlace:
+            ipacked |= 0x40
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, iw, ih) \
+            + bytes([ipacked])
+        if local:
+            out += pal.tobytes()
+        rows = idx
+        if interlace:
+            order = np.concatenate([np.arange(s, ih, st) for s, st in
+                                    ((0, 8), (4, 8), (2, 4), (1, 2))])
+            rows = idx[order]
+        data = cls._lzw_encode(min_code, bytes(rows.reshape(-1)))
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    def test_gif_roundtrip_palette_sizes(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_gif,
+        )
+
+        rng = np.random.default_rng(31)
+        for n in (2, 4, 16, 200):
+            palette = rng.integers(0, 256, (n, 3), np.uint8)
+            idx = rng.integers(0, n, (13, 11), np.uint8)
+            dec = decode_gif(self._gif_payload(idx, palette))
+            assert np.array_equal(dec, palette[idx]), n
+
+    def test_gif_interlace_local_table_and_transparency(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_gif,
+        )
+
+        rng = np.random.default_rng(37)
+        palette = rng.integers(0, 256, (8, 3), np.uint8)
+        idx = rng.integers(0, 8, (17, 9), np.uint8)
+        dec = decode_gif(self._gif_payload(idx, palette, interlace=True))
+        assert np.array_equal(dec, palette[idx])
+        dec = decode_gif(self._gif_payload(idx, palette, local=True))
+        assert np.array_equal(dec, palette[idx])
+        dec = decode_gif(self._gif_payload(idx, palette, transparent=3))
+        assert dec.shape == (17, 9, 4)
+        assert np.array_equal(dec[:, :, :3], palette[idx])
+        assert np.array_equal(dec[:, :, 3] == 0, idx == 3)
+
+    def test_gif_subframe_composites_onto_screen(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_gif,
+        )
+
+        palette = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+        idx = np.ones((2, 3), np.uint8)
+        dec = decode_gif(self._gif_payload(
+            idx, palette, left=2, top=1, screen=(6, 4), bg=0))
+        assert dec.shape == (4, 6, 3)
+        assert np.array_equal(dec[1:3, 2:5], palette[np.ones((2, 3),
+                                                             np.uint8)])
+        assert (dec[0] == palette[0]).all()  # background fill
+
+    def test_gif_lzw_dictionary_pressure(self):
+        """Enough distinct patterns to grow the code width several
+        times — the variable-width sync between encoder and decoder
+        is exactly where LZW implementations break."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_gif,
+        )
+
+        rng = np.random.default_rng(41)
+        palette = rng.integers(0, 256, (4, 3), np.uint8)
+        idx = rng.integers(0, 4, (64, 64), np.uint8)
+        dec = decode_gif(self._gif_payload(idx, palette))
+        assert np.array_equal(dec, palette[idx])
+
+    def test_gif_through_media_tier(self, spark):
+        """A GIF and a PPM of the SAME pixels produce identical
+        features end to end, and the GIF flows through media_quality
+        and resize without an injected decoder."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, extract_features, media_quality, resize_media)
+
+        rng = np.random.default_rng(43)
+        palette = rng.integers(0, 256, (16, 3), np.uint8)
+        idx = rng.integers(0, 16, (8, 8), np.uint8)
+        img = palette[idx]
+        gif = self._gif_payload(idx, palette)
+        ppm = b"P6\n8 8\n255\n" + img.tobytes()
+        rows = [
+            (1, gif, {"kind": "image", "format": "gif",
+                      "n_bytes": len(gif)}),
+            (2, ppm, {"kind": "image", "format": "ppm",
+                      "n_bytes": len(ppm)}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_id: r for r in extract_features(media).collect()}
+        assert list(got[1].feature) == list(got[2].feature)
+        q = {r.media_id: r for r in media_quality(media).collect()}
+        assert q[1].px_sum == q[2].px_sum
+        rz = resize_media(media, 4, 4).collect()
+        assert all(r.meta["format"] in ("ppm", "pgm") for r in rz)
+
+
 class TestJpegProgressive:
     """Progressive JPEG (SOF2, T.81 Annex G — r10): the progressive
     ENCODER's scan script exercises every decode path (interleaved DC
