@@ -392,9 +392,21 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG → uint8 ndarray of shape
-    (h, w, 1) for grayscale or (h, w, 3) RGB (JFIF BT.601 full-range
-    YCbCr inverse). See module docstring for the supported profile."""
+    """Decode a baseline-sequential or progressive JPEG → uint8
+    ndarray of shape (h, w, 1) for grayscale or (h, w, 3) RGB (JFIF
+    BT.601 full-range YCbCr inverse). See module docstring for the
+    supported profile. Truncated/corrupt payloads raise ValueError
+    (the dead-letter contract), never a bare struct.error/IndexError
+    from the header arithmetic."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed JPEG payload: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
 

@@ -98,7 +98,18 @@ def demux_mp4(payload: bytes) -> list[Mp4Sample]:
     sample table) of an MP4 → decode-ordered ``Mp4Sample`` list.
     Un-fragmented payloads walk the stbl tables; fragmented payloads
     (``moof`` present) walk mvex/trex + moof/traf/tfhd/tfdt/trun.
-    Pure box arithmetic; the coded bytes are NOT decoded."""
+    Pure box arithmetic; the coded bytes are NOT decoded. Truncated /
+    corrupt containers raise ValueError (the dead-letter contract),
+    never a bare struct.error/IndexError from the box arithmetic."""
+    try:
+        return _demux_mp4(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed MP4 payload: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _demux_mp4(payload: bytes) -> list[Mp4Sample]:
     if len(payload) < 12 or payload[4:8] not in (
             b"ftyp", b"styp", b"moov", b"mdat"):
         raise ValueError("not an ISO-BMFF payload")

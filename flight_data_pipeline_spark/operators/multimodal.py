@@ -60,6 +60,34 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _malformed_raises_value_error(fmt_name: str):
+    """Decoder guard: a truncated or corrupt payload must surface as
+    ``ValueError`` — the dead-letter contract every media operator
+    routes on — not as whatever low-level exception the byte
+    arithmetic happens to hit first (IndexError on a short slice,
+    struct.error on a truncated header, zlib.error mid-inflate,
+    wave.Error on a bad RIFF). Never touches ValueError /
+    NotImplementedError, which already carry the contract."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            import struct
+            import wave
+            import zlib
+
+            try:
+                return fn(*a, **k)
+            except (IndexError, KeyError, struct.error, zlib.error,
+                    wave.Error, EOFError) as exc:
+                raise ValueError(
+                    f"malformed {fmt_name} payload: "
+                    f"{type(exc).__name__}: {exc}") from exc
+        return wrapper
+    return deco
+
+
 def _next_token(data: bytes, i: int) -> tuple[bytes, int]:
     """Netpbm header tokenizer: skip whitespace and '#' comments, then
     return (token, index-after-token)."""
@@ -78,6 +106,7 @@ def _next_token(data: bytes, i: int) -> tuple[bytes, int]:
     return data[i:j], j
 
 
+@_malformed_raises_value_error("netpbm")
 def decode_netpbm(payload: bytes):
     """Binary netpbm decode (P6 = RGB PPM, P5 = grayscale PGM, maxval
     ≤ 255) → uint8 ndarray of shape (h, w, channels). Pure stdlib +
@@ -100,6 +129,7 @@ def decode_netpbm(payload: bytes):
     return arr.reshape(h, w, ch)
 
 
+@_malformed_raises_value_error("BMP")
 def decode_bmp(payload: bytes):
     """Uncompressed 24-bit BI_RGB BMP decode → uint8 RGB ndarray of
     shape (h, w, 3). Handles the 4-byte row-stride padding, the BGR
@@ -133,6 +163,7 @@ def decode_bmp(payload: bytes):
     return np.ascontiguousarray(img)
 
 
+@_malformed_raises_value_error("WAV")
 def decode_wav(payload: bytes):
     """PCM WAV decode via the stdlib ``wave`` module → float32 mono
     samples in [-1, 1] (multi-channel is mean-downmixed). 8/16/24/32
@@ -262,6 +293,7 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
+@_malformed_raises_value_error("PNG")
 def decode_png(payload: bytes):
     """PNG decode with stdlib ``zlib`` alone → uint8 ndarray of shape
     (h, w, channels): parse the chunk stream, inflate the concatenated
@@ -396,6 +428,7 @@ def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> bytearray:
     return out
 
 
+@_malformed_raises_value_error("GIF")
 def decode_gif(payload: bytes):
     """GIF87a/89a decode in pure stdlib + numpy: logical screen
     descriptor, global/local color tables, the LSB-first variable-
