@@ -428,16 +428,11 @@ def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> bytearray:
     return out
 
 
-@_malformed_raises_value_error("GIF")
-def decode_gif(payload: bytes):
-    """GIF87a/89a decode in pure stdlib + numpy: logical screen
-    descriptor, global/local color tables, the LSB-first variable-
-    width LZW raster, 4-pass interlace, and transparency via the
-    graphic control extension (adds an alpha channel, like PNG tRNS).
-    Returns the FIRST frame composited onto the logical screen
-    (background-color fill) as uint8 (h, w, 3|4) — the thumbnail /
-    featurize semantics; animated GIFs' later frames (with disposal
-    compositing) stay on the frame-sampling seam."""
+def _gif_parse(payload: bytes):
+    """Parse a GIF87a/89a stream → (w, h, gct, bg, frames) where
+    frames is a list of (left, top, idx (ih, iw) uint8, table,
+    transparent_index_or_None, disposal). Shared by the first-frame
+    decoder and the animation compositor."""
     import struct
 
     import numpy as np
@@ -453,6 +448,8 @@ def decode_gif(payload: bytes):
         gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     transparent = None
+    disposal = 0
+    frames = []
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
@@ -460,14 +457,17 @@ def decode_gif(payload: bytes):
         if b0 == 0x21:  # extension: label + sub-blocks
             label = payload[pos + 1]
             pos += 2
-            if label == 0xF9 and payload[pos] >= 4 and payload[pos + 1] & 1:
-                transparent = payload[pos + 4]
+            if label == 0xF9 and payload[pos] >= 4:
+                gce_flags = payload[pos + 1]
+                disposal = (gce_flags >> 2) & 0x07
+                transparent = (payload[pos + 4]
+                               if gce_flags & 1 else None)
             while True:  # generic sub-block skip
                 sz = payload[pos]
                 pos += 1 + sz
                 if sz == 0:
                     break
-        elif b0 == 0x2C:  # image descriptor — decode the first frame
+        elif b0 == 0x2C:  # image descriptor
             left, top, iw, ih = struct.unpack_from("<HHHH", payload,
                                                    pos + 1)
             ipacked = payload[pos + 9]
@@ -502,21 +502,75 @@ def decode_gif(payload: bytes):
                 idx = de
             if int(idx.max()) >= table.shape[0]:
                 raise ValueError("GIF palette index out of range")
-            # composite onto the logical screen (background fill)
-            bg_idx = bg if gct is not None and bg < table.shape[0] else 0
-            canvas = np.full((h, w), bg_idx, np.uint8)
-            canvas[top:top + ih, left:left + iw] = idx
-            out = table[canvas]
-            if transparent is not None:
-                alpha = np.full(table.shape[0], 255, np.uint8)
-                if transparent < table.shape[0]:
-                    alpha[transparent] = 0
-                out = np.concatenate(
-                    [out, alpha[canvas][..., None]], axis=2)
-            return out
+            frames.append((left, top, idx, table, transparent, disposal))
+            transparent, disposal = None, 0  # GCE applies to ONE image
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02X}")
-    raise ValueError("GIF has no image data")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return w, h, gct, bg, frames
+
+
+@_malformed_raises_value_error("GIF")
+def decode_gif(payload: bytes):
+    """GIF87a/89a decode in pure stdlib + numpy: logical screen
+    descriptor, global/local color tables, the LSB-first variable-
+    width LZW raster, 4-pass interlace, and transparency via the
+    graphic control extension (adds an alpha channel, like PNG tRNS).
+    Returns the FIRST frame composited onto the logical screen
+    (background-color fill) as uint8 (h, w, 3|4) — the thumbnail /
+    featurize semantics; :func:`gif_frames` is the animation path."""
+    import numpy as np
+
+    w, h, gct, bg, frames = _gif_parse(payload)
+    left, top, idx, table, transparent, _disp = frames[0]
+    ih, iw = idx.shape
+    bg_idx = bg if gct is not None and bg < table.shape[0] else 0
+    canvas = np.full((h, w), bg_idx, np.uint8)
+    canvas[top:top + ih, left:left + iw] = idx
+    out = table[canvas]
+    if transparent is not None:
+        alpha = np.full(table.shape[0], 255, np.uint8)
+        if transparent < table.shape[0]:
+            alpha[transparent] = 0
+        out = np.concatenate([out, alpha[canvas][..., None]], axis=2)
+    return out
+
+
+@_malformed_raises_value_error("GIF")
+def gif_frames(payload: bytes):
+    """Animated-GIF frame compositing → list of uint8 (h, w, 3) RGB
+    canvases, one per frame, per the GIF89a rendering model: each
+    frame's non-transparent pixels paste onto the running canvas at
+    its (left, top) rect; disposal 2 restores the frame RECT to the
+    background color afterwards, disposal 3 restores the pre-frame
+    canvas, 0/1 leave the result. This is what makes GIF a real VIDEO
+    format for the frame-sampling tier — every yielded frame is the
+    image a viewer would see."""
+    import numpy as np
+
+    w, h, gct, bg, frames = _gif_parse(payload)
+    table0 = frames[0][3]
+    bg_idx = bg if gct is not None and bg < table0.shape[0] else 0
+    bg_rgb = table0[bg_idx]
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    out = []
+    for left, top, idx, table, transparent, disposal in frames:
+        ih, iw = idx.shape
+        before = canvas.copy() if disposal == 3 else None
+        rect = canvas[top:top + ih, left:left + iw]
+        frame_rgb = table[idx]
+        if transparent is not None:
+            mask = (idx != transparent)[..., None]
+            rect[...] = np.where(mask, frame_rgb, rect)
+        else:
+            rect[...] = frame_rgb
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[top:top + ih, left:left + iw] = bg_rgb
+        elif disposal == 3:
+            canvas = before
+    return out
 
 
 def decode_image(payload: bytes, fmt: str):
@@ -872,15 +926,20 @@ def auto_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
     """Default frame extractor: REAL ISO-BMFF container demux for
     mp4/m4v/mov payloads (operators/mp4_demux.py — the emitted frames
     are the video track's actual coded access units, byte-exact),
-    deterministic fixed-size chunking for everything else. Pixel
-    decode of the extracted units still needs an injected codec; the
-    demux arithmetic — which frames exist, where, when, which are
-    sync — is what a sampling pipeline needs first and is fully real
-    here."""
+    REAL frame compositing for animated GIFs (each frame re-emitted
+    as binary PPM, fully decoded pixels — GIF needs no external
+    codec), deterministic fixed-size chunking for everything else.
+    For mp4, pixel decode of the extracted units still needs an
+    injected codec; the demux arithmetic — which frames exist, where,
+    when, which are sync — is what a sampling pipeline needs first
+    and is fully real here."""
     if fmt in ("mp4", "m4v", "mov"):
         from flight_data_pipeline_spark.operators.mp4_demux import (
             extract_sample_bytes)
         return extract_sample_bytes(payload, fmt)
+    if fmt == "gif":
+        return [b"P6\n%d %d\n255\n" % (f.shape[1], f.shape[0])
+                + f.tobytes() for f in gif_frames(payload)]
     return fake_frame_extract(payload, fmt)
 
 

@@ -1225,6 +1225,107 @@ class TestGifDecode:
         out += b"\x00\x3b"
         return bytes(out)
 
+    @classmethod
+    def _animated_gif(cls, frames, palette, screen, bg=0):
+        """frames: [(idx, left, top, transparent, disposal)] — one
+        GCE + image descriptor per frame."""
+        import struct
+
+        import numpy as np
+
+        sw, sh = screen
+        n = palette.shape[0]
+        size_field = max(1, (n - 1).bit_length()) - 1
+        table_n = 2 << size_field
+        pal = np.zeros((table_n, 3), np.uint8)
+        pal[:n] = palette
+        min_code = max(2, size_field + 1)
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", sw, sh) + bytes(
+            [0x80 | size_field, bg, 0])
+        out += pal.tobytes()
+        for idx, left, top, transparent, disposal in frames:
+            flags = (disposal << 2) | (1 if transparent is not None
+                                       else 0)
+            out += bytes([0x21, 0xF9, 4, flags, 0, 0,
+                          transparent or 0, 0])
+            ih, iw = idx.shape
+            out += bytes([0x2C]) + struct.pack(
+                "<HHHH", left, top, iw, ih) + bytes([0x00])
+            data = cls._lzw_encode(min_code, bytes(idx.reshape(-1)))
+            out += bytes([min_code])
+            for i in range(0, len(data), 255):
+                chunk = data[i:i + 255]
+                out += bytes([len(chunk)]) + chunk
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
+
+    def test_animated_gif_compositing(self):
+        """The GIF89a rendering model: transparent pixels show the
+        running canvas, disposal 2 restores the frame rect to
+        background, disposal 3 restores the pre-frame canvas."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            gif_frames,
+        )
+
+        palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                            [0, 0, 255]], np.uint8)
+        base = np.full((4, 4), 1, np.uint8)        # red screen
+        # frame 2: 2x2 green patch at (1,1), disposal 3 (restore prev)
+        patch = np.full((2, 2), 2, np.uint8)
+        # frame 3: 2x2 with transparent holes at (0,0), disposal 2
+        holes = np.array([[3, 0], [0, 3]], np.uint8)
+        gif = self._animated_gif(
+            [(base, 0, 0, None, 1),
+             (patch, 1, 1, None, 3),
+             (holes, 0, 0, 0, 2)],
+            palette, screen=(4, 4), bg=0)
+        frames = gif_frames(gif)
+        assert len(frames) == 3
+        red, green, blue, black = (palette[i] for i in (1, 2, 3, 0))
+        assert (frames[0] == red).all()
+        # frame 2 = red canvas with the green patch
+        assert (frames[1][1:3, 1:3] == green).all()
+        assert (frames[1][0, :] == red).all()
+        # frame 3: disposal 3 restored the full red canvas first, then
+        # blue diagonal pixels; transparent holes show red through
+        assert (frames[2][0, 0] == blue).all()
+        assert (frames[2][1, 1] == blue).all()
+        assert (frames[2][0, 1] == red).all()
+        assert (frames[2][2:, 2:] == red).all()
+
+    def test_animated_gif_through_sample_frames(self, spark):
+        """GIF rides the frame-sampling tier as a real video format:
+        every_n over composited frames, each re-emitted as decodable
+        PPM — pixels, not chunks."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, decode_netpbm, sample_frames)
+
+        palette = np.array([[9, 9, 9], [250, 1, 2], [3, 250, 4]],
+                           np.uint8)
+        f0 = np.full((3, 5), 1, np.uint8)
+        f1 = np.full((3, 5), 2, np.uint8)
+        f2 = np.full((3, 5), 0, np.uint8)
+        gif = self._animated_gif(
+            [(f, 0, 0, None, 1) for f in (f0, f1, f2)],
+            palette, screen=(5, 3))
+        rows = [(1, gif, {"kind": "video", "format": "gif",
+                          "n_bytes": len(gif)})]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = sorted(sample_frames(media, every_n=2).collect(),
+                     key=lambda r: r.frame_index)
+        assert [r.frame_index for r in got] == [0, 2]
+        assert all(r.n_frames_total == 3 for r in got)
+        img0 = decode_netpbm(bytes(got[0].frame))
+        assert (img0 == palette[1]).all()
+        img2 = decode_netpbm(bytes(got[1].frame))
+        assert (img2 == palette[0]).all()
+
     def test_gif_roundtrip_palette_sizes(self):
         import numpy as np
 
