@@ -1516,6 +1516,101 @@ class TestJpegProgressive:
             prog = decode_jpeg(encode_jpeg_progressive(img, al=al))
             assert np.array_equal(base, prog), al
 
+    def test_non_interleaved_dc_scans(self):
+        """Some encoders emit per-component (non-interleaved) DC
+        scans instead of one interleaved scan — legal, and the one
+        traversal shape encode_jpeg_progressive never produces: DC
+        block order must then follow the component's CODED grid
+        (smaller than the MCU-padded store for subsampled chroma).
+        Hand-assemble such a stream and pin baseline parity."""
+        import struct
+
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators import jpeg_codec as jc
+
+        img = np.random.default_rng(5).integers(
+            0, 256, (19, 21, 3), np.uint8)
+        h_img, w_img, factors, blocks = jc._prep_blocks(
+            img, jc.QUANT_ONES, True)  # 4:2:0
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        dc_lut = jc._build_encode_lut(jc._DC_COUNTS, jc._DC_SYMBOLS)
+        ac_lut = jc._build_encode_lut(jc._AC_COUNTS, jc._AC_SYMBOLS)
+        out = bytearray(b"\xff\xd8")
+        jc._emit_headers(out, 0xC2, h_img, w_img, factors,
+                         jc.QUANT_ONES)
+
+        def sos(ci, ss, se):
+            body = bytes([1, ci + 1, 0x00, ss, se, 0])
+            out.extend(struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2))
+            out.extend(body)
+
+        def comp_blocks(ci):
+            hi, vi = factors[ci]
+            cw = -(-(w_img * hi) // hmax)
+            ch = -(-(h_img * vi) // vmax)
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    yield blocks[ci][by, bx]
+
+        for ci in range(3):  # non-interleaved DC first, Al=0
+            sos(ci, 0, 0)
+            bw = jc._BitWriter()
+            pred = 0
+            for blk in comp_blocks(ci):
+                dc = int(blk[0])
+                diff, pred = dc - pred, dc
+                t = jc._category(diff)
+                code, ln = dc_lut[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0
+                             else diff + (1 << t) - 1, t)
+            bw.pad_to_byte()
+            out.extend(bw.buf)
+        for ci in range(3):  # full-band AC first, Al=0
+            sos(ci, 1, 63)
+            bw = jc._BitWriter()
+            eobrun = 0
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    c, ln = ac_lut[nb << 4]
+                    bw.write(c, ln)
+                    if nb:
+                        bw.write(eobrun - (1 << nb), nb)
+                    eobrun = 0
+
+            for blk in comp_blocks(ci):
+                r = 0
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    if v == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        c, ln = ac_lut[0xF0]
+                        bw.write(c, ln)
+                        r -= 16
+                    s = jc._category(v)
+                    c, ln = ac_lut[(r << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+            emit_eobrun()
+            bw.pad_to_byte()
+            out.extend(bw.buf)
+        out.extend(b"\xff\xd9")
+
+        base = jc.decode_jpeg(jc.encode_jpeg(img, subsample=True))
+        assert np.array_equal(base, jc.decode_jpeg(bytes(out)))
+
     def test_progressive_property_random_shapes(self):
         """Hypothesis sweep: ANY shape, color mode, subsampling, Al
         depth, band split and quant choice — progressive decode stays
