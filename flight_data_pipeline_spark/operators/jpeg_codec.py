@@ -7,8 +7,9 @@ Decoder: ITU-T T.81 BASELINE SEQUENTIAL DCT plus PROGRESSIVE
 the web's second-most-common profile), Huffman entropy coding.
 Supports 8-bit grayscale and 3-component YCbCr at integer-ratio
 sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 — universal in
-practice), multiple DQT/DHT tables (redefinable between progressive
-scans), restart markers, 0xFF00 byte stuffing, and fill bytes
+practice), multi-scan SEQUENTIAL streams (per-component scans,
+T.81 A.2.2), multiple DQT/DHT tables (redefinable between scans),
+restart markers, 0xFF00 byte stuffing, and fill bytes
 before markers (header and scan). Arithmetic coding, 12-bit,
 lossless, and CMYK raise ``NotImplementedError`` and stay on the
 injected-decoder path.
@@ -248,6 +249,33 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, i
 
 
+def _scan_units(sel, comps, mcus_x, mcus_y, h_img, w_img, hmax, vmax):
+    """Block traversal for one scan: interleaved scans walk the MCU
+    grid (each component contributing its vi×hi blocks per MCU);
+    single-component scans raster over the component's CODED block
+    grid — ceil(ceil(dim·fac/fac_max)/8) — which is smaller than the
+    MCU-padded store for subsampled components. Yields lists of
+    (comp_idx, block_y, block_x); one list = one restart unit."""
+    if len(sel) > 1:
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            blocks = []
+            for ci, _dc, _ac in sel:
+                _, hi, vi, _ = comps[ci]
+                blocks.extend(
+                    (ci, my * vi + v, mx * hi + hh)
+                    for v in range(vi) for hh in range(hi))
+            yield blocks
+    else:
+        ci = sel[0][0]
+        _, hi, vi, _ = comps[ci]
+        cw = -(-(w_img * hi) // hmax)
+        ch = -(-(h_img * vi) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield [(ci, by, bx)]
+
+
 def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
                               h_img, w_img, hmax, vmax) -> None:
     """T.81 Annex G progressive (Huffman) scan decoding into the
@@ -273,26 +301,8 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
                              "single-component")
 
         def units():
-            if interleaved:
-                for mcu in range(mcus_x * mcus_y):
-                    my, mx = divmod(mcu, mcus_x)
-                    blocks = []
-                    for ci, _dc, _ac in sel:
-                        _, hi, vi, _ = comps[ci]
-                        blocks.extend(
-                            (ci, my * vi + v, mx * hi + hh)
-                            for v in range(vi) for hh in range(hi))
-                    yield blocks
-            else:
-                # non-interleaved: raster over the component's CODED
-                # block grid — ceil(ceil(dim * fac / fac_max) / 8)
-                ci = sel[0][0]
-                _, hi, vi, _ = comps[ci]
-                cw = -(-(w_img * hi) // hmax)
-                ch = -(-(h_img * vi) // vmax)
-                for by in range(-(-ch // 8)):
-                    for bx in range(-(-cw // 8)):
-                        yield [(ci, by, bx)]
+            return _scan_units(sel, comps, mcus_x, mcus_y,
+                               h_img, w_img, hmax, vmax)
 
         seg_idx = 0
         br = _BitReader(segments[0])
@@ -501,8 +511,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             segments, pos = _split_scan(payload, pos)
             scans.append((sel, ss, se, ahal >> 4, ahal & 0x0F,
                           restart_interval, segments))
-            if not progressive:
-                break  # single-scan baseline: decode now
+            # keep parsing: progressive always has more scans, and
+            # sequential MAY (per-component scans, T.81 A.2.2)
         # else: APPn / COM / DNL — skip
 
     if frame is None or not scans:
@@ -524,46 +534,56 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         _decode_progressive_scans(
             scans, comps, coef, mcus_x, mcus_y, h_img, w_img, hmax, vmax)
     else:
-        sel, _ss, _se, _ah, _al, restart_interval, segments = scans[0]
-        if len(sel) != len(comps):
-            raise NotImplementedError(
-                "multi-scan sequential JPEG needs an injected decoder")
-        seg_idx = 0
-        br = _BitReader(segments[0])
-        preds = [0] * len(comps)
-        for mcu in range(n_mcus):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("missing RST segment in JPEG scan")
-                br = _BitReader(segments[seg_idx])
-                preds = [0] * len(comps)
-            my, mx = divmod(mcu, mcus_x)
-            for ci, dc_lut, ac_lut in sel:
-                _, hi, vi, _ = comps[ci]
-                if dc_lut is None or ac_lut is None:
-                    raise ValueError("JPEG scan references missing DHT")
-                for v in range(vi):
-                    for hh in range(hi):
-                        blk = np.zeros(64, dtype=np.int64)
-                        t = _decode_symbol(br, dc_lut)
-                        preds[ci] += _extend(br.receive(t), t)
-                        blk[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(br, ac_lut)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break        # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _extend(br.receive(s), s)
-                            k += 1
-                        coef[ci][my * vi + v, mx * hi + hh] = blk
+        # Sequential: usually ONE interleaved scan, but T.81 also
+        # allows the components split across scans (e.g. a Y scan
+        # then a Cb scan then a Cr scan — non-interleaved scans walk
+        # the component's coded block grid). Partial-subset
+        # INTERLEAVED scans (2 of 3 components in one scan) are rare
+        # enough to stay on the injected path.
+        for sel, _ss, _se, _ah, _al, restart_interval, segments in scans:
+            if 1 < len(sel) < len(comps):
+                raise NotImplementedError(
+                    "partially-interleaved sequential JPEG scan needs "
+                    "an injected decoder")
+            seg_idx = 0
+            br = _BitReader(segments[0])
+            preds = [0] * len(comps)
+            luts = {ci: (dc, ac) for ci, dc, ac in sel}
+            for uidx, blocks in enumerate(_scan_units(
+                    sel, comps, mcus_x, mcus_y, h_img, w_img,
+                    hmax, vmax)):
+                if restart_interval and uidx \
+                        and uidx % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError(
+                            "missing RST segment in JPEG scan")
+                    br = _BitReader(segments[seg_idx])
+                    preds = [0] * len(comps)
+                for ci, by, bx in blocks:
+                    dc_lut, ac_lut = luts[ci]
+                    if dc_lut is None or ac_lut is None:
+                        raise ValueError(
+                            "JPEG scan references missing DHT")
+                    blk = np.zeros(64, dtype=np.int64)
+                    t = _decode_symbol(br, dc_lut)
+                    preds[ci] += _extend(br.receive(t), t)
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_symbol(br, ac_lut)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break        # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        blk[k] = _extend(br.receive(s), s)
+                        k += 1
+                    coef[ci][by, bx] = blk
 
     # dequantize + dezigzag + IDCT, whole component at once
     planes = []

@@ -1107,6 +1107,51 @@ class TestJpegCodec:
         dec = decode_jpeg(padded_rst)
         assert self._err(dec[:, :, 0], wide) <= 2
 
+    def test_multi_scan_sequential(self):
+        """T.81 A.2.2: a SEQUENTIAL stream may split components across
+        scans (Y scan, then Cb, then Cr — each non-interleaved over
+        its coded block grid). Hand-assemble one from the encoder
+        pieces and pin parity with the interleaved encoding of the
+        same image, in 4:4:4 and 4:2:0."""
+        import struct
+
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators import jpeg_codec as jc
+
+        for sub in (False, True):
+            img = np.random.default_rng(61).integers(
+                0, 256, (17, 13, 3), np.uint8)
+            h_img, w_img, factors, blocks = jc._prep_blocks(
+                img, jc.QUANT_ONES, sub)
+            hmax = max(f[0] for f in factors)
+            vmax = max(f[1] for f in factors)
+            dc_lut = jc._build_encode_lut(jc._DC_COUNTS, jc._DC_SYMBOLS)
+            ac_lut = jc._build_encode_lut(jc._AC_COUNTS, jc._AC_SYMBOLS)
+            out = bytearray(b"\xff\xd8")
+            jc._emit_headers(out, 0xC0, h_img, w_img, factors,
+                             jc.QUANT_ONES)
+            for ci in range(3):
+                body = bytes([1, ci + 1, 0x00, 0, 63, 0])
+                out.extend(struct.pack(">BBH", 0xFF, 0xDA,
+                                       len(body) + 2))
+                out.extend(body)
+                bw = jc._BitWriter()
+                pred = 0
+                hi, vi = factors[ci]
+                cw = -(-(w_img * hi) // hmax)
+                ch = -(-(h_img * vi) // vmax)
+                for by in range(-(-ch // 8)):
+                    for bx in range(-(-cw // 8)):
+                        pred = jc._encode_block(
+                            bw, blocks[ci][by, bx], pred,
+                            dc_lut, ac_lut)
+                bw.pad_to_byte()
+                out.extend(bw.buf)
+            out.extend(b"\xff\xd9")
+            base = jc.decode_jpeg(jc.encode_jpeg(img, subsample=sub))
+            assert np.array_equal(base, jc.decode_jpeg(bytes(out))), sub
+
     def test_rejects_unsupported_profiles(self):
         import struct
 
