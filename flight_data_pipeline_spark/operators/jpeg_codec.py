@@ -309,6 +309,8 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
         preds = [0] * len(comps)
         eobrun = 0
         p1, m1 = 1 << al, -(1 << al)
+        luts = {ci: (dc, ac) for ci, dc, ac in sel}  # hoisted: the
+        #   per-block loop is the decode hot path
         for uidx, blocks in enumerate(units()):
             if rst and uidx and uidx % rst == 0:
                 seg_idx += 1
@@ -319,9 +321,7 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
                 eobrun = 0
             for ci, by, bx in blocks:
                 blk = coef[ci][by, bx]
-                dc_lut, ac_lut = sel[0][1], sel[0][2]
-                if interleaved:
-                    dc_lut = next(s[1] for s in sel if s[0] == ci)
+                dc_lut, ac_lut = luts[ci]
                 if ss == 0:
                     if se != 0:
                         raise ValueError("progressive DC scan with Se>0")
@@ -410,7 +410,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     from the header arithmetic."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error) as exc:
+    except (IndexError, KeyError, struct.error, OverflowError,
+            ZeroDivisionError) as exc:
+        # fuzzing-confirmed escapes (r10 review): KeyError from a SOF
+        # referencing an undeclared DQT id, OverflowError from a
+        # corrupt DHT emitting a >63 size category into the int64
+        # block, ZeroDivisionError from a zero sampling factor.
         raise ValueError(
             f"malformed JPEG payload: {type(exc).__name__}: {exc}"
         ) from exc
@@ -753,6 +758,12 @@ def _prep_blocks(img: np.ndarray, quant: np.ndarray,
     return h_img, w_img, factors, blocks
 
 
+def _segment(out: bytearray, marker: int, body: bytes) -> None:
+    """Emit one marker segment (the single copy both encoders use)."""
+    out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+    out.extend(body)
+
+
 def _emit_headers(out: bytearray, sof_marker: int, h_img: int,
                   w_img: int, factors: list, quant: np.ndarray) -> None:
     """SOI through DHT (shared by both encoders). This encoder emits
@@ -761,8 +772,7 @@ def _emit_headers(out: bytearray, sof_marker: int, h_img: int,
     it (baseline JPEG quality ladders never need >255 anyway —
     quality 1 tops out at 255)."""
     def segment(marker: int, body: bytes) -> None:
-        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
-        out.extend(body)
+        _segment(out, marker, body)
 
     qflat = quant.reshape(64)
     if int(qflat.max()) > 255 or int(qflat.min()) < 1:
@@ -799,18 +809,14 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
 
     out = bytearray(b"\xff\xd8")  # SOI
 
-    def segment(marker: int, body: bytes) -> None:
-        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
-        out.extend(body)
-
     _emit_headers(out, 0xC0, h_img, w_img, factors, quant)
     if restart_interval:
-        segment(0xDD, struct.pack(">H", restart_interval))
+        _segment(out, 0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(factors)])
     for i in range(len(factors)):
         sos += bytes([i + 1, 0x00])
     sos += bytes([0, 63, 0])
-    segment(0xDA, sos)
+    _segment(out, 0xDA, sos)
 
     bw = _BitWriter()
     preds = [0] * len(factors)

@@ -194,15 +194,20 @@ def _demux_mp4(payload: bytes) -> list[Mp4Sample]:
         for c in range(first - 1, last):
             spc[c] = per
 
-    # stts → per-sample decode timestamps
+    # stts → per-sample decode timestamps. Run counts are corruption-
+    # controlled 32-bit ints: clamp expansion to the stsz sample count
+    # (a 0xFFFFFFF0 count would otherwise spin for minutes and OOM —
+    # r10 review, fuzzing-confirmed) and stop once covered.
     p = full(b"stts")
     (n_tt,) = struct.unpack_from(">I", payload, p)
     dts, t = [], 0
     for i in range(n_tt):
         cnt, delta = struct.unpack_from(">II", payload, p + 4 + 8 * i)
-        for _ in range(cnt):
+        for _ in range(min(cnt, count - len(dts))):
             dts.append(t)
             t += delta
+        if len(dts) >= count:
+            break
     if len(dts) < count:
         raise ValueError("stts covers fewer samples than stsz")
 
@@ -218,10 +223,12 @@ def _demux_mp4(payload: bytes) -> list[Mp4Sample]:
         si = 0
         for i in range(n_ct):
             cnt, off_ct = struct.unpack_from(fmt, payload, p + 4 + 8 * i)
-            for _ in range(cnt):
-                if si < count:
-                    cts[si] = off_ct
+            # clamp: run counts are corruption-controlled (r10 review)
+            for _ in range(min(cnt, count - si)):
+                cts[si] = off_ct
                 si += 1
+            if si >= count:
+                break
 
     # stss → sync samples (1-based); absent ⇒ all sync
     sync = None
@@ -378,6 +385,20 @@ def _demux_fmp4(payload: bytes) -> list[Mp4Sample]:
                 p3 = b3 + 4
                 (scount,) = struct.unpack_from(">I", payload, p3)
                 p3 += 4
+                # scount is corruption-controlled: with per-sample
+                # fields it must fit the trun box; without, no sane
+                # file has more samples than payload bytes (each
+                # sample occupies mdat space). Unbounded it spins for
+                # minutes per payload (r10 review, fuzz-confirmed).
+                per = 4 * bin(tr_flags & 0xF00).count("1")
+                fixed = (4 if tr_flags & 0x1 else 0) \
+                    + (4 if tr_flags & 0x4 else 0)
+                if per and p3 + fixed + scount * per > e3:
+                    raise ValueError(
+                        "MP4 trun sample fields exceed the trun box")
+                if scount > len(payload):
+                    raise ValueError(
+                        "MP4 trun sample count exceeds payload size")
                 if tr_flags & 0x000001:
                     (doff,) = struct.unpack_from(">i", payload, p3)
                     p3 += 4

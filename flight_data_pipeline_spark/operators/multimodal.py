@@ -60,14 +60,18 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _malformed_raises_value_error(fmt_name: str):
+def _malformed_raises_value_error(fmt_name: str, extra: tuple = ()):
     """Decoder guard: a truncated or corrupt payload must surface as
     ``ValueError`` — the dead-letter contract every media operator
     routes on — not as whatever low-level exception the byte
     arithmetic happens to hit first (IndexError on a short slice,
     struct.error on a truncated header, zlib.error mid-inflate,
-    wave.Error on a bad RIFF). Never touches ValueError /
-    NotImplementedError, which already carry the contract."""
+    wave.Error on a bad RIFF). ``extra`` adds format-specific escape
+    types (the stdlib chunk module raises bare RuntimeError on a
+    truncated WAV chunk — fuzz-confirmed in the r10 review; catching
+    RuntimeError globally would mask real bugs, so it is opt-in).
+    Never touches ValueError / NotImplementedError, which already
+    carry the contract."""
     import functools
 
     def deco(fn):
@@ -80,7 +84,7 @@ def _malformed_raises_value_error(fmt_name: str):
             try:
                 return fn(*a, **k)
             except (IndexError, KeyError, struct.error, zlib.error,
-                    wave.Error, EOFError) as exc:
+                    wave.Error, EOFError, *extra) as exc:
                 raise ValueError(
                     f"malformed {fmt_name} payload: "
                     f"{type(exc).__name__}: {exc}") from exc
@@ -163,7 +167,7 @@ def decode_bmp(payload: bytes):
     return np.ascontiguousarray(img)
 
 
-@_malformed_raises_value_error("WAV")
+@_malformed_raises_value_error("WAV", extra=(RuntimeError,))
 def decode_wav(payload: bytes):
     """PCM WAV decode via the stdlib ``wave`` module → float32 mono
     samples in [-1, 1] (multi-channel is mean-downmixed). 8/16/24/32
@@ -511,6 +515,17 @@ def _gif_parse(payload: bytes):
     return w, h, gct, bg, frames
 
 
+def _gif_bg_rgb(gct, bg: int):
+    """Background color: the bg index refers to the GLOBAL color
+    table (GIF89a §18); black when there is no GCT or the index is
+    out of its range."""
+    import numpy as np
+
+    if gct is not None and bg < gct.shape[0]:
+        return gct[bg]
+    return np.zeros(3, np.uint8)
+
+
 @_malformed_raises_value_error("GIF")
 def decode_gif(payload: bytes):
     """GIF87a/89a decode in pure stdlib + numpy: logical screen
@@ -525,15 +540,16 @@ def decode_gif(payload: bytes):
     w, h, gct, bg, frames = _gif_parse(payload)
     left, top, idx, table, transparent, _disp = frames[0]
     ih, iw = idx.shape
-    bg_idx = bg if gct is not None and bg < table.shape[0] else 0
-    canvas = np.full((h, w), bg_idx, np.uint8)
-    canvas[top:top + ih, left:left + iw] = idx
-    out = table[canvas]
+    # the background index refers to the GLOBAL color table, never
+    # the frame's local one (r10 review: looking it up in a local
+    # table renders wrong background pixels)
+    out = np.broadcast_to(_gif_bg_rgb(gct, bg), (h, w, 3)).copy()
+    out[top:top + ih, left:left + iw] = table[idx]
     if transparent is not None:
-        alpha = np.full(table.shape[0], 255, np.uint8)
-        if transparent < table.shape[0]:
-            alpha[transparent] = 0
-        out = np.concatenate([out, alpha[canvas][..., None]], axis=2)
+        alpha = np.full((h, w), 255, np.uint8)
+        alpha[top:top + ih, left:left + iw] = np.where(
+            idx == transparent, 0, 255).astype(np.uint8)
+        out = np.concatenate([out, alpha[..., None]], axis=2)
     return out
 
 
@@ -550,9 +566,7 @@ def gif_frames(payload: bytes):
     import numpy as np
 
     w, h, gct, bg, frames = _gif_parse(payload)
-    table0 = frames[0][3]
-    bg_idx = bg if gct is not None and bg < table0.shape[0] else 0
-    bg_rgb = table0[bg_idx]
+    bg_rgb = _gif_bg_rgb(gct, bg)
     canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
     out = []
     for left, top, idx, table, transparent, disposal in frames:

@@ -1473,6 +1473,103 @@ class TestMalformedPayloadContract:
     Each format's valid fixture is truncated at several points and at
     several corruption offsets."""
 
+    def test_fuzz_confirmed_escapes_are_value_errors(self):
+        """r10 review, fuzz-confirmed contract escapes, each pinned:
+        JPEG SOF referencing an undeclared DQT id (was KeyError), a
+        zero sampling factor (was ZeroDivisionError), a truncated WAV
+        chunk body (stdlib chunk raises bare RuntimeError), and the
+        corrupt-MP4 run-count hang (0xFFFFFFF0 ctts/stts counts and a
+        huge trun sample count must fail or clamp FAST, not spin for
+        minutes)."""
+        import io
+        import struct
+        import time
+        import wave
+
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+        from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_wav)
+
+        img = np.zeros((8, 8), np.uint8)
+        jpg = bytearray(encode_jpeg(img))
+        k = jpg.index(0xC0, 2)  # SOF0 marker byte (after FF)
+        # SOF body: len(2) prec(1) h(2) w(2) ncomp(1) then cid,hv,tq
+        bad_tq = bytes(jpg[:k + 11]) + b"\x07" + bytes(jpg[k + 12:])
+        with pytest.raises(ValueError):
+            decode_jpeg(bad_tq)
+        zero_hv = bytes(jpg[:k + 10]) + b"\x00" + bytes(jpg[k + 11:])
+        with pytest.raises(ValueError):
+            decode_jpeg(zero_hv)
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack("<100h", *range(100)))
+        wav = buf.getvalue()
+        # a cut inside the header chunks raises (stdlib chunk module's
+        # bare RuntimeError path among others — all must map to
+        # ValueError); cuts inside the data chunk legitimately decode
+        # short, so sweep the header region
+        for cut in range(4, 44):
+            with pytest.raises(ValueError):
+                decode_wav(wav[:cut])
+
+        # huge ctts run count: clamped, still decodes, and FAST
+        payload = bytearray(TestMp4Demux._mp4_payload(
+            ctts_runs=[(0xFFFFFFF0, 40)]))
+        t0 = time.time()
+        got = demux_mp4(bytes(payload))
+        assert time.time() - t0 < 2.0
+        assert [s.pts_ms - s.dts_ms for s in got] == [40] * 5
+        # huge stts run count: clamped to the stsz sample count
+        p2 = bytearray(TestMp4Demux._mp4_payload())
+        ks = p2.find(b"stts")
+        struct.pack_into(">I", p2, ks + 8, 0xFFFFFFF0)  # first run cnt
+        t0 = time.time()
+        got = demux_mp4(bytes(p2))
+        assert time.time() - t0 < 2.0
+        assert len(got) == 5
+        # huge trun sample count in an fMP4: ValueError, not a hang
+        f = bytearray(TestFmp4Demux._fmp4_payload())
+        kt = f.find(b"trun")
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            struct.pack_into(">I", f, kt + 8, 0x7FFFFFF0)
+            demux_mp4(bytes(f))
+        assert time.time() - t0 < 2.0
+
+    def test_gif_background_uses_global_table(self):
+        """r10 review: the bg index refers to the GLOBAL color table;
+        a frame with a LOCAL table must not remap the background."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_gif, gif_frames)
+
+        gct = np.array([[1, 2, 3], [0, 0, 255]], np.uint8)  # bg=1 blue
+        local = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+        idx = np.zeros((2, 2), np.uint8)  # local red frame at (0,0)
+        # build: GCT present, frame carries its own local table
+        gif = TestGifDecode._gif_payload(
+            idx, local, local=True, left=0, top=0, screen=(4, 4), bg=1)
+        # _gif_payload with local=True omits the GCT; splice one in
+        import struct
+        g = bytearray(gif)
+        g[10] |= 0x80 | 0x00  # GCT flag, size field 0 → 2 entries
+        g[11] = 1             # bg index 1
+        g[13:13] = gct.tobytes()
+        out = decode_gif(bytes(g))
+        assert (out[0, 0] == local[0]).all()       # frame pixel: local
+        assert (out[3, 3] == gct[1]).all()         # background: GCT
+        frames = gif_frames(bytes(g))
+        assert (frames[0][3, 3] == gct[1]).all()
+
     def test_truncations_raise_value_error(self):
         import numpy as np
 
