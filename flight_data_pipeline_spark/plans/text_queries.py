@@ -2567,51 +2567,124 @@ def bloom_prefilter_decontamination(spark: SparkSession,
     )
 
 
-@query("textrank_keyword_scores")  # rows-only: iterative float ranks
+def _tr_rounds_sql(n_rounds: int, materialized: bool = False) -> str:
+    """Unroll ``n_rounds`` of the pagerank_integer update rule as SQL
+    CTEs (the bpe_merge_table oracle pattern: a fixed iteration count
+    replayed as a chain of join+aggregate rounds). ``materialized``
+    pins DuckDB's CTE materialization for deep chains, where optimizer
+    inlining of a 10-round nest would otherwise be planning-costly."""
+    mat = " MATERIALIZED" if materialized else ""
+    return "\n    ".join(
+        f"""c{k} AS{mat} (
+        SELECT e.dst AS v, SUM((r{k-1}.r * e.w) // sw.sw) AS c
+        FROM edges e JOIN sw ON e.src = sw.src
+                     JOIN r{k-1} ON r{k-1}.v = e.src
+        GROUP BY e.dst
+    ),
+    r{k} AS{mat} (
+        SELECT nodes.v,
+               CAST(15000000000000 AS BIGINT)
+                   // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c{k}.c, 0)) // 100 AS r
+        FROM nodes LEFT JOIN c{k} ON nodes.v = c{k}.v
+    ),""" for k in range(1, n_rounds + 1))
+
+
+def _textrank_oracle() -> str:
+    """Build the textrank_keyword_scores oracle: the full 10-round
+    pagerank_integer fixed-point unrolled as materialized CTEs (the
+    bpe_merge_table pattern), final scores surfaced as ONE IEEE
+    double division of the scaled BIGINT — bit-identical across
+    engines, so the whole iterative computation hash-checks."""
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        FROM documents
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst, COUNT(*) AS w FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1), i -> t[i])) AS src,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - 1), i -> t[i + 1])) AS dst
+            FROM t WHERE len(t) >= 2
+        ) GROUP BY src, dst
+    ),
+    sw AS MATERIALIZED (SELECT src, SUM(w) AS sw FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM edges
+            UNION ALL SELECT dst AS v FROM edges)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT v, CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn) AS r
+        FROM nodes
+    ),
+    {_tr_rounds_sql(10, materialized=True)}
+    ranked AS (
+        SELECT v AS token, r / 1000000000000.0 AS score
+        FROM r10
+    )
+    SELECT token, score FROM ranked
+    ORDER BY score DESC, token LIMIT 25
+    """
+
+
+@query("textrank_keyword_scores", oracle=_textrank_oracle())
 def textrank_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
     PageRank over the corpus token-transition graph — an edge
     token_i → token_{i+1} per adjacent pair, weighted by corpus
     bigram count — surfacing the tokens most central to how the
     corpus actually flows, a step beyond raw frequency (top_tokens)
-    and TF-IDF. Registered rows-only: 15 rounds of damped float
-    propagation have no SQL twin (DuckDB's recursive CTE is
-    UNION-semantics, not iterate-replace); correctness is pinned
-    against a numpy power-iteration oracle in
-    tests/test_operators.py::TestPageRank.
+    and TF-IDF.
 
-    Plan: one token explode + window-lag builds the bigram edge
-    list (aggregated to |vocab|² at most — the transition graph,
-    corpus-size-independent); operators/graph.pagerank then iterates
-    over GRAPH-sized frames only, so the query's cost is ~all
-    fixed per-round scheduling (bench: ~0.35 s/round at ANY corpus
-    size — data-independent by construction). 10 rounds: keyword
-    RANK ORDER stabilizes far before the 1e-6 value fixpoint
-    (damping^k residual); raise max_iter if absolute scores matter.
-    Ranks rounded to 9 before the deterministic (score, token)
-    ordering."""
-    from pyspark.sql import Window
+    HASH-CHECKED since r11 (rows-only r6-r10): the ranks are the
+    pagerank_integer fixed-point (every step 64-bit integer div/sum,
+    bit-identical on any engine), run for the full 10 rounds and
+    unrolled in the oracle as 10 materialized CTE rounds — the
+    bpe_merge_table recipe applied to the iterative-graph family.
+    The reported ``score`` is ONE IEEE-754 double division of the
+    scaled BIGINT rank (r / 1e12): a single float op on identical
+    integers is exactly specified, so even the float column hashes.
+    (The damped-FLOAT propagation this query used through r10 lives
+    on in operators/graph.pagerank, pinned by the numpy oracle in
+    tests/test_operators.py::TestPageRank — float partial sums
+    re-associate and can never hash-match another engine; the
+    fixed-point floors differ from it by ≤ deg/1e12, far below any
+    ranking-relevant gap.)
 
-    from flight_data_pipeline_spark.operators.graph import pagerank
+    Plan: the bigram edge build is one map-side transform+explode —
+    pairs come from an index zip inside the split array, so NO
+    doc-keyed window shuffle — aggregated to the |vocab|²-bounded
+    transition graph; pagerank_integer then iterates over GRAPH-sized
+    frames only (rank state broadcast each round, edge side never
+    re-shuffled), so per-round cost is corpus-size-independent.
+    Integer-overflow envelope: scale * max_bigram_count must stay
+    under 2^63 — at 100 TB drop scale to 1e9 (floors still ~1e-9
+    relative, ranking-irrelevant)."""
+    from flight_data_pipeline_spark.operators.graph import pagerank_integer
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "token"))
-        .where(F.length("token") > 0)
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("t")
+    ).where(F.size("t") >= 2)
     edges = (
-        toks.withColumn("next", F.lead("token").over(w))
-        .where(F.col("next").isNotNull())
-        .groupBy(F.col("token").alias("src"), F.col("next").alias("dst"))
-        .agg(F.count("*").alias("weight"))
+        toks.select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) AS src,"
+            "             element_at(t, i + 1) AS dst))")).alias("z"))
+        .select(F.col("z.src").alias("src"), F.col("z.dst").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
     )
-    ranks = pagerank(edges, weight="weight", max_iter=10)
+    ranks = pagerank_integer(edges, weight="w", iters=10)
     return (
-        ranks.select(F.col("v").alias("token"),
-                     F.round("rank", 9).alias("score"))
+        ranks.select(
+            F.col("v").alias("token"),
+            (F.col("rank") / F.lit(1000000000000.0)).alias("score"))
         .orderBy(F.desc("score"), "token")
         .limit(25)
     )
@@ -3275,20 +3348,7 @@ def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- integer TextRank (checked iterative keyword extraction) -----------------
-_TR_ROUNDS_SQL = "\n    ".join(
-    f"""c{k} AS (
-        SELECT e.dst AS v, SUM((r{k-1}.r * e.w) // sw.sw) AS c
-        FROM edges e JOIN sw ON e.src = sw.src
-                     JOIN r{k-1} ON r{k-1}.v = e.src
-        GROUP BY e.dst
-    ),
-    r{k} AS (
-        SELECT nodes.v,
-               CAST(15000000000000 AS BIGINT)
-                   // (100 * (SELECT n FROM nn))
-               + (85 * COALESCE(c{k}.c, 0)) // 100 AS r
-        FROM nodes LEFT JOIN c{k} ON nodes.v = c{k}.v
-    ),""" for k in (1, 2, 3))
+_TR_ROUNDS_SQL = _tr_rounds_sql(3)
 
 
 @query(

@@ -42,7 +42,12 @@ out = {
     "cal_sec": (detail.get("cal") or {}).get("sec"),
     # memory-bandwidth probe twin (bench.calibration_mem_sec): the
     # uniform-slowdown discriminator compares the round's median
-    # per-query ratio against BOTH probes' ratios
+    # per-query ratio against BOTH probes' ratios. NOTE (r11): a
+    # single-window pin saturates — the r9 pin (0.0737, fast window)
+    # read mem_x 1.25-1.31 every window after. The shipped baseline
+    # re-pins cal_mem_sec to the MEDIAN of recorded windows
+    # (BASELINE.md 2026-08-16 r11 note); when re-recording, prefer
+    # median(this window, prior recorded windows) over the raw probe.
     "cal_mem_sec": (detail.get("cal") or {}).get("mem_sec"),
     "queries": queries,
 }
