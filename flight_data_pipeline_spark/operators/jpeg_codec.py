@@ -402,9 +402,11 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential or progressive JPEG → uint8
+    """Decode a baseline/extended-sequential or progressive JPEG →
     ndarray of shape (h, w, 1) for grayscale or (h, w, 3) RGB (JFIF
-    BT.601 full-range YCbCr inverse). See module docstring for the
+    BT.601 full-range YCbCr inverse); uint8 for 8-bit precision,
+    uint16 for 12-bit (SOF1 extended sequential — the scanned-
+    document/medical shape, r11). See module docstring for the
     supported profile. Truncated/corrupt payloads raise ValueError
     (the dead-letter contract), never a bare struct.error/IndexError
     from the header arithmetic."""
@@ -430,6 +432,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     ac_luts: dict[int, list] = {}
     frame = None          # (h, w, [(comp_id, hi, vi, tq), ...])
     progressive = False
+    precision = 8         # sample bits: 8 (baseline) or 12 (extended)
     restart_interval = 0
     # [( [(comp_idx, dc_lut, ac_lut), ...], Ss, Se, Ah, Al,
     #    restart_interval, segments ), ...] — luts snapshotted at SOS
@@ -480,9 +483,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG needs an "
                                           "injected decoder")
+            precision = prec
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG (CMYK?) needs an injected "
@@ -601,9 +605,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         blocks[:, :, ZIGZAG] = zz
         by, bx = blocks.shape[:2]
         f = blocks.reshape(by, bx, 8, 8)
-        spatial = np.einsum("ui,abuv,vj->abij", _M, f, _M) + 128.0
+        mid = float(1 << (precision - 1))
+        maxv = (1 << precision) - 1
+        dt = np.uint8 if precision == 8 else np.uint16
+        spatial = np.einsum("ui,abuv,vj->abij", _M, f, _M) + mid
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        plane = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+        plane = np.clip(np.round(plane), 0, maxv).astype(dt)
         # upsample to full resolution, crop to image dims
         if vmax % vi or hmax % hi:
             raise NotImplementedError(
@@ -614,15 +621,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 
     if len(planes) == 1:
         return planes[0][:, :, np.newaxis]
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    dt = np.uint8 if precision == 8 else np.uint16
     y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
+    cb = planes[1].astype(np.float64) - mid
+    cr = planes[2].astype(np.float64) - mid
     rgb = np.stack([
         y + 1.402 * cr,
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dt)
 
 
 # --------------------------------------------------------------------------
@@ -655,13 +665,25 @@ _AC_SYMBOLS = bytes([0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)])
 _AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
 
+# 12-bit (extended sequential, SOF1) tables: DC categories reach 15
+# (T.81 table B.5 — level-shifted 12-bit DC sums span ±16384) and AC
+# size categories reach 14, so the 8-bit tables above can't encode
+# them. 16 DC codes at 5 bits; 226 AC codes at 8 bits.
+_DC_COUNTS_12 = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS_12 = bytes(range(16))
+_AC_SYMBOLS_12 = bytes([0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)])
+_AC_COUNTS_12 = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS_12),
+                 0, 0, 0, 0, 0, 0, 0, 0]
 
-def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray,
+                mid: float = 128.0) -> np.ndarray:
     """Plane (H, W) multiple-of-8 → zigzag-quantized int blocks
-    (by, bx, 64)."""
+    (by, bx, 64). ``mid`` is the level shift (2^(precision-1))."""
     hh, ww = plane.shape
     by, bx = hh // 8, ww // 8
-    f = (plane.astype(np.float64) - 128.0).reshape(by, 8, bx, 8)
+    f = (plane.astype(np.float64) - mid).reshape(by, 8, bx, 8)
     f = f.transpose(0, 2, 1, 3)
     coeffs = np.einsum("iu,abuv,jv->abij", _M, f, _M)
     quant = np.round(coeffs / q[np.newaxis, np.newaxis]).astype(np.int64)
@@ -706,11 +728,18 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
 
 
 def _prep_blocks(img: np.ndarray, quant: np.ndarray,
-                 subsample: bool | str):
+                 subsample: bool | str, precision: int = 8):
     """Shared encoder front half: RGB→YCbCr, chroma subsample, pad to
     the MCU grid, FDCT+quantize. Returns (h_img, w_img, factors,
     blocks) with blocks[ci] zigzag-ordered (by, bx, 64)."""
-    img = np.asarray(img, dtype=np.uint8)
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    img = np.asarray(img)
+    if img.size and (int(img.min()) < 0 or int(img.max()) > maxv):
+        raise ValueError(
+            f"encode_jpeg sample values out of [0, {maxv}] for "
+            f"{precision}-bit precision")
+    img = img.astype(np.int64)
     if img.ndim == 2:
         img = img[:, :, np.newaxis]
     h_img, w_img, ch = img.shape
@@ -725,8 +754,8 @@ def _prep_blocks(img: np.ndarray, quant: np.ndarray,
         g = img[:, :, 1].astype(np.float64)
         b = img[:, :, 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + mid
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + mid
         if subsample is True or subsample == "420":
             he, we = (h_img + 1) & ~1, (w_img + 1) & ~1
             cbp = _pad_to(cb, he, we).reshape(he // 2, 2, we // 2, 2)
@@ -744,7 +773,7 @@ def _prep_blocks(img: np.ndarray, quant: np.ndarray,
             factors = [(1, 1), (1, 1), (1, 1)]
         else:
             raise ValueError(f"unknown subsample mode {subsample!r}")
-    planes = [np.clip(np.round(p), 0, 255) for p in planes]
+    planes = [np.clip(np.round(p), 0, maxv) for p in planes]
 
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -754,7 +783,7 @@ def _prep_blocks(img: np.ndarray, quant: np.ndarray,
     blocks = []
     for p, (hi, vi) in zip(planes, factors):
         padded = _pad_to(p, mcus_y * vi * 8, mcus_x * hi * 8)
-        blocks.append(_fdct_quant(padded, quant))
+        blocks.append(_fdct_quant(padded, quant, mid))
     return h_img, w_img, factors, blocks
 
 
@@ -765,12 +794,14 @@ def _segment(out: bytearray, marker: int, body: bytes) -> None:
 
 
 def _emit_headers(out: bytearray, sof_marker: int, h_img: int,
-                  w_img: int, factors: list, quant: np.ndarray) -> None:
+                  w_img: int, factors: list, quant: np.ndarray,
+                  precision: int = 8) -> None:
     """SOI through DHT (shared by both encoders). This encoder emits
     only 8-bit DQT (pq=0); an entry >255 would silently wrap through
     astype(uint8) into a valid-looking but wrong bitstream, so reject
     it (baseline JPEG quality ladders never need >255 anyway —
-    quality 1 tops out at 255)."""
+    quality 1 tops out at 255). At 12-bit precision the DHT pair is
+    the extended-category set (_DC_SYMBOLS_12/_AC_SYMBOLS_12)."""
     def segment(marker: int, body: bytes) -> None:
         _segment(out, marker, body)
 
@@ -781,35 +812,52 @@ def _emit_headers(out: bytearray, sof_marker: int, h_img: int,
             f"8-bit DQT; got range [{int(qflat.min())}, {int(qflat.max())}]")
     qz = qflat[ZIGZAG].astype(np.uint8)
     segment(0xDB, bytes([0x00]) + qz.tobytes())
-    sof = struct.pack(">BHHB", 8, h_img, w_img, len(factors))
+    sof = struct.pack(">BHHB", precision, h_img, w_img, len(factors))
     for i, (hi, vi) in enumerate(factors):
         sof += bytes([i + 1, (hi << 4) | vi, 0])
     segment(sof_marker, sof)
-    segment(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)
-    segment(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS)
+    if precision == 12:
+        segment(0xC4, bytes([0x00]) + bytes(_DC_COUNTS_12)
+                + _DC_SYMBOLS_12)
+        segment(0xC4, bytes([0x10]) + bytes(_AC_COUNTS_12)
+                + _AC_SYMBOLS_12)
+    else:
+        segment(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)
+        segment(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS)
 
 
 def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
                 subsample: bool | str = False,
-                restart_interval: int = 0) -> bytes:
-    """Encode a uint8 image — (h, w) / (h, w, 1) gray or (h, w, 3)
-    RGB — as baseline sequential JPEG. ``subsample`` is False for
-    4:4:4, True or ``"420"`` for 4:2:0 (2×2-mean chroma), ``"422"``
-    for 4:2:2 (1×2-mean chroma — pins the decoder's asymmetric
-    upsample path); gray emits one component. One quant table serves
-    all components (fixture simplicity)."""
-    h_img, w_img, factors, blocks = _prep_blocks(img, quant, subsample)
+                restart_interval: int = 0, precision: int = 8) -> bytes:
+    """Encode an image — (h, w) / (h, w, 1) gray or (h, w, 3) RGB —
+    as sequential JPEG. ``precision`` 8 emits baseline (SOF0, uint8
+    samples); 12 emits extended sequential (SOF1, T.81 §B.2 — values
+    in [0, 4095], 2048 level shift, the extended DC/AC category
+    Huffman tables). ``subsample`` is False for 4:4:4, True or
+    ``"420"`` for 4:2:0 (2×2-mean chroma), ``"422"`` for 4:2:2
+    (1×2-mean chroma — pins the decoder's asymmetric upsample path);
+    gray emits one component. One quant table serves all components
+    (fixture simplicity)."""
+    if precision not in (8, 12):
+        raise ValueError("encode_jpeg precision must be 8 or 12")
+    h_img, w_img, factors, blocks = _prep_blocks(img, quant, subsample,
+                                                 precision)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
 
-    dc_lut = _build_encode_lut(_DC_COUNTS, _DC_SYMBOLS)
-    ac_lut = _build_encode_lut(_AC_COUNTS, _AC_SYMBOLS)
+    if precision == 12:
+        dc_lut = _build_encode_lut(_DC_COUNTS_12, _DC_SYMBOLS_12)
+        ac_lut = _build_encode_lut(_AC_COUNTS_12, _AC_SYMBOLS_12)
+    else:
+        dc_lut = _build_encode_lut(_DC_COUNTS, _DC_SYMBOLS)
+        ac_lut = _build_encode_lut(_AC_COUNTS, _AC_SYMBOLS)
 
     out = bytearray(b"\xff\xd8")  # SOI
 
-    _emit_headers(out, 0xC0, h_img, w_img, factors, quant)
+    _emit_headers(out, 0xC1 if precision == 12 else 0xC0,
+                  h_img, w_img, factors, quant, precision)
     if restart_interval:
         _segment(out, 0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(factors)])

@@ -587,6 +587,89 @@ def gif_frames(payload: bytes):
     return out
 
 
+def _gif_lzw_encode(min_code: int, indices: bytes) -> bytes:
+    """GIF-flavor LZW compress (GIF89a appendix F): variable code
+    width starting at min_code+1, LSB-first bit packing, CLEAR
+    emitted first and again on 4096-entry dictionary overflow — the
+    write side of :func:`_gif_lzw_decode`, here so checked queries
+    can BUILD real GIF payloads in-plan (the encode_jpeg pattern)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for c in indices:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        w = bytes([c])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(idx, palette, bg: int = 0, screen=None,
+               left: int = 0, top: int = 0) -> bytes:
+    """Minimal GIF89a encoder: one frame, global color table, no
+    interlace — uint8 index array (ih, iw) + (n, 3) palette → a
+    payload :func:`decode_gif` composites exactly (frame rect onto a
+    bg-color logical screen). The write half that lets checked
+    queries certify the GIF decode path with in-plan payloads, the
+    same role encode_jpeg plays for the JPEG tier."""
+    import struct
+
+    import numpy as np
+
+    ih, iw = idx.shape
+    sw, sh = screen or (left + iw, top + ih)
+    n = palette.shape[0]
+    size_field = max(1, (n - 1).bit_length()) - 1
+    pal = np.zeros((2 << size_field, 3), np.uint8)
+    pal[:n] = palette
+    min_code = max(2, size_field + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh) + bytes([0x80 | size_field, bg, 0])
+    out += pal.tobytes()
+    out += bytes([0x2C]) + struct.pack("<HHHH", left, top, iw, ih) + b"\x00"
+    data = _gif_lzw_encode(
+        min_code,
+        bytes(np.ascontiguousarray(idx).astype(np.uint8).reshape(-1)))
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fmt: str):
     """Dispatch to the in-container image decoders — the single list
     real_decode / media_quality / real_resize share."""
@@ -608,7 +691,28 @@ def decode_image(payload: bytes, fmt: str):
 
 #: formats real_decode can fully decode with stdlib + numpy alone
 REAL_DECODE_FORMATS = frozenset(
-    {"ppm", "pgm", "bmp", "wav", "png", "gif", "jpeg", "jpg"})
+    {"ppm", "pgm", "bmp", "wav", "flac", "png", "gif", "jpeg", "jpg"})
+
+#: the audio half of REAL_DECODE_FORMATS — decode to float samples,
+#: not pixel arrays (dispatch via decode_audio)
+AUDIO_FORMATS = frozenset({"wav", "flac"})
+
+
+def decode_audio(payload: bytes, fmt: str):
+    """Dispatch to the in-container audio decoders → float32 mono
+    samples in [-1, 1] — the audio twin of decode_image. PCM WAV via
+    the stdlib wave module; FLAC via the pure-integer Rice/LPC
+    decoder in operators/flac_codec.py (same samples contract, so
+    WAV and FLAC encodings of the same audio featurize identically).
+    MP3/AAC stay on the injection seam (perceptual codecs)."""
+    if fmt == "wav":
+        return decode_wav(payload)
+    if fmt == "flac":
+        from flight_data_pipeline_spark.operators.flac_codec import (
+            decode_flac)
+        return decode_flac(payload)
+    raise NotImplementedError(
+        f"no in-container audio codec for {fmt!r}; inject a decoder")
 
 
 def _unit_hist(values, lo: float, hi: float):
@@ -629,13 +733,17 @@ def real_decode(payload: bytes, fmt: str):
     to float samples; the feature is a 16-bin histogram of the
     DECODED values (pixel intensities / sample amplitudes), so
     header, filter, entropy and container bytes never leak into it.
-    Formats that need real external codec libraries (mp4/video pixel
-    decode) still raise — none in this container; production injects
-    PIL/soundfile/ffmpeg for those (fake_decode remains the
+    Formats that need real external codec libraries (mp3/aac, video
+    pixel decode) still raise — none in this container; production
+    injects PIL/soundfile/ffmpeg for those (fake_decode remains the
     deterministic test stand-in)."""
-    if fmt == "wav":
-        return _unit_hist(decode_wav(payload), -1.0, 1.0)
-    return _unit_hist(decode_image(payload, fmt), 0.0, 256.0)
+    if fmt in AUDIO_FORMATS:
+        return _unit_hist(decode_audio(payload, fmt), -1.0, 1.0)
+    img = decode_image(payload, fmt)
+    # 12-bit JPEG decodes to uint16: bin over the full sample range
+    # so deep-sample corpora featurize with the same 16-bin shape
+    hi = 4096.0 if getattr(img, "dtype", None) == "uint16" else 256.0
+    return _unit_hist(img, 0.0, hi)
 
 
 def auto_decode(payload: bytes, fmt: str):
@@ -798,8 +906,8 @@ def media_quality(media: DataFrame,
                 row = dict.fromkeys(cols)
                 row["media_id"] = mid
                 row["kind"] = meta["kind"]
-                if fmt == "wav":
-                    row.update(_audio_quality(decode_wav(payload)))
+                if fmt in AUDIO_FORMATS:
+                    row.update(_audio_quality(decode_audio(payload, fmt)))
                 elif fmt in REAL_DECODE_FORMATS:
                     row.update(_image_quality(decode_image(payload, fmt)))
                 elif decoder is not None:
@@ -860,8 +968,8 @@ def real_resize(payload: bytes, fmt: str, w: int, h: int) -> bytes:
     canonical uncompressed interchange encoding, so downstream decode
     /featurize stages consume the resized payload with zero codec
     dependencies. Non-image formats raise: resize is an image op."""
-    if fmt == "wav":
-        raise NotImplementedError("resize is an image op; got wav")
+    if fmt in AUDIO_FORMATS:
+        raise NotImplementedError(f"resize is an image op; got {fmt}")
     img = decode_image(payload, fmt)
     out = _resample(img, w, h)
     if out.shape[2] >= 3:
@@ -875,7 +983,7 @@ def auto_resize(payload: bytes, fmt: str, w: int, h: int):
     the re-emit changes the container), deterministic byte-stride
     fake for everything else (returns bare bytes, format unchanged —
     the same dispatch philosophy as auto_decode)."""
-    if fmt in REAL_DECODE_FORMATS and fmt != "wav":
+    if fmt in REAL_DECODE_FORMATS and fmt not in AUDIO_FORMATS:
         out = real_resize(payload, fmt, w, h)
         return out, ("pgm" if out[:2] == b"P5" else "ppm")
     return fake_resize(payload, fmt, w, h)
@@ -936,6 +1044,28 @@ def fake_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
     return [data[i:i + chunk] for i in range(0, len(data), chunk)]
 
 
+#: stsd fourccs whose access units are standard self-contained JPEG
+#: bitstreams (QuickTime Photo-JPEG 'jpeg', Motion-JPEG A 'mjpa') —
+#: decodable to pixels by the in-container jpeg_codec with zero new
+#: codec work. 'mjpb' (Motion-JPEG B) is NOT here: its bitstream
+#: drops the standard marker structure and stays on the injection
+#: seam with the inter-coded codecs (avc1/vp09/...).
+MJPEG_FOURCCS = frozenset({"jpeg", "mjpa"})
+
+
+def _pixels_to_netpbm(img) -> bytes:
+    """uint8 pixel array → binary netpbm frame payload: (h, w, 3) →
+    PPM (P6), (h, w) / (h, w, 1) → PGM (P5) — the decodable
+    re-emission format the frame-sampling tier standardizes on (the
+    GIF path's P6 pattern, generalized for grayscale MJPEG)."""
+    if img.ndim == 3 and img.shape[2] == 3:
+        return (b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0])
+                + img.tobytes())
+    plane = img[..., 0] if img.ndim == 3 else img
+    return (b"P5\n%d %d\n255\n" % (plane.shape[1], plane.shape[0])
+            + plane.tobytes())
+
+
 def auto_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
     """Default frame extractor: REAL ISO-BMFF container demux for
     mp4/m4v/mov payloads (operators/mp4_demux.py — the emitted frames
@@ -943,17 +1073,30 @@ def auto_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
     REAL frame compositing for animated GIFs (each frame re-emitted
     as binary PPM, fully decoded pixels — GIF needs no external
     codec), deterministic fixed-size chunking for everything else.
-    For mp4, pixel decode of the extracted units still needs an
-    injected codec; the demux arithmetic — which frames exist, where,
-    when, which are sync — is what a sampling pipeline needs first
-    and is fully real here."""
+
+    Motion-JPEG mp4 tracks (stsd fourcc in MJPEG_FOURCCS) decode all
+    the way to PIXELS in-container: each demuxed access unit IS a
+    standard baseline/progressive JPEG, so it routes through
+    jpeg_codec.decode_jpeg and re-emits as netpbm exactly like the
+    GIF path — one real VIDEO codec with no injected dependency.
+    For inter-coded tracks (avc1/hev1/vp09/av01) pixel decode still
+    needs an injected codec and the coded units are emitted
+    byte-exact; the demux arithmetic — which frames exist, where,
+    when, which are sync — is fully real either way. Malformed
+    MJPEG units raise ValueError (decode_jpeg's dead-letter
+    contract), same as any corrupt payload."""
     if fmt in ("mp4", "m4v", "mov"):
         from flight_data_pipeline_spark.operators.mp4_demux import (
-            extract_sample_bytes)
-        return extract_sample_bytes(payload, fmt)
+            demux_mp4)
+        samples = demux_mp4(payload)
+        units = [payload[s.offset:s.offset + s.size] for s in samples]
+        if samples and samples[0].codec in MJPEG_FOURCCS:
+            from flight_data_pipeline_spark.operators.jpeg_codec import (
+                decode_jpeg)
+            return [_pixels_to_netpbm(decode_jpeg(u)) for u in units]
+        return units
     if fmt == "gif":
-        return [b"P6\n%d %d\n255\n" % (f.shape[1], f.shape[0])
-                + f.tobytes() for f in gif_frames(payload)]
+        return [_pixels_to_netpbm(f) for f in gif_frames(payload)]
     return fake_frame_extract(payload, fmt)
 
 

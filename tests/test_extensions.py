@@ -1371,6 +1371,34 @@ class TestGifDecode:
         img2 = decode_netpbm(bytes(got[1].frame))
         assert (img2 == palette[0]).all()
 
+    def test_encode_gif_roundtrip_and_compositing(self):
+        """The production encode_gif (the write half behind the
+        media_decode_profile_gif checked query) round-trips through
+        decode_gif across palette sizes, exercises LZW width growth +
+        sub-block splitting on a long raster, and composites a
+        partial frame onto the bg-filled logical screen exactly."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            decode_gif, encode_gif)
+
+        rng = np.random.default_rng(5)
+        for n in (2, 4, 16, 200):
+            pal = rng.integers(0, 256, (n, 3), np.uint8)
+            idx = rng.integers(0, n, (9, 13), np.uint8)
+            assert np.array_equal(decode_gif(encode_gif(idx, pal)),
+                                  pal[idx]), n
+        pal16 = np.array([[i * 16 + 8] * 3 for i in range(16)], np.uint8)
+        idx = rng.integers(0, 16, (4, 8), np.uint8)
+        dec = decode_gif(encode_gif(idx, pal16, bg=3, screen=(8, 8),
+                                    top=2))
+        assert dec.shape == (8, 8, 3)
+        assert np.array_equal(dec[2:6], pal16[idx])
+        assert (dec[:2] == pal16[3]).all() and (dec[6:] == pal16[3]).all()
+        big = rng.integers(0, 16, (64, 64), np.uint8)  # >255-byte LZW
+        assert np.array_equal(decode_gif(encode_gif(big, pal16)),
+                              pal16[big])
+
     def test_gif_roundtrip_palette_sizes(self):
         import numpy as np
 
@@ -1590,6 +1618,8 @@ class TestMalformedPayloadContract:
             (decode_png, TestMultimodal._png_payload(img, 2)),
             (decode_gif, TestGifDecode._gif_payload(idx, plte)),
             (decode_jpeg, encode_jpeg(img)),
+            (decode_jpeg, encode_jpeg(
+                (img.astype(np.int64) * 16), precision=12)),
             (demux_mp4, TestMp4Demux._mp4_payload()),
             (demux_mp4, TestFmp4Demux._fmp4_payload()),
         ]
@@ -1603,6 +1633,89 @@ class TestMalformedPayloadContract:
                 # silent short output is acceptable for formats whose
                 # containers carry no total length (no exception path
                 # to test), but any raised error must be contract-typed
+
+
+class Test12BitJpeg:
+    """12-bit extended-sequential JPEG (SOF1, T.81 §B.2 — VERDICT r10
+    item 8): the precision generalization of the baseline path —
+    wider level shift (2048), extended DC/AC Huffman category tables,
+    uint16 output. Scanned-document and medical corpora hit it."""
+
+    def test_roundtrip_gray_color_extremes(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        rng = np.random.default_rng(13)
+        # block-constant gray: DCT exact at quant 1 → bit-exact
+        img = np.repeat(np.repeat(
+            rng.integers(0, 256, (2, 2, 1), np.int64) * 16 + 8,
+            8, axis=0), 8, axis=1)
+        dec = decode_jpeg(encode_jpeg(img, precision=12))
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec, img)
+        # full-range noise: worst-case Huffman categories, ±1 rounding
+        noise = rng.integers(0, 4096, (24, 17, 1), np.int64)
+        dn = decode_jpeg(encode_jpeg(noise, precision=12))
+        assert np.abs(dn.astype(int) - noise).max() <= 1
+        # color (YCbCr at 2048 offsets) incl. 4:2:0
+        col = rng.integers(0, 4096, (16, 16, 3), np.int64)
+        dc = decode_jpeg(encode_jpeg(col, precision=12))
+        assert dc.dtype == np.uint16
+        assert np.abs(dc.astype(int) - col).max() <= 8
+        decode_jpeg(encode_jpeg(col, precision=12, subsample="420"))
+        # the DC-category-15 boundary: solid 0 and solid 4095 frames
+        for v in (0, 4095):
+            e = np.full((8, 8, 1), v, np.int64)
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(e, precision=12)), e), v
+
+    def test_range_guard_and_truncation_contract(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        with _pytest.raises(ValueError):
+            encode_jpeg(np.full((8, 8), 4096, np.int64), precision=12)
+        with _pytest.raises(ValueError):
+            encode_jpeg(np.full((8, 8), 300, np.int64))  # 8-bit range
+        with _pytest.raises(ValueError):
+            encode_jpeg(np.zeros((8, 8), np.int64), precision=10)
+        rng = np.random.default_rng(21)
+        payload = encode_jpeg(
+            rng.integers(0, 4096, (16, 16, 1), np.int64), precision=12)
+        for cut in range(8, len(payload) - 1,
+                         max(1, len(payload) // 40)):
+            try:
+                decode_jpeg(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # the dead-letter contract
+            # a silent short decode would be a contract break only if
+            # it raised a non-contract type — asserted by except above
+
+    def test_16bin_feature_covers_full_12bit_range(self, spark):
+        """A 12-bit JPEG flows through the default extract_features
+        path with the histogram binned over [0, 4096) — bright
+        deep-sample pixels don't collapse into the last 8-bit bin."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, extract_features)
+
+        # 16 solid blocks, one per 256-wide bin of the 12-bit range
+        vals = np.repeat(np.arange(16, dtype=np.int64) * 256 + 128, 16)
+        img = vals.reshape(16, 16, 1)
+        payload = encode_jpeg(img, precision=12)
+        media = spark.createDataFrame(
+            [(1, payload, {"kind": "image", "format": "jpeg",
+                           "n_bytes": len(payload)})], MEDIA_SCHEMA)
+        feat = list(extract_features(media).collect()[0].feature)
+        assert all(abs(f - 1 / 16) < 1e-3 for f in feat)
 
 
 class TestJpegProgressive:
@@ -1827,7 +1940,8 @@ class TestMp4Demux:
               b"IFRAME-3" * 5, b"pframe4!" * 3]
 
     @classmethod
-    def _mp4_payload(cls, with_stss=True, ctts_runs=None, ctts_ver=0):
+    def _mp4_payload(cls, with_stss=True, ctts_runs=None, ctts_ver=0,
+                     frames=None, codec=b"avc1"):
         import struct
 
         def box(btype, body):
@@ -1836,7 +1950,8 @@ class TestMp4Demux:
         def full(btype, body, ver=0, flags=0):
             return box(btype, struct.pack(">I", (ver << 24) | flags) + body)
 
-        f = cls.FRAMES
+        f = cls.FRAMES if frames is None else list(frames)
+        assert len(f) == 5  # the stts/stsc/stss geometry is 5-sample
         ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
         # chunk 1 = frames 0-1, 4 junk bytes, chunk 2 = frames 2-4
         mdat_body = f[0] + f[1] + b"JUNK" + f[2] + f[3] + f[4]
@@ -1845,7 +1960,7 @@ class TestMp4Demux:
         mdat = box(b"mdat", mdat_body)
 
         stsd = full(b"stsd", struct.pack(">I", 1)
-                    + box(b"avc1", b"\x00" * 16))
+                    + box(codec, b"\x00" * 16))
         # 3 samples at 40ms (timescale 1000), then 2 at 20ms
         stts = full(b"stts", struct.pack(">IIIII", 2, 3, 40, 2, 20))
         stsc = full(b"stsc", struct.pack(">IIIIIII", 2, 1, 2, 1, 2, 3, 1))
@@ -2088,6 +2203,275 @@ class TestMp4Demux:
         assert all(r.n_frames_total == 5 for r in got if r.media_id == 1)
         other = [r for r in got if r.media_id == 2]
         assert [r.frame_index for r in other] == [0, 2]  # 3 chunks, keep 0/2
+
+
+class TestMjpegPixelDecode:
+    """Motion-JPEG mp4 → PIXELS in-container (VERDICT r10 item 3):
+    for stsd fourccs in MJPEG_FOURCCS every access unit is a standard
+    JPEG, so the frame-sampling tier decodes it with jpeg_codec and
+    re-emits decodable netpbm — the first video codec whose pixels
+    are real with zero injected dependencies. Inter-coded fourccs
+    keep emitting coded units byte-exactly."""
+
+    @staticmethod
+    def _imgs(gray=False):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        shape = (16, 16, 1) if gray else (16, 16, 3)
+        # block-constant images survive the DCT exactly at QUANT_ONES
+        # (gray round-trips byte-exact; color rounds ±1 in YCbCr)
+        return [np.repeat(np.repeat(
+            rng.integers(0, 32, (2, 2, shape[2]), np.uint8) * 8 + 4,
+            8, axis=0), 8, axis=1) for _ in range(5)]
+
+    def test_mjpeg_frames_decode_to_ppm_pixels(self, spark):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, decode_netpbm, sample_frames)
+
+        imgs = self._imgs()
+        jpegs = [encode_jpeg(im) for im in imgs]
+        payload = TestMp4Demux._mp4_payload(frames=jpegs, codec=b"jpeg")
+        media = spark.createDataFrame(
+            [(1, payload, {"kind": "video", "format": "mp4",
+                           "n_bytes": len(payload)})], MEDIA_SCHEMA)
+        got = sorted(sample_frames(media, every_n=2).collect(),
+                     key=lambda r: r.frame_index)
+        assert [r.frame_index for r in got] == [0, 2, 4]
+        assert all(r.n_frames_total == 5 for r in got)
+        for row, i in zip(got, (0, 2, 4)):
+            px = decode_netpbm(bytes(row.frame))
+            # the routing claim: the emitted frame IS the decode of
+            # the demuxed unit, bit-exact
+            assert np.array_equal(px, decode_jpeg(jpegs[i]))
+            # vs source pixels: DCT is exact at QUANT_ONES on
+            # block-constant input; RGB<->YCbCr rounds within ±1
+            assert np.abs(px.astype(int) - imgs[i].astype(int)).max() <= 1
+
+    def test_grayscale_mjpa_emits_pgm(self, spark):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, decode_netpbm, sample_frames)
+
+        imgs = self._imgs(gray=True)
+        jpegs = [encode_jpeg(im) for im in imgs]
+        payload = TestMp4Demux._mp4_payload(frames=jpegs, codec=b"mjpa")
+        media = spark.createDataFrame(
+            [(7, payload, {"kind": "video", "format": "mp4",
+                           "n_bytes": len(payload)})], MEDIA_SCHEMA)
+        got = sorted(sample_frames(media, every_n=2).collect(),
+                     key=lambda r: r.frame_index)
+        assert bytes(got[0].frame)[:2] == b"P5"
+        px = decode_netpbm(bytes(got[0].frame))
+        assert np.array_equal(px, imgs[0])
+
+    def test_mjpeg_extract_features_same_pixels_parity(self, spark):
+        """The r8/r9 same-pixels parity pattern: features computed
+        from the MJPEG->sample_frames frame table equal features from
+        the SAME pixels handed over as direct PPM media rows."""
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, extract_features, sample_frames)
+
+        imgs = self._imgs()
+        jpegs = [encode_jpeg(im) for im in imgs]
+        payload = TestMp4Demux._mp4_payload(frames=jpegs, codec=b"jpeg")
+        media = spark.createDataFrame(
+            [(1, payload, {"kind": "video", "format": "mp4",
+                           "n_bytes": len(payload)})], MEDIA_SCHEMA)
+        frames = sample_frames(media, every_n=2).collect()
+        via_video = spark.createDataFrame(
+            [(r.frame_index, bytes(r.frame),
+              {"kind": "image", "format": "ppm",
+               "n_bytes": len(bytes(r.frame))}) for r in frames],
+            MEDIA_SCHEMA)
+        direct = spark.createDataFrame(
+            [(i, b"P6\n16 16\n255\n" + imgs[i].tobytes(),
+              {"kind": "image", "format": "ppm", "n_bytes": 0})
+             for i in (0, 2, 4)], MEDIA_SCHEMA)
+        f_video = {r.media_id: list(r.feature)
+                   for r in extract_features(via_video).collect()}
+        f_direct = {r.media_id: list(r.feature)
+                    for r in extract_features(direct).collect()}
+        assert f_video == f_direct
+
+    def test_avc1_units_stay_byte_exact_and_malformed_raises(self, spark):
+        import pytest as _pytest
+
+        from flight_data_pipeline_spark.operators.multimodal import (
+            auto_frame_extract)
+
+        payload = TestMp4Demux._mp4_payload()  # avc1
+        units = auto_frame_extract(payload, "mp4")
+        assert units == TestMp4Demux.FRAMES
+        # an MJPEG track whose units are NOT valid JPEG dead-letters
+        bad = TestMp4Demux._mp4_payload(codec=b"jpeg")
+        with _pytest.raises(ValueError):
+            auto_frame_extract(bad, "mp4")
+
+
+class TestFlacCodec:
+    """FLAC decode in pure stdlib+numpy (VERDICT r10 item 7): Rice
+    coding + fixed/LPC predictors are all integer arithmetic, so the
+    lossless half of scraped-audio corpora decodes in-container. The
+    minimal encoder is the write side (the encode_jpeg/encode_gif
+    fixture philosophy); every encoder branch exists to pin a decoder
+    path. MP3/AAC stay on the injection seam."""
+
+    @staticmethod
+    def _sig(n=1000, seed=7, amp=3000):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        t = np.arange(n)
+        return (amp * np.sin(t / 20)
+                + rng.integers(-50, 50, n)).astype(np.int64)
+
+    @staticmethod
+    def _rt(samples, **kw):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.flac_codec import (
+            decode_flac_pcm, encode_flac)
+
+        payload = encode_flac(samples, **kw)
+        pcm, _rate, _bps = decode_flac_pcm(payload)
+        s = np.asarray(samples)
+        if s.ndim == 1:
+            s = s[:, None]
+        assert np.array_equal(pcm, s), kw
+        return payload
+
+    def test_subframe_modes_partitions_escapes(self):
+        import numpy as np
+
+        sig = self._sig()
+        for mode in ("verbatim", "fixed0", "fixed1", "fixed2",
+                     "fixed3", "fixed4"):
+            self._rt(sig, mode=mode)
+        self._rt(np.full(500, -123, np.int64), mode="constant")
+        for po in (0, 1, 2, 3):
+            self._rt(sig[:512], mode="fixed2", partition_order=po)
+        rng = np.random.default_rng(3)
+        self._rt(rng.integers(-3, 4, 300).astype(np.int64),
+                 mode="fixed0", escape_bits=4)
+        self._rt(np.zeros(256, np.int64), mode="fixed0", escape_bits=0)
+        # LPC subframe with explicit quantized coefficients + shift
+        self._rt(sig[:256], mode=("lpc", [3, -2], 1, 6))
+        # block size not dividing the total: short last frame
+        self._rt(sig[:777], mode="fixed2", block_size=256)
+
+    def test_stereo_decorrelation_and_bit_depths(self):
+        import numpy as np
+
+        sig = self._sig(600)
+        st = np.stack([sig, (sig * 0.7).astype(np.int64)], axis=1)
+        for sm in ("independent", "left_side", "right_side",
+                   "mid_side"):
+            self._rt(st, stereo=sm)
+        rng = np.random.default_rng(9)
+        for bps, amp in ((8, 100), (12, 1500), (16, 20000),
+                         (20, 400000), (24, 6_000_000),
+                         (32, 1_000_000_000)):
+            self._rt(rng.integers(-amp, amp, 400).astype(np.int64),
+                     bps=bps, mode="fixed1")
+
+    def test_property_roundtrip(self):
+        """Randomized sweep: any int16 signal, any supported mode/
+        stereo/partition combination, decodes back bit-exact."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.data())
+        def check(data):
+            rng = np.random.default_rng(data.draw(st.integers(0, 99)))
+            n = data.draw(st.integers(1, 700))
+            ch = data.draw(st.integers(1, 2))
+            s = rng.integers(-30000, 30000, (n, ch)).astype(np.int64)
+            mode = data.draw(st.sampled_from(
+                ["verbatim", "fixed0", "fixed1", "fixed2"]))
+            stereo = (data.draw(st.sampled_from(
+                ["independent", "left_side", "right_side", "mid_side"]))
+                if ch == 2 else "independent")
+            bs_pow = data.draw(st.integers(4, 9))
+            po = data.draw(st.integers(0, 2))
+            # partitions must divide the block; keep blocks regular
+            self._rt(s if ch == 2 else s[:, 0], mode=mode,
+                     stereo=stereo, block_size=1 << bs_pow,
+                     partition_order=po if (1 << bs_pow) >= n else 0)
+
+        check()
+
+    def test_flac_wav_same_samples_identical_features(self, spark):
+        """Same-samples parity (the decode-fidelity pattern): one
+        signal encoded as 16-bit WAV and as FLAC produces the
+        IDENTICAL feature histogram through extract_features and the
+        identical audio stats through media_quality — FLAC corpora
+        need no special casing anywhere downstream."""
+        import io
+        import struct
+        import wave
+
+        from flight_data_pipeline_spark.operators.flac_codec import (
+            encode_flac)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, extract_features, media_quality)
+
+        sig = [int(v) for v in self._sig(400, amp=20000)]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack(f"<{len(sig)}h", *sig))
+        wav = buf.getvalue()
+        flac = encode_flac(sig, sample_rate=8000, bps=16)
+        assert len(flac) < len(wav)  # it actually compresses
+        rows = [
+            (1, wav, {"kind": "audio", "format": "wav",
+                      "n_bytes": len(wav)}),
+            (2, flac, {"kind": "audio", "format": "flac",
+                       "n_bytes": len(flac)}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = {r.media_id: list(r.feature)
+                 for r in extract_features(media).collect()}
+        assert feats[1] == feats[2]
+        q = {r.media_id: r for r in media_quality(media).collect()}
+        for col in ("n_samples", "rms", "peak", "clipping_ratio"):
+            assert getattr(q[1], col) == getattr(q[2], col), col
+
+    def test_malformed_flac_raises_value_error(self):
+        import pytest as _pytest
+
+        from flight_data_pipeline_spark.operators.flac_codec import (
+            decode_flac_pcm, encode_flac)
+
+        good = encode_flac(self._sig(300))
+        cases = [
+            b"fLaX123",                  # bad marker
+            b"fLaC",                     # no metadata
+            good[:20],                   # truncated STREAMINFO
+            good[:60],                   # truncated mid-frame
+            good[:-3],                   # truncated frame tail
+        ]
+        # flip one bit inside the last frame: CRC-16 must catch it
+        corrupt = bytearray(good)
+        corrupt[-10] ^= 0x40
+        cases.append(bytes(corrupt))
+        for bad in cases:
+            with _pytest.raises(ValueError):
+                decode_flac_pcm(bad)
 
 
 class TestFmp4Demux:
