@@ -508,6 +508,95 @@ def media_decode_profile_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_FLAC_ORACLE = f"""
+    SELECT doc_id AS media_id, 'flac' AS fmt,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) "
+               f"AS BIGINT) AS b{i}"
+               for i in range(16))}
+    FROM (
+        SELECT doc_id, (v + 32768) // 4096 AS bin FROM (
+            SELECT doc_id,
+                   CASE WHEN raw >= 32768 THEN raw - 65536
+                        ELSE raw END AS v
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(
+                           md5('ma|' || CAST(doc_id AS VARCHAR)
+                               || '|' || CAST(g.j AS VARCHAR)),
+                           4 * s.i - 3, 4))::BIGINT AS raw
+                FROM documents,
+                     (SELECT unnest(generate_series(0, 3)) AS j) g,
+                     (SELECT unnest(generate_series(1, 8)) AS i) s
+                WHERE doc_id < {MEDIA_PROFILE_DOCS}
+            )
+        )
+    ) GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@query("media_decode_profile_audio", oracle=_MEDIA_FLAC_ORACLE)
+def media_decode_profile_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode hash-certified END TO END — the audio sibling of
+    the ppm/jpeg/gif arms: a real FLAC stream is Rice-ENCODED in-plan
+    per doc (flac_codec.encode_flac, fixed-order-1 predictor, inside
+    mapInPandas), decoded by the pure-integer decoder on the default
+    extract_features path, and the per-doc decoded-AMPLITUDE bins
+    must equal what the oracle predicts from the md5 generating
+    formula alone — one MATCH certifies the Rice bitstream (unary +
+    low bits), the fixed-predictor reconstruction, CRC framing, and
+    the [-1,1) sample normalization.
+
+    Construction with exact guarantees: 32 int16 samples per doc —
+    the 4-hex-char groups of md5('ma|'||doc_id||'|'||j) for j in
+    0..3, sign-corrected — FLAC is lossless so decode returns them
+    exactly, and v/32768 is a dyadic rational exact in float32, so
+    the 16-bin histogram over [-1, 1) is bin = (v+32768) div 4096 in
+    pure integers on both engines; round(f·32) recovers the BIGINT
+    counts. Fixed 20-doc carve, map-side build, one Arrow stage —
+    the media_decode_profile scale shape."""
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < MEDIA_PROFILE_DOCS)
+            .select("doc_id"))
+
+    def _flac_media(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from flight_data_pipeline_spark.operators.flac_codec import (
+            encode_flac)
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                raw = b"".join(
+                    hashlib.md5(f"ma|{did}|{j}".encode()).digest()
+                    for j in range(4))
+                samples = np.frombuffer(raw, dtype=">i2").astype(np.int64)
+                payloads.append(encode_flac(samples, sample_rate=8000,
+                                            bps=16, mode="fixed1"))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "payload": payloads,
+                "meta": [{"kind": "audio", "format": "flac",
+                          "n_bytes": len(p)} for p in payloads],
+            })
+
+    media_flac = docs.mapInPandas(_flac_media, schema=MEDIA_SCHEMA)
+    feats = extract_features(media_flac)
+    return (
+        feats.select(
+            "media_id",
+            F.lit("flac").alias("fmt"),
+            *[F.round(F.element_at("feature", i + 1).cast("double")
+                      * 32).cast("long").alias(f"b{i}")
+              for i in range(16)])
+        .orderBy("media_id")
+    )
+
+
 _MEDIA_QUALITY_ORACLE = f"""
     WITH v AS (
         SELECT doc_id,

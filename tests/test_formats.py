@@ -55,17 +55,130 @@ def test_orc_roundtrip(spark, orders, tmp_path):
     assert _canon(back) == _canon(orders)
 
 
-def test_avro_roundtrip_if_available(spark, orders, tmp_path):
-    """Avro ships as an external Spark module; exercise it when the
-    jar is present, skip cleanly when not (no installs in this
-    container)."""
+def test_avro_roundtrip_jar_or_fallback(spark, orders, tmp_path):
+    """Avro ships as an external Spark module. With the jar present,
+    round-trip through it; WITHOUT the jar (this container), the
+    engine still reads Avro landing zones through the pure-python
+    OCF fallback source (sources/avro_fallback.py) — so either way
+    the orders frame must survive an Avro round trip, and the
+    environment skip this test carried through r10 is gone."""
     p = str(tmp_path / "orders_avro")
     try:
         orders.write.mode("overwrite").format("avro").save(p)
-    except Exception as ex:  # noqa: BLE001 — jar-absence is env-specific
-        pytest.skip(f"avro module unavailable: {str(ex)[:120]}")
-    back = spark.read.format("avro").load(p)
+        back = spark.read.format("avro").load(p)
+    except Exception:  # noqa: BLE001 — jar absent in this container
+        from flight_data_pipeline_spark.sources.avro_fallback import (
+            read_avro_fallback, write_avro_ocf)
+
+        schema = {"type": "record", "name": "Order", "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "o_orderdate", "type": "string"},
+            {"name": "o_orderpriority", "type": "string"},
+        ]}
+        recs = [r.asDict() for r in orders.collect()]
+        import os
+        os.makedirs(p, exist_ok=True)
+        mid = len(recs) // 2
+        with open(os.path.join(p, "part-0.avro"), "wb") as f:
+            f.write(write_avro_ocf(recs[:mid], schema, codec="deflate"))
+        with open(os.path.join(p, "part-1.avro"), "wb") as f:
+            f.write(write_avro_ocf(recs[mid:], schema))
+        back = read_avro_fallback(spark, p)
     assert _canon(back) == _canon(orders)
+
+
+class TestAvroFallback:
+    """Pure-python Avro OCF reader (sources/avro_fallback.py): the
+    no-jar fallback for Avro landing zones. The in-repo writer is
+    the write half (encode_jpeg fixture philosophy); binaryFile +
+    mapInPandas distribute with the FILE as the parallelism unit."""
+
+    SCHEMA = {"type": "record", "name": "T", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "price", "type": "double"},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "status", "type": {"type": "enum", "name": "St",
+                                    "symbols": ["OK", "BAD"]}},
+        {"name": "flag", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+    ]}
+
+    @classmethod
+    def _recs(cls, n=120):
+        return [
+            {"id": i, "name": f"n{i}", "price": i * 1.5,
+             "note": None if i % 2 else f"x{i}",
+             "tags": [f"t{j}" for j in range(i % 3)],
+             "props": {"a": i, "b": -i},
+             "status": "OK" if i % 2 else "BAD", "flag": bool(i % 2),
+             "blob": bytes([i % 256, 255]),
+             "d": 19000 + i, "ts": 1_700_000_000_000_000 + i}
+            for i in range(n)
+        ]
+
+    def test_ocf_roundtrip_codecs_blocks_varints(self):
+        from flight_data_pipeline_spark.sources.avro_fallback import (
+            read_ocf_records, write_avro_ocf)
+
+        recs = self._recs()
+        for codec in ("null", "deflate"):
+            payload = write_avro_ocf(recs, self.SCHEMA, codec=codec,
+                                     block_records=37)
+            schema, back = read_ocf_records(payload)
+            assert schema == self.SCHEMA
+            assert back == recs, codec
+        vschema = {"type": "record", "name": "N",
+                   "fields": [{"name": "v", "type": "long"}]}
+        vals = [{"v": v} for v in (0, -1, 1, -2**62, 2**62, 127, -128)]
+        assert read_ocf_records(
+            write_avro_ocf(vals, vschema))[1] == vals
+
+    def test_spark_read_multi_file_types_and_logicals(self, spark,
+                                                      tmp_path):
+        import datetime
+
+        from flight_data_pipeline_spark.sources.avro_fallback import (
+            read_avro_fallback, write_avro_ocf)
+
+        recs = self._recs(50)
+        (tmp_path / "a.avro").write_bytes(
+            write_avro_ocf(recs[:30], self.SCHEMA, codec="deflate"))
+        (tmp_path / "b.avro").write_bytes(
+            write_avro_ocf(recs[30:], self.SCHEMA))
+        df = read_avro_fallback(spark, str(tmp_path))
+        assert df.schema["note"].nullable
+        assert df.schema["d"].dataType.simpleString() == "date"
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        rows = sorted(df.collect(), key=lambda r: r.id)
+        assert len(rows) == 50
+        assert rows[1].note is None and rows[2].note == "x2"
+        assert rows[2].tags == ["t0", "t1"]
+        assert rows[3].props == {"a": 3, "b": -3}
+        assert rows[4].status == "BAD" and rows[5].flag is True
+        assert bytes(rows[6].blob) == bytes([6, 255])
+        assert rows[0].d == (datetime.date(1970, 1, 1)
+                             + datetime.timedelta(days=19000))
+
+    def test_malformed_payloads_raise_value_error(self):
+        from flight_data_pipeline_spark.sources.avro_fallback import (
+            read_ocf_records, write_avro_ocf)
+
+        good = write_avro_ocf(self._recs(20), self.SCHEMA)
+        corrupt_sync = bytearray(good)
+        corrupt_sync[-8] ^= 0xFF  # inside the trailing sync marker
+        for bad in (b"Objx" + good[4:], good[:50], good[:-5],
+                    bytes(corrupt_sync)):
+            with pytest.raises(ValueError):
+                read_ocf_records(bad)
 
 
 def test_parquet_additive_schema_evolution(spark, tmp_path):
