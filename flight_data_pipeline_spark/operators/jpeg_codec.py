@@ -4,26 +4,33 @@ codec gap; no PIL/libjpeg/ffmpeg in this container).
 
 Decoder: ITU-T T.81 BASELINE SEQUENTIAL DCT plus PROGRESSIVE
 (SOF2, Annex G: spectral selection + successive approximation —
-the web's second-most-common profile), Huffman entropy coding.
-Supports 8-bit grayscale and 3-component YCbCr at integer-ratio
+the web's second-most-common profile), EXTENDED SEQUENTIAL 12-bit
+(SOF1, uint16 output — scanned/medical corpora, r11), and LOSSLESS
+(SOF3, Annex H: Huffman-coded prediction differences over the 7
+spatial predictors, modulo-65536 reconstruction, point transform,
+2-16 bit — the DNG/DICOM shape, r11), all Huffman entropy coding.
+Supports grayscale and 3-component images at integer-ratio
 sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 — universal in
 practice), multi-scan SEQUENTIAL streams (per-component scans,
 T.81 A.2.2), multiple DQT/DHT tables (redefinable between scans),
 restart markers, 0xFF00 byte stuffing, and fill bytes
-before markers (header and scan). Arithmetic coding, 12-bit,
-lossless, and CMYK raise ``NotImplementedError`` and stay on the
-injected-decoder path.
+before markers (header and scan). Arithmetic coding, hierarchical/
+differential processes, and CMYK raise ``NotImplementedError`` and
+stay on the injected-decoder path.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
-length Huffman tables carried in DHT, optional restart markers) and
-a progressive encoder (``encode_jpeg_progressive``) whose scan
-script exercises every Annex-G decode path. They exist so tests can
-ROUND-TRIP real JPEG bitstreams in-container — the same reason
+length Huffman tables carried in DHT, optional restart markers,
+8- or 12-bit precision), a progressive encoder
+(``encode_jpeg_progressive``) whose scan script exercises every
+Annex-G decode path, and a lossless encoder
+(``encode_jpeg_lossless``). They exist so tests can ROUND-TRIP real
+JPEG bitstreams in-container — the same reason
 tests/test_extensions.py carries a PNG encoder — and double as the
 write side of a media re-encode stage. With an all-ones quant table
-the round trip is exact up to DCT rounding (max ±2 per pixel), and
+the DCT round trip is exact up to rounding (max ±2 per pixel),
 progressive decode is bit-identical to baseline decode of the same
-image (same coefficients) — both pinned in tests.
+image (same coefficients), and lossless decode is bit-identical to
+the input — all pinned in tests.
 
 Scale posture: decode runs per-image inside Arrow ``mapInPandas``
 batches (operators/multimodal.py), so cost is bounded by image size,
@@ -401,6 +408,91 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
                         eobrun -= 1
 
 
+def _ll_predict(p, y: int, x: int, sel: int, default: int) -> int:
+    """Lossless predictor Px for plane ``p`` at (y, x) — T.81 H.1.2.1
+    (a = left, b = above, c = above-left; first row falls back to a,
+    first column to b, the very first sample to the default)."""
+    if y == 0:
+        return default if x == 0 else int(p[y, x - 1])
+    if x == 0:
+        return int(p[y - 1, x])
+    a = int(p[y, x - 1])
+    b = int(p[y - 1, x])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    c = int(p[y - 1, x - 1])
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # sel == 7
+
+
+def _decode_lossless(h: int, w: int, ncomp: int, precision: int,
+                     scans) -> np.ndarray:
+    """Lossless-JPEG (SOF3, T.81 Annex H) scan decoding: Huffman
+    categories + difference bits over one of 7 spatial predictors,
+    modulo-65536 reconstruction, point transform Pt restored by a
+    left shift. Components carry raw sample planes (no color
+    transform is defined for the lossless process — scanned/DNG
+    pipelines store components directly). Restart handling is the
+    libjpeg-compatible reset: the first sample after an RST marker is
+    predicted from the default, like the scan start."""
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
+    shifts = [0] * ncomp
+    for sel, ss, _se, _ah, al, ri, segments in scans:
+        pred_sel, pt = ss, al
+        if not 1 <= pred_sel <= 7:
+            raise ValueError(f"bad lossless predictor {pred_sel}")
+        if precision - pt - 1 < 0:
+            raise ValueError("point transform exceeds precision")
+        default = 1 << (precision - pt - 1)
+        idxs = [ci for ci, _dc, _ac in sel]
+        luts = {ci: dc for ci, dc, _ac in sel}
+        if any(luts[ci] is None for ci in idxs):
+            raise ValueError("lossless scan references missing DHT")
+        for ci in idxs:
+            shifts[ci] = pt
+        br = _BitReader(segments[0])
+        seg_idx = 0
+        mcu = 0
+        reset = True
+        for y in range(h):
+            for x in range(w):
+                if ri and mcu and mcu % ri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError(
+                            "missing RST segment in lossless scan")
+                    br = _BitReader(segments[seg_idx])
+                    reset = True
+                for ci in idxs:
+                    p = planes[ci]
+                    px = (default if reset
+                          else _ll_predict(p, y, x, pred_sel, default))
+                    t = _decode_symbol(br, luts[ci])
+                    if t == 16:           # category 16: no extra bits
+                        diff = 32768
+                    elif t > 16:
+                        raise ValueError(
+                            f"bad lossless difference category {t}")
+                    else:
+                        diff = _extend(br.receive(t), t) if t else 0
+                    p[y, x] = (px + diff) & 0xFFFF
+                reset = False
+                mcu += 1
+    out = np.stack(
+        [p << s for p, s in zip(planes, shifts)], axis=-1)
+    dt = np.uint8 if precision <= 8 else np.uint16
+    return out.astype(dt)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline/extended-sequential or progressive JPEG →
     ndarray of shape (h, w, 1) for grayscale or (h, w, 3) RGB (JFIF
@@ -432,6 +524,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     ac_luts: dict[int, list] = {}
     frame = None          # (h, w, [(comp_id, hi, vi, tq), ...])
     progressive = False
+    lossless = False      # SOF3: predictive, no DCT (T.81 Annex H)
     precision = 8         # sample bits: 8 (baseline) or 12 (extended)
     restart_interval = 0
     # [( [(comp_idx, dc_lut, ac_lut), ...], Ss, Se, Ah, Al,
@@ -479,11 +572,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 (ac_luts if tc else dc_luts)[th] = _build_decode_lut(
                     counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # sequential/prog/lossless
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
-            if prec not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"bad lossless precision {prec}")
+            elif prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG needs an "
                                           "injected decoder")
             precision = prec
@@ -495,14 +592,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if lossless and any(c[1] != 1 or c[2] != 1 for c in comps):
+                raise NotImplementedError(
+                    "subsampled lossless JPEG needs an injected decoder")
             frame = (h, w, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "lossless/arithmetic/differential) needs an injected "
-                "decoder")
+                "arithmetic/differential/hierarchical) needs an "
+                "injected decoder")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -528,6 +628,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
 
     h_img, w_img, comps = frame
+
+    if lossless:
+        return _decode_lossless(h_img, w_img, len(comps), precision,
+                                scans)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -671,6 +775,12 @@ _AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
 # them. 16 DC codes at 5 bits; 226 AC codes at 8 bits.
 _DC_COUNTS_12 = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC_SYMBOLS_12 = bytes(range(16))
+
+# lossless (SOF3) difference-category table: categories 0..16
+# (category 16 = +32768 with no appended bits, T.81 H.1.2.2);
+# 17 codes at 5 bits.
+_DC_COUNTS_LL = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS_LL = bytes(range(17))
 _AC_SYMBOLS_12 = bytes([0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 15)])
 _AC_COUNTS_12 = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS_12),
@@ -887,6 +997,91 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
     bw.pad_to_byte()
     out.extend(bw.buf)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
+                         pt: int = 0, precision: int | None = None,
+                         restart_interval: int = 0) -> bytes:
+    """Encode integer samples — (h, w) / (h, w, 1) / (h, w, 3) — as
+    LOSSLESS JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
+    differences, no DCT, so decode returns the input bit-exactly
+    (after the ``pt`` point transform, which drops the low ``pt``
+    bits before coding and restores them as zeros). ``precision``
+    2-16 defaults to the smallest covering the data (min 8).
+    Components are stored raw (no color transform) in one
+    interleaved scan. The write half proving _decode_lossless."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    arr = np.asarray(img).astype(np.int64)
+    if arr.ndim == 2:
+        arr = arr[:, :, np.newaxis]
+    h, w, ncomp = arr.shape
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg_lossless takes 1 or 3 components")
+    prec = precision or max(8, int(arr.max()).bit_length() if arr.size
+                            else 8)
+    if not 2 <= prec <= 16:
+        raise ValueError("lossless precision must be 2..16")
+    if arr.size and (int(arr.min()) < 0
+                     or int(arr.max()) > (1 << prec) - 1):
+        raise ValueError(f"samples out of [0, {(1 << prec) - 1}] for "
+                         f"{prec}-bit lossless precision")
+    if not 0 <= pt < prec:
+        raise ValueError("point transform must be in [0, precision)")
+    coded = arr >> pt
+    default = 1 << (prec - pt - 1)
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    _segment(out, 0xC3, sof)
+    _segment(out, 0xC4, bytes([0x00]) + bytes(_DC_COUNTS_LL)
+             + _DC_SYMBOLS_LL)
+    if restart_interval:
+        _segment(out, 0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    _segment(out, 0xDA, sos)
+
+    lut = _build_encode_lut(_DC_COUNTS_LL, _DC_SYMBOLS_LL)
+    bw = _BitWriter()
+    mcu = 0
+    reset = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_to_byte()
+                out.extend(bw.buf)
+                bw = _BitWriter()
+                out.extend(bytes(
+                    [0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]))
+                reset = True
+            for ci in range(ncomp):
+                p = coded[:, :, ci]
+                px = (default if reset
+                      else _ll_predict(p, y, x, predictor, default))
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:       # category 16: no extra bits
+                    code, ln = lut[16]
+                    bw.write(code, ln)
+                else:
+                    t = _category(diff)
+                    code, ln = lut[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << t) - 1, t)
+            reset = False
+            mcu += 1
+    bw.pad_to_byte()
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")
     return bytes(out)
 
 

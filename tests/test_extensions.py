@@ -1160,14 +1160,22 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG not a jpeg")
-        # lossless (SOF3) routes to the injected decoder; progressive
-        # (SOF2) is DECODED since r10 — covered by TestJpegProgressive
-        sof3 = (b"\xff\xd8" + b"\xff\xc3"
+        # arithmetic coding (SOF9) routes to the injected decoder;
+        # progressive (SOF2) is DECODED since r10 and lossless (SOF3)
+        # since r11 — covered by TestJpegProgressive/TestLosslessJpeg
+        sof9 = (b"\xff\xd8" + b"\xff\xc9"
                 + struct.pack(">H", 11)
                 + bytes([8]) + struct.pack(">HH", 8, 8)
                 + bytes([1, 1, 0x11, 0]))
         with pytest.raises(NotImplementedError):
-            decode_jpeg(sof3)
+            decode_jpeg(sof9)
+        # subsampled lossless stays on the injected path too
+        sof3_sub = (b"\xff\xd8" + b"\xff\xc3"
+                    + struct.pack(">H", 11)
+                    + bytes([8]) + struct.pack(">HH", 8, 8)
+                    + bytes([1, 1, 0x21, 0]))
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(sof3_sub)
 
 
 class TestGifDecode:
@@ -1716,6 +1724,103 @@ class Test12BitJpeg:
                            "n_bytes": len(payload)})], MEDIA_SCHEMA)
         feat = list(extract_features(media).collect()[0].feature)
         assert all(abs(f - 1 / 16) < 1e-3 for f in feat)
+
+
+class TestLosslessJpeg:
+    """Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
+    differences, no DCT — decode must return the input BIT-EXACTLY,
+    the strongest oracle a codec can have. The DNG/DICOM/scanned-
+    archive shape; closes another r10 'what's missing' seam (only
+    arithmetic coding and hierarchical processes remain)."""
+
+    def test_all_predictors_bit_exact(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (13, 11, 1), np.int64)
+        for pred in range(1, 8):
+            dec = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+            assert dec.dtype == np.uint8
+            assert np.array_equal(dec, img), pred
+
+    def test_depths_color_pt_restarts_and_cat16(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        rng = np.random.default_rng(19)
+        # 16-bit color noise (worst-case categories)
+        img16 = rng.integers(0, 65536, (9, 7, 3), np.int64)
+        dec16 = decode_jpeg(encode_jpeg_lossless(img16))
+        assert dec16.dtype == np.uint16
+        assert np.array_equal(dec16, img16)
+        # explicit 12-bit precision
+        img12 = rng.integers(0, 4096, (8, 8, 1), np.int64)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(img12, precision=12)),
+            img12)
+        # point transform: low bits dropped in coding, restored as 0
+        imgp = rng.integers(0, 256, (6, 6, 1), np.int64)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(imgp, pt=2)),
+            (imgp >> 2) << 2)
+        # restart markers reset prediction to the default
+        img = rng.integers(0, 256, (13, 11, 1), np.int64)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(img, predictor=5,
+                                             restart_interval=7)), img)
+        # the ±32768 modulo wrap rides difference category 16
+        wrap = np.array([[0, 32768], [65535, 16384]], np.int64)[:, :, None]
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(wrap, predictor=1)), wrap)
+
+    def test_property_roundtrip_and_guards(self):
+        import numpy as np
+        import pytest as _pytest
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        @settings(max_examples=20, deadline=None)
+        @given(st.data())
+        def check(data):
+            rng = np.random.default_rng(data.draw(st.integers(0, 99)))
+            h = data.draw(st.integers(1, 12))
+            w = data.draw(st.integers(1, 12))
+            ch = data.draw(st.sampled_from([1, 3]))
+            prec = data.draw(st.sampled_from([8, 10, 12, 16]))
+            img = rng.integers(0, 1 << prec, (h, w, ch), np.int64)
+            pred = data.draw(st.integers(1, 7))
+            ri = data.draw(st.sampled_from([0, 3, 8]))
+            dec = decode_jpeg(encode_jpeg_lossless(
+                img, predictor=pred, precision=prec,
+                restart_interval=ri))
+            assert np.array_equal(dec, img)
+
+        check()
+        with _pytest.raises(ValueError):
+            encode_jpeg_lossless(np.zeros((4, 4), np.int64), predictor=0)
+        with _pytest.raises(ValueError):
+            encode_jpeg_lossless(np.full((4, 4), 300, np.int64),
+                                 precision=8)
+        with _pytest.raises(ValueError):
+            encode_jpeg_lossless(np.zeros((4, 4), np.int64), pt=8)
+        # truncation sweep keeps the dead-letter contract
+        rng = np.random.default_rng(23)
+        payload = encode_jpeg_lossless(
+            rng.integers(0, 65536, (8, 8, 1), np.int64))
+        for cut in range(8, len(payload) - 1,
+                         max(1, len(payload) // 30)):
+            try:
+                decode_jpeg(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
 
 
 class TestJpegProgressive:
