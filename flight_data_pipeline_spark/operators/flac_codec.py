@@ -528,6 +528,9 @@ def encode_flac(samples, sample_rate: int = 8000, bps: int = 16,
     n_total, channels = arr.shape
     if stereo != "independent" and channels != 2:
         raise ValueError("stereo decorrelation needs 2 channels")
+    if not 1 <= block_size <= 65536:
+        raise ValueError("block_size must be in [1, 65536] "
+                         "(16-bit explicit blocksize field)")
 
     out = bytearray(b"fLaC")
     si = _BitW()

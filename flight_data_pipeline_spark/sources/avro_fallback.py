@@ -227,22 +227,37 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Avro OCF read without the spark-avro jar.
 
     binaryFile lists/distributes the files; the top-level record
-    schema comes from the FIRST file's header (driver-side, header
-    bytes only — no data block is read on the driver); each task then
+    schema comes from the FIRST file's header — read driver-side with
+    plain file IO, HEADER BYTES ONLY (the mapInPandas output type
+    must exist at plan time, so this is unavoidable driver work; no
+    Spark action runs and no data block is touched). Each task then
     parses its own files' blocks and emits rows via mapInPandas, so
     per-task memory is bounded by one container file and parallelism
     is the file count — the natural unit, matching how Avro landing
-    zones are written (one container per producer flush)."""
+    zones are written (one container per producer flush). The
+    driver-side probe uses the local/posix filesystem (the fallback's
+    deployment shape); on an object store, pass the header bytes'
+    schema through a manifest instead."""
+    import glob as _glob
+    import os
+
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
-    first = (files.select("path").orderBy("path").limit(1).collect())
-    if not first:
-        raise ValueError(f"no files under {path}")
-    # driver reads only the header of one file for the schema
-    head = (spark.read.format("binaryFile")
-            .load(first[0].path).select("content").collect()[0].content)
-    schema_json, _codec, _sync, _ = _parse_header(bytes(head))
+    candidates = (sorted(_glob.glob(os.path.join(path, "**", "*"),
+                                    recursive=True))
+                  if os.path.isdir(path) else sorted(_glob.glob(path)))
+    candidates = [c for c in candidates if os.path.isfile(c)]
+    head = None
+    for c in candidates:
+        with open(c, "rb") as f:
+            probe = f.read(1 << 20)  # headers are small; 1 MiB covers
+        if probe[:4] == OCF_MAGIC:   # skip _SUCCESS and friends
+            head = probe
+            break
+    if head is None:
+        raise ValueError(f"no Avro container files under {path}")
+    schema_json, _codec, _sync, _ = _parse_header(head)
     if not (isinstance(schema_json, dict)
             and schema_json.get("type") == "record"):
         raise ValueError("top-level Avro schema must be a record")
@@ -255,10 +270,14 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import datetime
+        import posixpath
 
         for pdf in batches:
             rows: list[dict] = []
-            for content in pdf["content"]:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                base = posixpath.basename(str(fpath))
+                if base.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden markers (Hadoop rule)
                 _, records = read_ocf_records(bytes(content))
                 for rec in records:
                     for name, lt in logical.items():
@@ -281,7 +300,8 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
                     rows.append(rec)
             yield pd.DataFrame(rows, columns=field_names)
 
-    return files.select("content").mapInPandas(process, schema=spark_schema)
+    return files.select("path", "content").mapInPandas(
+        process, schema=spark_schema)
 
 
 # --------------------------------------------------------------------------
