@@ -590,3 +590,15 @@ def test_media_decode_profile_pushes_carve_and_prunes(spark):
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)" in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan
     assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_media_gif_and_audio_profiles_share_the_scan_discipline(spark):
+    """The r11 GIF/FLAC certification siblings keep the exact same
+    scan shape as media_decode_profile: carve pushed to the parquet
+    scan, doc_id-only ReadSchema, payloads synthesized in-plan."""
+    for q in ("media_decode_profile_gif", "media_decode_profile_audio"):
+        plan = plan_of(spark, q)
+        assert ("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)"
+                in plan), q
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, q
+        assert "text" not in plan.split("ReadSchema")[1][:200], q
