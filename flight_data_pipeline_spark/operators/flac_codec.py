@@ -490,7 +490,10 @@ def _encode_subframe(bw: _BitW, samples: list[int], bps: int,
         _encode_residual(bw, res, order, partition_order, escape_bits)
         return
     if mode.startswith("fixed"):
-        order = int(mode[5:])
+        # a block shorter than the predictor order can't carry the
+        # warmup — clamp per block (the 1-sample-last-frame case the
+        # hypothesis sweep caught in r11)
+        order = min(int(mode[5:]), n)
         bw.w(0, 1)
         bw.w(8 + order, 6)
         bw.w(0, 1)

@@ -441,9 +441,23 @@ def _decode_lossless(h: int, w: int, ncomp: int, precision: int,
     modulo-65536 reconstruction, point transform Pt restored by a
     left shift. Components carry raw sample planes (no color
     transform is defined for the lossless process — scanned/DNG
-    pipelines store components directly). Restart handling is the
-    libjpeg-compatible reset: the first sample after an RST marker is
-    predicted from the default, like the scan start."""
+    pipelines store components directly). Restart handling follows
+    T.81 H.1.1/libjpeg: the first sample after an RST marker is
+    predicted from the default and the REMAINDER OF THAT SAMPLE LINE
+    uses the one-dimensional predictor (Ra), exactly like the first
+    line of the scan; the selected predictor resumes on the next
+    line. Samples-vs-bits bound (r11 review): corrupt SOF dimensions
+    can't allocate or spin past the entropy data actually present."""
+    for sel, ss, _se, _ah, al, ri, segments in scans:
+        # every coded sample costs ≥1 Huffman bit, so declared
+        # dimensions beyond the scan's bit budget are malformed —
+        # checked BEFORE the h*w allocation (decode-time DoS bound,
+        # same class as the mp4 stsz/trun clamps)
+        avail_bits = 8 * sum(len(s) for s in segments)
+        if h * w * len(sel) > avail_bits:
+            raise ValueError(
+                f"lossless scan declares {h * w * len(sel)} samples "
+                f"but carries only {avail_bits} bits")
     planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
     shifts = [0] * ncomp
     for sel, ss, _se, _ah, al, ri, segments in scans:
@@ -463,6 +477,7 @@ def _decode_lossless(h: int, w: int, ncomp: int, precision: int,
         seg_idx = 0
         mcu = 0
         reset = True
+        oned_row = -1  # row forced to the 1-D predictor after a reset
         for y in range(h):
             for x in range(w):
                 if ri and mcu and mcu % ri == 0:
@@ -474,8 +489,12 @@ def _decode_lossless(h: int, w: int, ncomp: int, precision: int,
                     reset = True
                 for ci in idxs:
                     p = planes[ci]
-                    px = (default if reset
-                          else _ll_predict(p, y, x, pred_sel, default))
+                    if reset:
+                        px = default
+                    elif y == oned_row:
+                        px = int(p[y, x - 1])   # 1-D Ra after a reset
+                    else:
+                        px = _ll_predict(p, y, x, pred_sel, default)
                     t = _decode_symbol(br, luts[ci])
                     if t == 16:           # category 16: no extra bits
                         diff = 32768
@@ -485,6 +504,8 @@ def _decode_lossless(h: int, w: int, ncomp: int, precision: int,
                     else:
                         diff = _extend(br.receive(t), t) if t else 0
                     p[y, x] = (px + diff) & 0xFFFF
+                if reset:
+                    oned_row = y
                 reset = False
                 mcu += 1
     out = np.stack(
@@ -505,11 +526,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     try:
         return _decode_jpeg(payload)
     except (IndexError, KeyError, struct.error, OverflowError,
-            ZeroDivisionError) as exc:
+            ZeroDivisionError, MemoryError) as exc:
         # fuzzing-confirmed escapes (r10 review): KeyError from a SOF
         # referencing an undeclared DQT id, OverflowError from a
         # corrupt DHT emitting a >63 size category into the int64
         # block, ZeroDivisionError from a zero sampling factor.
+        # MemoryError (r11 review): SOF dimensions are corruption-
+        # controlled — a 34 GB plane allocation from a 50-byte payload
+        # is a malformed file, not an engine OOM (the bits-vs-samples
+        # bounds in the scan loops keep the small-allocation spin
+        # case out too).
         raise ValueError(
             f"malformed JPEG payload: {type(exc).__name__}: {exc}"
         ) from exc
@@ -658,6 +684,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "partially-interleaved sequential JPEG scan needs "
                     "an injected decoder")
+            # every coded block costs ≥2 Huffman bits (DC symbol +
+            # EOB), so units beyond the scan's bit budget mean the
+            # SOF dimensions are corruption-inflated — bound the loop
+            # instead of spinning through billions of zero-bit units
+            # (r11 review; the lossless path carries the same bound)
+            avail_units = 4 * sum(len(s) for s in segments) + 8
             seg_idx = 0
             br = _BitReader(segments[0])
             preds = [0] * len(comps)
@@ -665,6 +697,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for uidx, blocks in enumerate(_scan_units(
                     sel, comps, mcus_x, mcus_y, h_img, w_img,
                     hmax, vmax)):
+                if uidx >= avail_units:
+                    raise ValueError(
+                        "JPEG scan declares more coded units than its "
+                        "entropy data can carry")
                 if restart_interval and uidx \
                         and uidx % restart_interval == 0:
                     seg_idx += 1
@@ -1051,6 +1087,7 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
     bw = _BitWriter()
     mcu = 0
     reset = True
+    oned_row = -1  # row forced to the 1-D predictor after a reset
     for y in range(h):
         for x in range(w):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1062,8 +1099,12 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
                 reset = True
             for ci in range(ncomp):
                 p = coded[:, :, ci]
-                px = (default if reset
-                      else _ll_predict(p, y, x, predictor, default))
+                if reset:
+                    px = default
+                elif y == oned_row:
+                    px = int(p[y, x - 1])   # 1-D Ra after a reset
+                else:
+                    px = _ll_predict(p, y, x, predictor, default)
                 diff = (int(p[y, x]) - px) & 0xFFFF
                 if diff >= 32768:
                     diff -= 65536
@@ -1077,6 +1118,8 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
                     if t:
                         bw.write(diff if diff >= 0
                                  else diff + (1 << t) - 1, t)
+            if reset:
+                oned_row = y
             reset = False
             mcu += 1
     bw.pad_to_byte()

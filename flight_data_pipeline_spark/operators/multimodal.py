@@ -112,10 +112,13 @@ def _next_token(data: bytes, i: int) -> tuple[bytes, int]:
 
 @_malformed_raises_value_error("netpbm")
 def decode_netpbm(payload: bytes):
-    """Binary netpbm decode (P6 = RGB PPM, P5 = grayscale PGM, maxval
-    ≤ 255) → uint8 ndarray of shape (h, w, channels). Pure stdlib +
-    numpy: header is whitespace-separated tokens with '#' comments,
-    followed by ONE whitespace byte and the raw raster."""
+    """Binary netpbm decode (P6 = RGB PPM, P5 = grayscale PGM) →
+    ndarray of shape (h, w, channels): uint8 for maxval ≤ 255, uint16
+    big-endian two-byte samples for maxval ≤ 65535 (the netpbm deep-
+    sample rule — how 12/16-bit JPEG frames ride the frame tier
+    without corruption, r11). Pure stdlib + numpy: header is
+    whitespace-separated tokens with '#' comments, followed by ONE
+    whitespace byte and the raw raster."""
     import numpy as np
 
     magic, i = _next_token(payload, 0)
@@ -125,12 +128,14 @@ def decode_netpbm(payload: bytes):
     htok, i = _next_token(payload, i)
     mtok, i = _next_token(payload, i)
     w, h, maxval = int(wtok), int(htok), int(mtok)
-    if maxval > 255:
-        raise ValueError("16-bit netpbm unsupported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"netpbm maxval {maxval} out of range")
     i += 1  # the single whitespace byte after maxval
     ch = 3 if magic == b"P6" else 1
-    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
-    return arr.reshape(h, w, ch)
+    dt = np.uint8 if maxval <= 255 else ">u2"
+    arr = np.frombuffer(payload, dtype=dt, count=w * h * ch, offset=i)
+    return arr.reshape(h, w, ch).astype(
+        np.uint8 if maxval <= 255 else np.uint16)
 
 
 @_malformed_raises_value_error("BMP")
@@ -740,9 +745,16 @@ def real_decode(payload: bytes, fmt: str):
     if fmt in AUDIO_FORMATS:
         return _unit_hist(decode_audio(payload, fmt), -1.0, 1.0)
     img = decode_image(payload, fmt)
-    # 12-bit JPEG decodes to uint16: bin over the full sample range
-    # so deep-sample corpora featurize with the same 16-bin shape
-    hi = 4096.0 if getattr(img, "dtype", None) == "uint16" else 256.0
+    # deep samples (12-bit JPEG, 9-16-bit lossless) decode to uint16:
+    # bin over the smallest covering power-of-two range — [0, 4096)
+    # when every sample fits 12 bits, else [0, 65536) — so neither a
+    # 12-bit image (dark under a 16-bit rule) nor a 16-bit one
+    # (out-of-range under a 12-bit rule, the r11 review finding)
+    # degenerates; deterministic per image.
+    if getattr(img, "dtype", None) == "uint16":
+        hi = 4096.0 if (img.size == 0 or int(img.max()) < 4096) else 65536.0
+    else:
+        hi = 256.0
     return _unit_hist(img, 0.0, hi)
 
 
@@ -944,7 +956,9 @@ def fake_resize(payload: bytes, fmt: str, w: int, h: int) -> bytes:
 
 
 def _resample(img, w: int, h: int):
-    """uint8 (H, W, C) → (h, w, C). Exact box (area) average when both
+    """(H, W, C) → (h, w, C), dtype-preserving (uint8 or uint16 —
+    the r11 review caught the box path's astype(uint8) wrapping
+    12-bit pixels mod 256). Exact box (area) average when both
     factors divide evenly — the antialiasing-correct reduction for the
     thumbnail/training-normalize case — else nearest-neighbor (the
     deterministic general fallback; half-sample center convention)."""
@@ -954,7 +968,7 @@ def _resample(img, w: int, h: int):
     if H % h == 0 and W % w == 0:
         fy, fx = H // h, W // w
         return (img.reshape(h, fy, w, fx, C).astype(np.uint32)
-                .mean(axis=(1, 3)).round().astype(np.uint8))
+                .mean(axis=(1, 3)).round().astype(img.dtype))
     ys = np.minimum(((np.arange(h) + 0.5) * H / h).astype(np.int64), H - 1)
     xs = np.minimum(((np.arange(w) + 0.5) * W / w).astype(np.int64), W - 1)
     return img[ys][:, xs]
@@ -972,9 +986,7 @@ def real_resize(payload: bytes, fmt: str, w: int, h: int) -> bytes:
         raise NotImplementedError(f"resize is an image op; got {fmt}")
     img = decode_image(payload, fmt)
     out = _resample(img, w, h)
-    if out.shape[2] >= 3:
-        return b"P6\n%d %d\n255\n" % (w, h) + out[:, :, :3].tobytes()
-    return b"P5\n%d %d\n255\n" % (w, h) + out[:, :, 0].tobytes()
+    return _pixels_to_netpbm(out[:, :, :3] if out.shape[2] >= 3 else out)
 
 
 def auto_resize(payload: bytes, fmt: str, w: int, h: int):
@@ -1054,15 +1066,23 @@ MJPEG_FOURCCS = frozenset({"jpeg", "mjpa"})
 
 
 def _pixels_to_netpbm(img) -> bytes:
-    """uint8 pixel array → binary netpbm frame payload: (h, w, 3) →
-    PPM (P6), (h, w) / (h, w, 1) → PGM (P5) — the decodable
-    re-emission format the frame-sampling tier standardizes on (the
-    GIF path's P6 pattern, generalized for grayscale MJPEG)."""
+    """uint8/uint16 pixel array → binary netpbm frame payload:
+    (h, w, 3) → PPM (P6), (h, w) / (h, w, 1) → PGM (P5) — the
+    decodable re-emission format the frame-sampling tier standardizes
+    on. uint16 pixels (12/16-bit JPEG frames) emit maxval 65535 with
+    big-endian two-byte samples per the netpbm deep-sample rule; the
+    r11 review caught the old unconditional maxval-255 header
+    silently corrupting deep frames."""
+    import numpy as np
+
+    wide = img.dtype == np.uint16
+    maxval = b"65535" if wide else b"255"
+    raster = (img.astype(">u2") if wide else img)
     if img.ndim == 3 and img.shape[2] == 3:
-        return (b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0])
-                + img.tobytes())
-    plane = img[..., 0] if img.ndim == 3 else img
-    return (b"P5\n%d %d\n255\n" % (plane.shape[1], plane.shape[0])
+        return (b"P6\n%d %d\n%s\n" % (img.shape[1], img.shape[0], maxval)
+                + raster.tobytes())
+    plane = raster[..., 0] if raster.ndim == 3 else raster
+    return (b"P5\n%d %d\n%s\n" % (plane.shape[1], plane.shape[0], maxval)
             + plane.tobytes())
 
 

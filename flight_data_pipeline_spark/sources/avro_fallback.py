@@ -73,6 +73,20 @@ class _Reader:
         return (acc >> 1) ^ -(acc & 1)
 
 
+def _guard_count(r: _Reader, n: int) -> int:
+    """Bound a corruption-controlled element count: null elements and
+    zero-field records consume NO input bytes, so a corrupt varint
+    could otherwise spin/OOM a task from a 50-byte file (r11 review —
+    the same decode-time DoS class as the mp4 stsz/trun clamps). The
+    bound is payload-derived: a legal container tripping it would be
+    a zero-byte-element bomb, and dead-lettering those is correct for
+    a pipeline."""
+    if n > max(len(r.buf), 1 << 20):
+        raise ValueError(
+            f"Avro block count {n} exceeds the payload-derived bound")
+    return n
+
+
 def _decode(r: _Reader, schema):
     """Decode one value of ``schema`` (parsed JSON form)."""
     if isinstance(schema, list):                      # union
@@ -94,7 +108,7 @@ def _decode(r: _Reader, schema):
                 if n < 0:          # block with byte-size prefix
                     n = -n
                     r.long()
-                for _ in range(n):
+                for _ in range(_guard_count(r, n)):
                     out.append(_decode(r, schema["items"]))
         if t == "map":
             out = {}
@@ -105,11 +119,14 @@ def _decode(r: _Reader, schema):
                 if n < 0:
                     n = -n
                     r.long()
-                for _ in range(n):
+                for _ in range(_guard_count(r, n)):
                     k = r.take(r.long()).decode("utf-8")
                     out[k] = _decode(r, schema["values"])
         if t == "enum":
-            return schema["symbols"][r.long()]
+            idx = r.long()
+            if not 0 <= idx < len(schema["symbols"]):
+                raise ValueError("Avro enum index out of range")
+            return schema["symbols"][idx]
         if t == "fixed":
             return r.take(schema["size"])
         return _decode(r, t)                          # {"type": "long", ...}
@@ -150,7 +167,19 @@ def _parse_header(buf: bytes):
 
 def read_ocf_records(buf: bytes) -> tuple[dict, list]:
     """Parse one whole OCF payload → (schema, records). Pure python —
-    the per-task body of the distributed reader."""
+    the per-task body of the distributed reader. Any structural
+    corruption surfaces as ValueError (the dead-letter contract),
+    never a bare IndexError/KeyError from the parsing arithmetic."""
+    try:
+        return _read_ocf_records(buf)
+    except (IndexError, KeyError, TypeError, struct.error,
+            OverflowError, UnicodeDecodeError, MemoryError) as exc:
+        raise ValueError(
+            f"malformed Avro container: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _read_ocf_records(buf: bytes) -> tuple[dict, list]:
     schema, codec, sync, pos = _parse_header(buf)
     r = _Reader(buf, pos)
     records = []
@@ -166,7 +195,7 @@ def read_ocf_records(buf: bytes) -> tuple[dict, list]:
         if r.take(16) != sync:
             raise ValueError("Avro sync marker mismatch")
         br = _Reader(block)
-        for _ in range(count):
+        for _ in range(_guard_count(br, count)):
             records.append(_decode(br, schema))
         if br.pos != len(block):
             raise ValueError("Avro block has trailing bytes")
@@ -223,6 +252,61 @@ def _nullable(schema) -> bool:
     return isinstance(schema, list) and "null" in schema
 
 
+def _logical_converter(schema):
+    """Recursive raw-int → date/timestamp converter for a schema, or
+    None when nothing under it carries a logicalType. Handles union-
+    wrapped logicals and logicals nested in records/arrays/maps — the
+    r11 review caught the old top-level-dict-only lookup silently
+    shipping raw ints into Arrow (a nullable timestamp-millis read
+    1000× too small)."""
+    import datetime
+
+    s = schema
+    if isinstance(s, list):
+        nn = [x for x in s if x != "null"]
+        s = nn[0] if len(nn) == 1 else None
+    if not isinstance(s, dict):
+        return None
+    lt = s.get("logicalType")
+    if lt == "date":
+        epoch = datetime.date(1970, 1, 1)
+        return lambda v: (None if v is None
+                          else epoch + datetime.timedelta(days=v))
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        unit = ("microseconds" if lt == "timestamp-micros"
+                else "milliseconds")
+        epoch = datetime.datetime(1970, 1, 1,
+                                  tzinfo=datetime.timezone.utc)
+        return lambda v: (None if v is None
+                          else epoch + datetime.timedelta(**{unit: v}))
+    t = s.get("type")
+    if t == "record":
+        sub = {f["name"]: c for f in s["fields"]
+               if (c := _logical_converter(f["type"])) is not None}
+        if not sub:
+            return None
+
+        def conv_rec(v):
+            if v is None:
+                return None
+            for k, c in sub.items():
+                v[k] = c(v.get(k))
+            return v
+        return conv_rec
+    if t == "array":
+        c = _logical_converter(s["items"])
+        if c is None:
+            return None
+        return lambda v: None if v is None else [c(x) for x in v]
+    if t == "map":
+        c = _logical_converter(s["values"])
+        if c is None:
+            return None
+        return lambda v: (None if v is None
+                          else {k: c(x) for k, x in v.items()})
+    return None
+
+
 def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Avro OCF read without the spark-avro jar.
 
@@ -263,13 +347,9 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
         raise ValueError("top-level Avro schema must be a record")
     spark_schema = _spark_type(schema_json)
     field_names = [f.name for f in spark_schema.fields]
-    logical = {
-        f["name"]: (f["type"].get("logicalType")
-                    if isinstance(f["type"], dict) else None)
-        for f in schema_json["fields"]}
+    convert = _logical_converter(schema_json)  # None if no logicals
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import datetime
         import posixpath
 
         for pdf in batches:
@@ -279,25 +359,9 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
                 if base.startswith(("_", ".")):
                     continue  # _SUCCESS / hidden markers (Hadoop rule)
                 _, records = read_ocf_records(bytes(content))
-                for rec in records:
-                    for name, lt in logical.items():
-                        v = rec.get(name)
-                        if v is None:
-                            continue
-                        if lt == "date":
-                            rec[name] = (datetime.date(1970, 1, 1)
-                                         + datetime.timedelta(days=v))
-                        elif lt == "timestamp-micros":
-                            rec[name] = datetime.datetime(
-                                1970, 1, 1,
-                                tzinfo=datetime.timezone.utc
-                            ) + datetime.timedelta(microseconds=v)
-                        elif lt == "timestamp-millis":
-                            rec[name] = datetime.datetime(
-                                1970, 1, 1,
-                                tzinfo=datetime.timezone.utc
-                            ) + datetime.timedelta(milliseconds=v)
-                    rows.append(rec)
+                if convert is not None:
+                    records = [convert(rec) for rec in records]
+                rows.extend(records)
             yield pd.DataFrame(rows, columns=field_names)
 
     return files.select("path", "content").mapInPandas(

@@ -1704,6 +1704,33 @@ class Test12BitJpeg:
             # a silent short decode would be a contract break only if
             # it raised a non-contract type — asserted by except above
 
+    def test_deep_samples_survive_resize_and_frame_reemission(self):
+        """r11 review: uint16 pixels used to be corrupted by both
+        netpbm re-emission paths (maxval-255 header over 2-byte
+        samples; box resample wrapping mod 256). Deep frames now ride
+        16-bit netpbm (maxval 65535, big-endian) losslessly."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            _pixels_to_netpbm, decode_netpbm, real_resize)
+
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 4096, (16, 16, 1), np.uint16)
+        # frame re-emission round-trips uint16 exactly
+        back = decode_netpbm(_pixels_to_netpbm(img))
+        assert back.dtype == np.uint16
+        assert np.array_equal(back, img)
+        # resize of a 12-bit JPEG: decodable output, values in range
+        payload = encode_jpeg(img.astype(np.int64), precision=12)
+        out = decode_netpbm(real_resize(payload, "jpeg", 8, 8))
+        assert out.shape == (8, 8, 1) and out.dtype == np.uint16
+        assert int(out.max()) < 4096  # no mod-256 wrap
+        # non-divisible (nearest) path: consistent geometry too
+        out7 = decode_netpbm(real_resize(payload, "jpeg", 7, 7))
+        assert out7.shape == (7, 7, 1)
+
     def test_16bin_feature_covers_full_12bit_range(self, spark):
         """A 12-bit JPEG flows through the default extract_features
         path with the histogram binned over [0, 4096) — bright
@@ -1821,6 +1848,44 @@ class TestLosslessJpeg:
                 decode_jpeg(payload[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+    def test_corrupt_dimensions_dead_letter_fast(self):
+        """r11 review: SOF dimensions are corruption-controlled — a
+        tiny payload declaring 65535x65535 must ValueError in O(1)
+        (samples-vs-bits bound), not allocate 34 GB or spin through
+        4 billion zero-bit samples. Same class as the mp4 stsz/trun
+        clamps."""
+        import struct
+        import time
+
+        import numpy as np
+        import pytest as _pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            _DC_COUNTS_LL, _DC_SYMBOLS_LL, decode_jpeg, encode_jpeg)
+
+        def seg(m, body):
+            return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+        p = bytearray(b"\xff\xd8")
+        p += seg(0xC3, struct.pack(">BHHB", 8, 65535, 65535, 1)
+                 + bytes([1, 0x11, 0]))
+        p += seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS_LL)
+                 + _DC_SYMBOLS_LL)
+        p += seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))
+        p += b"\x55\xff\xd9"
+        t0 = time.time()
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(p))
+        assert time.time() - t0 < 1.0
+        # sequential twin: inflate a valid baseline SOF's dims
+        big = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        i = bytes(big).find(b"\xff\xc0")
+        struct.pack_into(">HH", big, i + 5, 65528, 65528)
+        t0 = time.time()
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(big))
+        assert time.time() - t0 < 2.0
 
 
 class TestJpegProgressive:
@@ -2473,6 +2538,11 @@ class TestFlacCodec:
         self._rt(sig[:256], mode=("lpc", [3, -2], 1, 6))
         # block size not dividing the total: short last frame
         self._rt(sig[:777], mode="fixed2", block_size=256)
+        # last frame SHORTER than the predictor order: the encoder
+        # clamps the per-block order (hypothesis-caught in r11)
+        self._rt(np.array([123], np.int64), mode="fixed2",
+                 block_size=16)
+        self._rt(np.array([5, -9], np.int64), mode="fixed4")
 
     def test_stereo_decorrelation_and_bit_depths(self):
         import numpy as np

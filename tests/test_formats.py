@@ -180,6 +180,72 @@ class TestAvroFallback:
             with pytest.raises(ValueError):
                 read_ocf_records(bad)
 
+    @staticmethod
+    def _zz(v):
+        u = v << 1
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            out.append(b | (0x80 if u else 0))
+            if not u:
+                return bytes(out)
+
+    def test_corruption_controlled_counts_and_enum_bounds(self):
+        """r11 review: zero-byte elements (nulls, empty records) make
+        block counts corruption-controlled — a 10^12 count in a tiny
+        file must dead-letter in O(1), not spin/OOM; a corrupt enum
+        index must raise, never silently wrap to the last symbol."""
+        from flight_data_pipeline_spark.sources.avro_fallback import (
+            read_ocf_records, write_avro_ocf)
+
+        nullarr = {"type": "record", "name": "A", "fields": [
+            {"name": "v", "type": {"type": "array", "items": "null"}}]}
+        good = write_avro_ocf([{"v": [None, None]}], nullarr)
+        bomb = good.replace(self._zz(2) + self._zz(0),
+                            self._zz(10**12) + self._zz(0))
+        with pytest.raises(ValueError):
+            read_ocf_records(bomb)
+        enum_s = {"type": "record", "name": "E", "fields": [
+            {"name": "s", "type": {"type": "enum", "name": "X",
+                                   "symbols": ["A", "B"]}}]}
+        ge = write_avro_ocf([{"s": "B"}], enum_s)
+        # the record body is the single enum-index varint: 1 -> 7
+        with pytest.raises(ValueError):
+            read_ocf_records(bytes(bytearray(ge).replace(
+                self._zz(1), self._zz(7), 1)))
+        # negative index (corrupt zigzag) must raise, not wrap to [-1]
+        with pytest.raises(ValueError):
+            read_ocf_records(bytes(bytearray(ge).replace(
+                self._zz(1), b"\x03", 1)))  # zigzag 3 = -2
+
+    def test_logical_types_through_unions_and_nesting(self, spark,
+                                                      tmp_path):
+        """r11 review: a nullable timestamp-millis union used to ship
+        the raw millis int into Arrow (read 1000x too small); logicals
+        nested under records/arrays were never converted at all."""
+        import datetime
+
+        from flight_data_pipeline_spark.sources.avro_fallback import (
+            read_avro_fallback, write_avro_ocf)
+
+        schema = {"type": "record", "name": "L", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts", "type": ["null", {
+                "type": "long", "logicalType": "timestamp-millis"}]},
+            {"name": "ds", "type": {"type": "array", "items": {
+                "type": "int", "logicalType": "date"}}},
+        ]}
+        recs = [{"id": 1, "ts": 1_700_000_000_000, "ds": [0, 19000]},
+                {"id": 2, "ts": None, "ds": []}]
+        (tmp_path / "l.avro").write_bytes(write_avro_ocf(recs, schema))
+        rows = {r.id: r for r in
+                read_avro_fallback(spark, str(tmp_path)).collect()}
+        assert rows[1].ts == datetime.datetime(2023, 11, 14, 22, 13, 20)
+        assert rows[2].ts is None
+        assert rows[1].ds == [datetime.date(1970, 1, 1),
+                              datetime.date(2022, 1, 8)]
+
 
 def test_parquet_additive_schema_evolution(spark, tmp_path):
     """mergeSchema read over a directory whose newer files carry an
