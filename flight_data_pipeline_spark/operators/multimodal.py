@@ -852,8 +852,9 @@ MEDIA_QUALITY_SCHEMA = T.StructType([
 
 
 def _image_quality(img):
-    """uint8 (h, w, c) → quality stat dict. Integer moments are exact
-    BIGINTs (cross-engine replayable); the sharpness proxy is the
+    """uint8/uint16 (h, w, c) → quality stat dict. Integer moments
+    are exact BIGINTs (cross-engine replayable; int64 is overflow-
+    safe to ~2e9 deep-sample pixels); the sharpness proxy is the
     classic variance-of-Laplacian on the gray plane."""
     import numpy as np
 
