@@ -280,6 +280,20 @@ def _decode_flac_pcm(payload: bytes):
     rate, channels, bps, total = info
 
     chans: list[list[int]] = [[] for _ in range(channels)]
+    # Decode-time DoS bound (r11 advice): a ~20-byte constant-subframe
+    # frame legally encodes 65536 samples x 8 channels and the CRCs are
+    # attacker-computable, so accumulated samples must be bounded
+    # BEFORE each frame decodes, not after the loop. With STREAMINFO
+    # total known the bound is exact (spec: frames never overshoot it);
+    # when total is 0/unknown it derives from the payload size (a legal
+    # frame costs >= ~12 header+CRC bytes for <= 65536 samples).
+    # Unknown-total streams additionally hit a fixed 2^24 per-channel
+    # ceiling: the payload-derived term tracks the format's legal
+    # silence-compression maximum (~5461 samples/byte/channel), which
+    # for a ~100 KB crafted payload is still billions of list ints —
+    # and every real container (and the in-repo encoder) writes total.
+    sample_cap = total if total else min(
+        (len(payload) // 12 + 1) * 65536, 1 << 24)
     while pos < len(payload):
         br = _Bits(payload, pos)
         if br.read(14) != 0x3FFE:
@@ -317,6 +331,10 @@ def _decode_flac_pcm(payload: bytes):
         hdr_end = br.byte_pos()
         if _crc8(payload[pos:hdr_end]) != br.read(8):
             raise ValueError("FLAC frame-header CRC-8 mismatch")
+        if len(chans[0]) + n > sample_cap:
+            raise ValueError(
+                f"FLAC frames overrun the sample bound {sample_cap} "
+                "(STREAMINFO total or payload-derived cap)")
 
         if ch_code < 8:
             nch = ch_code + 1

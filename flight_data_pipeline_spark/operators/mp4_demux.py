@@ -518,3 +518,52 @@ def frame_metadata(media):
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# write half: minimal muxer
+# --------------------------------------------------------------------------
+
+def mux_mp4_video(frames: list[bytes], codec: bytes = b"jpeg",
+                  timescale: int = 1000, frame_dur: int = 40) -> bytes:
+    """Minimal single-track MP4 muxer — the WRITE half that proves the
+    demuxer (the encode_gif / encode_flac / write_avro_ocf fixture
+    philosophy: no media libs in the container, so the engine carries
+    the writer its own reader is tested against). One chunk, explicit
+    stsz sizes, a single stts run of ``frame_dur`` ticks, no stss
+    (ISO 14496-12: absent stss means every sample is sync). With
+    ``codec=b"jpeg"``/``b"mjpa"`` each frame must be a standard JPEG
+    bitstream and the payload decodes to PIXELS through
+    multimodal.sample_frames (MJPEG_FOURCCS routing); other fourccs
+    emit the coded units byte-exactly.
+
+    Production corpora arrive already muxed; this writer exists for
+    certification queries (media_decode_profile_video) and tests."""
+    if not frames:
+        raise ValueError("mux_mp4_video needs at least one frame")
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, body: bytes, ver: int = 0,
+             flags: int = 0) -> bytes:
+        return box(btype, struct.pack(">I", (ver << 24) | flags) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat = box(b"mdat", b"".join(frames))
+    chunk_off = len(ftyp) + 8          # first frame byte inside mdat
+
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(codec, b"\x00" * 16))
+    stts = full(b"stts", struct.pack(">III", 1, len(frames), frame_dur))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, len(frames), 1))
+    stsz = full(b"stsz", struct.pack(">II", 0, len(frames))
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = full(b"stco", struct.pack(">II", 1, chunk_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                + b"\x00" * 12 + b"video\x00")
+    mdhd = full(b"mdhd", struct.pack(">IIIHH", 0, 0, timescale, 0, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    moov = box(b"moov", box(b"trak", mdia))
+    return ftyp + mdat + moov

@@ -49,6 +49,13 @@ class _Reader:
         self.pos = pos
 
     def take(self, n: int) -> bytes:
+        if n < 0:
+            # Zigzag varints can legally decode to negatives, but every
+            # length/size/count that reaches take() must be non-negative:
+            # a negative n would slice empty AND move pos backward, so a
+            # crafted block-size could cycle _read_ocf_records forever
+            # (r11 advice — decode-time DoS, same class as _guard_count).
+            raise ValueError(f"negative Avro length {n}")
         if self.pos + n > len(self.buf):
             raise ValueError("truncated Avro data")
         out = self.buf[self.pos:self.pos + n]
@@ -81,6 +88,8 @@ def _guard_count(r: _Reader, n: int) -> int:
     bound is payload-derived: a legal container tripping it would be
     a zero-byte-element bomb, and dead-lettering those is correct for
     a pipeline."""
+    if n < 0:
+        raise ValueError(f"negative Avro element count {n}")
     if n > max(len(r.buf), 1 << 20):
         raise ValueError(
             f"Avro block count {n} exceeds the payload-derived bound")
@@ -188,8 +197,22 @@ def _read_ocf_records(buf: bytes) -> tuple[dict, list]:
         size = r.long()
         block = r.take(size)
         if codec == "deflate":
+            # decompressobj + max_length bounds the ~1032x deflate
+            # amplification a crafted block could otherwise demand in
+            # one zlib.decompress call (r11 advice). 64x the compressed
+            # size (16 MiB floor) is far above any legal Avro block's
+            # ratio; a block exceeding it dead-letters.
+            cap = max(1 << 24, 64 * len(block))
             try:
-                block = zlib.decompress(block, wbits=-15)
+                d = zlib.decompressobj(wbits=-15)
+                out = d.decompress(block, cap)
+                if d.unconsumed_tail:
+                    raise ValueError(
+                        f"deflate block exceeds {cap}-byte decompression "
+                        "bound")
+                if not d.eof:
+                    raise ValueError("truncated deflate block")
+                block = out
             except zlib.error as exc:
                 raise ValueError(f"bad deflate block: {exc}") from exc
         if r.take(16) != sync:

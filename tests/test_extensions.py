@@ -2158,6 +2158,26 @@ class TestMp4Demux:
         moov = box(b"moov", trak)
         return ftyp + mdat + moov
 
+    def test_production_muxer_roundtrip(self):
+        """mux_mp4_video (the write half shipped IN the package for
+        the r12 video certification query, not just this test file):
+        demux recovers every frame byte-exactly, one stts run gives
+        the dts ladder, and absent stss means all-keyframes."""
+        from flight_data_pipeline_spark.operators.mp4_demux import (
+            demux_mp4, mux_mp4_video)
+
+        frames = [bytes([i]) * (10 + i) for i in range(7)]
+        payload = mux_mp4_video(frames, codec=b"avc1", frame_dur=25)
+        samples = demux_mp4(payload)
+        assert len(samples) == 7
+        for i, s in enumerate(samples):
+            assert payload[s.offset:s.offset + s.size] == frames[i]
+            assert s.codec == "avc1" and s.keyframe
+        assert [s.dts_ms for s in samples] == [25 * i for i in range(7)]
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            mux_mp4_video([])
+
     def test_demux_recovers_frames_timestamps_keyframes(self):
         from flight_data_pipeline_spark.operators.mp4_demux import demux_mp4
 
@@ -2647,6 +2667,39 @@ class TestFlacCodec:
         for bad in cases:
             with _pytest.raises(ValueError):
                 decode_flac_pcm(bad)
+
+    def test_sample_bound_enforced_per_frame(self):
+        """r12 advice (medium): a ~20-byte constant-subframe frame
+        legally encodes 65536 samples and CRCs are attacker-
+        computable, so the decoder must bound accumulated samples
+        BEFORE each frame decodes — STREAMINFO total exactly when
+        known, a fixed 2^24/channel ceiling when total is 0."""
+        import numpy as np
+        import pytest as _pytest
+
+        from flight_data_pipeline_spark.operators.flac_codec import (
+            decode_flac_pcm, encode_flac)
+
+        # total known (=256): a duplicated frame overshoots -> raise
+        good = encode_flac(self._sig(256), block_size=256)
+        frame = good[42:]          # fLaC(4) + block hdr(4) + SI(34)
+        with _pytest.raises(ValueError):
+            decode_flac_pcm(good + frame)
+
+        # total unknown (zeroed 36-bit field at body bits 108..144):
+        # a few frames decode fine; 300 frames x 65536 samples from a
+        # ~6 KB payload must dead-letter at the 2^24 ceiling, not
+        # build a multi-GB list first.
+        big = encode_flac(np.full(65536, 7, np.int64),
+                          mode="constant", block_size=65536)
+        hdr = bytearray(big[:42])
+        hdr[21] &= 0xF0
+        hdr[22:26] = b"\x00\x00\x00\x00"
+        bframe = big[42:]
+        pcm, _r, _b = decode_flac_pcm(bytes(hdr) + bframe * 3)
+        assert pcm.shape == (3 * 65536, 1)
+        with _pytest.raises(ValueError):
+            decode_flac_pcm(bytes(hdr) + bframe * 300)
 
 
 class TestFmp4Demux:

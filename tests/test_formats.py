@@ -219,6 +219,52 @@ class TestAvroFallback:
             read_ocf_records(bytes(bytearray(ge).replace(
                 self._zz(1), b"\x03", 1)))  # zigzag 3 = -2
 
+    def test_negative_lengths_dead_letter_not_cycle(self):
+        """r12 advice (high): zigzag varints decode to negatives under
+        corruption, and a negative take() used to slice EMPTY while
+        moving the cursor BACKWARD — a 128-byte payload with block
+        size zigzag(-18) re-read the header sync in a cycle forever.
+        Every negative length/size reaching take() must raise."""
+        from flight_data_pipeline_spark.sources.avro_fallback import (
+            _parse_header, read_ocf_records, write_avro_ocf)
+
+        vschema = {"type": "record", "name": "N",
+                   "fields": [{"name": "v", "type": "long"}]}
+        good = write_avro_ocf([{"v": 1}], vschema)
+        _s, _c, sync, body = _parse_header(good)
+        # count=0, block byte-size zigzag(-18)=35: rewinds over sync
+        bomb = good[:body] + self._zz(0) + b"\x23" + sync
+        with pytest.raises(ValueError):
+            read_ocf_records(bomb)
+        # negative string length inside a record body: zigzag(-4)=7
+        sschema = {"type": "record", "name": "S",
+                   "fields": [{"name": "s", "type": "string"}]}
+        gs = write_avro_ocf([{"s": "abcd"}], sschema)
+        with pytest.raises(ValueError):
+            read_ocf_records(gs.replace(self._zz(4) + b"abcd",
+                                        b"\x07" + b"abcd"))
+
+    def test_deflate_bomb_dead_letters(self):
+        """r12 advice (low): deflate amplifies up to ~1032x, so one
+        crafted block could demand gigabytes from a single
+        zlib.decompress call. The reader caps per-block decompressed
+        output (64x compressed, 16 MiB floor) and dead-letters."""
+        import zlib
+
+        from flight_data_pipeline_spark.sources.avro_fallback import (
+            _parse_header, read_ocf_records, write_avro_ocf)
+
+        vschema = {"type": "record", "name": "N",
+                   "fields": [{"name": "v", "type": "long"}]}
+        good = write_avro_ocf([{"v": 1}], vschema, codec="deflate")
+        _s, _c, sync, body = _parse_header(good)
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        comp = co.compress(b"\x00" * (1 << 26)) + co.flush()
+        bomb = (good[:body] + self._zz(1) + self._zz(len(comp))
+                + comp + sync)
+        with pytest.raises(ValueError):
+            read_ocf_records(bomb)
+
     def test_logical_types_through_unions_and_nesting(self, spark,
                                                       tmp_path):
         """r11 review: a nullable timestamp-millis union used to ship
