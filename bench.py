@@ -279,6 +279,32 @@ def calibration_mem_sec() -> float:
     return round(best, 4)
 
 
+def calibration_sched_sec(spark) -> float:
+    """Scheduler/JIT probe (VERDICT r11 item 4): a fixed SMALL
+    two-stage shuffle job — 1 M rows keyed into 1000 groups across 32
+    map tasks, partial-aggregated, shuffled, re-aggregated — timed
+    best-of-3 after one discard rep. The CPU fold is compute-bound in
+    one stage and the memcpy is pure bandwidth, so BOTH sat ≤1.0 in
+    the official r11 window while every sub-2 s query inflated
+    10-15%: that overhead class is per-STAGE fixed cost (task
+    scheduling, shuffle set-up, codegen instantiation, JIT tiering
+    mode), which a job whose total work is trivial but whose stage
+    count is real measures directly. A window with sched_x high while
+    cpu/mem read ~1.0 is scheduler drift — self-adjudicating from the
+    recorded line, no same-day re-run needed."""
+    probe = lambda: (spark.range(0, 1_000_000, 1, 32)
+                     .selectExpr("id % 1000 AS k")
+                     .groupBy("k").count()
+                     .selectExpr("sum(count) s").collect())
+    probe()  # discard: codegen compile + scheduler warm path
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        probe()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def load_baseline_cal(repo: str, key: str = "cal_sec") -> float | None:
     """cal_sec / cal_mem_sec recorded alongside the pinned baseline
     (same session, same host window) — None for baseline files that
@@ -293,7 +319,8 @@ def load_baseline_cal(repo: str, key: str = "cal_sec") -> float | None:
 
 def uniform_slowdown_suspect(med: float, cal_x: float,
                              mem_x: float | None,
-                             n_ratios: int) -> bool:
+                             n_ratios: int,
+                             sched_x: float | None = None) -> bool:
     """Uniform-slowdown discriminator (ADVICE r7): the median
     normalizer absorbs ANY sub-2x uniform slowdown by design, so the
     median ratio is checked against BOTH independent host probes —
@@ -307,7 +334,8 @@ def uniform_slowdown_suspect(med: float, cal_x: float,
     every degraded-host window, the exact r6 failure mode)."""
     if mem_x is None or n_ratios < 8:
         return False
-    return med > 1.35 * max(cal_x, mem_x) and med > 1.35
+    probes = [cal_x, mem_x] + ([sched_x] if sched_x is not None else [])
+    return med > 1.35 * max(probes) and med > 1.35
 
 
 def find_regressions(
@@ -424,6 +452,10 @@ def main() -> None:
     mem_base = load_baseline_cal(repo, "cal_mem_sec")
     mem_x = (round(min(3.0, max(0.5, mem_now / mem_base)), 3)
              if mem_base else None)
+    sched_now = calibration_sched_sec(spark)
+    sched_base = load_baseline_cal(repo, "cal_sched_sec")
+    sched_x = (round(min(3.0, max(0.5, sched_now / sched_base)), 3)
+               if sched_base else None)
     base = load_baseline(repo)
     ratios = sorted(
         timings[q] / base[q] for q in base
@@ -433,7 +465,7 @@ def main() -> None:
     host = min(2.0, max(0.5, med))
     scaled = {q: b * host for q, b in base.items()}
     uniform_suspect = uniform_slowdown_suspect(med, cal_x, mem_x,
-                                               len(ratios))
+                                               len(ratios), sched_x)
 
     # Second-chance pass (the "real only if it reproduces" policy from
     # measured back-to-back variance): any first-pass flag gets ONE
@@ -446,6 +478,8 @@ def main() -> None:
     errors = sum(1 for v in timings.values() if not isinstance(v, float))
     cal = {"sec": cal_now, "base": cal_base, "x": cal_x,
            "mem_sec": mem_now, "mem_base": mem_base, "mem_x": mem_x,
+           "sched_sec": sched_now, "sched_base": sched_base,
+           "sched_x": sched_x,
            "median_ratio": med, "host": round(host, 3),
            "uniform_suspect": uniform_suspect}
 

@@ -1060,10 +1060,17 @@ def fake_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
 #: stsd fourccs whose access units are standard self-contained JPEG
 #: bitstreams (QuickTime Photo-JPEG 'jpeg', Motion-JPEG A 'mjpa') —
 #: decodable to pixels by the in-container jpeg_codec with zero new
-#: codec work. 'mjpb' (Motion-JPEG B) is NOT here: its bitstream
-#: drops the standard marker structure and stays on the injection
-#: seam with the inter-coded codecs (avc1/vp09/...).
+#: codec work.
 MJPEG_FOURCCS = frozenset({"jpeg", "mjpa"})
+
+#: Motion-JPEG B ('mjpb'): its access units drop the standard JPEG
+#: marker structure, but the 40-byte field header carries offsets to
+#: every table/scan section, so jpeg_codec.mjpegb_to_jpeg rebuilds a
+#: standard interchange stream (marker re-prefix + scan re-stuff —
+#: header work, zero new entropy code, r12) and the same pixel path
+#: applies. The video injection seam is now genuinely inter-coded
+#: codecs only (avc1/hev1/vp09/av01).
+MJPEGB_FOURCCS = frozenset({"mjpb"})
 
 
 def _pixels_to_netpbm(img) -> bytes:
@@ -1115,6 +1122,11 @@ def auto_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
             from flight_data_pipeline_spark.operators.jpeg_codec import (
                 decode_jpeg)
             return [_pixels_to_netpbm(decode_jpeg(u)) for u in units]
+        if samples and samples[0].codec in MJPEGB_FOURCCS:
+            from flight_data_pipeline_spark.operators.jpeg_codec import (
+                decode_jpeg, mjpegb_to_jpeg)
+            return [_pixels_to_netpbm(decode_jpeg(mjpegb_to_jpeg(u)))
+                    for u in units]
         return units
     if fmt == "gif":
         return [_pixels_to_netpbm(f) for f in gif_frames(payload)]

@@ -1859,23 +1859,16 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(num_merges: int = 12, min_count: int = 2) -> str:
-    """DuckDB replay of the full bpe_learn loop (r10: promotes
-    bpe_merge_table from rows-only to hash-checked, VERDICT r9 item
-    7). The argmax loop is UNROLLED into one materialized CTE chain
-    per merge round — num_merges is a fixed literal of the checked
-    query, so no recursion is needed — and the greedy left-to-right
-    merge apply is a literal ``replace()``: each symbol is encoded as
-    ``chr(1)||sym||chr(2)``, making the adjacent pair (p1,p2) the
-    unique substring chr(1)p1chr(2)chr(1)p2chr(2); SQL replace scans
-    the original string left-to-right over non-overlapping
-    occurrences, which IS the Sennrich greedy-apply order (the fold
-    in operators/bpe._merge_fold). MATERIALIZED is load-bearing:
-    each state is referenced twice per round, so inlined CTEs would
-    re-evaluate the chain exponentially. Empty best rounds (no pair
-    >= min_count) surface as NULL via the aggregate wrapper and
-    no-op the state, mirroring the Spark sentinel rows; the final
-    filter drops them exactly like bpe_learn does."""
+def _bpe_state_ctes(num_merges: int, min_count: int) -> list[str]:
+    """The shared CTE chain both BPE oracles ride (see
+    _bpe_oracle_sql for the full recipe): state_0 is the word-
+    frequency collapse with delimiter-encoded symbols; each round r
+    adds pair counts (pc_r), the argmax (best_r), and the merged
+    state (state_r). state_{num_merges} is therefore BOTH the learn
+    trace's final state AND the bpe_encode segmentation of every
+    corpus word — replaying the merges in learn order on the raw
+    words is exactly how the state evolved (the serial algorithm's
+    invariant, property-pinned in tests/test_properties.py)."""
     parts = ["""
     WITH state_0 AS MATERIALIZED (
         SELECT word, n,
@@ -1923,6 +1916,27 @@ def _bpe_oracle_sql(num_merges: int = 12, min_count: int = 2) -> str:
                END AS s
         FROM state_{r - 1} CROSS JOIN best_{r} b
     )""")
+    return parts
+
+
+def _bpe_oracle_sql(num_merges: int = 12, min_count: int = 2) -> str:
+    """DuckDB replay of the full bpe_learn loop (r10: promotes
+    bpe_merge_table from rows-only to hash-checked, VERDICT r9 item
+    7). The argmax loop is UNROLLED into one materialized CTE chain
+    per merge round — num_merges is a fixed literal of the checked
+    query, so no recursion is needed — and the greedy left-to-right
+    merge apply is a literal ``replace()``: each symbol is encoded as
+    ``chr(1)||sym||chr(2)``, making the adjacent pair (p1,p2) the
+    unique substring chr(1)p1chr(2)chr(1)p2chr(2); SQL replace scans
+    the original string left-to-right over non-overlapping
+    occurrences, which IS the Sennrich greedy-apply order (the fold
+    in operators/bpe._merge_fold). MATERIALIZED is load-bearing:
+    each state is referenced twice per round, so inlined CTEs would
+    re-evaluate the chain exponentially. Empty best rounds (no pair
+    >= min_count) surface as NULL via the aggregate wrapper and
+    no-op the state, mirroring the Spark sentinel rows; the final
+    filter drops them exactly like bpe_learn does."""
+    parts = _bpe_state_ctes(num_merges, min_count)
     union = "\n    UNION ALL\n".join(
         f"    SELECT CAST({r} AS INT) AS rank, p1 AS \"left\","
         f" p2 AS \"right\", p1 || p2 AS merged,"
@@ -1931,6 +1945,26 @@ def _bpe_oracle_sql(num_merges: int = 12, min_count: int = 2) -> str:
     return (",".join(parts)
             + f"\n    SELECT * FROM (\n{union}\n    )"
             f" WHERE pair_count >= {min_count}")
+
+
+def _bpe_token_oracle_sql(num_merges: int = 8, min_count: int = 2,
+                          top: int = 15) -> str:
+    """DuckDB replay of bpe_token_stats (r12 — VERDICT r11 item 6:
+    the promotion blocker was never a hash/float step, it was the
+    greedy-order APPLY replay, which the bpe_merge_table recipe
+    already solved): state_{num_merges} of the shared CTE chain IS
+    the bpe_encode segmentation of every corpus word, so splitting
+    its delimiter-encoded string back into tokens and weighting by
+    word frequency reproduces the token histogram exactly — one
+    hash-MATCH certifies the learn loop AND the encode fold AND the
+    top-k tie-break in a single query."""
+    parts = _bpe_state_ctes(num_merges, min_count)
+    return (",".join(parts) + f"""
+    SELECT token, CAST(SUM(n) AS BIGINT) AS total_n FROM (
+        SELECT n, unnest(string_split(
+            trim(s, chr(1) || chr(2)), chr(2) || chr(1))) AS token
+        FROM state_{num_merges}
+    ) GROUP BY token ORDER BY total_n DESC, token LIMIT {top}""")
 
 
 @query("bpe_merge_table", oracle=_bpe_oracle_sql())
@@ -2098,7 +2132,7 @@ def theta_sketch_audience_overlap(spark: SparkSession,
     )
 
 
-@query("bpe_token_stats")  # BPE apply has no SQL twin ⇒ rows-only
+@query("bpe_token_stats", oracle=_bpe_token_oracle_sql())
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer round trip: learn a BPE merge table on the corpus,
     APPLY it back (operators/bpe.bpe_encode — broadcast merge list,
@@ -2107,9 +2141,11 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the step that turns the whitespace token-count proxy used
     by the budget/packing queries into real subword counts.
 
-    Rows-only like bpe_merge_table (an argmax-loop learn + fold apply
-    is beyond a SQL oracle); exact equivalence of BOTH stages to the
-    serial Sennrich algorithm is property-pinned
+    Hash-checked since r12 (_bpe_token_oracle_sql — the
+    bpe_merge_table unrolled-CTE recipe extended one SELECT further:
+    the final state is the encode segmentation, see its docstring);
+    exact equivalence of BOTH stages to the serial Sennrich algorithm
+    is additionally property-pinned
     (tests/test_properties.py::test_bpe_encode_matches_serial).
     Deterministic: the corpus is fixed, ties break on the token."""
     from flight_data_pipeline_spark.operators.bpe import bpe_encode, bpe_learn

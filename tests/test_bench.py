@@ -128,6 +128,18 @@ class TestUniformSlowdownSuspect:
         assert not bench.uniform_slowdown_suspect(1.8, 1.05, None, 60)
         assert not bench.uniform_slowdown_suspect(1.8, 1.05, 1.1, 5)
 
+    def test_scheduler_window_does_not_flag(self):
+        """r12 (VERDICT r11 item 4): the official r11 window inflated
+        ~1.4x on sub-2 s rows with cpu 0.996 and mem 0.71 — the sched
+        probe sees that per-stage drift and absorbs the flag; without
+        a sched baseline (None) behavior is unchanged."""
+        assert not bench.uniform_slowdown_suspect(1.4, 1.0, 0.71, 60,
+                                                  sched_x=1.45)
+        assert bench.uniform_slowdown_suspect(1.8, 1.05, 1.1, 60,
+                                              sched_x=1.0)
+        assert not bench.uniform_slowdown_suspect(1.8, 1.05, 1.1, 60,
+                                                  sched_x=1.5)
+
     def test_median_host_factor_logic(self):
         """The median-of-ratios host factor: a uniform 1.3× window
         scales every baseline (zero flags) while a single genuinely

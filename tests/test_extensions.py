@@ -2493,6 +2493,56 @@ class TestMjpegPixelDecode:
                     for r in extract_features(direct).collect()}
         assert f_video == f_direct
 
+    def test_mjpegb_fields_decode_to_pixels(self, spark):
+        """Motion-JPEG B (r12 — VERDICT r11 item 3): 'mjpb' access
+        units drop the JPEG marker structure, but the 40-byte field
+        header's offsets let mjpegb_to_jpeg rebuild a standard stream
+        (marker re-prefix + scan re-stuff), so the SAME pixel path
+        as 'jpeg'/'mjpa' applies — the video seam is now genuinely
+        inter-coded codecs only."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, jpeg_to_mjpegb, mjpegb_to_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, decode_netpbm, sample_frames)
+
+        imgs = self._imgs()
+        jpegs = [encode_jpeg(im) for im in imgs]
+        fields = [jpeg_to_mjpegb(j) for j in jpegs]
+        payload = TestMp4Demux._mp4_payload(frames=fields, codec=b"mjpb")
+        media = spark.createDataFrame(
+            [(3, payload, {"kind": "video", "format": "mp4",
+                           "n_bytes": len(payload)})], MEDIA_SCHEMA)
+        got = sorted(sample_frames(media, every_n=2).collect(),
+                     key=lambda r: r.frame_index)
+        assert [r.frame_index for r in got] == [0, 2, 4]
+        for row, i in zip(got, (0, 2, 4)):
+            px = decode_netpbm(bytes(row.frame))
+            assert np.array_equal(px, decode_jpeg(jpegs[i]))
+            assert np.abs(px.astype(int) - imgs[i].astype(int)).max() <= 1
+
+        # translation-pair contracts: entropy bytes containing 0xFF
+        # survive the unstuff/restuff round-trip; malformed fields
+        # dead-letter with ValueError
+        import pytest as _pytest
+        rng = np.random.default_rng(5)
+        noisy = encode_jpeg(rng.integers(0, 256, (24, 24, 3), np.uint8))
+        assert np.array_equal(
+            decode_jpeg(mjpegb_to_jpeg(jpeg_to_mjpegb(noisy))),
+            decode_jpeg(noisy))
+        f0 = bytearray(fields[0])
+        bad_tag = bytes(f0[:4] + b"XXXX" + f0[8:])
+        truncated = bytes(f0[:39])
+        no_sof = bytearray(f0)
+        no_sof[28:32] = b"\x00\x00\x00\x00"   # zero SOF offset
+        for bad in (bad_tag, truncated, bytes(no_sof)):
+            with _pytest.raises(ValueError):
+                mjpegb_to_jpeg(bad)
+        # restart-interval streams cannot be represented
+        with _pytest.raises(ValueError):
+            jpeg_to_mjpegb(encode_jpeg(imgs[0], restart_interval=2))
+
     def test_avc1_units_stay_byte_exact_and_malformed_raises(self, spark):
         import pytest as _pytest
 
