@@ -1160,15 +1160,16 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG not a jpeg")
-        # arithmetic coding (SOF9) routes to the injected decoder;
-        # progressive (SOF2) is DECODED since r10 and lossless (SOF3)
-        # since r11 — covered by TestJpegProgressive/TestLosslessJpeg
-        sof9 = (b"\xff\xd8" + b"\xff\xc9"
-                + struct.pack(">H", 11)
-                + bytes([8]) + struct.pack(">HH", 8, 8)
-                + bytes([1, 1, 0x11, 0]))
+        # arithmetic-PROGRESSIVE (SOF10) routes to the injected
+        # decoder; progressive (SOF2) is DECODED since r10, lossless
+        # (SOF3) since r11, arithmetic-sequential (SOF9) since r12 —
+        # covered by their own test classes
+        sof10 = (b"\xff\xd8" + b"\xff\xca"
+                 + struct.pack(">H", 11)
+                 + bytes([8]) + struct.pack(">HH", 8, 8)
+                 + bytes([1, 1, 0x11, 0]))
         with pytest.raises(NotImplementedError):
-            decode_jpeg(sof9)
+            decode_jpeg(sof10)
         # subsampled lossless stays on the injected path too
         sof3_sub = (b"\xff\xd8" + b"\xff\xc3"
                     + struct.pack(">H", 11)
@@ -1886,6 +1887,153 @@ class TestLosslessJpeg:
         with _pytest.raises(ValueError):
             decode_jpeg(bytes(big))
         assert time.time() - t0 < 2.0
+
+
+class TestArithmeticJpeg:
+    """Arithmetic-coded sequential JPEG (SOF9 + DAC, T.81 Annex D
+    QM-coder + §F.1.4/F.2.4 conditioning — VERDICT r11 item 5): the
+    scanned-document entropy profile. Pinned the SOF1/SOF3 way:
+    decode parity against encoder round-trips across every supported
+    shape (no arithmetic sample files or external codecs exist in
+    this container, so the encoder is the write half; parity means
+    pixel-identical to the HUFFMAN encoding of the same image, which
+    shares the whole DCT/quant pipeline and differs only in the
+    entropy layer under test)."""
+
+    @staticmethod
+    def _parity(img, **kw):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        a = encode_jpeg(img, arithmetic=True, **kw)
+        h = encode_jpeg(img, **kw)
+        da, dh = decode_jpeg(a), decode_jpeg(h)
+        assert np.array_equal(da, dh), kw
+        return a, h
+
+    def test_parity_and_compression_across_shapes(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        # block-constant gray: DCT exact at quant 1 -> bit-exact
+        img = np.repeat(np.repeat(
+            rng.integers(0, 32, (2, 2, 1), np.uint8) * 8 + 4,
+            8, axis=0), 8, axis=1)
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, arithmetic=True)), img)
+        # full-range noise, every subsampling mode, odd geometry
+        sizes = 0
+        for shape, sub in (((24, 24, 3), False), ((17, 23, 3), "420"),
+                           ((16, 16, 3), "422"), ((9, 13, 1), False)):
+            a, h = self._parity(
+                rng.integers(0, 256, shape, np.uint8), subsample=sub)
+            sizes += len(a) - len(h)
+        # the QM-coder should beat fixed Huffman tables overall
+        assert sizes < 0
+
+    def test_restart_intervals_reset_coder_and_stats(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        im = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        for ri in (1, 2, 5):
+            self._parity(im, restart_interval=ri)
+
+    def test_12bit_precision(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        rng = np.random.default_rng(13)
+        blocky = np.repeat(np.repeat(
+            rng.integers(0, 256, (2, 2), np.int64) * 16 + 8,
+            8, axis=0), 8, axis=1)
+        dec = decode_jpeg(encode_jpeg(blocky, precision=12,
+                                      arithmetic=True))
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec[:, :, 0], blocky)
+        self._parity(rng.integers(0, 4096, (16, 16, 3), np.int64),
+                     precision=12)
+
+    def test_property_roundtrip(self):
+        """Randomized sweep (the FLAC pattern): any image, any mode
+        combination — arithmetic decode matches Huffman decode."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.data())
+        def check(data):
+            rng = np.random.default_rng(data.draw(st.integers(0, 99)))
+            h = data.draw(st.integers(1, 24))
+            w = data.draw(st.integers(1, 24))
+            c = data.draw(st.sampled_from([1, 3]))
+            sub = (data.draw(st.sampled_from([False, True, "422"]))
+                   if c == 3 else False)
+            ri = data.draw(st.sampled_from([0, 0, 3]))
+            self._parity(rng.integers(0, 256, (h, w, c), np.uint8),
+                         subsample=sub, restart_interval=ri)
+
+        check()
+
+    def test_media_path_and_dead_letter_contract(self, spark):
+        """An arithmetic JPEG flows through the default media tier
+        unchanged (format 'jpeg' -> real_decode -> decode_jpeg), and
+        malformed payloads keep the ValueError contract: truncation
+        anywhere, corrupt DAC conditioning, corruption-inflated SOF
+        dimensions, and the still-unsupported arithmetic-PROGRESSIVE
+        marker (SOF10)."""
+        import numpy as np
+        import pytest as _pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, extract_features)
+
+        rng = np.random.default_rng(17)
+        vals = np.repeat(np.arange(16, dtype=np.uint8) * 16 + 8, 16)
+        img = vals.reshape(16, 16, 1)
+        payload = encode_jpeg(img, arithmetic=True)
+        media = spark.createDataFrame(
+            [(1, payload, {"kind": "image", "format": "jpeg",
+                           "n_bytes": len(payload)})], MEDIA_SCHEMA)
+        feat = list(extract_features(media).collect()[0].feature)
+        assert all(abs(f - 1 / 16) < 1e-3 for f in feat)
+
+        noisy = encode_jpeg(rng.integers(0, 256, (16, 16, 1), np.uint8),
+                            arithmetic=True)
+        for cut in range(8, len(noisy) - 1, max(1, len(noisy) // 30)):
+            try:
+                decode_jpeg(noisy[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # the dead-letter contract
+        # corrupt DAC: Kx = 0 out of range; DC L > U. The DAC body is
+        # the 4 bytes after the FFCC marker + length: 00 10 10 05.
+        dac = noisy.find(b"\xff\xcc") + 4
+        bad_kx = bytearray(noisy)
+        bad_kx[dac + 3] = 0x00
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(bad_kx))
+        bad_lu = bytearray(noisy)
+        bad_lu[dac + 1] = 0x02          # L=2, U=0
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(bad_lu))
+        # SOF9 -> SOF10 (arithmetic progressive): injection seam
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(noisy.replace(b"\xff\xc9", b"\xff\xca"))
+        # corruption-inflated dimensions dead-letter, never OOM/spin
+        i = noisy.find(b"\xff\xc9")
+        bomb = bytearray(noisy)
+        bomb[i + 5:i + 9] = b"\xff\xff\xff\xff"
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(bomb))
 
 
 class TestJpegProgressive:
