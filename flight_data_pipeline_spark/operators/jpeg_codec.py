@@ -11,13 +11,16 @@ spatial predictors, modulo-65536 reconstruction, point transform,
 2-16 bit — the DNG/DICOM shape, r11), plus ARITHMETIC-coded
 sequential (SOF9 + DAC, r12: the Annex D QM-coder with the §F.2.4
 DC/AC conditioning contexts — the scanned-document shape, 8- and
-12-bit). Supports grayscale and 3-component images at integer-ratio
+12-bit) and ARITHMETIC-coded progressive (SOF10, G.2: the same
+spectral-selection / successive-approximation scan scripts with
+every entropy decision through the QM coder). Supports grayscale
+and 3-component images at integer-ratio
 sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 — universal in
 practice), multi-scan SEQUENTIAL streams (per-component scans,
 T.81 A.2.2), multiple DQT/DHT tables (redefinable between scans),
 restart markers, 0xFF00 byte stuffing, and fill bytes
-before markers (header and scan). Arithmetic-PROGRESSIVE (SOF10),
-hierarchical/differential processes, and CMYK raise
+before markers (header and scan). Hierarchical/differential
+processes and CMYK raise
 ``NotImplementedError`` and stay on the injected-decoder path.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
@@ -490,51 +493,95 @@ class _ArithStats:
         return self.ac[tid]
 
 
-def _arith_decode_block(dec, stats, ci, dtbl, atbl, cond_dc, kx):
-    """One zigzag block via F.2.4.1 (DC) + F.2.4.2 (AC)."""
-    blk = np.zeros(64, dtype=np.int64)
+def _arith_decode_dc(dec, stats, ci, dtbl, cond_dc):
+    """DC diff via F.2.4.1 — updates stats.last_dc[ci] (in the scan's
+    coding domain: Al-shifted-down for progressive DC-first scans)."""
     st = stats.dc_area(dtbl)
     base = stats.dc_ctx[ci]
     if dec.decode(st, base) == 0:
         stats.dc_ctx[ci] = 0
+        return
+    sign = dec.decode(st, base + 1)
+    soff = base + 2 + sign
+    m = dec.decode(st, soff)
+    if m:
+        soff = 20                          # Table F.4: X1
+        while dec.decode(st, soff):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arith DC magnitude overflow")
+            soff += 1
+    lo, up = cond_dc
+    if m < (1 << lo) >> 1:
+        stats.dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        stats.dc_ctx[ci] = 12 + 4 * sign
     else:
-        sign = dec.decode(st, base + 1)
-        soff = base + 2 + sign
-        m = dec.decode(st, soff)
-        if m:
-            soff = 20                          # Table F.4: X1
-            while dec.decode(st, soff):
-                m <<= 1
-                if m == 0x8000:
-                    raise ValueError("arith DC magnitude overflow")
-                soff += 1
-        lo, up = cond_dc
-        if m < (1 << lo) >> 1:
-            stats.dc_ctx[ci] = 0
-        elif m > (1 << up) >> 1:
-            stats.dc_ctx[ci] = 12 + 4 * sign
-        else:
-            stats.dc_ctx[ci] = 4 + 4 * sign
-        v = m
-        moff = soff + 14
-        while m >> 1:
-            m >>= 1
-            if dec.decode(st, moff):
-                v |= m
-        v += 1
-        stats.last_dc[ci] += -v if sign else v
-    blk[0] = stats.last_dc[ci]
+        stats.dc_ctx[ci] = 4 + 4 * sign
+    v = m
+    moff = soff + 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(st, moff):
+            v |= m
+    v += 1
+    stats.last_dc[ci] += -v if sign else v
 
+
+def _arith_encode_dc(enc, stats, ci, dtbl, cond_dc, dc_val):
+    """DC diff via F.1.4.1 — ``dc_val`` already in the coding domain."""
+    st = stats.dc_area(dtbl)
+    base = stats.dc_ctx[ci]
+    diff = dc_val - stats.last_dc[ci]
+    stats.last_dc[ci] = dc_val
+    if diff == 0:
+        enc.encode(0, st, base)
+        stats.dc_ctx[ci] = 0
+        return
+    enc.encode(1, st, base)
+    sign = 1 if diff < 0 else 0
+    v = -diff if sign else diff
+    enc.encode(sign, st, base + 1)
+    soff = base + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(1, st, soff)
+        m = 1
+        v2 = v
+        soff = 20
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(1, st, soff)
+            m <<= 1
+            soff += 1
+    enc.encode(0, st, soff)
+    lo, up = cond_dc
+    if m < (1 << lo) >> 1:
+        stats.dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        stats.dc_ctx[ci] = 12 + 4 * sign
+    else:
+        stats.dc_ctx[ci] = 4 + 4 * sign
+    moff = soff + 14
+    while m >> 1:
+        m >>= 1
+        enc.encode(1 if m & v else 0, st, moff)
+
+
+def _arith_decode_ac_band(dec, stats, blk, atbl, kx, ss, se, al):
+    """AC band [ss, se] via F.2.4.2 — sequential is (1, 63, 0);
+    progressive AC-first scans store values << al."""
     st = stats.ac_area(atbl)
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):               # EOB
             break
         while dec.decode(st, base + 1) == 0:
             k += 1
-            if k > 63:
-                raise ValueError("arith AC run past block end")
+            if k > se:
+                raise ValueError("arith AC run past band end")
             base = 3 * (k - 1)
         sign = dec.decode(stats.fixed, 0)
         soff = base + 2
@@ -555,69 +602,29 @@ def _arith_decode_block(dec, stats, ci, dtbl, atbl, cond_dc, kx):
             if dec.decode(st, moff):
                 v |= m
         v += 1
-        blk[k] = -v if sign else v
+        blk[k] = (-v if sign else v) << al
         k += 1
-    return blk
 
 
-def _arith_encode_block(enc, stats, blk, ci, dtbl, atbl, cond_dc, kx):
-    """One zigzag block via F.1.4.1 (DC) + F.1.4.3 (AC) — the exact
-    mirror of _arith_decode_block."""
-    st = stats.dc_area(dtbl)
-    base = stats.dc_ctx[ci]
-    diff = int(blk[0]) - stats.last_dc[ci]
-    stats.last_dc[ci] = int(blk[0])
-    if diff == 0:
-        enc.encode(0, st, base)
-        stats.dc_ctx[ci] = 0
-    else:
-        enc.encode(1, st, base)
-        sign = 1 if diff < 0 else 0
-        v = -diff if sign else diff
-        enc.encode(sign, st, base + 1)
-        soff = base + 2 + sign
-        m = 0
-        v -= 1
-        if v:
-            enc.encode(1, st, soff)
-            m = 1
-            v2 = v
-            soff = 20
-            while v2 >> 1:
-                v2 >>= 1
-                enc.encode(1, st, soff)
-                m <<= 1
-                soff += 1
-        enc.encode(0, st, soff)
-        lo, up = cond_dc
-        if m < (1 << lo) >> 1:
-            stats.dc_ctx[ci] = 0
-        elif m > (1 << up) >> 1:
-            stats.dc_ctx[ci] = 12 + 4 * sign
-        else:
-            stats.dc_ctx[ci] = 4 + 4 * sign
-        moff = soff + 14
-        while m >> 1:
-            m >>= 1
-            enc.encode(1 if m & v else 0, st, moff)
-
+def _arith_encode_ac_band(enc, stats, blk, atbl, kx, ss, se, al):
+    """AC band [ss, se] via F.1.4.3 — mirror of the decode side;
+    coefficients are coded at magnitude >> al."""
     st = stats.ac_area(atbl)
-    ke = 63
-    while ke > 0 and not blk[ke]:
+    ke = se
+    while ke >= ss and not (abs(int(blk[ke])) >> al):
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.encode(0, st, base)                # not EOB yet
-        while not blk[k]:
+        while not (abs(int(blk[k])) >> al):
             enc.encode(0, st, base + 1)
             k += 1
             base = 3 * (k - 1)
         enc.encode(1, st, base + 1)
-        v = int(blk[k])
-        sign = 1 if v < 0 else 0
-        if sign:
-            v = -v
+        t = int(blk[k])
+        sign = 1 if t < 0 else 0
+        v = (-t if sign else t) >> al
         enc.encode(sign, stats.fixed, 0)
         soff = base + 2
         m = 0
@@ -642,8 +649,85 @@ def _arith_encode_block(enc, stats, blk, ci, dtbl, atbl, cond_dc, kx):
             m >>= 1
             enc.encode(1 if m & v else 0, st, moff)
         k += 1
-    if ke < 63:
+    if k <= se:
         enc.encode(1, st, 3 * (k - 1))         # EOB
+
+
+def _arith_decode_ac_refine(dec, stats, blk, atbl, ss, se, al):
+    """AC successive-approximation refinement via F.2.4.3.3: one
+    correction decision per already-nonzero coefficient, newly-
+    nonzero insertions at ±1<<al with a fixed-bin sign."""
+    st = stats.ac_area(atbl)
+    p1, m1 = 1 << al, -1 << al
+    kex = se
+    while kex >= ss and not blk[kex]:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):   # EOB
+            break
+        while True:
+            if blk[k]:
+                if dec.decode(st, base + 2):
+                    blk[k] += p1 if blk[k] > 0 else m1
+                break
+            if dec.decode(st, base + 1):
+                blk[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("arith AC refinement past band end")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def _arith_encode_ac_refine(enc, stats, blk, atbl, ss, se, al):
+    """Mirror of _arith_decode_ac_refine (F.1.4.3.2)."""
+    st = stats.ac_area(atbl)
+    ke = se
+    while ke >= ss and not (abs(int(blk[ke])) >> al):
+        ke -= 1
+    kex = ke
+    while kex >= ss and not (abs(int(blk[kex])) >> (al + 1)):
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(0, st, base)
+        while True:
+            t = abs(int(blk[k])) >> al
+            if t:
+                if t >> 1:           # history nonzero: correction bit
+                    enc.encode(t & 1, st, base + 2)
+                else:                # newly nonzero
+                    enc.encode(1, st, base + 1)
+                    enc.encode(1 if int(blk[k]) < 0 else 0,
+                               stats.fixed, 0)
+                break
+            enc.encode(0, st, base + 1)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
+        enc.encode(1, st, 3 * (k - 1))
+
+
+def _arith_decode_block(dec, stats, ci, dtbl, atbl, cond_dc, kx):
+    """One full sequential zigzag block: F.2.4.1 DC + F.2.4.2 AC."""
+    blk = np.zeros(64, dtype=np.int64)
+    _arith_decode_dc(dec, stats, ci, dtbl, cond_dc)
+    blk[0] = stats.last_dc[ci]
+    _arith_decode_ac_band(dec, stats, blk, atbl, kx, 1, 63, 0)
+    return blk
+
+
+def _arith_encode_block(enc, stats, blk, ci, dtbl, atbl, cond_dc, kx):
+    """One full sequential zigzag block — mirror of
+    _arith_decode_block."""
+    _arith_encode_dc(enc, stats, ci, dtbl, cond_dc, int(blk[0]))
+    _arith_encode_ac_band(enc, stats, blk, atbl, kx, 1, 63, 0)
 
 
 def _decode_sequential_arith(sel, comps, coef, mcus_x, mcus_y, h_img,
@@ -678,6 +762,70 @@ def _decode_sequential_arith(sel, comps, coef, mcus_x, mcus_y, h_img,
             coef[ci][by, bx] = _arith_decode_block(
                 dec, stats, ci, dtbl, atbl,
                 dc_cond.get(dtbl, (0, 1)), ac_cond.get(atbl, 5))
+
+
+def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
+                              h_img, w_img, hmax, vmax,
+                              dc_cond, ac_cond) -> None:
+    """SOF10 progressive-arithmetic scan decoding (T.81 G.2, r12) —
+    the same four scan kinds as the Huffman progressive path, entropy
+    decisions through the QM coder:
+
+    - DC first (Ss=0, Ah=0): sequential DC procedure on Al-scaled
+      diffs, stored << Al;
+    - DC refinement (Ah>0): one FIXED-bin decision per block ORing
+      in 1<<Al;
+    - AC first (Ss>0, Ah=0): the band form of the sequential AC
+      procedure, values stored << Al (no EOB runs — the per-block
+      EOB decision replaces them);
+    - AC refinement (Ah>0): per-coefficient correction decisions for
+      nonzero history, ±1<<Al insertions with fixed-bin signs, EOB
+      decisions only past the previous stage's end-of-block (kex).
+
+    Statistics reset per scan and per restart segment. Same
+    8192-units/byte corruption bound as the sequential scan."""
+    for sel, ss, se, ah, al, rst, segments in scans:
+        if len(sel) > 1 and ss != 0:
+            raise ValueError("progressive AC scan must be "
+                             "single-component")
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se>0")
+        avail_units = 8192 * sum(len(s) for s in segments) + 4096
+        seg_idx = 0
+        dec = _QmDecoder(segments[0])
+        stats = _ArithStats(len(comps))
+        ids = {ci: (d, a) for ci, d, a in sel}
+        p1 = 1 << al
+        for uidx, blocks in enumerate(_scan_units(
+                sel, comps, mcus_x, mcus_y, h_img, w_img, hmax, vmax)):
+            if uidx >= avail_units:
+                raise ValueError(
+                    "JPEG arithmetic scan declares more coded units "
+                    "than its entropy data can carry")
+            if rst and uidx and uidx % rst == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing RST segment in JPEG scan")
+                dec = _QmDecoder(segments[seg_idx])
+                stats = _ArithStats(len(comps))
+            for ci, by, bx in blocks:
+                dtbl, atbl = ids[ci]
+                blk = coef[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:      # DC first
+                        _arith_decode_dc(dec, stats, ci, dtbl,
+                                         dc_cond.get(dtbl, (0, 1)))
+                        blk[0] = stats.last_dc[ci] << al
+                    else:            # DC refinement: fixed bin
+                        if dec.decode(stats.fixed, 0):
+                            blk[0] |= p1
+                elif ah == 0:        # AC first
+                    _arith_decode_ac_band(dec, stats, blk, atbl,
+                                          ac_cond.get(atbl, 5),
+                                          ss, se, al)
+                else:                # AC refinement
+                    _arith_decode_ac_refine(dec, stats, blk, atbl,
+                                            ss, se, al)
 
 
 def _scan_units(sel, comps, mcus_x, mcus_y, h_img, w_img, hmax, vmax):
@@ -1025,13 +1173,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 (ac_luts if tc else dc_luts)[th] = _build_decode_lut(
                     counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
-            # sequential / progressive / lossless / arith-sequential
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # sequential / progressive / lossless / arith seq+prog
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             lossless = marker == 0xC3
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"bad lossless precision {prec}")
@@ -1051,13 +1199,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "subsampled lossless JPEG needs an injected decoder")
             frame = (h, w, comps)
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "arithmetic-progressive/differential/hierarchical) "
-                "needs an injected decoder")
+                "differential/hierarchical) needs an injected decoder")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             i = 0
             while i + 2 <= len(body):
@@ -1118,8 +1265,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for c in comps]
 
     if progressive:
-        _decode_progressive_scans(
-            scans, comps, coef, mcus_x, mcus_y, h_img, w_img, hmax, vmax)
+        if arith:
+            _decode_progressive_arith(
+                scans, comps, coef, mcus_x, mcus_y, h_img, w_img,
+                hmax, vmax, dc_cond, ac_cond)
+        else:
+            _decode_progressive_scans(
+                scans, comps, coef, mcus_x, mcus_y, h_img, w_img,
+                hmax, vmax)
     else:
         # Sequential: usually ONE interleaved scan, but T.81 also
         # allows the components split across scans (e.g. a Y scan
@@ -1623,7 +1776,8 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
 def encode_jpeg_progressive(img: np.ndarray,
                             quant: np.ndarray = QUANT_ONES,
                             subsample: bool | str = False,
-                            al: int = 1, band_split: int = 5) -> bytes:
+                            al: int = 1, band_split: int = 5,
+                            arithmetic: bool = False) -> bytes:
     """Encode as PROGRESSIVE JPEG (SOF2) — the fixture write side for
     the progressive decoder, same reason the repo carries PNG/fMP4
     muxers in tests. The progression exercises every Annex-G decode
@@ -1633,7 +1787,9 @@ def encode_jpeg_progressive(img: np.ndarray,
     followed by the matching AC refinement scans (±1 insertions +
     correction bits + EOB-run tails), ported from libjpeg's
     jcphuff.c. Same fixed Huffman tables and 8-bit DQT as the
-    baseline encoder; no restart markers."""
+    baseline encoder; no restart markers. ``arithmetic`` emits the
+    SOF10 form: the same scan script with every entropy decision
+    through the QM coder (T.81 G.2) instead of Huffman codes."""
     h_img, w_img, factors, blocks = _prep_blocks(img, quant, subsample)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -1644,7 +1800,9 @@ def encode_jpeg_progressive(img: np.ndarray,
     ac_lut = _build_encode_lut(_AC_COUNTS, _AC_SYMBOLS)
 
     out = bytearray(b"\xff\xd8")
-    _emit_headers(out, 0xC2, h_img, w_img, factors, quant)
+    _emit_headers(out, 0xCA if arithmetic else 0xC2,
+                  h_img, w_img, factors, quant,
+                  arithmetic=arithmetic)
 
     def sos(comp_ids: list[int], ss: int, se: int, ah: int,
             al_: int) -> None:
@@ -1667,6 +1825,55 @@ def encode_jpeg_progressive(img: np.ndarray,
         for by in range(-(-chh // 8)):
             for bx in range(-(-cw // 8)):
                 yield blocks[ci][by, bx]
+
+    if arithmetic:
+        bands = [(1, band_split), (band_split + 1, 63)]
+
+        def mcu_blocks():
+            """Interleaved MCU walk: (ci, zigzag block) pairs."""
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for ci, (hi, vi) in enumerate(factors):
+                    for v in range(vi):
+                        for hh in range(hi):
+                            yield ci, blocks[ci][my * vi + v,
+                                                 mx * hi + hh]
+
+        # DC first: interleaved, QM-coded diffs of (dc >> al)
+        sos(list(range(len(factors))), 0, 0, 0, al)
+        qm, stats = _QmEncoder(), _ArithStats(len(factors))
+        for ci, blk in mcu_blocks():
+            _arith_encode_dc(qm, stats, ci, 0, (0, 1),
+                             int(blk[0]) >> al)
+        out.extend(qm.flush().replace(b"\xff", b"\xff\x00"))
+        # DC refinement: one fixed-bin decision per block per level
+        for lvl in range(al - 1, -1, -1):
+            sos(list(range(len(factors))), 0, 0, lvl + 1, lvl)
+            qm, stats = _QmEncoder(), _ArithStats(len(factors))
+            for _ci, blk in mcu_blocks():
+                qm.encode((int(blk[0]) >> lvl) & 1, stats.fixed, 0)
+            out.extend(qm.flush().replace(b"\xff", b"\xff\x00"))
+        # AC first scans per component/band at Al=al
+        for ci in range(len(factors)):
+            for ss, se in bands:
+                sos([ci], ss, se, 0, al)
+                qm, stats = _QmEncoder(), _ArithStats(len(factors))
+                for blk in comp_blocks(ci):
+                    _arith_encode_ac_band(qm, stats, blk, 0, 5,
+                                          ss, se, al)
+                out.extend(qm.flush().replace(b"\xff", b"\xff\x00"))
+        # AC refinement scans per level/component/band
+        for lvl in range(al - 1, -1, -1):
+            for ci in range(len(factors)):
+                for ss, se in bands:
+                    sos([ci], ss, se, lvl + 1, lvl)
+                    qm, stats = _QmEncoder(), _ArithStats(len(factors))
+                    for blk in comp_blocks(ci):
+                        _arith_encode_ac_refine(qm, stats, blk, 0,
+                                                ss, se, lvl)
+                    out.extend(qm.flush().replace(b"\xff", b"\xff\x00"))
+        out.extend(b"\xff\xd9")
+        return bytes(out)
 
     # ---- DC first: interleaved, diffs of (dc >> al) --------------------
     sos(list(range(len(factors))), 0, 0, 0, al)

@@ -1160,16 +1160,16 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG not a jpeg")
-        # arithmetic-PROGRESSIVE (SOF10) routes to the injected
+        # hierarchical/differential processes route to the injected
         # decoder; progressive (SOF2) is DECODED since r10, lossless
-        # (SOF3) since r11, arithmetic-sequential (SOF9) since r12 —
+        # (SOF3) since r11, arithmetic (SOF9/SOF10) since r12 —
         # covered by their own test classes
-        sof10 = (b"\xff\xd8" + b"\xff\xca"
-                 + struct.pack(">H", 11)
-                 + bytes([8]) + struct.pack(">HH", 8, 8)
-                 + bytes([1, 1, 0x11, 0]))
+        sof5 = (b"\xff\xd8" + b"\xff\xc5"
+                + struct.pack(">H", 11)
+                + bytes([8]) + struct.pack(">HH", 8, 8)
+                + bytes([1, 1, 0x11, 0]))
         with pytest.raises(NotImplementedError):
-            decode_jpeg(sof10)
+            decode_jpeg(sof5)
         # subsampled lossless stays on the injected path too
         sof3_sub = (b"\xff\xd8" + b"\xff\xc3"
                     + struct.pack(">H", 11)
@@ -1982,6 +1982,36 @@ class TestArithmeticJpeg:
 
         check()
 
+    def test_progressive_sof10_matches_baseline_decode(self):
+        """Arithmetic-PROGRESSIVE (SOF10, T.81 G.2): the same scan
+        scripts as the Huffman progressive encoder — interleaved DC
+        first + per-level DC refinements (fixed bin), per-component
+        AC first bands, AC refinements (correction bits, ±1<<Al
+        insertions, kex-gated EOB decisions) — must decode to pixels
+        IDENTICAL to the baseline encoding of the same image (same
+        coefficients, different transmission order)."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        rng = np.random.default_rng(23)
+        for shape, sub, al, bs in (((16, 16, 1), False, 1, 5),
+                                   ((24, 24, 3), False, 2, 5),
+                                   ((17, 23, 3), "420", 1, 9),
+                                   ((16, 16, 3), "422", 3, 1),
+                                   ((9, 13, 1), False, 0, 20)):
+            im = rng.integers(0, 256, shape, np.uint8)
+            pa = encode_jpeg_progressive(im, subsample=sub, al=al,
+                                         band_split=bs,
+                                         arithmetic=True)
+            base = decode_jpeg(encode_jpeg(im, subsample=sub))
+            assert np.array_equal(decode_jpeg(pa), base), (shape, al)
+            # and it should out-compress the Huffman progressive form
+            ph = encode_jpeg_progressive(im, subsample=sub, al=al,
+                                         band_split=bs)
+            assert len(pa) < len(ph), (shape, al)
+
     def test_media_path_and_dead_letter_contract(self, spark):
         """An arithmetic JPEG flows through the default media tier
         unchanged (format 'jpeg' -> real_decode -> decode_jpeg), and
@@ -2025,8 +2055,9 @@ class TestArithmeticJpeg:
         bad_lu[dac + 1] = 0x02          # L=2, U=0
         with _pytest.raises(ValueError):
             decode_jpeg(bytes(bad_lu))
-        # SOF9 -> SOF10 (arithmetic progressive): injection seam
-        with _pytest.raises(NotImplementedError):
+        # SOF9 -> SOF10 with a sequential scan body (Ss=0, Se=63):
+        # an illegal progressive DC scan shape -> dead-letter
+        with _pytest.raises(ValueError):
             decode_jpeg(noisy.replace(b"\xff\xc9", b"\xff\xca"))
         # corruption-inflated dimensions dead-letter, never OOM/spin
         i = noisy.find(b"\xff\xc9")
