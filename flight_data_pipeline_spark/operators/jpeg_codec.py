@@ -19,9 +19,12 @@ sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 — universal in
 practice), multi-scan SEQUENTIAL streams (per-component scans,
 T.81 A.2.2), multiple DQT/DHT tables (redefinable between scans),
 restart markers, 0xFF00 byte stuffing, and fill bytes
-before markers (header and scan). Hierarchical/differential
-processes and CMYK raise
-``NotImplementedError`` and stay on the injected-decoder path.
+before markers (header and scan). Four-component Adobe CMYK/YCCK
+(APP14 transform tag, inverted-ink convention, naive separation
+inverse → RGB) and Adobe transform-0 RGB decode too (r12).
+Hierarchical/differential processes raise
+``NotImplementedError`` and stay on the injected-decoder path —
+the only remaining JPEG seam.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
 length Huffman tables carried in DHT, optional restart markers,
@@ -406,6 +409,13 @@ class _QmEncoder:
         return bytes(self.out)
 
 
+def _qm_flush_stuffed(enc: "_QmEncoder") -> bytes:
+    """Terminate a QM scan: raw coder bytes -> JPEG scan bytes
+    (0xFF00 stuffing; _split_scan is the inverse on the decode side).
+    The single place the stuffing/termination convention lives."""
+    return enc.flush().replace(b"\xff", b"\xff\x00")
+
+
 class _QmDecoder:
     """QM-coder decode side — the exact inverse of _QmEncoder (the
     round-trip tests pin every branch pair). Input is the DE-STUFFED
@@ -765,8 +775,7 @@ def _decode_sequential_arith(sel, comps, coef, mcus_x, mcus_y, h_img,
 
 
 def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
-                              h_img, w_img, hmax, vmax,
-                              dc_cond, ac_cond) -> None:
+                              h_img, w_img, hmax, vmax) -> None:
     """SOF10 progressive-arithmetic scan decoding (T.81 G.2, r12) —
     the same four scan kinds as the Huffman progressive path, entropy
     decisions through the QM coder:
@@ -782,9 +791,11 @@ def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
       nonzero history, ±1<<Al insertions with fixed-bin signs, EOB
       decisions only past the previous stage's end-of-block (kex).
 
-    Statistics reset per scan and per restart segment. Same
+    Statistics reset per scan and per restart segment; conditioning
+    is the SOS-time snapshot (a DAC between scans only affects later
+    scans, r12 review). Same
     8192-units/byte corruption bound as the sequential scan."""
-    for sel, ss, se, ah, al, rst, segments in scans:
+    for sel, ss, se, ah, al, rst, segments, dc_cond, ac_cond in scans:
         if len(sel) > 1 and ss != 0:
             raise ValueError("progressive AC scan must be "
                              "single-component")
@@ -873,7 +884,7 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
     only the component's CODED blocks (ceil(comp_dim/8)), which is
     smaller than the MCU-padded store for subsampled components.
     Restart markers reset DC predictors and the EOB run."""
-    for sel, ss, se, ah, al, rst, segments in scans:
+    for sel, ss, se, ah, al, rst, segments, _dcc, _acc in scans:
         interleaved = len(sel) > 1
         if interleaved and ss != 0:
             raise ValueError("progressive AC scan must be "
@@ -1020,7 +1031,7 @@ def _decode_lossless(h: int, w: int, ncomp: int, precision: int,
     line of the scan; the selected predictor resumes on the next
     line. Samples-vs-bits bound (r11 review): corrupt SOF dimensions
     can't allocate or spin past the entropy data actually present."""
-    for sel, ss, _se, _ah, al, ri, segments in scans:
+    for sel, ss, _se, _ah, al, ri, segments, _dcc, _acc in scans:
         # every coded sample costs ≥1 Huffman bit, so declared
         # dimensions beyond the scan's bit budget are malformed —
         # checked BEFORE the h*w allocation (decode-time DoS bound,
@@ -1032,7 +1043,7 @@ def _decode_lossless(h: int, w: int, ncomp: int, precision: int,
                 f"but carries only {avail_bits} bits")
     planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
     shifts = [0] * ncomp
-    for sel, ss, _se, _ah, al, ri, segments in scans:
+    for sel, ss, _se, _ah, al, ri, segments, _dcc, _acc in scans:
         pred_sel, pt = ss, al
         if not 1 <= pred_sel <= 7:
             raise ValueError(f"bad lossless predictor {pred_sel}")
@@ -1128,6 +1139,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     dc_cond: dict[int, tuple] = {}   # DAC: table id -> (L, U)
     ac_cond: dict[int, int] = {}     # DAC: table id -> Kx
+    adobe_transform = None           # APP14: 0=RGB/CMYK, 1=YCbCr, 2=YCCK
     # [( [(comp_idx, dc_lut, ac_lut), ...], Ss, Se, Ah, Al,
     #    restart_interval, segments ), ...] — luts snapshotted at SOS
     # time because DHT may redefine tables between progressive scans
@@ -1187,9 +1199,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(f"{prec}-bit JPEG needs an "
                                           "injected decoder")
             precision = prec
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG (CMYK?) needs an injected "
+                    f"{ncomp}-component JPEG needs an injected decoder")
+            if ncomp == 4 and lossless:
+                raise NotImplementedError(
+                    "4-component lossless JPEG needs an injected "
                     "decoder")
             comps = []
             for c in range(ncomp):
@@ -1223,6 +1238,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     ac_cond[tid] = val
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xEE:  # APP14: Adobe color-transform tag
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -1239,8 +1257,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             segments, pos = _split_scan(payload, pos)
+            # conditioning snapshotted at SOS time, like the Huffman
+            # LUTs above: T.81 B.2.4.3 allows DAC between scans, and
+            # a redefinition must only affect LATER scans (r12 review)
             scans.append((sel, ss, se, ahal >> 4, ahal & 0x0F,
-                          restart_interval, segments))
+                          restart_interval, segments,
+                          dict(dc_cond), dict(ac_cond)))
             # keep parsing: progressive always has more scans, and
             # sequential MAY (per-component scans, T.81 A.2.2)
         # else: APPn / COM / DNL — skip
@@ -1268,7 +1290,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if arith:
             _decode_progressive_arith(
                 scans, comps, coef, mcus_x, mcus_y, h_img, w_img,
-                hmax, vmax, dc_cond, ac_cond)
+                hmax, vmax)
         else:
             _decode_progressive_scans(
                 scans, comps, coef, mcus_x, mcus_y, h_img, w_img,
@@ -1280,7 +1302,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         # the component's coded block grid). Partial-subset
         # INTERLEAVED scans (2 of 3 components in one scan) are rare
         # enough to stay on the injected path.
-        for sel, _ss, _se, _ah, _al, restart_interval, segments in scans:
+        for sel, _ss, _se, _ah, _al, restart_interval, segments, \
+                dc_cond, ac_cond in scans:
             if 1 < len(sel) < len(comps):
                 raise NotImplementedError(
                     "partially-interleaved sequential JPEG scan needs "
@@ -1371,14 +1394,52 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     mid = float(1 << (precision - 1))
     maxv = (1 << precision) - 1
     dt = np.uint8 if precision == 8 else np.uint16
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - mid
-    cr = planes[2].astype(np.float64) - mid
-    rgb = np.stack([
-        y + 1.402 * cr,
-        y - 0.344136 * cb - 0.714136 * cr,
-        y + 1.772 * cb,
-    ], axis=-1)
+
+    def inv_ycc(y, cb, cr):
+        y = y.astype(np.float64)
+        cb = cb.astype(np.float64) - mid
+        cr = cr.astype(np.float64) - mid
+        return np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=-1)
+
+    if len(planes) == 4:
+        # CMYK (r12): with an APP14 Adobe tag the samples are stored
+        # INVERTED (stored = maxv - ink; the Adobe convention, and
+        # transform 2 = YCCK additionally runs the YCbCr transform
+        # over the first three); WITHOUT the tag a plain CMYK file
+        # stores ink values directly, so white is C=M=Y=K=0 — the
+        # libjpeg-family rule: invert only when the Adobe marker
+        # says so (r12 review caught the unconditional inversion).
+        # Output is RGB via the naive separation inverse
+        # R = (maxv-C)·(maxv-K)/maxv — the downstream media tier
+        # stays uniform ((h, w, 3)); color-managed production
+        # injects a real CMS through the decode_image seam.
+        if adobe_transform == 2:
+            cmyi = np.clip(np.round(
+                inv_ycc(planes[0], planes[1], planes[2])), 0, maxv)
+            ki = planes[3].astype(np.float64)[:, :, np.newaxis]
+        elif adobe_transform is not None:
+            cmyi = np.stack([p.astype(np.float64)
+                             for p in planes[:3]], axis=-1)
+            ki = planes[3].astype(np.float64)[:, :, np.newaxis]
+        else:
+            cmyi = maxv - np.stack([p.astype(np.float64)
+                                    for p in planes[:3]], axis=-1)
+            ki = (maxv
+                  - planes[3].astype(np.float64))[:, :, np.newaxis]
+        rgb = cmyi * ki / maxv
+        return np.clip(np.round(rgb), 0, maxv).astype(dt)
+
+    if adobe_transform == 0:
+        # APP14 transform 0 with three components: RGB stored
+        # directly, no color transform (the Adobe RGB shape)
+        rgb = np.stack([p.astype(np.float64) for p in planes], axis=-1)
+        return np.clip(np.round(rgb), 0, maxv).astype(dt)
+
+    rgb = inv_ycc(planes[0], planes[1], planes[2])
     return np.clip(np.round(rgb), 0, maxv).astype(dt)
 
 
@@ -1481,10 +1542,15 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
 
 
 def _prep_blocks(img: np.ndarray, quant: np.ndarray,
-                 subsample: bool | str, precision: int = 8):
+                 subsample: bool | str, precision: int = 8,
+                 adobe: int | None = None):
     """Shared encoder front half: RGB→YCbCr, chroma subsample, pad to
     the MCU grid, FDCT+quantize. Returns (h_img, w_img, factors,
-    blocks) with blocks[ci] zigzag-ordered (by, bx, 64)."""
+    blocks) with blocks[ci] zigzag-ordered (by, bx, 64). 4-channel
+    input is Adobe INVERTED-CMYK samples (stored = maxv - ink);
+    ``adobe`` 2 (YCCK) runs the YCbCr transform over the first three
+    channels, 0 stores them directly, 4:4:4 only. 3-channel input
+    with ``adobe`` 0 stores RGB planes without the color transform."""
     mid = float(1 << (precision - 1))
     maxv = (1 << precision) - 1
     img = np.asarray(img)
@@ -1496,12 +1562,30 @@ def _prep_blocks(img: np.ndarray, quant: np.ndarray,
     if img.ndim == 2:
         img = img[:, :, np.newaxis]
     h_img, w_img, ch = img.shape
-    if ch not in (1, 3):
-        raise ValueError("encode_jpeg takes gray or RGB input")
-
-    if ch == 1:
+    if ch not in (1, 3, 4):
+        raise ValueError("encode_jpeg takes gray, RGB, or "
+                         "inverted-CMYK input")
+    if ch == 4:
+        if subsample is not False:
+            raise ValueError("CMYK encoding is 4:4:4 only")
+        if adobe not in (0, 2):
+            raise ValueError("4-channel input needs adobe_transform "
+                             "0 (CMYK) or 2 (YCCK)")
+        planes = [img[:, :, i].astype(np.float64) for i in range(4)]
+        if adobe == 2:
+            r, g, b = planes[0], planes[1], planes[2]
+            planes[0] = 0.299 * r + 0.587 * g + 0.114 * b
+            planes[1] = -0.168736 * r - 0.331264 * g + 0.5 * b + mid
+            planes[2] = 0.5 * r - 0.418688 * g - 0.081312 * b + mid
+        factors = [(1, 1)] * 4
+    elif ch == 1:
         planes = [img[:, :, 0].astype(np.float64)]
         factors = [(1, 1)]
+    elif ch == 3 and adobe == 0:
+        if subsample is not False:
+            raise ValueError("Adobe RGB encoding is 4:4:4 only")
+        planes = [img[:, :, i].astype(np.float64) for i in range(3)]
+        factors = [(1, 1)] * 3
     else:
         r = img[:, :, 0].astype(np.float64)
         g = img[:, :, 1].astype(np.float64)
@@ -1548,7 +1632,8 @@ def _segment(out: bytearray, marker: int, body: bytes) -> None:
 
 def _emit_headers(out: bytearray, sof_marker: int, h_img: int,
                   w_img: int, factors: list, quant: np.ndarray,
-                  precision: int = 8, arithmetic: bool = False) -> None:
+                  precision: int = 8, arithmetic: bool = False,
+                  adobe: int | None = None) -> None:
     """SOI through DHT (shared by both encoders). This encoder emits
     only 8-bit DQT (pq=0); an entry >255 would silently wrap through
     astype(uint8) into a valid-looking but wrong bitstream, so reject
@@ -1563,6 +1648,9 @@ def _emit_headers(out: bytearray, sof_marker: int, h_img: int,
         raise ValueError(
             "encode_jpeg quant table entries must be in [1, 255] for "
             f"8-bit DQT; got range [{int(qflat.min())}, {int(qflat.max())}]")
+    if adobe is not None:
+        # APP14 Adobe tag: version 100, zero flags, transform byte
+        segment(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe))
     qz = qflat[ZIGZAG].astype(np.uint8)
     segment(0xDB, bytes([0x00]) + qz.tobytes())
     sof = struct.pack(">BHHB", precision, h_img, w_img, len(factors))
@@ -1587,7 +1675,8 @@ def _emit_headers(out: bytearray, sof_marker: int, h_img: int,
 def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
                 subsample: bool | str = False,
                 restart_interval: int = 0, precision: int = 8,
-                arithmetic: bool = False) -> bytes:
+                arithmetic: bool = False,
+                adobe_transform: int | None = None) -> bytes:
     """Encode an image — (h, w) / (h, w, 1) gray or (h, w, 3) RGB —
     as sequential JPEG. ``precision`` 8 emits baseline (SOF0, uint8
     samples); 12 emits extended sequential (SOF1, T.81 §B.2 — values
@@ -1598,11 +1687,16 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
     gray emits one component. One quant table serves all components
     (fixture simplicity). ``arithmetic`` emits SOF9 + DAC and codes
     the scan with the T.81 Annex D QM-coder instead of Huffman
-    (8- or 12-bit; same DCT/quant pipeline either way)."""
+    (8- or 12-bit; same DCT/quant pipeline either way).
+    ``adobe_transform`` emits the APP14 Adobe tag: with 4-channel
+    input (INVERTED-CMYK samples, the Adobe convention) pass 0 for
+    direct CMYK storage or 2 for YCCK; with 3-channel input pass 0
+    to store RGB planes without the YCbCr transform (r12)."""
     if precision not in (8, 12):
         raise ValueError("encode_jpeg precision must be 8 or 12")
     h_img, w_img, factors, blocks = _prep_blocks(img, quant, subsample,
-                                                 precision)
+                                                 precision,
+                                                 adobe_transform)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcus_x = -(-w_img // (8 * hmax))
@@ -1622,7 +1716,7 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
     sof_marker = 0xC9 if arithmetic else (0xC1 if precision == 12
                                           else 0xC0)
     _emit_headers(out, sof_marker, h_img, w_img, factors, quant,
-                  precision, arithmetic)
+                  precision, arithmetic, adobe_transform)
     if restart_interval:
         _segment(out, 0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(factors)])
@@ -1633,8 +1727,7 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
 
     if arithmetic:
         def flush_qm(enc) -> None:
-            # raw coder bytes -> JPEG scan bytes (0xFF00 stuffing)
-            out.extend(enc.flush().replace(b"\xff", b"\xff\x00"))
+            out.extend(_qm_flush_stuffed(enc))
 
         qm = _QmEncoder()
         stats = _ArithStats(len(factors))
@@ -1777,7 +1870,8 @@ def encode_jpeg_progressive(img: np.ndarray,
                             quant: np.ndarray = QUANT_ONES,
                             subsample: bool | str = False,
                             al: int = 1, band_split: int = 5,
-                            arithmetic: bool = False) -> bytes:
+                            arithmetic: bool = False,
+                            adobe_transform: int | None = None) -> bytes:
     """Encode as PROGRESSIVE JPEG (SOF2) — the fixture write side for
     the progressive decoder, same reason the repo carries PNG/fMP4
     muxers in tests. The progression exercises every Annex-G decode
@@ -1789,8 +1883,11 @@ def encode_jpeg_progressive(img: np.ndarray,
     jcphuff.c. Same fixed Huffman tables and 8-bit DQT as the
     baseline encoder; no restart markers. ``arithmetic`` emits the
     SOF10 form: the same scan script with every entropy decision
-    through the QM coder (T.81 G.2) instead of Huffman codes."""
-    h_img, w_img, factors, blocks = _prep_blocks(img, quant, subsample)
+    through the QM coder (T.81 G.2) instead of Huffman codes.
+    ``adobe_transform`` as in encode_jpeg (4-channel inverted-CMYK /
+    Adobe RGB)."""
+    h_img, w_img, factors, blocks = _prep_blocks(img, quant, subsample,
+                                                 adobe=adobe_transform)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcus_x = -(-w_img // (8 * hmax))
@@ -1802,7 +1899,7 @@ def encode_jpeg_progressive(img: np.ndarray,
     out = bytearray(b"\xff\xd8")
     _emit_headers(out, 0xCA if arithmetic else 0xC2,
                   h_img, w_img, factors, quant,
-                  arithmetic=arithmetic)
+                  arithmetic=arithmetic, adobe=adobe_transform)
 
     def sos(comp_ids: list[int], ss: int, se: int, ah: int,
             al_: int) -> None:
@@ -1845,14 +1942,14 @@ def encode_jpeg_progressive(img: np.ndarray,
         for ci, blk in mcu_blocks():
             _arith_encode_dc(qm, stats, ci, 0, (0, 1),
                              int(blk[0]) >> al)
-        out.extend(qm.flush().replace(b"\xff", b"\xff\x00"))
+        out.extend(_qm_flush_stuffed(qm))
         # DC refinement: one fixed-bin decision per block per level
         for lvl in range(al - 1, -1, -1):
             sos(list(range(len(factors))), 0, 0, lvl + 1, lvl)
             qm, stats = _QmEncoder(), _ArithStats(len(factors))
             for _ci, blk in mcu_blocks():
                 qm.encode((int(blk[0]) >> lvl) & 1, stats.fixed, 0)
-            out.extend(qm.flush().replace(b"\xff", b"\xff\x00"))
+            out.extend(_qm_flush_stuffed(qm))
         # AC first scans per component/band at Al=al
         for ci in range(len(factors)):
             for ss, se in bands:
@@ -1861,7 +1958,7 @@ def encode_jpeg_progressive(img: np.ndarray,
                 for blk in comp_blocks(ci):
                     _arith_encode_ac_band(qm, stats, blk, 0, 5,
                                           ss, se, al)
-                out.extend(qm.flush().replace(b"\xff", b"\xff\x00"))
+                out.extend(_qm_flush_stuffed(qm))
         # AC refinement scans per level/component/band
         for lvl in range(al - 1, -1, -1):
             for ci in range(len(factors)):
@@ -1871,7 +1968,7 @@ def encode_jpeg_progressive(img: np.ndarray,
                     for blk in comp_blocks(ci):
                         _arith_encode_ac_refine(qm, stats, blk, 0,
                                                 ss, se, lvl)
-                    out.extend(qm.flush().replace(b"\xff", b"\xff\x00"))
+                    out.extend(_qm_flush_stuffed(qm))
         out.extend(b"\xff\xd9")
         return bytes(out)
 
@@ -2040,6 +2137,83 @@ def encode_jpeg_progressive(img: np.ndarray,
 
 _MJPG_TAG = b"mjpg"
 
+#: T.81 Annex K.3.3 "typical" Huffman tables — what a marker-less
+#: MJPEG-B field IMPLIES when its Huffman-table offset is zero (the
+#: QuickTime spec allows omitting the tables; ffmpeg's mjpegbdec
+#: supplies the same defaults). (counts, symbols) per (class, id).
+_K_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+             bytes(range(12)))
+_K_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             bytes(range(12)))
+_K_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+_K_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+
+
+def _default_dht_payload() -> bytes:
+    """One DHT segment payload (with its length field) carrying all
+    four Annex-K typical tables: DC/AC luminance as id 0, DC/AC
+    chrominance as id 1."""
+    body = bytearray()
+    for tc_th, (counts, syms) in ((0x00, _K_DC_LUM), (0x10, _K_AC_LUM),
+                                  (0x01, _K_DC_CHR), (0x11, _K_AC_CHR)):
+        body += bytes([tc_th]) + bytes(counts) + syms
+    return struct.pack(">H", len(body) + 2) + bytes(body)
+
+
+def mjpegb_fields(unit: bytes) -> list[bytes]:
+    """Split one MJPEG-B access unit into its field payloads via the
+    header's offset-to-next-field word (r12 review: interlaced
+    two-field samples used to silently decode as the top field only).
+    Progressive samples return one field; interlaced return two."""
+    fields = []
+    pos = 0
+    while True:
+        if len(unit) - pos < 40:
+            raise ValueError("MJPEG-B field shorter than its header")
+        if unit[pos + 4:pos + 8] != _MJPG_TAG:
+            raise ValueError("missing 'mjpg' field-header tag")
+        field_size, _pad, nxt = struct.unpack_from(">III", unit, pos + 8)
+        if not 40 <= field_size <= len(unit) - pos:
+            raise ValueError(f"bad MJPEG-B field size {field_size}")
+        fields.append(unit[pos:pos + field_size])
+        if nxt == 0:
+            return fields
+        if nxt < 40 or pos + nxt + 40 > len(unit):
+            raise ValueError(f"bad MJPEG-B next-field offset {nxt}")
+        if len(fields) == 2:
+            raise ValueError("MJPEG-B sample with more than two fields")
+        pos += nxt
+
 
 def _scan_jpeg_segments(jpeg: bytes):
     """Walk a standard interchange stream → (segments, scan_bytes):
@@ -2142,6 +2316,11 @@ def mjpegb_to_jpeg(field: bytes) -> bytes:
         out += b"\xff\xdb" + section(dqt_off)
     if dht_off:
         out += b"\xff\xc4" + section(dht_off)
+    else:
+        # zero Huffman offset: the field implies the Annex-K typical
+        # tables (QuickTime spec; ffmpeg's mjpegbdec does the same —
+        # r12 review: these fields used to dead-letter on missing DHT)
+        out += b"\xff\xc4" + _default_dht_payload()
     out += b"\xff\xc0" + section(sof_off)
     out += b"\xff\xda" + section(sos_off)
     if not 40 <= sod_off <= field_size:

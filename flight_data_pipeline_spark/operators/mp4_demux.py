@@ -563,7 +563,11 @@ def mux_mp4_video(frames: list[bytes], codec: bytes = b"jpeg",
     minf = box(b"minf", stbl)
     hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide"
                 + b"\x00" * 12 + b"video\x00")
-    mdhd = full(b"mdhd", struct.pack(">IIIHH", 0, 0, timescale, 0, 0))
+    # v0 mdhd body: creation, modification, timescale, DURATION,
+    # language, pre_defined (r12 review: the duration field was
+    # missing entirely, malforming the box for external parsers)
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale,
+                                     len(frames) * frame_dur, 0, 0))
     mdia = box(b"mdia", mdhd + hdlr + minf)
     moov = box(b"moov", box(b"trak", mdia))
     return ftyp + mdat + moov

@@ -1123,10 +1123,28 @@ def auto_frame_extract(payload: bytes, fmt: str) -> list[bytes]:
                 decode_jpeg)
             return [_pixels_to_netpbm(decode_jpeg(u)) for u in units]
         if samples and samples[0].codec in MJPEGB_FOURCCS:
+            import numpy as np
+
             from flight_data_pipeline_spark.operators.jpeg_codec import (
-                decode_jpeg, mjpegb_to_jpeg)
-            return [_pixels_to_netpbm(decode_jpeg(mjpegb_to_jpeg(u)))
-                    for u in units]
+                decode_jpeg, mjpegb_fields, mjpegb_to_jpeg)
+
+            def _mjpegb_pixels(u: bytes):
+                imgs = [decode_jpeg(mjpegb_to_jpeg(f))
+                        for f in mjpegb_fields(u)]
+                if len(imgs) == 1:
+                    return imgs[0]
+                # interlaced two-field sample: weave top (even rows)
+                # and bottom fields back into one frame (r12 review:
+                # the top field alone used to pass as the whole frame)
+                if imgs[0].shape != imgs[1].shape:
+                    raise ValueError("MJPEG-B field geometry mismatch")
+                h, w, c = imgs[0].shape
+                out = np.empty((2 * h, w, c), imgs[0].dtype)
+                out[0::2] = imgs[0]
+                out[1::2] = imgs[1]
+                return out
+
+            return [_pixels_to_netpbm(_mjpegb_pixels(u)) for u in units]
         return units
     if fmt == "gif":
         return [_pixels_to_netpbm(f) for f in gif_frames(payload)]

@@ -156,6 +156,47 @@ def _decode(r: _Reader, schema):
     raise ValueError(f"unsupported Avro type {schema!r}")
 
 
+#: absolute per-block decompressed-output ceiling. Raw deflate's
+#: format-inherent amplification tops out near 1032:1, so the ratio
+#: bound below never rejects a legal stream; this ceiling additionally
+#: bounds the MEMORY one giant legal-but-absurd block could demand
+#: (r12 review: the old 64x cap dead-lettered the repo's own writer's
+#: legal highly-compressible blocks).
+DEFLATE_BLOCK_CAP = 1 << 30
+
+
+def _bounded_inflate(block: bytes) -> bytes:
+    """Inflate one deflate-coded Avro block with the decompression
+    bounded (r11 advice, corrected in r12): chunked decompressobj
+    reads stop as soon as output exceeds min(1032x + 64 KiB slack,
+    DEFLATE_BLOCK_CAP) — the first term is deflate's own maximum
+    ratio (never trips on legal data), the second is a hard memory
+    ceiling — so a decompression bomb dead-letters without ever
+    materializing its output."""
+    cap = min(1032 * len(block) + (1 << 16), DEFLATE_BLOCK_CAP)
+    try:
+        d = zlib.decompressobj(wbits=-15)
+        out = bytearray()
+        data = block
+        while True:
+            chunk = d.decompress(data, 1 << 20)
+            out += chunk
+            if len(out) > cap:
+                raise ValueError(
+                    f"deflate block exceeds the {cap}-byte "
+                    "decompression bound")
+            if d.eof:
+                return bytes(out)
+            # max_length can pause mid-match with every input byte
+            # consumed — keep draining on empty input until eof or
+            # no progress (the truly-truncated case)
+            data = d.unconsumed_tail
+            if not data and not chunk:
+                raise ValueError("truncated deflate block")
+    except zlib.error as exc:
+        raise ValueError(f"bad deflate block: {exc}") from exc
+
+
 def _parse_header(buf: bytes):
     """OCF header → (schema_json, codec, sync_marker, body_offset)."""
     r = _Reader(buf)
@@ -197,24 +238,7 @@ def _read_ocf_records(buf: bytes) -> tuple[dict, list]:
         size = r.long()
         block = r.take(size)
         if codec == "deflate":
-            # decompressobj + max_length bounds the ~1032x deflate
-            # amplification a crafted block could otherwise demand in
-            # one zlib.decompress call (r11 advice). 64x the compressed
-            # size (16 MiB floor) is far above any legal Avro block's
-            # ratio; a block exceeding it dead-letters.
-            cap = max(1 << 24, 64 * len(block))
-            try:
-                d = zlib.decompressobj(wbits=-15)
-                out = d.decompress(block, cap)
-                if d.unconsumed_tail:
-                    raise ValueError(
-                        f"deflate block exceeds {cap}-byte decompression "
-                        "bound")
-                if not d.eof:
-                    raise ValueError("truncated deflate block")
-                block = out
-            except zlib.error as exc:
-                raise ValueError(f"bad deflate block: {exc}") from exc
+            block = _bounded_inflate(block)
         if r.take(16) != sync:
             raise ValueError("Avro sync marker mismatch")
         br = _Reader(block)

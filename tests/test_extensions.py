@@ -2012,6 +2012,27 @@ class TestArithmeticJpeg:
                                          band_split=bs)
             assert len(pa) < len(ph), (shape, al)
 
+    def test_dac_between_scans_only_affects_later_scans(self):
+        """r12 review: T.81 B.2.4.3 allows DAC wherever DHT is
+        allowed, and a redefinition must only affect LATER scans —
+        conditioning is snapshotted at SOS time like the Huffman
+        LUTs. Inserting a DAC before the LAST scan of a progressive
+        stream (an AC refinement, which ignores DC conditioning)
+        must leave the decode bit-identical."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_progressive)
+
+        rng = np.random.default_rng(3)
+        im = rng.integers(0, 256, (24, 24, 3), np.uint8)
+        p = encode_jpeg_progressive(im, al=2, arithmetic=True)
+        base = decode_jpeg(p)
+        i = p.rfind(b"\xff\xda")
+        # DAC: DC table 0 conditioning L=0, U=15 (value 0xF0)
+        patched = p[:i] + b"\xff\xcc\x00\x04\x00\xf0" + p[i:]
+        assert np.array_equal(decode_jpeg(patched), base)
+
     def test_media_path_and_dead_letter_contract(self, spark):
         """An arithmetic JPEG flows through the default media tier
         unchanged (format 'jpeg' -> real_decode -> decode_jpeg), and
@@ -2065,6 +2086,115 @@ class TestArithmeticJpeg:
         bomb[i + 5:i + 9] = b"\xff\xff\xff\xff"
         with _pytest.raises(ValueError):
             decode_jpeg(bytes(bomb))
+
+
+class TestCmykJpeg:
+    """Four-component Adobe CMYK/YCCK JPEG (r12): the print/scanned-
+    document color shape — APP14 transform tag, inverted-ink storage
+    convention, naive separation inverse to RGB so the media tier
+    stays uniform at (h, w, 3). The write half is
+    encode_jpeg(adobe_transform=0|2) on inverted-CMYK samples."""
+
+    def test_cmyk_and_ycck_decode_to_predicted_rgb(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        rng = np.random.default_rng(31)
+        blocks_i = rng.integers(0, 32, (2, 2, 4), np.uint8) * 8 + 4
+        img4 = np.repeat(np.repeat(blocks_i, 8, 0), 8, 1)
+        pred = np.clip(np.round(
+            img4[:, :, :3].astype(float) * img4[:, :, 3:4] / 255),
+            0, 255).astype(np.uint8)
+        # transform 0 (direct CMYK): block-constant -> formula-exact,
+        # through BOTH entropy layers
+        for arith in (False, True):
+            dec = decode_jpeg(encode_jpeg(img4, adobe_transform=0,
+                                          arithmetic=arith))
+            assert dec.shape == (16, 16, 3)
+            assert np.array_equal(dec, pred), arith
+        # transform 2 (YCCK): YCbCr rounding is +-1 pre-multiply
+        dec = decode_jpeg(encode_jpeg(img4, adobe_transform=2))
+        assert np.abs(dec.astype(float) - pred.astype(float)).max() <= 2
+        # arith/huffman parity on full-range noise
+        n4 = rng.integers(0, 256, (24, 16, 4), np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(n4, adobe_transform=2,
+                                    arithmetic=True)),
+            decode_jpeg(encode_jpeg(n4, adobe_transform=2)))
+
+    def test_progressive_cmyk_both_entropy_layers(self):
+        """Progressive CMYK (SOF2 and SOF10): the 4-component scan
+        scripts decode to the same RGB as the sequential encoding —
+        coefficients identical, transmission order different."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        rng = np.random.default_rng(41)
+        n4 = rng.integers(0, 256, (17, 21, 4), np.uint8)
+        base = decode_jpeg(encode_jpeg(n4, adobe_transform=2))
+        for arith in (False, True):
+            p = encode_jpeg_progressive(n4, al=2, adobe_transform=2,
+                                        arithmetic=arith)
+            assert np.array_equal(decode_jpeg(p), base), arith
+
+    def test_plain_cmyk_without_app14_is_not_inverted(self):
+        """r12 review: only Adobe-written CMYK (APP14 present) stores
+        inverted ink; a plain 4-component JPEG without the tag stores
+        ink directly, so white (C=M=Y=K=0) must decode WHITE, not
+        black — the libjpeg-family rule."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        rng = np.random.default_rng(11)
+        blocks_i = rng.integers(0, 32, (2, 2, 4), np.uint8) * 8 + 4
+        img4 = np.repeat(np.repeat(blocks_i, 8, 0), 8, 1)
+        tagged = encode_jpeg(img4, adobe_transform=0)
+        # strip the 16-byte APP14 segment -> same samples, now to be
+        # read as direct (non-inverted) ink values
+        i = tagged.find(b"\xff\xee")
+        plain = tagged[:i] + tagged[i + 16:]
+        pred = np.clip(np.round(
+            (255.0 - img4[:, :, :3]) * (255.0 - img4[:, :, 3:4]) / 255),
+            0, 255).astype(np.uint8)
+        assert np.array_equal(decode_jpeg(plain), pred)
+        # solid white ink-free block: K=C=M=Y=0 -> pure white
+        white = encode_jpeg(np.zeros((8, 8, 4), np.uint8),
+                            adobe_transform=0)
+        i = white.find(b"\xff\xee")
+        assert int(decode_jpeg(white[:i] + white[i + 16:]).min()) == 255
+
+    def test_adobe_rgb_transform0_and_guards(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        rng = np.random.default_rng(7)
+        # 3-component transform 0: RGB stored directly, block-constant
+        # round-trips bit-exact (no YCbCr rounding at all)
+        img3 = np.repeat(np.repeat(
+            rng.integers(0, 32, (2, 2, 3), np.uint8) * 8 + 4, 8, 0), 8, 1)
+        p = encode_jpeg(img3, adobe_transform=0)
+        assert np.array_equal(decode_jpeg(p), img3)
+        # write-half guards
+        img4 = rng.integers(0, 256, (8, 8, 4), np.uint8)
+        with _pytest.raises(ValueError):
+            encode_jpeg(img4)                       # no transform given
+        with _pytest.raises(ValueError):
+            encode_jpeg(img4, adobe_transform=0, subsample="420")
+        # 4-component flows through the default media featurize path
+        # (decodes to RGB like any other image)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            real_decode)
+        feat = real_decode(encode_jpeg(img4, adobe_transform=0), "jpeg")
+        assert len(feat) == 16 and abs(float(sum(feat)) - 1.0) < 1e-6
 
 
 class TestJpegProgressive:
@@ -2342,6 +2472,8 @@ class TestMp4Demux:
         the r12 video certification query, not just this test file):
         demux recovers every frame byte-exactly, one stts run gives
         the dts ladder, and absent stss means all-keyframes."""
+        import struct
+
         from flight_data_pipeline_spark.operators.mp4_demux import (
             demux_mp4, mux_mp4_video)
 
@@ -2353,6 +2485,11 @@ class TestMp4Demux:
             assert payload[s.offset:s.offset + s.size] == frames[i]
             assert s.codec == "avc1" and s.keyframe
         assert [s.dts_ms for s in samples] == [25 * i for i in range(7)]
+        # v0 mdhd must be the full 20-byte body incl. DURATION (r12
+        # review: it was 16 bytes, malformed for external parsers)
+        i = payload.find(b"mdhd")
+        assert struct.unpack(">I", payload[i - 4:i])[0] == 8 + 4 + 20
+        assert struct.unpack_from(">I", payload, i + 20)[0] == 7 * 25
         import pytest as _pytest
         with _pytest.raises(ValueError):
             mux_mp4_video([])
@@ -2721,6 +2858,79 @@ class TestMjpegPixelDecode:
         # restart-interval streams cannot be represented
         with _pytest.raises(ValueError):
             jpeg_to_mjpegb(encode_jpeg(imgs[0], restart_interval=2))
+
+    def test_mjpegb_default_tables_and_interlaced_weave(self, spark):
+        """r12 review fixes: (a) a zero Huffman-table offset implies
+        the Annex-K typical tables (QuickTime allows omitting DHT) —
+        the rebuilt JPEG must carry them instead of dead-lettering;
+        (b) a two-field interlaced sample weaves top/bottom fields
+        back into one frame instead of silently passing the top field
+        off as the whole frame."""
+        import struct
+
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            _BitWriter, _K_AC_LUM, _K_DC_LUM, _build_encode_lut,
+            _segment, decode_jpeg, jpeg_to_mjpegb, mjpegb_fields,
+            mjpegb_to_jpeg)
+        from flight_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA, decode_netpbm, sample_frames)
+
+        # (a) hand-assemble a single-block gray JPEG COED WITH the
+        # Annex-K default tables (our encoder uses its own fixed
+        # tables, so this is the only way to exercise the defaults)
+        v = 200
+        dc = (v - 128) * 8                   # 8x8 constant block DC
+        out = bytearray(b"\xff\xd8")
+        _segment(out, 0xDB, bytes([0x00]) + bytes([1] * 64))
+        _segment(out, 0xC0, struct.pack(">BHHB", 8, 8, 8, 1)
+                 + bytes([1, 0x11, 0]))
+        _segment(out, 0xC4, bytes([0x00]) + bytes(_K_DC_LUM[0])
+                 + _K_DC_LUM[1])
+        _segment(out, 0xC4, bytes([0x10]) + bytes(_K_AC_LUM[0])
+                 + _K_AC_LUM[1])
+        _segment(out, 0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        bw = _BitWriter()
+        dc_lut = _build_encode_lut(*_K_DC_LUM)
+        ac_lut = _build_encode_lut(*_K_AC_LUM)
+        t = dc.bit_length()
+        code, ln = dc_lut[t]
+        bw.write(code, ln)
+        bw.write(dc if dc >= 0 else dc + (1 << t) - 1, t)
+        code, ln = ac_lut[0x00]              # EOB
+        bw.write(code, ln)
+        bw.pad_to_byte()
+        out += bw.buf + b"\xff\xd9"
+        jpeg = bytes(out)
+        assert int(decode_jpeg(jpeg)[0, 0, 0]) == v
+        field = bytearray(jpeg_to_mjpegb(jpeg))
+        field[24:28] = b"\x00\x00\x00\x00"   # zero the DHT offset
+        px = decode_jpeg(mjpegb_to_jpeg(bytes(field)))
+        assert np.array_equal(px, decode_jpeg(jpeg))
+
+        # (b) two contiguous fields chained by the next-field offset
+        a = np.full((8, 16, 1), 64, np.uint8)
+        b = np.full((8, 16, 1), 192, np.uint8)
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg)
+        f1 = bytearray(jpeg_to_mjpegb(encode_jpeg(a)))
+        f2 = jpeg_to_mjpegb(encode_jpeg(b))
+        f1[16:20] = struct.pack(">I", len(f1))
+        unit = bytes(f1) + f2
+        assert [len(f) for f in mjpegb_fields(unit)] == [len(f1),
+                                                         len(f2)]
+        payload = TestMp4Demux._mp4_payload(frames=[unit] * 5,
+                                            codec=b"mjpb")
+        media = spark.createDataFrame(
+            [(9, payload, {"kind": "video", "format": "mp4",
+                           "n_bytes": len(payload)})], MEDIA_SCHEMA)
+        frame = sorted(sample_frames(media, every_n=5).collect(),
+                       key=lambda r: r.frame_index)[0]
+        px = decode_netpbm(bytes(frame.frame))
+        assert px.shape == (16, 16, 1)
+        assert np.array_equal(px[0::2], a) and np.array_equal(
+            px[1::2], b)
 
     def test_avc1_units_stay_byte_exact_and_malformed_raises(self, spark):
         import pytest as _pytest

@@ -244,26 +244,44 @@ class TestAvroFallback:
             read_ocf_records(gs.replace(self._zz(4) + b"abcd",
                                         b"\x07" + b"abcd"))
 
-    def test_deflate_bomb_dead_letters(self):
-        """r12 advice (low): deflate amplifies up to ~1032x, so one
-        crafted block could demand gigabytes from a single
-        zlib.decompress call. The reader caps per-block decompressed
-        output (64x compressed, 16 MiB floor) and dead-letters."""
+    def test_deflate_bomb_dead_letters_legal_blocks_decode(self):
+        """r12 advice (low) + r12 review correction: decompression is
+        chunk-bounded at min(deflate's inherent ~1032x ratio + slack,
+        DEFLATE_BLOCK_CAP) — a bomb dead-letters WITHOUT materializing
+        its output, while legal highly-compressible blocks (which the
+        first 64x cap wrongly rejected, including this repo's own
+        writer's output) decode fine."""
         import zlib
 
+        from flight_data_pipeline_spark.sources import avro_fallback
         from flight_data_pipeline_spark.sources.avro_fallback import (
             _parse_header, read_ocf_records, write_avro_ocf)
 
+        # legal: one ~19 KB block decompressing to ~19 MB (>1000x)
+        sschema = {"type": "record", "name": "S",
+                   "fields": [{"name": "s", "type": "string"}]}
+        recs = [{"s": "a" * 300000}] * 64
+        payload = write_avro_ocf(recs, sschema, codec="deflate",
+                                 block_records=64)
+        assert read_ocf_records(payload)[1] == recs
+
+        # bomb: output past the absolute ceiling dead-letters before
+        # materializing (ceiling lowered so the test stays small)
         vschema = {"type": "record", "name": "N",
                    "fields": [{"name": "v", "type": "long"}]}
         good = write_avro_ocf([{"v": 1}], vschema, codec="deflate")
         _s, _c, sync, body = _parse_header(good)
         co = zlib.compressobj(9, zlib.DEFLATED, -15)
-        comp = co.compress(b"\x00" * (1 << 26)) + co.flush()
+        comp = co.compress(b"\x00" * (1 << 23)) + co.flush()
         bomb = (good[:body] + self._zz(1) + self._zz(len(comp))
                 + comp + sync)
-        with pytest.raises(ValueError):
-            read_ocf_records(bomb)
+        old = avro_fallback.DEFLATE_BLOCK_CAP
+        avro_fallback.DEFLATE_BLOCK_CAP = 1 << 20
+        try:
+            with pytest.raises(ValueError):
+                read_ocf_records(bomb)
+        finally:
+            avro_fallback.DEFLATE_BLOCK_CAP = old
 
     def test_logical_types_through_unions_and_nesting(self, spark,
                                                       tmp_path):
