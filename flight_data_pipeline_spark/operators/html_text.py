@@ -1,0 +1,247 @@
+"""HTML → boilerplate-stripped text extraction, pure stdlib.
+
+The corpus tier's rules (C4, Gopher, RefinedWeb, FineWeb recipes in
+plans/text_queries.py) all CONSUME a pre-extracted ``documents.text``
+column; this module is the stage that PRODUCES it — the missing front
+half the r12 verdict ranked first. It turns raw HTML (typically the
+payload of a WARC response record, sources/warc_source.py) into
+main-content text plus per-document block statistics.
+
+Algorithm — a deterministic simplification of the public
+block-classification extractors (jusText, Pomikálek 2011;
+trafilatura, Barbaresi 2021; both cited by the C4/RefinedWeb papers):
+
+1. Parse with ``html.parser.HTMLParser`` (stdlib, tolerant of tag
+   soup — real crawl HTML is never well-formed).
+2. Drop entirely: ``<script> <style> <noscript> <template> <svg>
+   <iframe> <object> <head>`` subtrees, comments, processing
+   instructions and declarations.
+3. Segment into BLOCKS at block-level element boundaries (``p div h1-6
+   li td blockquote pre`` …, plus ``<br>``/``<hr>``); inline elements
+   (``a b i span`` …) do not split a block.
+4. Normalize each block's text: collapse whitespace runs to single
+   spaces, strip edges; empty blocks vanish (they are not blocks).
+5. Classify each block:
+   - ``link_density`` = chars inside ``<a>`` / total chars.
+     > ``LINK_DENSITY_MAX`` → boilerplate (nav bars, footers, tag
+     clouds — jusText's primary rule).
+   - fewer than ``MIN_WORDS`` words → boilerplate (button labels,
+     breadcrumbs — jusText's "short" class, simplified: no stopword
+     model, so the rule is language-agnostic and oracle-predictable).
+   - else content.
+6. The extracted text is the content blocks joined with ``\\n``.
+
+The thresholds are fixed module constants, not tunables hidden in
+closures, so the certification oracle (plans/text_queries.py
+``html_extraction_stats``) can predict every statistic from its
+generating formula alone.
+
+Scale shape: extraction is per-document map work inside one Arrow
+``mapInPandas`` stage — no shuffle, parallelism = input partitions,
+memory bounded by ``MAX_HTML_BYTES`` per document. Malformed input
+(undecodable bytes, oversized documents) raises ValueError — the
+decode-time dead-letter contract shared with the media tier.
+
+Reference parity: the reference repo ingests a JSON API
+(etl_job.py:35-120) and has no HTML stage; this module is superset
+scope — the LLM-corpus front half (WARC → HTML → text) described in
+the public C4 (Raffel 2020 §2.2) and RefinedWeb (Penedo 2023 §3)
+pipelines.
+"""
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: blocks with a higher fraction of their characters inside <a> are
+#: boilerplate (jusText uses the same rule with 0.2-0.8 bands; one
+#: fixed threshold keeps the classification oracle-predictable).
+LINK_DENSITY_MAX = 0.5
+
+#: blocks with fewer words are boilerplate (breadcrumbs, labels).
+MIN_WORDS = 3
+
+#: per-document input ceiling — a crawl record claiming more HTML
+#: than this dead-letters instead of monopolizing a task (the media
+#: tier's decode-DoS posture; CC truncates records near 1 MiB).
+MAX_HTML_BYTES = 8 << 20
+
+#: tags whose entire subtree is dropped (step 2).
+_SKIP_TAGS = frozenset({
+    "script", "style", "noscript", "template", "svg", "iframe",
+    "object", "head",
+})
+
+#: tags that delimit blocks (step 3). <br>/<hr> are void elements
+#: handled as block breaks on their start tag.
+_BLOCK_TAGS = frozenset({
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "dl", "dt", "dd", "td", "th", "tr", "table", "thead", "tbody",
+    "tfoot", "caption", "blockquote", "pre", "article", "section",
+    "header", "footer", "nav", "aside", "main", "figure",
+    "figcaption", "form", "fieldset", "address", "details",
+    "summary", "br", "hr", "body", "html", "title",
+})
+
+_WS_RE = re.compile(r"\s+")
+
+
+class _BlockExtractor(HTMLParser):
+    """Streaming block segmenter (steps 1-4). Collects
+    (text, link_chars) per block; classification happens after."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._link_depth = 0
+
+    # -- segmentation -----------------------------------------------
+    def _flush(self) -> None:
+        text = _WS_RE.sub(" ", "".join(self._parts)).strip()
+        if text:
+            # link chars are normalized the same way data chars are
+            # counted: collapsed runs weigh once. Tracking exact
+            # per-run attribution through normalization would need a
+            # second pass; counting raw-collapsed lengths of the link
+            # parts is equivalent because _parts entries are already
+            # whitespace-preserving slices of the same text.
+            self.blocks.append((text, min(self._link_chars, len(text))))
+        self._parts = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._link_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            # tolerate tag soup: a stray close without its open
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        self._parts.append(data)
+        if self._link_depth:
+            self._link_chars += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_html_text_py(html: str | bytes,
+                         encoding: str = "utf-8") -> dict:
+    """Extract main-content text + block stats from one HTML string.
+
+    Returns ``{"text", "n_blocks", "n_content_blocks",
+    "n_boilerplate_blocks", "n_words", "n_chars"}`` where the word
+    and char counts cover CONTENT blocks only and ``text`` is the
+    content blocks joined with newlines.
+
+    Raises ValueError on undecodable bytes or oversized input — the
+    dead-letter contract (route through a try/except quarantine
+    upstream, the media-tier pattern).
+    """
+    if isinstance(html, (bytes, bytearray)):
+        if len(html) > MAX_HTML_BYTES:
+            raise ValueError(
+                f"HTML payload {len(html)} bytes exceeds the "
+                f"{MAX_HTML_BYTES}-byte extraction bound")
+        try:
+            html = bytes(html).decode(encoding, errors="strict")
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"undecodable HTML payload: {exc}") from exc
+    elif len(html) > MAX_HTML_BYTES:
+        raise ValueError(
+            f"HTML document {len(html)} chars exceeds the "
+            f"{MAX_HTML_BYTES}-char extraction bound")
+
+    parser = _BlockExtractor()
+    parser.feed(html)
+    parser.close()
+
+    content: list[str] = []
+    n_boiler = 0
+    n_words = 0
+    n_chars = 0
+    for text, link_chars in parser.blocks:
+        words = text.count(" ") + 1
+        if (link_chars / len(text) > LINK_DENSITY_MAX
+                or words < MIN_WORDS):
+            n_boiler += 1
+        else:
+            content.append(text)
+            n_words += words
+            n_chars += len(text)
+    return {
+        "text": "\n".join(content),
+        "n_blocks": len(parser.blocks),
+        "n_content_blocks": len(content),
+        "n_boilerplate_blocks": n_boiler,
+        "n_words": n_words,
+        "n_chars": n_chars,
+    }
+
+
+#: output columns appended by extract_html_text
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("n_blocks", T.LongType()),
+    T.StructField("n_content_blocks", T.LongType()),
+    T.StructField("n_boilerplate_blocks", T.LongType()),
+    T.StructField("n_words", T.LongType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def extract_html_text(df: DataFrame, html_col: str = "html",
+                      out_col: str = "extracted",
+                      encoding: str = "utf-8") -> DataFrame:
+    """DataFrame form: append ``out_col`` (EXTRACTED_SCHEMA struct)
+    extracted from ``html_col`` (string or binary).
+
+    One Arrow-batched ``pandas_udf`` — per-batch Python invocation,
+    no shuffle, NULL in → NULL out. Malformed documents raise
+    ValueError out of the task (dead-letter); to quarantine instead,
+    pre-filter with ``F.length(html_col) <= MAX_HTML_BYTES`` and
+    handle encodings upstream.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _extract(col):
+        rows = [None if h is None else extract_html_text_py(h, encoding)
+                for h in col]
+        empty = {"text": None, "n_blocks": None,
+                 "n_content_blocks": None, "n_boilerplate_blocks": None,
+                 "n_words": None, "n_chars": None}
+        return pd.DataFrame([empty if r is None else r for r in rows])
+
+    # annotations must resolve against REAL objects for pandas_udf's
+    # eval-type inference under postponed annotations (the
+    # vectors.pq_encode pattern)
+    _extract.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
+    udf = pandas_udf(_extract, EXTRACTED_SCHEMA)
+    return df.withColumn(out_col, udf(F.col(html_col)))

@@ -4269,3 +4269,235 @@ def chunk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# WARC → HTML → text front half, hash-certified (VERDICT r12 item 1)
+# --------------------------------------------------------------------------
+
+#: fixed carve matching vector_queries.MEDIA_PROFILE_DOCS: payload
+#: content is md5-derived, so 20 docs pin the construction while the
+#: extraction work itself is per-doc map work at any corpus size.
+HTML_PROFILE_DOCS = 20
+
+#: fixed chrome exercising every drop rule: head subtree (title),
+#: script, style, comment, and a link-only nav block that the
+#: classifier must call boilerplate.
+_HTML_HEAD = ('<html><head><title>doc</title><script>var x=1;</script>'
+              '<style>p{color:red}</style></head><body><!-- chrome -->'
+              '<nav><a href="/">home about contact</a></nav>')
+_HTML_TAIL = '</body></html>'
+
+
+def _html_block_exprs(h_col: str):
+    """16 block expressions driven by the nibbles of column
+    ``h_col`` (an md5 hex string): nibble v >= 8 emits a CONTENT
+    paragraph of v 'data' words ending in '.', v < 8 emits a
+    link-only BOILERPLATE paragraph of v+1 'lnk' words — so
+    operators/html_text's classifier must label each one correctly
+    for the oracle's closed-form stats to match. All whole-stage
+    codegen (the media_decode_profile ppm-arm philosophy: payload
+    assembly JVM-side, zero Python)."""
+    out = []
+    for j in range(1, 17):
+        v = f"CAST(conv(substring({h_col}, {j}, 1), 16, 10) AS INT)"
+        out.append(F.expr(
+            f"CASE WHEN {v} >= 8 THEN concat('<p>', "
+            f"rtrim(repeat('data ', {v})), '.</p>') "
+            f"ELSE concat('<p><a href=\"#\">', "
+            f"rtrim(repeat('lnk ', {v} + 1)), '</a></p>') END"))
+    return out
+
+
+_HTML_EXTRACTION_ORACLE = f"""
+    SELECT doc_id,
+           CAST(COUNT(*) + 1 AS BIGINT)  AS n_blocks,
+           CAST(SUM(CASE WHEN v >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_content_blocks,
+           CAST(SUM(CASE WHEN v < 8 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS n_boilerplate_blocks,
+           CAST(SUM(CASE WHEN v >= 8 THEN v ELSE 0 END) AS BIGINT)
+               AS n_words,
+           CAST(SUM(CASE WHEN v >= 8 THEN 5 * v ELSE 0 END) AS BIGINT)
+               AS n_chars,
+           md5(coalesce(string_agg(
+               CASE WHEN v >= 8
+                    THEN rtrim(repeat('data ', CAST(v AS INT))) || '.'
+               END, chr(10) ORDER BY i), '')) AS text_md5
+    FROM (
+        SELECT doc_id, g.i,
+               ('0x' || substr(md5('mh|' || CAST(doc_id AS VARCHAR)),
+                               g.i, 1))::BIGINT AS v
+        FROM documents,
+             (SELECT unnest(generate_series(1, 16)) AS i) g
+        WHERE doc_id < {HTML_PROFILE_DOCS}
+    ) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("html_extraction_stats", oracle=_HTML_EXTRACTION_ORACLE)
+def html_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction hash-certified END TO END — the corpus
+    pipeline's front half (VERDICT r12 item 1b/1c). Real HTML is
+    assembled in-plan from the md5 generating formula (JVM-side
+    concat/repeat, whole-stage codegen), pushed through the
+    PRODUCTION operators/html_text.extract_html_text (stdlib
+    HTMLParser block segmentation + jusText-style link-density /
+    short-block classification inside one Arrow batch stage), and
+    the per-doc block counts, content word/char sums AND the md5 of
+    the extracted text itself must equal what the DuckDB oracle
+    predicts from the formula ALONE — the oracle never parses HTML,
+    so a MATCH certifies tag-soup parsing, subtree drops (head/
+    script/style/comment), block segmentation, whitespace
+    normalization, both classifier rules, and the newline join in
+    one hash.
+
+    Construction: chrome exercising every drop rule + a link-only
+    nav (constant boilerplate block), then 16 nibble-driven blocks —
+    nibble v >= 8 → content <p> of v 'data' words + '.', v < 8 →
+    link-only <p> of v+1 'lnk' words (link density 1 → boilerplate
+    regardless of length). Content block text is exactly
+    rtrim(repeat('data ', v)) || '.', so n_chars = 5v and the
+    joined-text md5 is oracle-computable with string_agg.
+
+    Scale shape: fixed 20-doc carve pushed to the parquet scan
+    (doc_id-only ReadSchema, the media_decode_profile discipline);
+    extraction is map-only — no shuffle until the final orderBy."""
+    from flight_data_pipeline_spark.operators.html_text import (
+        extract_html_text)
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < HTML_PROFILE_DOCS)
+            .select("doc_id"))
+    h = F.md5(F.concat(F.lit("mh|"), F.col("doc_id").cast("string")))
+    html = (
+        docs.withColumn("h", h)
+        .select("doc_id",
+                F.concat(F.lit(_HTML_HEAD), *_html_block_exprs("h"),
+                         F.lit(_HTML_TAIL)).alias("html"))
+    )
+    ex = extract_html_text(html, "html", "ex")
+    return (
+        ex.select(
+            "doc_id",
+            F.col("ex.n_blocks").alias("n_blocks"),
+            F.col("ex.n_content_blocks").alias("n_content_blocks"),
+            F.col("ex.n_boilerplate_blocks").alias("n_boilerplate_blocks"),
+            F.col("ex.n_words").alias("n_words"),
+            F.col("ex.n_chars").alias("n_chars"),
+            F.md5(F.col("ex.text").cast("binary")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WARC_HEAD_LEN = len(_HTML_HEAD)
+_WARC_TAIL_LEN = len(_HTML_TAIL)
+
+_WARC_EXTRACTION_ORACLE = f"""
+    SELECT doc_id,
+           CAST({_WARC_HEAD_LEN} + {_WARC_TAIL_LEN}
+                + SUM(CASE WHEN v >= 8 THEN 5 * v + 7
+                           ELSE 4 * v + 26 END) AS BIGINT)
+               AS payload_bytes,
+           CAST(COUNT(*) + 1 AS BIGINT)  AS n_blocks,
+           CAST(SUM(CASE WHEN v >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_content_blocks,
+           CAST(SUM(CASE WHEN v >= 8 THEN v ELSE 0 END) AS BIGINT)
+               AS n_words,
+           md5(coalesce(string_agg(
+               CASE WHEN v >= 8
+                    THEN rtrim(repeat('data ', CAST(v AS INT))) || '.'
+               END, chr(10) ORDER BY i), '')) AS text_md5
+    FROM (
+        SELECT doc_id, g.i,
+               ('0x' || substr(md5('mw|' || CAST(doc_id AS VARCHAR)),
+                               g.i, 1))::BIGINT AS v
+        FROM documents,
+             (SELECT unnest(generate_series(1, 16)) AS i) g
+        WHERE doc_id < {HTML_PROFILE_DOCS}
+    ) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("warc_extraction_stats", oracle=_WARC_EXTRACTION_ORACLE)
+def warc_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC → HTTP → HTML → text, hash-certified END TO END — the
+    full corpus-ingest front half in one MATCH (VERDICT r12 item 1a).
+    Per doc, a real .warc.gz file is BUILT in-plan (the mux_mp4_video
+    fixture philosophy: the engine carries the writer its own reader
+    is certified against): the same md5-formula HTML as
+    html_extraction_stats (salt 'mw|'), wrapped as a raw HTTP/1.1
+    response — Transfer-Encoding: chunked when nibble 17 is odd,
+    Content-Encoding: gzip when nibble 18 >= 8, so all four
+    encode-path combinations appear across the carve — framed as a
+    gzip-member WARC record. The PRODUCTION read half
+    (sources/warc_source.parse_warc → parse_http_response: member
+    gunzip, header parse, Content-Length framing, de-chunk, bounded
+    content-decode) recovers the payload, whose LENGTH the oracle
+    predicts in closed form from the nibbles (5v+7 / 4v+26 bytes per
+    block + fixed chrome) — certifying byte-exact recovery through
+    every encoding combination — and the production extractor's
+    stats and text md5 certify the rest of the chain.
+
+    Scale shape identical to the media profiles: fixed 20-doc carve,
+    doc_id-only ReadSchema, one Arrow mapInPandas stage, no shuffle
+    until the final orderBy. Corpus-scale WARC ingest rides
+    read_warc (file = unit of parallelism)."""
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < HTML_PROFILE_DOCS)
+            .select("doc_id"))
+
+    out_schema = (
+        "doc_id long, payload_bytes long, n_blocks long, "
+        "n_content_blocks long, n_words long, text_md5 string")
+
+    def _roundtrip(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from flight_data_pipeline_spark.operators.html_text import (
+            extract_html_text_py)
+        from flight_data_pipeline_spark.sources.warc_source import (
+            build_http_response, parse_http_response, parse_warc,
+            write_warc)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                hx = hashlib.md5(f"mw|{did}".encode()).hexdigest()
+                blocks = []
+                for j in range(16):
+                    v = int(hx[j], 16)
+                    if v >= 8:
+                        blocks.append(
+                            "<p>" + ("data " * v).rstrip() + ".</p>")
+                    else:
+                        blocks.append('<p><a href="#">'
+                                      + ("lnk " * (v + 1)).rstrip()
+                                      + "</a></p>")
+                doc_html = _HTML_HEAD + "".join(blocks) + _HTML_TAIL
+                warc = write_warc([{
+                    "block": build_http_response(
+                        doc_html.encode(),
+                        chunked=int(hx[16], 16) % 2 == 1,
+                        gzip_body=int(hx[17], 16) >= 8),
+                    "target_uri": f"http://docs.example/{did}",
+                }], gzip_members=True)
+                rec = parse_warc(warc)[0]
+                _status, _hh, payload = parse_http_response(
+                    rec["block"])
+                ex = extract_html_text_py(payload)
+                rows.append({
+                    "doc_id": did,
+                    "payload_bytes": len(payload),
+                    "n_blocks": ex["n_blocks"],
+                    "n_content_blocks": ex["n_content_blocks"],
+                    "n_words": ex["n_words"],
+                    "text_md5": hashlib.md5(
+                        ex["text"].encode()).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(_roundtrip, schema=out_schema).orderBy("doc_id")

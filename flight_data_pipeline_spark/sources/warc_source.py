@@ -1,0 +1,366 @@
+"""WARC (Web ARChive, ISO 28500) record source, pure stdlib.
+
+Common Crawl — the corpus every public LLM-data recipe this engine
+implements rules from (C4, Gopher, RefinedWeb, FineWeb) starts at —
+ships as ``.warc.gz`` files: concatenated records, each one an
+INDEPENDENT gzip member, each record a CRLF-header block
+(``WARC/1.x`` version line, ``Name: value`` headers incl. the
+mandatory ``Content-Length``) followed by exactly Content-Length
+block bytes and a ``\\r\\n\\r\\n`` terminator. For ``response``
+records the block is a raw HTTP/1.x response: status line, headers,
+body — possibly ``Transfer-Encoding: chunked`` and/or
+``Content-Encoding: gzip|deflate`` exactly as the origin server sent
+it.
+
+This module is the front half the r12 verdict ranked first:
+
+- ``parse_warc(data)`` — records of one WARC file (plain or .gz).
+- ``read_warc(spark, path)`` — the distributed form: ``binaryFile``
+  lists/distributes the files (the avro_fallback/tar_shards shape:
+  the FILE is the unit of parallelism, per-task memory bounded by
+  one file), each task parses its own records via ``mapInPandas``
+  and emits one row per record with the HTTP payload already
+  de-chunked and content-decoded, ready for
+  operators/html_text.extract_html_text.
+- ``write_warc(records)`` — the test-grade write half (the
+  encode_gif / write_avro_ocf fixture philosophy: no WARC libs in
+  the container, so the engine carries the writer its own reader is
+  certified against).
+
+Decode-time DoS posture (every length here is attacker bytes):
+header blocks are capped, Content-Length is validated against the
+remaining file bytes BEFORE slicing, gzip members inflate through
+the same bounded-decompressobj pattern as avro_fallback (deflate's
+format-inherent ~1032:1 ceiling, so no legal stream is rejected),
+and chunked bodies validate each chunk-size against the remaining
+encoded bytes. Corrupt records raise ValueError — the dead-letter
+contract.
+
+Reference parity: the reference repo reads a JSON API only
+(etl_job.py:35-120); WARC is superset scope — the corpus-ingest
+front half of the public C4 (Raffel 2020 §2.2) / RefinedWeb
+(Penedo 2023 §3.1) pipelines.
+"""
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: per-record WARC/HTTP header-block ceiling (headers are small;
+#: a multi-MiB "header" is a corruption bomb, not a crawl record).
+MAX_HEADER_BYTES = 1 << 20
+
+#: absolute per-member decompressed ceiling — bounds the MEMORY one
+#: legal-but-absurd member could demand (avro_fallback's
+#: DEFLATE_BLOCK_CAP posture).
+GZIP_MEMBER_CAP = 1 << 30
+
+CRLF2 = b"\r\n\r\n"
+
+
+def _bounded_gunzip(data: bytes, start: int) -> tuple[bytes, int]:
+    """Inflate ONE gzip member starting at ``start``; returns
+    (output, end_offset). Output is bounded by min(1032x member-ish
+    slack, GZIP_MEMBER_CAP) — the first term never trips on legal
+    data (raw deflate tops out near 1032:1), the second is a hard
+    memory ceiling."""
+    cap = min(1032 * (len(data) - start) + (1 << 16), GZIP_MEMBER_CAP)
+    d = zlib.decompressobj(wbits=31)          # gzip wrapper
+    out = bytearray()
+    buf: bytes | memoryview = memoryview(data)[start:]
+    try:
+        while True:
+            chunk = d.decompress(buf, 1 << 20)
+            out += chunk
+            if len(out) > cap:
+                raise ValueError(
+                    f"gzip member exceeds the {cap}-byte "
+                    "decompression bound")
+            if d.eof:
+                return bytes(out), len(data) - len(d.unused_data)
+            # max_length can pause with input pending (unconsumed_tail)
+            # or with all input eaten but output buffered (keep
+            # draining on empty input while chunks still arrive)
+            buf = d.unconsumed_tail
+            if not buf and not chunk:
+                raise ValueError("truncated gzip member")
+    except zlib.error as exc:
+        raise ValueError(f"bad gzip member: {exc}") from exc
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """``Name: value`` lines → dict (names lower-cased, last wins);
+    continuation lines (leading SP/HT, RFC 822 folding) append."""
+    headers: dict[str, str] = {}
+    last = None
+    for raw in block.split(b"\r\n"):
+        if not raw:
+            continue
+        line = raw.decode("utf-8", errors="replace")
+        if line[0] in " \t" and last is not None:
+            headers[last] += " " + line.strip()
+            continue
+        name, sep, value = line.partition(":")
+        if not sep:
+            raise ValueError(f"malformed header line {line[:80]!r}")
+        last = name.strip().lower()
+        headers[last] = value.strip()
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked body (RFC 9112 §7.1);
+    every chunk size validates against the remaining encoded bytes
+    before slicing. Trailers are dropped."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("truncated chunked body (no size line)")
+        size_token = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError as exc:
+            raise ValueError(
+                f"bad chunk size {size_token[:16]!r}") from exc
+        if size < 0 or nl + 2 + size + 2 > len(body) + 2:
+            raise ValueError("chunk size exceeds remaining body")
+        if size == 0:
+            return bytes(out)
+        out += body[nl + 2:nl + 2 + size]
+        pos = nl + 2 + size + 2        # skip chunk data + CRLF
+        if pos > len(body):
+            raise ValueError("truncated chunked body")
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict[str, str],
+                                               bytes]:
+    """Raw HTTP/1.x response → (status, headers, decoded body):
+    de-chunks and strips gzip/deflate Content-Encoding (bounded)."""
+    sep = block.find(CRLF2)
+    if sep < 0 or sep > MAX_HEADER_BYTES:
+        raise ValueError("HTTP response without a header terminator")
+    head, body = block[:sep], block[sep + 4:]
+    line_end = head.find(b"\r\n")
+    status_line = head[:line_end if line_end >= 0 else len(head)]
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line {status_line[:40]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError as exc:
+        raise ValueError(
+            f"bad HTTP status {parts[1][:10]!r}") from exc
+    headers = _parse_headers(head[line_end + 2:] if line_end >= 0
+                             else b"")
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").strip().lower()
+    if enc in ("gzip", "x-gzip"):
+        body, _ = _bounded_gunzip(body, 0)
+    elif enc == "deflate":
+        cap = min(1032 * len(body) + (1 << 16), GZIP_MEMBER_CAP)
+        try:
+            # RFC says zlib-wrapped; real servers send raw too
+            try:
+                body = zlib.decompressobj(wbits=15).decompress(body, cap)
+            except zlib.error:
+                body = zlib.decompressobj(wbits=-15).decompress(body, cap)
+        except zlib.error as exc:
+            raise ValueError(f"bad deflate body: {exc}") from exc
+    return status, headers, body
+
+
+def _parse_one_record(data: bytes, pos: int) -> tuple[dict, int]:
+    """One WARC record at ``pos`` of UNCOMPRESSED data →
+    (record dict, next offset past the \\r\\n\\r\\n terminator)."""
+    sep = data.find(CRLF2, pos)
+    if sep < 0:
+        raise ValueError("truncated WARC record (no header block)")
+    if sep - pos > MAX_HEADER_BYTES:
+        raise ValueError("WARC header block exceeds the 1 MiB bound")
+    head = data[pos:sep]
+    nl = head.find(b"\r\n")
+    version = head[:nl if nl >= 0 else len(head)]
+    if not version.startswith(b"WARC/"):
+        raise ValueError(f"bad WARC version line {version[:20]!r}")
+    headers = _parse_headers(head[nl + 2:] if nl >= 0 else b"")
+    try:
+        length = int(headers["content-length"])
+    except KeyError:
+        raise ValueError("WARC record missing Content-Length") from None
+    except ValueError as exc:
+        raise ValueError(
+            f"bad WARC Content-Length "
+            f"{headers['content-length'][:20]!r}") from exc
+    block_start = sep + 4
+    if length < 0 or block_start + length > len(data):
+        raise ValueError(
+            f"WARC Content-Length {length} exceeds remaining bytes")
+    block = data[block_start:block_start + length]
+    end = block_start + length
+    if data[end:end + 4] != CRLF2:
+        raise ValueError("WARC record missing the CRLFCRLF terminator")
+    return {"headers": headers, "block": block}, end + 4
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """All records of one WARC file — plain or .gz (concatenated
+    per-record gzip members, the Common Crawl layout; mixed plain
+    trailing garbage dead-letters). Each dict: ``headers`` (lower-
+    cased name → value) and ``block`` (raw record block bytes)."""
+    records: list[dict] = []
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < len(data):
+            if data[pos:pos + 2] != b"\x1f\x8b":
+                raise ValueError(
+                    f"non-gzip bytes at member boundary {pos}")
+            member, pos = _bounded_gunzip(data, pos)
+            mpos = 0
+            while mpos < len(member):
+                rec, mpos = _parse_one_record(member, mpos)
+                records.append(rec)
+        return records
+    pos = 0
+    while pos < len(data):
+        rec, pos = _parse_one_record(data, pos)
+        records.append(rec)
+    return records
+
+
+#: read_warc output — one row per record; http_* columns are NULL
+#: for non-response records, payload carries the DECODED body for
+#: responses and the raw block otherwise.
+WARC_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("http_content_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC read: one row per record (WARC_SCHEMA).
+
+    binaryFile lists/distributes the ``.warc``/``.warc.gz`` files;
+    each mapInPandas task parses its own files, so per-task memory
+    is bounded by one file and parallelism is the file count — the
+    natural unit (Common Crawl segments are ~1 GiB each; a 100 TB
+    crawl is ~100k files riding the same plan). Corrupt files raise
+    ValueError out of the task (dead-letter; quarantine upstream to
+    skip, the media-tier pattern)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import posixpath
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                base = posixpath.basename(str(fpath))
+                if base.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden markers (Hadoop rule)
+                for rec in parse_warc(bytes(content)):
+                    h = rec["headers"]
+                    wtype = h.get("warc-type")
+                    status = http_ct = None
+                    payload = rec["block"]
+                    if (wtype == "response"
+                            and "msgtype=response"
+                            in h.get("content-type", "")):
+                        status, hh, payload = parse_http_response(
+                            rec["block"])
+                        http_ct = hh.get("content-type")
+                    rows.append({
+                        "path": str(fpath),
+                        "record_id": h.get("warc-record-id"),
+                        "warc_type": wtype,
+                        "target_uri": h.get("warc-target-uri"),
+                        "warc_date": h.get("warc-date"),
+                        "content_type": h.get("content-type"),
+                        "http_status": status,
+                        "http_content_type": http_ct,
+                        "payload": payload,
+                        "n_bytes": len(payload),
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_SCHEMA.fields])
+
+    return files.select("path", "content").mapInPandas(
+        process, schema=WARC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# test-grade writer
+# --------------------------------------------------------------------------
+
+def build_http_response(body: bytes, status: int = 200,
+                        content_type: str = "text/html",
+                        chunked: bool = False,
+                        gzip_body: bool = False) -> bytes:
+    """Raw HTTP/1.1 response bytes for a WARC response block."""
+    if gzip_body:
+        comp = zlib.compressobj(wbits=31)
+        body = comp.compress(body) + comp.flush()
+    lines = [f"HTTP/1.1 {status} OK".encode(),
+             f"Content-Type: {content_type}".encode()]
+    if gzip_body:
+        lines.append(b"Content-Encoding: gzip")
+    if chunked:
+        lines.append(b"Transfer-Encoding: chunked")
+        chunks = [body[i:i + 57] for i in range(0, len(body), 57)]
+        body = b"".join(b"%x\r\n%s\r\n" % (len(c), c) for c in chunks)
+        body += b"0\r\n\r\n"
+    else:
+        lines.append(f"Content-Length: {len(body)}".encode())
+    return b"\r\n".join(lines) + CRLF2 + body
+
+
+def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Records → WARC file bytes (the read half's fixture). Each
+    record dict: ``block`` (bytes) plus optional ``warc_type``
+    (default ``response``), ``record_id``, ``target_uri``,
+    ``warc_date``, ``content_type``. With ``gzip_members`` each
+    record is its own gzip member (the Common Crawl .warc.gz
+    layout)."""
+    out = io.BytesIO()
+    for i, rec in enumerate(records):
+        block = rec["block"]
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: " + rec.get("warc_type", "response").encode(),
+            b"WARC-Record-ID: " + rec.get(
+                "record_id", f"<urn:uuid:{i:032x}>").encode(),
+            b"WARC-Date: " + rec.get(
+                "warc_date", "2026-01-01T00:00:00Z").encode(),
+            b"Content-Length: " + str(len(block)).encode(),
+        ]
+        if "target_uri" in rec:
+            headers.append(
+                b"WARC-Target-URI: " + rec["target_uri"].encode())
+        ct = rec.get("content_type",
+                     "application/http;msgtype=response"
+                     if rec.get("warc_type", "response") == "response"
+                     else "application/octet-stream")
+        headers.append(b"Content-Type: " + ct.encode())
+        raw = b"\r\n".join(headers) + CRLF2 + block + CRLF2
+        if gzip_members:
+            comp = zlib.compressobj(wbits=31)
+            out.write(comp.compress(raw) + comp.flush())
+        else:
+            out.write(raw)
+    return out.getvalue()

@@ -512,3 +512,204 @@ class TestTarShards:
             .collect())
         assert len(groups) == 1          # one pixel-identical group
         assert groups[0].n_copies == 2   # found across containers
+
+
+class TestWarcSource:
+    """WARC (ISO 28500) front half — sources/warc_source.py: record
+    framing, gzip-member layout, HTTP payload decode (chunked +
+    content-encoding), the distributed read, and the decode-DoS
+    bounds (every length in a crawl file is attacker bytes)."""
+
+    HTML = (b"<html><body><p>hello corpus world of text.</p>"
+            b"</body></html>")
+
+    def _records(self):
+        from flight_data_pipeline_spark.sources.warc_source import (
+            build_http_response)
+
+        return [
+            {"block": build_http_response(self.HTML),
+             "target_uri": "http://a.example/"},
+            {"block": build_http_response(self.HTML, chunked=True),
+             "target_uri": "http://b.example/"},
+            {"block": build_http_response(self.HTML, gzip_body=True),
+             "target_uri": "http://c.example/"},
+            {"block": build_http_response(self.HTML, chunked=True,
+                                          gzip_body=True),
+             "target_uri": "http://d.example/"},
+            {"block": b"software: test\r\n", "warc_type": "warcinfo"},
+        ]
+
+    def test_roundtrip_plain_and_gz_members(self):
+        from flight_data_pipeline_spark.sources.warc_source import (
+            parse_http_response, parse_warc, write_warc)
+
+        for gz in (False, True):
+            out = parse_warc(write_warc(self._records(),
+                                        gzip_members=gz))
+            assert len(out) == 5
+            assert [r["headers"]["warc-type"] for r in out] == (
+                ["response"] * 4 + ["warcinfo"])
+            for rec in out[:4]:
+                status, hh, payload = parse_http_response(rec["block"])
+                assert status == 200
+                assert payload == self.HTML
+                assert hh["content-type"] == "text/html"
+            assert out[4]["block"] == b"software: test\r\n"
+
+    def test_read_warc_distributed(self, spark, tmp_path):
+        """binaryFile → mapInPandas: one row per record, response
+        payloads decoded, warcinfo rows carried with NULL http
+        columns, _SUCCESS markers skipped."""
+        import os
+
+        from flight_data_pipeline_spark.sources.warc_source import (
+            read_warc, write_warc)
+
+        p = str(tmp_path / "crawl")
+        os.makedirs(p)
+        recs = self._records()
+        with open(os.path.join(p, "seg-0.warc.gz"), "wb") as f:
+            f.write(write_warc(recs[:3], gzip_members=True))
+        with open(os.path.join(p, "seg-1.warc"), "wb") as f:
+            f.write(write_warc(recs[3:], gzip_members=False))
+        with open(os.path.join(p, "_SUCCESS"), "wb") as f:
+            f.write(b"")
+        df = read_warc(spark, p)
+        rows = {(r.target_uri, r.warc_type): r for r in df.collect()}
+        assert len(rows) == 5
+        for uri in ("http://a.example/", "http://b.example/",
+                    "http://c.example/", "http://d.example/"):
+            r = rows[(uri, "response")]
+            assert bytes(r.payload) == self.HTML
+            assert r.http_status == 200
+            assert r.n_bytes == len(self.HTML)
+            assert r.http_content_type == "text/html"
+        info = rows[(None, "warcinfo")]
+        assert info.http_status is None
+        assert bytes(info.payload) == b"software: test\r\n"
+
+    def test_malformed_records_dead_letter(self):
+        import zlib
+
+        import pytest
+
+        from flight_data_pipeline_spark.sources.warc_source import (
+            build_http_response, parse_http_response, parse_warc,
+            write_warc)
+
+        good = write_warc(self._records()[:1], gzip_members=False)
+        # Content-Length beyond the file
+        bad = good.replace(b"Content-Length: ",
+                           b"Content-Length: 9999", 1)
+        with pytest.raises(ValueError, match="Content-Length"):
+            parse_warc(bad)
+        # missing terminator
+        with pytest.raises(ValueError, match="terminator"):
+            parse_warc(good[:-2])
+        # not a WARC version line
+        with pytest.raises(ValueError, match="version"):
+            parse_warc(b"HTTP/1.0 200\r\n\r\n")
+        # garbage between gzip members
+        gz = write_warc(self._records()[:1], gzip_members=True)
+        with pytest.raises(ValueError, match="member boundary"):
+            parse_warc(gz + b"JUNK" + gz)
+        # truncated chunked body
+        blk = build_http_response(self.HTML, chunked=True)
+        with pytest.raises(ValueError, match="chunk"):
+            parse_http_response(blk[:-12])
+        # decompression bomb: a tiny deflate member claiming huge
+        # output dead-letters at the bound instead of materializing
+        bomb_raw = b"\x00" * (1 << 22)
+        comp = zlib.compressobj(wbits=31)
+        member = comp.compress(bomb_raw) + comp.flush()
+        body = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+                b"Content-Length: %d\r\n\r\n" % len(member)) + member
+        # legal 1032x is allowed — this one is ~4 MiB from ~4 KiB,
+        # within deflate's ceiling, so it must DECODE fine
+        status, _hh, payload = parse_http_response(body)
+        assert payload == bomb_raw
+
+    def test_http_headers_fold_and_last_wins(self):
+        from flight_data_pipeline_spark.sources.warc_source import (
+            _parse_headers)
+
+        h = _parse_headers(b"A: one\r\n two\r\nB: x\r\nb: y\r\n")
+        assert h["a"] == "one two"
+        assert h["b"] == "y"
+
+
+class TestHtmlTextExtraction:
+    """operators/html_text.py — block segmentation, subtree drops,
+    the two classifier rules, whitespace normalization, and the
+    dead-letter bounds."""
+
+    def test_extraction_rules(self):
+        from flight_data_pipeline_spark.operators.html_text import (
+            extract_html_text_py)
+
+        html = """<html><head><title>T</title>
+        <script>var a = '<p>not text</p>';</script>
+        <style>p { color: red }</style></head><body>
+        <!-- navigation -->
+        <nav><a href="/">home about contact pages</a></nav>
+        <p>one two three four five six.</p>
+        <div>alpha&amp;beta gamma delta</div>
+        <p><a href="#">read more</a></p>
+        <p>hi</p>
+        <ul><li>first item text here</li><li>x</li></ul>
+        </body></html>"""
+        r = extract_html_text_py(html)
+        # content: the 6-word <p>, the entity div, the 4-word li
+        assert r["n_content_blocks"] == 3
+        assert "one two three four five six." in r["text"]
+        assert "alpha&beta gamma delta" in r["text"]
+        assert "first item text here" in r["text"]
+        # boilerplate: nav (link density 1), link-only p, short p,
+        # short li
+        assert r["n_boilerplate_blocks"] == 4
+        assert r["n_blocks"] == 7
+        assert "read more" not in r["text"]
+        assert "not text" not in r["text"]
+        assert r["n_words"] == 6 + 3 + 4
+        lines = r["text"].split("\n")
+        assert len(lines) == 3
+
+    def test_tag_soup_tolerance_and_br_splits(self):
+        from flight_data_pipeline_spark.operators.html_text import (
+            extract_html_text_py)
+
+        # unclosed tags, stray closers, <br> as block break
+        html = ("<div>first real sentence here<br>second real "
+                "sentence here</p></style><p>third real sentence "
+                "goes here")
+        r = extract_html_text_py(html)
+        assert r["n_content_blocks"] == 3
+        assert r["n_blocks"] == 3
+
+    def test_bytes_input_and_dead_letters(self):
+        import pytest
+
+        from flight_data_pipeline_spark.operators import html_text
+
+        r = html_text.extract_html_text_py(
+            "<p>élève text here okay</p>".encode())
+        assert "élève" in r["text"]
+        with pytest.raises(ValueError, match="undecodable"):
+            html_text.extract_html_text_py(b"<p>\xff\xfe bad</p>")
+        big = b"x" * (html_text.MAX_HTML_BYTES + 1)
+        with pytest.raises(ValueError, match="bound"):
+            html_text.extract_html_text_py(big)
+
+    def test_dataframe_operator_null_passthrough(self, spark):
+        from flight_data_pipeline_spark.operators.html_text import (
+            extract_html_text)
+
+        df = spark.createDataFrame(
+            [(1, "<p>real content sentence here.</p>"), (2, None)],
+            "id long, html string")
+        out = {r.id: r.ex for r in
+               extract_html_text(df, "html", "ex").collect()}
+        assert out[1].n_content_blocks == 1
+        assert out[1].text == "real content sentence here."
+        assert out[2].text is None and out[2].n_blocks is None

@@ -603,3 +603,16 @@ def test_media_gif_and_audio_profiles_share_the_scan_discipline(spark):
                 in plan), q
         assert "ReadSchema: struct<doc_id:bigint>" in plan, q
         assert "text" not in plan.split("ReadSchema")[1][:200], q
+
+
+def test_html_and_warc_extraction_share_the_scan_discipline(spark):
+    """The r13 corpus-front-half certification queries keep the media
+    profile scan shape: 20-doc carve pushed to the parquet scan,
+    doc_id-only ReadSchema, HTML/WARC payloads synthesized in-plan —
+    neither can silently become a full documents scan."""
+    for q in ("html_extraction_stats", "warc_extraction_stats"):
+        plan = plan_of(spark, q)
+        assert ("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)"
+                in plan), q
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, q
+        assert "text" not in plan.split("ReadSchema")[1][:200], q
