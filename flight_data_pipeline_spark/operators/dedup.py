@@ -269,8 +269,14 @@ def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
     return inter / union
 
 
-def simhash64(text_tokens: Column) -> Column:
-    """64-bit SimHash: per-token xxhash64, bitwise majority vote.
+def simhash64(text_tokens: Column, token_hash=None) -> Column:
+    """64-bit SimHash: per-token hash, bitwise majority vote.
+
+    ``token_hash`` maps a token Column to a 64-bit long Column;
+    default is xxhash64 (the production hash — fastest, JVM-side).
+    Passing an oracle-replicable hash (e.g. an md5-prefix long, the
+    simhash_buckets certification) changes only the hash primitive —
+    the vote fold under test is identical.
 
     Pure column expressions: fold the token-hash array once per bit
     group using aggregate+transform (bit i extracted by shift/mask,
@@ -283,11 +289,16 @@ def simhash64(text_tokens: Column) -> Column:
     1.5× slower (3.0 s vs 1.95 s, sf0.1). Minhash's HOF problem was
     per-band *recompute*; this fold is a single linear pass, so the
     aggregate rewrite only added a shuffle."""
+    if token_hash is None:
+        # wrapped: xxhash64 is *args-variadic, which the HOF lambda
+        # plumbing rejects as a direct callback
+        def token_hash(t):
+            return F.xxhash64(t)
     # bit masks as a literal array (bit 63 is the sign bit of a long)
     masks = F.array(*[
         F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)
     ])
-    hashes = F.transform(text_tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(text_tokens, token_hash)
     zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
     # one pass over tokens: votes[i] += bit_i(h) ? +1 : -1
     votes = F.aggregate(

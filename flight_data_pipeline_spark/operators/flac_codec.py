@@ -283,17 +283,20 @@ def _decode_flac_pcm(payload: bytes):
     # Decode-time DoS bound (r11 advice): a ~20-byte constant-subframe
     # frame legally encodes 65536 samples x 8 channels and the CRCs are
     # attacker-computable, so accumulated samples must be bounded
-    # BEFORE each frame decodes, not after the loop. With STREAMINFO
-    # total known the bound is exact (spec: frames never overshoot it);
-    # when total is 0/unknown it derives from the payload size (a legal
-    # frame costs >= ~12 header+CRC bytes for <= 65536 samples).
+    # BEFORE each frame decodes, not after the loop. STREAMINFO's
+    # 36-bit total is itself attacker-controlled (r12 advice: a
+    # declared total of 2^36-1 reopened the bomb), so a nonzero total
+    # only ever TIGHTENS the payload-derived bound, never replaces it:
+    # a legal frame costs >= ~12 header+CRC bytes for <= 65536
+    # samples, so (len/12 + 1) * 65536 never rejects a legal stream.
     # Unknown-total streams additionally hit a fixed 2^24 per-channel
     # ceiling: the payload-derived term tracks the format's legal
     # silence-compression maximum (~5461 samples/byte/channel), which
     # for a ~100 KB crafted payload is still billions of list ints —
     # and every real container (and the in-repo encoder) writes total.
-    sample_cap = total if total else min(
-        (len(payload) // 12 + 1) * 65536, 1 << 24)
+    payload_cap = (len(payload) // 12 + 1) * 65536
+    sample_cap = (min(total, payload_cap) if total
+                  else min(payload_cap, 1 << 24))
     while pos < len(payload):
         br = _Bits(payload, pos)
         if br.read(14) != 0x3FFE:

@@ -289,6 +289,26 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
 # other implementations is untested; the Qe table, context layout,
 # byte stuffing and carry conventions follow the public spec).
 
+#: Decode-DoS bound for arithmetic scans, in coded units per entropy
+#: byte. Format floor: the cheapest QM decision is an MPS at
+#: Qe=0x0001 (~1/32767 bit amortized per renormalization), and a
+#: coded unit needs >= 1 decision, so a legal stream never exceeds
+#: 8 * 32767 units/byte. Anything above that is a corrupt-SOF
+#: dimension bomb; anything at or below can be a legal flat image.
+_ARITH_UNITS_PER_BYTE = 8 * 32767
+
+#: Absolute per-scan coded-unit ceiling, the DEFLATE_BLOCK_CAP
+#: posture: the ratio bound above is format-exact but admits ~262k
+#: units of WORK per entropy byte — a ~300-byte crafted stream can
+#: declare a 65535x65535 frame (67M units) that sits UNDER the ratio
+#: bound and spins the pure-python decoder for hours (r13, found
+#: converting the r12-advice bound fix). 2^19 units is ~33 Mpixel
+#: for a one-component scan (an 8K video frame fits); a single JPEG
+#: payload declaring more is decode-bombing a corpus task, not a
+#: crawl image, and dead-letters. Production beyond this size
+#: injects a native decoder at the multimodal seam.
+_MAX_SCAN_UNITS = 1 << 19
+
 #: T.81 Table D.3 (Qe, NMPS, NLPS, SWITCH); index 113 is the fixed
 #: ~equiprobable bin (never adapts) used for AC coefficient signs.
 _QE = (
@@ -746,21 +766,28 @@ def _decode_sequential_arith(sel, comps, coef, mcus_x, mcus_y, h_img,
     """Sequential arithmetic scan body: the same _scan_units MCU walk
     as the Huffman path, entropy decisions through the QM decoder.
     Each restart segment is an independent coder with fresh statistics
-    (F.1.4.0). Unit bound: a QM decision costs >= ~1/588 bit at the
-    most-skewed Qe state, so ~2400 blocks/byte is the format's legal
-    ceiling — 8192 units/byte bounds corrupt SOF dimension bombs
-    without touching any legal stream."""
-    avail_units = 8192 * sum(len(s) for s in segments) + 4096
+    (F.1.4.0). Unit bound: at the most-skewed Qe state (0x0001) an MPS
+    decision costs ~1/32767 bit amortized, and a coded unit needs at
+    least one decision, so the format's legal ceiling is
+    ~8*32767 units/byte — _ARITH_UNITS_PER_BYTE bounds corrupt SOF
+    dimension bombs without rejecting any legal stream (flat images
+    legally reach ~131k units/byte; r12 used 8192 and rejected the
+    repo's own flat-image encoder output)."""
+    avail_units = min(
+        _ARITH_UNITS_PER_BYTE * sum(len(s) for s in segments) + 4096,
+        _MAX_SCAN_UNITS)
+    if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img, w_img,
+                        hmax, vmax) > avail_units:
+        # checked BEFORE any decode work — O(1) bomb rejection
+        raise ValueError(
+            "JPEG arithmetic scan declares more coded units than "
+            "its entropy data can carry")
     seg_idx = 0
     dec = _QmDecoder(segments[0])
     stats = _ArithStats(len(comps))
     ids = {ci: (d, a) for ci, d, a in sel}
     for uidx, blocks in enumerate(_scan_units(
             sel, comps, mcus_x, mcus_y, h_img, w_img, hmax, vmax)):
-        if uidx >= avail_units:
-            raise ValueError(
-                "JPEG arithmetic scan declares more coded units than "
-                "its entropy data can carry")
         if restart_interval and uidx and uidx % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
@@ -793,15 +820,23 @@ def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
 
     Statistics reset per scan and per restart segment; conditioning
     is the SOS-time snapshot (a DAC between scans only affects later
-    scans, r12 review). Same
-    8192-units/byte corruption bound as the sequential scan."""
+    scans, r12 review). Same _ARITH_UNITS_PER_BYTE corruption bound
+    as the sequential scan."""
     for sel, ss, se, ah, al, rst, segments, dc_cond, ac_cond in scans:
         if len(sel) > 1 and ss != 0:
             raise ValueError("progressive AC scan must be "
                              "single-component")
         if ss == 0 and se != 0:
             raise ValueError("progressive DC scan with Se>0")
-        avail_units = 8192 * sum(len(s) for s in segments) + 4096
+        avail_units = min(
+            _ARITH_UNITS_PER_BYTE * sum(len(s) for s in segments)
+            + 4096, _MAX_SCAN_UNITS)
+        if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img, w_img,
+                            hmax, vmax) > avail_units:
+            # checked BEFORE any decode work — O(1) bomb rejection
+            raise ValueError(
+                "JPEG arithmetic scan declares more coded units "
+                "than its entropy data can carry")
         seg_idx = 0
         dec = _QmDecoder(segments[0])
         stats = _ArithStats(len(comps))
@@ -809,10 +844,6 @@ def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
         p1 = 1 << al
         for uidx, blocks in enumerate(_scan_units(
                 sel, comps, mcus_x, mcus_y, h_img, w_img, hmax, vmax)):
-            if uidx >= avail_units:
-                raise ValueError(
-                    "JPEG arithmetic scan declares more coded units "
-                    "than its entropy data can carry")
             if rst and uidx and uidx % rst == 0:
                 seg_idx += 1
                 if seg_idx >= len(segments):
@@ -837,6 +868,23 @@ def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
                 else:                # AC refinement
                     _arith_decode_ac_refine(dec, stats, blk, atbl,
                                             ss, se, al)
+
+
+def _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img, w_img,
+                     hmax, vmax) -> int:
+    """Number of units _scan_units will yield — computed UPFRONT so
+    corruption-inflated SOF dimensions dead-letter in O(1) instead of
+    spinning through millions of zero-fed block decodes before the
+    in-loop bound trips (r13: the r12-advice bound correction made
+    the legal units/byte ceiling 32× larger, which turned the old
+    iterate-until-the-bound rejection into a multi-minute spin)."""
+    if len(sel) > 1:
+        return mcus_x * mcus_y
+    ci = sel[0][0]
+    _, hi, vi, _ = comps[ci]
+    cw = -(-(w_img * hi) // hmax)
+    ch = -(-(h_img * vi) // vmax)
+    return (-(-ch // 8)) * (-(-cw // 8))
 
 
 def _scan_units(sel, comps, mcus_x, mcus_y, h_img, w_img, hmax, vmax):
@@ -894,6 +942,18 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
             return _scan_units(sel, comps, mcus_x, mcus_y,
                                h_img, w_img, hmax, vmax)
 
+        # corruption-inflated SOF dimensions dead-letter in O(1)
+        # (r13, closing the gap the sequential/lossless paths closed
+        # in r11): the cheapest legal progressive unit coverage is an
+        # EOB-run — EOBn(14) covers 32767 units in ~16 bits, ~16k
+        # units/byte — so 2^16 units/byte never rejects legal data
+        if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img, w_img,
+                            hmax, vmax) > min(
+                65536 * sum(len(s) for s in segments) + 4096,
+                _MAX_SCAN_UNITS):
+            raise ValueError(
+                "JPEG progressive scan declares more coded units "
+                "than its entropy data can carry")
         seg_idx = 0
         br = _BitReader(segments[0])
         preds = [0] * len(comps)
@@ -1316,10 +1376,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 continue
             # every coded block costs ≥2 Huffman bits (DC symbol +
             # EOB), so units beyond the scan's bit budget mean the
-            # SOF dimensions are corruption-inflated — bound the loop
-            # instead of spinning through billions of zero-bit units
-            # (r11 review; the lossless path carries the same bound)
-            avail_units = 4 * sum(len(s) for s in segments) + 8
+            # SOF dimensions are corruption-inflated — checked against
+            # the DECLARED unit count upfront (r11 review bound, made
+            # O(1) in r13), never by spinning through zero-bit units
+            avail_units = min(
+                4 * sum(len(s) for s in segments) + 8,
+                _MAX_SCAN_UNITS)
+            if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img,
+                                w_img, hmax, vmax) > avail_units:
+                raise ValueError(
+                    "JPEG scan declares more coded units than its "
+                    "entropy data can carry")
             seg_idx = 0
             br = _BitReader(segments[0])
             preds = [0] * len(comps)
@@ -1327,10 +1394,6 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for uidx, blocks in enumerate(_scan_units(
                     sel, comps, mcus_x, mcus_y, h_img, w_img,
                     hmax, vmax)):
-                if uidx >= avail_units:
-                    raise ValueError(
-                        "JPEG scan declares more coded units than its "
-                        "entropy data can carry")
                 if restart_interval and uidx \
                         and uidx % restart_interval == 0:
                     seg_idx += 1
@@ -2228,6 +2291,13 @@ def _scan_jpeg_segments(jpeg: bytes):
     while i + 4 <= len(jpeg):
         if jpeg[i] != 0xFF:
             raise ValueError(f"expected marker at {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
+        # marker; "FF FF C4" is a legal DHT (r12 advice read the
+        # second FF as the marker and a bogus length).
+        while i + 4 <= len(jpeg) and jpeg[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(jpeg):
+            break
         marker = jpeg[i + 1]
         ln = struct.unpack_from(">H", jpeg, i + 2)[0]
         if ln < 2 or i + 2 + ln > len(jpeg):

@@ -553,7 +553,21 @@ def mux_mp4_video(frames: list[bytes], codec: bytes = b"jpeg",
     mdat = box(b"mdat", b"".join(frames))
     chunk_off = len(ftyp) + 8          # first frame byte inside mdat
 
-    stsd = full(b"stsd", struct.pack(">I", 1) + box(codec, b"\x00" * 16))
+    # Spec-sized VisualSampleEntry (ISO 14496-12 §12.1.3, 78-byte
+    # body; r12 advice: a 16-zero-byte entry malformed the file for
+    # external parsers): SampleEntry header + pre_defined/reserved,
+    # width/height 0 (unknown — the coded units carry their own
+    # dimensions for the jpeg/mjpa fourccs this writer targets),
+    # 72 dpi fixed-point resolutions, frame_count 1, empty
+    # compressorname, depth 24, pre_defined -1.
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)      # data_ref_index
+             + struct.pack(">HH", 0, 0) + b"\x00" * 12
+             + struct.pack(">HH", 0, 0)              # width, height
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1)
+             + b"\x00" * 32
+             + struct.pack(">Hh", 0x0018, -1))
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(codec, entry))
     stts = full(b"stts", struct.pack(">III", 1, len(frames), frame_dur))
     stsc = full(b"stsc", struct.pack(">IIII", 1, 1, len(frames), 1))
     stsz = full(b"stsz", struct.pack(">II", 0, len(frames))
@@ -569,5 +583,18 @@ def mux_mp4_video(frames: list[bytes], codec: bytes = b"jpeg",
     mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale,
                                      len(frames) * frame_dur, 0, 0))
     mdia = box(b"mdia", mdhd + hdlr + minf)
-    moov = box(b"moov", box(b"trak", mdia))
+    dur = len(frames) * frame_dur
+    unity = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                        0, 0, 0x40000000)
+    # v0 tkhd, flags=3 (enabled+in-movie); width/height 0 match stsd
+    tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0)
+                + struct.pack(">I", dur) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0) + unity
+                + struct.pack(">II", 0, 0), flags=3)
+    # v0 mvhd: movie timescale = track timescale, next_track_ID = 2
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, dur)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + b"\x00" * 8 + unity + b"\x00" * 24
+                + struct.pack(">I", 2))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
     return ftyp + mdat + moov

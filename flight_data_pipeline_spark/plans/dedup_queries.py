@@ -495,18 +495,66 @@ def dedup_survivors_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_buckets")  # xxhash64 ⇒ rows-only
+_SB_VOTES_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(60))
+_SB_SIG_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(60))
+
+
+@query(
+    "simhash_buckets",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, {_SB_VOTES_SQL}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, {_SB_SIG_SQL} AS simhash
+        FROM votes
+    )
+    SELECT simhash >> 48 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS doc_ids
+    FROM sig GROUP BY bucket HAVING COUNT(*) > 1 ORDER BY bucket
+    """,
+)
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints bucketed by 16-bit prefix — the constant-
     size-signature dedup tier (one long per doc vs minhash's array).
     Output: buckets with >1 doc, i.e. hamming-near candidates sharing
-    a prefix. Rows-only (xxhash64). doc_ids is serialized to a sorted
-    comma-joined string (the nations_per_region pattern) — array columns
-    crash the driver's pandas canonicalizer."""
+    a prefix. doc_ids is serialized to a sorted comma-joined string
+    (the nations_per_region pattern) — array columns crash the
+    driver's pandas canonicalizer.
+
+    PROMOTED rows-only → hash-checked (r13, VERDICT r12 item 6): the
+    simhash_md5_fingerprints recipe extended to the exact bucket
+    assignment. Token hashes are md5-prefix 60-bit longs both engines
+    compute identically (bits 60-63 of every hash are 0, so those
+    fingerprint bits vote negative and the 16-bit prefix carries 12
+    effective bits — same bucketing semantics), which certifies the
+    PRODUCTION simhash64 vote fold (operators/dedup.py HOF pass — the
+    logic under test; only the token-hash primitive differs from the
+    xxhash64 production default) and the full bucket → members map in
+    one value hash. Plan shape unchanged: map-side fold, one |docs|
+    aggregate shuffle."""
     docs = load_table(spark, "documents", sf_dir)
+    md5_hash = (lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                .cast("long"))
     sh = docs.select(
         "doc_id",
-        simhash64(tokens(F.col("text"))).alias("simhash"),
+        simhash64(tokens(F.col("text")), token_hash=md5_hash)
+        .alias("simhash"),
     )
     bucket = F.shiftrightunsigned("simhash", 48).alias("bucket")
     return (
@@ -517,6 +565,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
+        .orderBy("bucket")
     )
 
 

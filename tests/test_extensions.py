@@ -4826,3 +4826,113 @@ class TestChunkIntegrity:
             for c in chunks[1:]:
                 rebuilt.extend(c[overlap:])
             assert rebuilt == toks
+
+
+class TestRound13AdviceRegressions:
+    """Pins for the four r12-advice findings: the arithmetic-scan unit
+    bound must admit legal flat images (the format floor is ~1/32767
+    bit per QM decision, not ~1/588), the FLAC sample cap must not
+    trust the attacker-controlled STREAMINFO total, the interchange
+    segment walker must skip T.81 B.1.1.2 fill bytes, and the MP4 mux
+    write-half must emit a structurally conforming moov."""
+
+    def test_flat_image_arithmetic_roundtrip_seq_and_prog(self):
+        """A flat 3072x3072 image encodes to ~100 bytes but legally
+        carries 147k coded units — the r12 8192-units/byte bound
+        rejected the repo's own encoder output (advice, high)."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        img = np.full((3072, 3072), 128, np.uint8)
+        seq = encode_jpeg(img, arithmetic=True)
+        assert len(seq) < 1024  # stays a tiny stream
+        assert np.array_equal(decode_jpeg(seq)[:, :, 0], img)
+        prog = encode_jpeg_progressive(img, arithmetic=True)
+        assert np.array_equal(decode_jpeg(prog)[:, :, 0], img)
+
+    def test_arith_unit_bound_still_rejects_dimension_bombs(self):
+        """Corrupt SOF dimensions beyond the format's legal
+        units-per-byte ceiling still dead-letter."""
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg)
+
+        data = bytearray(encode_jpeg(
+            np.full((8, 8), 128, np.uint8), arithmetic=True))
+        i = data.index(b"\xff\xc9")  # SOF9
+        # declare 65000x65000 (>66e6 units) against ~6 entropy bytes
+        struct.pack_into(">HH", data, i + 5, 65000, 65000)
+        with pytest.raises(ValueError, match="more coded units"):
+            decode_jpeg(bytes(data))
+
+    def test_flac_sample_cap_ignores_crafted_streaminfo_total(self):
+        """STREAMINFO total is attacker bytes: declaring 2^36-1 must
+        not widen the payload-derived bound (advice, medium). The
+        crafted stream dead-letters instead of allocating billions of
+        ints; the untouched stream still round-trips."""
+        import numpy as np
+        import pytest
+
+        from flight_data_pipeline_spark.operators.flac_codec import (
+            decode_flac, encode_flac)
+
+        sig = np.clip((np.sin(np.arange(4000) / 30) * 12000), -32768,
+                      32767).astype(np.int32)
+        enc = bytearray(encode_flac(sig))
+        # STREAMINFO body at offset 8; total = low nibble of body[13]
+        # + body[14:18] (after 108 bits of min/max blocksize+frame,
+        # rate, channels, bps)
+        enc[8 + 13] |= 0x0F
+        enc[8 + 14:8 + 18] = b"\xff\xff\xff\xff"
+        with pytest.raises(ValueError):
+            decode_flac(bytes(enc))
+
+    def test_segment_walker_skips_fill_bytes(self):
+        """T.81 B.1.1.2: 0xFF fill bytes may pad any marker — 'FF FF
+        C4' is a legal DHT, not marker 0xFF (advice, low)."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            _scan_jpeg_segments, encode_jpeg)
+
+        j = encode_jpeg(np.full((16, 16), 10, np.uint8))
+        i = j.index(b"\xff\xdb")
+        padded = j[:i] + b"\xff\xff\xff" + j[i:]
+        segs, scan = _scan_jpeg_segments(padded)
+        ref, ref_scan = _scan_jpeg_segments(j)
+        assert segs == ref and scan == ref_scan
+
+    def test_mux_moov_is_structurally_conforming(self):
+        """mux_mp4_video emits mvhd + tkhd and a spec-sized (86-byte)
+        VisualSampleEntry so external parsers see a well-formed moov
+        (advice, low); the in-repo demuxer still round-trips."""
+        import struct
+
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg)
+        from flight_data_pipeline_spark.operators.mp4_demux import (
+            demux_mp4, mux_mp4_video)
+
+        frames = [encode_jpeg(np.full((16, 16), v, np.uint8))
+                  for v in (10, 200)]
+        mp4 = mux_mp4_video(frames, timescale=1000, frame_dur=40)
+        assert b"mvhd" in mp4 and b"tkhd" in mp4
+        # stsd entry: size field (8 header + 78 body) per 14496-12
+        i = mp4.index(b"stsd")
+        entry_size = struct.unpack_from(">I", mp4, i + 12)[0]
+        assert entry_size == 86
+        # mvhd duration = n_frames * frame_dur at the movie timescale
+        m = mp4.index(b"mvhd")
+        ts, dur = struct.unpack_from(">II", mp4, m + 16)
+        assert (ts, dur) == (1000, 80)
+        samples = list(demux_mp4(mp4))
+        assert [s.size for s in samples] == [len(f) for f in frames]
+        assert all(s.codec == "jpeg" for s in samples)

@@ -922,3 +922,39 @@ class TestMinPlusShortestPaths:
              for r in min_plus_shortest_paths(
                  edges, source, iters=2).collect()}
         assert d == {1: 0, 2: 3, 3: 7}
+
+
+class TestSimhash64Defaults:
+    def test_xxhash64_default_and_md5_variant_share_fold_semantics(
+            self, spark):
+        """simhash64's production default stays xxhash64 (r13 made the
+        token hash injectable for the simhash_buckets certification):
+        identical token arrays collide, near-dup arrays are hamming-
+        close, disjoint arrays are not — under BOTH hash primitives."""
+        import pyspark.sql.functions as F
+
+        from flight_data_pipeline_spark.operators.dedup import simhash64
+
+        base = " ".join(f"tok{i}" for i in range(60))
+        near = base.replace("tok7 ", "tok7x ")
+        far = " ".join(f"other{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, near), (4, far)], "id int, t string")
+        md5h = (lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                .cast("long"))
+        out = df.select(
+            "id",
+            simhash64(F.split("t", " ")).alias("xx"),
+            simhash64(F.split("t", " "), token_hash=md5h).alias("m5"),
+        ).collect()
+        r = {row.id: row for row in out}
+        for col in ("xx", "m5"):
+            a, b, c, d = (getattr(r[i], col) for i in (1, 2, 3, 4))
+            assert a == b
+            ham = bin((a ^ c) & ((1 << 64) - 1)).count("1")
+            assert ham <= 16, (col, ham)
+            ham_far = bin((a ^ d) & ((1 << 64) - 1)).count("1")
+            assert ham_far > 16, (col, ham_far)
+        # md5 variant never sets bits 60-63 (60-bit token hashes)
+        for i in (1, 3, 4):
+            assert r[i].m5 >= 0 and r[i].m5 < (1 << 60)
