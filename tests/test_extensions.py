@@ -1160,16 +1160,21 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG not a jpeg")
-        # hierarchical/differential processes route to the injected
-        # decoder; progressive (SOF2) is DECODED since r10, lossless
-        # (SOF3) since r11, arithmetic (SOF9/SOF10) since r12 —
-        # covered by their own test classes
+        # progressive (SOF2) is DECODED since r10, lossless (SOF3)
+        # since r11, arithmetic (SOF9/SOF10) since r12, hierarchical
+        # (DHP/EXP/SOF5/7/13) since r13 — covered by their own test
+        # classes. A differential frame WITHOUT the DHP a hierarchical
+        # stream must open with is malformed (ValueError), while the
+        # still-unimplemented processes (differential-progressive,
+        # arithmetic-lossless) stay on the injected seam.
         sof5 = (b"\xff\xd8" + b"\xff\xc5"
                 + struct.pack(">H", 11)
                 + bytes([8]) + struct.pack(">HH", 8, 8)
                 + bytes([1, 1, 0x11, 0]))
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="DHP"):
             decode_jpeg(sof5)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(sof5.replace(b"\xff\xc5", b"\xff\xc6"))
         # subsampled lossless stays on the injected path too
         sof3_sub = (b"\xff\xd8" + b"\xff\xc3"
                     + struct.pack(">H", 11)
@@ -4936,3 +4941,138 @@ class TestRound13AdviceRegressions:
         samples = list(demux_mp4(mp4))
         assert [s.size for s in samples] == [len(f) for f in frames]
         assert all(s.codec == "jpeg" for s in samples)
+
+
+class TestHierarchicalJpeg:
+    """Hierarchical JPEG (T.81 Annex J, VERDICT r12 item 3): DHP
+    pyramids, EXP reference expansion, differential sequential
+    (SOF5 Huffman / SOF13 arithmetic) and differential lossless
+    (SOF7) frames. Pinned the SOF3/SOF9 way — encoder round-trip
+    parity, no hierarchical sample files exist in this container."""
+
+    def test_exp_upsample_follows_J112(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            _exp_upsample)
+
+        p = np.array([[0, 10, 255]], np.int64)
+        out = _exp_upsample(p, 1, 0)
+        # even samples copy; odd = rounded neighbor mean; edge
+        # replicates
+        assert out.tolist() == [[0, 5, 10, 133, 255, 255]]
+        out = _exp_upsample(np.array([[0], [10]], np.int64), 0, 1)
+        assert out.tolist() == [[0], [5], [10], [10]]
+
+    def test_levels1_wrapper_matches_plain_decode(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(3)
+        img = np.repeat(np.repeat(
+            rng.integers(0, 32, (3, 5), np.int64) * 8 + 4, 8, 0), 8, 1)
+        dec = decode_jpeg(encode_jpeg_hierarchical(img, levels=1))
+        assert np.array_equal(dec[:, :, 0], img)
+        assert np.array_equal(dec, decode_jpeg(encode_jpeg(img)))
+
+    def test_lossless_final_is_bit_exact_gray(self):
+        """DCT pyramid + one SOF7 correction frame = bit-exact codec,
+        for both entropy coders, across odd geometries and depths."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(7)
+        for shape, levels in (((37, 29), 3), ((8, 8), 2), ((65, 9), 4)):
+            img = rng.integers(0, 256, shape, np.int64)
+            for arith in (False, True):
+                data = encode_jpeg_hierarchical(
+                    img, levels=levels, arithmetic=arith,
+                    lossless_final=True)
+                assert np.array_equal(
+                    decode_jpeg(data)[:, :, 0], img), (shape, arith)
+
+    def test_12bit_lossless_final(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 4096, (17, 23), np.int64)
+        dec = decode_jpeg(encode_jpeg_hierarchical(
+            img, levels=2, lossless_final=True, precision=12))
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_rgb_pyramid_close_to_plain_sequential(self):
+        """3-channel pyramids pass through the lossy YCbCr transform,
+        so pin a tolerance vs the plain sequential decode of the same
+        image (same transform, same quant): the differential frame
+        corrects the EXP interpolation to within DCT rounding."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (24, 16, 3), np.int64)
+        hier = decode_jpeg(encode_jpeg_hierarchical(img, levels=2))
+        base = decode_jpeg(encode_jpeg(img))
+        assert hier.shape == base.shape == (24, 16, 3)
+        assert int(np.abs(hier.astype(np.int64)
+                          - base.astype(np.int64)).max()) <= 4
+
+    def test_4component_lossless_roundtrip(self):
+        """The r12-verdict 'trivial gap': 4-component lossless decodes
+        to the raw stored planes (h, w, 4) bit-exactly."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (9, 13, 4), np.int64)
+        dec = decode_jpeg(encode_jpeg_lossless(img, predictor=4))
+        assert dec.shape == (9, 13, 4)
+        assert np.array_equal(dec.astype(np.int64), img)
+
+    def test_seams_and_malformed_dead_letter(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(19)
+        img = rng.integers(0, 256, (16, 16), np.int64)
+        data = encode_jpeg_hierarchical(img, levels=2)
+
+        # EXP outside a hierarchical stream
+        plain = encode_jpeg(np.full((8, 8), 9, np.uint8))
+        i = plain.find(b"\xff\xdb")
+        with pytest.raises(ValueError, match="EXP"):
+            decode_jpeg(plain[:i] + b"\xff\xdf\x00\x03\x11" + plain[i:])
+        # differential frame without DHP
+        with pytest.raises(ValueError, match="DHP"):
+            decode_jpeg(plain.replace(b"\xff\xc0", b"\xff\xc5"))
+        # progressive frame inside a pyramid stays on the seam
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(data.replace(b"\xff\xc1", b"\xff\xc2", 1))
+        # dimension bomb in the differential frame rejects O(1)
+        i = data.find(b"\xff\xc5")
+        bomb = bytearray(data)
+        struct.pack_into(">HH", bomb, i + 5, 65535, 65535)
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(bomb))
+        # truncation anywhere dead-letters
+        for cut in range(8, len(data) - 1, max(1, len(data) // 25)):
+            try:
+                decode_jpeg(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass
