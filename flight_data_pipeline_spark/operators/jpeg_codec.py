@@ -22,13 +22,17 @@ restart markers, 0xFF00 byte stuffing, and fill bytes
 before markers (header and scan). Four-component Adobe CMYK/YCCK
 (APP14 transform tag, inverted-ink convention, naive separation
 inverse → RGB), Adobe transform-0 RGB decode (r12), 4-component
-LOSSLESS (raw stored planes, the DNG convention, r13), and
-HIERARCHICAL mode (Annex J, r13: DHP pyramids with EXP reference
-expansion, differential sequential SOF5/SOF13 and differential
-lossless SOF7 frames — see ``_decode_hierarchical``). The remaining
-JPEG seam is exactly: differential PROGRESSIVE (SOF6/14),
-arithmetic LOSSLESS (SOF11/15), and subsampled or 4-component
-pyramids — all raise ``NotImplementedError`` for the
+LOSSLESS (raw stored planes, the DNG convention, r13), ARITHMETIC
+LOSSLESS (SOF11, r13: the H.1.2.2 two-gradient QM conditioning
+model — see ``_decode_lossless_arith``), and HIERARCHICAL mode
+(Annex J, r13: DHP pyramids with EXP reference expansion,
+differential sequential SOF5/SOF13, differential PROGRESSIVE
+SOF6/SOF14, and differential lossless SOF7/SOF15 frames — see
+``_decode_hierarchical``). Every T.81 frame type now decodes
+in-container for 1×1-sampled 1/3-component pyramids; the remaining
+JPEG seam is exactly: subsampled or 4-component PYRAMIDS and
+non-differential progressive/lossless FIRST frames inside a
+pyramid — all raise ``NotImplementedError`` for the
 injected-decoder path.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
@@ -884,7 +888,8 @@ def _decode_sequential_huffman(sel, comps, coef, mcus_x, mcus_y,
 
 
 def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
-                              h_img, w_img, hmax, vmax) -> None:
+                              h_img, w_img, hmax, vmax,
+                              differential=False) -> None:
     """SOF10 progressive-arithmetic scan decoding (T.81 G.2, r12) —
     the same four scan kinds as the Huffman progressive path, entropy
     decisions through the QM coder:
@@ -937,6 +942,8 @@ def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
                 blk = coef[ci][by, bx]
                 if ss == 0:
                     if ah == 0:      # DC first
+                        if differential:   # PRED = 0 per block (J.1)
+                            stats.last_dc[ci] = 0
                         _arith_decode_dc(dec, stats, ci, dtbl,
                                          dc_cond.get(dtbl, (0, 1)))
                         blk[0] = stats.last_dc[ci] << al
@@ -997,7 +1004,8 @@ def _scan_units(sel, comps, mcus_x, mcus_y, h_img, w_img, hmax, vmax):
 
 
 def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
-                              h_img, w_img, hmax, vmax) -> None:
+                              h_img, w_img, hmax, vmax,
+                              differential=False) -> None:
     """T.81 Annex G progressive (Huffman) scan decoding into the
     shared zigzag coefficient store — the successive-approximation /
     spectral-selection algorithms as in libjpeg's jdphuff.c:
@@ -1062,8 +1070,12 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
                             raise ValueError(
                                 "JPEG scan references missing DHT")
                         t = _decode_symbol(br, dc_lut)
-                        preds[ci] += _extend(br.receive(t), t)
-                        blk[0] = preds[ci] << al
+                        d = _extend(br.receive(t), t)
+                        if differential:   # PRED = 0 per block (J.1)
+                            blk[0] = d << al
+                        else:
+                            preds[ci] += d
+                            blk[0] = preds[ci] << al
                     else:            # DC refinement: one raw bit
                         if br.receive(1):
                             blk[0] |= p1
@@ -1239,6 +1251,198 @@ def _decode_lossless(h: int, w: int, ncomp: int, precision: int,
     return out.astype(dt)
 
 
+# ---------------------------------------------------------------------------
+# Lossless ARITHMETIC coding (SOF11 / differential SOF15, T.81 H.1.2.2):
+# the QM-coder with a two-dimensional conditioning model — the two
+# causal differences Da = Ra - Rc (left column's vertical gradient)
+# and Db = Rb - Rc (above row's horizontal gradient), each classified
+# into the five previous-diff categories of the sequential-DC model
+# (F.1.4.4.1.2, with the DAC (L, U) thresholds), give 5x5 = 25
+# contexts of 4 decision bins (S0/SS/SP/SN), plus TWO
+# magnitude-category trees (X1..X15 + M2..M15 = 29 bins each; the
+# second tree serves the large-|Db| contexts) — 158 bins per
+# component. The per-sample decision tree is the DC-difference tree
+# of F.2.4.1. A difference whose conditioning samples fall outside
+# the plane classifies as zero. Parity posture as for SOF9/SOF10:
+# encoder and decoder are exact inverses pinned by round-trip tests
+# (no arithmetic-lossless sample files or external codecs exist in
+# this container).
+# ---------------------------------------------------------------------------
+
+_LL_STATS_BINS = 158
+_LL_X1_SMALL = 100          # X tree 1: X at +0..14, M at +14..28
+_LL_X1_LARGE = 129          # X tree 2, for large-|Db| contexts
+
+
+def _ll_classify(d: int, lo: int, up: int) -> int:
+    """5-way conditioning classification of a difference — 0 zero,
+    1/2 +/- small, 3/4 +/- large — mirroring the sequential-DC
+    previous-diff classification (magnitude category vs the (L, U)
+    thresholds)."""
+    if d == 0:
+        return 0
+    sign = 1 if d < 0 else 0
+    v = (-d if sign else d) - 1
+    m = 0
+    if v:
+        m = 1
+        while v >> 1:
+            v >>= 1
+            m <<= 1
+    if m < (1 << lo) >> 1:
+        return 0
+    if m > (1 << up) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def _ll_ctx(p, y: int, x: int, lo: int, up: int) -> tuple[int, int]:
+    """(context bin base, X-tree base) for sample (y, x) of stored
+    plane ``p``."""
+    da = db = 0
+    if y > 0 and x > 0:
+        c = int(p[y - 1, x - 1])
+        da = int(p[y, x - 1]) - c
+        db = int(p[y - 1, x]) - c
+    ca = _ll_classify(da, lo, up)
+    cb = _ll_classify(db, lo, up)
+    xbase = _LL_X1_LARGE if cb >= 3 else _LL_X1_SMALL
+    return 4 * (5 * ca + cb), xbase
+
+
+def _ll_arith_decode_diff(dec, st, base: int, xbase: int) -> int:
+    """One prediction difference via the F.2.4.1 decision tree."""
+    if dec.decode(st, base) == 0:
+        return 0
+    sign = dec.decode(st, base + 1)
+    soff = base + 2 + sign
+    m = dec.decode(st, soff)
+    if m:
+        soff = xbase
+        while dec.decode(st, soff):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError(
+                    "arith lossless magnitude overflow")
+            soff += 1
+    v = m
+    moff = soff + 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(st, moff):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _ll_arith_encode_diff(enc, st, base: int, xbase: int,
+                          diff: int) -> None:
+    """Mirror of _ll_arith_decode_diff."""
+    if diff == 0:
+        enc.encode(0, st, base)
+        return
+    enc.encode(1, st, base)
+    sign = 1 if diff < 0 else 0
+    v = -diff if sign else diff
+    enc.encode(sign, st, base + 1)
+    soff = base + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(1, st, soff)
+        m = 1
+        v2 = v
+        soff = xbase
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(1, st, soff)
+            m <<= 1
+            soff += 1
+    enc.encode(0, st, soff)
+    moff = soff + 14
+    while m >> 1:
+        m >>= 1
+        enc.encode(1 if m & v else 0, st, moff)
+
+
+def _ll_arith_sample_bound(n_samples: int, segments) -> None:
+    """O(1) decode-bomb rejection for arithmetic lossless scans:
+    every sample costs >= 1 QM decision at >= ~1/32767 bit, and the
+    absolute ceiling mirrors _MAX_SCAN_UNITS in sample units
+    (64 samples per 8x8-block unit)."""
+    avail = min(
+        _ARITH_UNITS_PER_BYTE * sum(len(s) for s in segments) + 4096,
+        64 * _MAX_SCAN_UNITS)
+    if n_samples > avail:
+        raise ValueError(
+            "lossless arithmetic scan declares more samples than "
+            "its entropy data can carry")
+
+
+def _decode_lossless_arith(h: int, w: int, ncomp: int,
+                           precision: int, scans) -> np.ndarray:
+    """Lossless ARITHMETIC JPEG (SOF11) scan decoding: the
+    _decode_lossless walk (predictors, point transform, mod-65536
+    reconstruction, restart semantics) with the H.1.2.2 QM model
+    above instead of Huffman categories. Statistics and the coder
+    reset at every restart segment (F.1.4.0); prediction resets
+    exactly like the Huffman path (default, then the 1-D predictor
+    for the remainder of the restart row)."""
+    for sel, ss, _se, _ah, al, ri, segments, _dcc, _acc in scans:
+        _ll_arith_sample_bound(h * w * len(sel), segments)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
+    shifts = [0] * ncomp
+    for sel, ss, _se, _ah, al, ri, segments, dcc, _acc in scans:
+        pred_sel, pt = ss, al
+        if not 1 <= pred_sel <= 7:
+            raise ValueError(f"bad lossless predictor {pred_sel}")
+        if precision - pt - 1 < 0:
+            raise ValueError("point transform exceeds precision")
+        default = 1 << (precision - pt - 1)
+        idxs = [ci for ci, _dc, _ac in sel]
+        conds = {ci: dcc.get(dtbl, (0, 1)) for ci, dtbl, _ac in sel}
+        for ci in idxs:
+            shifts[ci] = pt
+        dec = _QmDecoder(segments[0])
+        stats = {ci: bytearray(_LL_STATS_BINS) for ci in idxs}
+        seg_idx = 0
+        mcu = 0
+        reset = True
+        oned_row = -1
+        for y in range(h):
+            for x in range(w):
+                if ri and mcu and mcu % ri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError(
+                            "missing RST segment in lossless scan")
+                    dec = _QmDecoder(segments[seg_idx])
+                    stats = {ci: bytearray(_LL_STATS_BINS)
+                             for ci in idxs}
+                    reset = True
+                for ci in idxs:
+                    p = planes[ci]
+                    if reset:
+                        px = default
+                    elif y == oned_row:
+                        px = int(p[y, x - 1])
+                    else:
+                        px = _ll_predict(p, y, x, pred_sel, default)
+                    lo, up = conds[ci]
+                    base, xbase = _ll_ctx(p, y, x, lo, up)
+                    diff = _ll_arith_decode_diff(
+                        dec, stats[ci], base, xbase)
+                    p[y, x] = (px + diff) & 0xFFFF
+                if reset:
+                    oned_row = y
+                reset = False
+                mcu += 1
+    out = np.stack(
+        [p << s for p, s in zip(planes, shifts)], axis=-1)
+    dt = np.uint8 if precision <= 8 else np.uint16
+    return out.astype(dt)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline/extended-sequential or progressive JPEG →
     ndarray of shape (h, w, 1) for grayscale or (h, w, 3) RGB (JFIF
@@ -1356,13 +1560,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             _parse_dqt(body, qtables)
         elif marker == 0xC4:  # DHT
             _parse_dht(body, dc_luts, ac_luts)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
-            # sequential / progressive / lossless / arith seq+prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            # sequential / progressive / lossless, Huffman or
+            # arithmetic (SOF11 = arithmetic lossless, r13)
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
-            lossless = marker == 0xC3
-            arith = marker in (0xC9, 0xCA)
+            lossless = marker in (0xC3, 0xCB)
+            arith = marker in (0xC9, 0xCA, 0xCB)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"bad lossless precision {prec}")
@@ -1391,18 +1596,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDF:
             raise ValueError(
                 "EXP marker outside a hierarchical (DHP) stream")
-        elif marker in (0xC5, 0xC7, 0xCD):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             # differential frames are only legal after DHP (J.1) —
             # inside a hierarchical stream _decode_hierarchical owns
             # the walk, so reaching here means the DHP is missing
             raise ValueError(
                 f"differential frame (SOF marker 0xFF{marker:02X}) "
                 "without a preceding DHP marker")
-        elif marker in (0xC6, 0xCB, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG process (SOF marker 0xFF{marker:02X}: "
-                "differential-progressive / arithmetic-lossless) "
-                "needs an injected decoder")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             _parse_dac(body, dc_cond, ac_cond)
         elif marker == 0xDD:  # DRI
@@ -1442,6 +1642,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     h_img, w_img, comps = frame
 
     if lossless:
+        if arith:
+            return _decode_lossless_arith(h_img, w_img, len(comps),
+                                          precision, scans)
         return _decode_lossless(h_img, w_img, len(comps), precision,
                                 scans)
 
@@ -1899,7 +2102,8 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = QUANT_ONES,
 
 def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
                          pt: int = 0, precision: int | None = None,
-                         restart_interval: int = 0) -> bytes:
+                         restart_interval: int = 0,
+                         arithmetic: bool = False) -> bytes:
     """Encode integer samples — (h, w) / (h, w, 1) / (h, w, 3) — as
     LOSSLESS JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
     differences, no DCT, so decode returns the input bit-exactly
@@ -1907,7 +2111,11 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
     bits before coding and restores them as zeros). ``precision``
     2-16 defaults to the smallest covering the data (min 8).
     Components are stored raw (no color transform) in one
-    interleaved scan. The write half proving _decode_lossless."""
+    interleaved scan. The write half proving _decode_lossless.
+    ``arithmetic`` (r13) emits the SOF11 form: the same walk with
+    every difference through the QM coder under the H.1.2.2
+    two-gradient conditioning model — the write half proving
+    _decode_lossless_arith."""
     if not 1 <= predictor <= 7:
         raise ValueError("lossless predictor must be 1..7")
     arr = np.asarray(img).astype(np.int64)
@@ -1934,9 +2142,12 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
     sof = struct.pack(">BHHB", prec, h, w, ncomp)
     for i in range(ncomp):
         sof += bytes([i + 1, 0x11, 0])
-    _segment(out, 0xC3, sof)
-    _segment(out, 0xC4, bytes([0x00]) + bytes(_DC_COUNTS_LL)
-             + _DC_SYMBOLS_LL)
+    _segment(out, 0xCB if arithmetic else 0xC3, sof)
+    if arithmetic:
+        _segment(out, 0xCC, bytes([0x00, 0x10]))   # DC cond L=0, U=1
+    else:
+        _segment(out, 0xC4, bytes([0x00]) + bytes(_DC_COUNTS_LL)
+                 + _DC_SYMBOLS_LL)
     if restart_interval:
         _segment(out, 0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -1945,17 +2156,27 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
     sos += bytes([predictor, 0, pt])
     _segment(out, 0xDA, sos)
 
-    lut = _build_encode_lut(_DC_COUNTS_LL, _DC_SYMBOLS_LL)
+    lut = (None if arithmetic
+           else _build_encode_lut(_DC_COUNTS_LL, _DC_SYMBOLS_LL))
     bw = _BitWriter()
+    qm = _QmEncoder() if arithmetic else None
+    stats = ([bytearray(_LL_STATS_BINS) for _ in range(ncomp)]
+             if arithmetic else None)
     mcu = 0
     reset = True
     oned_row = -1  # row forced to the 1-D predictor after a reset
     for y in range(h):
         for x in range(w):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.pad_to_byte()
-                out.extend(bw.buf)
-                bw = _BitWriter()
+                if arithmetic:
+                    out.extend(_qm_flush_stuffed(qm))
+                    qm = _QmEncoder()
+                    stats = [bytearray(_LL_STATS_BINS)
+                             for _ in range(ncomp)]
+                else:
+                    bw.pad_to_byte()
+                    out.extend(bw.buf)
+                    bw = _BitWriter()
                 out.extend(bytes(
                     [0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]))
                 reset = True
@@ -1970,7 +2191,11 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
                 diff = (int(p[y, x]) - px) & 0xFFFF
                 if diff >= 32768:
                     diff -= 65536
-                if diff == -32768:       # category 16: no extra bits
+                if arithmetic:
+                    base, xbase = _ll_ctx(p, y, x, 0, 1)
+                    _ll_arith_encode_diff(qm, stats[ci], base, xbase,
+                                          diff)
+                elif diff == -32768:     # category 16: no extra bits
                     code, ln = lut[16]
                     bw.write(code, ln)
                 else:
@@ -1984,8 +2209,11 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
                 oned_row = y
             reset = False
             mcu += 1
-    bw.pad_to_byte()
-    out.extend(bw.buf)
+    if arithmetic:
+        out.extend(_qm_flush_stuffed(qm))
+    else:
+        bw.pad_to_byte()
+        out.extend(bw.buf)
     out.extend(b"\xff\xd9")
     return bytes(out)
 
@@ -2531,6 +2759,32 @@ def _decode_lossless_diffs(fh: int, fw: int, sel, segments):
     return planes
 
 
+def _decode_lossless_diffs_arith(fh: int, fw: int, sel, segments,
+                                 dcc):
+    """Differential-lossless ARITHMETIC scan (SOF15 with Px=0,
+    T.81 J.1.5 + H.1.2.2): the reference IS the prediction, so each
+    coded value is the raw difference; the QM conditioning model runs
+    on the stored (mod-65536) difference plane's own causal
+    neighbors — the same walk both sides, pinned by round-trip tests.
+    Same O(1) sample bound as the non-differential arithmetic
+    path."""
+    _ll_arith_sample_bound(fh * fw * len(sel), segments)
+    conds = [dcc.get(dtbl, (0, 1)) for _ci, dtbl, _ac in sel]
+    dec = _QmDecoder(segments[0])
+    stats = [bytearray(_LL_STATS_BINS) for _ in sel]
+    stored = [np.zeros((fh, fw), dtype=np.int64) for _ in sel]
+    for y in range(fh):
+        for x in range(fw):
+            for pi in range(len(sel)):
+                lo, up = conds[pi]
+                base, xbase = _ll_ctx(stored[pi], y, x, lo, up)
+                d = _ll_arith_decode_diff(dec, stats[pi], base,
+                                          xbase)
+                stored[pi][y, x] = d & 0xFFFF
+    # reconstruction adds mod-65536, so the stored form IS the diff
+    return stored
+
+
 def _decode_hierarchical(payload: bytes) -> np.ndarray:
     """T.81 Annex J hierarchical decode (r13, VERDICT r12 item 3): a
     DHP-framed pyramid — one non-differential first frame, then EXP
@@ -2541,12 +2795,15 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
     components): non-differential SOF0/SOF1/SOF9 first frames;
     differential sequential SOF5 (Huffman) / SOF13 (arithmetic) —
     DC coded with PRED=0, IDCT output added to the reference without
-    level shift, clamped (J.1.1.3); differential lossless SOF7 with
-    Px=0 — modulo-65536 addition (J.1.5), which makes a DCT pyramid
-    plus one final SOF7 correction frame a BIT-EXACT codec (pinned in
-    tests). Differential progressive (SOF6/14), arithmetic lossless
-    (SOF11/15), subsampled pyramids, and 4-component pyramids stay on
-    the injected seam.
+    level shift, clamped (J.1.1.3); differential PROGRESSIVE SOF6 /
+    SOF14 (r13) — each SOS is an independent Annex-G pass over the
+    frame's coefficient store with PRED=0 DC scans; differential
+    lossless SOF7 (Huffman categories) / SOF15 (QM, H.1.2.2 model on
+    the difference plane) with Px=0 — modulo-65536 addition (J.1.5),
+    which makes a DCT pyramid plus one final correction frame a
+    BIT-EXACT codec (pinned in tests). Subsampled pyramids,
+    4-component pyramids, and non-differential progressive/lossless
+    FIRST frames stay on the injected seam.
 
     Tables (DQT/DHT/DAC/DRI) persist across frames per B.2/B.3; the
     entropy decode reuses the exact sequential scan bodies of the
@@ -2577,7 +2834,7 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
         marker, fh, fw, comps, coef, got_scan = fr
         if not got_scan:
             raise ValueError("hierarchical frame without a scan")
-        if marker == 0xC7:
+        if marker in (0xC7, 0xCF):
             return                    # lossless diffs applied per scan
         maxv = (1 << precision) - 1
         planes = []
@@ -2585,7 +2842,7 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             if tq not in qtables:
                 raise ValueError("SOF references missing DQT")
             planes.append(_idct_spatial(coef[ci], qtables[tq])[:fh, :fw])
-        if marker in (0xC5, 0xCD):    # differential: add, clamp
+        if marker in (0xC5, 0xC6, 0xCD, 0xCE):  # differential: add, clamp
             refs = [np.clip(r + np.round(p).astype(np.int64), 0, maxv)
                     for r, p in zip(refs, planes)]
         else:                         # first frame: level shift, clamp
@@ -2631,7 +2888,8 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             if (eh, ev) not in ((0, 1), (1, 0), (1, 1)):
                 raise ValueError(f"bad EXP nibbles ({eh}, {ev})")
             pending_exp = (eh, ev)
-        elif marker in (0xC0, 0xC1, 0xC9, 0xC5, 0xCD, 0xC7):
+        elif marker in (0xC0, 0xC1, 0xC9,
+                        0xC5, 0xC6, 0xCD, 0xCE, 0xC7, 0xCF):
             if dhp is None:
                 raise ValueError("hierarchical frame before DHP")
             if frame is not None:
@@ -2653,7 +2911,8 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                         "subsampled hierarchical JPEG needs an "
                         "injected decoder")
                 comps.append((cid, 1, 1, tq))
-            differential = marker in (0xC5, 0xCD, 0xC7)
+            differential = marker in (0xC5, 0xC6, 0xCD, 0xCE,
+                                      0xC7, 0xCF)
             if differential:
                 if refs is None:
                     raise ValueError(
@@ -2684,20 +2943,21 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                 raise ValueError(
                     "hierarchical frame declares more coded units "
                     "than the decode bound allows")
-            coef = (None if marker == 0xC7 else
+            coef = (None if marker in (0xC7, 0xCF) else
                     [np.zeros((by, bx, 64), dtype=np.int64)
                      for _ in range(ncomp)])
             frame = [marker, fh, fw, comps, coef, False]
-        elif marker in (0xC2, 0xCA, 0xC3, 0xC6, 0xCB, 0xCE, 0xCF):
+        elif marker in (0xC2, 0xCA, 0xC3, 0xCB):
             raise NotImplementedError(
-                f"JPEG process (SOF marker 0xFF{marker:02X}) inside a "
-                "hierarchical stream needs an injected decoder")
+                f"non-differential JPEG process (SOF marker "
+                f"0xFF{marker:02X}) as a hierarchical first frame "
+                "needs an injected decoder")
         elif marker == 0xDA:          # SOS
             if frame is None:
                 raise ValueError("SOS without a hierarchical frame")
             m, fh, fw, comps, coef, _got = frame
             ns = body[0]
-            arith = m in (0xC9, 0xCD)
+            arith = m in (0xC9, 0xCD, 0xCE, 0xCF)
             comp_ids = [c[0] for c in comps]
             sel = []
             for s in range(ns):
@@ -2707,9 +2967,11 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                      tt >> 4 if arith else dc_luts.get(tt >> 4),
                      tt & 0x0F if arith else ac_luts.get(tt & 0x0F)))
             ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             segments, pos = _split_scan(payload, pos)
             mcus_x, mcus_y = -(-fw // 8), -(-fh // 8)
-            if m == 0xC7:
+            if m in (0xC7, 0xCF):
                 if ss != 0:
                     raise ValueError(
                         "differential lossless scan needs "
@@ -2718,9 +2980,27 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "restart intervals in hierarchical lossless "
                         "scans need an injected decoder")
-                diffs = _decode_lossless_diffs(fh, fw, sel, segments)
+                diffs = (_decode_lossless_diffs_arith(
+                             fh, fw, sel, segments, dict(dc_cond))
+                         if m == 0xCF else
+                         _decode_lossless_diffs(fh, fw, sel,
+                                                segments))
                 for (ci, _d, _a), dplane in zip(sel, diffs):
                     refs[ci] = np.mod(refs[ci] + dplane, 65536)
+            elif m in (0xC6, 0xCE):
+                # differential PROGRESSIVE frame (r13): each SOS is
+                # one independent Annex-G pass over the frame's
+                # coefficient store, DC scans with PRED = 0
+                scan = (sel, ss, se, ahal >> 4, ahal & 0x0F, ri,
+                        segments, dict(dc_cond), dict(ac_cond))
+                if m == 0xCE:
+                    _decode_progressive_arith(
+                        [scan], comps, coef, mcus_x, mcus_y, fh, fw,
+                        1, 1, differential=True)
+                else:
+                    _decode_progressive_scans(
+                        [scan], comps, coef, mcus_x, mcus_y, fh, fw,
+                        1, 1, differential=True)
             elif arith:
                 if 1 < len(sel) < len(comps):
                     raise NotImplementedError(
@@ -2856,11 +3136,101 @@ def _encode_hier_scan(out: bytearray, planes_zz, arithmetic: bool,
     out.extend(bw.buf)
 
 
+def _encode_hier_prog_scans(out: bytearray, planes_zz,
+                            arithmetic: bool,
+                            band_split: int = 5) -> None:
+    """Differential-PROGRESSIVE frame body (SOF6/SOF14, r13): one
+    interleaved PRED=0 DC scan (Ss=Se=0), then per-component AC band
+    scans [1, band_split] / [band_split+1, 63], all at Ah=Al=0 —
+    spectral selection exercises the differential-progressive decode
+    paths; successive approximation is orthogonal to the differential
+    semantics and stays pinned by the SOF2/SOF10 tests. The Huffman
+    form emits per-block EOB0 (the 12-bit AC table carries no EOBn
+    run symbols); the arithmetic form uses the per-block EOB decision
+    of the band coder."""
+    ncomp = len(planes_zz)
+    by, bx = planes_zz[0].shape[:2]
+
+    def sos(comp_idxs, ss, se):
+        body = bytes([len(comp_idxs)])
+        for i in comp_idxs:
+            body += bytes([i + 1, 0x00])
+        body += bytes([ss, se, 0])
+        _segment(out, 0xDA, body)
+
+    sos(list(range(ncomp)), 0, 0)          # DC scan, PRED = 0
+    if arithmetic:
+        qm, stats = _QmEncoder(), _ArithStats(ncomp)
+        for y in range(by):
+            for x in range(bx):
+                for ci in range(ncomp):
+                    stats.last_dc[ci] = 0
+                    _arith_encode_dc(qm, stats, ci, 0, (0, 1),
+                                     int(planes_zz[ci][y, x][0]))
+        out.extend(_qm_flush_stuffed(qm))
+    else:
+        dc_lut = _build_encode_lut(_DC_COUNTS_12, _DC_SYMBOLS_12)
+        bw = _BitWriter()
+        for y in range(by):
+            for x in range(bx):
+                for ci in range(ncomp):
+                    diff = int(planes_zz[ci][y, x][0])
+                    t = _category(diff)
+                    code, ln = dc_lut[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << t) - 1, t)
+        bw.pad_to_byte()
+        out.extend(bw.buf)
+
+    ac_lut = (None if arithmetic
+              else _build_encode_lut(_AC_COUNTS_12, _AC_SYMBOLS_12))
+    for ci in range(ncomp):
+        for ss, se in ((1, band_split), (band_split + 1, 63)):
+            sos([ci], ss, se)
+            if arithmetic:
+                qm, stats = _QmEncoder(), _ArithStats(ncomp)
+                for y in range(by):
+                    for x in range(bx):
+                        _arith_encode_ac_band(
+                            qm, stats, planes_zz[ci][y, x], 0, 5,
+                            ss, se, 0)
+                out.extend(_qm_flush_stuffed(qm))
+                continue
+            bw = _BitWriter()
+            for y in range(by):
+                for x in range(bx):
+                    blk = planes_zz[ci][y, x]
+                    r = 0
+                    for k in range(ss, se + 1):
+                        v = int(blk[k])
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            code, ln = ac_lut[0xF0]
+                            bw.write(code, ln)
+                            r -= 16
+                        s = _category(v)
+                        code, ln = ac_lut[(r << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(v if v >= 0
+                                 else v + (1 << s) - 1, s)
+                        r = 0
+                    if r > 0:            # per-block EOB0
+                        code, ln = ac_lut[0x00]
+                        bw.write(code, ln)
+            bw.pad_to_byte()
+            out.extend(bw.buf)
+
+
 def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
                              quant: np.ndarray = QUANT_ONES,
                              arithmetic: bool = False,
                              lossless_final: bool = False,
-                             precision: int = 8) -> bytes:
+                             precision: int = 8,
+                             progressive: bool = False) -> bytes:
     """Encode as HIERARCHICAL JPEG (T.81 Annex J) — the fixture write
     half proving _decode_hierarchical (the SOF3/SOF9/MJPEG-B
     pattern: no hierarchical sample files exist in this container, so
@@ -2876,7 +3246,17 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
     resolution — making the whole codec BIT-EXACT for grayscale
     input (3-channel input passes through the lossy YCbCr transform
     first, so only the pyramid below it is exact). 1 or 3 channels;
-    ``precision`` 8 or 12; all components 1×1."""
+    ``precision`` 8 or 12; all components 1×1.
+
+    r13 additions: ``progressive`` codes each differential level as
+    a differential-PROGRESSIVE frame (SOF6, or SOF14 with
+    ``arithmetic``) — PRED=0 DC scan plus spectral-selection AC band
+    scans per component (_encode_hier_prog_scans); and with
+    ``arithmetic``, ``lossless_final`` emits the SOF15 form — the
+    residual QM-coded under the H.1.2.2 conditioning model on the
+    difference plane. Decoded output is identical to the sequential
+    forms (same coefficients, different scan scripts), which the
+    round-trip tests pin."""
     if precision not in (8, 12):
         raise ValueError("hierarchical precision must be 8 or 12")
     if levels < 1:
@@ -2945,47 +3325,70 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
         else:
             _segment(out, 0xDF, bytes([0x11]))   # EXP Eh=1, Ev=1
             recon = [_exp_upsample(p, 1, 1)[:lh, :lw] for p in recon]
-            _segment(out, 0xCD if arithmetic else 0xC5, sof)
             zzs = [_fdct_plane(src - ref, quant, 0.0)
                    for src, ref in zip(lvl, recon)]
-            _encode_hier_scan(out, zzs, arithmetic, True)
+            if progressive:
+                _segment(out, 0xCE if arithmetic else 0xC6, sof)
+                _encode_hier_prog_scans(out, zzs, arithmetic)
+            else:
+                _segment(out, 0xCD if arithmetic else 0xC5, sof)
+                _encode_hier_scan(out, zzs, arithmetic, True)
             recon = [np.clip(
                 p + np.round(_idct_spatial(z, quant))
                 .astype(np.int64)[:lh, :lw], 0, maxv)
                 for p, z in zip(recon, zzs)]
 
     if lossless_final:
-        _segment(out, 0xC4, bytes([0x00]) + bytes(_DC_COUNTS_LL)
-                 + _DC_SYMBOLS_LL)
+        if not arithmetic:
+            _segment(out, 0xC4, bytes([0x00]) + bytes(_DC_COUNTS_LL)
+                     + _DC_SYMBOLS_LL)
         sof = struct.pack(">BHHB", precision, h, w, ncomp)
         for i in range(ncomp):
             sof += bytes([i + 1, 0x11, 0])
-        _segment(out, 0xC7, sof)
+        _segment(out, 0xCF if arithmetic else 0xC7, sof)
         sos = bytes([ncomp])
         for i in range(ncomp):
             sos += bytes([i + 1, 0x00])
         sos += bytes([0, 0, 0])      # Px=0: no predictor (J.1.5)
         _segment(out, 0xDA, sos)
-        lut = _build_encode_lut(_DC_COUNTS_LL, _DC_SYMBOLS_LL)
-        bw = _BitWriter()
-        for y in range(h):
-            for x in range(w):
-                for ci in range(ncomp):
-                    diff = (int(planes[ci][y, x])
-                            - int(recon[ci][y, x])) & 0xFFFF
-                    if diff >= 32768:
-                        diff -= 65536
-                    if diff == -32768:   # category 16: no extra bits
-                        code, ln = lut[16]
-                        bw.write(code, ln)
-                    else:
-                        t = _category(diff)
-                        code, ln = lut[t]
-                        bw.write(code, ln)
-                        if t:
-                            bw.write(diff if diff >= 0
-                                     else diff + (1 << t) - 1, t)
-        bw.pad_to_byte()
-        out.extend(bw.buf)
+        if arithmetic:
+            # SOF15: QM-coded raw differences, conditioning contexts
+            # on the stored (mod-65536) difference planes
+            qm = _QmEncoder()
+            stats = [bytearray(_LL_STATS_BINS) for _ in range(ncomp)]
+            stored = [np.mod(p - r, 65536)
+                      for p, r in zip(planes, recon)]
+            for y in range(h):
+                for x in range(w):
+                    for ci in range(ncomp):
+                        diff = int(stored[ci][y, x])
+                        if diff >= 32768:
+                            diff -= 65536
+                        base, xbase = _ll_ctx(stored[ci], y, x, 0, 1)
+                        _ll_arith_encode_diff(qm, stats[ci], base,
+                                              xbase, diff)
+            out.extend(_qm_flush_stuffed(qm))
+        else:
+            lut = _build_encode_lut(_DC_COUNTS_LL, _DC_SYMBOLS_LL)
+            bw = _BitWriter()
+            for y in range(h):
+                for x in range(w):
+                    for ci in range(ncomp):
+                        diff = (int(planes[ci][y, x])
+                                - int(recon[ci][y, x])) & 0xFFFF
+                        if diff >= 32768:
+                            diff -= 65536
+                        if diff == -32768:  # category 16: no extra bits
+                            code, ln = lut[16]
+                            bw.write(code, ln)
+                        else:
+                            t = _category(diff)
+                            code, ln = lut[t]
+                            bw.write(code, ln)
+                            if t:
+                                bw.write(diff if diff >= 0
+                                         else diff + (1 << t) - 1, t)
+            bw.pad_to_byte()
+            out.extend(bw.buf)
     out.extend(b"\xff\xd9")
     return bytes(out)

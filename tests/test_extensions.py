@@ -1162,19 +1162,18 @@ class TestJpegCodec:
             decode_jpeg(b"\x89PNG not a jpeg")
         # progressive (SOF2) is DECODED since r10, lossless (SOF3)
         # since r11, arithmetic (SOF9/SOF10) since r12, hierarchical
-        # (DHP/EXP/SOF5/7/13) since r13 — covered by their own test
-        # classes. A differential frame WITHOUT the DHP a hierarchical
-        # stream must open with is malformed (ValueError), while the
-        # still-unimplemented processes (differential-progressive,
-        # arithmetic-lossless) stay on the injected seam.
+        # (DHP/EXP/SOF5/6/7/13/14/15) and arithmetic lossless (SOF11)
+        # since r13 — covered by their own test classes. EVERY
+        # differential frame type WITHOUT the DHP a hierarchical
+        # stream must open with is malformed (ValueError).
         sof5 = (b"\xff\xd8" + b"\xff\xc5"
                 + struct.pack(">H", 11)
                 + bytes([8]) + struct.pack(">HH", 8, 8)
                 + bytes([1, 1, 0x11, 0]))
-        with pytest.raises(ValueError, match="DHP"):
-            decode_jpeg(sof5)
-        with pytest.raises(NotImplementedError):
-            decode_jpeg(sof5.replace(b"\xff\xc5", b"\xff\xc6"))
+        for m in (b"\xc5", b"\xc6", b"\xc7", b"\xcd", b"\xce",
+                  b"\xcf"):
+            with pytest.raises(ValueError, match="DHP"):
+                decode_jpeg(sof5.replace(b"\xc5", m))
         # subsampled lossless stays on the injected path too
         sof3_sub = (b"\xff\xd8" + b"\xff\xc3"
                     + struct.pack(">H", 11)
@@ -5071,6 +5070,203 @@ class TestHierarchicalJpeg:
         with pytest.raises(ValueError):
             decode_jpeg(bytes(bomb))
         # truncation anywhere dead-letters
+        for cut in range(8, len(data) - 1, max(1, len(data) // 25)):
+            try:
+                decode_jpeg(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+
+
+class TestArithmeticLosslessJpeg:
+    """Arithmetic LOSSLESS JPEG (SOF11, T.81 H.1.2.2 — r13): the QM
+    coder under the two-gradient 5x5 conditioning model with two
+    magnitude trees. Pinned the SOF3/SOF9 way — encoder round-trip
+    parity across predictors, precisions, point transforms, and
+    restart intervals (no arithmetic-lossless sample files exist in
+    this container)."""
+
+    def test_roundtrip_all_predictors(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (13, 11, 3), np.int64)
+        for pred in range(1, 8):
+            data = encode_jpeg_lossless(img, predictor=pred,
+                                        arithmetic=True)
+            assert np.array_equal(
+                decode_jpeg(data).astype(np.int64), img), pred
+
+    def test_roundtrip_precisions_and_channels(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        rng = np.random.default_rng(29)
+        for prec in (2, 8, 12, 16):
+            for nc in (1, 3, 4):
+                img = rng.integers(0, 1 << prec, (7, 9, nc), np.int64)
+                data = encode_jpeg_lossless(img, precision=prec,
+                                            arithmetic=True)
+                dec = decode_jpeg(data)
+                assert dec.dtype == (np.uint8 if prec <= 8
+                                     else np.uint16)
+                assert np.array_equal(dec.astype(np.int64), img), (
+                    prec, nc)
+
+    def test_restart_intervals_and_point_transform(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, (11, 7, 1), np.int64)
+        for ri in (1, 5, 23):
+            data = encode_jpeg_lossless(img, restart_interval=ri,
+                                        arithmetic=True)
+            assert np.array_equal(
+                decode_jpeg(data).astype(np.int64), img), ri
+        imgq = (img >> 3) << 3
+        data = encode_jpeg_lossless(imgq, pt=3, arithmetic=True)
+        assert np.array_equal(decode_jpeg(data).astype(np.int64), imgq)
+
+    def test_arithmetic_beats_huffman_on_smooth_data(self):
+        """The adaptive QM coder must crush the fixed Huffman tables
+        on smooth gradients — the reason SOF11 exists."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless)
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        smooth = ((yy + xx) // 2).astype(np.int64)[:, :, None]
+        nh = len(encode_jpeg_lossless(smooth))
+        na = len(encode_jpeg_lossless(smooth, arithmetic=True))
+        assert na * 5 < nh
+
+    def test_extreme_diff_values_roundtrip(self):
+        """16-bit planes exercising the +/-32768 wraparound and the
+        deepest magnitude-tree walk (X15)."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        img = np.array([[0, 65535, 0, 32768],
+                        [65535, 0, 32767, 1]], np.int64)[:, :, None]
+        data = encode_jpeg_lossless(img, predictor=1, precision=16,
+                                    arithmetic=True)
+        assert np.array_equal(decode_jpeg(data).astype(np.int64), img)
+
+    def test_sample_bomb_rejects_o1(self):
+        """Corrupt SOF dimensions beyond the entropy budget
+        dead-letter before allocation (the r12-advice bound class)."""
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        img = np.zeros((4, 4, 1), np.int64)
+        data = bytearray(encode_jpeg_lossless(img, arithmetic=True))
+        i = bytes(data).find(b"\xff\xcb")
+        struct.pack_into(">HH", data, i + 5, 65535, 65535)
+        with pytest.raises(ValueError, match="samples"):
+            decode_jpeg(bytes(data))
+
+
+class TestDifferentialProgressiveJpeg:
+    """Differential-progressive (SOF6/SOF14) and arithmetic
+    differential-lossless (SOF15) hierarchical frames — r13, closing
+    the T.81 frame-type matrix for 1x1-sampled pyramids."""
+
+    def test_progressive_matches_sequential_pyramid(self):
+        """Same coefficients, different scan scripts: the progressive
+        pyramid must decode bit-identically to the sequential pyramid
+        of the same source, for both entropy coders."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(37)
+        img = rng.integers(0, 256, (33, 21), np.int64)
+        for arith in (False, True):
+            seq = decode_jpeg(encode_jpeg_hierarchical(
+                img, levels=3, arithmetic=arith))
+            prog = decode_jpeg(encode_jpeg_hierarchical(
+                img, levels=3, arithmetic=arith, progressive=True))
+            assert np.array_equal(seq, prog), arith
+
+    def test_progressive_lossless_final_bit_exact(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(41)
+        for shape, levels in (((37, 29), 3), ((8, 8), 2), ((65, 9), 4)):
+            img = rng.integers(0, 256, shape, np.int64)
+            for arith in (False, True):
+                data = encode_jpeg_hierarchical(
+                    img, levels=levels, arithmetic=arith,
+                    progressive=True, lossless_final=True)
+                assert np.array_equal(
+                    decode_jpeg(data)[:, :, 0], img), (shape, arith)
+
+    def test_sof15_correction_frame_bit_exact(self):
+        """SOF15 (QM-coded differential lossless) as the correction
+        frame: noise input so every residual is nonzero, plus 12-bit
+        and 3-channel-exactness-below-the-transform forms."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(43)
+        noise = rng.integers(0, 256, (17, 19), np.int64)
+        data = encode_jpeg_hierarchical(
+            noise, levels=2, arithmetic=True, lossless_final=True)
+        assert b"\xff\xcf" in data
+        assert np.array_equal(decode_jpeg(data)[:, :, 0], noise)
+        img12 = rng.integers(0, 4096, (9, 9), np.int64)
+        data = encode_jpeg_hierarchical(
+            img12, levels=2, arithmetic=True, progressive=True,
+            lossless_final=True, precision=12)
+        dec = decode_jpeg(data)
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec[:, :, 0], img12)
+
+    def test_rgb_progressive_pyramid(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(47)
+        img = rng.integers(0, 256, (16, 16, 3), np.int64)
+        seq = decode_jpeg(encode_jpeg_hierarchical(img, levels=2))
+        prog = decode_jpeg(encode_jpeg_hierarchical(
+            img, levels=2, progressive=True))
+        assert np.array_equal(seq, prog)
+
+    def test_truncation_dead_letters(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(53)
+        img = rng.integers(0, 256, (16, 16), np.int64)
+        data = encode_jpeg_hierarchical(
+            img, levels=2, arithmetic=True, progressive=True,
+            lossless_final=True)
         for cut in range(8, len(data) - 1, max(1, len(data) // 25)):
             try:
                 decode_jpeg(data[:cut])
