@@ -59,6 +59,14 @@ MAX_HEADER_BYTES = 1 << 20
 #: DEFLATE_BLOCK_CAP posture).
 GZIP_MEMBER_CAP = 1 << 30
 
+#: absolute per-FILE decompressed ceiling (r13 self-review): the
+#: per-member bound alone admits a bomb of MANY small members each
+#: inflating ~1032x — a ~1 GiB crafted file could demand ~1 TB in
+#: total. Real Common Crawl segments run ~1 GiB compressed / ~5 GiB
+#: raw; 8 GiB of decompressed records from one file is corruption,
+#: not a crawl.
+WARC_FILE_CAP = 8 << 30
+
 CRLF2 = b"\r\n\r\n"
 
 
@@ -217,11 +225,19 @@ def parse_warc(data: bytes) -> list[dict]:
     records: list[dict] = []
     if data[:2] == b"\x1f\x8b":
         pos = 0
+        total = 0
         while pos < len(data):
             if data[pos:pos + 2] != b"\x1f\x8b":
                 raise ValueError(
                     f"non-gzip bytes at member boundary {pos}")
             member, pos = _bounded_gunzip(data, pos)
+            total += len(member)
+            if total > WARC_FILE_CAP:
+                # N small members x ~1032:1 each would dodge the
+                # per-member bound — cap the FILE's total too
+                raise ValueError(
+                    f"WARC file decompresses past the "
+                    f"{WARC_FILE_CAP}-byte bound")
             mpos = 0
             while mpos < len(member):
                 rec, mpos = _parse_one_record(member, mpos)

@@ -630,6 +630,24 @@ class TestWarcSource:
         status, _hh, payload = parse_http_response(body)
         assert payload == bomb_raw
 
+    def test_file_total_decompression_cap(self, monkeypatch):
+        """N small members each under the per-member bound must not
+        dodge the FILE bound (r13 self-review: the many-members bomb
+        shape — ~1032x per member, unbounded member count)."""
+        import pytest
+
+        from flight_data_pipeline_spark.sources import warc_source
+        from flight_data_pipeline_spark.sources.warc_source import (
+            build_http_response, parse_warc, write_warc)
+
+        rec = {"block": build_http_response(b"x" * 4096),
+               "target_uri": "http://e.com/"}
+        gz = write_warc([rec] * 8, gzip_members=True)
+        assert len(parse_warc(gz)) == 8
+        monkeypatch.setattr(warc_source, "WARC_FILE_CAP", 16 << 10)
+        with pytest.raises(ValueError, match="decompresses past"):
+            parse_warc(gz)
+
     def test_http_headers_fold_and_last_wins(self):
         from flight_data_pipeline_spark.sources.warc_source import (
             _parse_headers)
