@@ -25,15 +25,17 @@ inverse → RGB), Adobe transform-0 RGB decode (r12), 4-component
 LOSSLESS (raw stored planes, the DNG convention, r13), ARITHMETIC
 LOSSLESS (SOF11, r13: the H.1.2.2 two-gradient QM conditioning
 model — see ``_decode_lossless_arith``), and HIERARCHICAL mode
-(Annex J, r13: DHP pyramids with EXP reference expansion,
-differential sequential SOF5/SOF13, differential PROGRESSIVE
-SOF6/SOF14, and differential lossless SOF7/SOF15 frames — see
-``_decode_hierarchical``). Every T.81 frame type now decodes
-in-container for 1×1-sampled 1/3-component pyramids; the remaining
-JPEG seam is exactly: subsampled or 4-component PYRAMIDS and
-non-differential progressive/lossless FIRST frames inside a
-pyramid — all raise ``NotImplementedError`` for the
-injected-decoder path.
+(Annex J, r13: DHP pyramids with EXP reference expansion, ANY
+non-differential first frame — sequential/progressive/lossless,
+either entropy coder — then differential sequential SOF5/SOF13,
+differential PROGRESSIVE SOF6/SOF14, and differential lossless
+SOF7/SOF15 frames; subsampled (e.g. 4:2:0) and 4-component CMYK
+pyramids included — see ``_decode_hierarchical``). Every T.81
+frame type now decodes in-container; the remaining JPEG seam is
+exactly: subsampled LOSSLESS frames, non-integer-ratio sampling
+factors, and partially-interleaved (2-of-3-component) sequential
+scans — all raise ``NotImplementedError`` for the injected-decoder
+path.
 
 Encoder: a minimal baseline encoder (gray / 4:4:4 / 4:2:0, fixed-
 length Huffman tables carried in DHT, optional restart markers,
@@ -1715,8 +1717,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
         planes.append(plane[:h_img, :w_img])
 
+    return _assemble_color(planes, precision, adobe_transform)
+
+
+def _assemble_color(planes, precision: int, adobe_transform):
+    """Full-resolution component planes → output pixel array
+    ((h, w, 1) gray / (h, w, 3) RGB): the YCbCr / Adobe-RGB /
+    CMYK / YCCK conversion tail shared by the sequential and (r13)
+    hierarchical decode paths."""
     if len(planes) == 1:
-        return planes[0][:, :, np.newaxis]
+        return planes[0][:, :, np.newaxis].astype(
+            np.uint8 if precision == 8 else np.uint16)
     mid = float(1 << (precision - 1))
     maxv = (1 << precision) - 1
     dt = np.uint8 if precision == 8 else np.uint16
@@ -2791,19 +2802,29 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
     reference expansions and differential frames whose decoded output
     ADDS onto the reference components.
 
-    Supported pyramid members (all components 1×1-sampled, 1 or 3
-    components): non-differential SOF0/SOF1/SOF9 first frames;
-    differential sequential SOF5 (Huffman) / SOF13 (arithmetic) —
-    DC coded with PRED=0, IDCT output added to the reference without
-    level shift, clamped (J.1.1.3); differential PROGRESSIVE SOF6 /
-    SOF14 (r13) — each SOS is an independent Annex-G pass over the
-    frame's coefficient store with PRED=0 DC scans; differential
-    lossless SOF7 (Huffman categories) / SOF15 (QM, H.1.2.2 model on
-    the difference plane) with Px=0 — modulo-65536 addition (J.1.5),
-    which makes a DCT pyramid plus one final correction frame a
-    BIT-EXACT codec (pinned in tests). Subsampled pyramids,
-    4-component pyramids, and non-differential progressive/lossless
-    FIRST frames stay on the injected seam.
+    Supported pyramid members (1-4 components; integer-ratio
+    sampling factors for DCT frames — references live at COMPONENT
+    resolution, so 4:2:0 pyramids carry half-resolution chroma
+    references that EXP doubles alongside the luma): ANY
+    non-differential first frame — sequential SOF0/SOF1/SOF9,
+    progressive SOF2/SOF10 (scans accumulate into the frame's
+    coefficient store), or lossless SOF3/SOF11 (scan tuples decode
+    at frame end; the base level is then EXACT); differential
+    sequential SOF5 (Huffman) / SOF13 (arithmetic) — DC coded with
+    PRED=0, IDCT output added to the reference without level shift,
+    clamped (J.1.1.3); differential PROGRESSIVE SOF6 / SOF14 (r13) —
+    each SOS is an independent Annex-G pass with PRED=0 DC scans;
+    differential lossless SOF7 (Huffman categories) / SOF15 (QM,
+    H.1.2.2 model on the difference plane) with Px=0 —
+    modulo-65536 addition (J.1.5), which makes a DCT pyramid plus
+    one final correction frame a BIT-EXACT codec (pinned in tests).
+    Final assembly upsamples subsampled references (repeat, the
+    sequential path's rule) and runs the shared _assemble_color
+    conversion — 4-component pyramids follow the APP14 CMYK/YCCK
+    rules. Still on the injected seam: subsampled LOSSLESS frames
+    (parity with the non-hierarchical lossless path), non-integer-
+    ratio factors, and sampling factors that change between frames
+    (rejected as malformed).
 
     Tables (DQT/DHT/DAC/DRI) persist across frames per B.2/B.3; the
     entropy decode reuses the exact sequential scan bodies of the
@@ -2826,22 +2847,37 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
     precision = 8
     dhp = None            # (H, W) full-resolution dims
     pending_exp = None
-    frame = None          # [marker, fh, fw, comps, coef, got_scan]
+    # [marker, fh, fw, comps, coef, got_scan, hmax, vmax, cdims]
+    frame = None
     refs = None           # per-component int64 reference planes
+    samp = None           # [(hi, vi), ...] pinned by the first frame
+    adobe_transform = None          # APP14 tag (4-component frames)
 
     def finalize(fr):
         nonlocal refs
-        marker, fh, fw, comps, coef, got_scan = fr
+        marker, fh, fw, comps, coef, got_scan, _hmax, _vmax, cdims = fr
         if not got_scan:
             raise ValueError("hierarchical frame without a scan")
         if marker in (0xC7, 0xCF):
             return                    # lossless diffs applied per scan
         maxv = (1 << precision) - 1
+        if marker in (0xC3, 0xCB):
+            # lossless FIRST frame: coef holds the accumulated scan
+            # tuples (per-component lossless scans are per-frame
+            # state); decoded planes ARE the reference
+            arr = (_decode_lossless_arith if marker == 0xCB
+                   else _decode_lossless)(
+                fh, fw, len(comps), precision, coef)
+            refs = [arr[:, :, i].astype(np.int64)
+                    for i in range(arr.shape[2])]
+            return
         planes = []
         for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
             if tq not in qtables:
                 raise ValueError("SOF references missing DQT")
-            planes.append(_idct_spatial(coef[ci], qtables[tq])[:fh, :fw])
+            ch, cw = cdims[ci]
+            planes.append(_idct_spatial(coef[ci],
+                                        qtables[tq])[:ch, :cw])
         if marker in (0xC5, 0xC6, 0xCD, 0xCE):  # differential: add, clamp
             refs = [np.clip(r + np.round(p).astype(np.int64), 0, maxv)
                     for r, p in zip(refs, planes)]
@@ -2871,6 +2907,9 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             _parse_dac(body, dc_cond, ac_cond)
         elif marker == 0xDD:
             ri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xEE:          # APP14: Adobe color-transform
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDE:          # DHP
             if dhp is not None:
                 raise ValueError("multiple DHP markers")
@@ -2888,7 +2927,7 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             if (eh, ev) not in ((0, 1), (1, 0), (1, 1)):
                 raise ValueError(f"bad EXP nibbles ({eh}, {ev})")
             pending_exp = (eh, ev)
-        elif marker in (0xC0, 0xC1, 0xC9,
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB,
                         0xC5, 0xC6, 0xCD, 0xCE, 0xC7, 0xCF):
             if dhp is None:
                 raise ValueError("hierarchical frame before DHP")
@@ -2899,18 +2938,34 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                 raise ValueError("frame precision differs from DHP")
             fh, fw = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
                     f"{ncomp}-component hierarchical JPEG needs an "
                     "injected decoder")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled hierarchical JPEG needs an "
-                        "injected decoder")
-                comps.append((cid, 1, 1, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"bad sampling factors ({hi}, {vi})")
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            lossless_frame = marker in (0xC3, 0xC7, 0xCB, 0xCF)
+            if lossless_frame and (hmax, vmax) != (1, 1):
+                # parity with the non-hierarchical lossless path
+                raise NotImplementedError(
+                    "subsampled lossless JPEG needs an injected "
+                    "decoder")
+            if samp is not None and [c[1:3] for c in comps] != samp:
+                raise ValueError(
+                    "sampling factors change between hierarchical "
+                    "frames")
+            samp = [c[1:3] for c in comps]
+            # per-component dims at THIS frame's resolution
+            cdims = [(-(-fh * vi // vmax), -(-fw * hi // hmax))
+                     for _cid, hi, vi, _tq in comps]
             differential = marker in (0xC5, 0xC6, 0xCD, 0xCE,
                                       0xC7, 0xCF)
             if differential:
@@ -2921,9 +2976,9 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                 if pending_exp is not None:
                     eh, ev = pending_exp
                     pending_exp = None
-                    refs = [_exp_upsample(r, eh, ev)[:fh, :fw]
-                            for r in refs]
-                if any(r.shape != (fh, fw) for r in refs):
+                    refs = [_exp_upsample(r, eh, ev)[:ch, :cw]
+                            for r, (ch, cw) in zip(refs, cdims)]
+                if [r.shape for r in refs] != cdims:
                     raise ValueError(
                         "differential frame dimensions do not match "
                         "the reference components")
@@ -2938,26 +2993,30 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             H, W = dhp
             if fh > H or fw > W:
                 raise ValueError("frame exceeds the DHP dimensions")
-            by, bx = -(-fh // 8), -(-fw // 8)
-            if by * bx > _MAX_SCAN_UNITS:
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            if mcus_x * mcus_y * sum(
+                    hi * vi for _c, hi, vi, _t in comps) \
+                    > _MAX_SCAN_UNITS:
                 raise ValueError(
                     "hierarchical frame declares more coded units "
                     "than the decode bound allows")
-            coef = (None if marker in (0xC7, 0xCF) else
-                    [np.zeros((by, bx, 64), dtype=np.int64)
-                     for _ in range(ncomp)])
-            frame = [marker, fh, fw, comps, coef, False]
-        elif marker in (0xC2, 0xCA, 0xC3, 0xCB):
-            raise NotImplementedError(
-                f"non-differential JPEG process (SOF marker "
-                f"0xFF{marker:02X}) as a hierarchical first frame "
-                "needs an injected decoder")
+            if marker in (0xC7, 0xCF):
+                coef = None           # diffs applied per scan
+            elif marker in (0xC3, 0xCB):
+                coef = []             # scan tuples, decoded at finalize
+            else:
+                coef = [np.zeros((mcus_y * vi, mcus_x * hi, 64),
+                                 dtype=np.int64)
+                        for _c, hi, vi, _t in comps]
+            frame = [marker, fh, fw, comps, coef, False,
+                     hmax, vmax, cdims]
         elif marker == 0xDA:          # SOS
             if frame is None:
                 raise ValueError("SOS without a hierarchical frame")
-            m, fh, fw, comps, coef, _got = frame
+            m, fh, fw, comps, coef, _got, hmax, vmax, _cd = frame
             ns = body[0]
-            arith = m in (0xC9, 0xCD, 0xCE, 0xCF)
+            arith = m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
             comp_ids = [c[0] for c in comps]
             sel = []
             for s in range(ns):
@@ -2970,7 +3029,8 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             se = body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             segments, pos = _split_scan(payload, pos)
-            mcus_x, mcus_y = -(-fw // 8), -(-fh // 8)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
             if m in (0xC7, 0xCF):
                 if ss != 0:
                     raise ValueError(
@@ -2987,37 +3047,42 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                                                 segments))
                 for (ci, _d, _a), dplane in zip(sel, diffs):
                     refs[ci] = np.mod(refs[ci] + dplane, 65536)
-            elif m in (0xC6, 0xCE):
-                # differential PROGRESSIVE frame (r13): each SOS is
-                # one independent Annex-G pass over the frame's
-                # coefficient store, DC scans with PRED = 0
+            elif m in (0xC3, 0xCB):
+                # lossless FIRST frame: accumulate the scan; decode
+                # at finalize (per-component scans share the planes)
+                coef.append((sel, ss, se, ahal >> 4, ahal & 0x0F,
+                             ri, segments, dict(dc_cond),
+                             dict(ac_cond)))
+            elif m in (0xC2, 0xC6, 0xCA, 0xCE):
+                # PROGRESSIVE frame (r13): each SOS is one
+                # independent Annex-G pass over the frame's
+                # coefficient store; differential frames (SOF6/14)
+                # code DC scans with PRED = 0
                 scan = (sel, ss, se, ahal >> 4, ahal & 0x0F, ri,
                         segments, dict(dc_cond), dict(ac_cond))
-                if m == 0xCE:
-                    _decode_progressive_arith(
-                        [scan], comps, coef, mcus_x, mcus_y, fh, fw,
-                        1, 1, differential=True)
-                else:
-                    _decode_progressive_scans(
-                        [scan], comps, coef, mcus_x, mcus_y, fh, fw,
-                        1, 1, differential=True)
+                decode = (_decode_progressive_arith
+                          if m in (0xCA, 0xCE)
+                          else _decode_progressive_scans)
+                decode([scan], comps, coef, mcus_x, mcus_y, fh, fw,
+                       hmax, vmax, differential=m in (0xC6, 0xCE))
             elif arith:
                 if 1 < len(sel) < len(comps):
                     raise NotImplementedError(
                         "partially-interleaved sequential JPEG scan "
                         "needs an injected decoder")
                 _decode_sequential_arith(
-                    sel, comps, coef, mcus_x, mcus_y, fh, fw, 1, 1,
-                    ri, segments, dict(dc_cond), dict(ac_cond),
-                    differential=(m == 0xCD))
+                    sel, comps, coef, mcus_x, mcus_y, fh, fw,
+                    hmax, vmax, ri, segments, dict(dc_cond),
+                    dict(ac_cond), differential=(m == 0xCD))
             else:
                 if 1 < len(sel) < len(comps):
                     raise NotImplementedError(
                         "partially-interleaved sequential JPEG scan "
                         "needs an injected decoder")
                 _decode_sequential_huffman(
-                    sel, comps, coef, mcus_x, mcus_y, fh, fw, 1, 1,
-                    ri, segments, differential=(m == 0xC5))
+                    sel, comps, coef, mcus_x, mcus_y, fh, fw,
+                    hmax, vmax, ri, segments,
+                    differential=(m == 0xC5))
             frame[5] = True
         # else: APPn / COM / DNL — skip
 
@@ -3026,23 +3091,26 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
     if refs is None or dhp is None:
         raise ValueError("hierarchical stream without DHP and a frame")
     H, W = dhp
-    if any(r.shape != (H, W) for r in refs):
+    hmax = max(h for h, _v in samp)
+    vmax = max(v for _h, v in samp)
+    expect = [(-(-H * vi // vmax), -(-W * hi // hmax))
+              for hi, vi in samp]
+    if [r.shape for r in refs] != expect:
         raise ValueError(
             "hierarchical stream ended before reaching the DHP "
             "dimensions")
     maxv = (1 << precision) - 1
     dt = np.uint8 if precision == 8 else np.uint16
-    refs = [np.clip(r, 0, maxv) for r in refs]
-    if len(refs) == 1:
-        return refs[0][:, :, np.newaxis].astype(dt)
-    mid = float(1 << (precision - 1))
-    y = refs[0].astype(np.float64)
-    cb = refs[1].astype(np.float64) - mid
-    cr = refs[2].astype(np.float64) - mid
-    rgb = np.stack([y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb], axis=-1)
-    return np.clip(np.round(rgb), 0, maxv).astype(dt)
+    planes = []
+    for r, (hi, vi) in zip(refs, samp):
+        if vmax % vi or hmax % hi:
+            raise NotImplementedError(
+                f"non-integer-ratio sampling factors ({hi},{vi}) vs "
+                f"({hmax},{vmax}) need an injected decoder")
+        r = np.clip(r, 0, maxv)
+        planes.append(r.repeat(vmax // vi, axis=0)
+                       .repeat(hmax // hi, axis=1)[:H, :W])
+    return _assemble_color(planes, precision, adobe_transform)
 
 
 def _downsample2(plane: np.ndarray) -> np.ndarray:
@@ -3066,26 +3134,41 @@ def _fdct_plane(plane: np.ndarray, q: np.ndarray,
                        q, mid)
 
 
+def _hier_mcu_blocks(planes_zz, factors, mcus_x: int, mcus_y: int):
+    """Interleaved MCU walk over the hierarchical encoder's
+    zigzag-block stores: yields (ci, block)."""
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (hi, vi) in enumerate(factors):
+            for v in range(vi):
+                for hh in range(hi):
+                    yield ci, planes_zz[ci][my * vi + v, mx * hi + hh]
+
+
 def _encode_hier_scan(out: bytearray, planes_zz, arithmetic: bool,
-                      differential: bool) -> None:
-    """One interleaved sequential scan over 1×1-sampled components
-    (the hierarchical encoder's frame body)."""
+                      differential: bool, factors=None,
+                      mcus: tuple[int, int] | None = None) -> None:
+    """One interleaved sequential scan (the hierarchical encoder's
+    frame body); ``factors``/``mcus`` give the subsampled MCU walk
+    (default all-1×1)."""
     ncomp = len(planes_zz)
+    if factors is None:
+        factors = [(1, 1)] * ncomp
     sos = bytes([ncomp])
     for i in range(ncomp):
         sos += bytes([i + 1, 0x00])
     sos += bytes([0, 63, 0])
     _segment(out, 0xDA, sos)
-    by, bx = planes_zz[0].shape[:2]
+    if mcus is None:
+        mcus = (planes_zz[0].shape[1], planes_zz[0].shape[0])
+    mcus_x, mcus_y = mcus
     if arithmetic:
         qm = _QmEncoder()
         stats = _ArithStats(ncomp)
-        for y in range(by):
-            for x in range(bx):
-                for ci in range(ncomp):
-                    _arith_encode_block(
-                        qm, stats, planes_zz[ci][y, x], ci, 0, 0,
-                        (0, 1), 5, differential)
+        for ci, blk in _hier_mcu_blocks(planes_zz, factors,
+                                        mcus_x, mcus_y):
+            _arith_encode_block(qm, stats, blk, ci, 0, 0,
+                                (0, 1), 5, differential)
         out.extend(_qm_flush_stuffed(qm))
         return
     # the extended-category (12-bit) tables serve BOTH precisions in
@@ -3097,59 +3180,73 @@ def _encode_hier_scan(out: bytearray, planes_zz, arithmetic: bool,
     ac_lut = _build_encode_lut(_AC_COUNTS_12, _AC_SYMBOLS_12)
     bw = _BitWriter()
     preds = [0] * ncomp
-    for y in range(by):
-        for x in range(bx):
-            for ci in range(ncomp):
-                blk = planes_zz[ci][y, x]
-                dc = int(blk[0])
-                diff = dc if differential else dc - preds[ci]
-                if not differential:
-                    preds[ci] = dc
-                t = _category(diff)
-                code, ln = dc_lut[t]
+    for ci, blk in _hier_mcu_blocks(planes_zz, factors,
+                                    mcus_x, mcus_y):
+        dc = int(blk[0])
+        diff = dc if differential else dc - preds[ci]
+        if not differential:
+            preds[ci] = dc
+        t = _category(diff)
+        code, ln = dc_lut[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0
+                     else diff + (1 << t) - 1, t)
+        run = 0
+        last = 63
+        while last > 0 and blk[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_lut[0xF0]
                 bw.write(code, ln)
-                if t:
-                    bw.write(diff if diff >= 0
-                             else diff + (1 << t) - 1, t)
-                run = 0
-                last = 63
-                while last > 0 and blk[last] == 0:
-                    last -= 1
-                for k in range(1, last + 1):
-                    v = int(blk[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_lut[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = ac_lut[(run << 4) | s]
-                    bw.write(code, ln)
-                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last < 63:
-                    code, ln = ac_lut[0x00]
-                    bw.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_lut[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_lut[0x00]
+            bw.write(code, ln)
     bw.pad_to_byte()
     out.extend(bw.buf)
 
 
 def _encode_hier_prog_scans(out: bytearray, planes_zz,
                             arithmetic: bool,
-                            band_split: int = 5) -> None:
-    """Differential-PROGRESSIVE frame body (SOF6/SOF14, r13): one
-    interleaved PRED=0 DC scan (Ss=Se=0), then per-component AC band
-    scans [1, band_split] / [band_split+1, 63], all at Ah=Al=0 —
-    spectral selection exercises the differential-progressive decode
-    paths; successive approximation is orthogonal to the differential
-    semantics and stays pinned by the SOF2/SOF10 tests. The Huffman
-    form emits per-block EOB0 (the 12-bit AC table carries no EOBn
-    run symbols); the arithmetic form uses the per-block EOB decision
-    of the band coder."""
+                            band_split: int = 5,
+                            differential: bool = True,
+                            factors=None,
+                            mcus: tuple[int, int] | None = None,
+                            cdims=None) -> None:
+    """PROGRESSIVE frame body for hierarchical streams (r13): one
+    interleaved DC scan (Ss=Se=0), then per-component AC band scans
+    [1, band_split] / [band_split+1, 63], all at Ah=Al=0 — spectral
+    selection exercises the progressive decode paths; successive
+    approximation is orthogonal and stays pinned by the SOF2/SOF10
+    tests. ``differential`` codes the DC with PRED=0 (SOF6/SOF14
+    frames); False gives the standard predicted form for a
+    non-differential progressive FIRST frame (SOF2/SOF10 inside a
+    DHP pyramid). The Huffman form emits per-block EOB0 (the 12-bit
+    AC table carries no EOBn run symbols); the arithmetic form uses
+    the per-block EOB decision of the band coder."""
     ncomp = len(planes_zz)
-    by, bx = planes_zz[0].shape[:2]
+    if factors is None:
+        factors = [(1, 1)] * ncomp
+    if mcus is None:
+        mcus = (planes_zz[0].shape[1], planes_zz[0].shape[0])
+    mcus_x, mcus_y = mcus
+    if cdims is None:
+        cdims = [(p.shape[0] * 8, p.shape[1] * 8) for p in planes_zz]
+    # AC scans raster the component's CODED block grid (smaller than
+    # the MCU-padded store for subsampled components — matches
+    # _scan_units on the decode side)
+    coded = [(-(-ch // 8), -(-cw // 8)) for ch, cw in cdims]
 
     def sos(comp_idxs, ss, se):
         body = bytes([len(comp_idxs)])
@@ -3158,49 +3255,52 @@ def _encode_hier_prog_scans(out: bytearray, planes_zz,
         body += bytes([ss, se, 0])
         _segment(out, 0xDA, body)
 
-    sos(list(range(ncomp)), 0, 0)          # DC scan, PRED = 0
+    sos(list(range(ncomp)), 0, 0)          # DC scan
     if arithmetic:
         qm, stats = _QmEncoder(), _ArithStats(ncomp)
-        for y in range(by):
-            for x in range(bx):
-                for ci in range(ncomp):
-                    stats.last_dc[ci] = 0
-                    _arith_encode_dc(qm, stats, ci, 0, (0, 1),
-                                     int(planes_zz[ci][y, x][0]))
+        for ci, blk in _hier_mcu_blocks(planes_zz, factors,
+                                        mcus_x, mcus_y):
+            if differential:               # PRED = 0 per block
+                stats.last_dc[ci] = 0
+            _arith_encode_dc(qm, stats, ci, 0, (0, 1), int(blk[0]))
         out.extend(_qm_flush_stuffed(qm))
     else:
         dc_lut = _build_encode_lut(_DC_COUNTS_12, _DC_SYMBOLS_12)
         bw = _BitWriter()
-        for y in range(by):
-            for x in range(bx):
-                for ci in range(ncomp):
-                    diff = int(planes_zz[ci][y, x][0])
-                    t = _category(diff)
-                    code, ln = dc_lut[t]
-                    bw.write(code, ln)
-                    if t:
-                        bw.write(diff if diff >= 0
-                                 else diff + (1 << t) - 1, t)
+        preds = [0] * ncomp
+        for ci, blk in _hier_mcu_blocks(planes_zz, factors,
+                                        mcus_x, mcus_y):
+            dc = int(blk[0])
+            diff = dc if differential else dc - preds[ci]
+            if not differential:
+                preds[ci] = dc
+            t = _category(diff)
+            code, ln = dc_lut[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0
+                         else diff + (1 << t) - 1, t)
         bw.pad_to_byte()
         out.extend(bw.buf)
 
     ac_lut = (None if arithmetic
               else _build_encode_lut(_AC_COUNTS_12, _AC_SYMBOLS_12))
     for ci in range(ncomp):
+        cby, cbx = coded[ci]
         for ss, se in ((1, band_split), (band_split + 1, 63)):
             sos([ci], ss, se)
             if arithmetic:
                 qm, stats = _QmEncoder(), _ArithStats(ncomp)
-                for y in range(by):
-                    for x in range(bx):
+                for y in range(cby):
+                    for x in range(cbx):
                         _arith_encode_ac_band(
                             qm, stats, planes_zz[ci][y, x], 0, 5,
                             ss, se, 0)
                 out.extend(_qm_flush_stuffed(qm))
                 continue
             bw = _BitWriter()
-            for y in range(by):
-                for x in range(bx):
+            for y in range(cby):
+                for x in range(cbx):
                     blk = planes_zz[ci][y, x]
                     r = 0
                     for k in range(ss, se + 1):
@@ -3230,7 +3330,11 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
                              arithmetic: bool = False,
                              lossless_final: bool = False,
                              precision: int = 8,
-                             progressive: bool = False) -> bytes:
+                             progressive: bool = False,
+                             first_frame: str = "sequential",
+                             subsample: bool = False,
+                             adobe_transform: int | None = None
+                             ) -> bytes:
     """Encode as HIERARCHICAL JPEG (T.81 Annex J) — the fixture write
     half proving _decode_hierarchical (the SOF3/SOF9/MJPEG-B
     pattern: no hierarchical sample files exist in this container, so
@@ -3251,12 +3355,25 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
     r13 additions: ``progressive`` codes each differential level as
     a differential-PROGRESSIVE frame (SOF6, or SOF14 with
     ``arithmetic``) — PRED=0 DC scan plus spectral-selection AC band
-    scans per component (_encode_hier_prog_scans); and with
+    scans per component (_encode_hier_prog_scans); with
     ``arithmetic``, ``lossless_final`` emits the SOF15 form — the
     residual QM-coded under the H.1.2.2 conditioning model on the
-    difference plane. Decoded output is identical to the sequential
-    forms (same coefficients, different scan scripts), which the
-    round-trip tests pin."""
+    difference plane; and ``first_frame`` selects the
+    NON-differential pyramid base: "sequential" (SOF1/SOF9),
+    "progressive" (SOF2/SOF10 — predicted DC), or "lossless"
+    (SOF3/SOF11 — the base level stored EXACTLY, so a lossless base
+    plus DCT differentials plus a lossless final is exact end to
+    end). Decoded output is identical across scan scripts of the
+    same coefficients, which the round-trip tests pin.
+
+    r13 (same session): ``subsample`` codes 3-channel input 4:2:0 —
+    chroma at half resolution at EVERY pyramid level (per-component
+    pyramids; each EXP doubles every component, preserving the
+    ratio); lossless frames stay 1×1 by spec parity, so
+    ``lossless_final``/``first_frame="lossless"`` reject it.
+    4-channel input stores raw planes (the CMYK shape) with an
+    Adobe APP14 tag when ``adobe_transform`` is given — decode
+    output follows the sequential 4-component conversion rules."""
     if precision not in (8, 12):
         raise ValueError("hierarchical precision must be 8 or 12")
     if levels < 1:
@@ -3265,9 +3382,21 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
     if img.ndim == 2:
         img = img[:, :, np.newaxis]
     h, w, ncomp = img.shape
-    if ncomp not in (1, 3):
+    if ncomp not in (1, 3, 4):
         raise ValueError(
-            "encode_jpeg_hierarchical takes gray or RGB input")
+            "encode_jpeg_hierarchical takes gray, RGB, or "
+            "4-component input")
+    if subsample and ncomp != 3:
+        raise ValueError("subsample needs 3-channel input")
+    if subsample and (lossless_final or first_frame == "lossless"):
+        raise ValueError(
+            "lossless hierarchical frames are 1x1-sampled (spec "
+            "parity) — subsample excludes lossless_final and "
+            "first_frame='lossless'")
+    factors = ([(2, 2), (1, 1), (1, 1)] if subsample
+               else [(1, 1)] * ncomp)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     mid = float(1 << (precision - 1))
     maxv = (1 << precision) - 1
     if img.size and (int(img.min()) < 0 or int(img.max()) > maxv):
@@ -3281,13 +3410,21 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
                   0.5 * r - 0.418688 * g - 0.081312 * b + mid]
         planes = [np.clip(np.round(p), 0, maxv).astype(np.int64)
                   for p in planes]
+        if subsample:
+            planes = [planes[0], _downsample2(planes[1]),
+                      _downsample2(planes[2])]
     else:
-        planes = [img[:, :, 0]]
+        planes = [img[:, :, i] for i in range(ncomp)]
 
     pyr = [planes]
     for _ in range(levels - 1):
         pyr.append([_downsample2(p) for p in pyr[-1]])
     pyr.reverse()
+    fdims = [(h, w)]
+    for _ in range(levels - 1):
+        ph, pw = fdims[-1]
+        fdims.append((-(-ph // 2), -(-pw // 2)))
+    fdims.reverse()
 
     qflat = quant.reshape(64)
     if int(qflat.max()) > 255 or int(qflat.min()) < 1:
@@ -3295,9 +3432,12 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
             "hierarchical quant table entries must be in [1, 255]")
 
     out = bytearray(b"\xff\xd8")
+    if ncomp == 4 and adobe_transform is not None:
+        _segment(out, 0xEE, b"Adobe" + bytes(
+            [0, 100, 0, 0, 0, 0, adobe_transform]))
     dhp = struct.pack(">BHHB", precision, h, w, ncomp)
     for i in range(ncomp):
-        dhp += bytes([i + 1, 0x11, 0])
+        dhp += bytes([i + 1, (factors[i][0] << 4) | factors[i][1], 0])
     _segment(out, 0xDE, dhp)
     qz = qflat[ZIGZAG].astype(np.uint8)
     _segment(out, 0xDB, bytes([0x00]) + qz.tobytes())
@@ -3311,32 +3451,101 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
 
     recon = None
     for li, lvl in enumerate(pyr):
-        lh, lw = lvl[0].shape
+        lh, lw = fdims[li]
+        mcx, mcy = -(-lw // (8 * hmax)), -(-lh // (8 * vmax))
+        cdims = [(-(-lh * vi // vmax), -(-lw * hi // hmax))
+                 for hi, vi in factors]
+
+        def zz_of(srcs, m):
+            """Per-component zigzag blocks on the MCU-padded grid."""
+            return [_fdct_quant(
+                _pad_to(p.astype(np.float64),
+                        mcy * vi * 8, mcx * hi * 8), quant, m)
+                for p, (hi, vi) in zip(srcs, factors)]
+
         sof = struct.pack(">BHHB", precision, lh, lw, ncomp)
         for i in range(ncomp):
-            sof += bytes([i + 1, 0x11, 0])
+            sof += bytes([i + 1,
+                          (factors[i][0] << 4) | factors[i][1], 0])
         if li == 0:
-            _segment(out, 0xC9 if arithmetic else 0xC1, sof)
-            zzs = [_fdct_plane(p, quant, mid) for p in lvl]
-            _encode_hier_scan(out, zzs, arithmetic, False)
+            if first_frame == "lossless":
+                _segment(out, 0xCB if arithmetic else 0xC3, sof)
+                sos_b = bytes([ncomp])
+                for i in range(ncomp):
+                    sos_b += bytes([i + 1, 0x00])
+                sos_b += bytes([4, 0, 0])     # predictor 4, Pt 0
+                _segment(out, 0xDA, sos_b)
+                default = 1 << (precision - 1)
+                if arithmetic:
+                    qm = _QmEncoder()
+                    lstats = [bytearray(_LL_STATS_BINS)
+                              for _ in range(ncomp)]
+                else:
+                    dc_lut = _build_encode_lut(_DC_COUNTS_12,
+                                               _DC_SYMBOLS_12)
+                    bw = _BitWriter()
+                for y in range(lh):
+                    for x in range(lw):
+                        for ci in range(ncomp):
+                            p = lvl[ci]
+                            px = (default if (y, x) == (0, 0) else
+                                  _ll_predict(p, y, x, 4, default))
+                            diff = (int(p[y, x]) - px) & 0xFFFF
+                            if diff >= 32768:
+                                diff -= 65536
+                            if arithmetic:
+                                base, xb = _ll_ctx(p, y, x, 0, 1)
+                                _ll_arith_encode_diff(
+                                    qm, lstats[ci], base, xb, diff)
+                            else:
+                                t = _category(diff)
+                                code, ln = dc_lut[t]
+                                bw.write(code, ln)
+                                if t:
+                                    bw.write(
+                                        diff if diff >= 0
+                                        else diff + (1 << t) - 1, t)
+                if arithmetic:
+                    out.extend(_qm_flush_stuffed(qm))
+                else:
+                    bw.pad_to_byte()
+                    out.extend(bw.buf)
+                recon = [p.copy() for p in lvl]   # exact base
+                continue
+            zzs = zz_of(lvl, mid)
+            if first_frame == "progressive":
+                _segment(out, 0xCA if arithmetic else 0xC2, sof)
+                _encode_hier_prog_scans(out, zzs, arithmetic,
+                                        differential=False,
+                                        factors=factors,
+                                        mcus=(mcx, mcy), cdims=cdims)
+            else:
+                _segment(out, 0xC9 if arithmetic else 0xC1, sof)
+                _encode_hier_scan(out, zzs, arithmetic, False,
+                                  factors=factors, mcus=(mcx, mcy))
             recon = [np.clip(np.round(
                 _idct_spatial(z, quant) + mid), 0, maxv
-                ).astype(np.int64)[:lh, :lw] for z in zzs]
+                ).astype(np.int64)[:ch, :cw]
+                for z, (ch, cw) in zip(zzs, cdims)]
         else:
             _segment(out, 0xDF, bytes([0x11]))   # EXP Eh=1, Ev=1
-            recon = [_exp_upsample(p, 1, 1)[:lh, :lw] for p in recon]
-            zzs = [_fdct_plane(src - ref, quant, 0.0)
-                   for src, ref in zip(lvl, recon)]
+            recon = [_exp_upsample(p, 1, 1)[:ch, :cw]
+                     for p, (ch, cw) in zip(recon, cdims)]
+            zzs = zz_of([src - ref for src, ref in zip(lvl, recon)],
+                        0.0)
             if progressive:
                 _segment(out, 0xCE if arithmetic else 0xC6, sof)
-                _encode_hier_prog_scans(out, zzs, arithmetic)
+                _encode_hier_prog_scans(out, zzs, arithmetic,
+                                        factors=factors,
+                                        mcus=(mcx, mcy), cdims=cdims)
             else:
                 _segment(out, 0xCD if arithmetic else 0xC5, sof)
-                _encode_hier_scan(out, zzs, arithmetic, True)
+                _encode_hier_scan(out, zzs, arithmetic, True,
+                                  factors=factors, mcus=(mcx, mcy))
             recon = [np.clip(
                 p + np.round(_idct_spatial(z, quant))
-                .astype(np.int64)[:lh, :lw], 0, maxv)
-                for p, z in zip(recon, zzs)]
+                .astype(np.int64)[:ch, :cw], 0, maxv)
+                for p, z, (ch, cw) in zip(recon, zzs, cdims)]
 
     if lossless_final:
         if not arithmetic:

@@ -5060,9 +5060,23 @@ class TestHierarchicalJpeg:
         # differential frame without DHP
         with pytest.raises(ValueError, match="DHP"):
             decode_jpeg(plain.replace(b"\xff\xc0", b"\xff\xc5"))
-        # progressive frame inside a pyramid stays on the seam
-        with pytest.raises(NotImplementedError):
+        # relabeling the sequential first frame as progressive makes
+        # its Ss=0/Se=63 scan script malformed (progressive first
+        # frames themselves decode since r13)
+        with pytest.raises(ValueError, match="DC scan"):
             decode_jpeg(data.replace(b"\xff\xc1", b"\xff\xc2", 1))
+        # subsampled LOSSLESS frames stay on the injected seam
+        import numpy as _np
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical as _ejh)
+        ll = _ejh(_np.zeros((8, 8), _np.int64), levels=1,
+                  first_frame="lossless")
+        i = ll.find(b"\xff\xc3")
+        # SOF body: len(2) P(1) Y(2) X(2) Nf(1) C1(1) HV(1) — the
+        # sampling byte sits at i+11
+        sub = ll[:i + 11] + b"\x21" + ll[i + 12:]
+        with pytest.raises(NotImplementedError, match="subsampled"):
+            decode_jpeg(sub)
         # dimension bomb in the differential frame rejects O(1)
         i = data.find(b"\xff\xc5")
         bomb = bytearray(data)
@@ -5272,3 +5286,159 @@ class TestDifferentialProgressiveJpeg:
                 decode_jpeg(data[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestHierarchicalFirstFrames:
+    """Non-differential progressive/lossless FIRST frames inside a
+    DHP pyramid (r13): the pyramid base may be any non-differential
+    process; a lossless base is exact, so lossless base + DCT
+    differentials + lossless final round-trips bit-exactly."""
+
+    def test_progressive_first_matches_sequential_first(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(59)
+        img = rng.integers(0, 256, (33, 21), np.int64)
+        for arith in (False, True):
+            seq = decode_jpeg(encode_jpeg_hierarchical(
+                img, levels=3, arithmetic=arith))
+            prog = decode_jpeg(encode_jpeg_hierarchical(
+                img, levels=3, arithmetic=arith,
+                first_frame="progressive"))
+            assert np.array_equal(seq, prog), arith
+
+    def test_lossless_first_plus_lossless_final_bit_exact(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(61)
+        noise = rng.integers(0, 256, (17, 19), np.int64)
+        for arith in (False, True):
+            data = encode_jpeg_hierarchical(
+                noise, levels=3, first_frame="lossless",
+                arithmetic=arith, lossless_final=True)
+            assert np.array_equal(
+                decode_jpeg(data)[:, :, 0], noise), arith
+
+    def test_lossless_first_levels1_is_exact(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(67)
+        img = rng.integers(0, 4096, (9, 13), np.int64)
+        for arith in (False, True):
+            data = encode_jpeg_hierarchical(
+                img, levels=1, first_frame="lossless",
+                arithmetic=arith, precision=12)
+            dec = decode_jpeg(data)
+            assert dec.dtype == np.uint16
+            assert np.array_equal(dec[:, :, 0], img), arith
+
+
+class TestSubsampledHierarchical:
+    """Subsampled (4:2:0) and 4-component hierarchical pyramids
+    (r13): per-component references at component resolution, EXP
+    doubling every component, final repeat-upsample + shared color
+    assembly."""
+
+    def test_420_pyramid_tracks_sequential_420(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(71)
+        img = rng.integers(0, 256, (24, 18, 3), np.int64)
+        base = decode_jpeg(
+            encode_jpeg(img, subsample=True)).astype(np.int64)
+        for arith in (False, True):
+            for prog in (False, True):
+                out = decode_jpeg(encode_jpeg_hierarchical(
+                    img, levels=2, subsample=True, arithmetic=arith,
+                    progressive=prog)).astype(np.int64)
+                assert out.shape == (24, 18, 3)
+                assert int(np.abs(out - base).max()) <= 6, (
+                    arith, prog)
+
+    def test_420_odd_geometry_and_depth(self):
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(73)
+        img = rng.integers(0, 256, (21, 13, 3), np.int64)
+        out = decode_jpeg(encode_jpeg_hierarchical(
+            img, levels=3, subsample=True,
+            first_frame="progressive"))
+        assert out.shape == (21, 13, 3)
+
+    def test_4component_lossless_final_exact(self):
+        """Raw 4-plane pyramid + lossless final: the decoded output
+        must equal the sequential CMYK conversion of the ORIGINAL
+        planes — both without APP14 (ink inversion) and with the
+        Adobe transform-0 tag (direct storage)."""
+        import numpy as np
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(79)
+        p4 = rng.integers(0, 256, (11, 9, 4), np.int64)
+        f = p4.astype(np.float64)
+
+        data = encode_jpeg_hierarchical(p4, levels=2,
+                                        lossless_final=True)
+        exp = np.clip(np.round(
+            (255 - f[:, :, :3]) * (255 - f[:, :, 3:4]) / 255), 0, 255)
+        assert np.array_equal(decode_jpeg(data).astype(np.float64),
+                              exp)
+
+        data = encode_jpeg_hierarchical(
+            p4, levels=2, lossless_final=True, arithmetic=True,
+            adobe_transform=0)
+        exp = np.clip(np.round(
+            f[:, :, :3] * f[:, :, 3:4] / 255), 0, 255)
+        assert np.array_equal(decode_jpeg(data).astype(np.float64),
+                              exp)
+
+    def test_guards(self):
+        import numpy as np
+        import pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical)
+
+        img = np.zeros((8, 8, 3), np.int64)
+        with pytest.raises(ValueError, match="lossless"):
+            encode_jpeg_hierarchical(img, subsample=True,
+                                     lossless_final=True)
+        with pytest.raises(ValueError, match="3-channel"):
+            encode_jpeg_hierarchical(np.zeros((8, 8), np.int64),
+                                     subsample=True)
+
+    def test_changing_factors_between_frames_rejected(self):
+        import numpy as np
+        import pytest
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg_hierarchical)
+
+        rng = np.random.default_rng(83)
+        img = rng.integers(0, 256, (16, 16, 3), np.int64)
+        data = encode_jpeg_hierarchical(img, levels=2,
+                                        subsample=True)
+        # flip the luma sampling nibble of the SECOND frame (the
+        # differential SOF5) from 0x22 to 0x11
+        i = data.find(b"\xff\xc5")
+        assert i > 0 and data[i + 11] == 0x22
+        bad = data[:i + 11] + b"\x11" + data[i + 12:]
+        with pytest.raises(ValueError, match="sampling factors"):
+            decode_jpeg(bad)
