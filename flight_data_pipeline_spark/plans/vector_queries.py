@@ -711,6 +711,96 @@ def media_decode_profile_video(spark: SparkSession,
     )
 
 
+_MEDIA_HIER_ORACLE = f"""
+    SELECT doc_id AS media_id, 'hier' AS fmt,
+           {", ".join(
+               f"CAST(64 * SUM(CASE WHEN nib = '{d}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS b{i}"
+               for i, d in enumerate(_HEXD))}
+    FROM (
+        SELECT doc_id,
+               substr(md5('mh|' || CAST(doc_id AS VARCHAR)),
+                      g.i, 1) AS nib
+        FROM documents,
+             (SELECT unnest(generate_series(1, 4)) AS i) g
+        WHERE doc_id < {MEDIA_PROFILE_DOCS}
+    ) GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@query("media_decode_profile_hier", oracle=_MEDIA_HIER_ORACLE)
+def media_decode_profile_hier(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """HIERARCHICAL + arithmetic JPEG hash-certified end to end
+    (r13) — one payload per doc exercises the round's entire new
+    T.81 surface in a single oracle-checked pass: an arithmetic
+    LOSSLESS first frame (SOF11, the H.1.2.2 QM conditioning model),
+    EXP reference expansion, a differential PROGRESSIVE arithmetic
+    frame (SOF14: PRED=0 QM DC scan + spectral-selection AC band
+    scans), and an arithmetic differential-lossless correction frame
+    (SOF15). Because the pyramid base and the correction frame are
+    both lossless, decode is BIT-EXACT by construction — so the
+    oracle predicts the decoded-intensity bins from the md5
+    generating formula alone, never seeing a payload, and one hash
+    MATCH certifies the QM coder, all three new frame types, the
+    Annex-J pyramid walk, and the histogram featurization together.
+
+    Construction (the media_decode_profile_video image formula): doc
+    d's image is 16×16 GRAYSCALE, four 8×8 constant blocks valued
+    nibble·16+8 for the first 4 hex nibbles of md5('mh|'||d) — so
+    bin i counts exactly 64·(#nibbles equal to i) of the 256 pixels,
+    recovered from the normalized histogram by round(f·256). Fixed
+    20-doc carve pushed to the parquet scan (doc_id-only ReadSchema,
+    pinned with the gif/audio/video siblings in tests/test_plans.py),
+    map-side payload build, Arrow stages only.
+
+    Reference parity: the reference pipeline has no media tier
+    (etl_job.py is REST-JSON→postgres); extension scope."""
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < MEDIA_PROFILE_DOCS)
+            .select("doc_id"))
+
+    def _hier_media(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from flight_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical)
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                hx = hashlib.md5(
+                    f"mh|{did}".encode()).hexdigest()[:4]
+                nib = np.array([int(c, 16) for c in hx],
+                               np.uint8).reshape(2, 2)
+                img = np.repeat(np.repeat(
+                    nib.astype(np.int64) * 16 + 8, 8, axis=0),
+                    8, axis=1)
+                payloads.append(encode_jpeg_hierarchical(
+                    img, levels=2, arithmetic=True, progressive=True,
+                    first_frame="lossless", lossless_final=True))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "payload": payloads,
+                "meta": [{"kind": "image", "format": "jpeg",
+                          "n_bytes": len(p)} for p in payloads],
+            })
+
+    media_hier = docs.mapInPandas(_hier_media, schema=MEDIA_SCHEMA)
+    return (
+        extract_features(media_hier).select(
+            "media_id",
+            F.lit("hier").alias("fmt"),
+            *[F.round(F.element_at("feature", i + 1).cast("double")
+                      * 256).cast("long").alias(f"b{i}")
+              for i in range(16)])
+        .orderBy("media_id")
+    )
+
+
 _MEDIA_QUALITY_ORACLE = f"""
     WITH v AS (
         SELECT doc_id,

@@ -597,7 +597,7 @@ def test_media_gif_and_audio_profiles_share_the_scan_discipline(spark):
     scan shape as media_decode_profile: carve pushed to the parquet
     scan, doc_id-only ReadSchema, payloads synthesized in-plan."""
     for q in ("media_decode_profile_gif", "media_decode_profile_audio",
-              "media_decode_profile_video"):
+              "media_decode_profile_video", "media_decode_profile_hier"):
         plan = plan_of(spark, q)
         assert ("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)"
                 in plan), q
