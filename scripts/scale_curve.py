@@ -477,6 +477,52 @@ def build_media_corpus(scale: int, out_dir: str) -> None:
                     rng.bytes(400))
 
 
+WBEGIN = "<!-- SCALECURVE-WARC:BEGIN (generated by scripts/scale_curve.py) -->"
+WEND = "<!-- SCALECURVE-WARC:END -->"
+
+WARC_BASE_FILES = 48          # files at 1x (file = unit of parallelism)
+WARC_RECS_PER_FILE = 24       # response records per file
+WARC_PARAS_PER_DOC = 70       # content paragraphs per HTML document
+
+
+def build_warc_corpus(scale: int, out_dir: str) -> None:
+    """``WARC_BASE_FILES * scale`` .warc.gz files (the Common Crawl
+    growth axis: a crawl grows by landing segment files), each with
+    ``WARC_RECS_PER_FILE`` HTTP response records of deterministic
+    HTML — a nav-link boilerplate block plus ~24 KB of content
+    paragraphs — rotating through the plain/chunked/gzip
+    content-encoding shapes so the HTTP decode paths all run."""
+    from flight_data_pipeline_spark.sources.warc_source import (
+        build_http_response, write_warc)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(WARC_BASE_FILES * scale):
+        recs = []
+        for i in range(WARC_RECS_PER_FILE):
+            seed = f"{k}|{i}"
+            nav = ("<div>" + "".join(
+                f"<a href='/n{j}'>nav {j}</a> " for j in range(15))
+                + "</div>")
+            paras = "".join(
+                f"<p>paragraph {j} of document {seed} carries token"
+                + "".join(f" w{(j * 31 + t * 7 + i) % 997}"
+                          for t in range(40))
+                + ".</p>"
+                for j in range(WARC_PARAS_PER_DOC))
+            html = ("<html><head><title>d</title><script>var x=1;"
+                    "</script></head><body>" + nav + paras
+                    + "</body></html>").encode()
+            recs.append({
+                "block": build_http_response(
+                    html, chunked=(i % 3 == 0),
+                    gzip_body=(i % 3 == 1)),
+                "target_uri": f"http://example.com/{seed}",
+            })
+        with open(os.path.join(out_dir, f"part-{k:05d}.warc.gz"),
+                  "wb") as f:
+            f.write(write_warc(recs))
+
+
 def shuffle_write_bytes(spark) -> int:
     """Total shuffle WRITE bytes across all completed stages of this
     app, via the driver's own UI REST endpoint (stdlib urllib — diff
@@ -729,6 +775,81 @@ def main() -> None:
             "exponent_tail": round(fit_exponent(
                 [(s, mrows[s]["sec"]) for s in SCALES[1:]]), 3),
         }
+    warc_result = None
+    if "warc" in fams:
+        from pyspark.sql import functions as F
+
+        from flight_data_pipeline_spark.operators.html_text import (
+            extract_html_text)
+        from flight_data_pipeline_spark.sources.warc_source import (
+            read_warc)
+
+        # pin ~one file per task: the synthetic .warc.gz files are
+        # ~100 KB, so the default openCostInBytes would PACK dozens
+        # per partition and the wall-clock curve would measure
+        # machine fill-up, not the per-file map (the media-curve
+        # lesson; at production segment sizes ~1 GB the packing
+        # question vanishes)
+        old_cost = spark.conf.get("spark.sql.files.openCostInBytes",
+                                  None)
+        spark.conf.set("spark.sql.files.openCostInBytes",
+                       str(128 << 20))
+
+        def run_warc(path: str) -> float:
+            t0 = time.time()
+            ex = extract_html_text(
+                read_warc(spark, path)
+                .where(F.col("http_status") == 200),
+                html_col="payload")
+            (ex.select(
+                F.sum("extracted.n_words").alias("w"),
+                F.sum("extracted.n_chars").alias("c"),
+                F.sum("extracted.n_content_blocks").alias("cb"),
+                F.sum("extracted.n_boilerplate_blocks").alias("bb"))
+             .write.format("noop").mode("overwrite").save())
+            return time.time() - t0
+
+        wroot = os.path.join(root, "warc")
+        wdirs = {}
+        for s in SCALES:
+            d = os.path.join(wroot, f"x{s}")
+            build_warc_corpus(s, d)
+            wdirs[s] = d
+        run_warc(wdirs[1])          # codegen + Arrow warmup
+        nruns = max(1, int(os.environ.get(
+            "SPARK_GRAFT_CURVE_RUNS", "1")))
+        wrows = {}
+        for s in SCALES:
+            spark.read.format("binaryFile").load(wdirs[s]) \
+                .write.format("noop").mode("overwrite").save()
+            best_sec, best_bytes = float("inf"), None
+            for _ in range(nruns):
+                b0 = shuffle_write_bytes(spark)
+                sec = run_warc(wdirs[s])
+                b1 = shuffle_write_bytes(spark)
+                if sec < best_sec:
+                    best_sec, best_bytes = sec, b1 - b0
+            wrows[s] = {
+                "sec": round(best_sec, 3),
+                "shuffle_mb": round(best_bytes / 1e6, 2),
+                "n_files": WARC_BASE_FILES * s,
+                "n_records": WARC_BASE_FILES * s * WARC_RECS_PER_FILE,
+            }
+        if old_cost is None:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        else:
+            spark.conf.set("spark.sql.files.openCostInBytes",
+                           old_cost)
+        out["warc"] = warc_result = {
+            "sf_dir": "synthetic .warc.gz (deterministic content)",
+            "scales": SCALES,
+            "rows": {str(s): wrows[s] for s in SCALES},
+            "exponent": round(fit_exponent(
+                [(s, wrows[s]["sec"]) for s in SCALES]), 3),
+            "exponent_tail": round(fit_exponent(
+                [(s, wrows[s]["sec"]) for s in SCALES[1:]]), 3),
+        }
+
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
@@ -943,6 +1064,48 @@ def main() -> None:
                     "binaryFile's natural behavior). Seconds +\n"
                     "shuffle-write bytes per timed run, local[32].\n\n"
                     + mblock + "\n"
+                )
+
+        if warc_result is not None:
+            wlines = [
+                "| scale | files | records | sec | shuffle MB |",
+                "|---|---|---|---|---|",
+            ]
+            for s in warc_result["scales"]:
+                r = warc_result["rows"][str(s)]
+                wlines.append(
+                    f"| {s}x | {r['n_files']} | {r['n_records']} |"
+                    f" {r['sec']} | {r['shuffle_mb']} |")
+            wlines.append(
+                f"\ntime exponent in FILES: "
+                f"**{warc_result['exponent']}** (tail 2x-8x: "
+                f"{warc_result['exponent_tail']}; claim: ≈1.0 — "
+                f"read_warc parses per file and extract_html_text is "
+                f"per-document map work; the only shuffle is the "
+                f"final four-sum aggregate, one row per task)")
+            wblock = f"{WBEGIN}\n\n" + "\n".join(wlines) + f"\n\n{WEND}"
+            if WBEGIN in text:
+                text = re.sub(
+                    re.escape(WBEGIN) + r".*?" + re.escape(WEND),
+                    wblock, text, flags=re.S)
+            else:
+                text += (
+                    "\n## Measured scale curve (corpus-ingest front"
+                    " half: WARC → HTML → text)\n\n"
+                    "read_warc (gzip members, HTTP de-chunk +\n"
+                    "content-decode) → extract_html_text (block\n"
+                    "segmentation + boilerplate classification) →\n"
+                    "four-sum aggregate, timed over 1x-8x the FILE\n"
+                    "count — the Common Crawl growth axis (a crawl\n"
+                    "grows by landing ~1 GB segment files; file =\n"
+                    "unit of parallelism, per-task memory bounded by\n"
+                    "one file). The harness pins ~one file per task\n"
+                    "via openCostInBytes because its synthetic files\n"
+                    "are ~100 KB (at production sizes binaryFile does\n"
+                    "this naturally). Records rotate through the\n"
+                    "plain/chunked/gzip HTTP shapes. Seconds +\n"
+                    "shuffle-write bytes per timed run, local[32].\n\n"
+                    + wblock + "\n"
                 )
 
         if stats_result is not None:
