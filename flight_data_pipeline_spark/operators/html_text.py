@@ -101,6 +101,7 @@ class _BlockExtractor(HTMLParser):
         self._link_chars = 0
         self._skip_depth = 0
         self._link_depth = 0
+        self._in_head = False
 
     # -- segmentation -----------------------------------------------
     def _flush(self) -> None:
@@ -117,7 +118,20 @@ class _BlockExtractor(HTMLParser):
         self._link_chars = 0
 
     def handle_starttag(self, tag, attrs):
+        # HTML5 makes </head> OPTIONAL: a <body> or any block-level
+        # start tag that is not head-content implies the head ended
+        # (html.parser inserts no implied end tags, so without this
+        # a missing </head> would swallow the whole document into
+        # the head skip — r13 self-review). <title> is the one
+        # _BLOCK_TAGS member that IS head-content.
+        if (self._in_head and self._skip_depth == 1
+                and tag not in _SKIP_TAGS and tag != "title"
+                and tag in _BLOCK_TAGS):
+            self._in_head = False
+            self._skip_depth = 0
         if tag in _SKIP_TAGS:
+            if tag == "head" and not self._skip_depth:
+                self._in_head = True
             self._skip_depth += 1
             return
         if self._skip_depth:
@@ -130,6 +144,8 @@ class _BlockExtractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS:
             # tolerate tag soup: a stray close without its open
+            if tag == "head":
+                self._in_head = False
             self._skip_depth = max(0, self._skip_depth - 1)
             return
         if self._skip_depth:

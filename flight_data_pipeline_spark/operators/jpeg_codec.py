@@ -320,6 +320,28 @@ _ARITH_UNITS_PER_BYTE = 8 * 32767
 #: injects a native decoder at the multimodal seam.
 _MAX_SCAN_UNITS = 1 << 19
 
+
+def _check_scan_units(declared: int, format_avail: int, cap: int,
+                      what: str = "coded units") -> None:
+    """O(1) scan admission with honest exception classes (r13
+    self-review): declared work beyond what the entropy data could
+    LEGALLY carry is corruption — ValueError, the dead-letter
+    contract; declared work that is format-plausible but beyond the
+    pure-python throughput ceiling is a LEGAL over-size image (a
+    48-Mpixel camera JPEG is not malformed) — NotImplementedError,
+    the injected-decoder route (multimodal's decode seam). The
+    r12-advice fix closed the same self-rejection class for the
+    ratio bound; this closes it for the absolute cap."""
+    if declared > format_avail:
+        raise ValueError(
+            f"JPEG scan declares more {what} than its entropy "
+            "data can carry")
+    if declared > cap:
+        raise NotImplementedError(
+            f"JPEG scan declares {declared} {what} — beyond the "
+            f"pure-python decode ceiling ({cap}); inject a native "
+            "decoder at the multimodal seam")
+
 #: T.81 Table D.3 (Qe, NMPS, NLPS, SWITCH); index 113 is the fixed
 #: ~equiprobable bin (never adapts) used for AC coefficient signs.
 _QE = (
@@ -796,15 +818,11 @@ def _decode_sequential_arith(sel, comps, coef, mcus_x, mcus_y, h_img,
     dimension bombs without rejecting any legal stream (flat images
     legally reach ~131k units/byte; r12 used 8192 and rejected the
     repo's own flat-image encoder output)."""
-    avail_units = min(
+    _check_scan_units(
+        _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img, w_img,
+                         hmax, vmax),
         _ARITH_UNITS_PER_BYTE * sum(len(s) for s in segments) + 4096,
         _MAX_SCAN_UNITS)
-    if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img, w_img,
-                        hmax, vmax) > avail_units:
-        # checked BEFORE any decode work — O(1) bomb rejection
-        raise ValueError(
-            "JPEG arithmetic scan declares more coded units than "
-            "its entropy data can carry")
     seg_idx = 0
     dec = _QmDecoder(segments[0])
     stats = _ArithStats(len(comps))
@@ -837,13 +855,11 @@ def _decode_sequential_huffman(sel, comps, coef, mcus_x, mcus_y,
     costs >= 2 Huffman bits (DC symbol + EOB), so units beyond the
     scan's bit budget mean corruption-inflated SOF dimensions —
     checked against the DECLARED unit count upfront in O(1)."""
-    avail_units = min(4 * sum(len(s) for s in segments) + 8,
-                      _MAX_SCAN_UNITS)
-    if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img,
-                        w_img, hmax, vmax) > avail_units:
-        raise ValueError(
-            "JPEG scan declares more coded units than its "
-            "entropy data can carry")
+    _check_scan_units(
+        _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img,
+                         w_img, hmax, vmax),
+        4 * sum(len(s) for s in segments) + 8,
+        _MAX_SCAN_UNITS)
     seg_idx = 0
     br = _BitReader(segments[0])
     preds = [0] * len(comps)
@@ -917,15 +933,12 @@ def _decode_progressive_arith(scans, comps, coef, mcus_x, mcus_y,
                              "single-component")
         if ss == 0 and se != 0:
             raise ValueError("progressive DC scan with Se>0")
-        avail_units = min(
+        _check_scan_units(
+            _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img,
+                             w_img, hmax, vmax),
             _ARITH_UNITS_PER_BYTE * sum(len(s) for s in segments)
-            + 4096, _MAX_SCAN_UNITS)
-        if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img, w_img,
-                            hmax, vmax) > avail_units:
-            # checked BEFORE any decode work — O(1) bomb rejection
-            raise ValueError(
-                "JPEG arithmetic scan declares more coded units "
-                "than its entropy data can carry")
+            + 4096,
+            _MAX_SCAN_UNITS)
         seg_idx = 0
         dec = _QmDecoder(segments[0])
         stats = _ArithStats(len(comps))
@@ -1039,13 +1052,11 @@ def _decode_progressive_scans(scans, comps, coef, mcus_x, mcus_y,
         # in r11): the cheapest legal progressive unit coverage is an
         # EOB-run — EOBn(14) covers 32767 units in ~16 bits, ~16k
         # units/byte — so 2^16 units/byte never rejects legal data
-        if _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img, w_img,
-                            hmax, vmax) > min(
-                65536 * sum(len(s) for s in segments) + 4096,
-                _MAX_SCAN_UNITS):
-            raise ValueError(
-                "JPEG progressive scan declares more coded units "
-                "than its entropy data can carry")
+        _check_scan_units(
+            _scan_unit_count(sel, comps, mcus_x, mcus_y, h_img,
+                             w_img, hmax, vmax),
+            65536 * sum(len(s) for s in segments) + 4096,
+            _MAX_SCAN_UNITS)
         seg_idx = 0
         br = _BitReader(segments[0])
         preds = [0] * len(comps)
@@ -1372,13 +1383,11 @@ def _ll_arith_sample_bound(n_samples: int, segments) -> None:
     every sample costs >= 1 QM decision at >= ~1/32767 bit, and the
     absolute ceiling mirrors _MAX_SCAN_UNITS in sample units
     (64 samples per 8x8-block unit)."""
-    avail = min(
+    _check_scan_units(
+        n_samples,
         _ARITH_UNITS_PER_BYTE * sum(len(s) for s in segments) + 4096,
-        64 * _MAX_SCAN_UNITS)
-    if n_samples > avail:
-        raise ValueError(
-            "lossless arithmetic scan declares more samples than "
-            "its entropy data can carry")
+        64 * _MAX_SCAN_UNITS,
+        what="samples")
 
 
 def _decode_lossless_arith(h: int, w: int, ncomp: int,
@@ -1655,6 +1664,16 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
     n_mcus = mcus_x * mcus_y
+
+    # a legal-but-huge frame routes to the injected-decoder seam
+    # BEFORE the coefficient-store allocation (r13 self-review: a
+    # >33-Mpixel camera JPEG is not malformed; the per-scan
+    # _check_scan_units below draws the same line per scan)
+    if mcus_x * mcus_y * sum(c[1] * c[2] for c in comps) \
+            > 4 * _MAX_SCAN_UNITS:
+        raise NotImplementedError(
+            "JPEG frame beyond the pure-python decode ceiling "
+            "needs an injected decoder")
 
     # per-component zigzag coefficient store, (blocks_y, blocks_x, 64)
     coef = [np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)
@@ -2998,9 +3017,14 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             if mcus_x * mcus_y * sum(
                     hi * vi for _c, hi, vi, _t in comps) \
                     > _MAX_SCAN_UNITS:
-                raise ValueError(
-                    "hierarchical frame declares more coded units "
-                    "than the decode bound allows")
+                # a giant frame is format-LEGAL (dims to 65535²) —
+                # it is the pure-python tier that cannot take it,
+                # so route to the injected-decoder seam instead of
+                # the corrupt-stream dead-letter (r13 self-review);
+                # raised BEFORE the coefficient-store allocation
+                raise NotImplementedError(
+                    "hierarchical frame beyond the pure-python "
+                    "decode ceiling needs an injected decoder")
             if marker in (0xC7, 0xCF):
                 coef = None           # diffs applied per scan
             elif marker in (0xC3, 0xCB):

@@ -173,14 +173,34 @@ def parse_http_response(block: bytes) -> tuple[int, dict[str, str],
         body, _ = _bounded_gunzip(body, 0)
     elif enc == "deflate":
         cap = min(1032 * len(body) + (1 << 16), GZIP_MEMBER_CAP)
+
+        def inflate(wbits: int) -> bytes:
+            # eof must be REACHED (r13 self-review): decompress()'s
+            # max_length silently truncates at the cap and a cut
+            # stream just stops — both returned silently-partial
+            # payloads before, violating the dead-letter contract
+            # the gzip branch enforces
+            d = zlib.decompressobj(wbits=wbits)
+            out = d.decompress(body, cap)
+            if not d.eof:
+                raise ValueError(
+                    "truncated deflate body or deflate body exceeds "
+                    "the decompression bound")
+            return out
+
         try:
             # RFC says zlib-wrapped; real servers send raw too
             try:
-                body = zlib.decompressobj(wbits=15).decompress(body, cap)
+                body = inflate(15)
             except zlib.error:
-                body = zlib.decompressobj(wbits=-15).decompress(body, cap)
+                body = inflate(-15)
         except zlib.error as exc:
             raise ValueError(f"bad deflate body: {exc}") from exc
+    elif enc not in ("", "identity"):
+        # br/zstd/etc: passing compressed bytes through as "payload"
+        # would be silent corruption — dead-letter instead (r13
+        # self-review); read_warc's skip mode quarantines per record
+        raise ValueError(f"unsupported content-encoding {enc[:16]!r}")
     return status, headers, body
 
 
@@ -252,7 +272,10 @@ def parse_warc(data: bytes) -> list[dict]:
 
 #: read_warc output — one row per record; http_* columns are NULL
 #: for non-response records, payload carries the DECODED body for
-#: responses and the raw block otherwise.
+#: responses and the raw block otherwise. ``parse_error`` is NULL
+#: for clean records; with ``on_error="quarantine"`` it carries the
+#: per-record HTTP-decode failure (and payload falls back to the
+#: raw block).
 WARC_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),
     T.StructField("record_id", T.StringType()),
@@ -264,21 +287,38 @@ WARC_SCHEMA = T.StructType([
     T.StructField("http_content_type", T.StringType()),
     T.StructField("payload", T.BinaryType()),
     T.StructField("n_bytes", T.LongType()),
+    T.StructField("parse_error", T.StringType()),
 ])
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              on_error: str = "raise") -> DataFrame:
     """Distributed WARC read: one row per record (WARC_SCHEMA).
 
     binaryFile lists/distributes the ``.warc``/``.warc.gz`` files;
     each mapInPandas task parses its own files, so per-task memory
     is bounded by one file and parallelism is the file count — the
     natural unit (Common Crawl segments are ~1 GiB each; a 100 TB
-    crawl is ~100k files riding the same plan). Corrupt files raise
-    ValueError out of the task (dead-letter; quarantine upstream to
-    skip, the media-tier pattern)."""
+    crawl is ~100k files riding the same plan).
+
+    Error granularity (r13 self-review): real crawl segments nearly
+    always contain SOME malformed response (colon-less header lines,
+    truncated chunked bodies, brotli/zstd encodings) — losing a
+    ~24k-record file to one bad record would dead-letter most of a
+    real crawl. ``on_error="quarantine"`` therefore captures
+    per-record HTTP-DECODE failures in the ``parse_error`` column
+    (payload = raw block) and keeps the file's other records; filter
+    ``parse_error IS NULL`` for the clean stream, or route the rest
+    to a dead-letter sink. RECORD-FRAMING corruption (bad gzip
+    member, bad WARC header/length) still fails the whole file in
+    either mode — the member boundary is lost, so nothing after it
+    is trustworthy; quarantine those files upstream (the media-tier
+    pattern). The default ``on_error="raise"`` keeps the strict
+    whole-file dead-letter contract."""
     import pandas as pd
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
     files = spark.read.format("binaryFile").load(path)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -293,14 +333,20 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 for rec in parse_warc(bytes(content)):
                     h = rec["headers"]
                     wtype = h.get("warc-type")
-                    status = http_ct = None
+                    status = http_ct = err = None
                     payload = rec["block"]
                     if (wtype == "response"
                             and "msgtype=response"
                             in h.get("content-type", "")):
-                        status, hh, payload = parse_http_response(
-                            rec["block"])
-                        http_ct = hh.get("content-type")
+                        try:
+                            status, hh, payload = parse_http_response(
+                                rec["block"])
+                            http_ct = hh.get("content-type")
+                        except ValueError as exc:
+                            if on_error == "raise":
+                                raise
+                            payload = rec["block"]
+                            err = str(exc)[:300]
                     rows.append({
                         "path": str(fpath),
                         "record_id": h.get("warc-record-id"),
@@ -312,6 +358,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         "http_content_type": http_ct,
                         "payload": payload,
                         "n_bytes": len(payload),
+                        "parse_error": err,
                     })
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields])

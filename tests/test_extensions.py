@@ -1883,12 +1883,17 @@ class TestLosslessJpeg:
         with _pytest.raises(ValueError):
             decode_jpeg(bytes(p))
         assert time.time() - t0 < 1.0
-        # sequential twin: inflate a valid baseline SOF's dims
+        # sequential twin: inflate a valid baseline SOF's dims.
+        # Since the r13 exception-class refinement a giant DECLARED
+        # frame routes to the injected-decoder seam
+        # (NotImplementedError) before any allocation — a 4-Gpixel
+        # frame is format-legal and indistinguishable at O(1) from a
+        # legal flat arithmetic image; either class dead-letters
         big = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
         i = bytes(big).find(b"\xff\xc0")
         struct.pack_into(">HH", big, i + 5, 65528, 65528)
         t0 = time.time()
-        with _pytest.raises(ValueError):
+        with _pytest.raises(NotImplementedError):
             decode_jpeg(bytes(big))
         assert time.time() - t0 < 2.0
 
@@ -2040,10 +2045,11 @@ class TestArithmeticJpeg:
     def test_media_path_and_dead_letter_contract(self, spark):
         """An arithmetic JPEG flows through the default media tier
         unchanged (format 'jpeg' -> real_decode -> decode_jpeg), and
-        malformed payloads keep the ValueError contract: truncation
+        malformed payloads keep the dead-letter contract: truncation
         anywhere, corrupt DAC conditioning, corruption-inflated SOF
-        dimensions, and the still-unsupported arithmetic-PROGRESSIVE
-        marker (SOF10)."""
+        dimensions (injected-decoder routing since r13), and a
+        SOF9→SOF10 relabel whose sequential scan shape is malformed
+        under Annex G."""
         import numpy as np
         import pytest as _pytest
 
@@ -2088,7 +2094,11 @@ class TestArithmeticJpeg:
         i = noisy.find(b"\xff\xc9")
         bomb = bytearray(noisy)
         bomb[i + 5:i + 9] = b"\xff\xff\xff\xff"
-        with _pytest.raises(ValueError):
+        # r13 refinement: a giant DECLARED frame routes to the
+        # injected-decoder seam (it is format-legal and O(1)-
+        # indistinguishable from a legal flat arithmetic image);
+        # still rejected before any allocation or spin
+        with _pytest.raises(NotImplementedError):
             decode_jpeg(bytes(bomb))
 
 

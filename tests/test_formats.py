@@ -693,6 +693,83 @@ class TestHtmlTextExtraction:
         lines = r["text"].split("\n")
         assert len(lines) == 3
 
+    def test_implied_head_close(self):
+        """HTML5 makes </head> optional — a <body> or block tag
+        implies the head ended; <title> (head-content) must NOT
+        (r13 self-review: a missing </head> used to swallow the
+        whole document)."""
+        from flight_data_pipeline_spark.operators.html_text import (
+            extract_html_text_py)
+
+        r = extract_html_text_py(
+            '<html><head><title>x</title><meta charset="utf-8">'
+            '<body><p>Real content sentence number one here.</p>'
+            '</body>')
+        assert r["n_content_blocks"] == 1
+        assert "Real content" in r["text"]
+        assert "x" not in r["text"].split()     # title stays dropped
+        # no <body> either: the first block tag closes the head
+        r = extract_html_text_py(
+            '<head><script>var x=1;</script>'
+            '<p>Content paragraph with plenty of words.</p>')
+        assert "Content paragraph" in r["text"]
+        assert "var" not in r["text"]
+
+    def test_deflate_truncation_and_unknown_encoding_dead_letter(self):
+        """r13 self-review: a truncated deflate body must raise, not
+        silently return a partial payload; unknown content-encodings
+        (br/zstd) must not pass compressed bytes through as text."""
+        import zlib
+
+        import pytest
+
+        from flight_data_pipeline_spark.sources.warc_source import (
+            parse_http_response)
+
+        body = zlib.compress(b"deflate content " * 64)
+        ok = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+              + body)
+        _s, _h, payload = parse_http_response(ok)
+        assert payload == b"deflate content " * 64
+        cut = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+               + body[:len(body) // 2])
+        with pytest.raises(ValueError):
+            parse_http_response(cut)
+        br = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+              + b"\x1b\x03\x00")
+        with pytest.raises(ValueError, match="content-encoding"):
+            parse_http_response(br)
+
+    def test_read_warc_quarantine_mode(self, spark, tmp_path):
+        """on_error='quarantine' keeps a file's good records when one
+        record's HTTP payload is malformed, carrying the failure in
+        parse_error (r13 self-review: one bad record of a ~24k-record
+        Common Crawl segment must not lose the file)."""
+        from flight_data_pipeline_spark.sources.warc_source import (
+            build_http_response, read_warc, write_warc)
+
+        good = build_http_response(b"<p>fine content here now.</p>")
+        bad = (b"HTTP/1.1 200 OK\r\nNoColonHeaderLine\r\n\r\nx")
+        data = write_warc([
+            {"block": good, "target_uri": "http://a/1"},
+            {"block": bad, "target_uri": "http://a/2"},
+            {"block": good, "target_uri": "http://a/3"},
+        ])
+        p = str(tmp_path / "q.warc.gz")
+        with open(p, "wb") as f:
+            f.write(data)
+        rows = read_warc(spark, p, on_error="quarantine") \
+            .orderBy("target_uri").collect()
+        assert [r.parse_error is None for r in rows] == [
+            True, False, True]
+        assert rows[0].http_status == 200
+        assert rows[1].http_status is None
+        assert bytes(rows[1].payload) == bad   # raw block kept
+        # default mode still fails the file
+        import pytest
+        with pytest.raises(Exception):
+            read_warc(spark, p).collect()
+
     def test_tag_soup_tolerance_and_br_splits(self):
         from flight_data_pipeline_spark.operators.html_text import (
             extract_html_text_py)
