@@ -1665,15 +1665,22 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     mcus_y = -(-h_img // (8 * vmax))
     n_mcus = mcus_x * mcus_y
 
-    # a legal-but-huge frame routes to the injected-decoder seam
-    # BEFORE the coefficient-store allocation (r13 self-review: a
-    # >33-Mpixel camera JPEG is not malformed; the per-scan
-    # _check_scan_units below draws the same line per scan)
-    if mcus_x * mcus_y * sum(c[1] * c[2] for c in comps) \
-            > 4 * _MAX_SCAN_UNITS:
-        raise NotImplementedError(
-            "JPEG frame beyond the pure-python decode ceiling "
-            "needs an injected decoder")
+    # frame admission BEFORE the coefficient-store allocation (r13
+    # self-review): dimensions whose block count exceeds what ALL
+    # the stream's entropy bytes could legally carry (the loosest
+    # per-unit cost, the arithmetic format floor) are corruption —
+    # ValueError; a format-plausible giant frame (>33-Mpixel camera
+    # JPEG) is legal but beyond the pure-python tier, so it routes
+    # to the injected-decoder seam. The per-scan _check_scan_units
+    # draws the same line per scan with coder-exact ratios.
+    declared_blocks = mcus_x * mcus_y * sum(
+        c[1] * c[2] for c in comps)
+    entropy_bytes = sum(
+        len(s) for sc in scans for s in sc[6])
+    _check_scan_units(
+        declared_blocks,
+        _ARITH_UNITS_PER_BYTE * entropy_bytes + 4096,
+        4 * _MAX_SCAN_UNITS)
 
     # per-component zigzag coefficient store, (blocks_y, blocks_x, 64)
     coef = [np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)

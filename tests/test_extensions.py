@@ -1883,17 +1883,17 @@ class TestLosslessJpeg:
         with _pytest.raises(ValueError):
             decode_jpeg(bytes(p))
         assert time.time() - t0 < 1.0
-        # sequential twin: inflate a valid baseline SOF's dims.
-        # Since the r13 exception-class refinement a giant DECLARED
-        # frame routes to the injected-decoder seam
-        # (NotImplementedError) before any allocation — a 4-Gpixel
-        # frame is format-legal and indistinguishable at O(1) from a
-        # legal flat arithmetic image; either class dead-letters
+        # sequential twin: inflate a valid baseline SOF's dims. The
+        # r13 frame-admission check proves the corruption upfront —
+        # 67M declared blocks against ~3 entropy bytes exceeds even
+        # the loosest (arithmetic format floor) budget — so this
+        # stays ValueError; only format-PLAUSIBLE giant frames route
+        # to the injected-decoder seam (NotImplementedError)
         big = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
         i = bytes(big).find(b"\xff\xc0")
         struct.pack_into(">HH", big, i + 5, 65528, 65528)
         t0 = time.time()
-        with _pytest.raises(NotImplementedError):
+        with _pytest.raises(ValueError):
             decode_jpeg(bytes(big))
         assert time.time() - t0 < 2.0
 
