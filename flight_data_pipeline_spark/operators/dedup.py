@@ -524,8 +524,20 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, block_col: str,
         w = Window.partitionBy("__id").orderBy("__df", "__tok")
         plen = (F.col("__n")
                 - F.ceil(F.col("__n") * threshold - F.lit(1e-9)) + 1)
+        # The __id window shuffle feeds the ENTIRE candidate+verify
+        # tail in one stage (the prefix self-join, positional filter,
+        # pair distinct and per-pair array_intersect verification all
+        # ride broadcast joins above it). Its bytes are tiny but its
+        # CPU is the whole query, so AQE's byte-based coalescing
+        # serializes it onto one core — pin the exchange to the
+        # cpu-dense width instead (measured r13: 5.4 s → 1.4 s at
+        # sf0.1/local[32]; plan diff in plans/r13/). Same rows, same
+        # window keys — output unchanged.
+        from flight_data_pipeline_spark.session import cpu_dense_partitions
+
         prefix = (
             posting.join(tok_df, ["__blk", "__tok"])
+            .repartition(cpu_dense_partitions(posting.sparkSession), "__id")
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= plen)
             .select("__id", "__blk", "__n", "__rn", "__tok")

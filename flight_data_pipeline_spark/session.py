@@ -78,6 +78,32 @@ def get_spark(app_name: str = "flight_data_pipeline_spark",
     return spark
 
 
+def cpu_dense_partitions(spark: SparkSession) -> int:
+    """Partition count for CPU-DENSE-PER-BYTE shuffle stages (posting
+    self-joins, per-pair set verification): stages whose work scales
+    with row *expansion* (a token shared by m docs contributes m²
+    join rows; a candidate pair costs an array intersection), not
+    with shuffle bytes. AQE's coalescing uses bytes as the work proxy
+    — guide §2.2's correct default for IO-bound stages — so a stage
+    whose compressed shuffle input is ~2 MB but whose CPU cost is
+    seconds gets coalesced to ONE task and serializes on a single
+    core (measured round 13: near_dup_jaccard_pairs 5.4 s → 1.4 s at
+    sf0.1/local[32] once the verify stage ran wide). Operators mark
+    such stages with an explicit column repartition at this count,
+    which AQE leaves alone.
+
+    Default 2× the session default parallelism — core-derived, so
+    the driver's lower-core-count bench scales it down automatically;
+    on a cluster that is 2× total executor cores, the classic CPU-
+    bound sizing. Override with $SPARK_GRAFT_CPU_DENSE_PARTITIONS
+    when the posting volume is large enough that per-partition state
+    (guide §5) matters more than core coverage."""
+    env = os.environ.get("SPARK_GRAFT_CPU_DENSE_PARTITIONS")
+    if env:
+        return int(env)
+    return 2 * spark.sparkContext.defaultParallelism
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply engine-required runtime-settable conf to an existing session.
 
