@@ -156,7 +156,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 10,
-                         strict: bool = False) -> DataFrame:
+                         strict: bool = False,
+                         broadcast_state: bool = True) -> DataFrame:
     """Connected components over an undirected edge list → (v, label)
     with label = the component's minimum node id — the step that turns
     near-dup PAIRS into dedup CLUSTERS (keep min-id doc per cluster,
@@ -216,9 +217,25 @@ def connected_components(edges: DataFrame, src: str = "src",
               .select(F.col("s").alias("v"), "label")
               .localCheckpoint())
     converged = False
+    # ``broadcast_state`` pins the per-round state joins: the label
+    # vector (one row per node of the GROUP/cluster graph at every
+    # in-repo caller — strictly smaller than the corpus) rides a
+    # broadcast so the symmetrized edge side is never shuffled inside
+    # the loop, and the hop self-join's build side is broadcast
+    # rather than sort-merged — a checkpointed frame has no catalog
+    # stats, so without the hint Spark sort-merge-joins the edge side
+    # EVERY round (the pagerank_integer broadcast_state rationale;
+    # measured r13 at sf0.1: near_dup_clusters ~3.3 s → ~2.3 s).
+    # Rounds deliberately KEEP AQE (unlike pagerank_integer): the
+    # loop early-stops, so round count is data-dependent and the
+    # convergence isEmpty probe benefits from AQE's coalescing —
+    # measured, AQE-off rounds were 1.15-1.27× slower here. Pass
+    # broadcast_state=False for fact-sized node sets; the
+    # shuffle-join plan is the fallback.
+    maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
     for _ in range(max_iter):
         msgs = (
-            sym.join(labels.withColumnRenamed("v", "__d"),
+            sym.join(maybe_bc(labels.withColumnRenamed("v", "__d")),
                      F.col("d") == F.col("__d"))
             .select(F.col("s").alias("v"), F.col("label"))
         )
@@ -232,8 +249,8 @@ def connected_components(edges: DataFrame, src: str = "src",
         # instead of diameter (the GraphFrames/large-star discipline).
         # Folded into the same checkpoint job as the hop aggregate.
         jumped = (
-            hop.join(hop.select(F.col("v").alias("__u"),
-                                F.col("label").alias("__ul")),
+            hop.join(maybe_bc(hop.select(F.col("v").alias("__u"),
+                                         F.col("label").alias("__ul"))),
                      F.col("label") == F.col("__u"))
             .select("v", F.col("__ul").alias("label"))
         )
@@ -242,7 +259,8 @@ def connected_components(edges: DataFrame, src: str = "src",
         # over checkpointed rows, not a join job of its own
         new_labels = (
             jumped
-            .join(labels.select("v", F.col("label").alias("__prev")), "v")
+            .join(maybe_bc(labels.select("v", F.col("label")
+                                         .alias("__prev"))), "v")
             .withColumn("__changed", F.col("label") != F.col("__prev"))
             .select("v", "label", "__changed")
             .localCheckpoint()

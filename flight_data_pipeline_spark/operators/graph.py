@@ -194,26 +194,37 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .alias("rank"))
         .localCheckpoint()
     )
+    # Round materializations run with AQE scoped OFF: every join
+    # strategy inside a round is already pinned (maybe_bc/broadcast),
+    # so AQE's stage-by-stage re-planning only multiplies driver-side
+    # jobs — measured r13 at sf0.1/local[32], 3-4 jobs per round
+    # collapse to 1 (the INITIAL edge/node/seed checkpoints above
+    # keep AQE: their upstream DAGs want its dynamic broadcasts).
+    from flight_data_pipeline_spark.session import loop_materialization_conf
+
+    spark = edges.sparkSession
     for _ in range(iters):
-        contrib = (
-            e_deg.join(maybe_bc(ranks.select(F.col("v").alias("s"), "rank")),
-                       "s")
-            .select(F.col("d").alias("v"),
-                    F.expr("(rank * __w) div __deg").alias("__c"))
-            .groupBy("v").agg(F.sum("__c").alias("__c"))
-        )
-        ranks = (
-            nodes.join(maybe_bc(contrib), "v", "left")
-            .crossJoin(F.broadcast(n1))
-            .select(
-                "v",
-                (F.expr(f"CAST({(d_den - d_num) * scale} AS BIGINT)"
-                        f" div ({d_den} * __n)")
-                 + F.expr(f"({d_num} * coalesce(__c, CAST(0 AS BIGINT)))"
-                          f" div {d_den}")).alias("rank"),
+        with loop_materialization_conf(spark):
+            contrib = (
+                e_deg.join(maybe_bc(ranks.select(F.col("v").alias("s"),
+                                                 "rank")),
+                           "s")
+                .select(F.col("d").alias("v"),
+                        F.expr("(rank * __w) div __deg").alias("__c"))
+                .groupBy("v").agg(F.sum("__c").alias("__c"))
             )
-            .localCheckpoint()
-        )
+            ranks = (
+                nodes.join(maybe_bc(contrib), "v", "left")
+                .crossJoin(F.broadcast(n1))
+                .select(
+                    "v",
+                    (F.expr(f"CAST({(d_den - d_num) * scale} AS BIGINT)"
+                            f" div ({d_den} * __n)")
+                     + F.expr(f"({d_num} * coalesce(__c, CAST(0 AS BIGINT)))"
+                              f" div {d_den}")).alias("rank"),
+                )
+                .localCheckpoint()
+            )
     return ranks
 
 
@@ -253,24 +264,30 @@ def label_propagation_integer(edges: DataFrame, src: str = "src",
               .select("v", F.col("v").alias("label"))
               .localCheckpoint())
     w = Window.partitionBy("v").orderBy(F.desc("__c"), "__vl")
+    # rounds run with AQE scoped off — strategies pinned by maybe_bc,
+    # re-planning per stage is pure driver overhead (see pagerank_integer)
+    from flight_data_pipeline_spark.session import loop_materialization_conf
+
+    spark = edges.sparkSession
     for _ in range(iters):
-        votes = (
-            e.join(maybe_bc(labels.select(F.col("v").alias("s"),
-                                          F.col("label").alias("__vl"))),
-                   "s")
-            .groupBy(F.col("d").alias("v"), "__vl")
-            .agg(F.count("*").alias("__c"))
-        )
-        winners = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("v", "__vl")
-        )
-        labels = (
-            labels.join(maybe_bc(winners), "v", "left")
-            .select("v", F.coalesce("__vl", "label").alias("label"))
-            .localCheckpoint()
-        )
+        with loop_materialization_conf(spark):
+            votes = (
+                e.join(maybe_bc(labels.select(F.col("v").alias("s"),
+                                              F.col("label").alias("__vl"))),
+                       "s")
+                .groupBy(F.col("d").alias("v"), "__vl")
+                .agg(F.count("*").alias("__c"))
+            )
+            winners = (
+                votes.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select("v", "__vl")
+            )
+            labels = (
+                labels.join(maybe_bc(winners), "v", "left")
+                .select("v", F.coalesce("__vl", "label").alias("label"))
+                .localCheckpoint()
+            )
     return labels
 
 
@@ -312,6 +329,9 @@ def min_plus_shortest_paths(edges: DataFrame, source: DataFrame,
                                 F.lit(inf).cast("long")).alias("dist"))
         .localCheckpoint()
     )
+    # rounds deliberately keep AQE (measured 1.04-1.6× slower without
+    # it here — the relax join's runtime re-planning earns its keep,
+    # unlike pagerank_integer's fully-pinned rounds)
     for _ in range(iters):
         relax = (
             e.join(maybe_bc(dist.select(F.col("v").alias("s"), "dist")),

@@ -16,6 +16,7 @@ Pins the configuration decisions called out in SURVEY.md §7.4:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -102,6 +103,38 @@ def cpu_dense_partitions(spark: SparkSession) -> int:
     if env:
         return int(env)
     return 2 * spark.sparkContext.defaultParallelism
+
+
+@contextmanager
+def loop_materialization_conf(spark: SparkSession):
+    """Scope AQE OFF around the EAGER materializations inside
+    iterative loops (the per-round localCheckpoint / isEmpty jobs of
+    connected_components, pagerank_integer, label propagation,
+    Bellman-Ford).
+
+    Under AQE every materialization runs stage-by-stage as separate
+    jobs with a driver re-optimization between each — the right trade
+    for one big query, pure overhead for a loop that materializes a
+    tiny state frame 3-10 times per call whose join strategies are
+    already pinned by explicit broadcast hints (measured r13 at
+    sf0.1/local[32]: copurchase_pagerank 35 jobs → 13, the
+    driver-side planning gap was ~1.6 s of a 4.8 s query). Only the
+    loop-internal jobs are affected: the conf is restored before the
+    operator returns, so the RETURNED frame still plans and runs
+    under the session's AQE setting, as does every non-loop query.
+
+    Set $SPARK_GRAFT_LOOP_AQE=1 to keep AQE on inside loops — the
+    right call when per-round state is fact-sized and skewed (AQE
+    skew-split is the only thing lost; broadcasts are explicit)."""
+    if os.environ.get("SPARK_GRAFT_LOOP_AQE") == "1":
+        yield
+        return
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:

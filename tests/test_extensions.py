@@ -198,6 +198,24 @@ class TestConnectedComponents:
                for r in connected_components(edges, max_iter=100).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
+    def test_broadcast_state_equivalence(self, spark):
+        """broadcast_state only pins join strategies inside the rounds
+        (r13 optimization); both settings must label identically —
+        chain, triangle, and a star that exercises the pointer jump."""
+        from flight_data_pipeline_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+             (10, 11), (11, 12), (10, 12), (20, 25), (20, 24), (20, 23)],
+            "src long, dst long",
+        )
+        bc = {r.v: r.label for r in connected_components(
+            edges, max_iter=8, broadcast_state=True).collect()}
+        plain = {r.v: r.label for r in connected_components(
+            edges, max_iter=8, broadcast_state=False).collect()}
+        assert bc == plain
+        assert bc[25] == 20 and bc[7] == 1 and bc[12] == 10
+
     def test_cap_hit_logs_warning(self, spark, caplog):
         """A component whose diameter exceeds max_iter must WARN about
         split clusters instead of failing silently (ADVICE r2)."""
