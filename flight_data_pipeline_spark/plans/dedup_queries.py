@@ -664,8 +664,12 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
              .where(F.col("__rn") == 1).drop("__rn")
              .localCheckpoint(eager=False))
 
+    # masks feeds the group collapse and the doc↔group join — same
+    # lazy-checkpoint diamond as `exact` above (computed once, served
+    # from executor storage; r13)
     masks = dictionary_bitset_masks(
-        exact, id_col="doc_id", block_col="source", text_col="text")
+        exact, id_col="doc_id", block_col="source", text_col="text"
+    ).localCheckpoint(eager=False)
     gs, labels = _set_group_clusters(spark, sf_dir, masks=masks)
     doc_groups = masks.join(gs, ["source", "mask"])
     lab = doc_groups.join(labels, doc_groups["node"] == labels["v"], "left")
