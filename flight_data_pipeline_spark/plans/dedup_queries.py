@@ -1554,11 +1554,27 @@ def minhash_jaccard_estimate_error(spark: SparkSession,
     (etl_job.py:226-237) extended to the sketch-audit tier."""
     from flight_data_pipeline_spark.operators.text import ngram_explode
 
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
+    # doc_id-repartitioned BEFORE the gram explode: the fixture scan
+    # is one file → one task, so tokenize+explode+md5 (the query's CPU)
+    # would otherwise serialize; hash-clustering by doc_id also makes
+    # the gram distinct exchange-free (doc_id partitioning satisfies
+    # the (doc_id, source, g) grouping), so the cpu-dense width flows
+    # from this ONE user exchange of raw text into every downstream
+    # map-side stage (r13; plan diff in plans/r13/).
     docs = (
         load_table(spark, "documents", sf_dir)
         .where(F.size(tokens(F.col("text"))) >= 3)
+        .repartition(cpu_dense_partitions(spark), "doc_id")
     )
-    grams = ngram_explode(docs, "text", 3, "doc_id", "source").distinct()
+    # grams feeds FIVE consumers (ng, both intersection sides, the
+    # signature build, and through it both agreement sides), and the
+    # broadcast-heavy plan rebuilt the tokenize+explode+distinct
+    # subtree for each broadcast build — a lazy localCheckpoint
+    # computes it once per call (r13; plan diff in plans/r13/)
+    grams = (ngram_explode(docs, "text", 3, "doc_id", "source")
+             .distinct().localCheckpoint(eager=False))
     ng = grams.groupBy("doc_id", "source").agg(F.count("*").alias("n"))
 
     ga = grams.select("source", F.col("doc_id").alias("a"), "g")
@@ -1569,6 +1585,9 @@ def minhash_jaccard_estimate_error(spark: SparkSession,
         .groupBy("source", "a", "b")
         .agg(F.count("*").alias("inter"))
     )
+    # pairs feeds the agreement join AND the final error join — lazily
+    # checkpointed so the exact-intersection posting self-join above
+    # (the query's heaviest shuffle) runs once per call (r13)
     pairs = (
         inter
         .join(ng.select("source", F.col("doc_id").alias("a"),
@@ -1577,6 +1596,7 @@ def minhash_jaccard_estimate_error(spark: SparkSession,
                         F.col("n").alias("nb")), ["source", "b"])
         .select("source", "a", "b", "inter",
                 (F.col("na") + F.col("nb") - F.col("inter")).alias("un"))
+        .localCheckpoint(eager=False)
     )
 
     h = (
@@ -1592,17 +1612,30 @@ def minhash_jaccard_estimate_error(spark: SparkSession,
         .groupBy("doc_id", "source", "i")
         .agg(F.min("hv").alias("sig"))
     )
-    sa = h.select("source", F.col("doc_id").alias("a"), "i",
-                  F.col("sig").alias("sig_a"))
-    sb = h.select("source", F.col("doc_id").alias("b"), "i",
-                  F.col("sig").alias("sig_b"))
+    # per-doc signature VECTOR (ordered by permutation index — i is
+    # unique per doc, so the struct sort is total): the agreement
+    # count is then one zip_with fold per candidate pair instead of a
+    # candidate×16 equi-join + re-aggregate. Shuffles one row per doc
+    # rather than 16, and drops the (source, a, b) re-shuffle of 16×
+    # the candidate rows (guide §2.3 "aggregate before you shuffle";
+    # r13 — plan diff in plans/r13/). The fold's integer sum is exact,
+    # so `matches` is bit-identical to the join+SUM form.
+    sigs = h.groupBy("doc_id", "source").agg(
+        F.array_sort(F.collect_list(F.struct("i", "sig"))).alias("sv"))
+    sa = sigs.select("source", F.col("doc_id").alias("a"),
+                     F.col("sv").alias("__sva"))
+    sb = sigs.select("source", F.col("doc_id").alias("b"),
+                     F.col("sv").alias("__svb"))
     matches = (
         pairs.select("source", "a", "b")
         .join(sa, ["source", "a"])
-        .join(sb, ["source", "b", "i"])
-        .groupBy("source", "a", "b")
-        .agg(F.sum((F.col("sig_a") == F.col("sig_b")).cast("long"))
-             .alias("matches"))
+        .join(sb, ["source", "b"])
+        .select(
+            "source", "a", "b",
+            F.expr(
+                "aggregate(zip_with(__sva, __svb,"
+                " (x, y) -> CASE WHEN x.sig = y.sig THEN 1L ELSE 0L END),"
+                " 0L, (acc, v) -> acc + v)").alias("matches"))
     )
     e = (
         pairs.join(matches, ["source", "a", "b"])
