@@ -547,8 +547,17 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic under test; only the token-hash primitive differs from the
     xxhash64 production default) and the full bucket → members map in
     one value hash. Plan shape unchanged: map-side fold, one |docs|
-    aggregate shuffle."""
-    docs = load_table(spark, "documents", sf_dir)
+    aggregate shuffle.
+
+    The fold runs over an explicit doc_id repartition (r13): the
+    fixture scan is one file → one task, and the 64-bit vote fold is
+    the whole query's CPU (measured 1.5 s serialized → wide; at scale
+    a many-file corpus scan is already wide and the exchange of raw
+    text is one cheap pass)."""
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        cpu_dense_partitions(spark), "doc_id")
     md5_hash = (lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
                 .cast("long"))
     sh = docs.select(
