@@ -765,8 +765,14 @@ def benchmark_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, never filters."""
     from flight_data_pipeline_spark.operators.text import ngram_explode
 
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
     docs = load_table(spark, "documents", sf_dir)
-    grams = ngram_explode(docs, "text", DECON_N, "doc_id", "source")
+    # r13: widen the explode past the single-file scan task (both the
+    # bench-distinct and corpus posting sides consume it)
+    grams = ngram_explode(docs.repartition(cpu_dense_partitions(spark),
+                                           "doc_id"),
+                          "text", DECON_N, "doc_id", "source")
     bench = (grams.where(F.col("source") == DECON_BENCH_SRC)
              .select("g").distinct())
     contaminated = (
@@ -834,8 +840,14 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family shuffles on; no doc pairs anywhere."""
     from flight_data_pipeline_spark.operators.text import ngram_explode
 
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
     docs = load_table(spark, "documents", sf_dir)
-    grams = ngram_explode(docs, "text", BOILERPLATE_N, "doc_id", "source")
+    # r13: widen the explode past the single-file scan task — the
+    # gram explode + map-side partial aggregate are the query's CPU
+    grams = ngram_explode(docs.repartition(cpu_dense_partitions(spark),
+                                           "doc_id"),
+                          "text", BOILERPLATE_N, "doc_id", "source")
     stats = grams.groupBy("source", "g").agg(
         F.count("*").alias("c"),
         F.countDistinct("doc_id").alias("d"))
@@ -2569,9 +2581,18 @@ def bloom_prefilter_decontamination(spark: SparkSession,
     )
     from flight_data_pipeline_spark.operators.text import ngram_explode
 
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
     docs = load_table(spark, "documents", sf_dir)
-    grams = ngram_explode(docs, "text", DECON_N, "doc_id", "source") \
-        .distinct()
+    # r13: doc_id-repartition ahead of the explode (single-file scan →
+    # one task otherwise; the gram distinct then needs no further
+    # exchange) and a lazy checkpoint so the bench and corpus sides
+    # share ONE gram computation instead of rebuilding the explode
+    # per consumer (measured: two ~0.9 s single-task stages → wide)
+    grams = (ngram_explode(docs.repartition(cpu_dense_partitions(spark),
+                                            "doc_id"),
+                           "text", DECON_N, "doc_id", "source")
+             .distinct().localCheckpoint(eager=False))
     bench = (grams.where(F.col("source") == DECON_BENCH_SRC)
              .select("g").distinct())
     bloom = bloom_build(bench, "g")
