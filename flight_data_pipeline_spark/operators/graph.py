@@ -170,20 +170,28 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
     round is deterministic, so a lost partition rebuilds
     identically."""
     maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
-    wcol = (F.col(weight).cast("long") if weight is not None
-            else F.lit(1).cast("long"))
-    e = edges.select(F.col(src).alias("s"),
-                     F.col(dst).alias("d"),
-                     wcol.alias("__w")).localCheckpoint()
-    deg = e.groupBy("s").agg(F.sum("__w").alias("__deg"))
+    # unweighted edges don't materialize a constant __w column into
+    # the checkpoint (r13): deg reduces to COUNT(*) and the per-round
+    # share to rank div deg — same integers, one column fewer in the
+    # loop's hottest stored frame (read once per round)
+    if weight is not None:
+        e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                         F.col(weight).cast("long").alias("__w")
+                         ).localCheckpoint()
+        deg = e.groupBy("s").agg(F.sum("__w").alias("__deg"))
+        share = F.expr("(rank * __w) div __deg")
+    else:
+        e = edges.select(F.col(src).alias("s"),
+                         F.col(dst).alias("d")).localCheckpoint()
+        deg = e.groupBy("s").agg(F.count("*").alias("__deg"))
+        share = F.expr("rank div __deg")
     # per-edge degree annotation: a map-side broadcast join off the
     # checkpointed edge list (deg is node-sized). Deliberately NOT
     # materialized — re-deriving it per round is one broadcast probe,
     # cheaper than writing a second edge-sized checkpoint.
     e_deg = e.join(maybe_bc(deg), "s")
     nodes = (
-        e.select(F.col("s").alias("v"))
-        .union(e.select(F.col("d").alias("v")))
+        e.select(F.explode(F.array("s", "d")).alias("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -209,8 +217,7 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
                 e_deg.join(maybe_bc(ranks.select(F.col("v").alias("s"),
                                                  "rank")),
                            "s")
-                .select(F.col("d").alias("v"),
-                        F.expr("(rank * __w) div __deg").alias("__c"))
+                .select(F.col("d").alias("v"), share.alias("__c"))
                 .groupBy("v").agg(F.sum("__c").alias("__c"))
             )
             ranks = (

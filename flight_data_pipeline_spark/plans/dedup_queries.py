@@ -705,12 +705,21 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     def mark(ids: DataFrame, col: str) -> DataFrame:
         return ids.select("doc_id").withColumn(col, F.lit(True))
 
+    # ONE combined id→flags relation broadcast onto the corpus
+    # instead of three separate broadcast joins (r13): contaminated ⊆
+    # surv ⊆ exact, so left-joining the sv/ct marks onto the exact id
+    # set loses nothing — docs outside `exact` carry three NULLs
+    # either way. Three broadcast builds (each its own driver-planned
+    # job) collapse into one.
+    flag_ids = (
+        mark(exact, "__ex")
+        .join(mark(surv, "__sv"), "doc_id", "left")
+        .join(mark(contaminated, "__ct"), "doc_id", "left")
+    )
     flags = (
         corpus.withColumn("__q", n_tok.between(10, 1000)
                           & mean_len.between(3, 10))
-        .join(F.broadcast(mark(exact, "__ex")), "doc_id", "left")
-        .join(F.broadcast(mark(surv, "__sv")), "doc_id", "left")
-        .join(F.broadcast(mark(contaminated, "__ct")), "doc_id", "left")
+        .join(F.broadcast(flag_ids), "doc_id", "left")
     )
     return {"corpus": corpus, "quality": quality, "exact": exact,
             "neardup": surv, "final": final, "flags": flags}

@@ -4796,18 +4796,30 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_pipeline_spark.operators.graph import pagerank_integer
 
     li = load_table(spark, "lineitem", sf_dir)
-    items = li.select(F.col("l_orderkey").alias("o"),
-                      F.col("l_partkey").alias("p")).distinct()
     # build the DISTINCT symmetric edge set at half cost: dedup only
     # the u<v half (the oracle's a.p <> b.p DISTINCT), then mirror —
     # (u,v) distinct implies (v,u) distinct, so the union is distinct
-    # by construction and the mirror leg is map-side
+    # by construction and the mirror leg is map-side.
+    # r13: pairs come from ONE o-keyed aggregate (collect_set dedups
+    # (o, p) map-side) + an in-row sorted-array pair explode, instead
+    # of items.distinct + an o-keyed self-join — one exchange and a
+    # join fewer for the same u<v pair stream (guide §2.4); per-order
+    # state is bounded by order width exactly like the join's k² was.
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
     und = (
-        items.alias("a")
-        .join(items.alias("b"),
-              (F.col("a.o") == F.col("b.o"))
-              & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        # one cheap exchange of the order-sets so the k² pair explode
+        # (the build's CPU) runs at the cpu-dense width instead of on
+        # the few AQE-coalesced post-aggregate partitions
+        .repartition(cpu_dense_partitions(spark), "o")
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps) - i - 1),"
+            "           y -> named_struct('u', x, 'v', y))))")).alias("z"))
+        .select("z.u", "z.v")
         .distinct()
     )
     edges = (
@@ -5394,15 +5406,23 @@ def copurchase_label_communities(spark: SparkSession,
         label_propagation_integer,
     )
 
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
     li = load_table(spark, "lineitem", sf_dir)
-    items = li.select(F.col("l_orderkey").alias("o"),
-                      F.col("l_partkey").alias("p")).distinct()
+    # r13: same aggregate-then-explode edge build as copurchase_pagerank
+    # (one o-keyed collect_set aggregate + in-row pair explode instead
+    # of items.distinct + an o-keyed self-join — one exchange and a
+    # join fewer for the identical u<v pair stream)
     und = (
-        items.alias("a")
-        .join(items.alias("b"),
-              (F.col("a.o") == F.col("b.o"))
-              & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .repartition(cpu_dense_partitions(spark), "o")
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps) - i - 1),"
+            "           y -> named_struct('u', x, 'v', y))))")).alias("z"))
+        .select("z.u", "z.v")
         .distinct()
     )
     edges = (
@@ -5510,17 +5530,23 @@ def copurchase_shortest_paths(spark: SparkSession,
         min_plus_shortest_paths,
     )
 
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
     li = load_table(spark, "lineitem", sf_dir)
-    items = li.select(F.col("l_orderkey").alias("o"),
-                      F.col("l_partkey").alias("p")).distinct()
+    # r13: aggregate-then-explode edge build (see copurchase_pagerank)
+    # — collect_set dedups (o, p) map-side, so each (o, u, v) pair
+    # appears once in the explode and COUNT(*) IS the co-order
+    # support, exactly as the oracle's joined-once comment says
     half = (
-        items.alias("a")
-        .join(items.alias("b"),
-              (F.col("a.o") == F.col("b.o"))
-              & (F.col("a.p") < F.col("b.p")))
-        # items is distinct (o, p) ⇒ each (o, u, v) appears once:
-        # COUNT(*) IS the co-order support (the oracle says the same)
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .repartition(cpu_dense_partitions(spark), "o")
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps) - i - 1),"
+            "           y -> named_struct('u', x, 'v', y))))")).alias("z"))
+        .groupBy(F.col("z.u").alias("u"), F.col("z.v").alias("v"))
         .agg(F.count("*").alias("co"))
     )
     ew = (

@@ -93,16 +93,18 @@ def cpu_dense_partitions(spark: SparkSession) -> int:
     such stages with an explicit column repartition at this count,
     which AQE leaves alone.
 
-    Default 2× the session default parallelism — core-derived, so
-    the driver's lower-core-count bench scales it down automatically;
-    on a cluster that is 2× total executor cores, the classic CPU-
-    bound sizing. Override with $SPARK_GRAFT_CPU_DENSE_PARTITIONS
-    when the posting volume is large enough that per-partition state
+    Default = the session default parallelism (1× cores) —
+    core-derived, so the driver's lower-core-count bench scales it
+    down automatically. Measured r13 (interleaved A/B at sf0.1): 2×
+    cores lost 8-29% to per-task fixed cost on every marked stage,
+    while ½× starved the heaviest verify stage 19% — 1× is the
+    plateau. Override with $SPARK_GRAFT_CPU_DENSE_PARTITIONS when the
+    posting volume is large enough that per-partition memory
     (guide §5) matters more than core coverage."""
     env = os.environ.get("SPARK_GRAFT_CPU_DENSE_PARTITIONS")
     if env:
         return int(env)
-    return 2 * spark.sparkContext.defaultParallelism
+    return spark.sparkContext.defaultParallelism
 
 
 @contextmanager
