@@ -363,16 +363,14 @@ def dictionary_bitset_masks(df: DataFrame, id_col: str, block_col: str,
 
     if max_vocab > 64:
         raise ValueError("bitset masks are single longs: max_vocab ≤ 64")
-    from flight_data_pipeline_spark.session import cpu_dense_partitions
-
-    # id-repartition ahead of tokenize+explode (r13): the corpus scan
-    # of a small fixture is one task and the per-doc token work is
-    # this operator's CPU; one cheap exchange of raw text spreads it
-    # at the cpu-dense width (a many-file 100 TB scan is already wide
-    # — the explicit exchange is then a no-regret narrow pass)
-    base = df.repartition(
-        cpu_dense_partitions(df.sparkSession), id_col
-    ).select(
+    # NOTE (r13): a cpu-dense id-repartition ahead of the tokenize —
+    # the fix that paid for simhash/minhash/bloom — was tried here
+    # and REVERTED: this operator's per-doc work (split + tiny-vocab
+    # dictionary fold) is far lighter per byte, and the bench flagged
+    # the two small consumers 1.7-2.0× (near_dup_jaccard_pairs_bitset,
+    # cross_source_contamination) once the exchange + 32-task stages
+    # outweighed the ~0.15 s serialized tokenize they replaced.
+    base = df.select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
         *[F.col(c).alias(f"__x_{c}") for c in extra_cols],
