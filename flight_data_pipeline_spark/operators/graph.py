@@ -270,7 +270,6 @@ def label_propagation_integer(edges: DataFrame, src: str = "src",
               .distinct()
               .select("v", F.col("v").alias("label"))
               .localCheckpoint())
-    w = Window.partitionBy("v").orderBy(F.desc("__c"), "__vl")
     # rounds run with AQE scoped off — strategies pinned by maybe_bc,
     # re-planning per stage is pure driver overhead (see pagerank_integer)
     from flight_data_pipeline_spark.session import loop_materialization_conf
@@ -285,10 +284,18 @@ def label_propagation_integer(edges: DataFrame, src: str = "src",
                 .groupBy(F.col("d").alias("v"), "__vl")
                 .agg(F.count("*").alias("__c"))
             )
+            # per-v argmax as one hash aggregate instead of a window
+            # (r13): max(struct(count, -label)) is lexicographic —
+            # largest count, ties to the SMALLEST label (labels are
+            # node ids ≥ 0, so the negation is exact) — the same
+            # winner the row_number window picked, without the
+            # per-round shuffle+sort a window requires
             winners = (
-                votes.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .select("v", "__vl")
+                votes.groupBy("v")
+                .agg(F.max(F.struct(F.col("__c"),
+                                    (-F.col("__vl")).alias("__nl")))
+                     .alias("__m"))
+                .select("v", (-F.col("__m.__nl")).alias("__vl"))
             )
             labels = (
                 labels.join(maybe_bc(winners), "v", "left")
