@@ -415,6 +415,18 @@ def main() -> None:
         best = best if isinstance(best, float) else float("inf")
         try:
             for _ in range(runs):
+                # Anti-gaming guard (VERDICT r13 item 8): drop any
+                # catalog-cached plan BEFORE each timed run, so a
+                # query that internally persist()s (none in HEADLINE
+                # today — this protects future promotions, e.g. the
+                # ANN tier whose module memo holds a persisted index)
+                # can never have its second best-of-N run silently
+                # served from the first run's cache. Spark's cache
+                # manager matches by logical plan ACROSS runs, which
+                # is exactly the cross-run reuse the bench forbids.
+                # localCheckpoints are unaffected (not catalog
+                # entries); with nothing cached this is a no-op.
+                spark.catalog.clearCache()
                 t0 = time.time()
                 run(queries[name](spark, sf_dir))
                 best = min(best, time.time() - t0)

@@ -180,10 +180,10 @@ def connected_components(edges: DataFrame, src: str = "src",
     converged inputs never pay the full ``max_iter`` rounds (dense
     near-dup clusters settle in 1-2, chains of diameter D in
     ~log₂ D). The change flag is computed inside the round's
-    checkpoint job (a join against the previous labels folded into
-    the materialization), so the convergence probe is an
-    ``isEmpty()`` filter over already-materialized rows — loop
-    control, not an extra join job. If ``max_iter`` rounds pass with
+    checkpoint job (the previous label rides the hop aggregate as a
+    self-marker min — r14; no join against the previous state), so
+    the convergence probe is an ``isEmpty()`` filter over
+    already-materialized rows — loop control, not an extra join job. If ``max_iter`` rounds pass with
     labels still moving (component diameter ≳ 2^max_iter), the
     default is a logged warning + partial labels (clusters may be
     split; raise ``max_iter``); ``strict=True`` raises instead —
@@ -229,19 +229,33 @@ def connected_components(edges: DataFrame, src: str = "src",
     # Rounds deliberately KEEP AQE (unlike pagerank_integer): the
     # loop early-stops, so round count is data-dependent and the
     # convergence isEmpty probe benefits from AQE's coalescing —
-    # measured, AQE-off rounds were 1.15-1.27× slower here. Pass
-    # broadcast_state=False for fact-sized node sets; the
-    # shuffle-join plan is the fallback.
+    # measured r13 (AQE-off rounds 1.15-1.27× slower) and RE-measured
+    # r14 after the self-marker round restructure (warm interleaved
+    # A/B at sf0.1: AQE-off still 1.03-1.4× slower on all three
+    # cluster-family probes). Pass broadcast_state=False for
+    # fact-sized node sets; the shuffle-join plan is the fallback.
+    from flight_data_pipeline_spark.session import dump_loop_plan
+
     maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
-    for _ in range(max_iter):
+    label_t = labels.schema["label"].dataType
+    for it in range(max_iter):
+        # the previous label rides the hop aggregate as min over a
+        # SELF-MARKER column (r14): the labels branch contributes
+        # exactly one row per v with __self = its current label, the
+        # message branch contributes NULLs, so min(__self) IS the
+        # previous label — the change flag no longer needs r13's
+        # third per-round broadcast join against the previous state
         msgs = (
             sym.join(maybe_bc(labels.withColumnRenamed("v", "__d")),
                      F.col("d") == F.col("__d"))
-            .select(F.col("s").alias("v"), F.col("label"))
+            .select(F.col("s").alias("v"), F.col("label"),
+                    F.lit(None).cast(label_t).alias("__self"))
         )
-        hop = (labels.select("v", "label")
+        hop = (labels.select("v", "label",
+                             F.col("label").alias("__self"))
                .unionByName(msgs)
-               .groupBy("v").agg(F.min("label").alias("label")))
+               .groupBy("v").agg(F.min("label").alias("label"),
+                                 F.min("__self").alias("__prev")))
         # pointer jump: label ← label's own label. A label is always a
         # node id inside the component with hop[u] ≤ u, so the jump is
         # sound (still in-component, still monotone) and compounds the
@@ -252,19 +266,19 @@ def connected_components(edges: DataFrame, src: str = "src",
             hop.join(maybe_bc(hop.select(F.col("v").alias("__u"),
                                          F.col("label").alias("__ul"))),
                      F.col("label") == F.col("__u"))
-            .select("v", F.col("__ul").alias("label"))
+            .select("v", F.col("__ul").alias("label"), "__prev")
         )
-        # the change flag rides the materialized frame (one join folded
-        # into the checkpoint job) so the convergence probe is a filter
-        # over checkpointed rows, not a join job of its own
+        # the change flag rides the materialized frame so the
+        # convergence probe is a filter over checkpointed rows, not a
+        # join job of its own
         new_labels = (
             jumped
-            .join(maybe_bc(labels.select("v", F.col("label")
-                                         .alias("__prev"))), "v")
             .withColumn("__changed", F.col("label") != F.col("__prev"))
             .select("v", "label", "__changed")
-            .localCheckpoint()
         )
+        if it == 0:
+            dump_loop_plan(new_labels, "connected_components_round1")
+        new_labels = new_labels.localCheckpoint()
         labels = new_labels.select("v", "label")
         converged = new_labels.where(F.col("__changed")).isEmpty()
         if converged:

@@ -19,7 +19,7 @@ is why the consumers round before ranking).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -154,21 +154,31 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
     most 1 unit per edge per round — at scale=1e12 the relative error
     is ~deg/1e12, far below any ranking-relevant gap.
 
-    Scale shape: the degree-annotated edge list is joined and
-    checkpointed ONCE before the loop; each round is then a single
-    edge⋈rank join plus one dst aggregate (map-side partial combine
-    collapses the 20k-group fan-in before the shuffle), with an eager
-    localCheckpoint truncating lineage. With ``broadcast_state``
-    (default), the per-round rank state — one BIGINT per node, i.e.
-    dimension-sized for a co-purchase/parts graph — is BROADCAST, so
-    the big edge side is never shuffled or sorted inside the loop; a
-    checkpointed frame has no catalog stats, so without the hint
-    Spark sort-merge-joins the 2.4M-edge side EVERY round (measured
-    ~2.5 s/round → ~0.3 s/round at sf0.1). Set it False for graphs
-    whose node count is fact-sized (state > broadcast limit); the
-    s-keyed shuffle join plan is the fallback. Recompute-safe: every
-    round is deterministic, so a lost partition rebuilds
-    identically."""
+    Scale shape (r14 — two jobs per round): the degree-ANNOTATED edge
+    list is materialized ONCE before the loop (one extra edge-sized
+    checkpoint beside the raw edge list — the price of never
+    re-aggregating degrees inside the loop; r13 re-derived the
+    node-sized ``deg`` from the raw checkpoint every round, which
+    re-ran the degree aggregate + its exchange per round). Each round
+    is then ONE query: edge⋈rank join → per-edge share stream UNIONed
+    with a zero row per node (carried from the rank state itself) →
+    one dst-keyed SUM aggregate (map-side partial combine collapses
+    the fan-in before the shuffle) → the damped update, eagerly
+    localCheckpointed. The union-with-zeros replaces r13's
+    nodes⋈contrib LEFT join (coalesce(Σ,0) ≡ Σ over shares ∪ {0} for
+    integers), and the node count ``__n`` rides the rank state as a
+    constant column so no per-round scalar broadcast is rebuilt —
+    per round the ONLY broadcast build left is the rank vector
+    itself. With ``broadcast_state`` (default), that per-round rank
+    state — one BIGINT per node, i.e. dimension-sized for a
+    co-purchase/parts graph — is BROADCAST, so the big edge side is
+    never shuffled or sorted inside the loop; a checkpointed frame
+    has no catalog stats, so without the hint Spark sort-merge-joins
+    the 2.4M-edge side EVERY round (measured ~2.5 s/round →
+    ~0.3 s/round at sf0.1). Set it False for graphs whose node count
+    is fact-sized (state > broadcast limit); the s-keyed shuffle
+    join plan is the fallback. Recompute-safe: every round is
+    deterministic, so a lost partition rebuilds identically."""
     maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
     # unweighted edges don't materialize a constant __w column into
     # the checkpoint (r13): deg reduces to COUNT(*) and the per-round
@@ -185,21 +195,29 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
                          F.col(dst).alias("d")).localCheckpoint()
         deg = e.groupBy("s").agg(F.count("*").alias("__deg"))
         share = F.expr("rank div __deg")
-    # per-edge degree annotation: a map-side broadcast join off the
-    # checkpointed edge list (deg is node-sized). Deliberately NOT
-    # materialized — re-deriving it per round is one broadcast probe,
-    # cheaper than writing a second edge-sized checkpoint.
-    e_deg = e.join(maybe_bc(deg), "s")
+    # per-edge degree annotation, materialized ONCE (r14): r13 left
+    # this lazy to avoid a second edge-sized checkpoint, but the lazy
+    # form re-ran the degree aggregate and its broadcast build inside
+    # EVERY round's materialization (loop-body plan evidence:
+    # plans/r14/loops_before/*/pagerank_integer_round1.txt, exchanges
+    # 6/8). One up-front map-side broadcast join trades ~1 edge-sized
+    # write for iters× fewer per-round jobs and aggregates; at 100 TB
+    # the storage doubles the edge footprint but the loop reads the
+    # same bytes per round either way.
+    e_deg = e.join(maybe_bc(deg), "s").localCheckpoint()
     nodes = (
         e.select(F.explode(F.array("s", "d")).alias("v"))
         .distinct()
         .localCheckpoint()
     )
     n1 = nodes.agg(F.count("*").alias("__n"))
+    # rank state carries the constant node count so rounds never
+    # rebuild the one-row n1 broadcast (8 bytes/row on a node-sized,
+    # broadcast-anyway frame)
     ranks = (
         nodes.crossJoin(F.broadcast(n1))
         .select("v", F.expr(f"CAST({scale} AS BIGINT) div __n")
-                .alias("rank"))
+                .alias("rank"), "__n")
         .localCheckpoint()
     )
     # Round materializations run with AQE scoped OFF: every join
@@ -208,31 +226,45 @@ def pagerank_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
     # jobs — measured r13 at sf0.1/local[32], 3-4 jobs per round
     # collapse to 1 (the INITIAL edge/node/seed checkpoints above
     # keep AQE: their upstream DAGs want its dynamic broadcasts).
-    from flight_data_pipeline_spark.session import loop_materialization_conf
+    from flight_data_pipeline_spark.session import (
+        dump_loop_plan,
+        loop_materialization_conf,
+    )
 
     spark = edges.sparkSession
-    for _ in range(iters):
+    base = F.expr(f"CAST({(d_den - d_num) * scale} AS BIGINT)"
+                  f" div ({d_den} * __n)")
+    for it in range(iters):
         with loop_materialization_conf(spark):
-            contrib = (
+            shares = (
                 e_deg.join(maybe_bc(ranks.select(F.col("v").alias("s"),
                                                  "rank")),
                            "s")
-                .select(F.col("d").alias("v"), share.alias("__c"))
-                .groupBy("v").agg(F.sum("__c").alias("__c"))
+                .select(F.col("d").alias("v"), share.alias("__c"),
+                        F.lit(None).cast("long").alias("__n"))
             )
-            ranks = (
-                nodes.join(maybe_bc(contrib), "v", "left")
-                .crossJoin(F.broadcast(n1))
+            # zero-share carrier row per node: Σ over shares ∪ {0}
+            # ≡ coalesce(Σ shares, 0) — the same integers as r13's
+            # LEFT join against the aggregated contrib, one exchange
+            # and one broadcast build fewer per round; __n rides the
+            # carrier (exactly one per group, so MAX picks it)
+            carrier = ranks.select(
+                "v", F.lit(0).cast("long").alias("__c"), "__n")
+            new_ranks = (
+                shares.unionByName(carrier)
+                .groupBy("v")
+                .agg(F.sum("__c").alias("__c"), F.max("__n").alias("__n"))
                 .select(
                     "v",
-                    (F.expr(f"CAST({(d_den - d_num) * scale} AS BIGINT)"
-                            f" div ({d_den} * __n)")
-                     + F.expr(f"({d_num} * coalesce(__c, CAST(0 AS BIGINT)))"
-                              f" div {d_den}")).alias("rank"),
+                    (base + F.expr(f"({d_num} * __c) div {d_den}"))
+                    .alias("rank"),
+                    "__n",
                 )
-                .localCheckpoint()
             )
-    return ranks
+            if it == 0:
+                dump_loop_plan(new_ranks, "pagerank_integer_round1")
+            ranks = new_ranks.localCheckpoint()
+    return ranks.select("v", "rank")
 
 
 def label_propagation_integer(edges: DataFrame, src: str = "src",
@@ -259,9 +291,20 @@ def label_propagation_integer(edges: DataFrame, src: str = "src",
 
     Scale shape: per round one edge⋈label join (state broadcast —
     one BIGINT per node) + one (v, label) count aggregate + one
-    per-v argmax window over the few distinct neighbor labels + one
-    node-keyed carry-forward left join; lineage truncated per round
-    with an eager localCheckpoint."""
+    per-v argmax aggregate + one node-keyed carry-forward left join;
+    lineage truncated per round with an eager localCheckpoint.
+
+    r14 note — tried and REVERTED: folding the carry-forward join
+    into the count aggregate as a zero-weight SELF-VOTE per node
+    (the same union-into-aggregate move that won for
+    pagerank_integer and min_plus_shortest_paths) removed one
+    broadcast build + join per round but measured 1.03-1.08× SLOWER
+    at sf0.1/local[32] (warm interleaved A/B, best-of-3 per arm:
+    old 4.38/4.48 s vs new 4.53/4.82 s end-to-end) — the extra
+    node-sized union branch through the big vote aggregate costs
+    more than the node-sized broadcast probe it replaces, because
+    votes dominate the aggregate and the carry join is cheap. Keep
+    the join form; don't retry without new evidence."""
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
          .localCheckpoint())
     maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
@@ -272,10 +315,13 @@ def label_propagation_integer(edges: DataFrame, src: str = "src",
               .localCheckpoint())
     # rounds run with AQE scoped off — strategies pinned by maybe_bc,
     # re-planning per stage is pure driver overhead (see pagerank_integer)
-    from flight_data_pipeline_spark.session import loop_materialization_conf
+    from flight_data_pipeline_spark.session import (
+        dump_loop_plan,
+        loop_materialization_conf,
+    )
 
     spark = edges.sparkSession
-    for _ in range(iters):
+    for it in range(iters):
         with loop_materialization_conf(spark):
             votes = (
                 e.join(maybe_bc(labels.select(F.col("v").alias("s"),
@@ -284,7 +330,7 @@ def label_propagation_integer(edges: DataFrame, src: str = "src",
                 .groupBy(F.col("d").alias("v"), "__vl")
                 .agg(F.count("*").alias("__c"))
             )
-            # per-v argmax as one hash aggregate instead of a window
+            # per-v argmax as one aggregate instead of a window
             # (r13): max(struct(count, -label)) is lexicographic —
             # largest count, ties to the SMALLEST label (labels are
             # node ids ≥ 0, so the negation is exact) — the same
@@ -297,11 +343,13 @@ def label_propagation_integer(edges: DataFrame, src: str = "src",
                      .alias("__m"))
                 .select("v", (-F.col("__m.__nl")).alias("__vl"))
             )
-            labels = (
+            new_labels = (
                 labels.join(maybe_bc(winners), "v", "left")
                 .select("v", F.coalesce("__vl", "label").alias("label"))
-                .localCheckpoint()
             )
+            if it == 0:
+                dump_loop_plan(new_labels, "label_propagation_round1")
+            labels = new_labels.localCheckpoint()
     return labels
 
 
@@ -309,7 +357,8 @@ def min_plus_shortest_paths(edges: DataFrame, source: DataFrame,
                             src: str = "src", dst: str = "dst",
                             weight: str = "w", iters: int = 3,
                             inf: int = 10**15,
-                            broadcast_state: bool = True) -> DataFrame:
+                            broadcast_state: bool = True,
+                            materialize_edges: bool = True) -> DataFrame:
     """Single-source shortest paths by ``iters`` rounds of BELLMAN-FORD
     relaxation over the (min, +) TROPICAL semiring → (v, dist) with
     dist = ``inf`` when no ≤``iters``-hop path exists. Where PageRank
@@ -323,12 +372,22 @@ def min_plus_shortest_paths(edges: DataFrame, source: DataFrame,
 
     ``source`` is a one-column (v) frame of seed nodes (dist 0).
 
-    Scale shape: per round one edge⋈dist join (state broadcast, one
-    BIGINT per node) + one dst-keyed MIN aggregate — the same
-    partitioning every round; localCheckpoint truncates lineage."""
-    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
-                      F.col(weight).cast("long").alias("w"))
-         .localCheckpoint())
+    Scale shape (r14 — two jobs per round): per round one edge⋈dist
+    join (state broadcast, one BIGINT per node) producing the raw
+    relaxation stream (d, dist+w), UNIONed with the carried distance
+    per node, then ONE v-keyed MIN aggregate — min(dist, relaxes) ≡
+    r13's least(dist, coalesce(min relaxes, inf)) with the node-keyed
+    carry-forward LEFT join and its broadcast build removed; the same
+    partitioning every round; localCheckpoint truncates lineage.
+
+    ``materialize_edges=False`` skips the operator's own edge
+    checkpoint when the CALLER already materialized the edge frame
+    (copurchase_shortest_paths checkpoints ``ew`` for its source
+    aggregate — r13 double-materialized the same rows)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                     F.col(weight).cast("long").alias("w"))
+    if materialize_edges:
+        e = e.localCheckpoint()
     maybe_bc = F.broadcast if broadcast_state else (lambda df: df)
     # node set from src UNION dst: on directed input a sink (dst-only)
     # node must still appear in the distance vector, else relaxed
@@ -346,19 +405,27 @@ def min_plus_shortest_paths(edges: DataFrame, source: DataFrame,
     # rounds deliberately keep AQE (measured 1.04-1.6× slower without
     # it here — the relax join's runtime re-planning earns its keep,
     # unlike pagerank_integer's fully-pinned rounds)
-    for _ in range(iters):
+    from flight_data_pipeline_spark.session import dump_loop_plan
+
+    for it in range(iters):
         relax = (
             e.join(maybe_bc(dist.select(F.col("v").alias("s"), "dist")),
                    "s")
             .where(F.col("dist") < inf)  # no relaxing from unreached
-            .groupBy(F.col("d").alias("v"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("__nd"))
+            .select(F.col("d").alias("v"),
+                    (F.col("dist") + F.col("w")).alias("__nd"))
         )
-        dist = (
-            dist.join(maybe_bc(relax), "v", "left")
-            .select("v", F.least(
-                "dist", F.coalesce("__nd", F.lit(inf).cast("long")))
-                .alias("dist"))
-            .localCheckpoint()
+        # carried distance per node unions into the SAME min
+        # aggregate the relaxations feed (r14): min over
+        # {dist} ∪ {relaxes} ≡ least(dist, coalesce(min relaxes,
+        # inf)) — 64-bit min is associative-exact — so the per-round
+        # carry-forward left join and its broadcast build disappear
+        carried = dist.select("v", F.col("dist").alias("__nd"))
+        new_dist = (
+            relax.unionByName(carried)
+            .groupBy("v").agg(F.min("__nd").alias("dist"))
         )
+        if it == 0:
+            dump_loop_plan(new_dist, "min_plus_shortest_paths_round1")
+        dist = new_dist.localCheckpoint()
     return dist

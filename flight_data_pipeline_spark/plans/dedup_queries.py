@@ -1566,9 +1566,12 @@ def minhash_jaccard_estimate_error(spark: SparkSession,
     Plan shape, all posting-bounded (never docs²): shingle explode →
     per-(source, gram) co-occurrence self-join for exact
     intersections (the near_dup_jaccard machinery), the
-    minhash_md5_signatures construction for sigs (shuffle carries
-    docs × 16 rows), one candidate×16 equi-join for agreement counts,
-    source-sized rollup. Cites the reference's dedup rationale
+    minhash_md5_signatures construction collapsed to one ordered
+    signature VECTOR per doc (the shuffle carries one row per doc,
+    not 16), agreement counted by a zip_with integer fold per
+    candidate pair (r13 — no candidate×16 equi-join, no
+    (source, a, b) re-shuffle of 16× the candidates), source-sized
+    rollup. Cites the reference's dedup rationale
     (etl_job.py:226-237) extended to the sketch-audit tier."""
     from flight_data_pipeline_spark.operators.text import ngram_explode
 

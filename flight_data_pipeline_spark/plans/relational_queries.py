@@ -5560,8 +5560,11 @@ def copurchase_shortest_paths(spark: SparkSession,
         .localCheckpoint()
     )
     source = ew.agg(F.min("s").alias("v"))
+    # ew is already checkpointed above — the operator's own edge
+    # materialization would store the same rows a second time (r14)
     dist = min_plus_shortest_paths(ew, source, src="s", dst="d",
-                                   weight="w", iters=3)
+                                   weight="w", iters=3,
+                                   materialize_edges=False)
     w = Window.orderBy("dist", "v")
     return (
         dist.orderBy("dist", "v").limit(15)

@@ -1417,6 +1417,8 @@ def embedding_decontamination_audit(spark: SparkSession,
         l2_norm,
     )
 
+    from flight_data_pipeline_spark.session import cpu_dense_partitions
+
     emb = load_table(spark, "embeddings", sf_dir)
     # norms hoisted to per-ROW columns before the fan-out: inside the
     # |train|x|eval| loop only the dot remains (the norm folds would
@@ -1425,7 +1427,15 @@ def embedding_decontamination_audit(spark: SparkSession,
     ev = (emb.where(F.col("vec_id") % EVAL_MOD == 0)
           .select(as_double(F.col("embedding")).alias("ev_e"))
           .select("ev_e", l2_norm(F.col("ev_e")).alias("ev_n")))
+    # vec_id-repartitioned BEFORE the |train|×|eval| fold: the fixture
+    # scan is one file → ONE task, so the whole fan-out — the query's
+    # entire CPU — serialized on a single core (measured r14: 9 tasks
+    # total, 1.6 s single-task stage wall at sf0.1/local[32]); the
+    # same cpu-dense-width fix as the r13 simhash/minhash/bloom
+    # widens (guide §2.5 — bytes are the wrong work proxy for a
+    # row-expanding fold stage). Per-row values are untouched.
     tr = (emb.where(F.col("vec_id") % EVAL_MOD != 0)
+          .repartition(cpu_dense_partitions(spark), "vec_id")
           .select("label", "vec_id",
                   as_double(F.col("embedding")).alias("tr_e"))
           .select("label", "vec_id", "tr_e",

@@ -103,8 +103,27 @@ def cpu_dense_partitions(spark: SparkSession) -> int:
     (guide §5) matters more than core coverage."""
     env = os.environ.get("SPARK_GRAFT_CPU_DENSE_PARTITIONS")
     if env:
-        return int(env)
+        # validate here, not deep inside query construction where a
+        # bad value would surface as an opaque repartition error
+        # (ADVICE r13)
+        try:
+            n = int(env)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_CPU_DENSE_PARTITIONS must be a positive "
+                f"integer, got {env!r}") from None
+        if n <= 0:
+            raise ValueError(
+                "SPARK_GRAFT_CPU_DENSE_PARTITIONS must be a positive "
+                f"integer, got {env!r}")
+        return n
     return spark.sparkContext.defaultParallelism
+
+
+# reentrancy depth for loop_materialization_conf — module-level is
+# correct under the engine's single-threaded driver model (see the
+# manager's docstring)
+_LOOP_CONF_DEPTH = 0
 
 
 @contextmanager
@@ -127,16 +146,63 @@ def loop_materialization_conf(spark: SparkSession):
 
     Set $SPARK_GRAFT_LOOP_AQE=1 to keep AQE on inside loops — the
     right call when per-round state is fact-sized and skewed (AQE
-    skew-split is the only thing lost; broadcasts are explicit)."""
+    skew-split is the only thing lost; broadcasts are explicit).
+
+    Scope/threading contract (ADVICE r13): the conf is SESSION-global
+    runtime state, so this manager assumes the engine's single-
+    threaded driver model — a concurrent query submitted on another
+    thread of the same session while a loop round materializes would
+    plan without AQE. A reentrancy counter makes NESTED/interleaved
+    loop scopes on one thread safe (only the outermost scope captures
+    and restores the pre-loop value, so an inner scope can never
+    capture 'false' and leave AQE off); cross-thread isolation would
+    need a cloned session (spark.newSession()) per loop, which the
+    engine avoids because cloned sessions don't share runtime conf
+    updates from the driver harness."""
     if os.environ.get("SPARK_GRAFT_LOOP_AQE") == "1":
         yield
         return
+    global _LOOP_CONF_DEPTH
+    if _LOOP_CONF_DEPTH > 0:
+        _LOOP_CONF_DEPTH += 1
+        try:
+            yield
+        finally:
+            _LOOP_CONF_DEPTH -= 1
+        return
     old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    _LOOP_CONF_DEPTH = 1
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+        _LOOP_CONF_DEPTH = 0
+
+
+def dump_loop_plan(frame, name: str) -> None:
+    """Loop-body plan evidence hook (VERDICT r13 item 7): the
+    iterative operators' per-round plans are invisible to
+    ``.explain`` on the returned query — every round ends in a
+    localCheckpoint, so the final frame's lineage only reaches back
+    to the last checkpoint. When ``$SPARK_GRAFT_LOOP_PLAN_DIR`` is
+    set, the operators call this on the ROUND-1 frame *before* its
+    checkpoint truncates lineage, writing ``<dir>/<name>.txt``
+    (first writer per file wins, so one run captures one plan per
+    loop). No-op — a single getenv — when the env var is unset, so
+    the hook costs nothing in production or benches."""
+    d = os.environ.get("SPARK_GRAFT_LOOP_PLAN_DIR")
+    if not d:
+        return
+    path = os.path.join(d, f"{name}.txt")
+    if os.path.exists(path):
+        return
+    os.makedirs(d, exist_ok=True)
+    plan = frame._jdf.queryExecution().explainString(
+        frame.sparkSession._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    with open(path, "w") as f:
+        f.write(plan.strip() + "\n")
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:

@@ -924,6 +924,84 @@ class TestMinPlusShortestPaths:
         assert d == {1: 0, 2: 3, 3: 7}
 
 
+class TestIterativeRoundRestructureR14:
+    """Focused pins for the r14 loop-body restructure: the per-round
+    carry-forward LEFT joins were replaced by union-into-the-aggregate
+    forms (zero-share carrier row for pagerank, zero-weight self-vote
+    for LPA, carried-distance union for Bellman-Ford). These exercise
+    the specific merge cases the equivalence arguments rest on."""
+
+    def test_lpa_self_loop_and_tie_semantics_pinned(self, spark):
+        """Semantics pin for any round implementation (the r14 A/B
+        exercised two equivalent forms — the carry-forward join kept
+        and the self-vote union reverted — and BOTH must satisfy
+        these): a node voting for its own label via a self-loop must
+        count exactly once, and even ties still break to the
+        smallest label."""
+        from flight_data_pipeline_spark.operators.graph import (
+            label_propagation_integer,
+        )
+
+        # in-edges into 1: from 3 and from 2 → round-1 votes at node
+        # 1 are {3: 1, 2: 1}: tie breaks to 2 (smallest label)
+        edges = spark.createDataFrame(
+            [(3, 1), (2, 1)], "src long, dst long")
+        l1 = {r.v: r.label
+              for r in label_propagation_integer(edges, iters=1)
+              .collect()}
+        assert l1[1] == 2
+        edges2 = spark.createDataFrame(
+            [(7, 8), (8, 7), (7, 7)], "src long, dst long")
+        l2 = {r.v: r.label
+              for r in label_propagation_integer(edges2, iters=1)
+              .collect()}
+        # node 7's votes: from 8 (label 8) and from itself via the
+        # self-loop (label 7, exactly one vote — no double count) →
+        # tie {7: 1, 8: 1} → smallest label 7 wins
+        assert l2[7] == 7
+        # node 8's votes: from 7 (label 7) → 7 wins over carry 8
+        assert l2[8] == 7
+
+    def test_min_plus_materialize_edges_false_identical(self, spark):
+        """materialize_edges=False (caller already checkpointed the
+        edge frame) must yield the identical distance vector."""
+        from flight_data_pipeline_spark.operators.graph import (
+            min_plus_shortest_paths,
+        )
+
+        sym = [(1, 2, 1), (2, 4, 1), (1, 4, 10), (4, 5, 2)]
+        sym = sym + [(d, s, w) for s, d, w in sym]
+        edges = spark.createDataFrame(sym, "src long, dst long, w long")
+        source = spark.createDataFrame([(1,)], "v long")
+        want = {r.v: r.dist
+                for r in min_plus_shortest_paths(
+                    edges, source, iters=3).collect()}
+        got = {r.v: r.dist
+               for r in min_plus_shortest_paths(
+                   edges.localCheckpoint(), source, iters=3,
+                   materialize_edges=False).collect()}
+        assert got == want
+
+    def test_pagerank_integer_shuffle_state_matches_broadcast(
+            self, spark):
+        """broadcast_state=False (the fact-sized-state fallback) goes
+        through the union-with-carrier aggregate too — both paths
+        must produce the same exact integers."""
+        from flight_data_pipeline_spark.operators.graph import (
+            pagerank_integer,
+        )
+
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (4, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        bc = {r.v: r.rank for r in pagerank_integer(df, iters=3)
+              .collect()}
+        sh = {r.v: r.rank
+              for r in pagerank_integer(df, iters=3,
+                                        broadcast_state=False)
+              .collect()}
+        assert bc == sh
+
+
 class TestSimhash64Defaults:
     def test_xxhash64_default_and_md5_variant_share_fold_semantics(
             self, spark):
