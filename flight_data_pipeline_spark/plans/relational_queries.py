@@ -4810,11 +4810,20 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         li.select(F.col("l_orderkey").alias("o"),
                   F.col("l_partkey").alias("p"))
-        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
-        # one cheap exchange of the order-sets so the k² pair explode
-        # (the build's CPU) runs at the cpu-dense width instead of on
-        # the few AQE-coalesced post-aggregate partitions
+        # repartition BEFORE the aggregate (r14): placed after it, the
+        # repartition was silently ELIDED as redundant with the
+        # aggregate's own o-keyed exchange — whose ENSURE_REQUIREMENTS
+        # partitioning AQE then byte-coalesced, serializing the k²
+        # pair explode the r13 pin was meant to widen. Ahead of the
+        # groupBy, the REPARTITION_BY_NUM exchange survives, the
+        # aggregate reuses its partitioning (one exchange total), and
+        # the explode runs at the cpu-dense width (warm A/B at sf0.1:
+        # 0.97/1.37 s vs 1.44/1.99 s for the edge build alone). Trade:
+        # raw (o, p) rows cross instead of map-side-combined sets —
+        # (o, p) is near-distinct in lineitem, so the combine saved
+        # nothing here.
         .repartition(cpu_dense_partitions(spark), "o")
+        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
         .select(F.explode(F.expr(
             "flatten(transform(ps, (x, i) ->"
             " transform(slice(ps, i + 2, size(ps) - i - 1),"
@@ -5416,8 +5425,10 @@ def copurchase_label_communities(spark: SparkSession,
     und = (
         li.select(F.col("l_orderkey").alias("o"),
                   F.col("l_partkey").alias("p"))
-        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        # repartition BEFORE the aggregate — see copurchase_pagerank
+        # (r14: the post-aggregate form was elided and AQE-coalesced)
         .repartition(cpu_dense_partitions(spark), "o")
+        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
         .select(F.explode(F.expr(
             "flatten(transform(ps, (x, i) ->"
             " transform(slice(ps, i + 2, size(ps) - i - 1),"
@@ -5540,8 +5551,10 @@ def copurchase_shortest_paths(spark: SparkSession,
     half = (
         li.select(F.col("l_orderkey").alias("o"),
                   F.col("l_partkey").alias("p"))
-        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        # repartition BEFORE the aggregate — see copurchase_pagerank
+        # (r14: the post-aggregate form was elided and AQE-coalesced)
         .repartition(cpu_dense_partitions(spark), "o")
+        .groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
         .select(F.explode(F.expr(
             "flatten(transform(ps, (x, i) ->"
             " transform(slice(ps, i + 2, size(ps) - i - 1),"
