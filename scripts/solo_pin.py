@@ -9,9 +9,10 @@ import bench
 from flight_data_pipeline_spark.session import get_spark
 import __spark_entry__ as entrymod
 
-TARGETS = ["curated_training_mix", "dup_span_removal",
-           "kmeans_assignment_round", "distinct_token_sketches",
-           "token_stats_by_lang"]
+TARGETS = sys.argv[1:] or [
+    "curated_training_mix", "dup_span_removal",
+    "kmeans_assignment_round", "distinct_token_sketches",
+    "token_stats_by_lang"]
 SF_DIR = "/root/testdata/sf0.1"
 
 spark = get_spark(app_name="fdps-solo-pin")
